@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship pipeline at sf0.001 (smoke check).
+``queries()`` / ``oracle_sql()`` — the declared correctness surface; the
+driver runs each Spark query against its DuckDB twin at sf0.01
+(row-count + schema + order-insensitive value-hash).
+
+Implementation lives in ``polars_quant_spark.queries``.
 """
 
 from __future__ import annotations
@@ -13,26 +14,56 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+SF_SMOKE = "/root/testdata/sf0.001"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: bars → SMA/EMA/RSI/MACD → MA-crossover signals → per-symbol
+    signal summary. Exercises scan → window → recurrence runner → agg."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from polars_quant_spark.functions import overlap as ov
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+    from polars_quant_spark.sources.bars import bars
+
+    w = Window.partitionBy("symbol").orderBy("t")
+    b = bars(spark, SF_SMOKE)
+    b = b.withColumn("sma_20", ov.sma("close", 20, w))
+    b = with_recurrences(
+        b,
+        [
+            Rec("ema_12", "ema", ["close"], {"p": 12}),
+            Rec("ema_26", "ema", ["close"], {"p": 26}),
+            Rec("rsi_14", "rsi", ["close"], {"p": 14}),
+            Rec(["macd_dif", "macd_dea", "macd_hist"], "macd", ["close"], {}),
+        ],
+    )
+    cross_up = (F.col("ema_12") > F.col("ema_26")) & (
+        F.lag("ema_12").over(w) <= F.lag("ema_26").over(w)
+    )
+    cross_dn = (F.col("ema_12") < F.col("ema_26")) & (
+        F.lag("ema_12").over(w) >= F.lag("ema_26").over(w)
+    )
+    sig = b.withColumn("buy", cross_up & (F.col("rsi_14") < 70)).withColumn(
+        "sell", cross_dn
+    )
+    return sig.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n_bars"),
+        F.sum(F.col("buy").cast("int")).alias("n_buy"),
+        F.sum(F.col("sell").cast("int")).alias("n_sell"),
+        F.round(F.avg("rsi_14"), 6).alias("avg_rsi"),
+        F.round(F.avg("close"), 6).alias("avg_close"),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from polars_quant_spark.queries import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from polars_quant_spark.queries import ORACLES
+
+    return dict(ORACLES)

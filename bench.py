@@ -1,0 +1,185 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced through a noop sink so the optimizer can't prune the
+measured work (count() would drop every computed column).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_quant_spark.backtest.metrics import summary
+from polars_quant_spark.backtest.vectorized import vectorized_backtest
+from polars_quant_spark.functions import momentum as mo
+from polars_quant_spark.functions import overlap as ov
+from polars_quant_spark.functions import pattern as pat
+from polars_quant_spark.functions import price as pr
+from polars_quant_spark.functions import volume as vu
+from polars_quant_spark.operators import dedup, similarity, text
+from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+from polars_quant_spark.queries import QUERIES
+from polars_quant_spark.session import get_spark
+from polars_quant_spark.sources.bars import bars, load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def _force(df: DataFrame) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def bench_indicators_expr(spark, sf_dir):
+    """~15 expression-layer indicators in one window pass."""
+    b = bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("t")
+    up, mid, lo = ov.bbands("close", 20, 2, 2, w)
+    return b.select(
+        "symbol",
+        "t",
+        ov.sma("close", 20, w).alias("sma"),
+        ov.wma("close", 10, w).alias("wma"),
+        ov.midpoint("close", 14, w).alias("midpoint"),
+        ov.midprice("high", "low", 14, w).alias("midprice"),
+        up.alias("bb_up"),
+        lo.alias("bb_lo"),
+        mo.mom("close", 10, w).alias("mom"),
+        mo.roc("close", 10, w).alias("roc"),
+        mo.willr("high", "low", "close", 14, w).alias("willr"),
+        mo.cmo("close", 14, w).alias("cmo"),
+        mo.ultosc("high", "low", "close", 7, 14, 28, w).alias("ultosc"),
+        mo.mfi("high", "low", "close", "volume", 14, w).alias("mfi"),
+        mo.bop("open", "high", "low", "close").alias("bop"),
+        pr.typprice("high", "low", "close").alias("typprice"),
+        vu.ad("high", "low", "close", "volume", w).alias("ad"),
+        vu.obv("close", "volume", w).alias("obv"),
+    )
+
+
+def bench_indicators_rec(spark, sf_dir):
+    """Recurrence batch — one applyInPandas pass computes 6 indicator families."""
+    b = bars(spark, sf_dir)
+    out = with_recurrences(
+        b,
+        [
+            Rec("ema_20", "ema", ["close"], {"p": 20}),
+            Rec("rsi_14", "rsi", ["close"], {"p": 14}),
+            Rec("atr_14", "atr", ["high", "low", "close"], {"p": 14}),
+            Rec("kama_10", "kama", ["close"], {"p": 10}),
+            Rec("adx_14", "adx", ["high", "low", "close"], {"p": 14}),
+            Rec(["macd_dif", "macd_dea", "macd_hist"], "macd", ["close"], {}),
+        ],
+    )
+    return out.select("symbol", "t", "ema_20", "rsi_14", "atr_14", "kama_10", "adx_14", "macd_dif")
+
+
+def bench_patterns(spark, sf_dir):
+    """All 61 candlestick patterns in one projection."""
+    b = bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("t")
+    cols = [
+        fn("open", "high", "low", "close", w).alias(name)
+        for name, fn in pat.ALL_PATTERNS.items()
+    ]
+    return b.select("symbol", "t", *cols)
+
+
+def bench_backtest(spark, sf_dir):
+    """Signals → per-symbol fold → metrics, end to end."""
+    b = bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("t")
+    b = with_recurrences(
+        b,
+        [
+            Rec("ema_12", "ema", ["close"], {"p": 12}),
+            Rec("ema_26", "ema", ["close"], {"p": 26}),
+        ],
+    )
+    sig = b.withColumn(
+        "buy",
+        (F.col("ema_12") > F.col("ema_26"))
+        & (F.lag("ema_12").over(w) <= F.lag("ema_26").over(w)),
+    ).withColumn(
+        "sell",
+        (F.col("ema_12") < F.col("ema_26"))
+        & (F.lag("ema_12").over(w) >= F.lag("ema_26").over(w)),
+    )
+    return summary(vectorized_backtest(sig))
+
+
+def bench_dedup(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_dedup_pairs(docs, threshold=0.5)
+
+
+def bench_ann(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+def bench_text(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").alias("n_tokens"),
+        text.detect_language("text").alias("lang_pred"),
+        text.quality_score("text").alias("quality"),
+        text.fingerprint("text").alias("fp"),
+    )
+
+
+BENCH = {
+    "q1": QUERIES["rel_q1_pricing_summary"],
+    "q3": QUERIES["rel_q3_shipping_priority"],
+    "q5": QUERIES["rel_q5_region_revenue"],
+    "events_daily": QUERIES["agg_events_daily"],
+    "indicators_expr": bench_indicators_expr,
+    "indicators_rec": bench_indicators_rec,
+    "patterns": bench_patterns,
+    "backtest": bench_backtest,
+    "dedup_minhash": bench_dedup,
+    "ann_topk": bench_ann,
+    "text_stats": bench_text,
+}
+
+
+def main() -> None:
+    spark = get_spark("pqs-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # warm the JVM + parquet footers once
+    load_table(spark, SF_DIR, "lineitem").count()
+
+    timings: dict[str, float] = {}
+    for name, fn in BENCH.items():
+        t0 = time.time()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "pqs_bench_total",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""polars_quant_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of ``Firstastor/polars-quant`` (reference at
+/root/reference, surveyed in SURVEY.md), re-architected Spark-first.
+
+Design principles (see SURVEY.md §4.2, §7):
+
+* **DataFrame/Column expressions everywhere.** Every indicator that the
+  reference implements as a Rust columnar kernel is re-expressed as a
+  ``pyspark.sql.Column`` expression over an explicit
+  ``Window.partitionBy(symbol).orderBy(time)`` — Catalyst optimizes, Tungsten
+  codegens, and the plan scales to any number of executors with exactly one
+  shuffle per partitioning.
+* **Recurrences run in Arrow-batched pandas kernels.** EMA-family smoothing,
+  Wilder RMA, SAR, the MESA/Hilbert state machine, and the backtest fold have
+  no closed SQL form; they run as numpy scans inside ``applyInPandas``, one
+  partition per symbol (operators/recurrence.py).
+* **Explicit time axis.** The reference treats row order as time
+  (src/backtest/sequential.rs:290 positional iteration); at Spark scale order
+  must be declared, so every API takes partition/order columns.
+"""
+
+from polars_quant_spark.session import get_spark
+from polars_quant_spark.functions import (
+    price,
+    overlap,
+    momentum,
+    volume,
+    volatility,
+    pattern,
+    returns,
+)
+from polars_quant_spark.operators import recurrence
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "get_spark",
+    "price",
+    "overlap",
+    "momentum",
+    "volume",
+    "volatility",
+    "pattern",
+    "returns",
+    "recurrence",
+]

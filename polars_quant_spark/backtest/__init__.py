@@ -1,0 +1,19 @@
+from polars_quant_spark.backtest.vectorized import vectorized_backtest
+from polars_quant_spark.backtest.metrics import summary
+from polars_quant_spark.backtest.sequential import (
+    Order,
+    OrderContext,
+    ExecutionEngine,
+    Portfolio,
+    SequentialBacktester,
+)
+
+__all__ = [
+    "vectorized_backtest",
+    "summary",
+    "Order",
+    "OrderContext",
+    "ExecutionEngine",
+    "Portfolio",
+    "SequentialBacktester",
+]

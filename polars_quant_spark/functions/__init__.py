@@ -1,0 +1,11 @@
+from polars_quant_spark.functions import (
+    momentum,
+    overlap,
+    pattern,
+    price,
+    returns,
+    volatility,
+    volume,
+)
+
+__all__ = ["momentum", "overlap", "pattern", "price", "returns", "volatility", "volume"]

@@ -1,0 +1,77 @@
+"""Shared helpers for indicator Column expressions.
+
+Semantics contract (the declared behavior our DuckDB oracles also encode —
+SURVEY.md §4.2 items 2-3):
+
+* Every windowed indicator takes an explicit base window ``w`` =
+  ``Window.partitionBy(symbol).orderBy(time)`` (no frame); trailing
+  row-count frames are derived here.
+* Warm-up: output is NULL until the trailing frame holds exactly ``p``
+  non-null inputs (``F.count(x).over(frame) == p``). The reference instead
+  skips nulls without consuming window slots
+  (/root/reference/src/talib/overlap.rs:891-895); on null-free data the two
+  agree. We document (not replicate) the divergence — row-count frames are
+  the only formulation that stays inside Spark's codegen'd window exec.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, Window, WindowSpec
+from pyspark.sql import functions as F
+
+
+def col(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+def dcol(x: Column | str) -> Column:
+    """All indicator inputs are cast to double on entry, like the reference
+    (/root/reference/src/talib/overlap.rs:48)."""
+    return col(x).cast("double")
+
+
+def trailing(w: WindowSpec, p: int) -> WindowSpec:
+    """Trailing row-count frame of length p: rowsBetween(-(p-1), 0)."""
+    return w.rowsBetween(-(p - 1), 0)
+
+
+def cumulative(w: WindowSpec) -> WindowSpec:
+    return w.rowsBetween(Window.unboundedPreceding, 0)
+
+
+def full_window(x: Column, p: int, w: WindowSpec) -> Column:
+    """True once the trailing frame holds p non-null values of x."""
+    return F.count(x).over(trailing(w, p)) == p
+
+
+def guarded(expr: Column, x: Column, p: int, w: WindowSpec) -> Column:
+    """NULL during warm-up, expr once the frame is full."""
+    return F.when(full_window(x, p, w), expr)
+
+
+def round6(c: Column, decimals: int = 6) -> Column:
+    """Deterministic cross-engine rounding: FLOOR(x·10ᵈ + 0.5)/10ᵈ.
+
+    Spark's F.round re-parses the double's shortest decimal representation
+    (BigDecimal HALF_UP) while DuckDB rounds the exact binary expansion —
+    they disagree on exact half-boundaries. This formula is plain IEEE double
+    arithmetic, bit-identical on both engines (oracle.floor_rounds rewrites
+    the SQL side to match)."""
+    scale = float(10 ** decimals)
+    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
+
+
+def wdot(x: Column, p: int, w: WindowSpec, weights: list[float]) -> Column:
+    """Dot product of the trailing-p window values with a fixed weight vector.
+
+    Stays JVM-side: collect_list over the frame + zip_with/aggregate
+    higher-order functions — no Python workers. O(p) per row; fine for the
+    reference's p ≤ 30 defaults. For very large p prefer a pandas kernel.
+    """
+    lst = F.collect_list(x).over(trailing(w, p))
+    wlit = F.array(*[F.lit(float(v)) for v in weights])
+    return F.aggregate(
+        F.zip_with(lst, wlit, lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )

@@ -1,0 +1,49 @@
+"""Volume indicators (SURVEY.md §2.5 Volume).
+
+Corrected semantics per SURVEY.md §0 — we implement the documented TA-Lib
+contract, not the reference's snapshot bugs:
+
+* OBV sign: reference adds volume on a price *drop*
+  (/root/reference/src/talib/volume.rs:81-92, inverted diff) — we add on a rise.
+* AD when high==low: reference emits 0.0 (/root/reference/src/talib/volume.rs:113-116);
+  we treat the bar's contribution as 0 and keep emitting the running sum.
+* ADOSC: reference double-accumulates AD (/root/reference/src/talib/volume.rs:48-66);
+  ours is EMA(AD,fast) − EMA(AD,slow) — see operators.recurrence.adosc (EMA leg).
+
+All cumulative sums are unbounded-preceding window sums — single shuffle on
+the partition key, codegen'd running aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, WindowSpec
+from pyspark.sql import functions as F
+
+from polars_quant_spark.functions._util import cumulative, dcol
+
+
+def clv_flow(high: Column | str, low: Column | str, close: Column | str, volume: Column | str) -> Column:
+    """Per-bar Chaikin money-flow contribution: CLV·vol, 0 on flat bars."""
+    h, l, c, v = dcol(high), dcol(low), dcol(close), dcol(volume)
+    clv = ((c - l) - (h - c)) / (h - l)
+    return F.when(h == l, F.lit(0.0)).otherwise(clv * v)
+
+
+def ad(high: Column | str, low: Column | str, close: Column | str, volume: Column | str, w: WindowSpec = None) -> Column:
+    """Chaikin A/D line: running sum of CLV·vol (volume.rs:100-125)."""
+    return F.sum(clv_flow(high, low, close, volume)).over(cumulative(w))
+
+
+def obv(close: Column | str, volume: Column | str, w: WindowSpec = None) -> Column:
+    """On-balance volume: running ±volume by close direction; the first bar
+    contributes +volume (TA-Lib seed), flat closes contribute 0
+    (volume.rs:69-96, sign corrected per SURVEY §0)."""
+    c, v = dcol(close), dcol(volume)
+    prev = F.lag(c).over(w)
+    contrib = (
+        F.when(prev.isNull(), v)
+        .when(c > prev, v)
+        .when(c < prev, -v)
+        .otherwise(F.lit(0.0))
+    )
+    return F.sum(contrib).over(cumulative(w))

@@ -1,0 +1,192 @@
+"""Deduplication operators for LLM-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup (SURVEY.md §7 Phase 5).
+
+Hash discipline: md5 (identical in Spark and DuckDB, so the oracle suite can
+reproduce signatures bit-for-bit). Production note: xxhash64 is ~10× faster
+and is a drop-in swap — the algorithms below only need *some* uniform hash.
+
+Scale design:
+* exact dedup — one hash-shuffle on the key; keeps min(doc_id) per group.
+* MinHash — signatures are per-row projections (no shuffle!): higher-order
+  array fns over the shingle array; the only shuffle is the band-bucket
+  self-join, which is the point of LSH (candidates ≪ all-pairs). Skewed
+  buckets (boilerplate shingles) are capped with a bucket-size limit.
+* Jaccard verification — only on LSH candidates, array intersect/union.
+* embedding near-dup — cosine over LSH-ish block joins, see similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_quant_spark.operators.text import tokens
+
+
+def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact near-canonical dedup: group by md5 of the normalized token
+    stream, keep the smallest id. Returns (fingerprint, keep_id, n_dups)."""
+    fp = F.md5(F.concat_ws(" ", tokens(text)))
+    return (
+        df.select(fp.alias("fingerprint"), F.col(id_col))
+        .groupBy("fingerprint")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
+    )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """k-token shingles (space-joined), distinct, over the shared tokenizer."""
+    toks = tokens(text)
+    n = F.size(toks)
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda j: F.concat_ws(" ", F.slice(toks, j, k)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signature(text: Column | str, num_hashes: int = 16, k: int = 3) -> Column:
+    """MinHash signature: element i = min over shingles of md5(shingle ∥ '#i').
+    String-min over hex digests — a uniform permutation proxy shared exactly
+    with the DuckDB oracle. Pure projection: no shuffle, no UDF."""
+    sh = shingles(text, k)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))))
+        ),
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """LSH candidate pairs: split the signature into `bands` bands of
+    r = num_hashes/bands rows, bucket by md5(band), self-join buckets.
+    Returns distinct (id_a, id_b) with id_a < id_b.
+
+    `max_bucket` drops degenerate buckets (boilerplate) — the standard skew
+    guard; at 100 TB this is what keeps the self-join from exploding."""
+    assert num_hashes % bands == 0
+    r = num_hashes // bands
+    sig = minhash_signature(text, num_hashes, k)
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(F.concat_ws(",", F.slice(sig, b * r + 1, r))).alias("bucket"),
+                ),
+            )
+        ).alias("bb"),
+    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    counted = banded.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
+    ).where(F.col("_n") <= max_bucket)
+    a = counted.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"))
+    b = counted.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"))
+    return (
+        a.join(b, on=["band", "bucket"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+def jaccard(text_a: Column, text_b: Column, k: int = 3) -> Column:
+    """Exact n-gram Jaccard similarity between two texts."""
+    sa, sb = shingles(text_a, k), shingles(text_b, k)
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    union = F.size(F.array_union(sa, sb)).cast("double")
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full near-dup pipeline: LSH candidates → exact Jaccard verification →
+    pairs over threshold. Returns (id_a, id_b, jaccard)."""
+    cand = minhash_lsh_candidates(df, text, id_col, num_hashes, bands, k)
+    docs = df.select(F.col(id_col), F.col(text))
+    a = docs.select(F.col(id_col).alias("id_a"), F.col(text).alias("_ta"))
+    b = docs.select(F.col(id_col).alias("id_b"), F.col(text).alias("_tb"))
+    out = (
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("_ta"), F.col("_tb"), k), 6).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
+def simhash(text: Column | str, bits: int = 32) -> Column:
+    """SimHash over tokens: bit j is the sign of Σ_tokens (±1 per token
+    depending on bit j of md5(token)). 32-bit (hex-parseable on both
+    engines). Pure projection."""
+    toks = tokens(text)
+    # token hash: first 8 hex chars of md5 → 32-bit int
+    hs = F.transform(toks, lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"))
+
+    def bit(h, j):
+        # (h >> j) & 1 — arithmetic form because shiftright needs a literal
+        # shift amount; h < 2^32 so the double division is exact.
+        return F.floor(h / F.pow(F.lit(2.0), j)).cast("long") % 2
+
+    return F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, j: acc
+        + F.when(
+            F.aggregate(
+                hs,
+                F.lit(0).cast("long"),
+                lambda s, h: s + F.when(bit(h, j) == 1, F.lit(1)).otherwise(F.lit(-1)),
+            )
+            > 0,
+            F.pow(F.lit(2.0), j).cast("long"),
+        ).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash_near_dupes(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    bits: int = 32,
+) -> DataFrame:
+    """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked on
+    the top half of the hash (a one-band LSH — at scale use 4 rotated bands).
+    Returns (id_a, id_b, hamming)."""
+    sh = df.select(F.col(id_col).alias("_id"), simhash(text, bits).alias("_sh"))
+    sh = sh.withColumn("_block", F.shiftright(F.col("_sh"), bits // 2))
+    a = sh.select(F.col("_block"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
+    b = sh.select(F.col("_block"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, "_block")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,437 @@
+"""Recurrence runner — the one custom physical operator this engine adds.
+
+The reference's EMA family, Wilder smoothing, KAMA, SAR, T3, and the MESA
+state machine are per-symbol *sequential* scans (SURVEY.md §2.5 "recurrences")
+with no closed-form SQL window. Spark-first design (SURVEY.md §4.2 item 1):
+
+* One ``groupBy(symbol).applyInPandas`` pass computes **all** requested
+  recurrences for a partition in a single Arrow round-trip — the per-indicator
+  cost is a numpy scan, the per-pass cost (shuffle + Arrow) is paid once.
+* Scale: the shuffle is one exchange on the symbol key; each group is
+  processed streaming on an executor. Skewed symbols are the risk at 100 TB —
+  mitigate upstream by bucketing the bar store by symbol. State is O(1) per
+  kernel, so group size is bounded by executor memory only through Arrow
+  batching (spark.sql.execution.arrow.maxRecordsPerBatch keeps batches sane;
+  applyInPandas materializes a group at a time — for truly huge single
+  symbols, segment the scan by year and stitch seeds, not implemented here).
+
+Null semantics match the reference: kernels skip nulls without consuming
+window slots (/root/reference/src/talib/overlap.rs:891-895) — inputs are
+compacted to the valid subsequence, the scan runs, outputs scatter back to the
+valid rows' positions.
+
+Seeding contract (our declared semantics, encoded in the DuckDB oracles):
+every exponential scan seeds with the SMA of its first p valid inputs exactly
+like the reference's calc_ema (/root/reference/src/talib/overlap.rs:687-701),
+then e += α·(x−e). ATR diverges from the reference deliberately: the snapshot
+smooths TR with period 2p−1 EMA *SMA-seeded over 2p−1 values*
+(/root/reference/src/talib/volatility.rs:31); we use the documented Wilder
+contract — RMA(TR, p), i.e. α=1/p with an SMA-of-first-p seed.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.types import DoubleType, StructField, StructType
+
+# ---------------------------------------------------------------------------
+# numpy scan kernels (null-compacting)
+# ---------------------------------------------------------------------------
+
+
+def _ewma(x: np.ndarray, alpha: float, seed_n: int) -> np.ndarray:
+    """Exponential scan over a dense array: out[seed_n-1] = mean(x[:seed_n]),
+    then out[i] = out[i-1] + alpha*(x[i] - out[i-1]). NaN before the seed."""
+    n = x.shape[0]
+    out = np.full(n, np.nan)
+    if n < seed_n or seed_n <= 0:
+        return out
+    e = float(np.cumsum(x[:seed_n])[-1]) / seed_n  # sequential sum = oracle's AVG
+    out[seed_n - 1] = e
+    for i in range(seed_n, n):
+        e = e + alpha * (x[i] - e)
+        out[i] = e
+    return out
+
+
+def _compact_apply(fn: Callable[..., np.ndarray], *cols: np.ndarray) -> np.ndarray:
+    """Run fn on the null-compacted subsequence (rows where every input is
+    valid), scatter results back to the original positions."""
+    mask = np.ones(cols[0].shape[0], dtype=bool)
+    for c in cols:
+        mask &= ~np.isnan(c)
+    out = np.full(cols[0].shape[0], np.nan)
+    if mask.sum() == 0:
+        return out
+    out[mask] = fn(*[c[mask] for c in cols])
+    return out
+
+
+def ema(x: np.ndarray, p: int = 30) -> np.ndarray:
+    return _compact_apply(lambda v: _ewma(v, 2.0 / (p + 1), p), x)
+
+
+def rma(x: np.ndarray, p: int = 14) -> np.ndarray:
+    """Wilder smoothing: α = 1/p, SMA seed."""
+    return _compact_apply(lambda v: _ewma(v, 1.0 / p, p), x)
+
+
+def dema(x: np.ndarray, p: int = 30) -> np.ndarray:
+    """2·EMA − EMA(EMA) (overlap.rs:543-658); first value at row 2p−2."""
+    e1 = ema(x, p)
+    e2 = ema(e1, p)
+    return 2.0 * e1 - e2
+
+
+def tema(x: np.ndarray, p: int = 30) -> np.ndarray:
+    """3·E1 − 3·E2 + E3 (overlap.rs:1177-1311); first value at row 3p−3."""
+    e1 = ema(x, p)
+    e2 = ema(e1, p)
+    e3 = ema(e2, p)
+    return 3.0 * e1 - 3.0 * e2 + e3
+
+
+def t3(x: np.ndarray, p: int = 5, vfactor: float = 0.7) -> np.ndarray:
+    """Tillson T3: 6 chained SMA-seeded EMAs with GD coefficients from v
+    (overlap.rs:939-1175); first value at row 6p−6."""
+    v = vfactor
+    e = x
+    es = []
+    for _ in range(6):
+        e = ema(e, p)
+        es.append(e)
+    e1, e2, e3_, e4, e5, e6 = es
+    c1 = -(v ** 3)
+    c2 = 3.0 * v ** 2 + 3.0 * v ** 3
+    c3 = -6.0 * v ** 2 - 3.0 * v - 3.0 * v ** 3
+    c4 = 1.0 + 3.0 * v + v ** 3 + 3.0 * v ** 2
+    return c1 * e6 + c2 * e5 + c3 * e4 + c4 * e3_
+
+
+def kama(x: np.ndarray, p: int = 30) -> np.ndarray:
+    """Kaufman adaptive MA (overlap.rs:732-855): ER = |x−x₋ₚ|/Σ|Δx| over
+    trailing p, SC = (ER·(2/3 − 2/31) + 2/31)², k += SC·(x−k); seed = SMA of
+    the first p values at row p−1."""
+
+    def _kama(v: np.ndarray) -> np.ndarray:
+        n = v.shape[0]
+        out = np.full(n, np.nan)
+        if n < p + 1:
+            return out
+        fast_sc, slow_sc = 2.0 / 3.0, 2.0 / 31.0
+        k = float(np.cumsum(v[:p])[-1]) / p
+        out[p - 1] = k
+        adiff = np.abs(np.diff(v))
+        for i in range(p, n):
+            vol = float(np.cumsum(adiff[i - p : i])[-1])
+            er = abs(v[i] - v[i - p]) / vol if vol > 0 else 0.0
+            sc = (er * (fast_sc - slow_sc) + slow_sc) ** 2
+            k = k + sc * (v[i] - k)
+            out[i] = k
+        return out
+
+    return _compact_apply(_kama, x)
+
+
+def rsi(x: np.ndarray, p: int = 14) -> np.ndarray:
+    """Wilder RSI (momentum.rs:506-541 semantics, calc_rma restored):
+    100·avgUp/(avgUp+avgDn) with avgDn==0 → 100; first value at row p."""
+
+    def _rsi(v: np.ndarray) -> np.ndarray:
+        n = v.shape[0]
+        out = np.full(n, np.nan)
+        if n < p + 1:
+            return out
+        d = np.diff(v)
+        up = np.where(d > 0, d, 0.0)
+        dn = np.where(d < 0, -d, 0.0)
+        au = _ewma(up, 1.0 / p, p)
+        ad_ = _ewma(dn, 1.0 / p, p)
+        for i in range(p, n):
+            u, dd = au[i - 1], ad_[i - 1]
+            if np.isnan(u):
+                continue
+            out[i] = 100.0 if dd == 0.0 else 100.0 * u / (u + dd)
+        return out
+
+    return _compact_apply(_rsi, x)
+
+
+def _trange_dense(h: np.ndarray, l: np.ndarray, c: np.ndarray) -> np.ndarray:
+    tr = np.full(h.shape[0], np.nan)
+    if h.shape[0] > 1:
+        pc = c[:-1]
+        tr[1:] = np.maximum.reduce([h[1:] - l[1:], np.abs(h[1:] - pc), np.abs(l[1:] - pc)])
+    return tr
+
+
+def atr(h: np.ndarray, l: np.ndarray, c: np.ndarray, p: int = 14) -> np.ndarray:
+    """RMA(TR, p); first value at row p (Wilder contract, see module doc)."""
+
+    def _atr(hh, ll, cc):
+        tr = _trange_dense(hh, ll, cc)
+        out = np.full(hh.shape[0], np.nan)
+        if hh.shape[0] < p + 1:
+            return out
+        out[1:] = _ewma(tr[1:], 1.0 / p, p)
+        return out
+
+    return _compact_apply(_atr, h, l, c)
+
+
+def natr(h: np.ndarray, l: np.ndarray, c: np.ndarray, p: int = 14) -> np.ndarray:
+    """100·ATR/close (volatility.rs:34-48)."""
+    a = atr(h, l, c, p)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return np.where(c != 0, 100.0 * a / c, 0.0)
+
+
+def _dmi(hh: np.ndarray, ll: np.ndarray, cc: np.ndarray, p: int):
+    """Shared +DI/−DI/DX pipeline (momentum.rs:668-727, calc_rma restored;
+    PLUS_DI returns the *correct* +DI, not the snapshot's DX — SURVEY §0)."""
+    n = hh.shape[0]
+    up_move = hh[1:] - hh[:-1]
+    dn_move = ll[:-1] - ll[1:]
+    pdm = np.where((up_move > dn_move) & (up_move > 0), up_move, 0.0)
+    mdm = np.where((dn_move > up_move) & (dn_move > 0), dn_move, 0.0)
+    tr = _trange_dense(hh, ll, cc)[1:]
+    s_pdm = _ewma(pdm, 1.0 / p, p)
+    s_mdm = _ewma(mdm, 1.0 / p, p)
+    s_tr = _ewma(tr, 1.0 / p, p)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        pdi = np.where(s_tr > 0, 100.0 * s_pdm / s_tr, 0.0)
+        mdi = np.where(s_tr > 0, 100.0 * s_mdm / s_tr, 0.0)
+        dsum = pdi + mdi
+        dx = np.where(dsum > 0, 100.0 * np.abs(pdi - mdi) / dsum, 0.0)
+    dx[np.isnan(s_tr)] = np.nan
+    pad = np.full(n, np.nan)
+    return pdi, mdi, dx, pad
+
+
+def plus_di(h, l, c, p: int = 14):
+    def _f(hh, ll, cc):
+        pdi, _, _, pad = _dmi(hh, ll, cc, p)
+        pad[1:] = pdi
+        return pad
+    return _compact_apply(_f, h, l, c)
+
+
+def minus_di(h, l, c, p: int = 14):
+    def _f(hh, ll, cc):
+        _, mdi, _, pad = _dmi(hh, ll, cc, p)
+        pad[1:] = mdi
+        return pad
+    return _compact_apply(_f, h, l, c)
+
+
+def plus_dm(h, l, p: int = 14):
+    """RMA-smoothed +DM (momentum.rs:413-436)."""
+    def _f(hh, ll):
+        up_move = hh[1:] - hh[:-1]
+        dn_move = ll[:-1] - ll[1:]
+        pdm = np.where((up_move > dn_move) & (up_move > 0), up_move, 0.0)
+        pad = np.full(hh.shape[0], np.nan)
+        pad[1:] = _ewma(pdm, 1.0 / p, p)
+        return pad
+    return _compact_apply(_f, h, l)
+
+
+def minus_dm(h, l, p: int = 14):
+    def _f(hh, ll):
+        up_move = hh[1:] - hh[:-1]
+        dn_move = ll[:-1] - ll[1:]
+        mdm = np.where((dn_move > up_move) & (dn_move > 0), dn_move, 0.0)
+        pad = np.full(hh.shape[0], np.nan)
+        pad[1:] = _ewma(mdm, 1.0 / p, p)
+        return pad
+    return _compact_apply(_f, h, l)
+
+
+def dx(h, l, c, p: int = 14):
+    def _f(hh, ll, cc):
+        _, _, dxv, pad = _dmi(hh, ll, cc, p)
+        pad[1:] = dxv
+        return pad
+    return _compact_apply(_f, h, l, c)
+
+
+def adx(h, l, c, p: int = 14):
+    """RMA of DX (momentum.rs:11-29); first value at row 2p."""
+    def _f(hh, ll, cc):
+        _, _, dxv, pad = _dmi(hh, ll, cc, p)
+        valid = ~np.isnan(dxv)
+        sm = np.full(dxv.shape[0], np.nan)
+        sm[valid] = _ewma(dxv[valid], 1.0 / p, p)
+        pad[1:] = sm
+        return pad
+    return _compact_apply(_f, h, l, c)
+
+
+def adxr(h, l, c, p: int = 14):
+    """(ADX + ADX lagged p−1)/2 (momentum.rs:32-61)."""
+    a = adx(h, l, c, p)
+    out = np.full(a.shape[0], np.nan)
+    if a.shape[0] > p - 1:
+        out[p - 1 :] = (a[p - 1 :] + a[: a.shape[0] - (p - 1)]) / 2.0
+    return out
+
+
+def macd(x: np.ndarray, fast: int = 12, slow: int = 26, signal: int = 9):
+    """(dif, dea, hist) — EMA compositions (momentum.rs:239-283)."""
+    ef = ema(x, fast)
+    es = ema(x, slow)
+    dif = ef - es
+    dea = ema(dif, signal)
+    hist = dif - dea
+    return dif, dea, hist
+
+
+def trix(x: np.ndarray, p: int = 30) -> np.ndarray:
+    """100·ROC₁(EMA³) (momentum.rs:543-569)."""
+    e3 = ema(ema(ema(x, p), p), p)
+    out = np.full(x.shape[0], np.nan)
+    valid = np.where(~np.isnan(e3))[0]
+    if valid.shape[0] > 1:
+        idx = valid[1:]
+        prev = valid[:-1]
+        out[idx] = 100.0 * (e3[idx] / e3[prev] - 1.0)
+    return out
+
+
+def sar(h: np.ndarray, l: np.ndarray, acceleration: float = 0.02, maximum: float = 0.2) -> np.ndarray:
+    """Parabolic SAR (overlap.rs:437-454 entry; helper missing from the
+    snapshot — standard Wilder algorithm, our declared semantics: initial
+    trend long iff h[1]−h[0] ≥ l[0]−l[1]; SAR clamped to the prior two bars'
+    range; AF resets on reversal)."""
+
+    def _sar(hh: np.ndarray, ll: np.ndarray) -> np.ndarray:
+        n = hh.shape[0]
+        out = np.full(n, np.nan)
+        if n < 2:
+            return out
+        long = (hh[1] - hh[0]) >= (ll[0] - ll[1])
+        s = ll[0] if long else hh[0]
+        ep = hh[1] if long else ll[1]
+        af = acceleration
+        for i in range(1, n):
+            s = s + af * (ep - s)
+            if long:
+                s = min(s, ll[i - 1], ll[max(i - 2, 0)])
+                if ll[i] < s:  # reverse to short
+                    s = ep
+                    ep = ll[i]
+                    af = acceleration
+                    long = False
+                elif hh[i] > ep:
+                    ep = hh[i]
+                    af = min(af + acceleration, maximum)
+            else:
+                s = max(s, hh[i - 1], hh[max(i - 2, 0)])
+                if hh[i] > s:  # reverse to long
+                    s = ep
+                    ep = hh[i]
+                    af = acceleration
+                    long = True
+                elif ll[i] < ep:
+                    ep = ll[i]
+                    af = min(af + acceleration, maximum)
+            out[i] = s
+        return out
+
+    return _compact_apply(_sar, h, l)
+
+
+# ---------------------------------------------------------------------------
+# Spark runner
+# ---------------------------------------------------------------------------
+
+#: kernel name → (fn, input column count). fn(*arrays, **params) -> array
+#: or tuple of arrays (multi-output).
+KERNELS: dict[str, tuple[Callable, int]] = {
+    "ema": (ema, 1),
+    "rma": (rma, 1),
+    "dema": (dema, 1),
+    "tema": (tema, 1),
+    "t3": (t3, 1),
+    "kama": (kama, 1),
+    "rsi": (rsi, 1),
+    "trix": (trix, 1),
+    "macd": (macd, 1),
+    "atr": (atr, 3),
+    "natr": (natr, 3),
+    "adx": (adx, 3),
+    "adxr": (adxr, 3),
+    "dx": (dx, 3),
+    "plus_di": (plus_di, 3),
+    "minus_di": (minus_di, 3),
+    "plus_dm": (plus_dm, 2),
+    "minus_dm": (minus_dm, 2),
+    "sar": (sar, 2),
+}
+
+
+@dataclass
+class Rec:
+    """One recurrence request: out (str for single-output kernels, list of
+    str for multi-output), kernel name, input columns, extra params."""
+
+    out: str | list[str]
+    kernel: str
+    cols: list[str]
+    params: dict = field(default_factory=dict)
+
+    @property
+    def out_cols(self) -> list[str]:
+        return [self.out] if isinstance(self.out, str) else list(self.out)
+
+
+def with_recurrences(
+    df: DataFrame,
+    specs: list[Rec],
+    partition_by: str | list[str] = "symbol",
+    order_by: str | list[str] = "t",
+) -> DataFrame:
+    """Append recurrence output columns, all computed in ONE applyInPandas
+    pass per partition (BASELINE.md internal target: batch all recurrences
+    for a symbol into a single kernel invocation)."""
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    out_fields = [
+        StructField(name, DoubleType())
+        for s in specs
+        for name in s.out_cols
+    ]
+    schema = StructType(df.schema.fields + out_fields)
+    spec_data = [(s.out_cols, s.kernel, s.cols, s.params) for s in specs]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
+        for out_cols, kname, cols, params in spec_data:
+            fn, _ = KERNELS[kname]
+            arrays = [pdf[c].to_numpy(dtype="float64", na_value=np.nan) for c in cols]
+            res = fn(*arrays, **params)
+            if isinstance(res, tuple):
+                for name, arr in zip(out_cols, res):
+                    pdf[name] = arr
+            else:
+                pdf[out_cols[0]] = res
+        return pdf
+
+    out = df.groupBy(*keys).applyInPandas(run, schema=schema)
+    # Warm-up produces NaN in the numpy kernels; the declared semantics (and
+    # the DuckDB oracles) use NULL — normalize once here.
+    from pyspark.sql import functions as F
+
+    new_cols = [name for s in specs for name in s.out_cols]
+    return out.select(
+        *[c for c in out.columns if c not in new_cols],
+        *[
+            F.when(~F.isnan(F.col(c)), F.col(c)).alias(c)
+            for c in new_cols
+        ],
+    )

@@ -1,0 +1,96 @@
+"""Text-analysis operators for LLM-data pipelines (driver extension surface,
+SURVEY.md §7 Phase 5): tokenization, language-ID, quality scoring, token
+counting, document fingerprinting.
+
+All pure Column expressions (codegen'd, no UDFs); the tokenization contract
+is shared with the DuckDB oracles:
+
+    tokens(text) = non-empty pieces of lower(text) split on /[^a-z0-9]+/
+
+Scale: every op is a projection — embarrassingly parallel, no shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from polars_quant_spark.functions._util import col
+
+TOKEN_SPLIT_RE = "[^a-z0-9]+"
+
+# Tiny deterministic stopword inventories for the n-gram language heuristic.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "as"],
+    "es": ["el", "la", "de", "que", "y", "en", "los", "del", "las", "por"],
+    "de": ["der", "die", "das", "und", "in", "den", "von", "zu", "mit", "ist"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "une", "que"],
+}
+
+
+def tokens(text: Column | str) -> Column:
+    """Lowercased alnum tokens; the shared tokenization contract."""
+    return F.filter(F.split(F.lower(col(text)), TOKEN_SPLIT_RE), lambda x: x != "")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace/punct token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """BPE-flavored proxy: counts word pieces + digits + punctuation marks via
+    a regex sweep (a deterministic stand-in for a real tokenizer's count)."""
+    return F.size(F.regexp_extract_all(F.lower(col(text)), F.lit(r"[a-z]{1,4}|[0-9]|[^a-z0-9\s]"), 0))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords of `lang`."""
+    toks = tokens(text)
+    sw = F.array(*[F.lit(s) for s in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def detect_language(text: Column | str) -> Column:
+    """n-gram/stopword heuristic language-ID over the inventories above.
+    Deterministic: argmax of stopword hit-count with lexicographic tie-break;
+    'und' (undetermined) when no stopword hits at all."""
+    toks = tokens(text)
+    best = None
+    for lang_code in sorted(STOPWORDS):
+        sw = F.array(*[F.lit(s) for s in STOPWORDS[lang_code]])
+        cnt = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+        cand = F.struct(cnt.alias("n"), F.lit(lang_code).alias("neg_lang"))
+        # greatest(struct) picks max n; on ties the *smaller* lang code must
+        # win, so compare with inverted lang ordering via a sentinel prefix.
+        best = cand if best is None else F.when(
+            (cand.getField("n") > best.getField("n")), cand
+        ).otherwise(best)
+    return F.when(best.getField("n") > 0, best.getField("neg_lang")).otherwise(F.lit("und"))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite quality score in [0,1]: length score, alpha ratio, stopword
+    presence, mean token length sanity — the standard cheap heuristics."""
+    t = col(text)
+    n_chars = F.length(t).cast("double")
+    toks = tokens(text)
+    n_toks = F.size(toks).cast("double")
+    alpha_chars = F.length(F.regexp_replace(F.lower(t), "[^a-z]", "")).cast("double")
+    alpha_ratio = F.when(n_chars > 0, alpha_chars / n_chars).otherwise(F.lit(0.0))
+    len_score = F.least(n_chars / 200.0, F.lit(1.0))
+    mean_tok_len = F.when(n_toks > 0, alpha_chars / n_toks).otherwise(F.lit(0.0))
+    tok_len_score = F.when((mean_tok_len >= 2.0) & (mean_tok_len <= 10.0), F.lit(1.0)).otherwise(
+        F.lit(0.5)
+    )
+    sw_ratio = stopword_ratio(text, "en")
+    sw_score = F.least(sw_ratio * 4.0, F.lit(1.0))
+    return (len_score + alpha_ratio + tok_len_score + sw_score) / 4.0
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Canonical document fingerprint: md5 over the normalized token stream.
+    (md5 is used engine-wide so DuckDB oracles reproduce it bit-for-bit;
+    a production deployment would swap in xxhash64.)"""
+    return F.md5(F.concat_ws(" ", tokens(text)))

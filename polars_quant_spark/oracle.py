@@ -1,0 +1,99 @@
+"""DuckDB oracle SQL builders.
+
+The driver runs each Spark query side-by-side with an ANSI-SQL twin on DuckDB
+(CORRECTNESS_r{N}.json gate). Simple window indicators translate directly;
+the recurrence family (EMA/RMA-seeded scans) is expressed with RECURSIVE CTEs
+— one row advanced per symbol per iteration, seeded with the SMA of the first
+p valid values, exactly the declared semantics of
+``polars_quant_spark.operators.recurrence``.
+
+Float discipline: recurrence steps are emitted as ``e + α·(x − e)`` with α as
+a full-precision double literal so DuckDB executes the same double arithmetic
+as the numpy kernels; every query rounds its outputs to 6 dp on BOTH sides.
+"""
+
+from __future__ import annotations
+
+from polars_quant_spark.sources.bars import BARS_CTE
+
+__all__ = ["BARS_CTE", "ema_ctes", "recursive_with", "floor_rounds", "R6"]
+
+R6 = 6  # rounding decimals used on both engines
+
+
+def floor_rounds(sql: str) -> str:
+    """Rewrite every ROUND(expr, 6) into FLOOR((expr)·1e6 + 0.5)/1e6 — the
+    deterministic cross-engine rounding (see functions._util.round6)."""
+    out: list[str] = []
+    i = 0
+    while True:
+        j = sql.find("ROUND(", i)
+        if j < 0:
+            out.append(sql[i:])
+            break
+        out.append(sql[i:j])
+        k = j + len("ROUND(")
+        depth = 0
+        while True:
+            ch = sql[k]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    break
+                depth -= 1
+            k += 1
+        inner = sql[j + len("ROUND(") : k]
+        expr, last = inner.rsplit(",", 1)
+        assert last.strip() == "6", f"unexpected ROUND decimals: {last!r}"
+        out.append(f"FLOOR(({expr}) * 1000000.0 + 0.5) / 1000000.0")
+        i = k + 1
+    return "".join(out)
+
+
+def ema_ctes(name: str, src: str, col: str, p: int, alpha: float | None = None) -> str:
+    """CTE chain computing an SMA-seeded exponential scan.
+
+    Emits three CTEs: ``{name}_base`` (valid rows re-numbered per symbol),
+    ``{name}_rec`` (the recursion), and ``{name}`` exposing
+    (symbol, t, {name}) for joining back. ``src`` must expose (symbol, t, col).
+    α defaults to 2/(p+1) (EMA); pass 1/p for Wilder RMA.
+    """
+    if alpha is None:
+        alpha = 2.0 / (p + 1)
+    a = repr(float(alpha))
+    # MATERIALIZED is load-bearing: without it DuckDB re-inlines the upstream
+    # CTE chain into every recursion iteration (chained EMAs go quadratic —
+    # 250s → 0.3s on a 1k-row table).
+    return f"""
+{name}_base AS MATERIALIZED (
+  SELECT symbol, t, CAST({col} AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM {src} WHERE {col} IS NOT NULL
+),
+{name}_rec AS (
+  SELECT symbol, rn, ema FROM (
+    SELECT symbol, rn,
+           AVG(x) OVER (PARTITION BY symbol ORDER BY rn
+                        ROWS BETWEEN {p - 1} PRECEDING AND CURRENT ROW) AS ema
+    FROM {name}_base) s
+  WHERE rn = {p}
+  UNION ALL
+  SELECT b.symbol, b.rn, e.ema + {a} * (b.x - e.ema)
+  FROM {name}_rec e JOIN {name}_base b ON b.symbol = e.symbol AND b.rn = e.rn + 1
+),
+{name} AS MATERIALIZED (
+  SELECT b.symbol, b.t, r.ema AS {name}
+  FROM {name}_base b LEFT JOIN {name}_rec r ON b.symbol = r.symbol AND b.rn = r.rn
+)"""
+
+
+def recursive_with(*cte_blocks: str) -> str:
+    """Assemble 'WITH RECURSIVE <bars>, <blocks...>' from BARS_CTE + chains."""
+    # BARS_CTE already starts with 'WITH bars AS (...)'; upgrade to RECURSIVE
+    # and append the extra blocks.
+    head = BARS_CTE.strip()
+    assert head.startswith("WITH ")
+    head = "WITH RECURSIVE " + head[len("WITH "):]
+    head = head.replace("bars AS (", "bars AS MATERIALIZED (", 1)
+    return ",\n".join([head] + [b.strip() for b in cte_blocks])

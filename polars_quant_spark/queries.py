@@ -1,0 +1,953 @@
+"""Declared correctness surface: named Spark queries + DuckDB oracle twins.
+
+Each entry runs the Spark implementation of one SURVEY.md §2 operator over the
+driver tables and is hash-compared against the ANSI-SQL twin on DuckDB
+(CORRECTNESS_r{N}.json). Conventions that make the hash comparison exact:
+
+* every float output column is ROUND(x, 6) on both engines;
+* group SUMs go through DECIMAL(38,6) on both engines (double association
+  differs between engines; decimal addition is exact and order-free);
+* recurrences (EMA family) are recursive CTEs on the DuckDB side with the
+  smoothing factor inlined as a full-precision double literal — the same
+  double arithmetic the numpy kernels execute;
+* column names/ordering match by construction (the driver sorts by name).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_quant_spark.functions import momentum as mo
+from polars_quant_spark.functions import overlap as ov
+from polars_quant_spark.functions import price as pr
+from polars_quant_spark.functions import returns as ret
+from polars_quant_spark.functions import volatility as vy
+from polars_quant_spark.functions import volume as vu
+from polars_quant_spark.functions._util import round6
+from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+from polars_quant_spark.oracle import BARS_CTE, ema_ctes, floor_rounds, recursive_with
+from polars_quant_spark.sources.bars import bars, load_table
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = floor_rounds(sql)
+        return fn
+
+    return deco
+
+
+def _w():
+    return Window.partitionBy("symbol").orderBy("t")
+
+
+r6 = round6
+
+
+# F.col needs an active SparkContext in PySpark 4 — keep module import inert.
+KEY = ["symbol", "t"]
+
+# The named-window preamble shared by indicator oracles.
+def _win(p: int) -> str:
+    return f"(PARTITION BY symbol ORDER BY t ROWS BETWEEN {p - 1} PRECEDING AND CURRENT ROW)"
+
+
+_CUM = "(PARTITION BY symbol ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+_ORD = "(PARTITION BY symbol ORDER BY t)"
+
+
+# ---------------------------------------------------------------------------
+# sources
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "bars_view",
+    BARS_CTE
+    + """
+SELECT symbol, t, ts_us, ROUND(open, 6) AS open, ROUND(high, 6) AS high,
+       ROUND(low, 6) AS low, ROUND(close, 6) AS close, volume
+FROM bars
+""",
+)
+def bars_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(
+        "symbol",
+        "t",
+        "ts_us",
+        r6(F.col("open")).alias("open"),
+        r6(F.col("high")).alias("high"),
+        r6(F.col("low")).alias("low"),
+        r6(F.col("close")).alias("close"),
+        F.col("volume"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# relational surface (scan → filter → join → agg; Catalyst showcase)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "rel_q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def rel_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: predicate pushdown to parquet + hash aggregate.
+    Scale: pure map-side partials + tiny shuffle (4 groups)."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def dsum(c: F.Column) -> F.Column:
+        return F.sum(c.cast("decimal(38,6)")).cast("double")
+
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            r6(dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
+            r6(dsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
+            r6(dsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "rel_q3_shipping_priority",
+    """
+SELECT l_orderkey,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def rel_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape. customer is small → broadcast; lineitem↔orders is the
+    one real shuffle; top-k via TakeOrderedAndProject (no global sort)."""
+    cu = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "rel_q5_region_revenue",
+    """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def rel_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: star join with dimension broadcasts; only
+    lineitem↔orders shuffles at scale."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(
+            F.broadcast(su),
+            (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
+        )
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@q(
+    "agg_events_daily",
+    """
+SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY event_type, STRFTIME(ts, '%Y-%m-%d')
+""",
+)
+def agg_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling daily rollup over the event stream (batch form of the
+    streaming window agg)."""
+    from polars_quant_spark.sources.bars import events_with_ts
+
+    ev = events_with_ts(spark, sf_dir)
+    return ev.groupBy(
+        "event_type", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        r6(
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / F.count("value")
+        ).alias("avg_value"),
+        F.count_distinct(F.col("user_id")).alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# price transforms (pure projections)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "price_transforms",
+    BARS_CTE
+    + """
+SELECT symbol, t,
+       ROUND((open + high + low + close) / 4.0, 6) AS avgprice,
+       ROUND((high + low) / 2.0, 6) AS medprice,
+       ROUND((high + low + close) / 3.0, 6) AS typprice,
+       ROUND((high + low + 2.0 * close) / 4.0, 6) AS wclprice
+FROM bars
+""",
+)
+def price_transforms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(
+        *KEY,
+        r6(pr.avgprice("open", "high", "low", "close")).alias("avgprice"),
+        r6(pr.medprice("high", "low")).alias("medprice"),
+        r6(pr.typprice("high", "low", "close")).alias("typprice"),
+        r6(pr.wclprice("high", "low", "close")).alias("wclprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# window indicators (single-window Column expressions)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ind_sma_20",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(close) OVER w = 20 THEN AVG(close) OVER w END, 6) AS sma_20
+FROM bars
+WINDOW w AS {_win(20)}
+""",
+)
+def ind_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(ov.sma("close", 20, _w())).alias("sma_20"))
+
+
+@q(
+    "ind_wma_10",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(close) OVER w = 10 THEN
+         list_dot_product(list(close) OVER w,
+                          [1.0,2.0,3.0,4.0,5.0,6.0,7.0,8.0,9.0,10.0]) / 55.0 END, 6) AS wma_10
+FROM bars
+WINDOW w AS {_win(10)}
+""",
+)
+def ind_wma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(ov.wma("close", 10, _w())).alias("wma_10"))
+
+
+def _trima_weights(p: int) -> list[float]:
+    if p % 2 == 1:
+        p1 = p2 = (p + 1) // 2
+    else:
+        p1, p2 = p // 2 + 1, p // 2
+    weights = [0.0] * (p1 + p2 - 1)
+    for i in range(p2):
+        for j in range(p1):
+            weights[i + j] += 1.0
+    return weights
+
+
+_TRIMA10_W = _trima_weights(10)
+
+@q(
+    "ind_trima_10",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(close) OVER w = 10 THEN
+         list_dot_product(list(close) OVER w,
+                          {[float(x) for x in _TRIMA10_W]}) / 30.0 END, 6) AS trima_10
+FROM bars
+WINDOW w AS {_win(10)}
+""",
+)
+def ind_trima(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(ov.trima("close", 10, _w())).alias("trima_10"))
+
+
+@q(
+    "ind_bbands_20",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(close) OVER w = 20 THEN AVG(close) OVER w + 2.0 * STDDEV_POP(close) OVER w END, 6) AS bb_upper,
+       ROUND(CASE WHEN COUNT(close) OVER w = 20 THEN AVG(close) OVER w END, 6) AS bb_middle,
+       ROUND(CASE WHEN COUNT(close) OVER w = 20 THEN AVG(close) OVER w - 2.0 * STDDEV_POP(close) OVER w END, 6) AS bb_lower
+FROM bars
+WINDOW w AS {_win(20)}
+""",
+)
+def ind_bbands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    up, mid, lo = ov.bbands("close", 20, 2.0, 2.0, _w())
+    return b.select(
+        *KEY,
+        r6(up).alias("bb_upper"),
+        r6(mid).alias("bb_middle"),
+        r6(lo).alias("bb_lower"),
+    )
+
+
+@q(
+    "ind_midpoint_midprice_14",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(close) OVER w = 14 THEN (MAX(close) OVER w + MIN(close) OVER w) / 2.0 END, 6) AS midpoint_14,
+       ROUND(CASE WHEN COUNT(high) OVER w = 14 THEN (MAX(high) OVER w + MIN(low) OVER w) / 2.0 END, 6) AS midprice_14
+FROM bars
+WINDOW w AS {_win(14)}
+""",
+)
+def ind_midpoint_midprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(
+        *KEY,
+        r6(ov.midpoint("close", 14, _w())).alias("midpoint_14"),
+        r6(ov.midprice("high", "low", 14, _w())).alias("midprice_14"),
+    )
+
+
+@q(
+    "ind_mom_roc_10",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(close - LAG(close, 10) OVER o, 6) AS mom_10,
+       ROUND(100.0 * (close - LAG(close, 10) OVER o) / LAG(close, 10) OVER o, 6) AS roc_10,
+       ROUND((close - LAG(close, 10) OVER o) / LAG(close, 10) OVER o, 6) AS rocp_10,
+       ROUND(close / LAG(close, 10) OVER o, 6) AS rocr_10,
+       ROUND(100.0 * close / LAG(close, 10) OVER o, 6) AS rocr100_10
+FROM bars
+WINDOW o AS {_ORD}
+""",
+)
+def ind_mom_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    w = _w()
+    return b.select(
+        *KEY,
+        r6(mo.mom("close", 10, w)).alias("mom_10"),
+        r6(mo.roc("close", 10, w)).alias("roc_10"),
+        r6(mo.rocp("close", 10, w)).alias("rocp_10"),
+        r6(mo.rocr("close", 10, w)).alias("rocr_10"),
+        r6(mo.rocr100("close", 10, w)).alias("rocr100_10"),
+    )
+
+
+@q(
+    "ind_returns",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(close / LAG(close, 1) OVER o - 1.0, 6) AS ret_1,
+       ROUND(LN(close / LAG(close, 1) OVER o), 6) AS logret_1
+FROM bars
+WINDOW o AS {_ORD}
+""",
+)
+def ind_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    w = _w()
+    return b.select(
+        *KEY,
+        r6(ret.returns("close", 1, w)).alias("ret_1"),
+        r6(ret.log_returns("close", 1, w)).alias("logret_1"),
+    )
+
+
+@q(
+    "ind_bop",
+    BARS_CTE
+    + """
+SELECT symbol, t,
+       ROUND(CASE WHEN high = low THEN 0.0 ELSE (close - open) / (high - low) END, 6) AS bop
+FROM bars
+""",
+)
+def ind_bop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(mo.bop("open", "high", "low", "close")).alias("bop"))
+
+
+@q(
+    "ind_willr_14",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(close) OVER w = 14 THEN
+         CASE WHEN MAX(high) OVER w = MIN(low) OVER w THEN 0.0
+              ELSE -100.0 * (MAX(high) OVER w - close) / (MAX(high) OVER w - MIN(low) OVER w) END
+       END, 6) AS willr_14
+FROM bars
+WINDOW w AS {_win(14)}
+""",
+)
+def ind_willr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(mo.willr("high", "low", "close", 14, _w())).alias("willr_14"))
+
+
+@q(
+    "ind_cmo_14",
+    BARS_CTE
+    + f"""
+, diffs AS (
+  SELECT symbol, t, close - LAG(close) OVER {_ORD} AS d FROM bars
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(d) OVER w = 14 THEN
+         CASE WHEN SUM(CASE WHEN d > 0 THEN d ELSE 0.0 END) OVER w
+                 + SUM(CASE WHEN d < 0 THEN -d ELSE 0.0 END) OVER w = 0 THEN 0.0
+              ELSE 100.0 * (SUM(CASE WHEN d > 0 THEN d ELSE 0.0 END) OVER w
+                          - SUM(CASE WHEN d < 0 THEN -d ELSE 0.0 END) OVER w)
+                   / (SUM(CASE WHEN d > 0 THEN d ELSE 0.0 END) OVER w
+                    + SUM(CASE WHEN d < 0 THEN -d ELSE 0.0 END) OVER w) END
+       END, 6) AS cmo_14
+FROM diffs
+WINDOW w AS {_win(14)}
+""",
+)
+def ind_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(mo.cmo("close", 14, _w())).alias("cmo_14"))
+
+
+@q(
+    "ind_ultosc",
+    BARS_CTE
+    + f"""
+, btr AS (
+  SELECT symbol, t,
+         close - LEAST(low, LAG(close) OVER {_ORD}) AS bp,
+         GREATEST(high, LAG(close) OVER {_ORD}) - LEAST(low, LAG(close) OVER {_ORD}) AS tr
+  FROM bars
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(bp) OVER w28 = 28 THEN
+         100.0 * (4.0 * (SUM(bp) OVER w7 / SUM(tr) OVER w7)
+                + 2.0 * (SUM(bp) OVER w14 / SUM(tr) OVER w14)
+                + (SUM(bp) OVER w28 / SUM(tr) OVER w28)) / 7.0
+       END, 6) AS ultosc
+FROM btr
+WINDOW w7 AS {_win(7)}, w14 AS {_win(14)}, w28 AS {_win(28)}
+""",
+)
+def ind_ultosc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(mo.ultosc("high", "low", "close", 7, 14, 28, _w())).alias("ultosc"))
+
+
+@q(
+    "ind_mfi_14",
+    BARS_CTE
+    + f"""
+, flows AS (
+  SELECT symbol, t,
+         (high + low + close) / 3.0 - LAG((high + low + close) / 3.0) OVER {_ORD} AS dtp,
+         (high + low + close) / 3.0 * volume AS flow
+  FROM bars
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(dtp) OVER w = 14 THEN
+         CASE WHEN SUM(CASE WHEN dtp > 0 THEN flow ELSE 0.0 END) OVER w
+                 + SUM(CASE WHEN dtp < 0 THEN flow ELSE 0.0 END) OVER w = 0 THEN 0.0
+              ELSE 100.0 * SUM(CASE WHEN dtp > 0 THEN flow ELSE 0.0 END) OVER w
+                   / (SUM(CASE WHEN dtp > 0 THEN flow ELSE 0.0 END) OVER w
+                    + SUM(CASE WHEN dtp < 0 THEN flow ELSE 0.0 END) OVER w) END
+       END, 6) AS mfi_14
+FROM flows
+WINDOW w AS {_win(14)}
+""",
+)
+def ind_mfi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(mo.mfi("high", "low", "close", "volume", 14, _w())).alias("mfi_14"))
+
+
+@q(
+    "ind_cci_14",
+    BARS_CTE
+    + f"""
+, tp AS (
+  SELECT symbol, t, (high + low + close) / 3.0 AS tp FROM bars
+), layered AS (
+  SELECT symbol, t, tp,
+         AVG(tp) OVER w AS m,
+         list(tp) OVER w AS lst,
+         COUNT(tp) OVER w AS cnt
+  FROM tp
+  WINDOW w AS {_win(14)}
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN cnt = 14 THEN
+         CASE WHEN list_sum(list_transform(lst, v -> abs(v - m))) / 14.0 = 0 THEN 0.0
+              ELSE (tp - m) / (0.015 * (list_sum(list_transform(lst, v -> abs(v - m))) / 14.0)) END
+       END, 6) AS cci_14
+FROM layered
+""",
+)
+def ind_cci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(mo.cci("high", "low", "close", 14, _w())).alias("cci_14"))
+
+
+@q(
+    "ind_aroon_14",
+    BARS_CTE
+    + f"""
+, ex AS (
+  SELECT symbol, t,
+         (MAX(struct_pack(v := high, t := t)) OVER w).t AS t_max,
+         (MIN(struct_pack(v := low, nt := -t)) OVER w).nt AS nt_min,
+         COUNT(high) OVER w AS cnt
+  FROM bars
+  WINDOW w AS {_win(15)}
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN cnt = 15 THEN 100.0 * (14 - (t + nt_min)) / 14.0 END, 6) AS aroon_dn,
+       ROUND(CASE WHEN cnt = 15 THEN 100.0 * (14 - (t - t_max)) / 14.0 END, 6) AS aroon_up,
+       ROUND(CASE WHEN cnt = 15 THEN 100.0 * (14 - (t - t_max)) / 14.0
+                                    - 100.0 * (14 - (t + nt_min)) / 14.0 END, 6) AS aroon_osc
+FROM ex
+""",
+)
+def ind_aroon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    dn, up = mo.aroon("high", "low", 14, _w(), "t")
+    osc = mo.aroonosc("high", "low", 14, _w(), "t")
+    return b.select(
+        *KEY,
+        r6(dn).alias("aroon_dn"),
+        r6(up).alias("aroon_up"),
+        r6(osc).alias("aroon_osc"),
+    )
+
+
+@q(
+    "ind_stoch",
+    BARS_CTE
+    + f"""
+, fk AS (
+  SELECT symbol, t,
+         CASE WHEN COUNT(close) OVER w5 = 5 THEN
+           CASE WHEN MAX(high) OVER w5 = MIN(low) OVER w5 THEN 0.0
+                ELSE 100.0 * (close - MIN(low) OVER w5) / (MAX(high) OVER w5 - MIN(low) OVER w5) END
+         END AS fastk
+  FROM bars
+  WINDOW w5 AS {_win(5)}
+), sk AS (
+  SELECT symbol, t, fastk,
+         CASE WHEN COUNT(fastk) OVER w3 = 3 THEN AVG(fastk) OVER w3 END AS slowk
+  FROM fk
+  WINDOW w3 AS {_win(3)}
+)
+SELECT symbol, t, ROUND(fastk, 6) AS stoch_fastk, ROUND(slowk, 6) AS stoch_slowk,
+       ROUND(CASE WHEN COUNT(slowk) OVER w3 = 3 THEN AVG(slowk) OVER w3 END, 6) AS stoch_slowd
+FROM sk
+WINDOW w3 AS {_win(3)}
+""",
+)
+def ind_stoch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    out = mo.stoch(b, "high", "low", "close", 5, 3, 3, "symbol", "t", "s")
+    return out.select(
+        *KEY,
+        r6(F.col("s_fastk")).alias("stoch_fastk"),
+        r6(F.col("s_slowk")).alias("stoch_slowk"),
+        r6(F.col("s_slowd")).alias("stoch_slowd"),
+    )
+
+
+@q(
+    "vol_ad_obv",
+    BARS_CTE
+    + f"""
+, contrib AS (
+  SELECT symbol, t,
+         CASE WHEN high = low THEN 0.0
+              ELSE ((close - low) - (high - close)) / (high - low) * volume END AS adc,
+         CASE WHEN LAG(close) OVER {_ORD} IS NULL THEN volume
+              WHEN close > LAG(close) OVER {_ORD} THEN volume
+              WHEN close < LAG(close) OVER {_ORD} THEN -volume
+              ELSE 0.0 END AS obvc
+  FROM bars
+)
+SELECT symbol, t,
+       ROUND(SUM(adc) OVER cw, 6) AS ad,
+       ROUND(SUM(obvc) OVER cw, 6) AS obv
+FROM contrib
+WINDOW cw AS {_CUM}
+""",
+)
+def vol_ad_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    w = _w()
+    return b.select(
+        *KEY,
+        r6(vu.ad("high", "low", "close", "volume", w)).alias("ad"),
+        r6(vu.obv("close", "volume", w)).alias("obv"),
+    )
+
+
+@q(
+    "vol_trange",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(CASE WHEN LAG(close) OVER o IS NOT NULL THEN
+         GREATEST(high - low, ABS(high - LAG(close) OVER o), ABS(low - LAG(close) OVER o))
+       END, 6) AS trange
+FROM bars
+WINDOW o AS {_ORD}
+""",
+)
+def vol_trange(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    return b.select(*KEY, r6(vy.trange("high", "low", "close", _w())).alias("trange"))
+
+
+# ---------------------------------------------------------------------------
+# recurrence indicators (pandas kernels vs recursive-CTE oracles)
+# ---------------------------------------------------------------------------
+
+
+def _rec_query(specs: list[Rec], out_cols: list[str]):
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        b = bars(spark, sf_dir)
+        out = with_recurrences(b, specs)
+        return out.select(*KEY, *[r6(F.col(c)).alias(c) for c in out_cols])
+
+    return fn
+
+
+QUERIES["ind_ema_20"] = _rec_query([Rec("ema_20", "ema", ["close"], {"p": 20})], ["ema_20"])
+ORACLES["ind_ema_20"] = (
+    recursive_with(ema_ctes("ema20", "bars", "close", 20))
+    + """
+SELECT b.symbol, b.t, ROUND(e.ema20, 6) AS ema_20
+FROM bars b LEFT JOIN ema20 e ON b.symbol = e.symbol AND b.t = e.t
+"""
+)
+
+QUERIES["ind_dema_10"] = _rec_query([Rec("dema_10", "dema", ["close"], {"p": 10})], ["dema_10"])
+ORACLES["ind_dema_10"] = (
+    recursive_with(
+        ema_ctes("e1", "bars", "close", 10),
+        ema_ctes("e2", "e1", "e1", 10),
+    )
+    + """
+SELECT b.symbol, b.t, ROUND(2.0 * e1.e1 - e2.e2, 6) AS dema_10
+FROM bars b
+LEFT JOIN e1 ON b.symbol = e1.symbol AND b.t = e1.t
+LEFT JOIN e2 ON b.symbol = e2.symbol AND b.t = e2.t
+"""
+)
+
+QUERIES["ind_tema_10"] = _rec_query([Rec("tema_10", "tema", ["close"], {"p": 10})], ["tema_10"])
+ORACLES["ind_tema_10"] = (
+    recursive_with(
+        ema_ctes("e1", "bars", "close", 10),
+        ema_ctes("e2", "e1", "e1", 10),
+        ema_ctes("e3", "e2", "e2", 10),
+    )
+    + """
+SELECT b.symbol, b.t, ROUND(3.0 * e1.e1 - 3.0 * e2.e2 + e3.e3, 6) AS tema_10
+FROM bars b
+LEFT JOIN e1 ON b.symbol = e1.symbol AND b.t = e1.t
+LEFT JOIN e2 ON b.symbol = e2.symbol AND b.t = e2.t
+LEFT JOIN e3 ON b.symbol = e3.symbol AND b.t = e3.t
+"""
+)
+
+
+def _t3_coeffs(v: float) -> tuple[float, float, float, float]:
+    return (
+        -(v ** 3),
+        3.0 * v ** 2 + 3.0 * v ** 3,
+        -6.0 * v ** 2 - 3.0 * v - 3.0 * v ** 3,
+        1.0 + 3.0 * v + v ** 3 + 3.0 * v ** 2,
+    )
+
+
+_T3C = _t3_coeffs(0.7)
+
+QUERIES["ind_t3_5"] = _rec_query(
+    [Rec("t3_5", "t3", ["close"], {"p": 5, "vfactor": 0.7})], ["t3_5"]
+)
+ORACLES["ind_t3_5"] = (
+    recursive_with(
+        ema_ctes("e1", "bars", "close", 5),
+        ema_ctes("e2", "e1", "e1", 5),
+        ema_ctes("e3", "e2", "e2", 5),
+        ema_ctes("e4", "e3", "e3", 5),
+        ema_ctes("e5", "e4", "e4", 5),
+        ema_ctes("e6", "e5", "e5", 5),
+    )
+    + f"""
+SELECT b.symbol, b.t,
+       ROUND({_T3C[0]!r} * e6.e6 + {_T3C[1]!r} * e5.e5
+           + {_T3C[2]!r} * e4.e4 + {_T3C[3]!r} * e3.e3, 6) AS t3_5
+FROM bars b
+LEFT JOIN e3 ON b.symbol = e3.symbol AND b.t = e3.t
+LEFT JOIN e4 ON b.symbol = e4.symbol AND b.t = e4.t
+LEFT JOIN e5 ON b.symbol = e5.symbol AND b.t = e5.t
+LEFT JOIN e6 ON b.symbol = e6.symbol AND b.t = e6.t
+"""
+)
+
+_KAMA_P = 10
+_KF, _KS = 2.0 / 3.0, 2.0 / 31.0
+QUERIES["ind_kama_10"] = _rec_query([Rec("kama_10", "kama", ["close"], {"p": _KAMA_P})], ["kama_10"])
+ORACLES["ind_kama_10"] = (
+    recursive_with(
+        f"""
+kama_base AS MATERIALIZED (
+  SELECT symbol, t, close AS x,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM bars WHERE close IS NOT NULL
+),
+kama_er AS MATERIALIZED (
+  SELECT symbol, rn, x,
+         CASE WHEN rn > {_KAMA_P} THEN
+           CASE WHEN vol > 0 THEN ABS(x - xp) / vol ELSE 0.0 END
+         END AS er
+  FROM (
+    SELECT symbol, rn, x,
+           LAG(x, {_KAMA_P}) OVER (PARTITION BY symbol ORDER BY rn) AS xp,
+           SUM(adx) OVER (PARTITION BY symbol ORDER BY rn
+                          ROWS BETWEEN {_KAMA_P - 1} PRECEDING AND CURRENT ROW) AS vol
+    FROM (SELECT symbol, rn, x,
+                 ABS(x - LAG(x) OVER (PARTITION BY symbol ORDER BY rn)) AS adx
+          FROM kama_base) a
+  ) bb
+),
+kama_rec AS (
+  SELECT symbol, rn, k FROM (
+    SELECT symbol, rn, AVG(x) OVER (PARTITION BY symbol ORDER BY rn
+                                    ROWS BETWEEN {_KAMA_P - 1} PRECEDING AND CURRENT ROW) AS k
+    FROM kama_base) s WHERE rn = {_KAMA_P}
+  UNION ALL
+  SELECT e.symbol, e.rn,
+         k.k + POWER(e.er * {_KF - _KS!r} + {_KS!r}, 2) * (e.x - k.k)
+  FROM kama_rec k JOIN kama_er e ON e.symbol = k.symbol AND e.rn = k.rn + 1
+),
+kama_out AS MATERIALIZED (
+  SELECT b.symbol, b.t, r.k
+  FROM kama_base b LEFT JOIN kama_rec r ON b.symbol = r.symbol AND b.rn = r.rn
+)"""
+    )
+    + """
+SELECT b.symbol, b.t, ROUND(k.k, 6) AS kama_10
+FROM bars b LEFT JOIN kama_out k ON b.symbol = k.symbol AND b.t = k.t
+"""
+)
+
+_RSI_P = 14
+_RSI_A = repr(1.0 / _RSI_P)
+QUERIES["ind_rsi_14"] = _rec_query([Rec("rsi_14", "rsi", ["close"], {"p": _RSI_P})], ["rsi_14"])
+ORACLES["ind_rsi_14"] = (
+    recursive_with(
+        f"""
+rsi_base AS MATERIALIZED (
+  SELECT symbol, t, d,
+         CASE WHEN d > 0 THEN d ELSE 0.0 END AS up,
+         CASE WHEN d < 0 THEN -d ELSE 0.0 END AS dn,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM (
+    SELECT symbol, t, close - LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS d
+    FROM bars WHERE close IS NOT NULL
+  ) dd WHERE d IS NOT NULL
+),
+rsi_rec AS (
+  SELECT symbol, rn, au, ad FROM (
+    SELECT symbol, rn,
+           AVG(up) OVER wp AS au, AVG(dn) OVER wp AS ad
+    FROM rsi_base
+    WINDOW wp AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN {_RSI_P - 1} PRECEDING AND CURRENT ROW)
+  ) s WHERE rn = {_RSI_P}
+  UNION ALL
+  SELECT b.symbol, b.rn,
+         r.au + {_RSI_A} * (b.up - r.au),
+         r.ad + {_RSI_A} * (b.dn - r.ad)
+  FROM rsi_rec r JOIN rsi_base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+),
+rsi_out AS MATERIALIZED (
+  SELECT b.symbol, b.t,
+         CASE WHEN r.ad = 0 THEN 100.0 ELSE 100.0 * r.au / (r.au + r.ad) END AS rsi
+  FROM rsi_base b JOIN rsi_rec r ON b.symbol = r.symbol AND b.rn = r.rn
+)"""
+    )
+    + """
+SELECT b.symbol, b.t, ROUND(o.rsi, 6) AS rsi_14
+FROM bars b LEFT JOIN rsi_out o ON b.symbol = o.symbol AND b.t = o.t
+"""
+)
+
+_ATR_P = 14
+QUERIES["ind_atr_natr_14"] = _rec_query(
+    [
+        Rec("atr_14", "atr", ["high", "low", "close"], {"p": _ATR_P}),
+        Rec("natr_14", "natr", ["high", "low", "close"], {"p": _ATR_P}),
+    ],
+    ["atr_14", "natr_14"],
+)
+ORACLES["ind_atr_natr_14"] = (
+    recursive_with(
+        f"""
+tr_tbl AS MATERIALIZED (
+  SELECT symbol, t, close,
+         GREATEST(high - low, ABS(high - pc), ABS(low - pc)) AS tr
+  FROM (
+    SELECT symbol, t, high, low, close,
+           LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS pc
+    FROM bars
+  ) x WHERE pc IS NOT NULL
+)""",
+        ema_ctes("atrc", "tr_tbl", "tr", _ATR_P, alpha=1.0 / _ATR_P),
+    )
+    + """
+SELECT b.symbol, b.t, ROUND(a.atrc, 6) AS atr_14,
+       ROUND(CASE WHEN b.close != 0 THEN 100.0 * a.atrc / b.close ELSE 0.0 END, 6) AS natr_14
+FROM bars b LEFT JOIN atrc a ON b.symbol = a.symbol AND b.t = a.t
+"""
+)
+
+QUERIES["ind_macd"] = _rec_query(
+    [Rec(["macd_dif", "macd_dea", "macd_hist"], "macd", ["close"], {"fast": 12, "slow": 26, "signal": 9})],
+    ["macd_dif", "macd_dea", "macd_hist"],
+)
+ORACLES["ind_macd"] = (
+    recursive_with(
+        ema_ctes("ef", "bars", "close", 12),
+        ema_ctes("es", "bars", "close", 26),
+        """
+dif_tbl AS MATERIALIZED (
+  SELECT ef.symbol, ef.t, ef.ef - es.es AS dif
+  FROM ef JOIN es ON ef.symbol = es.symbol AND ef.t = es.t
+)""",
+        ema_ctes("dea", "dif_tbl", "dif", 9),
+    )
+    + """
+SELECT b.symbol, b.t,
+       ROUND(d.dif, 6) AS macd_dif,
+       ROUND(s.dea, 6) AS macd_dea,
+       ROUND(d.dif - s.dea, 6) AS macd_hist
+FROM bars b
+LEFT JOIN dif_tbl d ON b.symbol = d.symbol AND b.t = d.t
+LEFT JOIN dea s ON b.symbol = s.symbol AND b.t = s.t
+"""
+)
+
+QUERIES["ind_trix_30"] = _rec_query([Rec("trix_30", "trix", ["close"], {"p": 30})], ["trix_30"])
+ORACLES["ind_trix_30"] = (
+    recursive_with(
+        ema_ctes("e1", "bars", "close", 30),
+        ema_ctes("e2", "e1", "e1", 30),
+        ema_ctes("e3", "e2", "e2", 30),
+        """
+trix_tbl AS MATERIALIZED (
+  SELECT symbol, t,
+         100.0 * (e3 / LAG(e3) OVER (PARTITION BY symbol ORDER BY t) - 1.0) AS trix
+  FROM e3 WHERE e3 IS NOT NULL
+)""",
+    )
+    + """
+SELECT b.symbol, b.t, ROUND(x.trix, 6) AS trix_30
+FROM bars b LEFT JOIN trix_tbl x ON b.symbol = x.symbol AND b.t = x.t
+"""
+)
+
+# Manually-registered oracles above bypass the @q decorator — normalize all
+# ROUND(x, 6) to the deterministic FLOOR form in one sweep (idempotent).
+for _name in list(ORACLES):
+    ORACLES[_name] = floor_rounds(ORACLES[_name])

@@ -1,0 +1,180 @@
+"""Backtester semantics tests — hand-computed micro-scenarios (SURVEY.md §5
+item 3): fills, commission max(rate·notional, min), slippage signs,
+flat/position gating, NaN freeze, cash conservation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from polars_quant_spark.backtest.metrics import summary
+from polars_quant_spark.backtest.sequential import (
+    ExecutionEngine,
+    Order,
+    OrderContext,
+    Portfolio,
+    SequentialBacktester,
+)
+from polars_quant_spark.backtest.vectorized import BacktestParams, _fold, vectorized_backtest
+
+
+def arr(*xs):
+    return np.array(xs, dtype=float)
+
+
+class TestFold:
+    def test_simple_roundtrip(self):
+        p = BacktestParams(initial_capital=1000.0, min_commission=0.0,
+                           buy_commission_rate=0.0, sell_commission_rate=0.0)
+        price = arr(10, 10, 20, 20)
+        buy = np.array([True, False, False, False])
+        sell = np.array([False, False, True, False])
+        pos, cash, eq, dd, trades, wins = _fold(price, buy, sell, p)
+        # buy 100 @10 → sell 100 @20 → cash 2000
+        np.testing.assert_allclose(pos, [100, 100, 0, 0])
+        np.testing.assert_allclose(cash, [0, 0, 2000, 2000])
+        np.testing.assert_allclose(eq, [1000, 1000, 2000, 2000])
+        assert trades == 1 and wins == 1
+
+    def test_commission_floor(self):
+        p = BacktestParams(initial_capital=1000.0, min_commission=5.0,
+                           buy_commission_rate=3e-4, sell_commission_rate=3e-4)
+        price = arr(10, 10)
+        buy = np.array([True, False])
+        sell = np.array([False, True])
+        pos, cash, eq, dd, trades, wins = _fold(price, buy, sell, p)
+        # buy: floor(1000/10)=100 shares → notional 1000 + fee 5 > cash → 99 shares
+        assert pos[0] == 99
+        np.testing.assert_allclose(cash[0], 1000 - 990 - 5)
+        # sell 99 @10 → proceeds 990, fee max(0.297, 5)=5
+        np.testing.assert_allclose(cash[1], 5 + 990 - 5)
+        assert trades == 1 and wins == 0  # 985 < 995 entry cost
+
+    def test_slippage_signs(self):
+        p = BacktestParams(initial_capital=1000.0, min_commission=0.0,
+                           buy_commission_rate=0.0, sell_commission_rate=0.0,
+                           buy_slippage=1.0, sell_slippage=1.0)
+        price = arr(10, 10)
+        buy = np.array([True, False])
+        sell = np.array([False, True])
+        pos, cash, eq, dd, trades, wins = _fold(price, buy, sell, p)
+        assert pos[0] == 90  # fill at 11
+        np.testing.assert_allclose(cash[1], (1000 - 90 * 11) + 90 * 9)  # sell at 9
+
+    def test_nan_freeze(self):
+        p = BacktestParams(initial_capital=1000.0, min_commission=0.0,
+                           buy_commission_rate=0.0, sell_commission_rate=0.0)
+        price = arr(10, np.nan, 20)
+        buy = np.array([True, True, False])
+        sell = np.array([False, True, True])
+        pos, cash, eq, dd, trades, wins = _fold(price, buy, sell, p)
+        assert pos[1] == pos[0]  # frozen bar: no trade
+        np.testing.assert_allclose(eq[1], eq[0])  # marked at last price
+        assert pos[2] == 0  # sell executes after freeze
+
+    def test_flat_gating(self):
+        p = BacktestParams(initial_capital=1000.0, min_commission=0.0,
+                           buy_commission_rate=0.0, sell_commission_rate=0.0)
+        price = arr(10, 10, 10)
+        buy = np.array([True, True, False])  # second buy ignored (not flat)
+        sell = np.array([False, False, False])
+        pos, cash, eq, dd, trades, wins = _fold(price, buy, sell, p)
+        assert pos[1] == pos[0] == 100
+
+    def test_equity_invariant(self):
+        rng = np.random.default_rng(7)
+        price = np.maximum(100 + np.cumsum(rng.normal(0, 2, 200)), 1.0)
+        buy = rng.random(200) < 0.1
+        sell = rng.random(200) < 0.1
+        p = BacktestParams()
+        pos, cash, eq, dd, trades, wins = _fold(price, buy, sell, p)
+        np.testing.assert_allclose(eq, cash + pos * price, rtol=1e-12)
+        assert (cash >= -1e-9).all()
+
+
+def test_vectorized_backtest_spark(spark):
+    rng = np.random.default_rng(3)
+    frames = []
+    for sym in ["A", "B"]:
+        price = np.maximum(50 + np.cumsum(rng.normal(0, 1, 100)), 1.0)
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "t": np.arange(1, 101),
+                    "close": price,
+                    "buy": rng.random(100) < 0.15,
+                    "sell": rng.random(100) < 0.15,
+                }
+            )
+        )
+    pdf = pd.concat(frames)
+    df = spark.createDataFrame(pdf)
+    out = vectorized_backtest(df).cache()
+    # distributed result == local fold result, per symbol
+    for sym in ["A", "B"]:
+        local = pdf[pdf.symbol == sym]
+        lp, lc, le, ld, lt, lw = _fold(
+            local["close"].to_numpy(),
+            local["buy"].to_numpy(),
+            local["sell"].to_numpy(),
+            BacktestParams(),
+        )
+        got = out.where(f"symbol = '{sym}'").orderBy("t").select("equity").toPandas()
+        np.testing.assert_allclose(got["equity"].to_numpy(), le, rtol=1e-12)
+    m = summary(out).collect()
+    assert len(m) == 2
+    row = {r["symbol"]: r for r in m}
+    assert row["A"]["n_bars"] == 100
+
+
+class TestSequential:
+    def test_execution_engine_admission(self):
+        eng = ExecutionEngine(minimum_commission_fee=0.0, buy_commission_rate=0.0)
+        assert eng.process_order(Order("A", 10, 10.0), cash=50.0, position=0) is None
+        fill = eng.process_order(Order("A", 10, 10.0), cash=200.0, position=0)
+        assert fill is not None and fill.notional == 100.0
+        assert eng.process_order(Order("A", -5, 10.0), cash=0.0, position=3) is None
+
+    def test_portfolio_average_in(self):
+        pf = Portfolio(cash=10_000.0)
+        eng = ExecutionEngine(minimum_commission_fee=0.0, buy_commission_rate=0.0,
+                              sell_commission_rate=0.0)
+        pf.apply_fill(eng.process_order(Order("A", 10, 10.0), pf.cash, 0))
+        pf.apply_fill(eng.process_order(Order("A", 10, 20.0), pf.cash, 10))
+        assert pf.positions["A"] == 20
+        assert pf.entry_price["A"] == 15.0  # weighted average-in (fixed semantics)
+
+    def test_portfolio_reference_compat(self):
+        pf = Portfolio(cash=10_000.0, compat="reference")
+        eng = ExecutionEngine(minimum_commission_fee=0.0, buy_commission_rate=0.0,
+                              sell_commission_rate=0.0)
+        pf.apply_fill(eng.process_order(Order("A", 10, 10.0), pf.cash, 0))
+        pf.apply_fill(eng.process_order(Order("A", 10, 20.0), pf.cash, 10))
+        assert pf.entry_price["A"] == 20.0  # snapshot overwrites (sequential.rs:133-134)
+
+    def test_sequential_run(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "symbol": ["A"] * 6,
+                "t": range(1, 7),
+                "close": [10.0, 11.0, 12.0, 13.0, 14.0, 15.0],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        bt = SequentialBacktester(df, initial_capital=1000.0,
+                                  minimum_commission_fee=0.0)
+
+        def strategy(ctx: OrderContext, bar: dict):
+            if bar["t"] == 2:
+                ctx.buy("A", 50, bar["close"])
+            elif bar["t"] == 5:
+                ctx.sell("A", 50, bar["close"])
+
+        positions, equity, metrics = bt.run(strategy)
+        eq = [r["equity"] for r in equity.orderBy("date").collect()]
+        # buy 50@11 (fee 0.165) → ride to 14 → sell
+        assert eq[-1] > 1000.0
+        assert metrics["total_trades"] == 1.0
+        assert metrics["win_rate"] == 1.0

@@ -1,0 +1,96 @@
+"""Dedup / similarity / text-analysis operator tests over the driver's
+documents and embeddings tables."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import functions as F
+
+from polars_quant_spark.operators import dedup, similarity, text
+from polars_quant_spark.sources.bars import load_table
+
+
+def test_exact_dedup_groups(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": ["Hello, World!", "hello world", "different doc", "HELLO   world"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = dedup.exact_dedup(df).collect()
+    groups = {r["keep_id"]: r["n_dups"] for r in out}
+    assert groups[1] == 3  # 1,2,4 normalize identically
+    assert groups[3] == 1
+
+
+def test_minhash_finds_near_dupes(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again until done"
+    near = base.replace("lazy", "sleepy")
+    other = "completely unrelated content about database query engines and shuffles"
+    pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
+    df = spark.createDataFrame(pdf)
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.3).collect()
+    found = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in found
+    assert all(3 not in p for p in found)
+
+
+def test_jaccard_identical_is_one(spark):
+    df = spark.createDataFrame(pd.DataFrame({"a": ["x y z w v"], "b": ["x y z w v"]}))
+    val = df.select(dedup.jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0]["j"]
+    assert val == 1.0
+
+
+def test_simhash_close_for_near_dupes(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 3
+    near = base.replace("dog", "cat")
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [base, near]})
+    df = spark.createDataFrame(pdf)
+    rows = df.select(dedup.simhash("text").alias("sh")).collect()
+    h1, h2 = rows[0]["sh"], rows[1]["sh"]
+    assert bin(h1 ^ h2).count("1") <= 8  # near dupes → small hamming distance
+
+
+def test_cosine_topk_self_is_top1(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(3).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = similarity.cosine_topk(emb, queries, k=5).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
+    for qid, vid in top1.items():
+        assert qid == vid  # each vector's nearest neighbour is itself
+
+
+def test_ivf_topk_mostly_agrees_with_exact(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(2).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = similarity.cosine_topk(emb, queries, k=3).collect()
+    approx = similarity.ivf_topk(emb, queries, k=3, n_centroids=8, nprobe=4).collect()
+    # self-match must survive the IVF route
+    approx_top1 = {r["query_id"]: r["vec_id"] for r in approx if r["rank"] == 1}
+    for qid, vid in approx_top1.items():
+        assert qid == vid
+    assert len(exact) == 6
+
+
+def test_language_id_on_documents(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    out = docs.select("lang", text.detect_language("text").alias("pred")).collect()
+    assert {r["pred"] for r in out} <= {"en", "es", "de", "fr", "und"}
+
+
+def test_quality_and_tokens(spark):
+    pdf = pd.DataFrame(
+        {"text": ["The quick brown fox is in the garden with the dog.", "x!!!", ""]}
+    )
+    df = spark.createDataFrame(pdf)
+    rows = df.select(
+        text.token_count("text").alias("n"),
+        text.quality_score("text").alias("q"),
+        text.fingerprint("text").alias("fp"),
+    ).collect()
+    assert rows[0]["n"] == 11
+    assert rows[0]["q"] > rows[1]["q"]
+    assert rows[2]["n"] == 0
+    assert len(rows[0]["fp"]) == 32

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_quant_spark.functions._util import round6
+
 TRADING_DAYS = 252.0
 RISK_FREE = 0.03
 
@@ -51,7 +53,7 @@ def summary(
             "_bret", F.col(benchmark) / F.lag(F.col(benchmark)).over(w) - 1.0
         )
 
-    last_eq = F.last(eq, ignorenulls=True)
+    last_eq = F.max_by(eq, F.col(order_by))
     n = F.count(F.lit(1)).cast("double")
     total_return = last_eq / F.lit(initial_capital) - 1.0
     annualized = F.pow(1.0 + total_return, F.lit(TRADING_DAYS) / n) - 1.0
@@ -59,19 +61,17 @@ def summary(
 
     aggs = [
         n.alias("n_bars"),
-        F.round(total_return, 6).alias("total_return"),
-        F.round(annualized, 6).alias("annualized_return"),
-        F.round(F.max("_dd"), 6).alias("max_drawdown"),
-        F.round(vol, 6).alias("volatility"),
-        F.round(
+        round6(total_return).alias("total_return"),
+        round6(annualized).alias("annualized_return"),
+        round6(F.max("_dd")).alias("max_drawdown"),
+        round6(vol).alias("volatility"),
+        round6(
             F.when(vol > 0, (annualized - RISK_FREE) / (vol * F.sqrt(F.lit(TRADING_DAYS)))).otherwise(
                 F.lit(0.0)
-            ),
-            6,
-        ).alias("sharpe"),
-        F.round(F.greatest(total_return, F.lit(0.0)), 6).alias("max_profit"),
+            )).alias("sharpe"),
+        round6(F.greatest(total_return, F.lit(0.0))).alias("max_profit"),
         F.first("n_trades").alias("total_trades"),
-        F.round(
+        round6(
             F.when(
                 F.first("n_trades") > 0,
                 F.first("n_wins").cast("double") / F.first("n_trades"),
@@ -86,8 +86,8 @@ def summary(
         ) - 1.0
         bench_ann = F.pow(1.0 + bench_total, F.lit(TRADING_DAYS) / n) - 1.0
         aggs += [
-            F.round(beta, 6).alias("beta"),
-            F.round(annualized - (RISK_FREE + beta * (bench_ann - RISK_FREE)), 6).alias("alpha"),
+            round6(beta).alias("beta"),
+            round6(annualized - (RISK_FREE + beta * (bench_ann - RISK_FREE))).alias("alpha"),
         ]
 
     return enriched.groupBy(partition_by).agg(*aggs)

@@ -165,6 +165,22 @@ def aroonosc(high: Column | str, low: Column | str, p: int = 14, w: WindowSpec =
     return up - dn
 
 
+def apo(x: Column | str, fast: int = 12, slow: int = 26, w: WindowSpec = None) -> Column:
+    """Absolute price oscillator, matype=0 (SMA legs): MA(fast) − MA(slow).
+    Wrapper momentum.py:25-30; kernel absent from the snapshot (status M)."""
+    from polars_quant_spark.functions.overlap import sma
+
+    return sma(x, fast, w) - sma(x, slow, w)
+
+
+def ppo(x: Column | str, fast: int = 12, slow: int = 26, w: WindowSpec = None) -> Column:
+    """Percentage price oscillator: 100·(MAf−MAs)/MAs (momentum.py:136-141)."""
+    from polars_quant_spark.functions.overlap import sma
+
+    s = sma(x, slow, w)
+    return 100.0 * (sma(x, fast, w) - s) / s
+
+
 def stoch(
     df: DataFrame,
     high: str = "high",

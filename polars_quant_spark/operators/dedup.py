@@ -49,17 +49,35 @@ def shingles(text: Column | str, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(text: Column | str, num_hashes: int = 16, k: int = 3) -> Column:
-    """MinHash signature: element i = min over shingles of md5(shingle ∥ '#i').
-    String-min over hex digests — a uniform permutation proxy shared exactly
-    with the DuckDB oracle. Pure projection: no shuffle, no UDF."""
-    sh = shingles(text, k)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: F.md5(F.concat(s, F.lit("#"), i.cast("string"))))
-        ),
+def exploded_shingles(
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 3
+) -> DataFrame:
+    """(id, shingle) rows — the codegen-friendly long form every MinHash
+    stage builds on. (Spark higher-order-function lambdas are *interpreted*,
+    not codegen'd; explode → ordinary md5/agg is ~30× faster and is also the
+    shape that scales: shingle rows partition freely.)"""
+    return df.select(
+        F.col(id_col).alias("_id"), F.explode(shingles(text, k)).alias("_sh")
     )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    k: int = 3,
+) -> DataFrame:
+    """One row per doc: h0..h{n-1} columns, hᵢ = min over shingles of
+    md5(shingle ∥ '#i'). String-min over hex digests — a uniform permutation
+    proxy shared exactly with the DuckDB oracle. One shuffle (groupBy id);
+    the min-agg is map-side combined."""
+    ex = exploded_shingles(df, text, id_col, k)
+    aggs = [
+        F.min(F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return ex.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -79,19 +97,18 @@ def minhash_lsh_candidates(
     guard; at 100 TB this is what keeps the self-join from exploding."""
     assert num_hashes % bands == 0
     r = num_hashes // bands
-    sig = minhash_signature(text, num_hashes, k)
-    banded = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(F.concat_ws(",", F.slice(sig, b * r + 1, r))).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+    sig = minhash_signatures(df, text, id_col, num_hashes, k)
+    band_rows = [
+        sig.select(
+            F.col("_id"),
+            F.lit(b).alias("band"),
+            F.md5(F.concat_ws(",", *[F.col(f"h{b * r + i}") for i in range(r)])).alias("bucket"),
+        )
+        for b in range(bands)
+    ]
+    banded = band_rows[0]
+    for extra in band_rows[1:]:
+        banded = banded.unionByName(extra)
     counted = banded.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).where(F.col("_n") <= max_bucket)
@@ -123,18 +140,34 @@ def minhash_dedup_pairs(
     threshold: float = 0.7,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates → exact Jaccard verification →
-    pairs over threshold. Returns (id_a, id_b, jaccard)."""
+    pairs over threshold. Returns (id_a, id_b, jaccard).
+
+    Jaccard runs on the exploded shingle rows (set sizes + shared-shingle
+    counts via joins/aggregates — all codegen'd): |A∩B| from a pair-wise
+    shingle equi-join, |A∪B| = |A|+|B|−|A∩B|."""
+    from polars_quant_spark.functions._util import round6
+
+    ex = exploded_shingles(df, text, id_col, k)
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
     cand = minhash_lsh_candidates(df, text, id_col, num_hashes, bands, k)
-    docs = df.select(F.col(id_col), F.col(text))
-    a = docs.select(F.col(id_col).alias("id_a"), F.col(text).alias("_ta"))
-    b = docs.select(F.col(id_col).alias("id_b"), F.col(text).alias("_tb"))
+    inter = (
+        cand.join(ex.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
+        .join(ex.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
     out = (
-        cand.join(a, "id_a")
-        .join(b, "id_b")
+        cand.join(inter, ["id_a", "id_b"], "left")
+        .na.fill({"_inter": 0})
+        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .select(
             "id_a",
             "id_b",
-            F.round(jaccard(F.col("_ta"), F.col("_tb"), k), 6).alias("jaccard"),
+            round6(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+            ).alias("jaccard"),
         )
     )
     return out.where(F.col("jaccard") >= threshold)

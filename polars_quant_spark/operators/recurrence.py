@@ -208,7 +208,10 @@ def _dmi(hh: np.ndarray, ll: np.ndarray, cc: np.ndarray, p: int):
         mdi = np.where(s_tr > 0, 100.0 * s_mdm / s_tr, 0.0)
         dsum = pdi + mdi
         dx = np.where(dsum > 0, 100.0 * np.abs(pdi - mdi) / dsum, 0.0)
-    dx[np.isnan(s_tr)] = np.nan
+    warm = np.isnan(s_tr)  # np.where(NaN > 0, ...) picks the else-branch 0.0
+    pdi[warm] = np.nan
+    mdi[warm] = np.nan
+    dx[warm] = np.nan
     pad = np.full(n, np.nan)
     return pdi, mdi, dx, pad
 

@@ -947,7 +947,12 @@ FROM bars b LEFT JOIN trix_tbl x ON b.symbol = x.symbol AND b.t = x.t
 """
 )
 
-# Manually-registered oracles above bypass the @q decorator — normalize all
+# Pull in the extension surface (DMI family, SAR, stochastic variants,
+# patterns, pipeline ops) — registers into the same dicts.
+import polars_quant_spark.queries_ext  # noqa: E402,F401
+import polars_quant_spark.queries_pipeline  # noqa: E402,F401
+
+# Manually-registered oracles bypass the @q decorator — normalize all
 # ROUND(x, 6) to the deterministic FLOOR form in one sweep (idempotent).
 for _name in list(ORACLES):
     ORACLES[_name] = floor_rounds(ORACLES[_name])

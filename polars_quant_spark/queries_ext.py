@@ -1,0 +1,575 @@
+"""Extension query surface: Wilder DMI family, SAR, stochastic variants,
+APO/PPO, candlestick patterns. Registered into the same QUERIES/ORACLES
+registries as queries.py (imported from there)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_quant_spark.functions import momentum as mo
+from polars_quant_spark.functions import overlap as ov
+from polars_quant_spark.functions import pattern as pat
+from polars_quant_spark.functions._util import round6 as r6
+from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+from polars_quant_spark.oracle import ema_ctes, recursive_with
+from polars_quant_spark.sources.bars import bars
+
+from polars_quant_spark.queries import ORACLES, QUERIES, _win, _ORD, q
+
+KEY = ["symbol", "t"]
+
+
+def _w():
+    return Window.partitionBy("symbol").orderBy("t")
+
+
+# ---------------------------------------------------------------------------
+# Wilder DMI family: +DI/−DI/±DM/DX/ADX/ADXR in ONE recurrence pass
+# ---------------------------------------------------------------------------
+
+_P = 14
+_A = repr(1.0 / _P)
+
+_DMI_CTES = f"""
+dmi_base AS MATERIALIZED (
+  SELECT symbol, t,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn,
+         pdm, mdm, tr
+  FROM (
+    SELECT symbol, t,
+      CASE WHEN (high - ph) > (pl - low) AND (high - ph) > 0 THEN high - ph ELSE 0.0 END AS pdm,
+      CASE WHEN (pl - low) > (high - ph) AND (pl - low) > 0 THEN pl - low ELSE 0.0 END AS mdm,
+      GREATEST(high - low, ABS(high - pc), ABS(low - pc)) AS tr
+    FROM (
+      SELECT symbol, t, high, low,
+             LAG(high) OVER {_ORD} AS ph,
+             LAG(low) OVER {_ORD} AS pl,
+             LAG(close) OVER {_ORD} AS pc
+      FROM bars) x
+    WHERE pc IS NOT NULL
+  ) y
+),
+dmi_rec AS (
+  SELECT symbol, rn, spdm, smdm, str FROM (
+    SELECT symbol, rn,
+           AVG(pdm) OVER wp AS spdm, AVG(mdm) OVER wp AS smdm, AVG(tr) OVER wp AS str
+    FROM dmi_base
+    WINDOW wp AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN {_P - 1} PRECEDING AND CURRENT ROW)
+  ) s WHERE rn = {_P}
+  UNION ALL
+  SELECT b.symbol, b.rn,
+         r.spdm + {_A} * (b.pdm - r.spdm),
+         r.smdm + {_A} * (b.mdm - r.smdm),
+         r.str + {_A} * (b.tr - r.str)
+  FROM dmi_rec r JOIN dmi_base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+),
+dx_tbl AS MATERIALIZED (
+  SELECT d.symbol, b.t, d.rn,
+         d.spdm, d.smdm,
+         CASE WHEN d.str > 0 THEN 100.0 * d.spdm / d.str ELSE 0.0 END AS pdi,
+         CASE WHEN d.str > 0 THEN 100.0 * d.smdm / d.str ELSE 0.0 END AS mdi
+  FROM dmi_rec d JOIN dmi_base b ON b.symbol = d.symbol AND b.rn = d.rn
+),
+dx2 AS MATERIALIZED (
+  SELECT symbol, t, rn, spdm, smdm, pdi, mdi,
+         CASE WHEN pdi + mdi > 0 THEN 100.0 * ABS(pdi - mdi) / (pdi + mdi) ELSE 0.0 END AS dx,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY rn) AS rn2
+  FROM dx_tbl
+),
+adx_rec AS (
+  SELECT symbol, rn2, adx FROM (
+    SELECT symbol, rn2,
+           AVG(dx) OVER wp AS adx
+    FROM dx2
+    WINDOW wp AS (PARTITION BY symbol ORDER BY rn2 ROWS BETWEEN {_P - 1} PRECEDING AND CURRENT ROW)
+  ) s WHERE rn2 = {_P}
+  UNION ALL
+  SELECT b.symbol, b.rn2, r.adx + {_A} * (b.dx - r.adx)
+  FROM adx_rec r JOIN dx2 b ON b.symbol = r.symbol AND b.rn2 = r.rn2 + 1
+),
+adx_bars AS MATERIALIZED (
+  SELECT b.symbol, b.t, d.pdi, d.mdi, d.dx, d.spdm, d.smdm, a.adx
+  FROM bars b
+  LEFT JOIN dx2 d ON b.symbol = d.symbol AND b.t = d.t
+  LEFT JOIN adx_rec a ON d.symbol = a.symbol AND d.rn2 = a.rn2
+)"""
+
+QUERIES["ind_adx_family_14"] = lambda spark, sf_dir: with_recurrences(
+    bars(spark, sf_dir),
+    [
+        Rec("plus_di_14", "plus_di", ["high", "low", "close"], {"p": _P}),
+        Rec("minus_di_14", "minus_di", ["high", "low", "close"], {"p": _P}),
+        Rec("plus_dm_14", "plus_dm", ["high", "low"], {"p": _P}),
+        Rec("minus_dm_14", "minus_dm", ["high", "low"], {"p": _P}),
+        Rec("dx_14", "dx", ["high", "low", "close"], {"p": _P}),
+        Rec("adx_14", "adx", ["high", "low", "close"], {"p": _P}),
+        Rec("adxr_14", "adxr", ["high", "low", "close"], {"p": _P}),
+    ],
+).select(
+    "symbol",
+    "t",
+    r6(F.col("plus_di_14")).alias("plus_di_14"),
+    r6(F.col("minus_di_14")).alias("minus_di_14"),
+    r6(F.col("plus_dm_14")).alias("plus_dm_14"),
+    r6(F.col("minus_dm_14")).alias("minus_dm_14"),
+    r6(F.col("dx_14")).alias("dx_14"),
+    r6(F.col("adx_14")).alias("adx_14"),
+    r6(F.col("adxr_14")).alias("adxr_14"),
+)
+
+ORACLES["ind_adx_family_14"] = (
+    recursive_with(_DMI_CTES)
+    + f"""
+SELECT a.symbol, a.t,
+       ROUND(a.pdi, 6) AS plus_di_14,
+       ROUND(a.mdi, 6) AS minus_di_14,
+       ROUND(a.spdm, 6) AS plus_dm_14,
+       ROUND(a.smdm, 6) AS minus_dm_14,
+       ROUND(a.dx, 6) AS dx_14,
+       ROUND(a.adx, 6) AS adx_14,
+       ROUND((a.adx + LAG(a.adx, {_P - 1}) OVER (PARTITION BY a.symbol ORDER BY a.t)) / 2.0, 6) AS adxr_14
+FROM adx_bars a
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# Parabolic SAR — recursive CTE carrying (s, ep, af, lng) state
+# ---------------------------------------------------------------------------
+
+_ACC, _MAX = 0.02, 0.2
+_ACC_R, _MAX_R = repr(_ACC), repr(_MAX)
+
+# One update step of the numpy kernel (operators/recurrence.py sar):
+#   s' = s + af·(ep − s); clamp into prior two bars; reverse / extend.
+_SAR_CTES = f"""
+sar_base AS MATERIALIZED (
+  SELECT symbol, t,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn,
+         high AS h, low AS l,
+         LAG(high) OVER {_ORD} AS ph, LAG(low) OVER {_ORD} AS pl,
+         COALESCE(LAG(high, 2) OVER {_ORD}, LAG(high) OVER {_ORD}) AS p2h,
+         COALESCE(LAG(low, 2) OVER {_ORD}, LAG(low) OVER {_ORD}) AS p2l
+  FROM bars
+),
+sar_rec AS (
+  -- seed: bar rn=2 applies the first update to the initial state
+  SELECT symbol, rn, s, ep, af, lng FROM (
+    SELECT symbol, rn,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN ep0 ELSE s_c2 END
+           ELSE
+             CASE WHEN h > s_c3 THEN ep0 ELSE s_c3 END
+           END AS s,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN l
+                  WHEN h > ep0 THEN h ELSE ep0 END
+           ELSE
+             CASE WHEN h > s_c3 THEN h
+                  WHEN l < ep0 THEN l ELSE ep0 END
+           END AS ep,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN {_ACC_R}
+                  WHEN h > ep0 THEN LEAST(af0 + {_ACC_R}, {_MAX_R}) ELSE af0 END
+           ELSE
+             CASE WHEN h > s_c3 THEN {_ACC_R}
+                  WHEN l < ep0 THEN LEAST(af0 + {_ACC_R}, {_MAX_R}) ELSE af0 END
+           END AS af,
+           CASE WHEN lng THEN (l >= s_c2) ELSE (h > s_c3) END AS lng
+    FROM (
+      SELECT symbol, rn, h, l, lng, ep0, af0,
+             LEAST(s_c, pl, p2l) AS s_c2,
+             GREATEST(s_c, ph, p2h) AS s_c3
+      FROM (
+        SELECT symbol, rn, h, l, ph, pl, p2h, p2l,
+               (h - ph) >= (pl - l) AS lng,
+               CASE WHEN (h - ph) >= (pl - l) THEN pl ELSE ph END AS s0,
+               CASE WHEN (h - ph) >= (pl - l) THEN h ELSE l END AS ep0,
+               {_ACC_R} AS af0,
+               (CASE WHEN (h - ph) >= (pl - l) THEN pl ELSE ph END)
+                 + {_ACC_R} * ((CASE WHEN (h - ph) >= (pl - l) THEN h ELSE l END)
+                               - (CASE WHEN (h - ph) >= (pl - l) THEN pl ELSE ph END)) AS s_c
+        FROM sar_base WHERE rn = 2
+      ) i1
+    ) i2
+  ) i3
+  UNION ALL
+  SELECT symbol, rn, s, ep, af, lng FROM (
+    SELECT symbol, rn,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN ep_p ELSE s_c2 END
+           ELSE
+             CASE WHEN h > s_c3 THEN ep_p ELSE s_c3 END
+           END AS s,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN l
+                  WHEN h > ep_p THEN h ELSE ep_p END
+           ELSE
+             CASE WHEN h > s_c3 THEN h
+                  WHEN l < ep_p THEN l ELSE ep_p END
+           END AS ep,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN {_ACC_R}
+                  WHEN h > ep_p THEN LEAST(af_p + {_ACC_R}, {_MAX_R}) ELSE af_p END
+           ELSE
+             CASE WHEN h > s_c3 THEN {_ACC_R}
+                  WHEN l < ep_p THEN LEAST(af_p + {_ACC_R}, {_MAX_R}) ELSE af_p END
+           END AS af,
+           CASE WHEN lng THEN (l >= s_c2) ELSE (h > s_c3) END AS lng
+    FROM (
+      SELECT symbol, rn, h, l, lng, ep_p, af_p,
+             LEAST(s_c, pl, p2l) AS s_c2,
+             GREATEST(s_c, ph, p2h) AS s_c3
+      FROM (
+        SELECT b.symbol, b.rn, b.h, b.l, b.ph, b.pl, b.p2h, b.p2l,
+               r.lng, r.ep AS ep_p, r.af AS af_p,
+               r.s + r.af * (r.ep - r.s) AS s_c
+        FROM sar_rec r JOIN sar_base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+      ) j1
+    ) j2
+  ) j3
+),
+sar_out AS MATERIALIZED (
+  SELECT b.symbol, b.t, r.s AS sar
+  FROM sar_base b LEFT JOIN sar_rec r ON b.symbol = r.symbol AND b.rn = r.rn
+)"""
+
+QUERIES["ind_sar"] = lambda spark, sf_dir: with_recurrences(
+    bars(spark, sf_dir),
+    [Rec("sar", "sar", ["high", "low"], {"acceleration": _ACC, "maximum": _MAX})],
+).select("symbol", "t", r6(F.col("sar")).alias("sar"))
+
+ORACLES["ind_sar"] = (
+    recursive_with(_SAR_CTES)
+    + """
+SELECT symbol, t, ROUND(sar, 6) AS sar
+FROM sar_out
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# stochastic variants / APO / PPO
+# ---------------------------------------------------------------------------
+
+
+from polars_quant_spark.sources.bars import BARS_CTE  # noqa: E402
+
+
+@q(
+    "ind_stochf",
+    BARS_CTE
+    + f"""
+, fk AS (
+  SELECT symbol, t,
+         CASE WHEN COUNT(close) OVER w5 = 5 THEN
+           CASE WHEN MAX(high) OVER w5 = MIN(low) OVER w5 THEN 0.0
+                ELSE 100.0 * (close - MIN(low) OVER w5) / (MAX(high) OVER w5 - MIN(low) OVER w5) END
+         END AS fastk
+  FROM bars
+  WINDOW w5 AS {_win(5)}
+)
+SELECT symbol, t, ROUND(fastk, 6) AS stochf_fastk,
+       ROUND(CASE WHEN COUNT(fastk) OVER w3 = 3 THEN AVG(fastk) OVER w3 END, 6) AS stochf_fastd
+FROM fk
+WINDOW w3 AS {_win(3)}
+""",
+)
+def ind_stochf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    out = mo.stochf(b, "high", "low", "close", 5, 3, "symbol", "t", "sf")
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("sf_fastk")).alias("stochf_fastk"),
+        r6(F.col("sf_fastd")).alias("stochf_fastd"),
+    )
+
+
+def _stochrsi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STOCHF applied to RSI(14) (momentum.py:197-205)."""
+    b = bars(spark, sf_dir)
+    b = with_recurrences(b, [Rec("rsi", "rsi", ["close"], {"p": 14})])
+    w = _w()
+    frame = w.rowsBetween(-4, 0)
+    hh = F.max("rsi").over(frame)
+    ll = F.min("rsi").over(frame)
+    fastk = F.when(F.count("rsi").over(frame) == 5,
+                   F.when(hh == ll, F.lit(0.0)).otherwise(100.0 * (F.col("rsi") - ll) / (hh - ll)))
+    b = b.withColumn("srsi_fastk", fastk)
+    b = b.withColumn("srsi_fastd", ov.sma("srsi_fastk", 3, w))
+    return b.select(
+        "symbol",
+        "t",
+        r6(F.col("srsi_fastk")).alias("stochrsi_fastk"),
+        r6(F.col("srsi_fastd")).alias("stochrsi_fastd"),
+    )
+
+
+QUERIES["ind_stochrsi"] = _stochrsi_spark
+ORACLES["ind_stochrsi"] = (
+    recursive_with(
+        # same RSI recursion as ind_rsi_14
+        f"""
+rsi_base AS MATERIALIZED (
+  SELECT symbol, t, d,
+         CASE WHEN d > 0 THEN d ELSE 0.0 END AS up,
+         CASE WHEN d < 0 THEN -d ELSE 0.0 END AS dn,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM (
+    SELECT symbol, t, close - LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS d
+    FROM bars WHERE close IS NOT NULL
+  ) dd WHERE d IS NOT NULL
+),
+rsi_rec AS (
+  SELECT symbol, rn, au, ad FROM (
+    SELECT symbol, rn, AVG(up) OVER wp AS au, AVG(dn) OVER wp AS ad
+    FROM rsi_base
+    WINDOW wp AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+  ) s WHERE rn = 14
+  UNION ALL
+  SELECT b.symbol, b.rn, r.au + {repr(1.0 / 14)} * (b.up - r.au), r.ad + {repr(1.0 / 14)} * (b.dn - r.ad)
+  FROM rsi_rec r JOIN rsi_base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+),
+rsi_bars AS MATERIALIZED (
+  SELECT b.symbol, b.t,
+         CASE WHEN r.ad = 0 THEN 100.0 ELSE 100.0 * r.au / (r.au + r.ad) END AS rsi
+  FROM bars b
+  LEFT JOIN rsi_base rb ON b.symbol = rb.symbol AND b.t = rb.t
+  LEFT JOIN rsi_rec r ON rb.symbol = r.symbol AND rb.rn = r.rn
+)"""
+    )
+    + f"""
+, fk AS (
+  SELECT symbol, t,
+         CASE WHEN COUNT(rsi) OVER w5 = 5 THEN
+           CASE WHEN MAX(rsi) OVER w5 = MIN(rsi) OVER w5 THEN 0.0
+                ELSE 100.0 * (rsi - MIN(rsi) OVER w5) / (MAX(rsi) OVER w5 - MIN(rsi) OVER w5) END
+         END AS fastk
+  FROM rsi_bars
+  WINDOW w5 AS {_win(5)}
+)
+SELECT symbol, t, ROUND(fastk, 6) AS stochrsi_fastk,
+       ROUND(CASE WHEN COUNT(fastk) OVER w3 = 3 THEN AVG(fastk) OVER w3 END, 6) AS stochrsi_fastd
+FROM fk
+WINDOW w3 AS {_win(3)}
+"""
+)
+
+
+@q(
+    "ind_apo_ppo",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(close) OVER w26 = 26 THEN
+         AVG(close) OVER w12 - AVG(close) OVER w26 END, 6) AS apo,
+       ROUND(CASE WHEN COUNT(close) OVER w26 = 26 THEN
+         100.0 * (AVG(close) OVER w12 - AVG(close) OVER w26) / (AVG(close) OVER w26) END, 6) AS ppo
+FROM bars
+WINDOW w12 AS {_win(12)}, w26 AS {_win(26)}
+""",
+)
+def ind_apo_ppo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APO/PPO with matype=0 (SMA legs) — wrappers momentum.py:25-30,136-141;
+    kernels absent from the snapshot (SURVEY §2.5 status M)."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    return b.select(
+        "symbol",
+        "t",
+        r6(mo.apo("close", 12, 26, w)).alias("apo"),
+        r6(mo.ppo("close", 12, 26, w)).alias("ppo"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# candlestick patterns — oracle-checked subset + rows-only full surface
+# ---------------------------------------------------------------------------
+
+_CDL_HELPERS = """
+, cdl AS (
+  SELECT symbol, t, open AS o, high AS h, low AS l, close AS c,
+         ABS(close - open) AS body,
+         (open + close) / 2.0 AS mid,
+         (high + low) / 2.0 AS midprice,
+         high - GREATEST(open, close) AS us,
+         LEAST(open, close) - low AS ls
+  FROM bars
+), cd AS (
+  SELECT symbol, t, o, h, l, c, body, mid, midprice, us, ls,
+         c > o AS bull, c < o AS bear,
+         body > 0.05 * midprice AS long_body,
+         body < 0.10 * midprice AS short_body,
+         body <= 0.005 * midprice AS doji,
+         us > 2.0 * body AS long_us, ls > 2.0 * body AS long_ls,
+         us < 0.5 * body AS short_us, ls < 0.5 * body AS short_ls,
+         us < 0.1 * body AS vshort_us, ls < 0.1 * body AS vshort_ls,
+         ls > 3.0 * body AS vlong_ls
+  FROM cdl
+), cl AS (
+  SELECT symbol, t, o, h, l, c, body, mid, midprice, us, ls,
+         bull, bear, long_body, short_body, doji,
+         long_us, long_ls, short_us, short_ls, vshort_us, vshort_ls, vlong_ls,
+         LAG(o) OVER w AS o1, LAG(h) OVER w AS h1, LAG(l) OVER w AS l1, LAG(c) OVER w AS c1,
+         LAG(body) OVER w AS body1, LAG(mid) OVER w AS mid1,
+         LAG(bull) OVER w AS bull1, LAG(bear) OVER w AS bear1,
+         LAG(long_body) OVER w AS long_body1, LAG(doji) OVER w AS doji1,
+         LAG(o, 2) OVER w AS o2, LAG(h, 2) OVER w AS h2, LAG(l, 2) OVER w AS l2, LAG(c, 2) OVER w AS c2,
+         LAG(body, 2) OVER w AS body2,
+         LAG(bull, 2) OVER w AS bull2, LAG(bear, 2) OVER w AS bear2,
+         LAG(long_body, 2) OVER w AS long_body2, LAG(doji, 2) OVER w AS doji2
+  FROM cd
+  WINDOW w AS (PARTITION BY symbol ORDER BY t)
+)
+"""
+
+
+@q(
+    "cdl_onebar",
+    BARS_CTE
+    + _CDL_HELPERS
+    + """
+SELECT symbol, t,
+  CAST(CASE WHEN c IS NULL THEN NULL WHEN doji THEN 100 ELSE 0 END AS INTEGER) AS cdldoji,
+  CAST(CASE WHEN c IS NULL THEN NULL
+            WHEN doji AND long_ls AND vshort_us THEN 100 ELSE 0 END AS INTEGER) AS cdldragonflydoji,
+  CAST(CASE WHEN c IS NULL THEN NULL
+            WHEN doji AND long_us AND vshort_ls THEN -100 ELSE 0 END AS INTEGER) AS cdlgravestonedoji,
+  CAST(CASE WHEN c IS NULL THEN NULL
+            WHEN long_body AND vshort_us AND vshort_ls AND bull THEN 100
+            WHEN long_body AND vshort_us AND vshort_ls AND bear THEN -100 ELSE 0 END AS INTEGER) AS cdlmarubozu,
+  CAST(CASE WHEN c IS NULL THEN NULL
+            WHEN long_body AND bull AND vshort_us THEN 100
+            WHEN long_body AND bear AND vshort_ls THEN -100 ELSE 0 END AS INTEGER) AS cdlclosingmarubozu,
+  CAST(CASE WHEN c IS NULL THEN NULL
+            WHEN long_body AND bull AND vshort_ls THEN 100
+            WHEN long_body AND bear AND vshort_us THEN -100 ELSE 0 END AS INTEGER) AS cdlbelthold,
+  CAST(CASE WHEN c IS NULL THEN NULL
+            WHEN short_body AND NOT doji AND us > body AND ls > body AND bull THEN 100
+            WHEN short_body AND NOT doji AND us > body AND ls > body AND bear THEN -100 ELSE 0 END AS INTEGER) AS cdlspinningtop,
+  CAST(CASE WHEN c IS NULL THEN NULL
+            WHEN doji AND vshort_us AND vlong_ls THEN 100 ELSE 0 END AS INTEGER) AS cdltakuri
+FROM cl
+""",
+)
+def cdl_onebar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    w = _w()
+    names = [
+        "cdldoji",
+        "cdldragonflydoji",
+        "cdlgravestonedoji",
+        "cdlmarubozu",
+        "cdlclosingmarubozu",
+        "cdlbelthold",
+        "cdlspinningtop",
+        "cdltakuri",
+    ]
+    return b.select(
+        "symbol",
+        "t",
+        *[pat.ALL_PATTERNS[n]("open", "high", "low", "close", w).alias(n) for n in names],
+    )
+
+
+@q(
+    "cdl_twobar",
+    BARS_CTE
+    + _CDL_HELPERS
+    + """
+SELECT symbol, t,
+  CAST(CASE WHEN c1 IS NULL THEN NULL
+            WHEN bull AND bear1 AND c > o1 AND o < c1 THEN 100
+            WHEN bear AND bull1 AND o > c1 AND c < o1 THEN -100 ELSE 0 END AS INTEGER) AS cdlengulfing,
+  CAST(CASE WHEN c1 IS NULL THEN NULL
+            WHEN bear1 AND long_body1 AND GREATEST(o, c) < GREATEST(o1, c1) AND LEAST(o, c) > LEAST(o1, c1) AND bull THEN 100
+            WHEN bull1 AND long_body1 AND GREATEST(o, c) < GREATEST(o1, c1) AND LEAST(o, c) > LEAST(o1, c1) AND bear THEN -100 ELSE 0 END AS INTEGER) AS cdlharami,
+  CAST(CASE WHEN c1 IS NULL THEN NULL
+            WHEN bear1 AND long_body1 AND bull AND o < l1 AND c > mid1 AND c < o1 THEN 100 ELSE 0 END AS INTEGER) AS cdlpiercing,
+  CAST(CASE WHEN c1 IS NULL THEN NULL
+            WHEN bull1 AND long_body1 AND bear AND o > h1 AND c < mid1 AND c > o1 THEN -100 ELSE 0 END AS INTEGER) AS cdldarkcloudcover,
+  CAST(CASE WHEN c1 IS NULL THEN NULL
+            WHEN short_body AND NOT doji AND long_ls AND vshort_us AND bear1 THEN 100 ELSE 0 END AS INTEGER) AS cdlhammer,
+  CAST(CASE WHEN c1 IS NULL THEN NULL
+            WHEN short_body AND NOT doji AND long_ls AND vshort_us AND bull1 THEN -100 ELSE 0 END AS INTEGER) AS cdlhangingman,
+  CAST(CASE WHEN c1 IS NULL THEN NULL
+            WHEN bear1 AND bear AND ABS(c - c1) < 0.001 * midprice THEN 100 ELSE 0 END AS INTEGER) AS cdlmatchinglow
+FROM cl
+""",
+)
+def cdl_twobar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    w = _w()
+    names = [
+        "cdlengulfing",
+        "cdlharami",
+        "cdlpiercing",
+        "cdldarkcloudcover",
+        "cdlhammer",
+        "cdlhangingman",
+        "cdlmatchinglow",
+    ]
+    return b.select(
+        "symbol",
+        "t",
+        *[pat.ALL_PATTERNS[n]("open", "high", "low", "close", w).alias(n) for n in names],
+    )
+
+
+@q(
+    "cdl_threebar",
+    BARS_CTE
+    + _CDL_HELPERS
+    + """
+SELECT symbol, t,
+  CAST(CASE WHEN c2 IS NULL THEN NULL
+            WHEN bull2 AND long_body2
+             AND bull1 AND long_body1 AND o1 > o2 AND o1 < c2 AND c1 > c2
+             AND bull AND long_body AND o > o1 AND o < c1 AND c > c1 THEN 100 ELSE 0 END AS INTEGER) AS cdl3whitesoldiers,
+  CAST(CASE WHEN c2 IS NULL THEN NULL
+            WHEN bear2 AND long_body2
+             AND bear1 AND long_body1 AND o1 < o2 AND o1 > c2 AND c1 < c2
+             AND bear AND long_body AND o < o1 AND o > c1 AND c < c1 THEN -100 ELSE 0 END AS INTEGER) AS cdl3blackcrows,
+  CAST(CASE WHEN c2 IS NULL THEN NULL
+            WHEN bear2 AND long_body2 AND (body1 < 0.10 * mid1_price) AND GREATEST(o1, c1) < c2
+             AND bull AND c > c2 + 0.3 * body2 THEN 100 ELSE 0 END AS INTEGER) AS cdlmorningstar,
+  CAST(CASE WHEN c2 IS NULL THEN NULL
+            WHEN bull2 AND long_body2 AND (body1 < 0.10 * mid1_price) AND LEAST(o1, c1) > c2
+             AND bear AND c < c2 - 0.3 * body2 THEN -100 ELSE 0 END AS INTEGER) AS cdleveningstar,
+  CAST(CASE WHEN c2 IS NULL THEN NULL
+            WHEN doji2 AND doji1 AND doji
+             AND GREATEST(o1, c1) < LEAST(o2, c2) AND GREATEST(o1, c1) < LEAST(o, c) THEN 100
+            WHEN doji2 AND doji1 AND doji
+             AND LEAST(o1, c1) > GREATEST(o2, c2) AND LEAST(o1, c1) > GREATEST(o, c) THEN -100 ELSE 0 END AS INTEGER) AS cdltristar
+FROM (
+  SELECT cl.*, LAG((h + l) / 2.0) OVER (PARTITION BY symbol ORDER BY t) AS mid1_price
+  FROM cl
+) cx
+""",
+)
+def cdl_threebar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    w = _w()
+    names = ["cdl3whitesoldiers", "cdl3blackcrows", "cdlmorningstar", "cdleveningstar", "cdltristar"]
+    return b.select(
+        "symbol",
+        "t",
+        *[pat.ALL_PATTERNS[n]("open", "high", "low", "close", w).alias(n) for n in names],
+    )
+
+
+def _cdl_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All 61 patterns, rows-only check (the full surface; the three queries
+    above hash-check a 20-pattern sample against SQL twins)."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    return b.select(
+        "symbol",
+        "t",
+        *[fn("open", "high", "low", "close", w).alias(n) for n, fn in pat.ALL_PATTERNS.items()],
+    )
+
+
+QUERIES["cdl_all_patterns"] = _cdl_all

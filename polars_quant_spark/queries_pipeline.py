@@ -1,0 +1,417 @@
+"""LLM-pipeline + backtest query surface with DuckDB oracle twins.
+
+Tokenization / hashing contracts are shared with operators.text / dedup:
+tokens = non-empty splits of lower(text) on [^a-z0-9]+; all hashes are md5
+(bit-identical across engines)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_backtest
+from polars_quant_spark.functions import overlap as ov
+from polars_quant_spark.functions._util import round6 as r6
+from polars_quant_spark.operators import dedup, similarity, text
+from polars_quant_spark.oracle import recursive_with
+from polars_quant_spark.queries import ORACLES, QUERIES, q
+from polars_quant_spark.sources.bars import BARS_CTE, bars, load_table
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_exact_dedup",
+    f"""
+SELECT md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+       MIN(doc_id) AS keep_id,
+       COUNT(*) AS n_dups
+FROM documents
+GROUP BY md5(array_to_string({_TOKS}, ' '))
+""",
+)
+def doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pipeline (signatures → bands → candidates → Jaccard)
+# ---------------------------------------------------------------------------
+
+_NH, _BANDS, _R = 16, 4, 4
+
+_SH_CTES = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+shx AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                j -> array_to_string(toks[j:j+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shs
+  FROM tk
+),
+ex AS MATERIALIZED (
+  SELECT doc_id AS _id, unnest(shs) AS _sh FROM shx
+),
+sig AS MATERIALIZED (
+  SELECT _id, {", ".join(f"min(md5(_sh || '#{i}')) AS h{i}" for i in range(_NH))}
+  FROM ex GROUP BY _id
+),
+banded AS (
+  {" UNION ALL ".join(
+      "SELECT _id, " + str(b) + " AS band, md5("
+      + " || ',' || ".join(f"h{b * _R + i}" for i in range(_R))
+      + ") AS bucket FROM sig"
+      for b in range(_BANDS)
+  )}
+),
+filt AS (
+  SELECT * FROM (SELECT *, COUNT(*) OVER (PARTITION BY band, bucket) AS _n FROM banded)
+  WHERE _n <= 1000
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a._id AS id_a, b._id AS id_b
+  FROM filt a JOIN filt b ON a.band = b.band AND a.bucket = b.bucket AND a._id < b._id
+),
+sizes AS MATERIALIZED (SELECT _id, COUNT(*) AS _n FROM ex GROUP BY _id),
+inter AS (
+  SELECT c.id_a, c.id_b, COUNT(*) AS _inter
+  FROM cand c
+  JOIN ex ea ON ea._id = c.id_a
+  JOIN ex eb ON eb._id = c.id_b AND eb._sh = ea._sh
+  GROUP BY c.id_a, c.id_b
+)
+"""
+
+QUERIES["doc_minhash_pairs"] = lambda spark, sf_dir: dedup.minhash_dedup_pairs(
+    load_table(spark, sf_dir, "documents"), threshold=0.5
+)
+ORACLES["doc_minhash_pairs"] = (
+    _SH_CTES
+    + """
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(COALESCE(i._inter, 0) AS DOUBLE) / (sa._n + sb._n - COALESCE(i._inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa._id = c.id_a
+JOIN sizes sb ON sb._id = c.id_b
+WHERE CAST(COALESCE(i._inter, 0) AS DOUBLE) / (sa._n + sb._n - COALESCE(i._inter, 0)) >= 0.5
+"""
+)
+
+
+# ---------------------------------------------------------------------------
+# text analysis: token counts, language-ID, quality, fingerprint
+# ---------------------------------------------------------------------------
+
+_SW_SQL = {
+    lang: "[" + ", ".join(f"'{w}'" for w in ws) + "]"
+    for lang, ws in text.STOPWORDS.items()
+}
+
+
+@q(
+    "doc_text_stats",
+    f"""
+WITH base AS (
+  SELECT doc_id, text, {_TOKS} AS toks,
+         CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+         CAST(LENGTH(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS alpha_chars
+  FROM documents
+),
+counts AS (
+  SELECT doc_id, text, toks, n_chars, alpha_chars,
+         CAST(len(toks) AS DOUBLE) AS n_toks,
+         len(list_filter(toks, t -> list_contains({_SW_SQL['de']}, t))) AS n_de,
+         len(list_filter(toks, t -> list_contains({_SW_SQL['en']}, t))) AS n_en,
+         len(list_filter(toks, t -> list_contains({_SW_SQL['es']}, t))) AS n_es,
+         len(list_filter(toks, t -> list_contains({_SW_SQL['fr']}, t))) AS n_fr
+  FROM base
+),
+fold1 AS (
+  SELECT *, n_de AS bn1, 'de' AS bl1 FROM counts
+),
+fold2 AS (
+  SELECT *, CASE WHEN n_en > bn1 THEN n_en ELSE bn1 END AS bn2,
+            CASE WHEN n_en > bn1 THEN 'en' ELSE bl1 END AS bl2 FROM fold1
+),
+fold3 AS (
+  SELECT *, CASE WHEN n_es > bn2 THEN n_es ELSE bn2 END AS bn3,
+            CASE WHEN n_es > bn2 THEN 'es' ELSE bl2 END AS bl3 FROM fold2
+),
+fold4 AS (
+  SELECT *, CASE WHEN n_fr > bn3 THEN n_fr ELSE bn3 END AS bn4,
+            CASE WHEN n_fr > bn3 THEN 'fr' ELSE bl3 END AS bl4 FROM fold3
+),
+scored AS (
+  SELECT doc_id,
+         CAST(n_toks AS BIGINT) AS n_tokens,
+         CASE WHEN bn4 > 0 THEN bl4 ELSE 'und' END AS lang_pred,
+         LEAST(n_chars / 200.0, 1.0) AS len_score,
+         CASE WHEN n_chars > 0 THEN alpha_chars / n_chars ELSE 0.0 END AS alpha_ratio,
+         CASE WHEN n_toks > 0 AND alpha_chars / n_toks >= 2.0 AND alpha_chars / n_toks <= 10.0
+              THEN 1.0 ELSE CASE WHEN n_toks > 0 THEN 0.5 ELSE 0.5 END END AS tok_len_score,
+         CASE WHEN n_toks > 0 THEN LEAST(CAST(n_en AS DOUBLE) / n_toks * 4.0, 1.0) ELSE 0.0 END AS sw_score,
+         CASE WHEN n_toks > 0 THEN CAST(n_en AS DOUBLE) / n_toks ELSE 0.0 END AS sw_ratio_en,
+         md5(array_to_string(toks, ' ')) AS fingerprint
+  FROM fold4
+)
+SELECT doc_id, n_tokens, lang_pred,
+       ROUND((len_score + alpha_ratio + tok_len_score + sw_score) / 4.0, 6) AS quality,
+       ROUND(sw_ratio_en, 6) AS sw_ratio_en,
+       fingerprint
+FROM scored
+""",
+)
+def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.detect_language("text").alias("lang_pred"),
+        r6(text.quality_score("text")).alias("quality"),
+        r6(text.stopword_ratio("text", "en")).alias("sw_ratio_en"),
+        text.fingerprint("text").alias("fingerprint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_COS_SQL = """
+  CASE WHEN nq * ne > 0 THEN dp / (nq * ne) ELSE 0.0 END
+"""
+
+_EMB_SCORED = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 10
+),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_sum(list_transform(list_zip(q.qv, e.embedding),
+                  p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))) AS dp,
+         sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+         sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
+  FROM embeddings e CROSS JOIN q
+),
+sim AS (
+  SELECT query_id, vec_id,
+         ROUND(CASE WHEN nq * ne > 0 THEN dp / (nq * ne) ELSE 0.0 END, 6) AS cos_sim
+  FROM scored
+),
+ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM sim
+)
+"""
+
+
+@q(
+    "emb_cosine_topk",
+    _EMB_SCORED
+    + """
+SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
+""",
+)
+def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return similarity.cosine_topk(emb, queries, k=10)
+
+
+@q(
+    "emb_near_dupes",
+    """
+WITH scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                  p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))) AS dp,
+         sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
+         sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b,
+       ROUND(CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END, 6) AS cos_sim
+FROM scored
+WHERE ROUND(CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END, 6) >= 0.9
+""",
+)
+def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dupes(emb, threshold=0.9)
+
+
+# ---------------------------------------------------------------------------
+# vectorized backtest — fold as recursive CTE (zero-cost config; commission /
+# slippage arithmetic is covered by the pytest micro-scenarios)
+# ---------------------------------------------------------------------------
+
+_BT_SIG = """
+sig AS MATERIALIZED (
+  SELECT symbol, t, close,
+         COALESCE(s5 > s20 AND LAG(s5) OVER o <= LAG(s20) OVER o, FALSE) AS buy,
+         COALESCE(s5 < s20 AND LAG(s5) OVER o >= LAG(s20) OVER o, FALSE) AS sell,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM (
+    SELECT symbol, t, close,
+           CASE WHEN COUNT(close) OVER w5 = 5 THEN AVG(close) OVER w5 END AS s5,
+           CASE WHEN COUNT(close) OVER w20 = 20 THEN AVG(close) OVER w20 END AS s20
+    FROM bars
+    WINDOW w5 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+           w20 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+  ) s
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+),
+fold AS (
+  SELECT symbol, rn, pos, cash FROM (
+    SELECT symbol, rn,
+           CASE WHEN buy THEN FLOOR(100000.0 / close) ELSE 0.0 END AS pos,
+           CASE WHEN buy THEN 100000.0 - FLOOR(100000.0 / close) * close ELSE 100000.0 END AS cash
+    FROM sig WHERE rn = 1
+  ) seed
+  UNION ALL
+  SELECT s.symbol, s.rn,
+         CASE WHEN s.sell AND f.pos > 0 THEN 0.0
+              WHEN s.buy AND f.pos = 0 THEN FLOOR(f.cash / s.close)
+              ELSE f.pos END AS pos,
+         CASE WHEN s.sell AND f.pos > 0 THEN f.cash + f.pos * s.close
+              WHEN s.buy AND f.pos = 0 THEN f.cash - FLOOR(f.cash / s.close) * s.close
+              ELSE f.cash END AS cash
+  FROM fold f JOIN sig s ON s.symbol = f.symbol AND s.rn = f.rn + 1
+),
+curve AS MATERIALIZED (
+  SELECT s.symbol, s.t, f.pos AS position, f.cash,
+         f.cash + f.pos * s.close AS equity
+  FROM fold f JOIN sig s ON s.symbol = f.symbol AND s.rn = f.rn
+)"""
+
+
+def _bt_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("t")
+    b = b.withColumn("s5", ov.sma("close", 5, w)).withColumn("s20", ov.sma("close", 20, w))
+    cross_up = (F.col("s5") > F.col("s20")) & (F.lag("s5").over(w) <= F.lag("s20").over(w))
+    cross_dn = (F.col("s5") < F.col("s20")) & (F.lag("s5").over(w) >= F.lag("s20").over(w))
+    return b.withColumn("buy", F.coalesce(cross_up, F.lit(False))).withColumn(
+        "sell", F.coalesce(cross_dn, F.lit(False))
+    )
+
+
+_BT_PARAMS = BacktestParams(
+    initial_capital=100_000.0,
+    buy_commission_rate=0.0,
+    sell_commission_rate=0.0,
+    min_commission=0.0,
+)
+
+
+def _bt_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _bt_signals(spark, sf_dir)
+    out = vectorized_backtest(sig, params=_BT_PARAMS)
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("position")).alias("position"),
+        r6(F.col("cash")).alias("cash"),
+        r6(F.col("equity")).alias("equity"),
+    )
+
+
+QUERIES["bt_vectorized_curve"] = _bt_query
+ORACLES["bt_vectorized_curve"] = (
+    recursive_with(_BT_SIG)
+    + """
+SELECT symbol, t, ROUND(position, 6) AS position, ROUND(cash, 6) AS cash,
+       ROUND(equity, 6) AS equity
+FROM curve
+"""
+)
+
+
+def _bt_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.backtest.metrics import summary
+
+    sig = _bt_signals(spark, sf_dir)
+    out = vectorized_backtest(sig, params=_BT_PARAMS)
+    m = summary(out)
+    return m.select(
+        "symbol",
+        "n_bars",
+        "total_return",
+        "max_drawdown",
+        "volatility",
+        "total_trades",
+        "win_rate",
+    )
+
+
+QUERIES["bt_metrics"] = _bt_metrics_query
+ORACLES["bt_metrics"] = (
+    recursive_with(_BT_SIG)
+    + """
+, rets AS (
+  SELECT symbol, t, equity,
+         equity / LAG(equity) OVER (PARTITION BY symbol ORDER BY t) - 1.0 AS ret,
+         MAX(equity) OVER (PARTITION BY symbol ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM curve
+),
+marks AS MATERIALIZED (
+  SELECT symbol, rn, pos, cash,
+         COALESCE(LAG(pos) OVER w, 0.0) AS prev_pos,
+         COALESCE(LAG(cash) OVER w, 100000.0) AS prev_cash
+  FROM fold
+  WINDOW w AS (PARTITION BY symbol ORDER BY rn)
+),
+buys AS MATERIALIZED (
+  SELECT symbol, rn, prev_cash - cash AS entry_cost
+  FROM marks WHERE prev_pos = 0 AND pos > 0
+),
+sells AS (
+  -- a trade completes when the position drops to 0 from >0; a win when the
+  -- cash released exceeds the entry cost of the matching buy
+  SELECT symbol,
+         COUNT(*) AS total_trades,
+         COUNT(*) FILTER (WHERE proceeds > entry_cost) AS n_wins
+  FROM (
+    SELECT m.symbol, m.rn, m.cash - m.prev_cash AS proceeds,
+           (SELECT b.entry_cost FROM buys b
+            WHERE b.symbol = m.symbol AND b.rn <= m.rn
+            ORDER BY b.rn DESC LIMIT 1) AS entry_cost
+    FROM marks m WHERE m.prev_pos > 0 AND m.pos = 0
+  ) x
+  GROUP BY symbol
+),
+agg AS (
+  SELECT r.symbol,
+         CAST(COUNT(*) AS DOUBLE) AS n_bars,
+         LAST(r.equity ORDER BY r.t) / 100000.0 - 1.0 AS total_return,
+         MAX(CASE WHEN r.peak > 0 THEN (r.peak - r.equity) / r.peak ELSE 0.0 END) AS max_drawdown,
+         STDDEV_SAMP(r.ret) AS volatility
+  FROM rets r
+  GROUP BY r.symbol
+)
+SELECT a.symbol, a.n_bars,
+       ROUND(a.total_return, 6) AS total_return,
+       ROUND(a.max_drawdown, 6) AS max_drawdown,
+       ROUND(a.volatility, 6) AS volatility,
+       COALESCE(s.total_trades, 0) AS total_trades,
+       ROUND(CASE WHEN COALESCE(s.total_trades, 0) > 0
+                  THEN CAST(s.n_wins AS DOUBLE) / s.total_trades ELSE 0.0 END, 6) AS win_rate
+FROM agg a LEFT JOIN sells s ON a.symbol = s.symbol
+"""
+)

@@ -22,29 +22,31 @@ def mom(x: Column | str, p: int = 10, w: WindowSpec = None) -> Column:
 
 
 def roc(x: Column | str, p: int = 10, w: WindowSpec = None) -> Column:
-    """100·(x−x₋ₚ)/x₋ₚ (momentum.rs:438-453)."""
+    """100·(x−x₋ₚ)/x₋ₚ (momentum.rs:438-453); NULL when x₋ₚ = 0 (ANSI-safe)."""
     x = dcol(x)
     prev = F.lag(x, p).over(w)
-    return 100.0 * (x - prev) / prev
+    return F.when(prev != 0, 100.0 * (x - prev) / prev)
 
 
 def rocp(x: Column | str, p: int = 10, w: WindowSpec = None) -> Column:
     """(x−x₋ₚ)/x₋ₚ (momentum.rs:455-470)."""
     x = dcol(x)
     prev = F.lag(x, p).over(w)
-    return (x - prev) / prev
+    return F.when(prev != 0, (x - prev) / prev)
 
 
 def rocr(x: Column | str, p: int = 10, w: WindowSpec = None) -> Column:
     """x/x₋ₚ (momentum.rs:472-487)."""
     x = dcol(x)
-    return x / F.lag(x, p).over(w)
+    prev = F.lag(x, p).over(w)
+    return F.when(prev != 0, x / prev)
 
 
 def rocr100(x: Column | str, p: int = 10, w: WindowSpec = None) -> Column:
     """100·x/x₋ₚ (momentum.rs:489-504)."""
     x = dcol(x)
-    return 100.0 * x / F.lag(x, p).over(w)
+    prev = F.lag(x, p).over(w)
+    return F.when(prev != 0, 100.0 * x / prev)
 
 
 def bop(open: Column | str, high: Column | str, low: Column | str, close: Column | str) -> Column:
@@ -94,7 +96,8 @@ def ultosc(
 
     def avg_ratio(p: int) -> Column:
         frame = trailing(w, p)
-        return F.sum(bp).over(frame) / F.sum(tr).over(frame)
+        str_ = F.sum(tr).over(frame)
+        return F.when(str_ != 0, F.sum(bp).over(frame) / str_)
 
     expr = 100.0 * (4.0 * avg_ratio(p1) + 2.0 * avg_ratio(p2) + avg_ratio(p3)) / 7.0
     return guarded(expr, bp, p3, w)
@@ -178,7 +181,7 @@ def ppo(x: Column | str, fast: int = 12, slow: int = 26, w: WindowSpec = None) -
     from polars_quant_spark.functions.overlap import sma
 
     s = sma(x, slow, w)
-    return 100.0 * (sma(x, fast, w) - s) / s
+    return F.when(s != 0, 100.0 * (sma(x, fast, w) - s) / s)
 
 
 def stoch(

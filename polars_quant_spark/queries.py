@@ -403,10 +403,10 @@ def ind_midpoint_midprice(spark: SparkSession, sf_dir: str) -> DataFrame:
     + f"""
 SELECT symbol, t,
        ROUND(close - LAG(close, 10) OVER o, 6) AS mom_10,
-       ROUND(100.0 * (close - LAG(close, 10) OVER o) / LAG(close, 10) OVER o, 6) AS roc_10,
-       ROUND((close - LAG(close, 10) OVER o) / LAG(close, 10) OVER o, 6) AS rocp_10,
-       ROUND(close / LAG(close, 10) OVER o, 6) AS rocr_10,
-       ROUND(100.0 * close / LAG(close, 10) OVER o, 6) AS rocr100_10
+       ROUND(CASE WHEN LAG(close, 10) OVER o != 0 THEN 100.0 * (close - LAG(close, 10) OVER o) / LAG(close, 10) OVER o END, 6) AS roc_10,
+       ROUND(CASE WHEN LAG(close, 10) OVER o != 0 THEN (close - LAG(close, 10) OVER o) / LAG(close, 10) OVER o END, 6) AS rocp_10,
+       ROUND(CASE WHEN LAG(close, 10) OVER o != 0 THEN close / LAG(close, 10) OVER o END, 6) AS rocr_10,
+       ROUND(CASE WHEN LAG(close, 10) OVER o != 0 THEN 100.0 * close / LAG(close, 10) OVER o END, 6) AS rocr100_10
 FROM bars
 WINDOW o AS {_ORD}
 """,
@@ -429,8 +429,9 @@ def ind_mom_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     BARS_CTE
     + f"""
 SELECT symbol, t,
-       ROUND(close / LAG(close, 1) OVER o - 1.0, 6) AS ret_1,
-       ROUND(LN(close / LAG(close, 1) OVER o), 6) AS logret_1
+       ROUND(CASE WHEN LAG(close, 1) OVER o != 0 THEN close / LAG(close, 1) OVER o - 1.0 END, 6) AS ret_1,
+       ROUND(CASE WHEN LAG(close, 1) OVER o != 0 AND close / LAG(close, 1) OVER o > 0
+                  THEN LN(close / LAG(close, 1) OVER o) END, 6) AS logret_1
 FROM bars
 WINDOW o AS {_ORD}
 """,
@@ -514,9 +515,9 @@ def ind_cmo(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 SELECT symbol, t,
        ROUND(CASE WHEN COUNT(bp) OVER w28 = 28 THEN
-         100.0 * (4.0 * (SUM(bp) OVER w7 / SUM(tr) OVER w7)
-                + 2.0 * (SUM(bp) OVER w14 / SUM(tr) OVER w14)
-                + (SUM(bp) OVER w28 / SUM(tr) OVER w28)) / 7.0
+         100.0 * (4.0 * (CASE WHEN SUM(tr) OVER w7 != 0 THEN SUM(bp) OVER w7 / SUM(tr) OVER w7 END)
+                + 2.0 * (CASE WHEN SUM(tr) OVER w14 != 0 THEN SUM(bp) OVER w14 / SUM(tr) OVER w14 END)
+                + (CASE WHEN SUM(tr) OVER w28 != 0 THEN SUM(bp) OVER w28 / SUM(tr) OVER w28 END)) / 7.0
        END, 6) AS ultosc
 FROM btr
 WINDOW w7 AS {_win(7)}, w14 AS {_win(14)}, w28 AS {_win(28)}

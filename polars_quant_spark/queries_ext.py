@@ -365,7 +365,7 @@ WINDOW w3 AS {_win(3)}
 SELECT symbol, t,
        ROUND(CASE WHEN COUNT(close) OVER w26 = 26 THEN
          AVG(close) OVER w12 - AVG(close) OVER w26 END, 6) AS apo,
-       ROUND(CASE WHEN COUNT(close) OVER w26 = 26 THEN
+       ROUND(CASE WHEN COUNT(close) OVER w26 = 26 AND AVG(close) OVER w26 != 0 THEN
          100.0 * (AVG(close) OVER w12 - AVG(close) OVER w26) / (AVG(close) OVER w26) END, 6) AS ppo
 FROM bars
 WINDOW w12 AS {_win(12)}, w26 AS {_win(26)}
@@ -573,3 +573,60 @@ def _cdl_all(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["cdl_all_patterns"] = _cdl_all
+
+
+# ---------------------------------------------------------------------------
+# Hilbert-transform family + MAMA + MAVP (rows-only: the MESA state machine
+# has no tractable SQL form — SURVEY §2.5 Cycle; driver records the weaker
+# rows-only check for these, per the contract)
+# ---------------------------------------------------------------------------
+
+import polars_quant_spark.operators.hilbert  # noqa: E402,F401  (registers kernels)
+
+
+def _ht_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    out = with_recurrences(
+        b,
+        [
+            Rec("ht_dcperiod", "ht_dcperiod", ["close"], {}),
+            Rec("ht_dcphase", "ht_dcphase", ["close"], {}),
+            Rec(["ht_inphase", "ht_quadrature"], "ht_phasor", ["close"], {}),
+            Rec(["ht_sine", "ht_leadsine"], "ht_sine", ["close"], {}),
+            Rec("ht_trendline", "ht_trendline", ["close"], {}),
+            Rec("ht_trendmode", "ht_trendmode", ["close"], {}),
+            Rec(["mama", "fama"], "mama", ["close"], {}),
+        ],
+    )
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("ht_dcperiod")).alias("ht_dcperiod"),
+        r6(F.col("ht_dcphase")).alias("ht_dcphase"),
+        r6(F.col("ht_inphase")).alias("ht_inphase"),
+        r6(F.col("ht_quadrature")).alias("ht_quadrature"),
+        r6(F.col("ht_sine")).alias("ht_sine"),
+        r6(F.col("ht_leadsine")).alias("ht_leadsine"),
+        r6(F.col("ht_trendline")).alias("ht_trendline"),
+        F.col("ht_trendmode").cast("int").alias("ht_trendmode"),
+        r6(F.col("mama")).alias("mama"),
+        r6(F.col("fama")).alias("fama"),
+    )
+
+
+QUERIES["ind_ht_family"] = _ht_family
+
+
+def _mavp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAVP with a deterministic per-row period column (volume % 20 + 5)."""
+    b = bars(spark, sf_dir).withColumn(
+        "periods", (F.col("volume") % 20 + 5).cast("double")
+    )
+    out = with_recurrences(
+        b,
+        [Rec("mavp", "mavp", ["close", "periods"], {"minperiod": 2, "maxperiod": 30})],
+    )
+    return out.select("symbol", "t", r6(F.col("mavp")).alias("mavp"))
+
+
+QUERIES["ind_mavp"] = _mavp_query

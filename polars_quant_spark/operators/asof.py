@@ -1,0 +1,95 @@
+"""As-of and range joins — operators Spark lacks natively (SURVEY §2.3; the
+reference gets as-of semantics implicitly from grid-join + forward fill).
+
+``asof_join`` is the explicit form: for every left row, the latest right row
+with right.time ≤ left.time (per key), within an optional tolerance.
+
+Implementation: union the two sides tagged with a priority, one window pass
+per key ordered by (time, priority), forward-fill the right payload — ONE
+shuffle, no range-explosion join. This is the standard scale-safe as-of plan
+(a join + filter + row_number plan would shuffle both sides *and* blow up on
+dense right sides)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    by: str | list[str] | None = None,
+    tolerance: int | None = None,
+    direction: str = "backward",
+    right_prefix: str = "r_",
+) -> DataFrame:
+    """For each left row: the most recent right row at-or-before (backward)
+    or the earliest at-or-after (forward) on the ``on`` column, matching the
+    ``by`` keys. ``tolerance`` bounds |left.on − right.on| (same units as on).
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+    keys = [by] if isinstance(by, str) else list(by or [])
+    payload = [c for c in right.columns if c != on and c not in keys]
+
+    lt = left.withColumn("_side", F.lit(1))
+    rt = right.select(
+        *keys,
+        F.col(on),
+        *[F.col(c).alias(f"{right_prefix}{c}") for c in payload],
+    ).withColumn("_side", F.lit(0))
+    unioned = lt.unionByName(rt, allowMissingColumns=True)
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(on).asc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        fill = F.last
+    else:
+        w = (
+            Window.partitionBy(*keys)
+            .orderBy(F.col(on).asc(), F.col("_side").desc())
+            .rowsBetween(0, Window.unboundedFollowing)
+        )
+        fill = F.first
+
+    out = unioned
+    for c in payload:
+        out = out.withColumn(f"{right_prefix}{c}", fill(f"{right_prefix}{c}", ignorenulls=True).over(w))
+    matched_on = fill(F.when(F.col("_side") == 0, F.col(on)), ignorenulls=True).over(w)
+    out = out.withColumn(f"{right_prefix}{on}", matched_on)
+    out = out.where(F.col("_side") == 1).drop("_side")
+    if tolerance is not None:
+        dist = F.abs(F.col(on) - F.col(f"{right_prefix}{on}"))
+        out = out.select(
+            *[c for c in out.columns if not c.startswith(right_prefix)],
+            *[
+                F.when(dist <= tolerance, F.col(c)).alias(c)
+                for c in out.columns
+                if c.startswith(right_prefix)
+            ],
+        )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Point-in-interval join: left rows matched to right intervals
+    [right_lo, right_hi) sharing the ``by`` keys. Small right side →
+    broadcast-NL (cheap); large right side should be bucketed by coarse
+    range bins first (not implemented — documented scale path)."""
+    keys = [by] if isinstance(by, str) else list(by or [])
+    cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    for k in keys:
+        cond = cond & (left[k] == right[k])
+    return left.join(F.broadcast(right), cond)

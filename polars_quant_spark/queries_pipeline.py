@@ -415,3 +415,212 @@ SELECT a.symbol, a.n_bars,
 FROM agg a LEFT JOIN sells s ON a.symbol = s.symbol
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# factor kit / OLS / clean / selector (v0.x surface, SURVEY §2.8)
+# ---------------------------------------------------------------------------
+
+from polars_quant_spark.functions import momentum as mo  # noqa: E402
+from polars_quant_spark.operators import clean as cl  # noqa: E402
+from polars_quant_spark.operators import factor as fa  # noqa: E402
+from polars_quant_spark.operators.selector import Selector  # noqa: E402
+
+_FCT = """
+, fct AS (
+  SELECT symbol, t, close,
+         close - LAG(close, 10) OVER o AS factor,
+         CASE WHEN close != 0 THEN LEAD(close, 1) OVER o / close - 1.0 END AS fwd_ret
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+)"""
+
+
+def _fct_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("t")
+    b = b.withColumn("factor", mo.mom("close", 10, w))
+    return fa.forward_returns(b, "close", 1, "symbol", "t")
+
+
+@q(
+    "factor_ic",
+    BARS_CTE
+    + _FCT
+    + """
+SELECT t, ROUND(CORR(factor, fwd_ret), 6) AS ic, COUNT(*) AS n
+FROM fct GROUP BY t
+""",
+)
+def factor_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = fa.ic(_fct_spark(spark, sf_dir), "factor", "fwd_ret", "t")
+    return out.select("t", r6(F.col("ic")).alias("ic"), "n")
+
+
+@q(
+    "factor_rank_ic",
+    BARS_CTE
+    + _FCT
+    + """
+, ranked AS (
+  SELECT t,
+         PERCENT_RANK() OVER (PARTITION BY t ORDER BY factor, symbol) AS fr,
+         PERCENT_RANK() OVER (PARTITION BY t ORDER BY fwd_ret, symbol) AS rr
+  FROM fct WHERE factor IS NOT NULL AND fwd_ret IS NOT NULL
+)
+SELECT t, ROUND(CORR(fr, rr), 6) AS rank_ic, COUNT(*) AS n
+FROM ranked GROUP BY t
+""",
+)
+def factor_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = fa.rank_ic(_fct_spark(spark, sf_dir), "factor", "fwd_ret", "t")
+    return out.select("t", r6(F.col("rank_ic")).alias("rank_ic"), "n")
+
+
+@q(
+    "factor_quantile_sorts",
+    BARS_CTE
+    + _FCT
+    + """
+, bucketed AS (
+  SELECT t, fwd_ret,
+         NTILE(5) OVER (PARTITION BY t ORDER BY factor, symbol) AS bucket
+  FROM fct WHERE factor IS NOT NULL AND fwd_ret IS NOT NULL
+)
+SELECT bucket,
+       ROUND(CAST(SUM(CAST(fwd_ret AS DECIMAL(38,18)) ) AS DOUBLE) / COUNT(fwd_ret), 6) AS mean_fwd_ret,
+       COUNT(*) AS n
+FROM bucketed GROUP BY bucket
+""",
+)
+def factor_quantile_sorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = _fct_spark(spark, sf_dir)
+    bucketed = df.where(
+        F.col("factor").isNotNull() & F.col("fwd_ret").isNotNull()
+    ).withColumn(
+        "bucket",
+        F.ntile(5).over(Window.partitionBy("t").orderBy(F.col("factor"), F.col("symbol"))),
+    )
+    return bucketed.groupBy("bucket").agg(
+        r6(
+            F.sum(F.col("fwd_ret").cast("decimal(38,18)")).cast("double")
+            / F.count("fwd_ret")
+        ).alias("mean_fwd_ret"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "ols_lineitem",
+    """
+SELECT l_returnflag,
+       ROUND(COVAR_POP(l_extendedprice, l_quantity) / VAR_POP(l_quantity), 6) AS slope,
+       ROUND(AVG(l_extendedprice) - (COVAR_POP(l_extendedprice, l_quantity) / VAR_POP(l_quantity)) * AVG(l_quantity), 6) AS intercept,
+       ROUND(CORR(l_extendedprice, l_quantity) * CORR(l_extendedprice, l_quantity), 6) AS r2,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simple OLS per group via the closed-form moment expressions (the
+    multi-feature solver lives in operators.linear; pytest covers it vs
+    numpy.lstsq — here the oracle-parity form uses covar/var directly)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    y = F.col("l_extendedprice").cast("double")
+    x = F.col("l_quantity").cast("double")
+    slope = F.covar_pop(y, x) / F.var_pop(x)
+    return li.groupBy("l_returnflag").agg(
+        r6(slope).alias("slope"),
+        r6(F.avg(y) - slope * F.avg(x)).alias("intercept"),
+        r6(F.corr(y, x) * F.corr(y, x)).alias("r2"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "clean_winsor_zscore",
+    """
+WITH stats AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+         QUANTILE_CONT(l_extendedprice, 0.05) OVER (PARTITION BY l_returnflag) AS lo,
+         QUANTILE_CONT(l_extendedprice, 0.95) OVER (PARTITION BY l_returnflag) AS hi,
+         AVG(l_extendedprice) OVER (PARTITION BY l_returnflag) AS mu,
+         STDDEV_SAMP(l_extendedprice) OVER (PARTITION BY l_returnflag) AS sd
+  FROM lineitem
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND(GREATEST(LEAST(l_extendedprice, hi), lo), 6) AS winsorized,
+       ROUND(CASE WHEN sd > 0 THEN (l_extendedprice - mu) / sd END, 6) AS zscore
+FROM stats
+""",
+)
+def clean_winsor_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    out = cl.winsorize(
+        li, "l_extendedprice", "percentile", 0.05, 0.95,
+        group_by=["l_returnflag"], out="winsorized",
+    )
+    out = cl.zscore(out, "l_extendedprice", group_by=["l_returnflag"], out="zscore")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.col("winsorized")).alias("winsorized"),
+        r6(F.col("zscore")).alias("zscore"),
+    )
+
+
+@q(
+    "sel_screen_topk",
+    BARS_CTE
+    + """
+, scr AS (
+  SELECT symbol, t, close, volume,
+         CASE WHEN COUNT(close) OVER w20 = 20 THEN AVG(close) OVER w20 END AS sma20,
+         CASE WHEN COUNT(volume) OVER w20 = 20 THEN AVG(volume) OVER w20 END AS vma20
+  FROM bars
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, t, ROUND(close, 6) AS close
+FROM scr
+WHERE close > sma20 AND volume > 1.5 * vma20
+ORDER BY close DESC, symbol, t
+LIMIT 20
+""",
+)
+def sel_screen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector screens → global top-k (README.md:683-799)."""
+    b = bars(spark, sf_dir)
+    sel = Selector(b).price_above_ma(20).volume_surge(1.5, 20)
+    return sel.top(20, by="close").select("symbol", "t", r6(F.col("close")).alias("close"))
+
+
+@q(
+    "rel_rollup_revenue",
+    """
+SELECT o_orderpriority, o_orderstatus,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n
+FROM orders
+GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
+""",
+)
+def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets rollup (free in Spark; SURVEY §2.4 extension surface)."""
+    od = load_table(spark, sf_dir, "orders")
+    return od.rollup("o_orderpriority", "o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def _fama_macbeth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fama-MacBeth t-stats (rows-only: the per-date pinv solve has no
+    reasonable SQL twin; operators/linear is pytest-checked vs numpy)."""
+    df = _fct_spark(spark, sf_dir).where(
+        F.col("factor").isNotNull() & F.col("fwd_ret").isNotNull()
+    )
+    return fa.fama_macbeth(df, "fwd_ret", ["factor"], "t")
+
+
+QUERIES["factor_fama_macbeth"] = _fama_macbeth_query

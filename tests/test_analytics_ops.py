@@ -1,0 +1,210 @@
+"""Tests: OLS vs numpy, factor kit, clean, selector, strategies, as-of join,
+multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from polars_quant_spark.operators import asof, clean, factor, linear, multimodal
+from polars_quant_spark.operators.selector import Selector
+from polars_quant_spark.operators.strategy import STRATEGIES, ma_cross
+
+RNG = np.random.default_rng(5)
+
+
+class TestOLS:
+    def test_ols_matches_numpy(self, spark):
+        n = 500
+        x1 = RNG.normal(0, 1, n)
+        x2 = RNG.normal(0, 2, n)
+        y = 3.0 + 1.5 * x1 - 0.7 * x2 + RNG.normal(0, 0.1, n)
+        df = spark.createDataFrame(pd.DataFrame({"y": y, "x1": x1, "x2": x2}))
+        row = linear.ols(df, "y", ["x1", "x2"]).collect()[0]
+        X = np.column_stack([np.ones(n), x1, x2])
+        beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+        np.testing.assert_allclose(row["coefficients"], beta, rtol=1e-6)
+        assert row["r2"] > 0.99
+        assert row["n"] == n
+
+    def test_ols_grouped(self, spark):
+        n = 300
+        frames = []
+        for g, slope in [("a", 2.0), ("b", -1.0)]:
+            x = RNG.normal(0, 1, n)
+            frames.append(pd.DataFrame({"g": g, "x": x, "y": slope * x + 1.0}))
+        df = spark.createDataFrame(pd.concat(frames))
+        rows = {r["g"]: r for r in linear.ols(df, "y", ["x"], ["g"]).collect()}
+        np.testing.assert_allclose(rows["a"]["coefficients"], [1.0, 2.0], atol=1e-9)
+        np.testing.assert_allclose(rows["b"]["coefficients"], [1.0, -1.0], atol=1e-9)
+
+    def test_residualize(self, spark):
+        n = 200
+        x = RNG.normal(0, 1, n)
+        y = 5.0 * x + 2.0
+        df = spark.createDataFrame(pd.DataFrame({"x": x, "y": y}))
+        out = linear.residualize(df, "y", ["x"])
+        resid = np.array([r["resid"] for r in out.collect()])
+        np.testing.assert_allclose(resid, 0.0, atol=1e-8)
+
+
+class TestFactor:
+    @pytest.fixture(scope="class")
+    def panel(self, spark):
+        rows = []
+        for t in range(1, 60):
+            for s in range(8):
+                fac = float(s) + 0.01 * t
+                rows.append(("S%d" % s, t, fac, 0.1 * fac + RNG.normal(0, 0.01)))
+        return spark.createDataFrame(
+            pd.DataFrame(rows, columns=["symbol", "t", "factor", "fwd_ret"])
+        )
+
+    def test_ic_positive_for_predictive_factor(self, panel):
+        ic_df = factor.ic(panel, "factor", "fwd_ret", "t")
+        mean_ic = ic_df.agg(F.avg("ic")).collect()[0][0]
+        assert mean_ic > 0.9
+
+    def test_ir_and_rolling(self, panel):
+        ic_df = factor.ic(panel, "factor", "fwd_ret", "t")
+        row = factor.ir(ic_df).collect()[0]
+        assert row["ir"] > 1.0
+        roll = factor.rolling_ic(ic_df, 10, "t").where(F.col("rolling_ic").isNotNull())
+        assert roll.count() == 59 - 9
+
+    def test_quantile_monotone(self, panel):
+        qs = {r["bucket"]: r["mean_fwd_ret"] for r in factor.quantile_sorts(panel, "factor").collect()}
+        assert qs[5] > qs[1]
+
+    def test_fama_macbeth_recovers_slope(self, panel):
+        row = factor.fama_macbeth(panel, "fwd_ret", ["factor"], "t").collect()[0]
+        assert abs(row["b1_mean"] - 0.1) < 0.01
+        assert row["b1_tstat"] > 10
+
+
+class TestClean:
+    def test_winsorize_percentile(self, spark):
+        vals = list(range(100))
+        df = spark.createDataFrame(pd.DataFrame({"x": [float(v) for v in vals]}))
+        out = clean.winsorize(df, "x", "percentile", 0.05, 0.95, out="w")
+        got = sorted(r["w"] for r in out.collect())
+        assert got[0] == pytest.approx(4.95)
+        assert got[-1] == pytest.approx(94.05)
+
+    def test_zscore(self, spark):
+        df = spark.createDataFrame(pd.DataFrame({"x": [1.0, 2.0, 3.0, 4.0, 5.0]}))
+        got = [r["x_z"] for r in clean.zscore(df, "x").collect()]
+        want = (np.arange(1, 6) - 3.0) / np.std(np.arange(1, 6), ddof=1)
+        np.testing.assert_allclose(sorted(got), sorted(want), rtol=1e-9)
+
+    def test_neutralize_industry(self, spark):
+        pdf = pd.DataFrame(
+            {
+                "ind": ["A"] * 4 + ["B"] * 4,
+                "x": [1.0, 2.0, 3.0, 4.0, 11.0, 12.0, 13.0, 14.0],
+            }
+        )
+        df = spark.createDataFrame(pdf)
+        out = clean.neutralize(df, "x", industry_col="ind", out="nx")
+        by_ind = out.groupBy("ind").agg(F.avg("nx").alias("m")).collect()
+        for r in by_ind:
+            assert abs(r["m"]) < 1e-9  # demeaned within industry
+
+
+class TestSelectorStrategy:
+    @pytest.fixture(scope="class")
+    def trend(self, spark):
+        n = 120
+        close = np.concatenate([np.linspace(100, 80, 60), np.linspace(80, 120, 60)])
+        return spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "symbol": ["X"] * n,
+                    "t": np.arange(1, n + 1),
+                    "close": close,
+                    "high": close * 1.01,
+                    "low": close * 0.99,
+                    "volume": np.where(np.arange(n) == 100, 5000.0, 100.0),
+                }
+            )
+        )
+
+    def test_selector_screens(self, trend):
+        sel = Selector(trend).price_above_ma(20).volume_surge(2.0, 20)
+        rows = sel.filter().collect()
+        assert len(rows) == 1 and rows[0]["t"] == 101  # the engineered spike
+
+    def test_selector_topk(self, trend):
+        top = Selector(trend).price_above_ma(10).top(3, by="close").collect()
+        assert len(top) == 3
+        assert top[0]["close"] >= top[1]["close"] >= top[2]["close"]
+
+    def test_ma_cross_signals(self, spark, trend):
+        from polars_quant_spark.functions import overlap as ov
+
+        w = Window.partitionBy("symbol").orderBy("t")
+        df = trend.withColumn("sma_5", ov.sma("close", 5, w)).withColumn(
+            "sma_20", ov.sma("close", 20, w)
+        )
+        sig = ma_cross(df, w)
+        buys = [r["t"] for r in sig.where("buy").collect()]
+        # V-shaped price: the golden cross fires on the way back up
+        assert len(buys) >= 1 and all(t > 60 for t in buys)
+
+    def test_all_strategies_compile(self, spark, trend):
+        # every generator builds a valid plan over a frame with its columns
+        from polars_quant_spark.functions import overlap as ov
+        from polars_quant_spark.functions import momentum as mo
+
+        w = Window.partitionBy("symbol").orderBy("t")
+        df = (
+            trend.withColumn("sma_5", ov.sma("close", 5, w))
+            .withColumn("sma_20", ov.sma("close", 20, w))
+            .withColumn("mom_10", mo.mom("close", 10, w))
+        )
+        for name in ["ma_cross", "momentum_follow", "channel_breakout", "volume_price_surge"]:
+            out = STRATEGIES[name](df, w)
+            assert out.select("buy", "sell").count() == 120
+
+
+class TestAsofMultimodal:
+    def test_asof_backward(self, spark):
+        left = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"] * 3, "ts": [5, 10, 15], "lv": [1, 2, 3]})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"] * 3, "ts": [4, 10, 14], "rv": [100, 200, 300]})
+        )
+        out = {r["ts"]: (r["r_rv"], r["r_ts"]) for r in asof.asof_join(left, right, "ts", "k").collect()}
+        assert out[5] == (100, 4)
+        assert out[10] == (200, 10)  # exact timestamp matches
+        assert out[15] == (300, 14)
+
+    def test_asof_tolerance(self, spark):
+        left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [100], "lv": [1]}))
+        right = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [10], "rv": [7]}))
+        out = asof.asof_join(left, right, "ts", "k", tolerance=50).collect()[0]
+        assert out["r_rv"] is None  # match outside tolerance nulled
+
+    def test_multimodal_features(self, spark):
+        media = multimodal.synthetic_media(spark, 30)
+        feats = multimodal.extract_features(media).collect()
+        assert len(feats) == 30
+        for r in feats:
+            assert len(r["features"]) == 8
+            assert all(0 <= v <= 1 for v in r["features"])
+        # deterministic: same id → same digest across runs
+        again = {r["media_id"]: r["payload_digest"] for r in multimodal.extract_features(media).collect()}
+        for r in feats:
+            assert again[r["media_id"]] == r["payload_digest"]
+
+    def test_frame_sample_plan(self, spark):
+        media = multimodal.synthetic_media(spark, 30)
+        frames = multimodal.frame_sample_plan(media, every_ms=1000)
+        agg = frames.groupBy("media_id").count().collect()
+        assert len(agg) == 10  # a third of the corpus is video
+        for r in agg:
+            assert r["count"] >= 1

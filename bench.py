@@ -85,14 +85,9 @@ def bench_indicators_rec(spark, sf_dir):
 
 
 def bench_patterns(spark, sf_dir):
-    """All 61 candlestick patterns in one projection."""
+    """All 61 candlestick patterns in one projection (pre-lagged columns)."""
     b = bars(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("t")
-    cols = [
-        fn("open", "high", "low", "close", w).alias(name)
-        for name, fn in pat.ALL_PATTERNS.items()
-    ]
-    return b.select("symbol", "t", *cols)
+    return pat.with_patterns(b).select("symbol", "t", *sorted(pat.ALL_PATTERNS))
 
 
 def bench_backtest(spark, sf_dir):

@@ -113,6 +113,13 @@ class Candle:
         return F.abs(a - b) < 0.001 * self.midprice
 
 
+#: When set (by `with_patterns`), candles() hands out these precomputed
+#: lag-column candles instead of inlining F.lag windows — the 61-pattern tree
+#: would otherwise repeat every lag expression thousands of times and spend
+#: ~20s in Catalyst/codegen per query.
+_PRECOMPUTED: list[Candle] | None = None
+
+
 def candles(
     open: Column | str,
     high: Column | str,
@@ -122,6 +129,8 @@ def candles(
     lookback: int,
 ) -> list[Candle]:
     """[current, lag1, lag2, ...] candles up to `lookback` bars back."""
+    if _PRECOMPUTED is not None:
+        return _PRECOMPUTED[: lookback + 1]
     o, h, l, c = dcol(open), dcol(high), dcol(low), dcol(close)
     out = [Candle(o, h, l, c)]
     for k in range(1, lookback + 1):
@@ -839,6 +848,53 @@ def cdlxsidegap3methods(o, h, l, c, w) -> Column:
         & t.bull & (t.o < p1.o) & (t.o > p1.c) & (t.c > p2.l) & (t.c < p2.o)
     )
     return _signal(_warm(cs, 2), bull, bear)
+
+
+def with_patterns(
+    df,
+    names: list[str] | None = None,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    open: str = "open",
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+):
+    """Append pattern signal columns for `names` (default: all 61).
+
+    Materializes the 4 lag depths of OHLC as real columns first, then builds
+    every pattern over plain column references — one window pass, a compact
+    expression tree, one whole-stage-codegen projection.
+    """
+    global _PRECOMPUTED
+    from pyspark.sql import Window
+
+    names = names or sorted(ALL_PATTERNS)
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    lag_cols = []
+    for k in range(1, 5):
+        for c in (open, high, low, close):
+            lag_cols.append(F.lag(dcol(c), k).over(w).alias(f"_lag{k}_{c}"))
+    base = df.select("*", *lag_cols)
+    cands = [Candle(dcol(open), dcol(high), dcol(low), dcol(close))]
+    for k in range(1, 5):
+        cands.append(
+            Candle(
+                F.col(f"_lag{k}_{open}"),
+                F.col(f"_lag{k}_{high}"),
+                F.col(f"_lag{k}_{low}"),
+                F.col(f"_lag{k}_{close}"),
+            )
+        )
+    _PRECOMPUTED = cands
+    try:
+        pattern_cols = [
+            ALL_PATTERNS[n](open, high, low, close, w).alias(n) for n in names
+        ]
+        out = base.select(*df.columns, *pattern_cols)
+    finally:
+        _PRECOMPUTED = None
+    return out
 
 
 #: All implemented CDL patterns: name → fn(o, h, l, c, w[, penetration]) -> Column

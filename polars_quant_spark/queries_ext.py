@@ -564,12 +564,7 @@ def _cdl_all(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All 61 patterns, rows-only check (the full surface; the three queries
     above hash-check a 20-pattern sample against SQL twins)."""
     b = bars(spark, sf_dir)
-    w = _w()
-    return b.select(
-        "symbol",
-        "t",
-        *[fn("open", "high", "low", "close", w).alias(n) for n, fn in pat.ALL_PATTERNS.items()],
-    )
+    return pat.with_patterns(b).select("symbol", "t", *sorted(pat.ALL_PATTERNS))
 
 
 QUERIES["cdl_all_patterns"] = _cdl_all

@@ -73,19 +73,28 @@ def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """OHLCV bars derived from events — the Spark twin of BARS_CTE."""
+    """OHLCV bars derived from events — the Spark twin of BARS_CTE.
+
+    The symbol alias happens BEFORE the window so the bar-building shuffle
+    and every downstream ``partitionBy(symbol)`` window share one exchange
+    (renaming after the window defeats Spark's partitioning-reuse)."""
     ev = (
         load_table(spark, sf_dir, "events")
         .withColumnRenamed("ts", "ts_ns")
-        .withColumn("ts_us", F.expr("ts_ns div 1000"))
+        .select(
+            F.col("event_type").alias("symbol"),
+            F.expr("ts_ns div 1000").alias("ts_us"),
+            F.col("event_id"),
+            F.col("value").cast("double").alias("_px"),
+        )
     )
-    w = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
-    close = F.col("value").cast("double")
+    w = Window.partitionBy("symbol").orderBy("ts_us", "event_id")
+    close = F.col("_px")
     prev = F.lag(close).over(w)
     open_ = F.coalesce(prev, close)
     return ev.select(
-        F.col("event_type").alias("symbol"),
-        F.col("ts_us"),
+        "symbol",
+        "ts_us",
         F.row_number().over(w).alias("t"),
         close.alias("close"),
         open_.alias("open"),

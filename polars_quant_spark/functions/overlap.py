@@ -88,3 +88,40 @@ def midprice(high: Column | str, low: Column | str, p: int = 14, w: WindowSpec =
     h, l = dcol(high), dcol(low)
     frame = trailing(w, p)
     return guarded((F.max(h).over(frame) + F.min(l).over(frame)) / 2.0, h, p, w)
+
+
+def ma(
+    df,
+    x: str,
+    p: int = 30,
+    matype: int = 0,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "ma",
+):
+    """MA dispatcher (overlap.rs:146-153,857-869): 0=SMA, 1=EMA, 2=WMA,
+    3=DEMA, 4=TEMA, 5=TRIMA, 6=KAMA, 7=MAMA, 8=T3.
+
+    DataFrame-level because half the types are recurrences: expression types
+    (0/2/5) attach a Column; recurrence types route through the runner."""
+    from pyspark.sql import Window
+
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    if matype == 0:
+        return df.withColumn(out, sma(x, p, w))
+    if matype == 2:
+        return df.withColumn(out, wma(x, p, w))
+    if matype == 5:
+        return df.withColumn(out, trima(x, p, w))
+    kernel = {1: "ema", 3: "dema", 4: "tema", 6: "kama", 8: "t3"}.get(matype)
+    if kernel is not None:
+        return with_recurrences(df, [Rec(out, kernel, [x], {"p": p})], partition_by, order_by)
+    if matype == 7:
+        import polars_quant_spark.operators.hilbert  # noqa: F401 (registers mama)
+
+        return with_recurrences(
+            df, [Rec([out, f"{out}_fama"], "mama", [x], {})], partition_by, order_by
+        )
+    raise ValueError(f"unknown matype {matype}")

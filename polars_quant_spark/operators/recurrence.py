@@ -438,3 +438,41 @@ def with_recurrences(
             for c in new_cols
         ],
     )
+
+
+def macdext(
+    x: np.ndarray,
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    fast_matype: int = 1,
+    slow_matype: int = 1,
+    signal_matype: int = 1,
+):
+    """MACD with per-leg MA type (composition momentum.py:83-88). Types:
+    0=SMA, 1=EMA — the two the composition supports; others raise."""
+
+    def leg(v: np.ndarray, p: int, t: int) -> np.ndarray:
+        if t == 1:
+            return ema(v, p)
+        if t == 0:
+            out = np.full(v.shape[0], np.nan)
+            s = pd.Series(v)
+            r = s.rolling(p).mean().to_numpy()
+            return r
+        raise ValueError(f"macdext matype {t} unsupported")
+
+    ef = leg(x, fast, fast_matype)
+    es = leg(x, slow, slow_matype)
+    dif = ef - es
+    dea_in = dif.copy()
+    dea = leg(dea_in, signal, signal_matype) if signal_matype == 0 else ema(dif, signal)
+    return dif, dea, dif - dea
+
+
+def macdfix(x: np.ndarray, signal: int = 9):
+    """MACD(12, 26, signal) (momentum.py:90-92)."""
+    return macd(x, 12, 26, signal)
+
+
+KERNELS.update({"macdext": (macdext, 1), "macdfix": (macdfix, 1)})

@@ -1,0 +1,108 @@
+"""Property tests (SURVEY §5 item 5) over the numpy kernels — fast, no Spark
+round-trips; the Spark layer is a thin orchestrator over these."""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from hypothesis.extra.numpy import arrays
+
+from polars_quant_spark.backtest.vectorized import BacktestParams, _fold
+from polars_quant_spark.operators import recurrence as rec
+
+prices = arrays(
+    np.float64,
+    st.integers(40, 120),
+    elements=st.floats(1.0, 1000.0, allow_nan=False),
+)
+
+
+@given(prices, st.floats(0.1, 10.0))
+@settings(max_examples=50, deadline=None)
+def test_rsi_scale_invariant(x, a):
+    """RSI is invariant under positive scaling."""
+    r1 = rec.rsi(x, 14)
+    r2 = rec.rsi(a * x, 14)
+    np.testing.assert_allclose(r1, r2, rtol=1e-6, atol=1e-6, equal_nan=True)
+
+
+@given(prices, st.floats(0.1, 10.0))
+@settings(max_examples=50, deadline=None)
+def test_ema_scale_equivariant(x, a):
+    """EMA commutes with positive scaling."""
+    np.testing.assert_allclose(
+        rec.ema(a * x, 10), a * rec.ema(x, 10), rtol=1e-9, equal_nan=True
+    )
+
+
+@given(prices)
+@settings(max_examples=50, deadline=None)
+def test_null_insertion_idempotent(x):
+    """Inserting NaNs must not change outputs at the valid positions
+    (reference null-skipping, overlap.rs:891-895)."""
+    withnan = np.insert(x, len(x) // 2, np.nan)
+    e_dense = rec.ema(x, 10)
+    e_nan = rec.ema(withnan, 10)
+    mask = ~np.isnan(withnan)
+    np.testing.assert_allclose(e_nan[mask], e_dense, rtol=1e-12, equal_nan=True)
+    assert np.isnan(e_nan[len(x) // 2])
+
+
+@given(prices)
+@settings(max_examples=50, deadline=None)
+def test_atr_nonnegative(x):
+    h = x * 1.01
+    l = x * 0.99
+    a = rec.atr(h, l, x, 14)
+    valid = a[~np.isnan(a)]
+    assert (valid >= -1e-12).all()
+
+
+@given(prices)
+@settings(max_examples=50, deadline=None)
+def test_adx_bounded(x):
+    h, l = x * 1.01, x * 0.99
+    a = rec.adx(h, l, x, 5)
+    valid = a[~np.isnan(a)]
+    assert ((valid >= -1e-9) & (valid <= 100.0 + 1e-9)).all()
+
+
+@given(prices)
+@settings(max_examples=30, deadline=None)
+def test_backtest_equity_identity_and_roundtrip(price):
+    """equity == cash + pos·price every bar; with zero costs a full round
+    trip conserves value at the traded prices."""
+    n = price.shape[0]
+    rng = np.random.default_rng(0)
+    buy = rng.random(n) < 0.2
+    sell = rng.random(n) < 0.2
+    p = BacktestParams(
+        buy_commission_rate=0.0, sell_commission_rate=0.0, min_commission=0.0
+    )
+    pos, cash, eq, dd, trades, wins = _fold(price, buy, sell, p)
+    np.testing.assert_allclose(eq, cash + pos * price, rtol=1e-12)
+    assert (cash >= -1e-9).all()
+    assert (dd >= -1e-12).all() and (dd <= 1.0 + 1e-12).all()
+
+
+@given(prices)
+@settings(max_examples=30, deadline=None)
+def test_no_signals_no_change(price):
+    n = price.shape[0]
+    p = BacktestParams()
+    pos, cash, eq, dd, trades, wins = _fold(
+        price, np.zeros(n, bool), np.zeros(n, bool), p
+    )
+    assert trades == 0
+    np.testing.assert_allclose(eq, p.initial_capital)
+
+
+@given(prices)
+@settings(max_examples=30, deadline=None)
+def test_sar_within_price_range(x):
+    h, l = x * 1.02, x * 0.98
+    s = rec.sar(h, l)
+    valid = s[~np.isnan(s)]
+    assert (valid >= l.min() - 1e-9).all()
+    assert (valid <= h.max() + 1e-9).all()

@@ -476,3 +476,28 @@ def macdfix(x: np.ndarray, signal: int = 9):
 
 
 KERNELS.update({"macdext": (macdext, 1), "macdfix": (macdfix, 1)})
+
+
+def adosc(
+    h: np.ndarray,
+    l: np.ndarray,
+    c: np.ndarray,
+    v: np.ndarray,
+    fast: int = 3,
+    slow: int = 10,
+):
+    """Chaikin A/D oscillator: EMA(AD, fast) − EMA(AD, slow) over the running
+    A/D line (volume.rs:34-66; the snapshot double-accumulates AD — SURVEY §0
+    — we use the documented contract). SMA-seeded EMAs like every other scan."""
+
+    def _adosc(hh, ll, cc, vv):
+        with np.errstate(invalid="ignore", divide="ignore"):
+            rng = hh - ll
+            clv = np.where(rng != 0, ((cc - ll) - (hh - cc)) / rng, 0.0)
+        ad_line = np.cumsum(clv * vv)
+        return _ewma(ad_line, 2.0 / (fast + 1), fast) - _ewma(ad_line, 2.0 / (slow + 1), slow)
+
+    return _compact_apply(_adosc, h, l, c, v)
+
+
+KERNELS.update({"adosc": (adosc, 4)})

@@ -95,5 +95,5 @@ def recursive_with(*cte_blocks: str) -> str:
     head = BARS_CTE.strip()
     assert head.startswith("WITH ")
     head = "WITH RECURSIVE " + head[len("WITH "):]
-    head = head.replace("bars AS (", "bars AS MATERIALIZED (", 1)
+    head = head.replace("\nbars AS (", "\nbars AS MATERIALIZED (", 1)
     return ",\n".join([head] + [b.strip() for b in cte_blocks])

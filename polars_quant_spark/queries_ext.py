@@ -625,3 +625,35 @@ def _mavp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ind_mavp"] = _mavp_query
+
+
+# ---------------------------------------------------------------------------
+# ADOSC — recurrence over the running A/D line
+# ---------------------------------------------------------------------------
+
+QUERIES["vol_adosc"] = lambda spark, sf_dir: with_recurrences(
+    bars(spark, sf_dir),
+    [Rec("adosc", "adosc", ["high", "low", "close", "volume"], {"fast": 3, "slow": 10})],
+).select("symbol", "t", r6(F.col("adosc")).alias("adosc"))
+
+ORACLES["vol_adosc"] = (
+    recursive_with(
+        f"""
+ad_tbl AS MATERIALIZED (
+  SELECT symbol, t,
+         SUM(CASE WHEN high = low THEN 0.0
+                  ELSE ((close - low) - (high - close)) / (high - low) * volume END)
+           OVER (PARTITION BY symbol ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ad
+  FROM bars
+)""",
+        ema_ctes("ef", "ad_tbl", "ad", 3),
+        ema_ctes("es", "ad_tbl", "ad", 10),
+    )
+    + """
+SELECT b.symbol, b.t, ROUND(ef.ef - es.es, 6) AS adosc
+FROM bars b
+LEFT JOIN ef ON b.symbol = ef.symbol AND b.t = ef.t
+LEFT JOIN es ON b.symbol = es.symbol AND b.t = es.t
+"""
+)

@@ -624,3 +624,33 @@ def _fama_macbeth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["factor_fama_macbeth"] = _fama_macbeth_query
+
+
+# ---------------------------------------------------------------------------
+# SimHash per document (32-bit md5-derived, oracle-checked bit-for-bit)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_simhash",
+    f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+hs AS (
+  SELECT doc_id,
+         list_transform(toks, t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)) AS hashes
+  FROM tk
+)
+SELECT doc_id,
+       list_sum(list_transform(range(0, 32), j ->
+         CASE WHEN list_sum(list_transform(hashes,
+                    h -> CASE WHEN CAST(FLOOR(h / POWER(2.0, j)) AS BIGINT) % 2 = 1
+                              THEN 1 ELSE -1 END)) > 0
+              THEN CAST(POWER(2.0, j) AS BIGINT) ELSE 0 END)) AS simhash
+FROM hs
+""",
+)
+def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", dedup.simhash("text").alias("simhash"))

@@ -7,11 +7,17 @@ test data has no bar table, so we derive one deterministically from ``events``:
 * symbol   = event_type              (5 symbols)
 * ordering = (ts_ns, event_id)       (explicit, tie-broken, reproducible)
 * t        = row_number within symbol (1-based bar index)
-* close    = value                   (positive: min 0.01)
-* open     = previous close (first bar: close)
-* high     = max(open, close) * 1.001
-* low      = min(open, close) * 0.999
+* close    = 300 + value/10          (compressed level: bodies 0–16% of price)
+* open     = prev close · (1 + ((event_id % 11) − 5)/1000)  (gaps ±0.5%)
+* high     = max(open, close) · (1 + (event_id % 7)/1000)   (wick 0–0.6%)
+* low      = min(open, close) · (1 − (event_id % 5)/1000)   (wick 0–0.4%)
 * volume   = (event_id % 1000 + 100) as double
+
+The shape matters for test power: raw event values as closes make every body
+~30% of price and open==prev_close exactly — under those bars most of the 61
+candlestick patterns can never fire and their correctness gate is vacuous.
+The compressed level + deterministic gaps/wicks give a realistic mix of
+long/short bodies, dojis, gaps and shadows.
 
 ``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it via the
 ``nanosAsLong`` legacy flag as an exact int64 (``ts_ns``), DuckDB via
@@ -37,17 +43,26 @@ from pyspark.sql import functions as F
 # DuckDB reads the TIMESTAMP(NANOS) parquet at µs resolution, so both engines
 # order and expose the time axis as exact int64 microseconds (ts_us).
 BARS_CTE = """
-WITH bars AS (
+WITH bars_base AS (
   SELECT
     event_type AS symbol,
     epoch_us(ts) AS ts_us,
-    CAST(ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) AS INTEGER) AS t,
-    CAST(value AS DOUBLE) AS close,
-    COALESCE(LAG(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY ts, event_id), CAST(value AS DOUBLE)) AS open,
-    GREATEST(COALESCE(LAG(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY ts, event_id), CAST(value AS DOUBLE)), CAST(value AS DOUBLE)) * 1.001 AS high,
-    LEAST(COALESCE(LAG(CAST(value AS DOUBLE)) OVER (PARTITION BY event_type ORDER BY ts, event_id), CAST(value AS DOUBLE)), CAST(value AS DOUBLE)) * 0.999 AS low,
+    event_id,
+    CAST(ROW_NUMBER() OVER wbars AS INTEGER) AS t,
+    300.0 + CAST(value AS DOUBLE) / 10.0 AS close,
+    COALESCE(LAG(300.0 + CAST(value AS DOUBLE) / 10.0) OVER wbars,
+             300.0 + CAST(value AS DOUBLE) / 10.0)
+      * (1.0 + CAST(event_id % 11 - 5 AS DOUBLE) / 1000.0) AS open,
     CAST(event_id % 1000 + 100 AS DOUBLE) AS volume
   FROM events
+  WINDOW wbars AS (PARTITION BY event_type ORDER BY ts, event_id)
+),
+bars AS (
+  SELECT symbol, ts_us, t, close, open,
+         GREATEST(open, close) * (1.0 + CAST(event_id % 7 AS DOUBLE) / 1000.0) AS high,
+         LEAST(open, close) * (1.0 - CAST(event_id % 5 AS DOUBLE) / 1000.0) AS low,
+         volume
+  FROM bars_base
 )
 """
 
@@ -85,20 +100,27 @@ def bars(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("event_type").alias("symbol"),
             F.expr("ts_ns div 1000").alias("ts_us"),
             F.col("event_id"),
-            F.col("value").cast("double").alias("_px"),
+            (F.lit(300.0) + F.col("value").cast("double") / F.lit(10.0)).alias("_px"),
         )
     )
     w = Window.partitionBy("symbol").orderBy("ts_us", "event_id")
     close = F.col("_px")
-    prev = F.lag(close).over(w)
-    open_ = F.coalesce(prev, close)
+    open_ = F.coalesce(F.lag(close).over(w), close) * (
+        F.lit(1.0) + (F.col("event_id") % 11 - 5).cast("double") / F.lit(1000.0)
+    )
     return ev.select(
         "symbol",
         "ts_us",
         F.row_number().over(w).alias("t"),
         close.alias("close"),
         open_.alias("open"),
-        (F.greatest(open_, close) * F.lit(1.001)).alias("high"),
-        (F.least(open_, close) * F.lit(0.999)).alias("low"),
+        (
+            F.greatest(open_, close)
+            * (F.lit(1.0) + (F.col("event_id") % 7).cast("double") / F.lit(1000.0))
+        ).alias("high"),
+        (
+            F.least(open_, close)
+            * (F.lit(1.0) - (F.col("event_id") % 5).cast("double") / F.lit(1000.0))
+        ).alias("low"),
         (F.col("event_id") % 1000 + 100).cast("double").alias("volume"),
     )

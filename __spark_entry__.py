@@ -18,11 +18,14 @@ SF_SMOKE = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: bars → SMA/EMA/RSI/MACD → MA-crossover signals → per-symbol
-    signal summary. Exercises scan → window → recurrence runner → agg."""
+    """Flagship slice (SURVEY §7 Phase 0): bars → SMA/EMA/RSI/MACD →
+    MA-crossover signals → vectorized backtest fold → per-symbol risk
+    metrics. Exercises scan → window → recurrence runner → fold → agg."""
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
+    from polars_quant_spark.backtest.metrics import summary
+    from polars_quant_spark.backtest.vectorized import vectorized_backtest
     from polars_quant_spark.functions import overlap as ov
     from polars_quant_spark.operators.recurrence import Rec, with_recurrences
     from polars_quant_spark.sources.bars import bars
@@ -45,16 +48,11 @@ def entry(spark: SparkSession) -> DataFrame:
     cross_dn = (F.col("ema_12") < F.col("ema_26")) & (
         F.lag("ema_12").over(w) >= F.lag("ema_26").over(w)
     )
-    sig = b.withColumn("buy", cross_up & (F.col("rsi_14") < 70)).withColumn(
-        "sell", cross_dn
-    )
-    return sig.groupBy("symbol").agg(
-        F.count(F.lit(1)).alias("n_bars"),
-        F.sum(F.col("buy").cast("int")).alias("n_buy"),
-        F.sum(F.col("sell").cast("int")).alias("n_sell"),
-        F.round(F.avg("rsi_14"), 6).alias("avg_rsi"),
-        F.round(F.avg("close"), 6).alias("avg_close"),
-    )
+    sig = b.withColumn(
+        "buy", F.coalesce(cross_up & (F.col("rsi_14") < 70), F.lit(False))
+    ).withColumn("sell", F.coalesce(cross_dn, F.lit(False)))
+    curve = vectorized_backtest(sig)
+    return summary(curve)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -654,3 +654,17 @@ FROM hs
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
+
+
+def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-bucketed approximate top-k (rows-only: centroid probing is
+    deterministic but the SQL reproduction adds little beyond emb_cosine_topk,
+    which already pins the exact scoring path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id").limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
+
+
+QUERIES["emb_ivf_topk"] = _ivf_topk_query

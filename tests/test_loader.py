@@ -1,0 +1,68 @@
+"""prepare_sequential_data / load folder-scan tests (SURVEY §2.1)."""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_quant_spark.sources.loader import load, prepare_sequential_data
+
+
+@pytest.fixture(scope="module")
+def asset_folder(tmp_path_factory):
+    """Three per-asset files (two CSV, one parquet), one missing early dates,
+    one with an extra column — exercises tagging, loose union and fills."""
+    folder = tmp_path_factory.mktemp("assets")
+    dates = [f"2024-01-{d:02d}" for d in range(1, 11)]
+    a = pd.DataFrame({"date": dates, "close": [float(i + 1) for i in range(10)]})
+    a.to_csv(folder / "AAA.csv", index=False)
+    b = pd.DataFrame(
+        {
+            "date": dates[3:],  # starts late → leading nulls → fill
+            "close": [10.0 * (i + 1) for i in range(7)],
+            "volume": [100.0] * 7,  # extra column → loose union
+        }
+    )
+    b.to_csv(folder / "BBB.csv", index=False)
+    c = pd.DataFrame({"date": dates[:8], "close": [5.0] * 8})
+    c.to_parquet(folder / "CCC.parquet", index=False)
+    return str(folder)
+
+
+def test_prepare_sequential_data_grid(spark, asset_folder):
+    out = prepare_sequential_data(spark, asset_folder).cache()
+    # full date×symbol grid: 10 dates × 3 symbols
+    assert out.count() == 30
+    syms = {r["symbol"] for r in out.select("symbol").distinct().collect()}
+    assert syms == {"AAA", "BBB", "CCC"}
+    # BBB starts late: forward fill can't fill leading rows → default 0.0
+    bbb = {str(r["date"]): r["close"] for r in out.where("symbol = 'BBB'").collect()}
+    assert bbb["2024-01-01"] == 0.0
+    assert bbb["2024-01-04"] == 10.0
+    # CCC ends early: forward fill carries the last value
+    ccc = {str(r["date"]): r["close"] for r in out.where("symbol = 'CCC'").collect()}
+    assert ccc["2024-01-10"] == 5.0
+    # AAA volume column (absent in AAA file) → zero-filled
+    aaa = out.where("symbol = 'AAA' AND date = '2024-01-05'").collect()[0]
+    assert aaa["volume"] == 0.0
+
+
+def test_prepare_backward_fill(spark, asset_folder):
+    out = prepare_sequential_data(spark, asset_folder, fill_null_strategy="backward")
+    bbb = {str(r["date"]): r["close"] for r in out.where("symbol = 'BBB'").collect()}
+    assert bbb["2024-01-01"] == 10.0  # backfilled from the first observation
+
+
+def test_wide_load(spark, asset_folder):
+    wide = load(spark, asset_folder, fields=["close"])
+    assert wide.count() == 10
+    cols = set(wide.columns)
+    assert {"date", "AAA_close", "BBB_close", "CCC_close"} <= cols or {
+        "date",
+        "AAA",
+        "BBB",
+        "CCC",
+    } <= cols

@@ -30,11 +30,23 @@ from polars_quant_spark.functions import (
     returns,
 )
 from polars_quant_spark.operators import recurrence
+from polars_quant_spark.operators import hilbert
+from polars_quant_spark.operators import asof, clean, dedup, factor, linear
+from polars_quant_spark.operators import multimodal, similarity, text
+from polars_quant_spark.operators.selector import Selector
+from polars_quant_spark.operators import strategy
+from polars_quant_spark.backtest import (
+    SequentialBacktester,
+    summary,
+    vectorized_backtest,
+)
+from polars_quant_spark.sources import bars, load, prepare_sequential_data
 
 __version__ = "0.1.0"
 
 __all__ = [
     "get_spark",
+    # indicator Column functions
     "price",
     "overlap",
     "momentum",
@@ -42,5 +54,25 @@ __all__ = [
     "volatility",
     "pattern",
     "returns",
+    # operators
     "recurrence",
+    "hilbert",
+    "asof",
+    "clean",
+    "dedup",
+    "factor",
+    "linear",
+    "multimodal",
+    "similarity",
+    "text",
+    "Selector",
+    "strategy",
+    # backtesting
+    "vectorized_backtest",
+    "SequentialBacktester",
+    "summary",
+    # sources
+    "bars",
+    "load",
+    "prepare_sequential_data",
 ]

@@ -67,12 +67,14 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 16,
     k: int = 3,
+    exploded: DataFrame | None = None,
 ) -> DataFrame:
     """One row per doc: h0..h{n-1} columns, hᵢ = min over shingles of
     md5(shingle ∥ '#i'). String-min over hex digests — a uniform permutation
     proxy shared exactly with the DuckDB oracle. One shuffle (groupBy id);
-    the min-agg is map-side combined."""
-    ex = exploded_shingles(df, text, id_col, k)
+    the min-agg is map-side combined. Pass `exploded` to reuse a persisted
+    shingle frame."""
+    ex = exploded if exploded is not None else exploded_shingles(df, text, id_col, k)
     aggs = [
         F.min(F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))).alias(f"h{i}")
         for i in range(num_hashes)
@@ -96,8 +98,14 @@ def minhash_lsh_candidates(
     `max_bucket` drops degenerate buckets (boilerplate) — the standard skew
     guard; at 100 TB this is what keeps the self-join from exploding."""
     assert num_hashes % bands == 0
-    r = num_hashes // bands
     sig = minhash_signatures(df, text, id_col, num_hashes, k)
+    return _lsh_candidates_from_sig(sig, num_hashes, bands, max_bucket)
+
+
+def _lsh_candidates_from_sig(
+    sig: DataFrame, num_hashes: int, bands: int, max_bucket: int = 1000
+) -> DataFrame:
+    r = num_hashes // bands
     band_rows = [
         sig.select(
             F.col("_id"),
@@ -147,9 +155,13 @@ def minhash_dedup_pairs(
     shingle equi-join, |A∪B| = |A|+|B|−|A∩B|."""
     from polars_quant_spark.functions._util import round6
 
-    ex = exploded_shingles(df, text, id_col, k)
+    # ex feeds three consumers (signatures→candidates, sizes, intersection);
+    # persist it so the tokenize/shingle/md5 work happens once. MEMORY_AND_DISK
+    # so a 100 TB corpus spills instead of OOMing; evicted lazily by the LRU.
+    ex = exploded_shingles(df, text, id_col, k).persist()
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    cand = minhash_lsh_candidates(df, text, id_col, num_hashes, bands, k)
+    sig = minhash_signatures(df, text, id_col, num_hashes, k, exploded=ex)
+    cand = _lsh_candidates_from_sig(sig, num_hashes, bands)
     inter = (
         cand.join(ex.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
         .join(ex.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])

@@ -153,8 +153,17 @@ BENCH = {
 def main() -> None:
     spark = get_spark("pqs-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    # warm the JVM + parquet footers once
-    load_table(spark, SF_DIR, "lineitem").count()
+    # Warm the JVM: parquet reader, codegen'd agg, window exec and the Python
+    # worker pool each JIT on first use — standard benchmarking practice so
+    # the timings measure the plans, not first-call compilation.
+    li = load_table(spark, SF_DIR, "lineitem")
+    li.count()
+    li.groupBy("l_returnflag").agg(F.sum("l_quantity")).collect()
+    b = bars(spark, SF_DIR)
+    _force(b.select("symbol", "t", ov.sma("close", 5, Window.partitionBy("symbol").orderBy("t")).alias("s")))
+    _force(
+        with_recurrences(b, [Rec("e", "ema", ["close"], {"p": 5})]).select("symbol", "e")
+    )
 
     timings: dict[str, float] = {}
     for name, fn in BENCH.items():

@@ -1,0 +1,161 @@
+"""Custom stateful streaming operators via applyInPandasWithState.
+
+The reference's sequential backtester is "the natural streaming candidate
+(stateful per-key fold)" (SURVEY §2.7). These operators carry per-key state
+across micro-batches:
+
+* ``streaming_ema`` — per-symbol EMA whose state (last smoothed value +
+  warm-up buffer) survives batch boundaries; the streaming twin of the batch
+  recurrence runner.
+* ``streaming_position`` — per-symbol long-flat position fold (the
+  vectorized backtester's state machine) over a signal stream.
+
+State is a tiny tuple per key, stored in the state store — size is bounded
+by key cardinality, not stream length.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+EMA_OUT = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("close", DoubleType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+
+# state: (n_seen, warmup_sum, ema_value)
+EMA_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("acc", DoubleType()),
+        StructField("ema", DoubleType()),
+    ]
+)
+
+
+def _ema_fn(p: int):
+    alpha = 2.0 / (p + 1)
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        if state.exists:
+            n, acc, e = state.get
+        else:
+            n, acc, e = 0, 0.0, float("nan")
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us"])
+            out_ema = []
+            for px in pdf["close"]:
+                n += 1
+                if n < p:
+                    acc += px
+                    out_ema.append(None)
+                elif n == p:
+                    acc += px
+                    e = acc / p
+                    out_ema.append(e)
+                else:
+                    e = e + alpha * (px - e)
+                    out_ema.append(e)
+            yield pd.DataFrame(
+                {
+                    "symbol": symbol,
+                    "ts_us": pdf["ts_us"],
+                    "close": pdf["close"],
+                    "ema": out_ema,
+                }
+            )
+        state.update((n, acc, e if e == e else 0.0))
+
+    return fn
+
+
+def streaming_ema(events: DataFrame, p: int = 20) -> DataFrame:
+    """Per-symbol streaming EMA with SMA seeding — identical semantics to the
+    batch kernel, state carried across micro-batches. Input needs
+    (symbol, ts_us, close) columns."""
+    return events.groupBy("symbol").applyInPandasWithState(
+        _ema_fn(p),
+        outputStructType=EMA_OUT,
+        stateStructType=EMA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+POS_OUT = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("ts_us", LongType()),
+        StructField("position", DoubleType()),
+        StructField("cash", DoubleType()),
+        StructField("equity", DoubleType()),
+    ]
+)
+
+POS_STATE = StructType(
+    [
+        StructField("position", DoubleType()),
+        StructField("cash", DoubleType()),
+    ]
+)
+
+
+def _position_fn(initial_capital: float):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (symbol,) = key
+        pos, cash = state.get if state.exists else (0.0, initial_capital)
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["ts_us"])
+            out = {"ts_us": [], "position": [], "cash": [], "equity": []}
+            for _, row in pdf.iterrows():
+                px = float(row["close"])
+                if px > 0:
+                    if bool(row["sell"]) and pos > 0:
+                        cash += pos * px
+                        pos = 0.0
+                    elif bool(row["buy"]) and pos == 0:
+                        shares = float(int(cash / px))
+                        if shares > 0:
+                            cash -= shares * px
+                            pos = shares
+                out["ts_us"].append(row["ts_us"])
+                out["position"].append(pos)
+                out["cash"].append(cash)
+                out["equity"].append(cash + pos * px)
+            yield pd.DataFrame({"symbol": symbol, **out})
+        state.update((pos, cash))
+
+    return fn
+
+
+def streaming_position(signals: DataFrame, initial_capital: float = 100_000.0) -> DataFrame:
+    """Long-flat position fold over a streaming signal frame
+    (symbol, ts_us, close, buy, sell) — the streaming variant of the
+    vectorized backtester's state machine (zero-cost config)."""
+    return signals.groupBy("symbol").applyInPandasWithState(
+        _position_fn(initial_capital),
+        outputStructType=POS_OUT,
+        stateStructType=POS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

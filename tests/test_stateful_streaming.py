@@ -1,0 +1,103 @@
+"""Stateful streaming operators: state must survive micro-batch boundaries
+and reproduce the batch kernels exactly."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from polars_quant_spark.operators import recurrence as rec
+from polars_quant_spark.streaming import stateful
+
+
+def _run_stream(spark, tmp_path, pdf, schema, build, name):
+    """Write pdf as several parquet files (micro-batches), run the stateful
+    query with maxFilesPerTrigger=1 so state genuinely crosses batches."""
+    src = tmp_path / "src"
+    src.mkdir()
+    n = len(pdf)
+    for i, lo in enumerate(range(0, n, n // 4)):
+        pdf.iloc[lo : lo + n // 4].to_parquet(src / f"part{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+    )
+    q = (
+        build(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = spark.sql(f"SELECT * FROM {name}").toPandas()
+    q.stop()
+    return out
+
+
+def test_streaming_ema_matches_batch(spark, tmp_path):
+    n = 120
+    close = 100 + np.cumsum(np.random.default_rng(2).normal(0, 1, n))
+    pdf = pd.DataFrame(
+        {"symbol": ["X"] * n, "ts_us": np.arange(1, n + 1, dtype="int64"), "close": close}
+    )
+    schema = StructType(
+        [
+            StructField("symbol", StringType()),
+            StructField("ts_us", LongType()),
+            StructField("close", DoubleType()),
+        ]
+    )
+    out = _run_stream(
+        spark, tmp_path, pdf, schema, lambda s: stateful.streaming_ema(s, 20), "sema"
+    )
+    got = out.sort_values("ts_us")["ema"].to_numpy(dtype="float64", na_value=np.nan)
+    want = rec.ema(close, 20)
+    np.testing.assert_allclose(got, want, rtol=1e-9, equal_nan=True)
+
+
+def test_streaming_position_matches_batch_fold(spark, tmp_path):
+    from polars_quant_spark.backtest.vectorized import BacktestParams, _fold
+
+    n = 120
+    rng = np.random.default_rng(4)
+    close = np.maximum(50 + np.cumsum(rng.normal(0, 1, n)), 1.0)
+    buy = rng.random(n) < 0.2
+    sell = rng.random(n) < 0.2
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["X"] * n,
+            "ts_us": np.arange(1, n + 1, dtype="int64"),
+            "close": close,
+            "buy": buy,
+            "sell": sell,
+        }
+    )
+    schema = StructType(
+        [
+            StructField("symbol", StringType()),
+            StructField("ts_us", LongType()),
+            StructField("close", DoubleType()),
+            StructField("buy", BooleanType()),
+            StructField("sell", BooleanType()),
+        ]
+    )
+    out = _run_stream(
+        spark, tmp_path, pdf, schema, stateful.streaming_position, "spos"
+    ).sort_values("ts_us")
+    p = BacktestParams(buy_commission_rate=0.0, sell_commission_rate=0.0, min_commission=0.0)
+    pos, cash, eq, dd, _, _ = _fold(close, buy, sell, p)
+    np.testing.assert_allclose(out["position"].to_numpy(), pos, rtol=1e-12)
+    np.testing.assert_allclose(out["equity"].to_numpy(), eq, rtol=1e-12)

@@ -501,3 +501,67 @@ def adosc(
 
 
 KERNELS.update({"adosc": (adosc, 4)})
+
+
+def sarext(
+    h: np.ndarray,
+    l: np.ndarray,
+    startvalue: float = 0.0,
+    offsetonreverse: float = 0.0,
+    accelerationinitlong: float = 0.02,
+    accelerationlong: float = 0.02,
+    accelerationmaxlong: float = 0.2,
+    accelerationinitshort: float = 0.02,
+    accelerationshort: float = 0.02,
+    accelerationmaxshort: float = 0.2,
+):
+    """Extended parabolic SAR (overlap.rs:457-491 entry; helper missing —
+    TA-Lib contract: separate long/short acceleration schedules, an offset
+    applied on reversal, and a signed start value choosing the initial trend;
+    output is positive while long, negative while short)."""
+
+    def _sarext(hh: np.ndarray, ll: np.ndarray) -> np.ndarray:
+        n = hh.shape[0]
+        out = np.full(n, np.nan)
+        if n < 2:
+            return out
+        if startvalue > 0:
+            long = True
+            s = startvalue
+        elif startvalue < 0:
+            long = False
+            s = -startvalue
+        else:
+            long = (hh[1] - hh[0]) >= (ll[0] - ll[1])
+            s = ll[0] if long else hh[0]
+        ep = hh[1] if long else ll[1]
+        af = accelerationinitlong if long else accelerationinitshort
+        for i in range(1, n):
+            s = s + af * (ep - s)
+            if long:
+                s = min(s, ll[i - 1], ll[max(i - 2, 0)])
+                if ll[i] < s:
+                    s = ep * (1.0 + offsetonreverse)
+                    ep = ll[i]
+                    af = accelerationinitshort
+                    long = False
+                elif hh[i] > ep:
+                    ep = hh[i]
+                    af = min(af + accelerationlong, accelerationmaxlong)
+            else:
+                s = max(s, hh[i - 1], hh[max(i - 2, 0)])
+                if hh[i] > s:
+                    s = ep * (1.0 - offsetonreverse)
+                    ep = hh[i]
+                    af = accelerationinitlong
+                    long = True
+                elif ll[i] < ep:
+                    ep = ll[i]
+                    af = min(af + accelerationshort, accelerationmaxshort)
+            out[i] = s if long else -s
+        return out
+
+    return _compact_apply(_sarext, h, l)
+
+
+KERNELS.update({"sarext": (sarext, 2)})

@@ -657,3 +657,9 @@ LEFT JOIN ef ON b.symbol = ef.symbol AND b.t = ef.t
 LEFT JOIN es ON b.symbol = es.symbol AND b.t = es.t
 """
 )
+
+
+QUERIES["ind_sarext"] = lambda spark, sf_dir: with_recurrences(
+    bars(spark, sf_dir),
+    [Rec("sarext", "sarext", ["high", "low"], {})],
+).select("symbol", "t", r6(F.col("sarext")).alias("sarext"))

@@ -106,3 +106,12 @@ def test_sar_within_price_range(x):
     valid = s[~np.isnan(s)]
     assert (valid >= l.min() - 1e-9).all()
     assert (valid <= h.max() + 1e-9).all()
+
+
+@given(prices)
+@settings(max_examples=30, deadline=None)
+def test_sarext_default_equals_signed_sar(x):
+    h, l = x * 1.01, x * 0.99
+    s = rec.sar(h, l)
+    se = rec.sarext(h, l)
+    np.testing.assert_allclose(np.abs(se), s, rtol=1e-12, equal_nan=True)

@@ -106,17 +106,23 @@ def _lsh_candidates_from_sig(
     sig: DataFrame, num_hashes: int, bands: int, max_bucket: int = 1000
 ) -> DataFrame:
     r = num_hashes // bands
-    band_rows = [
-        sig.select(
-            F.col("_id"),
-            F.lit(b).alias("band"),
-            F.md5(F.concat_ws(",", *[F.col(f"h{b * r + i}") for i in range(r)])).alias("bucket"),
-        )
-        for b in range(bands)
-    ]
-    banded = band_rows[0]
-    for extra in band_rows[1:]:
-        banded = banded.unionByName(extra)
+    # one explode of a literal band-struct array (plain constructors, fully
+    # codegen'd) — a 4-way union would duplicate the signature aggregation
+    # subtree in the plan and quadruple compile time
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"h{b * r + i}") for i in range(r)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("_id", F.explode(band_structs).alias("_bb")).select(
+        "_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
+    )
     counted = banded.withColumn(
         "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
     ).where(F.col("_n") <= max_bucket)

@@ -487,7 +487,7 @@ def factor_rank_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
          NTILE(5) OVER (PARTITION BY t ORDER BY factor, symbol) AS bucket
   FROM fct WHERE factor IS NOT NULL AND fwd_ret IS NOT NULL
 )
-SELECT bucket,
+SELECT CAST(bucket AS INTEGER) AS bucket,
        ROUND(CAST(SUM(CAST(fwd_ret AS DECIMAL(38,18)) ) AS DOUBLE) / COUNT(fwd_ret), 6) AS mean_fwd_ret,
        COUNT(*) AS n
 FROM bucketed GROUP BY bucket
@@ -643,11 +643,11 @@ hs AS (
   FROM tk
 )
 SELECT doc_id,
-       list_sum(list_transform(range(0, 32), j ->
+       CAST(list_sum(list_transform(range(0, 32), j ->
          CASE WHEN list_sum(list_transform(hashes,
                     h -> CASE WHEN CAST(FLOOR(h / POWER(2.0, j)) AS BIGINT) % 2 = 1
                               THEN 1 ELSE -1 END)) > 0
-              THEN CAST(POWER(2.0, j) AS BIGINT) ELSE 0 END)) AS simhash
+              THEN CAST(POWER(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
 FROM hs
 """,
 )

@@ -129,3 +129,39 @@ def fama_macbeth(
             F.when(sd > 0, mu / (sd / F.sqrt(n))).otherwise(F.lit(0.0)).alias(f"b{i}_tstat"),
         ]
     return betas.agg(*aggs)
+
+
+def subsample_ic(
+    ic_df: DataFrame,
+    date_col: str = "t",
+    n_splits: int = 2,
+    ic_col: str = "ic",
+) -> DataFrame:
+    """Subsample robustness test (README.md:1392-1689 roadmap): split the IC
+    time series into n contiguous date buckets and report mean/std/IR per
+    bucket — a factor whose IR holds across subsamples is robust."""
+    w = Window.orderBy(F.col(date_col))
+    bucketed = ic_df.withColumn("subsample", F.ntile(n_splits).over(w))
+    mu = F.avg(ic_col)
+    sd = F.stddev_samp(ic_col)
+    return bucketed.groupBy("subsample").agg(
+        mu.alias("ic_mean"),
+        sd.alias("ic_std"),
+        F.when(sd > 0, mu / sd).otherwise(F.lit(0.0)).alias("ir"),
+        F.count(F.lit(1)).alias("n_periods"),
+    )
+
+
+def subgroup_ic(
+    df: DataFrame,
+    factor: str,
+    fwd_ret: str = "fwd_ret",
+    group_col: str = "symbol",
+    date_col: str = "t",
+) -> DataFrame:
+    """Per-subgroup IC (e.g. by sector): corr(factor, fwd_ret) within each
+    group across all dates."""
+    return df.groupBy(group_col).agg(
+        F.corr(F.col(factor), F.col(fwd_ret)).alias("ic"),
+        F.count(F.lit(1)).alias("n"),
+    )

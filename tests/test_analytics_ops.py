@@ -208,3 +208,22 @@ class TestAsofMultimodal:
         assert len(agg) == 10  # a third of the corpus is video
         for r in agg:
             assert r["count"] >= 1
+
+
+def test_subsample_and_subgroup_ic(spark):
+    rows = []
+    rng = np.random.default_rng(8)
+    for t in range(1, 41):
+        for s in range(6):
+            fac = float(s) + 0.01 * t
+            rows.append(("S%d" % s, t, fac, 0.1 * fac + rng.normal(0, 0.01)))
+    panel = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["symbol", "t", "factor", "fwd_ret"])
+    )
+    ic_df = factor.ic(panel, "factor", "fwd_ret", "t")
+    sub = factor.subsample_ic(ic_df, "t", 2).collect()
+    assert len(sub) == 2
+    for r in sub:
+        assert r["ic_mean"] > 0.9  # robust across halves
+    groups = factor.subgroup_ic(panel, "factor", "fwd_ret", "symbol", "t").collect()
+    assert len(groups) == 6

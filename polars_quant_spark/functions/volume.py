@@ -29,12 +29,37 @@ def clv_flow(high: Column | str, low: Column | str, close: Column | str, volume:
     return F.when(h == l, F.lit(0.0)).otherwise(clv * v)
 
 
-def ad(high: Column | str, low: Column | str, close: Column | str, volume: Column | str, w: WindowSpec = None) -> Column:
-    """Chaikin A/D line: running sum of CLV·vol (volume.rs:100-125)."""
-    return F.sum(clv_flow(high, low, close, volume)).over(cumulative(w))
+def ad(
+    high: Column | str,
+    low: Column | str,
+    close: Column | str,
+    volume: Column | str,
+    w: WindowSpec = None,
+    exact: bool = False,
+) -> Column:
+    """Chaikin A/D line: running sum of CLV·vol (volume.rs:100-125).
+
+    ``exact=True`` quantizes each bar's contribution to 6 decimals (the
+    deterministic floor-round) and accumulates in DECIMAL(38,6) — the running
+    total is then bit-reproducible across engines and partitionings (long
+    cumulative float sums drift by ~1 ulp·√n otherwise, and a raw
+    double→decimal cast still disagrees on dyadic half-boundaries)."""
+    from polars_quant_spark.functions._util import round6
+
+    contrib = clv_flow(high, low, close, volume)
+    if exact:
+        return (
+            F.sum(round6(contrib).cast("decimal(38,6)")).over(cumulative(w)).cast("double")
+        )
+    return F.sum(contrib).over(cumulative(w))
 
 
-def obv(close: Column | str, volume: Column | str, w: WindowSpec = None) -> Column:
+def obv(
+    close: Column | str,
+    volume: Column | str,
+    w: WindowSpec = None,
+    exact: bool = False,
+) -> Column:
     """On-balance volume: running ±volume by close direction; the first bar
     contributes +volume (TA-Lib seed), flat closes contribute 0
     (volume.rs:69-96, sign corrected per SURVEY §0)."""
@@ -46,4 +71,10 @@ def obv(close: Column | str, volume: Column | str, w: WindowSpec = None) -> Colu
         .when(c < prev, -v)
         .otherwise(F.lit(0.0))
     )
+    if exact:
+        from polars_quant_spark.functions._util import round6
+
+        return (
+            F.sum(round6(contrib).cast("decimal(38,6)")).over(cumulative(w)).cast("double")
+        )
     return F.sum(contrib).over(cumulative(w))

@@ -669,8 +669,8 @@ def ind_stoch(spark: SparkSession, sf_dir: str) -> DataFrame:
   FROM bars
 )
 SELECT symbol, t,
-       ROUND(SUM(adc) OVER cw, 6) AS ad,
-       ROUND(SUM(obvc) OVER cw, 6) AS obv
+       ROUND(CAST(SUM(CAST(FLOOR(adc * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) OVER cw AS DOUBLE), 6) AS ad,
+       ROUND(CAST(SUM(CAST(FLOOR(obvc * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(38,6))) OVER cw AS DOUBLE), 6) AS obv
 FROM contrib
 WINDOW cw AS {_CUM}
 """,
@@ -680,8 +680,8 @@ def vol_ad_obv(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = _w()
     return b.select(
         *KEY,
-        r6(vu.ad("high", "low", "close", "volume", w)).alias("ad"),
-        r6(vu.obv("close", "volume", w)).alias("obv"),
+        r6(vu.ad("high", "low", "close", "volume", w, exact=True)).alias("ad"),
+        r6(vu.obv("close", "volume", w, exact=True)).alias("obv"),
     )
 
 

@@ -4,7 +4,7 @@ round-trips; the Spark layer is a thin orchestrator over these."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 from hypothesis.extra.numpy import arrays
 
@@ -21,7 +21,11 @@ prices = arrays(
 @given(prices, st.floats(0.1, 10.0))
 @settings(max_examples=50, deadline=None)
 def test_rsi_scale_invariant(x, a):
-    """RSI is invariant under positive scaling."""
+    """RSI is invariant under positive scaling — provided the scaling does not
+    flip any diff's sign through float rounding (ulp-scale diffs in x can
+    collapse to exactly 0 in a·x, which legitimately moves RSI between the
+    0/0→100 guard and 0-vs-eps gains; TA-Lib behaves the same way)."""
+    assume((np.sign(np.diff(x)) == np.sign(np.diff(a * x))).all())
     r1 = rec.rsi(x, 14)
     r2 = rec.rsi(a * x, 14)
     np.testing.assert_allclose(r1, r2, rtol=1e-6, atol=1e-6, equal_nan=True)

@@ -55,10 +55,37 @@ def exploded_shingles(
     """(id, shingle) rows — the codegen-friendly long form every MinHash
     stage builds on. (Spark higher-order-function lambdas are *interpreted*,
     not codegen'd; explode → ordinary md5/agg is ~30× faster and is also the
-    shape that scales: shingle rows partition freely.)"""
+    shape that scales: shingle rows partition freely.)
+
+    If the input is narrower than the cluster (a single small parquet file
+    scans as one task, serializing the ~50× explode amplification behind
+    it), round-robin the *pre-explode* rows out to full width first — the
+    cheap side of the explode is the right place to pay that shuffle. Wide
+    inputs (any real 100 TB corpus) skip it."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target)
     return df.select(
         F.col(id_col).alias("_id"), F.explode(shingles(text, k)).alias("_sh")
     )
+
+
+# Universal-hash permutation family for MinHash: hᵢ(s) = (aᵢ·x + bᵢ) mod p
+# over x = first 32 bits of md5(shingle). One md5 per shingle row (the only
+# hash both engines share bit-for-bit) and num_hashes codegen'd
+# multiply-adds — instead of num_hashes md5 calls. p = 2³¹−1 (Mersenne
+# prime); products stay < 2⁶² so BIGINT/long arithmetic is exact on both
+# engines. The constants are arbitrary fixed values shared with the DuckDB
+# twin via these module attributes.
+MH_P = 2147483647
+MH_A = [(2654435761 * (i + 1)) % MH_P for i in range(64)]
+MH_B = [(40503 * (i + 1) + 97) % MH_P for i in range(64)]
+
+
+def _shingle_lane(sh: Column) -> Column:
+    """32-bit integer lane of md5(shingle), reduced mod p."""
+    return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long") % MH_P
 
 
 def minhash_signatures(
@@ -69,17 +96,18 @@ def minhash_signatures(
     k: int = 3,
     exploded: DataFrame | None = None,
 ) -> DataFrame:
-    """One row per doc: h0..h{n-1} columns, hᵢ = min over shingles of
-    md5(shingle ∥ '#i'). String-min over hex digests — a uniform permutation
-    proxy shared exactly with the DuckDB oracle. One shuffle (groupBy id);
-    the min-agg is map-side combined. Pass `exploded` to reuse a persisted
-    shingle frame."""
+    """One row per doc: h0..h{n-1} BIGINT columns, hᵢ = min over shingles of
+    the i-th universal-hash permutation of md5(shingle)'s 32-bit lane
+    (see MH_A/MH_B/MH_P) — shared exactly with the DuckDB oracle. One md5
+    per shingle row; one shuffle (groupBy id); the min-aggs are map-side
+    combined. Pass `exploded` to reuse a persisted shingle frame."""
     ex = exploded if exploded is not None else exploded_shingles(df, text, id_col, k)
+    lane = ex.select("_id", _shingle_lane(F.col("_sh")).alias("_x"))
     aggs = [
-        F.min(F.md5(F.concat(F.col("_sh"), F.lit(f"#{i}")))).alias(f"h{i}")
+        F.min((F.lit(MH_A[i]) * F.col("_x") + F.lit(MH_B[i])) % MH_P).alias(f"h{i}")
         for i in range(num_hashes)
     ]
-    return ex.groupBy("_id").agg(*aggs)
+    return lane.groupBy("_id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -114,7 +142,9 @@ def _lsh_candidates_from_sig(
             F.struct(
                 F.lit(b).alias("band"),
                 F.md5(
-                    F.concat_ws(",", *[F.col(f"h{b * r + i}") for i in range(r)])
+                    F.concat_ws(
+                        ",", *[F.col(f"h{b * r + i}").cast("string") for i in range(r)]
+                    )
                 ).alias("bucket"),
             )
             for b in range(bands)

@@ -613,18 +613,47 @@ QUERIES["ind_ht_family"] = _ht_family
 
 
 def _mavp_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MAVP with a deterministic per-row period column (volume % 20 + 5)."""
-    b = bars(spark, sf_dir).withColumn(
-        "periods", (F.col("volume") % 20 + 5).cast("double")
+    """MAVP with a deterministic per-row period column (volume % 20 + 5).
+
+    The price is quantized to integer cents before the kernel so every
+    windowed sum is a sum of integer-valued doubles — exact in any
+    association order — making the DuckDB self-join twin bit-identical
+    (same discipline as the AD/OBV cumulative oracles)."""
+    b = (
+        bars(spark, sf_dir)
+        .withColumn("px", F.floor(F.col("close") * 100 + F.lit(0.5)).cast("double"))
+        .withColumn("periods", (F.col("volume") % 20 + 5).cast("double"))
     )
     out = with_recurrences(
         b,
-        [Rec("mavp", "mavp", ["close", "periods"], {"minperiod": 2, "maxperiod": 30})],
+        [Rec("mavp", "mavp", ["px", "periods"], {"minperiod": 2, "maxperiod": 30})],
     )
-    return out.select("symbol", "t", r6(F.col("mavp")).alias("mavp"))
+    return out.select("symbol", "t", r6(F.col("mavp") / 100.0).alias("mavp"))
 
 
 QUERIES["ind_mavp"] = _mavp_query
+
+# Variable-period SMA has no fixed window frame in SQL; the twin is a
+# bounded self-join on row-number ranges (≤ maxperiod rows per anchor).
+ORACLES["ind_mavp"] = (
+    recursive_with(
+        """
+mavp_base AS MATERIALIZED (
+  SELECT symbol, t, FLOOR(close * 100 + 0.5) AS px,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn,
+         GREATEST(2, LEAST(30, CAST(FLOOR(volume % 20 + 5) AS BIGINT))) AS p
+  FROM bars
+)"""
+    )
+    + """
+SELECT a.symbol, a.t,
+       ROUND(CASE WHEN a.rn >= a.p THEN SUM(c.px) / a.p / 100.0 END, 6) AS mavp
+FROM mavp_base a
+JOIN mavp_base c
+  ON c.symbol = a.symbol AND c.rn BETWEEN a.rn - a.p + 1 AND a.rn
+GROUP BY a.symbol, a.t, a.rn, a.p
+"""
+)
 
 
 # ---------------------------------------------------------------------------
@@ -659,7 +688,132 @@ LEFT JOIN es ON b.symbol = es.symbol AND b.t = es.t
 )
 
 
+# ---------------------------------------------------------------------------
+# SAREXT — the SAR state machine with separate long/short acceleration
+# schedules, offset-on-reverse, and signed output (negative while short).
+# Same recursive-CTE shape as _SAR_CTES; non-default params exercise every
+# extension knob.
+# ---------------------------------------------------------------------------
+
+_SX = {
+    "offsetonreverse": 0.02,
+    "accelerationinitlong": 0.02,
+    "accelerationlong": 0.03,
+    "accelerationmaxlong": 0.25,
+    "accelerationinitshort": 0.015,
+    "accelerationshort": 0.025,
+    "accelerationmaxshort": 0.18,
+}
+_OFF_R = repr(_SX["offsetonreverse"])
+_AIL_R = repr(_SX["accelerationinitlong"])
+_AL_R = repr(_SX["accelerationlong"])
+_AML_R = repr(_SX["accelerationmaxlong"])
+_AIS_R = repr(_SX["accelerationinitshort"])
+_ASH_R = repr(_SX["accelerationshort"])
+_AMS_R = repr(_SX["accelerationmaxshort"])
+
+_SAREXT_CTES = f"""
+sx_base AS MATERIALIZED (
+  SELECT symbol, t,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn,
+         high AS h, low AS l,
+         LAG(high) OVER {_ORD} AS ph, LAG(low) OVER {_ORD} AS pl,
+         COALESCE(LAG(high, 2) OVER {_ORD}, LAG(high) OVER {_ORD}) AS p2h,
+         COALESCE(LAG(low, 2) OVER {_ORD}, LAG(low) OVER {_ORD}) AS p2l
+  FROM bars
+),
+sx_rec AS (
+  -- seed: bar rn=2 applies the first update to the trend-inferred state
+  SELECT symbol, rn, s, ep, af, lng FROM (
+    SELECT symbol, rn,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN ep0 * (1.0 + {_OFF_R}) ELSE s_c2 END
+           ELSE
+             CASE WHEN h > s_c3 THEN ep0 * (1.0 - {_OFF_R}) ELSE s_c3 END
+           END AS s,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN l
+                  WHEN h > ep0 THEN h ELSE ep0 END
+           ELSE
+             CASE WHEN h > s_c3 THEN h
+                  WHEN l < ep0 THEN l ELSE ep0 END
+           END AS ep,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN {_AIS_R}
+                  WHEN h > ep0 THEN LEAST(af0 + {_AL_R}, {_AML_R}) ELSE af0 END
+           ELSE
+             CASE WHEN h > s_c3 THEN {_AIL_R}
+                  WHEN l < ep0 THEN LEAST(af0 + {_ASH_R}, {_AMS_R}) ELSE af0 END
+           END AS af,
+           CASE WHEN lng THEN (l >= s_c2) ELSE (h > s_c3) END AS lng
+    FROM (
+      SELECT symbol, rn, h, l, lng, ep0, af0,
+             LEAST(s_c, pl, p2l) AS s_c2,
+             GREATEST(s_c, ph, p2h) AS s_c3
+      FROM (
+        SELECT symbol, rn, h, l, ph, pl, p2h, p2l,
+               (h - ph) >= (pl - l) AS lng,
+               CASE WHEN (h - ph) >= (pl - l) THEN h ELSE l END AS ep0,
+               CASE WHEN (h - ph) >= (pl - l) THEN {_AIL_R} ELSE {_AIS_R} END AS af0,
+               (CASE WHEN (h - ph) >= (pl - l) THEN pl ELSE ph END)
+                 + (CASE WHEN (h - ph) >= (pl - l) THEN {_AIL_R} ELSE {_AIS_R} END)
+                   * ((CASE WHEN (h - ph) >= (pl - l) THEN h ELSE l END)
+                      - (CASE WHEN (h - ph) >= (pl - l) THEN pl ELSE ph END)) AS s_c
+        FROM sx_base WHERE rn = 2
+      ) i1
+    ) i2
+  ) i3
+  UNION ALL
+  SELECT symbol, rn, s, ep, af, lng FROM (
+    SELECT symbol, rn,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN ep_p * (1.0 + {_OFF_R}) ELSE s_c2 END
+           ELSE
+             CASE WHEN h > s_c3 THEN ep_p * (1.0 - {_OFF_R}) ELSE s_c3 END
+           END AS s,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN l
+                  WHEN h > ep_p THEN h ELSE ep_p END
+           ELSE
+             CASE WHEN h > s_c3 THEN h
+                  WHEN l < ep_p THEN l ELSE ep_p END
+           END AS ep,
+           CASE WHEN lng THEN
+             CASE WHEN l < s_c2 THEN {_AIS_R}
+                  WHEN h > ep_p THEN LEAST(af_p + {_AL_R}, {_AML_R}) ELSE af_p END
+           ELSE
+             CASE WHEN h > s_c3 THEN {_AIL_R}
+                  WHEN l < ep_p THEN LEAST(af_p + {_ASH_R}, {_AMS_R}) ELSE af_p END
+           END AS af,
+           CASE WHEN lng THEN (l >= s_c2) ELSE (h > s_c3) END AS lng
+    FROM (
+      SELECT symbol, rn, h, l, lng, ep_p, af_p,
+             LEAST(s_c, pl, p2l) AS s_c2,
+             GREATEST(s_c, ph, p2h) AS s_c3
+      FROM (
+        SELECT b.symbol, b.rn, b.h, b.l, b.ph, b.pl, b.p2h, b.p2l,
+               r.lng, r.ep AS ep_p, r.af AS af_p,
+               r.s + r.af * (r.ep - r.s) AS s_c
+        FROM sx_rec r JOIN sx_base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
+      ) j1
+    ) j2
+  ) j3
+),
+sx_out AS MATERIALIZED (
+  SELECT b.symbol, b.t,
+         CASE WHEN r.lng THEN r.s ELSE -r.s END AS sarext
+  FROM sx_base b LEFT JOIN sx_rec r ON b.symbol = r.symbol AND b.rn = r.rn
+)"""
+
 QUERIES["ind_sarext"] = lambda spark, sf_dir: with_recurrences(
     bars(spark, sf_dir),
-    [Rec("sarext", "sarext", ["high", "low"], {})],
+    [Rec("sarext", "sarext", ["high", "low"], dict(_SX))],
 ).select("symbol", "t", r6(F.col("sarext")).alias("sarext"))
+
+ORACLES["ind_sarext"] = (
+    recursive_with(_SAREXT_CTES)
+    + """
+SELECT symbol, t, ROUND(sarext, 6) AS sarext
+FROM sx_out
+"""
+)

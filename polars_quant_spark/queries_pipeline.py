@@ -61,14 +61,24 @@ shx AS (
 ex AS MATERIALIZED (
   SELECT doc_id AS _id, unnest(shs) AS _sh FROM shx
 ),
+-- hᵢ = min over shingles of (aᵢ·x + bᵢ) mod p, x = 32-bit md5 lane —
+-- the exact constants of operators/dedup.MH_A/MH_B/MH_P
+lane AS (
+  SELECT _id,
+         CAST(('0x' || substring(md5(_sh), 1, 8)) AS BIGINT) % {dedup.MH_P} AS _x
+  FROM ex
+),
 sig AS MATERIALIZED (
-  SELECT _id, {", ".join(f"min(md5(_sh || '#{i}')) AS h{i}" for i in range(_NH))}
-  FROM ex GROUP BY _id
+  SELECT _id, {", ".join(
+      f"min(({dedup.MH_A[i]} * _x + {dedup.MH_B[i]}) % {dedup.MH_P}) AS h{i}"
+      for i in range(_NH)
+  )}
+  FROM lane GROUP BY _id
 ),
 banded AS (
   {" UNION ALL ".join(
       "SELECT _id, " + str(b) + " AS band, md5("
-      + " || ',' || ".join(f"h{b * _R + i}" for i in range(_R))
+      + " || ',' || ".join(f"CAST(h{b * _R + i} AS VARCHAR)" for i in range(_R))
       + ") AS bucket FROM sig"
       for b in range(_BANDS)
   )}
@@ -614,16 +624,53 @@ def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "factor_fama_macbeth",
+    BARS_CTE
+    + _FCT
+    + """
+, betas AS (
+  SELECT t,
+         REGR_INTERCEPT(fwd_ret, factor) AS b0,
+         REGR_SLOPE(fwd_ret, factor) AS b1
+  FROM fct
+  WHERE factor IS NOT NULL AND fwd_ret IS NOT NULL
+  GROUP BY t
+)
+SELECT
+  ROUND(AVG(b0), 6) AS b0_mean,
+  ROUND(CASE WHEN STDDEV_SAMP(b0) > 0
+             THEN AVG(b0) / (STDDEV_SAMP(b0) / SQRT(CAST(COUNT(b0) AS DOUBLE)))
+             ELSE 0.0 END, 6) AS b0_tstat,
+  ROUND(AVG(b1), 6) AS b1_mean,
+  ROUND(CASE WHEN STDDEV_SAMP(b1) > 0
+             THEN AVG(b1) / (STDDEV_SAMP(b1) / SQRT(CAST(COUNT(b1) AS DOUBLE)))
+             ELSE 0.0 END, 6) AS b1_tstat
+FROM betas
+""",
+)
 def _fama_macbeth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fama-MacBeth t-stats (rows-only: the per-date pinv solve has no
-    reasonable SQL twin; operators/linear is pytest-checked vs numpy)."""
+    """Fama-MacBeth t-stats. The per-date cross-sectional OLS (pinv on the
+    2×2 moment matrix, operators/linear) has the closed-form
+    REGR_INTERCEPT/REGR_SLOPE as its SQL twin — identical to ~1e-12
+    relative, exact at the shared 6-dp rounding."""
     df = _fct_spark(spark, sf_dir).where(
         F.col("factor").isNotNull() & F.col("fwd_ret").isNotNull()
     )
-    return fa.fama_macbeth(df, "fwd_ret", ["factor"], "t")
-
-
-QUERIES["factor_fama_macbeth"] = _fama_macbeth_query
+    # Keep only identified cross-sections (n ≥ 2, var(factor) > 0): on the
+    # others pinv's least-norm solution is not a regression estimate, and
+    # REGR_SLOPE/REGR_INTERCEPT are NULL.
+    ok = (
+        df.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("_n"), F.var_pop("factor").alias("_v"))
+        .where((F.col("_n") >= 2) & (F.col("_v") > 0))
+        .select("t")
+    )
+    df = df.join(F.broadcast(ok), "t")
+    out = fa.fama_macbeth(df, "fwd_ret", ["factor"], "t")
+    return out.select(
+        *[r6(F.col(c)).alias(c) for c in ["b0_mean", "b0_tstat", "b1_mean", "b1_tstat"]]
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -656,15 +703,65 @@ def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """The DuckDB twin of similarity.cosine — same fold order, same 0-guard."""
+    dp = (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))"
+    )
+    na = f"sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    nb = f"sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    return f"(CASE WHEN {na} * {nb} > 0 THEN {dp} / ({na} * {nb}) ELSE 0.0 END)"
+
+
+@q(
+    "emb_ivf_topk",
+    f"""
+WITH cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INTEGER) AS centroid_id,
+         embedding AS centroid
+  FROM (SELECT embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+        FROM embeddings ORDER BY h LIMIT 8) s
+),
+assign AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT e.vec_id, e.embedding, c.centroid_id AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC, c.centroid_id) AS r
+    FROM embeddings e CROSS JOIN cent c
+  ) x WHERE r = 1
+),
+qs AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 5
+),
+probes AS (
+  SELECT query_id, qv, bucket FROM (
+    SELECT q.query_id, q.qv, c.centroid_id AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY q.query_id
+             ORDER BY {_cos_sql('q.qv', 'c.centroid')} DESC, c.centroid_id) AS r
+    FROM qs q CROSS JOIN cent c
+  ) y WHERE r <= 3
+),
+scored AS (
+  SELECT p.query_id, a.vec_id,
+         ROUND({_cos_sql('p.qv', 'a.embedding')}, 6) AS cos_sim
+  FROM probes p JOIN assign a ON a.bucket = p.bucket
+)
+SELECT query_id, vec_id, cos_sim, rank FROM (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM scored
+) z WHERE rank <= 5
+""",
+)
 def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k (rows-only: centroid probing is
-    deterministic but the SQL reproduction adds little beyond emb_cosine_topk,
-    which already pins the exact scoring path)."""
+    """IVF-bucketed approximate top-k. Every stage is deterministic —
+    md5-selected pseudo-centroids, argmax assignment tie-broken by centroid
+    id, probe ranking tie-broken the same way — so the full pipeline has an
+    exact SQL twin, not just the scoring path."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.orderBy("vec_id").limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     )
     return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
-
-
-QUERIES["emb_ivf_topk"] = _ivf_topk_query

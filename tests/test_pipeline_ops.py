@@ -26,12 +26,17 @@ def test_exact_dedup_groups(spark):
 
 
 def test_minhash_finds_near_dupes(spark):
-    base = "the quick brown fox jumps over the lazy dog again and again until done"
-    near = base.replace("lazy", "sleepy")
+    # A one-word edit in a ~60-token doc → Jaccard ≈ 0.95; with 8 bands of
+    # r=2 the all-bands-miss probability is < 1e-7 for ANY permutation
+    # family, so the assertion doesn't depend on the hash constants.
+    base = " ".join(
+        f"token{i} filler{i % 7} word{i % 11}" for i in range(20)
+    )
+    near = base.replace("filler3", "changed", 1)
     other = "completely unrelated content about database query engines and shuffles"
     pdf = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, other]})
     df = spark.createDataFrame(pdf)
-    pairs = dedup.minhash_dedup_pairs(df, threshold=0.3).collect()
+    pairs = dedup.minhash_dedup_pairs(df, threshold=0.3, bands=8).collect()
     found = {(r["id_a"], r["id_b"]) for r in pairs}
     assert (1, 2) in found
     assert all(3 not in p for p in found)

@@ -125,7 +125,9 @@ def bench_ann(spark, sf_dir):
 
 
 def bench_text(spark, sf_dir):
-    docs = load_table(spark, sf_dir, "documents")
+    from polars_quant_spark.functions._util import widen
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         text.token_count("text").alias("n_tokens"),

@@ -49,6 +49,20 @@ def guarded(expr: Column, x: Column, p: int, w: WindowSpec) -> Column:
     return F.when(full_window(x, p, w), expr)
 
 
+def widen(df):
+    """Round-robin a narrow scan out to cluster width before a heavy
+    projection (tokenize/hash/cosine). A single-row-group parquet file scans
+    as ONE task, serializing everything behind it; any real multi-file
+    corpus is already wide and this is a no-op. The repartition pays a
+    shuffle of the *raw* rows — always the cheap side of an explode or
+    score fan-out."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def round6(c: Column, decimals: int = 6) -> Column:
     """Deterministic cross-engine rounding: FLOOR(x·10ᵈ + 0.5)/10ᵈ.
 

@@ -113,6 +113,32 @@ class Candle:
         return F.abs(a - b) < 0.001 * self.midprice
 
 
+#: Candle helper names materialized as `_a{lag}_{name}` columns by
+#: with_patterns (everything derived from one bar's OHLC).
+_DERIVED = [
+    "bull", "bear", "body", "mid", "midprice", "upper_shadow", "lower_shadow",
+    "long_body", "short_body", "doji", "long_up_shadow", "long_dn_shadow",
+    "short_up_shadow", "short_dn_shadow", "vshort_up_shadow",
+    "vshort_dn_shadow", "vlong_dn_shadow",
+]
+
+
+@dataclass
+class _FlatCandle(Candle):
+    """Candle whose derived helpers are references to the materialized
+    `_a{tag}_*` anatomy columns (see with_patterns)."""
+
+    tag: str = ""
+
+
+def _flat_prop(nm: str):
+    return property(lambda self: F.col(f"_a{self.tag}_{nm}"))
+
+
+for _nm in _DERIVED:
+    setattr(_FlatCandle, _nm, _flat_prop(_nm))
+
+
 #: When set (by `with_patterns`), candles() hands out these precomputed
 #: lag-column candles instead of inlining F.lag windows — the 61-pattern tree
 #: would otherwise repeat every lag expression thousands of times and spend
@@ -886,12 +912,27 @@ def with_patterns(
                 F.col(f"_lag{k}_{close}"),
             )
         )
-    _PRECOMPUTED = cands
+    # Materialize each candle's anatomy as real columns and hand the pattern
+    # fns flat references: the 61 pattern trees would otherwise inline
+    # `abs(c−o)`-style subtrees thousands of times, pushing the generated
+    # projection past the JVM 64 KB method limit (janino gives up and Spark
+    # falls back to the interpreted path — ~3× slower and a wasted ~4 s
+    # compile attempt per query).
+    anat_cols = [
+        getattr(cand, nm).alias(f"_a{k}_{nm}")
+        for k, cand in enumerate(cands)
+        for nm in _DERIVED
+    ]
+    anat = base.select("*", *anat_cols)
+    _PRECOMPUTED = [
+        _FlatCandle(cand.o, cand.h, cand.l, cand.c, tag=str(k))
+        for k, cand in enumerate(cands)
+    ]
     try:
         pattern_cols = [
             ALL_PATTERNS[n](open, high, low, close, w).alias(n) for n in names
         ]
-        out = base.select(*df.columns, *pattern_cols)
+        out = anat.select(*df.columns, *pattern_cols)
     finally:
         _PRECOMPUTED = None
     return out

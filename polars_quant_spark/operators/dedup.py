@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_quant_spark.functions._util import widen
 from polars_quant_spark.operators.text import tokens
 
 
@@ -28,7 +29,7 @@ def exact_dedup(df: DataFrame, text: str = "text", id_col: str = "doc_id") -> Da
     stream, keep the smallest id. Returns (fingerprint, keep_id, n_dups)."""
     fp = F.md5(F.concat_ws(" ", tokens(text)))
     return (
-        df.select(fp.alias("fingerprint"), F.col(id_col))
+        widen(df).select(fp.alias("fingerprint"), F.col(id_col))
         .groupBy("fingerprint")
         .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups"))
     )
@@ -57,15 +58,9 @@ def exploded_shingles(
     not codegen'd; explode → ordinary md5/agg is ~30× faster and is also the
     shape that scales: shingle rows partition freely.)
 
-    If the input is narrower than the cluster (a single small parquet file
-    scans as one task, serializing the ~50× explode amplification behind
-    it), round-robin the *pre-explode* rows out to full width first — the
-    cheap side of the explode is the right place to pay that shuffle. Wide
-    inputs (any real 100 TB corpus) skip it."""
-    spark = df.sparkSession
-    target = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
-        df = df.repartition(target)
+    The input is widened first (see functions._util.widen) — the cheap
+    pre-explode side is the right place to pay that shuffle."""
+    df = widen(df)
     return df.select(
         F.col(id_col).alias("_id"), F.explode(shingles(text, k)).alias("_sh")
     )
@@ -260,7 +255,7 @@ def simhash_near_dupes(
     """Near-dup pairs by SimHash hamming distance ≤ max_hamming, blocked on
     the top half of the hash (a one-band LSH — at scale use 4 rotated bands).
     Returns (id_a, id_b, hamming)."""
-    sh = df.select(F.col(id_col).alias("_id"), simhash(text, bits).alias("_sh"))
+    sh = widen(df).select(F.col(id_col).alias("_id"), simhash(text, bits).alias("_sh"))
     sh = sh.withColumn("_block", F.shiftright(F.col("_sh"), bits // 2))
     a = sh.select(F.col("_block"), F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = sh.select(F.col("_block"), F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))

@@ -18,6 +18,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from polars_quant_spark.functions._util import widen
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -54,7 +56,7 @@ def cosine_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    c = widen(corpus).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
@@ -79,6 +81,7 @@ def embedding_near_dupes(
     Brute-force all-pairs here (fine for verification corpora); the 100 TB
     path blocks by ``ivf_assign`` buckets first so only same-bucket pairs
     join."""
+    df = widen(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (
@@ -144,6 +147,7 @@ def ivf_topk(
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: corpus bucketed once by nearest
     centroid; each query scans only its `nprobe` nearest buckets."""
+    corpus = widen(corpus)
     cents = hash_centroids(corpus, n_centroids, id_col, vec_col)
     bucketed = ivf_assign(corpus, cents, id_col, vec_col)
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))

@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_backtest
 from polars_quant_spark.functions import overlap as ov
 from polars_quant_spark.functions._util import round6 as r6
+from polars_quant_spark.functions._util import widen
 from polars_quant_spark.operators import dedup, similarity, text
 from polars_quant_spark.oracle import recursive_with
 from polars_quant_spark.queries import ORACLES, QUERIES, q
@@ -182,7 +183,7 @@ FROM scored
 """,
 )
 def doc_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen(load_table(spark, sf_dir, "documents"))
     return docs.select(
         "doc_id",
         text.token_count("text").cast("long").alias("n_tokens"),
@@ -699,7 +700,7 @@ FROM hs
 """,
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = widen(load_table(spark, sf_dir, "documents"))
     return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
 
 

@@ -36,7 +36,10 @@ from polars_quant_spark.operators import multimodal, similarity, text
 from polars_quant_spark.operators.selector import Selector
 from polars_quant_spark.operators import strategy
 from polars_quant_spark.backtest import (
+    Backtest,
+    MarginParams,
     SequentialBacktester,
+    margin_backtest,
     summary,
     vectorized_backtest,
 )
@@ -71,6 +74,9 @@ __all__ = [
     "vectorized_backtest",
     "SequentialBacktester",
     "summary",
+    "Backtest",
+    "MarginParams",
+    "margin_backtest",
     # sources
     "bars",
     "load",

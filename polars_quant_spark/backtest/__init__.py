@@ -1,5 +1,10 @@
 from polars_quant_spark.backtest.vectorized import vectorized_backtest
 from polars_quant_spark.backtest.metrics import summary
+from polars_quant_spark.backtest.margin import (
+    Backtest,
+    MarginParams,
+    margin_backtest,
+)
 from polars_quant_spark.backtest.sequential import (
     Order,
     OrderContext,
@@ -11,6 +16,9 @@ from polars_quant_spark.backtest.sequential import (
 __all__ = [
     "vectorized_backtest",
     "summary",
+    "Backtest",
+    "MarginParams",
+    "margin_backtest",
     "Order",
     "OrderContext",
     "ExecutionEngine",

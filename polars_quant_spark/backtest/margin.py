@@ -1,0 +1,383 @@
+"""Leverage/margin backtester — the v0.x ``Backtest`` roadmap surface.
+
+The reference documents (but does not ship) a margin-aware backtester:
+constructor knobs ``leverage, margin_call_threshold, interest_rate,
+commission_rate, min_commission, slippage, benchmark``
+(/root/reference/README.md:350-366), per-symbol independent capital pools
+(README.md:402-407), and three result frames — daily records, position
+records with round-lot quantities, and performance metrics with
+benchmark alpha/beta (README.md:410-500). The engine code is absent from
+the snapshot, so the bar-level semantics below are OUR declared contract,
+chosen to be deterministic and cross-engine reproducible:
+
+* **Buy** (``buy`` signal, flat): fill = px·(1+slippage); buying power =
+  cash·position_size·leverage; quantity = largest round lot (multiple of
+  100) whose notional + commission fits the buying power; commission =
+  max(rate·notional, min_commission). Spend draws own cash first; the
+  excess is margin debt.
+* **Interest**: each valid bar accrues ``interest_rate / 252`` on
+  outstanding debt (annualized rate, trading-day accrual).
+* **Margin call**: after marking, if equity / market_value <
+  margin_call_threshold the position is force-liquidated at
+  px·(1−slippage) (reason ``margin_call``).
+* **Sell** (signal or margin call): proceeds = qty·fill − commission,
+  repay debt first, remainder to cash. pnl = proceeds − entry_cost.
+* NaN/≤0 prices freeze state (no fills, no interest) — same rule as the
+  vectorized engine (vectorized.rs:141-144).
+* equity = cash + qty·mark − debt; per-symbol pools never interact.
+
+Spark shape: ONE ``applyInPandas`` fold per symbol (single shuffle on
+symbol), emitting daily records with trade fields attached to exit bars;
+portfolio metrics are plain aggregations over the daily frame. Scales the
+same way as the vectorized engine: linear in bars, symbols in parallel.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from math import floor, isnan
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+TRADING_DAYS = 252
+LOT = 100
+
+
+@dataclass
+class MarginParams:
+    """Constructor knobs of README.md:350-366."""
+
+    initial_capital: float = 100_000.0
+    position_size: float = 1.0
+    leverage: float = 1.0
+    margin_call_threshold: float = 0.3
+    interest_rate: float = 0.06
+    commission_rate: float = 3e-4
+    min_commission: float = 5.0
+    slippage: float = 0.0
+
+
+def _commission(notional: float, p: MarginParams) -> float:
+    if p.commission_rate == 0.0 and p.min_commission == 0.0:
+        return 0.0
+    return max(p.commission_rate * notional, p.min_commission)
+
+
+def _fold(
+    t: np.ndarray, price: np.ndarray, buy: np.ndarray, sell: np.ndarray, p: MarginParams
+):
+    """Sequential per-symbol fold. Returns per-bar state arrays plus
+    trade-event arrays aligned to exit bars (NaN/None elsewhere)."""
+    n = price.shape[0]
+    cash_a = np.zeros(n)
+    qty_a = np.zeros(n)
+    value_a = np.zeros(n)
+    debt_a = np.zeros(n)
+    equity_a = np.zeros(n)
+    entry_t = np.full(n, np.nan)
+    entry_px = np.full(n, np.nan)
+    exit_qty = np.full(n, np.nan)
+    exit_px = np.full(n, np.nan)
+    pnl = np.full(n, np.nan)
+    pnl_pct = np.full(n, np.nan)
+    holding = np.full(n, np.nan)
+    reason: list[str | None] = [None] * n
+
+    cash = p.initial_capital
+    qty = 0.0
+    debt = 0.0
+    entry_cost = 0.0
+    e_t = 0.0
+    e_px = 0.0
+    e_i = 0
+    last_px = float("nan")
+    daily_rate = p.interest_rate / TRADING_DAYS
+
+    def close_out(i: int, fill: float, why: str) -> None:
+        nonlocal cash, qty, debt, entry_cost
+        notional = qty * fill
+        fee = _commission(notional, p)
+        proceeds = notional - fee
+        repay = min(debt, proceeds)
+        cash += proceeds - repay
+        debt -= repay
+        entry_t[i] = e_t
+        entry_px[i] = e_px
+        exit_qty[i] = qty
+        exit_px[i] = fill
+        pnl[i] = proceeds - entry_cost
+        pnl_pct[i] = (proceeds - entry_cost) / entry_cost if entry_cost > 0 else 0.0
+        holding[i] = i - e_i
+        reason[i] = why
+        qty = 0.0
+        entry_cost = 0.0
+
+    for i in range(n):
+        px = price[i]
+        frozen = isnan(px) or px <= 0.0
+        if not frozen:
+            last_px = px
+            if debt > 0.0:
+                debt *= 1.0 + daily_rate
+            if sell[i] and qty > 0.0:
+                close_out(i, px * (1.0 - p.slippage), "signal")
+            elif buy[i] and qty == 0.0:
+                fill = px * (1.0 + p.slippage)
+                power = cash * p.position_size * p.leverage
+                lots = floor(power / (fill * LOT))
+                while lots > 0:
+                    shares = lots * LOT
+                    notional = shares * fill
+                    fee = _commission(notional, p)
+                    if notional + fee <= power:
+                        break
+                    lots -= 1
+                if lots > 0:
+                    shares = lots * LOT
+                    notional = shares * fill
+                    fee = _commission(notional, p)
+                    spend = notional + fee
+                    borrow = max(0.0, spend - cash)
+                    cash -= spend - borrow
+                    debt += borrow
+                    qty = float(shares)
+                    entry_cost = spend
+                    e_t, e_px, e_i = float(t[i]), fill, i
+            mark = px
+            if qty > 0.0:
+                mv = qty * mark
+                if mv > 0 and (cash + mv - debt) / mv < p.margin_call_threshold:
+                    close_out(i, px * (1.0 - p.slippage), "margin_call")
+        mark = last_px if not isnan(last_px) else 0.0
+        cash_a[i] = cash
+        qty_a[i] = qty
+        value_a[i] = qty * mark
+        debt_a[i] = debt
+        equity_a[i] = cash + qty * mark - debt
+
+    return (
+        cash_a, qty_a, value_a, debt_a, equity_a,
+        entry_t, entry_px, exit_qty, exit_px, pnl, pnl_pct, holding, reason,
+    )
+
+
+_SCHEMA_EXTRA = [
+    StructField("cash", DoubleType()),
+    StructField("quantity", DoubleType()),
+    StructField("stock_value", DoubleType()),
+    StructField("debt", DoubleType()),
+    StructField("total_value", DoubleType()),
+    StructField("entry_t", DoubleType()),
+    StructField("entry_price", DoubleType()),
+    StructField("exit_quantity", DoubleType()),
+    StructField("exit_price", DoubleType()),
+    StructField("pnl", DoubleType()),
+    StructField("pnl_pct", DoubleType()),
+    StructField("holding_days", DoubleType()),
+    StructField("exit_reason", StringType()),
+]
+
+
+def margin_backtest(
+    df: DataFrame,
+    price: str = "close",
+    buy: str = "buy",
+    sell: str = "sell",
+    params: MarginParams | None = None,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+) -> DataFrame:
+    """Run the margin fold for every symbol in one distributed pass.
+
+    Returns one row per input bar: (symbol, t, cash, quantity, stock_value,
+    debt, total_value) with trade fields (entry_t, entry_price,
+    exit_quantity, exit_price, pnl, pnl_pct, holding_days, exit_reason)
+    non-null on exit bars."""
+    p = params or MarginParams()
+    schema = StructType(
+        [
+            StructField(partition_by, df.schema[partition_by].dataType),
+            StructField(order_by, df.schema[order_by].dataType),
+        ]
+        + _SCHEMA_EXTRA
+    )
+    cols = [partition_by, order_by, price, buy, sell]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_by)
+        out = _fold(
+            pdf[order_by].to_numpy(dtype="float64"),
+            pdf[price].to_numpy(dtype="float64"),
+            pdf[buy].fillna(False).to_numpy(dtype="bool"),
+            pdf[sell].fillna(False).to_numpy(dtype="bool"),
+            p,
+        )
+        names = [f.name for f in _SCHEMA_EXTRA]
+        res = pd.DataFrame({partition_by: pdf[partition_by].to_numpy(),
+                            order_by: pdf[order_by].to_numpy()})
+        for name, arr in zip(names, out):
+            res[name] = arr
+        return res
+
+    return (
+        df.select(*cols)
+        .groupBy(partition_by)
+        .applyInPandas(run, schema=schema)
+    )
+
+
+def daily_records(curve: DataFrame) -> DataFrame:
+    """README.md:416-425: (symbol, t, cash, stock_value, total_value)."""
+    return curve.select("symbol", "t", "cash", "stock_value", "total_value")
+
+
+def position_records(curve: DataFrame) -> DataFrame:
+    """README.md:436-449: one row per closed trade."""
+    return curve.where(F.col("pnl").isNotNull()).select(
+        "symbol",
+        F.col("entry_t"),
+        F.col("entry_price"),
+        F.col("exit_quantity").alias("quantity"),
+        F.col("t").alias("exit_t"),
+        F.col("exit_price"),
+        "pnl",
+        "pnl_pct",
+        F.col("holding_days").cast("long").alias("holding_days"),
+        "exit_reason",
+    )
+
+
+def performance_metrics(curve: DataFrame, benchmark: DataFrame | None = None) -> DataFrame:
+    """README.md:459-480: per-date portfolio value, daily/cumulative pnl and
+    returns; with a benchmark (t, bench_price): per-date benchmark return,
+    alpha, and the global beta = cov(ret, bench_ret)/var(bench_ret)."""
+    port = curve.groupBy("t").agg(F.sum("total_value").alias("portfolio_value"))
+    w = Window.orderBy("t")
+    first = F.first("portfolio_value").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    prev = F.lag("portfolio_value").over(w)
+    out = port.select(
+        "t",
+        "portfolio_value",
+        (F.col("portfolio_value") - F.coalesce(prev, F.col("portfolio_value"))).alias("daily_pnl"),
+        F.when(prev > 0, (F.col("portfolio_value") / prev - 1.0) * 100.0)
+        .otherwise(F.lit(0.0))
+        .alias("daily_return_pct"),
+        (F.col("portfolio_value") - first).alias("cumulative_pnl"),
+        ((F.col("portfolio_value") / first - 1.0) * 100.0).alias("cumulative_return_pct"),
+    )
+    if benchmark is None:
+        return out
+    bw = Window.orderBy("t")
+    bench = benchmark.select(
+        "t",
+        F.when(
+            F.lag("bench_price").over(bw) > 0,
+            (F.col("bench_price") / F.lag("bench_price").over(bw) - 1.0) * 100.0,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("benchmark_return_pct"),
+    )
+    joined = out.join(bench, "t", "left").na.fill({"benchmark_return_pct": 0.0})
+    joined = joined.withColumn(
+        "alpha_pct", F.col("daily_return_pct") - F.col("benchmark_return_pct")
+    )
+    beta_row = joined.agg(
+        (
+            F.covar_samp("daily_return_pct", "benchmark_return_pct")
+            / F.var_samp("benchmark_return_pct")
+        ).alias("beta")
+    )
+    return joined.crossJoin(F.broadcast(beta_row)).withColumn(
+        "relative_return_pct",
+        F.sum("alpha_pct").over(bw.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+
+
+class Backtest:
+    """Wide-format front-end mirroring the reference constructor
+    (README.md:350-366): ``prices``/``buy_signals``/``sell_signals`` are
+    wide frames (first column = date, one column per symbol). Internally
+    everything melts to the long layout — the shape that scales."""
+
+    def __init__(
+        self,
+        prices: DataFrame,
+        buy_signals: DataFrame,
+        sell_signals: DataFrame,
+        initial_capital: float = 100_000.0,
+        position_size: float = 1.0,
+        leverage: float = 1.0,
+        margin_call_threshold: float = 0.3,
+        interest_rate: float = 0.06,
+        commission_rate: float = 3e-4,
+        min_commission: float = 5.0,
+        slippage: float = 0.0,
+        benchmark: DataFrame | None = None,
+    ) -> None:
+        self.params = MarginParams(
+            initial_capital=initial_capital,
+            position_size=position_size,
+            leverage=leverage,
+            margin_call_threshold=margin_call_threshold,
+            interest_rate=interest_rate,
+            commission_rate=commission_rate,
+            min_commission=min_commission,
+            slippage=slippage,
+        )
+        date_col = prices.columns[0]
+        symbols = prices.columns[1:]
+
+        def melt(df: DataFrame, value_name: str) -> DataFrame:
+            stacked = df.select(
+                F.col(date_col).alias("t"),
+                F.expr(
+                    f"stack({len(symbols)}, "
+                    + ", ".join(f"'{s}', `{s}`" for s in symbols)
+                    + f") as (symbol, {value_name})"
+                ),
+            )
+            return stacked.select("t", "symbol", value_name)
+
+        long = (
+            melt(prices, "close")
+            .join(melt(buy_signals, "buy"), ["t", "symbol"])
+            .join(melt(sell_signals, "sell"), ["t", "symbol"])
+        )
+        self._long = long
+        if benchmark is not None:
+            bcol = benchmark.columns[1]
+            benchmark = benchmark.select(
+                F.col(benchmark.columns[0]).alias("t"),
+                F.col(bcol).alias("bench_price"),
+            )
+        self._benchmark = benchmark
+        self._curve: DataFrame | None = None
+
+    def run(self) -> None:
+        self._curve = margin_backtest(self._long, params=self.params).cache()
+
+    def _need(self) -> DataFrame:
+        if self._curve is None:
+            raise RuntimeError("call run() first")
+        return self._curve
+
+    def get_daily_records(self) -> DataFrame:
+        return daily_records(self._need())
+
+    def get_position_records(self) -> DataFrame:
+        return position_records(self._need())
+
+    def get_performance_metrics(self) -> DataFrame:
+        return performance_metrics(self._need(), self._benchmark)

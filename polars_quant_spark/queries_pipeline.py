@@ -271,7 +271,7 @@ def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # slippage arithmetic is covered by the pytest micro-scenarios)
 # ---------------------------------------------------------------------------
 
-_BT_SIG = """
+_SIG_CTE = """
 sig AS MATERIALIZED (
   SELECT symbol, t, close,
          COALESCE(s5 > s20 AND LAG(s5) OVER o <= LAG(s20) OVER o, FALSE) AS buy,
@@ -286,7 +286,9 @@ sig AS MATERIALIZED (
            w20 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
   ) s
   WINDOW o AS (PARTITION BY symbol ORDER BY t)
-),
+),"""
+
+_BT_SIG = _SIG_CTE + """
 fold AS (
   SELECT symbol, rn, pos, cash FROM (
     SELECT symbol, rn,
@@ -368,6 +370,110 @@ def _bt_metrics_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "total_trades",
         "win_rate",
     )
+
+
+# ---------------------------------------------------------------------------
+# margin/leverage backtest curve (backtest/margin.py, README.md:350-500
+# roadmap surface) — the per-bar state fold (cash, qty, debt) as a recursive
+# CTE. Zero-fee/zero-slippage config so the round-lot sizing has no downsize
+# loop; interest + margin-call arithmetic is replicated operation-for-
+# operation (commission/slippage arithmetic is covered by test_margin.py).
+# ---------------------------------------------------------------------------
+
+_MG_R1 = repr(1.0 + 0.06 / 252)  # per-bar debt growth, as the kernel computes it
+_MG_THR = "0.3"
+
+
+def _mg_transition(src: str) -> str:
+    """One bar of backtest/margin._fold over `src`, which must expose
+    (symbol, rn, t, close, buy, sell, c0, q0, d0). Order of operations
+    matches the kernel exactly: interest → sell|buy → margin call."""
+    return f"""
+  SELECT symbol, rn, t, close,
+         CASE WHEN mc THEN c1 + mv - LEAST(d2, mv) ELSE c1 END AS cash,
+         CASE WHEN mc THEN 0.0 ELSE q1 END AS qty,
+         CASE WHEN mc THEN d2 - LEAST(d2, mv) ELSE d2 END AS debt
+  FROM (
+    SELECT *, q1 * close AS mv,
+           (q1 > 0 AND ((c1 + q1 * close) - d2) / (q1 * close) < {_MG_THR}) AS mc
+    FROM (
+      SELECT symbol, rn, t, close,
+             CASE WHEN do_sell THEN c0 + q0 * close - LEAST(d1, q0 * close)
+                  WHEN do_buy  THEN c0 - (sh * close - GREATEST(0.0, sh * close - c0))
+                  ELSE c0 END AS c1,
+             CASE WHEN do_sell THEN 0.0
+                  WHEN do_buy  THEN sh
+                  ELSE q0 END AS q1,
+             CASE WHEN do_sell THEN d1 - LEAST(d1, q0 * close)
+                  WHEN do_buy  THEN d1 + GREATEST(0.0, sh * close - c0)
+                  ELSE d2_hold END AS d2
+      FROM (
+        SELECT *, (sell AND q0 > 0) AS do_sell, (buy AND q0 = 0) AS do_buy,
+               CASE WHEN sh0 * close <= power THEN sh0 ELSE sh0 - 100.0 END AS sh,
+               d1 AS d2_hold
+        FROM (
+          SELECT *, FLOOR(power / (close * 100.0)) * 100.0 AS sh0
+          FROM (
+            SELECT symbol, rn, t, close, buy, sell, c0, q0,
+                   d0 * {_MG_R1} AS d1,
+                   (c0 * 1.0) * 2.0 AS power
+            FROM {src} z0
+          ) z1
+        ) z2
+      ) z3
+    ) z4
+  ) z5"""
+
+
+_MG_CTES = (
+    _SIG_CTE
+    + f"""
+mg_rec AS (
+{_mg_transition("(SELECT symbol, rn, t, close, buy, sell, 100000.0 AS c0, 0.0 AS q0, 0.0 AS d0 FROM sig WHERE rn = 1)")}
+  UNION ALL
+{_mg_transition("(SELECT s.symbol, s.rn, s.t, s.close, s.buy, s.sell, r.cash AS c0, r.qty AS q0, r.debt AS d0 FROM mg_rec r JOIN sig s ON s.symbol = r.symbol AND s.rn = r.rn + 1)")}
+),
+mg_curve AS MATERIALIZED (
+  SELECT symbol, t, cash, debt, cash + qty * close - debt AS total_value
+  FROM mg_rec
+)"""
+)
+
+_MG_PARAMS_KW = dict(
+    initial_capital=100_000.0,
+    position_size=1.0,
+    leverage=2.0,
+    margin_call_threshold=0.3,
+    interest_rate=0.06,
+    commission_rate=0.0,
+    min_commission=0.0,
+    slippage=0.0,
+)
+
+
+def _bt_margin_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.backtest.margin import MarginParams, margin_backtest
+
+    sig = _bt_signals(spark, sf_dir)
+    out = margin_backtest(sig, params=MarginParams(**_MG_PARAMS_KW))
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("cash")).alias("cash"),
+        r6(F.col("debt")).alias("debt"),
+        r6(F.col("total_value")).alias("total_value"),
+    )
+
+
+QUERIES["bt_margin_curve"] = _bt_margin_query
+ORACLES["bt_margin_curve"] = (
+    recursive_with(_MG_CTES)
+    + """
+SELECT symbol, t, ROUND(cash, 6) AS cash, ROUND(debt, 6) AS debt,
+       ROUND(total_value, 6) AS total_value
+FROM mg_curve
+"""
+)
 
 
 QUERIES["bt_metrics"] = _bt_metrics_query

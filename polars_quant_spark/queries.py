@@ -26,7 +26,7 @@ from polars_quant_spark.functions import price as pr
 from polars_quant_spark.functions import returns as ret
 from polars_quant_spark.functions import volatility as vy
 from polars_quant_spark.functions import volume as vu
-from polars_quant_spark.functions._util import round6
+from polars_quant_spark.functions._util import round6, widen
 from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 from polars_quant_spark.oracle import BARS_CTE, ema_ctes, floor_rounds, recursive_with
 from polars_quant_spark.sources.bars import bars, load_table
@@ -116,8 +116,10 @@ GROUP BY l_returnflag, l_linestatus
 )
 def rel_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: predicate pushdown to parquet + hash aggregate.
-    Scale: pure map-side partials + tiny shuffle (4 groups)."""
-    li = load_table(spark, sf_dir, "lineitem")
+    Scale: pure map-side partials + tiny shuffle (4 groups). The widen()
+    only round-robins narrow local scans; pushdown/pruning pass through it
+    (verified in the executed plan: PushedFilters + pruned ReadSchema)."""
+    li = widen(load_table(spark, sf_dir, "lineitem"))
 
     def dsum(c: F.Column) -> F.Column:
         return F.sum(c.cast("decimal(38,6)")).cast("double")
@@ -250,7 +252,7 @@ def agg_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming window agg)."""
     from polars_quant_spark.sources.bars import events_with_ts
 
-    ev = events_with_ts(spark, sf_dir)
+    ev = widen(events_with_ts(spark, sf_dir))
     return ev.groupBy(
         "event_type", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
     ).agg(
@@ -980,7 +982,7 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 def rel_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + scalar aggregate — every predicate
     pushes to the parquet scan, zero shuffles beyond the final combine."""
-    li = load_table(spark, sf_dir, "lineitem")
+    li = widen(load_table(spark, sf_dir, "lineitem"))
     return (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))

@@ -724,7 +724,7 @@ GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 )
 def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouping-sets rollup (free in Spark; SURVEY §2.4 extension surface)."""
-    od = load_table(spark, sf_dir, "orders")
+    od = widen(load_table(spark, sf_dir, "orders"))
     return od.rollup("o_orderpriority", "o_orderstatus").agg(
         F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
         F.count(F.lit(1)).alias("n"),

@@ -99,6 +99,22 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_widen_preserves_pushdown_and_pruning(spark, sf_dir):
+    """widen()'s round-robin repartition must not block predicate pushdown
+    or column pruning (SCALE.md 'narrow scans' note)."""
+    from polars_quant_spark.functions._util import widen
+
+    li = widen(load_table(spark, sf_dir, "lineitem"))
+    df = li.where(
+        F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp")
+    ).select("l_extendedprice")
+    p = plan(df)
+    assert "GreaterThanOrEqual(l_shipdate" in p  # pushed to the scan
+    read = [line for line in p.splitlines() if "ReadSchema" in line][0]
+    assert "l_partkey" not in read  # pruned through the exchange
+    assert "RoundRobinPartitioning" in p or "Exchange" in p
+
+
 def test_recurrence_single_shuffle(spark, sf_dir):
     from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 

@@ -885,12 +885,21 @@ def with_patterns(
     high: str = "high",
     low: str = "low",
     close: str = "close",
+    repartition: int | None = None,
 ):
     """Append pattern signal columns for `names` (default: all 61).
 
     Materializes the 4 lag depths of OHLC as real columns first, then builds
     every pattern over plain column references — one window pass, a compact
     expression tree, one whole-stage-codegen projection.
+
+    After the lags are materialized every row is self-contained, so the
+    CPU-heavy 61-column projection is rebalanced to `repartition` partitions
+    (default: cluster parallelism) — this both escapes AQE's size-based
+    coalescing (which packs the small symbol shuffle onto one core; CPU cost
+    is invisible to it) and neutralizes fat-symbol skew. Pass
+    ``repartition=0`` to skip, e.g. over a symbol-bucketed store with many
+    uniform symbols.
     """
     global _PRECOMPUTED
     from pyspark.sql import Window
@@ -902,6 +911,10 @@ def with_patterns(
         for c in (open, high, low, close):
             lag_cols.append(F.lag(dcol(c), k).over(w).alias(f"_lag{k}_{c}"))
     base = df.select("*", *lag_cols)
+    if repartition is None:
+        repartition = df.sparkSession.sparkContext.defaultParallelism
+    if repartition:
+        base = base.repartition(repartition)
     cands = [Candle(dcol(open), dcol(high), dcol(low), dcol(close))]
     for k in range(1, 5):
         cands.append(

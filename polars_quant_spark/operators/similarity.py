@@ -1,16 +1,23 @@
 """Similarity search over embedding columns (ArrayType(FloatType)).
 
-Two paths (SURVEY.md §7 Phase 5):
+Three paths (SURVEY.md §7 Phase 5):
 * ``cosine_topk`` — brute-force exact top-k: queries × corpus with the dot
   product as JVM higher-order fns. Scale: broadcast the (small) query set,
   corpus stays partitioned — one map-side pass + per-query top-k via window.
+* ``cosine_topk_np`` — the same result via Arrow-batched numpy matmul
+  (BLAS) in ``mapInPandas`` with per-partition top-k pruning, so only
+  partitions×queries×k candidate rows ever shuffle. HOF lambdas are
+  interpreted per element; one GEMM per Arrow batch is the 10-100× path
+  the corpus-side scan should take at scale.
 * ``ivf_topk`` — IVF-style scale path: corpus is bucketed by nearest
   centroid; queries probe only `nprobe` buckets. Centroids here are chosen
   deterministically (hash-sampled rows) rather than trained k-means — the
   bucketing/probing plumbing is the Spark-relevant part.
 
-All dot products run in double via F.aggregate/zip_with — sequential
-left-to-right accumulation, bit-matching the DuckDB list_sum oracle.
+Exact-path dot products run in double via F.aggregate/zip_with —
+sequential left-to-right accumulation, bit-matching the DuckDB list_sum
+oracle. The numpy path may differ in the last ulp (pairwise summation);
+results agree after the engine-wide 6-dp rounding — asserted in pytest.
 """
 
 from __future__ import annotations
@@ -65,6 +72,83 @@ def cosine_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )
+
+
+def cosine_topk_np(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Brute-force cosine top-k via Arrow-batched numpy GEMM.
+
+    The query matrix is collected once (queries are small by contract —
+    the exact path broadcasts them too), row-normalized, and closed over
+    the ``mapInArrow`` worker. Each Arrow batch's list column is ONE flat
+    buffer — reshape(n, d), no per-row object conversion — and becomes one
+    (m×d)·(d×n) matmul; each batch emits only its local top-k per query,
+    and a final window over batches×m×k candidate rows picks the global
+    top-k. Same output contract as ``cosine_topk``: (query_id, vec_id,
+    cos_sim rounded to 6dp, rank), ties by vec_id."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    qd = queries.select(query_id_col, vec_col).toPandas()
+    qids = qd[query_id_col].to_numpy()
+    Q = np.stack(qd[vec_col].to_numpy()).astype("float64")
+    qn = np.linalg.norm(Q, axis=1, keepdims=True)
+    Qn = np.divide(Q, qn, out=np.zeros_like(Q), where=qn > 0)
+
+    schema = StructType(
+        [
+            StructField("query_id", queries.schema[query_id_col].dataType),
+            StructField("vec_id", corpus.schema[id_col].dataType),
+            StructField("cos_sim", DoubleType()),
+        ]
+    )
+
+    def part(batches):
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            ids = rb.column(0).to_numpy(zero_copy_only=False)
+            lst = rb.column(1)
+            flat = lst.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            C = flat.reshape(n, -1)  # uniform embedding dim by contract
+            cn = np.linalg.norm(C, axis=1, keepdims=True)
+            Cn = np.divide(C, cn, out=np.zeros_like(C), where=cn > 0)
+            S = Qn @ Cn.T  # (m, n)
+            R = np.floor(S * 1e6 + 0.5) / 1e6
+            kk = min(k, n)
+            m = S.shape[0]
+            # local prune must use the GLOBAL ordering (rounded sim desc,
+            # vec_id asc) or boundary ties could drop the global winner
+            out_q, out_id, out_s = [], [], []
+            for qi in range(m):
+                order = np.lexsort((ids, -R[qi]))[:kk]
+                out_q.append(np.repeat(qids[qi], kk))
+                out_id.append(ids[order])
+                out_s.append(R[qi][order])
+            yield pa.record_batch(
+                [
+                    pa.array(np.concatenate(out_q)),
+                    pa.array(np.concatenate(out_id)),
+                    pa.array(np.concatenate(out_s)),
+                ],
+                names=["query_id", "vec_id", "cos_sim"],
+            )
+
+    cand = widen(corpus).select(id_col, vec_col).mapInArrow(part, schema)
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from polars_quant_spark.operators import dedup, similarity, text
@@ -65,6 +66,31 @@ def test_cosine_topk_self_is_top1(spark, sf_dir):
     top1 = {r["query_id"]: r["vec_id"] for r in out if r["rank"] == 1}
     for qid, vid in top1.items():
         assert qid == vid  # each vector's nearest neighbour is itself
+
+
+def test_cosine_topk_np_matches_exact(spark, sf_dir):
+    """The GEMM scale path must reproduce the HOF exact path row-for-row
+    after the engine-wide 6-dp rounding."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.orderBy("vec_id").limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = (
+        similarity.cosine_topk(emb, queries, k=7)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    fast = (
+        similarity.cosine_topk_np(emb, queries, k=7)
+        .orderBy("query_id", "rank")
+        .collect()
+    )
+    assert len(exact) == len(fast)
+    for e, f in zip(exact, fast):
+        assert (e["query_id"], e["vec_id"], e["rank"]) == (
+            f["query_id"], f["vec_id"], f["rank"],
+        )
+        assert f["cos_sim"] == pytest.approx(e["cos_sim"], abs=2e-6)
 
 
 def test_ivf_topk_mostly_agrees_with_exact(spark, sf_dir):

@@ -74,14 +74,18 @@ def test_indicator_chain_single_exchange(spark, sf_dir):
     assert n_exchanges(p) == 1
 
 
-def test_patterns_single_exchange_and_codegen(spark, sf_dir):
+def test_patterns_exchanges(spark, sf_dir):
     from polars_quant_spark.functions import pattern as pat
 
-    df = pat.with_patterns(bars(spark, sf_dir))
-    p = plan(df)
-    assert n_exchanges(p) == 1
-    # (codegen ids only materialize post-execution under AQE; the exchange
-    # count above is the load-bearing assertion)
+    # default: the window's hash exchange + the deliberate round-robin
+    # rebalance before the CPU-heavy 61-column projection (escapes AQE's
+    # size-based coalescing and fat-symbol skew)
+    p = plan(pat.with_patterns(bars(spark, sf_dir)))
+    assert n_exchanges(p) == 2
+    assert "RoundRobinPartitioning" in p
+    # repartition=0 opts out (symbol-bucketed stores): window exchange only
+    p0 = plan(pat.with_patterns(bars(spark, sf_dir), repartition=0))
+    assert n_exchanges(p0) == 1
 
 
 def test_bars_scan_prunes_columns(spark, sf_dir):

@@ -713,6 +713,57 @@ def sel_screen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "sel_info",
+    BARS_CTE
+    + """
+, lr AS (
+  SELECT symbol, t, close, open, high, low, volume,
+         100.0 * (close / LAG(close, 1) OVER o - 1.0) AS return_1d,
+         100.0 * (close / LAG(close, 5) OVER o - 1.0) AS return_5d,
+         100.0 * (close / LAG(close, 20) OVER o - 1.0) AS return_20d,
+         LN(close / LAG(close, 1) OVER o) AS logret
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+),
+enr AS (
+  SELECT symbol, t, close, open, high, low, volume,
+         return_1d, return_5d, return_20d,
+         100.0 * STDDEV_SAMP(logret) OVER w20 * SQRT(252.0) AS volatility,
+         CASE WHEN COUNT(close) OVER w5 = 5 THEN AVG(close) OVER w5 END AS ma_5,
+         CASE WHEN COUNT(close) OVER w10 = 10 THEN AVG(close) OVER w10 END AS ma_10,
+         CASE WHEN COUNT(close) OVER w20c = 20 THEN AVG(close) OVER w20c END AS ma_20,
+         volume / AVG(volume) OVER w5 AS volume_ratio,
+         100.0 * (high - low) / close AS amplitude,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t DESC) AS rnd
+  FROM lr
+  WINDOW w20 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         w5 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w10 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+         w20c AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ROUND(close, 6) AS price, ROUND(open, 6) AS open,
+       ROUND(high, 6) AS high, ROUND(low, 6) AS low, volume,
+       ROUND(return_1d, 6) AS return_1d, ROUND(return_5d, 6) AS return_5d,
+       ROUND(return_20d, 6) AS return_20d, ROUND(volatility, 6) AS volatility,
+       ROUND(ma_5, 6) AS ma_5, ROUND(ma_10, 6) AS ma_10,
+       ROUND(ma_20, 6) AS ma_20, ROUND(volume_ratio, 6) AS volume_ratio,
+       ROUND(amplitude, 6) AS amplitude
+FROM enr
+WHERE rnd = 1 AND close > ma_20
+""",
+)
+def sel_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selector.info(): the 15-column latest-bar summary of passing symbols
+    (README.md:832-858)."""
+    b = bars(spark, sf_dir)
+    out = Selector(b).price_above_ma(20).info()
+    keep = ["symbol", "volume"]
+    return out.select(
+        *[c if c in keep else r6(F.col(c)).alias(c) for c in out.columns]
+    )
+
+
+@q(
     "rel_rollup_revenue",
     """
 SELECT o_orderpriority, o_orderstatus,

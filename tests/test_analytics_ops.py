@@ -142,6 +142,49 @@ class TestSelectorStrategy:
         assert len(top) == 3
         assert top[0]["close"] >= top[1]["close"] >= top[2]["close"]
 
+    def test_selector_screen_kwargs_front_end(self, trend):
+        """screen(**kw) maps the reference's filter(...) parameter names
+        (README.md:683-778) onto the named screens."""
+        sel = Selector(trend).screen(
+            price_min=50,
+            price_max=200,
+            volume_min=50,
+            volume_change="volume_surge",
+            volume_multiplier=2.0,
+        )
+        rows = sel.filter().collect()
+        assert len(rows) == 1 and rows[0]["t"] == 101
+
+    def test_selector_limit_and_consecutive(self, trend):
+        # the engineered series falls 60 bars then rises 60: consecutive
+        # screens must fire on the respective phases only
+        ups = Selector(trend).consecutive_up(3).filter().collect()
+        downs = Selector(trend).consecutive_down(3).filter().collect()
+        assert all(r["t"] > 60 for r in ups) and len(ups) > 0
+        assert all(r["t"] <= 61 for r in downs) and len(downs) > 0
+        # ±9.9% daily moves don't exist in this gentle series
+        assert Selector(trend).limit("limit_up").filter().count() == 0
+
+    def test_selector_macd_kdj_analyze(self, trend):
+        # golden crosses exist around the V-bottom; death crosses near t=60
+        assert Selector(trend).macd("golden_cross").filter().count() >= 1
+        assert Selector(trend).kdj("oversold").filter().count() >= 1
+
+    def test_selector_result_info_sort(self, trend):
+        sel = Selector(trend).price_above_ma(20)
+        assert sel.result() == ["X"]  # latest bar is in the uptrend
+        info = sel.info().collect()
+        assert len(info) == 1
+        row = info[0]
+        assert row["price"] == pytest.approx(120.0)
+        assert row["return_20d"] > 0
+        assert row["ma_5"] > row["ma_20"]  # uptrend ordering
+        assert row["amplitude"] == pytest.approx(2.0, abs=0.1)
+        srt = Selector(trend).sort(by="return_5d", top_n=1).collect()
+        assert len(srt) == 1
+        # reset clears screens: every symbol passes again
+        assert Selector(trend).limit("limit_up").reset().result() == ["X"]
+
     def test_ma_cross_signals(self, spark, trend):
         from polars_quant_spark.functions import overlap as ov
 

@@ -257,25 +257,23 @@ def position_records(curve: DataFrame) -> DataFrame:
     )
 
 
-def performance_metrics(curve: DataFrame, benchmark: DataFrame | None = None) -> DataFrame:
-    """README.md:459-480: per-date portfolio value, daily/cumulative pnl and
-    returns; with a benchmark (t, bench_price): per-date benchmark return,
-    alpha, and the global beta = cov(ret, bench_ret)/var(bench_ret)."""
-    port = curve.groupBy("t").agg(F.sum("total_value").alias("portfolio_value"))
+def _value_metrics(port: DataFrame, value_col: str, benchmark: DataFrame | None) -> DataFrame:
+    """Shared daily-metrics core over a (t, <value_col>) frame."""
     w = Window.orderBy("t")
-    first = F.first("portfolio_value").over(
+    v = F.col(value_col)
+    first = F.first(value_col).over(
         w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
-    prev = F.lag("portfolio_value").over(w)
+    prev = F.lag(value_col).over(w)
     out = port.select(
         "t",
-        "portfolio_value",
-        (F.col("portfolio_value") - F.coalesce(prev, F.col("portfolio_value"))).alias("daily_pnl"),
-        F.when(prev > 0, (F.col("portfolio_value") / prev - 1.0) * 100.0)
+        value_col,
+        (v - F.coalesce(prev, v)).alias("daily_pnl"),
+        F.when(prev > 0, (v / prev - 1.0) * 100.0)
         .otherwise(F.lit(0.0))
         .alias("daily_return_pct"),
-        (F.col("portfolio_value") - first).alias("cumulative_pnl"),
-        ((F.col("portfolio_value") / first - 1.0) * 100.0).alias("cumulative_return_pct"),
+        (v - first).alias("cumulative_pnl"),
+        ((v / first - 1.0) * 100.0).alias("cumulative_return_pct"),
     )
     if benchmark is None:
         return out
@@ -303,6 +301,27 @@ def performance_metrics(curve: DataFrame, benchmark: DataFrame | None = None) ->
         "relative_return_pct",
         F.sum("alpha_pct").over(bw.rowsBetween(Window.unboundedPreceding, 0)),
     )
+
+
+def performance_metrics(curve: DataFrame, benchmark: DataFrame | None = None) -> DataFrame:
+    """README.md:459-480: per-date portfolio value, daily/cumulative pnl and
+    returns; with a benchmark (t, bench_price): per-date benchmark return,
+    alpha, and the global beta = cov(ret, bench_ret)/var(bench_ret)."""
+    port = curve.groupBy("t").agg(F.sum("total_value").alias("portfolio_value"))
+    return _value_metrics(port, "portfolio_value", benchmark)
+
+
+def stock_performance(
+    curve: DataFrame, symbol: str, benchmark: DataFrame | None = None
+) -> DataFrame:
+    """README.md:552-590: the same daily metrics for ONE symbol's pool
+    (stock_value = that symbol's total_value)."""
+    port = (
+        curve.where(F.col("symbol") == symbol)
+        .select("t", F.col("total_value").alias("stock_value"))
+    )
+    out = _value_metrics(port, "stock_value", benchmark)
+    return out.select(F.lit(symbol).alias("symbol"), "*")
 
 
 class Backtest:
@@ -381,3 +400,44 @@ class Backtest:
 
     def get_performance_metrics(self) -> DataFrame:
         return performance_metrics(self._need(), self._benchmark)
+
+    # --- per-stock queries (README.md:552-641) ---
+
+    def get_stock_daily(self, symbol: str) -> DataFrame:
+        return daily_records(self._need()).where(F.col("symbol") == symbol)
+
+    def get_stock_positions(self, symbol: str) -> DataFrame:
+        return position_records(self._need()).where(F.col("symbol") == symbol)
+
+    def get_stock_performance(self, symbol: str) -> DataFrame:
+        return stock_performance(self._need(), symbol, self._benchmark)
+
+    def get_stock_summary(self, symbol: str) -> str:
+        """Formatted per-stock summary string (README.md:625-637)."""
+        perf = self.get_stock_performance(symbol)
+        agg = [
+            F.count(F.lit(1)).alias("n_days"),
+            F.avg("daily_pnl").alias("avg_daily_pnl"),
+            F.max("daily_pnl").alias("max_daily_gain"),
+            F.min("daily_pnl").alias("max_daily_loss"),
+            F.last("cumulative_return_pct").alias("total_return_pct"),
+        ]
+        if self._benchmark is not None:
+            agg.append(F.last("beta").alias("beta"))
+        row = perf.orderBy("t").agg(*agg).collect()[0]
+        trades = self.get_stock_positions(symbol)
+        n_trades = trades.count()
+        wins = trades.where(F.col("pnl") > 0).count()
+        lines = [
+            f"=== {symbol} ===",
+            f"days: {row['n_days']}",
+            f"total return: {row['total_return_pct']:.2f}%",
+            f"avg daily pnl: {row['avg_daily_pnl']:.2f}",
+            f"max daily gain: {row['max_daily_gain']:.2f}",
+            f"max daily loss: {row['max_daily_loss']:.2f}",
+            f"trades: {n_trades}  wins: {wins}"
+            + (f"  win rate: {wins / n_trades:.1%}" if n_trades else ""),
+        ]
+        if self._benchmark is not None:
+            lines.append(f"beta: {row['beta']:.4f}")
+        return "\n".join(lines)

@@ -181,6 +181,37 @@ class TestMarginSpark:
         assert "beta" in met.columns and "alpha_pct" in met.columns
         assert met.portfolio_value.iloc[0] == pytest.approx(20_000.0)
 
+    def test_per_stock_queries(self, spark):
+        dates = list(range(5))
+        prices = spark.createDataFrame(
+            pd.DataFrame({"date": dates, "AAA": [10, 12, 14, 13, 15],
+                          "BBB": [50, 49, 48, 50, 52]})
+        )
+        buys = spark.createDataFrame(
+            pd.DataFrame({"date": dates, "AAA": [True] + [False] * 4,
+                          "BBB": [False, True, False, False, False]})
+        )
+        sells = spark.createDataFrame(
+            pd.DataFrame({"date": dates, "AAA": [False] * 4 + [True],
+                          "BBB": [False] * 4 + [True]})
+        )
+        bench = spark.createDataFrame(
+            pd.DataFrame({"date": dates, "IX": [100.0, 101.0, 102.0, 101.0, 103.0]})
+        )
+        bt = Backtest(prices, buys, sells, initial_capital=10_000.0,
+                      commission_rate=0.0, min_commission=0.0, benchmark=bench)
+        bt.run()
+        daily = bt.get_stock_daily("AAA").toPandas()
+        assert set(daily.symbol) == {"AAA"} and len(daily) == 5
+        perf = bt.get_stock_performance("AAA").orderBy("t").toPandas()
+        assert "stock_value" in perf.columns and "alpha_pct" in perf.columns
+        # AAA: 1000 shares from 10 -> 15 = +50% on 10k
+        assert perf.cumulative_return_pct.iloc[-1] == pytest.approx(50.0)
+        s = bt.get_stock_summary("AAA")
+        assert "AAA" in s and "total return: 50.00%" in s and "beta" in s
+        pos = bt.get_stock_positions("BBB").toPandas()
+        assert len(pos) == 1 and pos.iloc[0].exit_reason == "signal"
+
     def test_per_symbol_pools_independent(self, spark):
         pdf = pd.DataFrame(
             [("A", 0, 10.0, True, False), ("A", 1, 0.0, False, False),

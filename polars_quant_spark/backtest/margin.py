@@ -420,11 +420,12 @@ class Backtest:
             F.avg("daily_pnl").alias("avg_daily_pnl"),
             F.max("daily_pnl").alias("max_daily_gain"),
             F.min("daily_pnl").alias("max_daily_loss"),
-            F.last("cumulative_return_pct").alias("total_return_pct"),
+            # max_by, not last(): agg input order is not defined by orderBy
+            F.max_by("cumulative_return_pct", "t").alias("total_return_pct"),
         ]
         if self._benchmark is not None:
-            agg.append(F.last("beta").alias("beta"))
-        row = perf.orderBy("t").agg(*agg).collect()[0]
+            agg.append(F.max_by("beta", "t").alias("beta"))
+        row = perf.agg(*agg).collect()[0]
         trades = self.get_stock_positions(symbol)
         n_trades = trades.count()
         wins = trades.where(F.col("pnl") > 0).count()

@@ -56,6 +56,8 @@ def widen(df):
     corpus is already wide and this is a no-op. The repartition pays a
     shuffle of the *raw* rows — always the cheap side of an explode or
     score fan-out."""
+    if df.isStreaming:  # .rdd is illegal on streams; micro-batches are wide
+        return df
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     if df.rdd.getNumPartitions() < target:

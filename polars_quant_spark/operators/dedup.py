@@ -216,6 +216,62 @@ def minhash_dedup_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def connected_components(
+    edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
+) -> DataFrame:
+    """Connected components of an undirected pair graph by min-label
+    propagation: every node's label converges to the smallest id reachable
+    from it, in at most `diameter` rounds. Near-dup clusters are tiny and
+    shallow, so this terminates in a handful of iterations; each round is
+    one join + one min-agg, and ``localCheckpoint`` truncates the lineage
+    so plans stay constant-size. Returns (node, component)."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.localCheckpoint()
+    labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
+    for _ in range(max_iter):
+        nbr = sym.join(
+            labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")), "v"
+        )
+        proposed = nbr.groupBy("u").agg(F.min("vlabel").alias("nl"))
+        new = labels.join(proposed, "u", "left").select(
+            "u", F.least(F.coalesce("nl", "label"), F.col("label")).alias("newl"), "label"
+        )
+        new = new.localCheckpoint()
+        if new.where(F.col("newl") < F.col("label")).limit(1).count() == 0:
+            return new.select("u", F.col("label").alias("component"))
+        labels = new.select("u", F.col("newl").alias("label"))
+    return labels.select("u", F.col("label").alias("component"))
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """End-to-end near-dedup: verified pairs → connected components →
+    canonical keeper (min id) per cluster. Returns one row per document:
+    (doc_id, keep_id, is_canonical); filter ``is_canonical`` to dedup."""
+    pairs = minhash_dedup_pairs(df, text, id_col, num_hashes, bands, k, threshold)
+    comp = connected_components(pairs)
+    docs = df.select(F.col(id_col).alias("doc_id"))
+    out = docs.join(
+        comp.select(F.col("u").alias("doc_id"), "component"), "doc_id", "left"
+    )
+    return out.select(
+        "doc_id",
+        F.coalesce("component", F.col("doc_id")).alias("keep_id"),
+        (F.coalesce("component", F.col("doc_id")) == F.col("doc_id")).alias(
+            "is_canonical"
+        ),
+    )
+
+
 def simhash(text: Column | str, bits: int = 32) -> Column:
     """SimHash over tokens: bit j is the sign of Σ_tokens (±1 per token
     depending on bit j of md5(token)). 32-bit (hex-parseable on both

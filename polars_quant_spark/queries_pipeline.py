@@ -119,6 +119,44 @@ WHERE CAST(COALESCE(i._inter, 0) AS DOUBLE) / (sa._n + sb._n - COALESCE(i._inter
 )
 
 
+# near-dup clusters: verified pairs → connected components → canonical id.
+# Spark runs min-label propagation (iterative); the twin computes the same
+# component labels as a transitive closure over the symmetrized pair graph.
+QUERIES["doc_dedup_components"] = lambda spark, sf_dir: dedup.minhash_dedup(
+    load_table(spark, sf_dir, "documents"), threshold=0.5
+)
+ORACLES["doc_dedup_components"] = (
+    _SH_CTES.replace("WITH tk", "WITH RECURSIVE tk", 1)
+    + """
+, pairs AS MATERIALIZED (
+  SELECT c.id_a, c.id_b
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa._id = c.id_a
+  JOIN sizes sb ON sb._id = c.id_b
+  WHERE CAST(COALESCE(i._inter, 0) AS DOUBLE) / (sa._n + sb._n - COALESCE(i._inter, 0)) >= 0.5
+),
+pedges AS MATERIALIZED (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b AS u, id_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM pedges) s
+  UNION
+  SELECT e.u, rr.r FROM pedges e JOIN reach rr ON rr.u = e.v
+),
+comp AS MATERIALIZED (
+  SELECT u, MIN(r) AS component FROM reach GROUP BY u
+)
+SELECT d.doc_id,
+       COALESCE(c.component, d.doc_id) AS keep_id,
+       COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # text analysis: token counts, language-ID, quality, fingerprint
 # ---------------------------------------------------------------------------

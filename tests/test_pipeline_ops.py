@@ -68,6 +68,33 @@ def test_cosine_topk_self_is_top1(spark, sf_dir):
         assert qid == vid  # each vector's nearest neighbour is itself
 
 
+def test_connected_components_multi_hop(spark):
+    """A chain 1-2-3-4 (diameter 3) plus a separate pair must collapse to
+    two components labeled by their min ids — exercises >1 propagation
+    round."""
+    pdf = pd.DataFrame(
+        {"id_a": [1, 2, 3, 10], "id_b": [2, 3, 4, 11]}
+    )
+    comp = dedup.connected_components(spark.createDataFrame(pdf)).collect()
+    labels = {r["u"]: r["component"] for r in comp}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_minhash_dedup_end_to_end(spark):
+    base = " ".join(f"tok{i} fill{i % 5}" for i in range(30))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [base, base + " extra", base.replace("fill1", "x", 1), "unrelated thing entirely"],
+        }
+    )
+    out = dedup.minhash_dedup(spark.createDataFrame(pdf), threshold=0.3, bands=8)
+    rows = {r["doc_id"]: (r["keep_id"], r["is_canonical"]) for r in out.collect()}
+    assert rows[1] == (1, True)
+    assert rows[2] == (1, False) and rows[3] == (1, False)
+    assert rows[4] == (4, True)
+
+
 def test_cosine_topk_np_matches_exact(spark, sf_dir):
     """The GEMM scale path must reproduce the HOF exact path row-for-row
     after the engine-wide 6-dp rounding."""

@@ -23,6 +23,12 @@ def get_spark(app_name: str = "polars_quant_spark", shuffle_partitions: int | No
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing is size-based and CPU-blind: the ~2 MB symbol
+        # shuffle behind every indicator window packs onto ONE task at the
+        # default 1 MB floor. 64k keeps small-but-CPU-heavy stages at the
+        # hash-partition count (≈symbols); at real scale partitions dwarf
+        # either floor and this is a no-op.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

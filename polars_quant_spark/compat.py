@@ -22,9 +22,11 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 import polars_quant_spark.operators.hilbert  # noqa: F401  (registers kernels)
+from polars_quant_spark.backtest.margin import Backtest  # noqa: F401  (v0.x README surface)
 from polars_quant_spark.backtest.metrics import summary
 from polars_quant_spark.backtest.sequential import SequentialBacktester  # noqa: F401
 from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_backtest
+from polars_quant_spark.operators.selector import Selector  # noqa: F401  (README.md:643-858)
 from polars_quant_spark.functions import momentum as _mo
 from polars_quant_spark.functions import overlap as _ov
 from polars_quant_spark.functions import pattern as _pat

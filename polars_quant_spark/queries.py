@@ -159,8 +159,11 @@ LIMIT 10
 """,
 )
 def rel_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3 shape. customer is small → broadcast; lineitem↔orders is the
-    one real shuffle; top-k via TakeOrderedAndProject (no global sort)."""
+    """TPC-H Q3 shape. customer scales with SF so it carries NO broadcast
+    hint — statistics/AQE broadcast it while it fits and fall back to a
+    shuffle join at 100× (a forced hint would OOM the driver there);
+    lineitem↔orders is the one real shuffle; top-k via
+    TakeOrderedAndProject (no global sort)."""
     cu = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
     od = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
@@ -170,7 +173,7 @@ def rel_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
             F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
@@ -206,8 +209,9 @@ GROUP BY n_name
 """,
 )
 def rel_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: star join with dimension broadcasts; only
-    lineitem↔orders shuffles at scale."""
+    """TPC-H Q5 shape: star join. Only the true dimensions (nation/region,
+    fixed 25/5 rows) carry broadcast hints; customer/supplier scale with SF,
+    so AQE/statistics pick broadcast vs shuffle at runtime."""
     cu = load_table(spark, sf_dir, "customer")
     od = load_table(spark, sf_dir, "orders").where(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -219,9 +223,9 @@ def rel_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
         .join(
-            F.broadcast(su),
+            su,
             (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
         )
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
@@ -1028,7 +1032,7 @@ def rel_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     na = load_table(spark, sf_dir, "nation")
     return (
         li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(F.broadcast(cu), od.o_custkey == cu.c_custkey)
+        .join(cu, od.o_custkey == cu.c_custkey)  # SF-scaled: no forced hint
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(

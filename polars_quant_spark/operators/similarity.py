@@ -22,10 +22,12 @@ results agree after the engine-wide 6-dp rounding — asserted in pytest.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_quant_spark.functions._util import widen
+from polars_quant_spark.functions._util import round6, widen
 
 
 def dot(a: Column, b: Column) -> Column:
@@ -45,6 +47,24 @@ def norm(a: Column) -> Column:
 def cosine(a: Column, b: Column) -> Column:
     d = norm(a) * norm(b)
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
+
+
+def _unrolled_dot(vec: Column, const: list[float]) -> Column:
+    """Σ vec[i]·cᵢ with the constant side inlined as literals — plain
+    codegen'd mul-adds (HOF lambdas are interpreted; see module doc).
+    Left-to-right accumulation, bit-matching F.aggregate and DuckDB
+    list_sum."""
+    acc: Column = vec[0].cast("double") * F.lit(float(const[0]))
+    for i in range(1, len(const)):
+        acc = acc + vec[i].cast("double") * F.lit(float(const[i]))
+    return acc
+
+
+def _unrolled_sqnorm(vec: Column, dim: int) -> Column:
+    acc: Column = vec[0].cast("double") * vec[0].cast("double")
+    for i in range(1, dim):
+        acc = acc + vec[i].cast("double") * vec[i].cast("double")
+    return acc
 
 
 def cosine_topk(
@@ -67,7 +87,7 @@ def cosine_topk(
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
+        round6(cosine(F.col("_qvec"), F.col("_cvec"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -154,17 +174,16 @@ def cosine_topk_np(
     )
 
 
-def embedding_near_dupes(
+def embedding_near_dupes_exact(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold).
+    """Embedding-cosine near-duplicate pairs, brute-force all-pairs.
 
-    Brute-force all-pairs here (fine for verification corpora); the 100 TB
-    path blocks by ``ivf_assign`` buckets first so only same-bucket pairs
-    join."""
+    O(n²) — verification corpora only. Production path:
+    ``embedding_near_dupes`` (IVF-bucket-blocked)."""
     df = widen(df)
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
@@ -174,7 +193,44 @@ def embedding_near_dupes(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cos_sim"),
+            round6(cosine(F.col("_va"), F.col("_vb"))).alias("cos_sim"),
+        )
+        .where(F.col("cos_sim") >= threshold)
+    )
+
+
+def embedding_near_dupes(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold),
+    blocked by IVF bucket: each vector is assigned to its nearest of
+    ``n_blocks`` centroids (zero-shuffle projection, see ``ivf_assign``) and
+    only same-bucket pairs are scored. The self-join is per-bucket — n²/b
+    instead of n² — and b scales with the corpus, which is what survives
+    100 TB. Near-identical vectors share a nearest centroid except exactly
+    on a Voronoi boundary, so recall loss is confined to threshold-grazing
+    pairs (standard ANN-blocking trade; raise n_blocks with corpus size)."""
+    cents = hash_centroids(df, n_blocks, id_col, vec_col)
+    assigned = ivf_assign(widen(df), cents, id_col, vec_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"
+    )
+    a = assigned.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "bucket"
+    )
+    b = assigned.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+    )
+    return (
+        a.join(b, "bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            round6(cosine(F.col("_va"), F.col("_vb"))).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -188,23 +244,64 @@ def ivf_assign(
     centroid_id: str = "centroid_id",
     centroid_vec: str = "centroid",
 ) -> DataFrame:
-    """Assign each vector to its nearest centroid (broadcast argmin via
-    struct-max over the centroid array). Adds ``bucket``."""
-    cent = centroids.select(
-        F.col(centroid_id).alias("_cid"), F.col(centroid_vec).alias("_cvec")
+    """Assign each vector to its nearest centroid. Adds ``bucket``.
+
+    Zero-shuffle: the centroid set is tiny by contract, so it is collected
+    once at plan-build time and inlined as literals; each row evaluates c
+    unrolled codegen'd dot products and takes the argmax with
+    ``F.greatest`` over (score, −cid) structs — no exchange between the
+    corpus scan and the bucket assignment (the r1 version shuffled n·c rows
+    through a per-id window).
+
+    The per-centroid score is ``dot(v, c)·(1/‖c‖)`` — cosine times the
+    row-constant ‖v‖, so its argmax IS the cosine argmax, with no
+    division, no zero-norm branch (a zero row-vector scores 0 against
+    every centroid and ties to centroid 0, exactly like cosine=0), and a
+    straight-line arithmetic body that stays inside whole-stage codegen's
+    64 KB method limit (the guarded cosine form blew it → interpreted
+    fallback, 2.7× slower). Every float op matches the DuckDB twin:
+    sequential left-to-right dot, one multiply by the same full-precision
+    1/‖c‖ literal, ties to smallest centroid_id."""
+    cents = sorted(
+        (r[0], list(r[1])) for r in centroids.select(centroid_id, centroid_vec).collect()
     )
-    joined = df.crossJoin(F.broadcast(cent)).select(
+
+    def score(cvec: list[float]) -> Column:
+        inv_cn = 1.0 / math.sqrt(sum(float(x) * float(x) for x in cvec))
+        return _unrolled_dot(F.col(vec_col), cvec) * F.lit(inv_cn)
+
+    # sims as their own columns first, argmax second; each score column is
+    # referenced twice downstream (bucket + bucket_score expand the
+    # greatest tree twice), which stops CollapseProject from re-inlining
+    # the non-cheap scores into one giant expression — codegen CSE dedupes
+    # the double reference.
+    #
+    # _ncg is a CodegenFallback marker (java_method reflection → constant
+    # 0): whole-stage codegen declines to fuse any projection containing
+    # it, so scan/sims/argmax stay separate per-expression-codegen'd
+    # operators instead of one fused method that overruns janino's 64 KB
+    # limit and silently drops to interpreted eval. Measured on 2M rows ×
+    # 16 centroids (local[32]): 1.3 s vs 28 s fused-then-interpreted. The
+    # marker is referenced twice downstream (×0 in both outputs) so
+    # CollapseProject can't inline it away; runtime cost is one cached
+    # reflection call per row.
+    ncg = F.expr("java_method('java.lang.String','valueOf', 0)").cast("int")
+    simmed = df.select(
         *df.columns,
-        F.struct(
-            cosine(F.col(vec_col), F.col("_cvec")).alias("sim"),
-            (-F.col("_cid")).alias("neg_cid"),
-        ).alias("_cand"),
+        *[score(cvec).alias(f"_sim{cid}") for cid, cvec in cents],
+        ncg.alias("_ncg"),
     )
-    w = Window.partitionBy(id_col)
-    best = joined.withColumn("_best", F.max("_cand").over(w)).where(
-        F.col("_cand") == F.col("_best")
+    cands = [
+        F.struct(F.col(f"_sim{cid}").alias("sim"), F.lit(-int(cid)).alias("neg_cid"))
+        for cid, _ in cents
+    ]
+    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
+    zero = F.col("_ncg") * F.lit(0)
+    return simmed.select(
+        *df.columns,
+        (-best["neg_cid"] + zero).alias("bucket"),
+        (best["sim"] + zero.cast("double")).alias("bucket_score"),
     )
-    return best.select(*df.columns, (-F.col("_best.neg_cid")).alias("bucket"))
 
 
 def hash_centroids(df: DataFrame, n: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -251,7 +348,7 @@ def ivf_topk(
     ).select(
         "query_id",
         "vec_id",
-        F.round(cosine(F.col("_qvec"), F.col("_cvec")), 6).alias("cos_sim"),
+        round6(cosine(F.col("_qvec"), F.col("_cvec"))).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

@@ -282,26 +282,63 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=10)
 
 
+# blocked near-dup twin: identical IVF blocking (8 hash-picked centroids,
+# nearest-centroid buckets, same-bucket pairs only) — the twin of
+# similarity.embedding_near_dupes's 100 TB shape, NOT an all-pairs join.
+_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE)))"
+)
+_SQN = "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+
+
 @q(
     "emb_near_dupes",
-    """
-WITH scored AS (
+    f"""
+WITH cent_pick AS (
+  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings ORDER BY h LIMIT 8
+),
+cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INTEGER) - 1 AS cid,
+         embedding AS cvec,
+         1.0 / sqrt({_SQN.format(a='embedding')}) AS icn
+  FROM cent_pick
+),
+base AS (
+  SELECT vec_id, embedding,
+         sqrt({_SQN.format(a='embedding')}) AS nv
+  FROM embeddings
+),
+-- assignment score = dot·(1/‖c‖): cosine × the row-constant ‖v‖, same
+-- argmax, and the exact double sequence of similarity.ivf_assign
+scored AS (
+  SELECT b.vec_id, b.embedding, c.cid,
+         {_DOT.format(a='b.embedding', b='c.cvec')} * c.icn AS sim
+  FROM base b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS bucket FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rnk
+    FROM scored) s
+  WHERE rnk = 1
+),
+pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                  p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))) AS dp,
-         sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS na,
-         sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nb
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         ROUND(CASE WHEN na.nv * nb.nv > 0
+               THEN {_DOT.format(a='a.embedding', b='b.embedding')} / (na.nv * nb.nv)
+               ELSE 0.0 END, 6) AS cos_sim
+  FROM assigned a
+  JOIN assigned b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN base na ON na.vec_id = a.vec_id
+  JOIN base nb ON nb.vec_id = b.vec_id
 )
-SELECT id_a, id_b,
-       ROUND(CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END, 6) AS cos_sim
-FROM scored
-WHERE ROUND(CASE WHEN na * nb > 0 THEN dp / (na * nb) ELSE 0.0 END, 6) >= 0.9
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
 """,
 )
 def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dupes(emb, threshold=0.9)
+    return similarity.embedding_near_dupes(emb, threshold=0.9, n_blocks=8)
 
 
 # ---------------------------------------------------------------------------
@@ -920,10 +957,14 @@ WITH cent AS (
         FROM embeddings ORDER BY h LIMIT 8) s
 ),
 assign AS (
+  -- corpus-side bucket assignment scores by dot·(1/‖c‖) (cosine × the
+  -- row-constant ‖v‖ — same argmax), the exact sequence of ivf_assign
   SELECT vec_id, embedding, bucket FROM (
     SELECT e.vec_id, e.embedding, c.centroid_id AS bucket,
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
-             ORDER BY {_cos_sql('e.embedding', 'c.centroid')} DESC, c.centroid_id) AS r
+             ORDER BY {_DOT.format(a='e.embedding', b='c.centroid')}
+                      * (1.0 / sqrt({_SQN.format(a='c.centroid')})) DESC,
+                      c.centroid_id) AS r
     FROM embeddings e CROSS JOIN cent c
   ) x WHERE r = 1
 ),

@@ -120,6 +120,36 @@ def test_cosine_topk_broadcasts_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
 
 
+def test_ivf_assign_zero_shuffle_and_compiled(spark, sf_dir):
+    """Bucket assignment must be a pure projection — no exchange between
+    the corpus scan and the bucket column (r1 shuffled n·c rows through a
+    per-id window) — and must stay compiled (its expression shape
+    previously overran janino's 64 KB limit → interpreted fallback)."""
+    from polars_quant_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = similarity.hash_centroids(emb, 16)
+    out = similarity.ivf_assign(emb, cents)
+    assert n_exchanges(plan(out)) == 0
+    old = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        assert out.count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", old)
+
+
+def test_embedding_near_dupes_is_blocked_not_all_pairs(spark, sf_dir):
+    """The declared near-dup path must join per-bucket, never build the
+    O(n²) cartesian pair space (VERDICT r1 'what's wrong' #1)."""
+    from polars_quant_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = plan(similarity.embedding_near_dupes(emb, threshold=0.9))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
 def test_widen_preserves_pushdown_and_pruning(spark, sf_dir):
     """widen()'s round-robin repartition must not block predicate pushdown
     or column pruning (SCALE.md 'narrow scans' note)."""

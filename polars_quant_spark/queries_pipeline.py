@@ -911,9 +911,7 @@ def _fama_macbeth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@q(
-    "doc_simhash",
-    f"""
+_SIMHASH_CTES = f"""
 WITH tk AS (
   SELECT doc_id, {_TOKS} AS toks FROM documents
 ),
@@ -921,19 +919,50 @@ hs AS (
   SELECT doc_id,
          list_transform(toks, t -> CAST(('0x' || substring(md5(t), 1, 8)) AS BIGINT)) AS hashes
   FROM tk
+),
+sh AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(COALESCE(list_sum(list_transform(range(0, 32), j ->
+           CASE WHEN list_sum(list_transform(hashes,
+                      h -> CASE WHEN CAST(FLOOR(h / POWER(2.0, j)) AS BIGINT) % 2 = 1
+                                THEN 1 ELSE -1 END)) > 0
+                THEN CAST(POWER(2.0, j) AS BIGINT) ELSE 0 END)), 0) AS BIGINT) AS simhash
+  FROM hs
 )
-SELECT doc_id,
-       CAST(list_sum(list_transform(range(0, 32), j ->
-         CASE WHEN list_sum(list_transform(hashes,
-                    h -> CASE WHEN CAST(FLOOR(h / POWER(2.0, j)) AS BIGINT) % 2 = 1
-                              THEN 1 ELSE -1 END)) > 0
-              THEN CAST(POWER(2.0, j) AS BIGINT) ELSE 0 END)) AS BIGINT) AS simhash
-FROM hs
-""",
+"""
+
+
+@q(
+    "doc_simhash",
+    _SIMHASH_CTES + "SELECT doc_id, simhash FROM sh",
 )
 def doc_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = widen(load_table(spark, sf_dir, "documents"))
-    return docs.select("doc_id", dedup.simhash("text").alias("simhash"))
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_df(docs)
+
+
+@q(
+    "doc_simhash_pairs",
+    _SIMHASH_CTES
+    + """,
+banded AS (
+  SELECT s.doc_id, s.simhash, b.band,
+         (s.simhash >> (b.band * 8)) & 255 AS val
+  FROM sh s CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM banded a
+JOIN banded b ON a.band = b.band AND a.val = b.val AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+""",
+)
+def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded SimHash near-dup candidates. max_hamming=6 exceeds the 4-band
+    completeness bound (≤3) on purpose: the oracle twin verifies the banded
+    recall semantics themselves, not an all-pairs ideal."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dupes(docs, max_hamming=6)
 
 
 def _cos_sql(a: str, b: str) -> str:

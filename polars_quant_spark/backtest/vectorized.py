@@ -139,8 +139,10 @@ def vectorized_backtest(
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order, kind="mergesort").reset_index(drop=True)
         px = pdf[price].to_numpy(dtype="float64", na_value=np.nan)
-        b = pdf[buy].fillna(False).to_numpy(dtype="bool")
-        s = pdf[sell].fillna(False).to_numpy(dtype="bool")
+        # nullable-boolean route: plain .fillna(False) on the object column
+        # trips the pandas silent-downcasting FutureWarning
+        b = pdf[buy].astype("boolean").fillna(False).to_numpy(dtype="bool")
+        s = pdf[sell].astype("boolean").fillna(False).to_numpy(dtype="bool")
         pos, cash, eq, dd, trades, wins = _fold(px, b, s, p)
         pdf["position"] = pos
         pdf["cash"] = cash

@@ -16,7 +16,35 @@ from __future__ import annotations
 
 from polars_quant_spark.sources.bars import BARS_CTE
 
-__all__ = ["BARS_CTE", "ema_ctes", "recursive_with", "floor_rounds", "R6"]
+__all__ = [
+    "BARS_CTE",
+    "ema_ctes",
+    "ewm_step",
+    "recursive_with",
+    "floor_rounds",
+    "R6",
+]
+
+
+def ewm_step(prev: str, x: str, alpha: float) -> str:
+    """The exponential-smoothing update as SQL, in the exact float sequence
+    of pandas ``ewm(alpha=α, adjust=False)`` — which the numpy kernels run
+    via its Cython scan (operators/recurrence._ewma):
+
+        e' = ((1−α)·e + α·x) / ((1−α)+α), except e' = e when x == e
+             (pandas skips the update on equality; the computed form can
+             differ in the last ulp, so the twin must skip too).
+
+    All three constants are full-precision double literals; every oracle
+    recurrence MUST be emitted through this helper so the two engines can
+    never drift."""
+    a = repr(float(alpha))
+    b = repr(1.0 - float(alpha))
+    d = repr((1.0 - float(alpha)) + float(alpha))
+    return (
+        f"CASE WHEN {x} = {prev} THEN {prev} "
+        f"ELSE ({b} * {prev} + {a} * {x}) / {d} END"
+    )
 
 R6 = 6  # rounding decimals used on both engines
 
@@ -61,7 +89,6 @@ def ema_ctes(name: str, src: str, col: str, p: int, alpha: float | None = None) 
     """
     if alpha is None:
         alpha = 2.0 / (p + 1)
-    a = repr(float(alpha))
     # MATERIALIZED is load-bearing: without it DuckDB re-inlines the upstream
     # CTE chain into every recursion iteration (chained EMAs go quadratic —
     # 250s → 0.3s on a 1k-row table).
@@ -79,7 +106,7 @@ def ema_ctes(name: str, src: str, col: str, p: int, alpha: float | None = None) 
     FROM {name}_base) s
   WHERE rn = {p}
   UNION ALL
-  SELECT b.symbol, b.rn, e.ema + {a} * (b.x - e.ema)
+  SELECT b.symbol, b.rn, {ewm_step("e.ema", "b.x", alpha)}
   FROM {name}_rec e JOIN {name}_base b ON b.symbol = e.symbol AND b.rn = e.rn + 1
 ),
 {name} AS MATERIALIZED (

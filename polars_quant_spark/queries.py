@@ -28,7 +28,13 @@ from polars_quant_spark.functions import volatility as vy
 from polars_quant_spark.functions import volume as vu
 from polars_quant_spark.functions._util import round6, widen
 from polars_quant_spark.operators.recurrence import Rec, with_recurrences
-from polars_quant_spark.oracle import BARS_CTE, ema_ctes, floor_rounds, recursive_with
+from polars_quant_spark.oracle import (
+    BARS_CTE,
+    ema_ctes,
+    ewm_step,
+    floor_rounds,
+    recursive_with,
+)
 from polars_quant_spark.sources.bars import bars, load_table
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -845,7 +851,6 @@ FROM bars b LEFT JOIN kama_out k ON b.symbol = k.symbol AND b.t = k.t
 )
 
 _RSI_P = 14
-_RSI_A = repr(1.0 / _RSI_P)
 QUERIES["ind_rsi_14"] = _rec_query([Rec("rsi_14", "rsi", ["close"], {"p": _RSI_P})], ["rsi_14"])
 ORACLES["ind_rsi_14"] = (
     recursive_with(
@@ -869,8 +874,8 @@ rsi_rec AS (
   ) s WHERE rn = {_RSI_P}
   UNION ALL
   SELECT b.symbol, b.rn,
-         r.au + {_RSI_A} * (b.up - r.au),
-         r.ad + {_RSI_A} * (b.dn - r.ad)
+         {ewm_step("r.au", "b.up", 1.0 / _RSI_P)},
+         {ewm_step("r.ad", "b.dn", 1.0 / _RSI_P)}
   FROM rsi_rec r JOIN rsi_base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
 ),
 rsi_out AS MATERIALIZED (

@@ -12,7 +12,7 @@ from polars_quant_spark.functions import overlap as ov
 from polars_quant_spark.functions import pattern as pat
 from polars_quant_spark.functions._util import round6 as r6
 from polars_quant_spark.operators.recurrence import Rec, with_recurrences
-from polars_quant_spark.oracle import ema_ctes, recursive_with
+from polars_quant_spark.oracle import ema_ctes, ewm_step, recursive_with
 from polars_quant_spark.sources.bars import bars
 
 from polars_quant_spark.queries import ORACLES, QUERIES, _win, _ORD, q
@@ -29,7 +29,6 @@ def _w():
 # ---------------------------------------------------------------------------
 
 _P = 14
-_A = repr(1.0 / _P)
 
 _DMI_CTES = f"""
 dmi_base AS MATERIALIZED (
@@ -59,9 +58,9 @@ dmi_rec AS (
   ) s WHERE rn = {_P}
   UNION ALL
   SELECT b.symbol, b.rn,
-         r.spdm + {_A} * (b.pdm - r.spdm),
-         r.smdm + {_A} * (b.mdm - r.smdm),
-         r.str + {_A} * (b.tr - r.str)
+         {ewm_step("r.spdm", "b.pdm", 1.0 / _P)},
+         {ewm_step("r.smdm", "b.mdm", 1.0 / _P)},
+         {ewm_step("r.str", "b.tr", 1.0 / _P)}
   FROM dmi_rec r JOIN dmi_base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
 ),
 dx_tbl AS MATERIALIZED (
@@ -85,7 +84,7 @@ adx_rec AS (
     WINDOW wp AS (PARTITION BY symbol ORDER BY rn2 ROWS BETWEEN {_P - 1} PRECEDING AND CURRENT ROW)
   ) s WHERE rn2 = {_P}
   UNION ALL
-  SELECT b.symbol, b.rn2, r.adx + {_A} * (b.dx - r.adx)
+  SELECT b.symbol, b.rn2, {ewm_step("r.adx", "b.dx", 1.0 / _P)}
   FROM adx_rec r JOIN dx2 b ON b.symbol = r.symbol AND b.rn2 = r.rn2 + 1
 ),
 adx_bars AS MATERIALIZED (
@@ -329,7 +328,7 @@ rsi_rec AS (
     WINDOW wp AS (PARTITION BY symbol ORDER BY rn ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
   ) s WHERE rn = 14
   UNION ALL
-  SELECT b.symbol, b.rn, r.au + {repr(1.0 / 14)} * (b.up - r.au), r.ad + {repr(1.0 / 14)} * (b.dn - r.ad)
+  SELECT b.symbol, b.rn, {ewm_step("r.au", "b.up", 1.0 / 14)}, {ewm_step("r.ad", "b.dn", 1.0 / 14)}
   FROM rsi_rec r JOIN rsi_base b ON b.symbol = r.symbol AND b.rn = r.rn + 1
 ),
 rsi_bars AS MATERIALIZED (

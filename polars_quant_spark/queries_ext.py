@@ -609,6 +609,16 @@ def _ht_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ind_ht_family"] = _ht_family
+# Golden-file oracle: the MESA state machine has no tractable SQL twin, so
+# the expected output is recomputed OUTSIDE Spark (DuckDB bars twin + the
+# numpy kernels run driver-side per symbol) by tools/make_golden.py and
+# pinned as parquet. Hash-compares the full Spark pipeline — shuffle,
+# per-group ordering, NaN→NULL, rounding — against that recomputation;
+# kernel correctness itself is covered by the property tests
+# (tests/test_hilbert_streaming.py). Pinned at sf0.01, the driver's gate SF.
+ORACLES["ind_ht_family"] = (
+    "SELECT * FROM read_parquet('/root/repo/golden/ind_ht_family_sf0.01.parquet')"
+)
 
 
 def _mavp_query(spark: SparkSession, sf_dir: str) -> DataFrame:

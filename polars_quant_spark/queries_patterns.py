@@ -265,3 +265,43 @@ _register("cdl_onebar2", _ONEBAR2)
 _register("cdl_twobar2", _TWOBAR2)
 _register("cdl_threebar2", _THREEBAR2)
 _register("cdl_multibar", _MULTIBAR)
+
+
+def _register_all_patterns_oracle() -> None:
+    """Full SQL twin for cdl_all_patterns: join the seven grouped oracles
+    (which together cover all 61 patterns exactly once) on (symbol, t).
+    DuckDB allows WITH inside subqueries, so each group's complete CTE
+    chain nests as one derived table — no new pattern SQL to keep in sync;
+    this is the same text the per-group hash checks run."""
+    import re
+
+    groups = [
+        "cdl_onebar", "cdl_twobar", "cdl_threebar",
+        "cdl_onebar2", "cdl_twobar2", "cdl_threebar2", "cdl_multibar",
+    ]
+    cols: list[str] = []
+    seen: set[str] = set()
+    froms: list[str] = []
+    for i, g in enumerate(groups):
+        sql = ORACLES[g]
+        names = re.findall(r"AS (cdl\w+)", sql)
+        assert names and not (set(names) & seen), g
+        seen.update(names)
+        alias = f"g{i}"
+        if i == 0:
+            froms.append(f"({sql}) {alias}")
+        else:
+            froms.append(
+                f"JOIN ({sql}) {alias} ON {alias}.symbol = g0.symbol AND {alias}.t = g0.t"
+            )
+        cols += [f"{alias}.{n} AS {n}" for n in names]
+    assert len(seen) == len(pat.ALL_PATTERNS), (len(seen), len(pat.ALL_PATTERNS))
+    ORACLES["cdl_all_patterns"] = (
+        "SELECT g0.symbol, g0.t,\n  "
+        + ",\n  ".join(sorted(cols, key=lambda s: s.split(" AS ")[1]))
+        + "\nFROM "
+        + "\n".join(froms)
+    )
+
+
+_register_all_patterns_oracle()

@@ -263,8 +263,16 @@ def ivf_assign(
     sequential left-to-right dot, one multiply by the same full-precision
     1/‖c‖ literal, ties to smallest centroid_id."""
     cents = sorted(
-        (r[0], list(r[1])) for r in centroids.select(centroid_id, centroid_vec).collect()
+        (r[0], [float(x) for x in r[1]])
+        for r in centroids.select(centroid_id, centroid_vec).collect()
     )
+    return _assign_literal(df, cents, vec_col)
+
+
+def _assign_literal(
+    df: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """ivf_assign's body over an already-collected centroid list."""
 
     def score(cvec: list[float]) -> Column:
         inv_cn = 1.0 / math.sqrt(sum(float(x) * float(x) for x in cvec))
@@ -316,6 +324,86 @@ def hash_centroids(df: DataFrame, n: int = 16, id_col: str = "vec_id", vec_col: 
     )
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    n: int = 16,
+    rounds: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means, `rounds` iterations from the md5-ranked seeds.
+
+    Each round is one zero-shuffle literal assignment (``_assign_literal``)
+    plus one (bucket, dim) aggregation: dims are quantized to integer
+    millionths (FLOOR(x·1e6+0.5), summed as DECIMAL(38,0) so the sum is
+    exact and association-free at any scale), and the mean is computed
+    driver-side as (float(sum)/1e6)/count — the same double sequence the
+    DuckDB twin emits, so trained centroids are bit-identical across
+    engines. Empty buckets keep their previous centroid. Returns the
+    collected [(cid, centroid)] list (n·d doubles — driver-tiny); wrap in
+    ``centroids_df`` for a DataFrame.
+
+    At 100 TB, train on a deterministic sample (e.g. md5(id) prefix) —
+    Lloyd's on a sample loses little recall; the full-corpus pass stays in
+    the one-shot bucket assignment."""
+    init = hash_centroids(df, n, id_col, vec_col)
+    cents = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in init.select("centroid_id", "centroid").collect()
+    )
+    dim = len(cents[0][1])
+    for _ in range(rounds):
+        assigned = _assign_literal(df, cents, vec_col)
+        # bucket_score must stay referenced (the isNotNull guard) so
+        # CollapseProject can't prune it and re-inline the per-centroid
+        # score columns into one giant uncompilable expression — see
+        # _assign_literal's structure notes.
+        stats = (
+            assigned.where(F.col("bucket_score").isNotNull())
+            .select("bucket", F.posexplode(F.col(vec_col)).alias("dim", "_x"))
+            .groupBy("bucket", "dim")
+            .agg(
+                F.sum(
+                    F.floor(F.col("_x").cast("double") * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("decimal(38,0)")
+                ).alias("_s"),
+                F.count(F.lit(1)).alias("_n"),
+            )
+            .collect()
+        )
+        by_bucket: dict[int, dict[int, float]] = {}
+        for row in stats:
+            by_bucket.setdefault(row["bucket"], {})[row["dim"]] = (
+                float(row["_s"]) / 1000000.0
+            ) / float(row["_n"])
+        cents = [
+            (
+                cid,
+                [by_bucket[cid][d] for d in range(dim)] if cid in by_bucket else prev,
+            )
+            for cid, prev in cents
+        ]
+    return cents
+
+
+def centroids_df(spark, cents: list[tuple[int, list[float]]]) -> DataFrame:
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        IntegerType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("centroid_id", IntegerType()),
+            StructField("centroid", ArrayType(DoubleType())),
+        ]
+    )
+    return spark.createDataFrame([(int(c), list(v)) for c, v in cents], schema)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -325,11 +413,18 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_rounds: int = 0,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: corpus bucketed once by nearest
-    centroid; each query scans only its `nprobe` nearest buckets."""
+    centroid; each query scans only its `nprobe` nearest buckets.
+    ``train_rounds`` > 0 refines the md5-seeded centroids with that many
+    Lloyd's iterations (better-balanced buckets → better recall@k)."""
     corpus = widen(corpus)
-    cents = hash_centroids(corpus, n_centroids, id_col, vec_col)
+    if train_rounds > 0:
+        cl = kmeans_centroids(corpus, n_centroids, train_rounds, id_col, vec_col)
+        cents = centroids_df(corpus.sparkSession, cl)
+    else:
+        cents = hash_centroids(corpus, n_centroids, id_col, vec_col)
     bucketed = ivf_assign(corpus, cents, id_col, vec_col)
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec"))
     qc = q.crossJoin(F.broadcast(cents)).select(

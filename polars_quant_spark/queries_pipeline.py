@@ -965,6 +965,64 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dupes(docs, max_hamming=6)
 
 
+def _kmeans_ctes(n: int, rounds: int) -> str:
+    """Unrolled Lloyd's-iteration CTE chain: cent0 (md5-ranked seeds) →
+    asn{r} (argmax by dot·(1/‖c‖), ties to smallest cid) → stats{r}
+    (per-(bucket, dim) exact integer-millionth sums) → cent{r} (means,
+    empty buckets keep the previous centroid). Emits the identical double
+    sequence as similarity.kmeans_centroids, so trained centroids are
+    bit-equal across engines."""
+    parts = [
+        f"""cent_pick AS (
+  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings ORDER BY h LIMIT {n}
+),
+cent0 AS MATERIALIZED (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INTEGER) - 1 AS cid,
+         embedding AS cvec
+  FROM cent_pick
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        prev = f"cent{r - 1}"
+        parts.append(
+            f""",
+asn{r} AS (
+  SELECT vec_id, embedding, bucket FROM (
+    SELECT e.vec_id, e.embedding, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DOT.format(a='e.embedding', b='c.cvec')}
+                      * (1.0 / sqrt({_SQN.format(a='c.cvec')})) DESC, c.cid) AS rnk
+    FROM embeddings e CROSS JOIN {prev} c
+  ) s WHERE rnk = 1
+),
+stats{r} AS MATERIALIZED (
+  SELECT bucket, dim,
+         SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS s,
+         COUNT(*) AS n
+  FROM (
+    SELECT a.bucket, generate_subscripts(a.embedding, 1) - 1 AS dim,
+           unnest(a.embedding) AS x
+    FROM asn{r} a
+  ) q
+  GROUP BY bucket, dim
+),
+cent{r} AS MATERIALIZED (
+  SELECT p.cid,
+         list(CASE WHEN st.s IS NOT NULL
+                   THEN (CAST(st.s AS DOUBLE) / 1000000.0) / st.n
+                   ELSE CAST(p.x AS DOUBLE) END ORDER BY p.dim) AS cvec
+  FROM (
+    SELECT c.cid, generate_subscripts(c.cvec, 1) - 1 AS dim, unnest(c.cvec) AS x
+    FROM {prev} c
+  ) p
+  LEFT JOIN stats{r} st ON st.bucket = p.cid AND st.dim = p.dim
+  GROUP BY p.cid
+)"""
+        )
+    return "".join(parts)
+
+
 def _cos_sql(a: str, b: str) -> str:
     """The DuckDB twin of similarity.cosine — same fold order, same 0-guard."""
     dp = (
@@ -979,11 +1037,9 @@ def _cos_sql(a: str, b: str) -> str:
 @q(
     "emb_ivf_topk",
     f"""
-WITH cent AS (
-  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) - 1 AS INTEGER) AS centroid_id,
-         embedding AS centroid
-  FROM (SELECT embedding, md5(CAST(vec_id AS VARCHAR)) AS h
-        FROM embeddings ORDER BY h LIMIT 8) s
+WITH {_kmeans_ctes(8, 2)},
+cent AS MATERIALIZED (
+  SELECT cid AS centroid_id, cvec AS centroid FROM cent2
 ),
 assign AS (
   -- corpus-side bucket assignment scores by dot·(1/‖c‖) (cosine × the
@@ -1022,12 +1078,16 @@ SELECT query_id, vec_id, cos_sim, rank FROM (
 """,
 )
 def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-bucketed approximate top-k. Every stage is deterministic —
-    md5-selected pseudo-centroids, argmax assignment tie-broken by centroid
-    id, probe ranking tie-broken the same way — so the full pipeline has an
-    exact SQL twin, not just the scoring path."""
+    """IVF top-k over k-means-trained centroids (2 Lloyd's rounds from the
+    md5 seeds). Every stage is deterministic — seed pick, quantized-integer
+    centroid means, argmax assignment tie-broken by centroid id, probe
+    ranking tie-broken the same way — so training AND search have an exact
+    SQL twin (the unrolled cent0→cent2 CTE chain), not just the scoring
+    path."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.orderBy("vec_id").limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return similarity.ivf_topk(emb, queries, k=5, n_centroids=8, nprobe=3)
+    return similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=3, train_rounds=2
+    )

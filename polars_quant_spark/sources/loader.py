@@ -18,10 +18,98 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+def _read_spark(fmt: str):
+    def read(spark: SparkSession, path: str) -> DataFrame:
+        reader = spark.read.format(fmt)
+        if fmt == "csv":
+            reader = reader.option("header", "true").option("inferSchema", "true")
+        return reader.load(path)
+
+    return read
+
+
+def _read_feather(spark: SparkSession, path: str) -> DataFrame:
+    """Arrow IPC / Feather via pyarrow, ingested driver-side.
+
+    The reference README's feather/ipc inputs are per-asset files (README.md:
+    90-96) — driver-sized by contract. Executors can't split an IPC file the
+    way they split parquet, so the scale path remains parquet; this reader
+    exists for input parity."""
+    import pyarrow.feather as fe
+
+    return spark.createDataFrame(fe.read_feather(path))
+
+
+def _read_excel(spark: SparkSession, path: str) -> DataFrame:
+    """.xlsx via a minimal stdlib zip+XML parser (first worksheet, first row
+    as header, shared-string and inline values, numbers as double). The
+    container ships no openpyxl; legacy binary .xls needs xlrd and raises a
+    clear error."""
+    if path.lower().endswith(".xls"):
+        raise ValueError(
+            f"{path}: legacy .xls needs the 'xlrd' package (not installed); "
+            "convert to .xlsx/csv/parquet"
+        )
+    import pandas as pd
+
+    rows = _parse_xlsx(path)
+    if not rows:
+        raise ValueError(f"{path}: empty worksheet")
+    header, *data = rows
+    ncol = len(header)
+    data = [r + [None] * (ncol - len(r)) for r in data]
+    return spark.createDataFrame(pd.DataFrame(data, columns=[str(h) for h in header]))
+
+
+def _parse_xlsx(path: str) -> list[list]:
+    """Cells of the first worksheet as python values (str/float/None)."""
+    import re
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    ns = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as z:
+        shared: list[str] = []
+        if "xl/sharedStrings.xml" in z.namelist():
+            root = ET.fromstring(z.read("xl/sharedStrings.xml"))
+            shared = ["".join(t.text or "" for t in si.iter(f"{ns}t")) for si in root]
+        sheet = next(
+            n for n in sorted(z.namelist()) if re.match(r"xl/worksheets/sheet\d+\.xml", n)
+        )
+        root = ET.fromstring(z.read(sheet))
+        out: list[list] = []
+        for row in root.iter(f"{ns}row"):
+            cells: dict[int, object] = {}
+            for c in row.iter(f"{ns}c"):
+                ref = c.get("r", "A")
+                col = 0
+                for ch in ref:
+                    if ch.isalpha():
+                        col = col * 26 + (ord(ch.upper()) - 64)
+                idx = col - 1
+                ctype = c.get("t", "n")
+                v = c.find(f"{ns}v")
+                is_node = c.find(f"{ns}is")
+                if ctype == "s" and v is not None:
+                    cells[idx] = shared[int(v.text)]
+                elif ctype == "inlineStr" and is_node is not None:
+                    cells[idx] = "".join(t.text or "" for t in is_node.iter(f"{ns}t"))
+                elif v is not None and v.text is not None:
+                    cells[idx] = v.text if ctype == "str" else float(v.text)
+            width = max(cells) + 1 if cells else 0
+            out.append([cells.get(i) for i in range(width)])
+        return out
+
+
 _READERS = {
-    ".parquet": "parquet",
-    ".csv": "csv",
-    ".json": "json",
+    ".parquet": _read_spark("parquet"),
+    ".csv": _read_spark("csv"),
+    ".json": _read_spark("json"),
+    ".feather": _read_feather,
+    ".ipc": _read_feather,
+    ".arrow": _read_feather,
+    ".xlsx": _read_excel,
+    ".xls": _read_excel,
 }
 
 
@@ -36,13 +124,10 @@ def _read_folder_long(
     frames: list[DataFrame] = []
     for fname in sorted(os.listdir(folder_path)):
         stem, ext = os.path.splitext(fname)
-        fmt = _READERS.get(ext.lower())
-        if fmt is None:
+        read = _READERS.get(ext.lower())
+        if read is None:
             continue
-        reader = spark.read.format(fmt)
-        if fmt == "csv":
-            reader = reader.option("header", "true").option("inferSchema", "true")
-        df = reader.load(os.path.join(folder_path, fname))
+        df = read(spark, os.path.join(folder_path, fname))
         if symbol_col not in df.columns:
             df = df.withColumn(symbol_col, F.lit(stem))
         frames.append(df)

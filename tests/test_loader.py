@@ -66,3 +66,77 @@ def test_wide_load(spark, asset_folder):
         "BBB",
         "CCC",
     } <= cols
+
+
+def _write_min_xlsx(path, header, rows):
+    """Minimal spec-conformant xlsx: workbook + one sheet + shared strings."""
+    import zipfile
+
+    ns = 'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main"'
+    strings: list[str] = []
+
+    def cell(ref, v):
+        if isinstance(v, str):
+            if v not in strings:
+                strings.append(v)
+            return f'<c r="{ref}" t="s"><v>{strings.index(v)}</v></c>'
+        return f'<c r="{ref}"><v>{v}</v></c>'
+
+    body = []
+    for ri, row in enumerate([header, *rows], start=1):
+        cells = "".join(
+            cell(f"{chr(65 + ci)}{ri}", v) for ci, v in enumerate(row) if v is not None
+        )
+        body.append(f'<row r="{ri}">{cells}</row>')
+    sheet = f'<worksheet {ns}><sheetData>{"".join(body)}</sheetData></worksheet>'
+    sst = (
+        f'<sst {ns} count="{len(strings)}" uniqueCount="{len(strings)}">'
+        + "".join(f"<si><t>{s}</t></si>" for s in strings)
+        + "</sst>"
+    )
+    wb = f'<workbook {ns}><sheets><sheet name="s1" sheetId="1"/></sheets></workbook>'
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("[Content_Types].xml", "<Types/>")
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/sharedStrings.xml", sst)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+
+
+@pytest.fixture(scope="module")
+def mixed_format_folder(tmp_path_factory):
+    """feather + xlsx + csv side by side (README.md:90-96 input formats)."""
+    folder = tmp_path_factory.mktemp("mixed")
+    dates = [f"2024-02-{d:02d}" for d in range(1, 6)]
+    import pyarrow.feather as fe
+    import pyarrow as pa
+
+    fe.write_feather(
+        pa.table({"date": dates, "close": [1.0, 2.0, 3.0, 4.0, 5.0]}),
+        str(folder / "FEA.feather"),
+    )
+    _write_min_xlsx(
+        folder / "XLS.xlsx",
+        ["date", "close"],
+        [[d, float(10 * (i + 1))] for i, d in enumerate(dates)],
+    )
+    pd.DataFrame({"date": dates, "close": [7.0] * 5}).to_csv(
+        folder / "CSV.csv", index=False
+    )
+    return str(folder)
+
+
+def test_feather_and_xlsx_loaders(spark, mixed_format_folder):
+    out = prepare_sequential_data(spark, mixed_format_folder)
+    rows = {(r["symbol"], str(r["date"])): r["close"] for r in out.collect()}
+    assert rows[("FEA", "2024-02-03")] == 3.0
+    assert rows[("XLS", "2024-02-02")] == 20.0
+    assert rows[("CSV", "2024-02-05")] == 7.0
+    assert len(rows) == 15
+
+
+def test_xls_legacy_raises(spark, tmp_path):
+    (tmp_path / "OLD.xls").write_bytes(b"\xd0\xcf\x11\xe0old-binary")
+    from polars_quant_spark.sources.loader import _read_excel
+
+    with pytest.raises(ValueError, match="xlrd"):
+        _read_excel(spark, str(tmp_path / "OLD.xls"))

@@ -826,3 +826,154 @@ SELECT symbol, t, ROUND(sarext, 6) AS sarext
 FROM sx_out
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# As-of join — DuckDB has a native ASOF JOIN, giving the one-shuffle
+# union+fill plan (operators/asof.py) a first-class SQL twin.
+# ---------------------------------------------------------------------------
+
+
+def _asof_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join of bars onto a sparse per-symbol mark table
+    (every 7th bar). Exercises key matching, the at-or-before semantics
+    including exact-tie rows, and leading-null left rows."""
+    from polars_quant_spark.operators.asof import asof_join
+
+    b = bars(spark, sf_dir).select("symbol", "t", "close")
+    marks = b.where(F.col("t") % 7 == 0).select(
+        "symbol", "t", F.col("close").alias("mark")
+    )
+    out = asof_join(b, marks, on="t", by="symbol")
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("close")).alias("close"),
+        r6(F.col("r_mark")).alias("r_mark"),
+        F.col("r_t").cast("int").alias("r_t"),
+    )
+
+
+QUERIES["asof_bars_marks"] = _asof_query
+ORACLES["asof_bars_marks"] = (
+    BARS_CTE
+    + """
+, marks AS (
+  SELECT symbol, t, close AS mark FROM bars WHERE t % 7 = 0
+)
+SELECT b.symbol, b.t, ROUND(b.close, 6) AS close,
+       ROUND(m.mark, 6) AS r_mark, m.t AS r_t
+FROM bars b ASOF LEFT JOIN marks m
+  ON b.symbol = m.symbol AND b.t >= m.t
+"""
+)
+
+
+# MACDFIX — the 12/26-fixed MACD with a custom signal period; every leg is
+# an SMA-seeded EMA, so the twin is pure ema_ctes composition.
+QUERIES["ind_macdfix"] = lambda spark, sf_dir: with_recurrences(
+    bars(spark, sf_dir),
+    [Rec(["mfix_dif", "mfix_dea", "mfix_hist"], "macdfix", ["close"], {"signal": 5})],
+).select(
+    "symbol",
+    "t",
+    r6(F.col("mfix_dif")).alias("mfix_dif"),
+    r6(F.col("mfix_dea")).alias("mfix_dea"),
+    r6(F.col("mfix_hist")).alias("mfix_hist"),
+)
+ORACLES["ind_macdfix"] = (
+    recursive_with(
+        ema_ctes("xf", "bars", "close", 12),
+        ema_ctes("xs", "bars", "close", 26),
+        """
+fixdif AS MATERIALIZED (
+  SELECT xf.symbol, xf.t, xf.xf - xs.xs AS dif
+  FROM xf JOIN xs ON xf.symbol = xs.symbol AND xf.t = xs.t
+)""",
+        ema_ctes("fixdea", "fixdif", "dif", 5),
+    )
+    + """
+SELECT b.symbol, b.t, ROUND(d.dif, 6) AS mfix_dif, ROUND(s.fixdea, 6) AS mfix_dea,
+       ROUND(d.dif - s.fixdea, 6) AS mfix_hist
+FROM bars b
+LEFT JOIN fixdif d ON b.symbol = d.symbol AND b.t = d.t
+LEFT JOIN fixdea s ON b.symbol = s.symbol AND b.t = s.t
+"""
+)
+
+
+def _ma_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MA dispatcher smoke over three representative types: 0=SMA
+    (expression), 1=EMA (recurrence), 5=TRIMA (expression)."""
+    b = bars(spark, sf_dir)
+    out = ov.ma(b, "close", 10, matype=0, out="ma_sma")
+    out = ov.ma(out, "close", 10, matype=1, out="ma_ema")
+    out = ov.ma(out, "close", 10, matype=5, out="ma_trima")
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("ma_sma")).alias("ma_sma"),
+        r6(F.col("ma_ema")).alias("ma_ema"),
+        r6(F.col("ma_trima")).alias("ma_trima"),
+    )
+
+
+QUERIES["ind_ma_dispatch"] = _ma_dispatch_query
+ORACLES["ind_ma_dispatch"] = (
+    recursive_with(ema_ctes("dma", "bars", "close", 10))
+    + """
+SELECT b.symbol, b.t,
+  ROUND(CASE WHEN COUNT(b.close) OVER w10 = 10 THEN AVG(b.close) OVER w10 END, 6) AS ma_sma,
+  ROUND(e.dma, 6) AS ma_ema,
+  ROUND(CASE WHEN COUNT(b.close) OVER w10 = 10 THEN
+    (SELECT SUM(w * v) / SUM(w) FROM (
+       SELECT CASE WHEN r <= 5 THEN r ELSE 10 - r + 1 END AS w, v
+       FROM (SELECT ROW_NUMBER() OVER (ORDER BY t2) AS r, v FROM (
+         SELECT b2.t AS t2, b2.close AS v FROM bars b2
+         WHERE b2.symbol = b.symbol AND b2.t <= b.t ORDER BY b2.t DESC LIMIT 10) q) q2
+    ) q3) END, 6) AS ma_trima
+FROM bars b LEFT JOIN dma e ON b.symbol = e.symbol AND b.t = e.t
+WINDOW w10 AS (PARTITION BY b.symbol ORDER BY b.t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+"""
+)
+
+
+# MACDEXT with a mixed MA-type config: EMA fast/slow legs, SMA signal leg —
+# exercises the per-leg dispatcher (momentum.py:83-88 composition).
+QUERIES["ind_macdext"] = lambda spark, sf_dir: with_recurrences(
+    bars(spark, sf_dir),
+    [
+        Rec(
+            ["mext_dif", "mext_dea", "mext_hist"],
+            "macdext",
+            ["close"],
+            {"fast": 12, "slow": 26, "signal": 5, "signal_matype": 0},
+        )
+    ],
+).select(
+    "symbol",
+    "t",
+    r6(F.col("mext_dif")).alias("mext_dif"),
+    r6(F.col("mext_dea")).alias("mext_dea"),
+    r6(F.col("mext_hist")).alias("mext_hist"),
+)
+ORACLES["ind_macdext"] = (
+    recursive_with(
+        ema_ctes("exf", "bars", "close", 12),
+        ema_ctes("exs", "bars", "close", 26),
+        """
+extdif AS MATERIALIZED (
+  SELECT exf.symbol, exf.t, exf.exf - exs.exs AS dif
+  FROM exf JOIN exs ON exf.symbol = exs.symbol AND exf.t = exs.t
+)""",
+    )
+    + """
+SELECT b.symbol, b.t, ROUND(d.dif, 6) AS mext_dif,
+       ROUND(CASE WHEN COUNT(d.dif) OVER w5 = 5 AND COUNT(*) OVER w5 = 5
+                  THEN AVG(d.dif) OVER w5 END, 6) AS mext_dea,
+       ROUND(d.dif - CASE WHEN COUNT(d.dif) OVER w5 = 5 AND COUNT(*) OVER w5 = 5
+                          THEN AVG(d.dif) OVER w5 END, 6) AS mext_hist
+FROM bars b LEFT JOIN extdif d ON b.symbol = d.symbol AND b.t = d.t
+WINDOW w5 AS (PARTITION BY b.symbol ORDER BY b.t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+)

@@ -1,0 +1,130 @@
+"""Segmented exponential scans — the huge-single-symbol escape hatch.
+
+``with_recurrences`` (operators/recurrence.py) materializes one pandas frame
+per symbol group; a symbol with billions of bars therefore becomes one
+executor-memory-sized group (the documented r1 limitation, recurrence.py
+module doc). ``ewma_segmented`` removes that bound for the EMA/RMA family
+while staying *bit-identical* to the single-group scan:
+
+* rows are split into ``segment_rows``-sized per-symbol segments
+  (row_number over the symbol window — the same exchange the indicator
+  pipeline already pays);
+* segments run as **sequential Spark passes**: pass k processes every
+  symbol's k-th segment in parallel (applyInPandas over symbols), then the
+  carried accumulator — ONE double per symbol, smuggled out on a marker row
+  — is collected (driver-tiny) and closed over the next pass;
+* segment 0 runs the ordinary ``_ewma`` (SMA seed, pandas-ewm tail);
+  continuation segments resume the pandas-ewm recurrence from the carried e.
+
+Exactness argument: an exponential scan is a strict left fold; cutting the
+fold and resuming from the carried accumulator replays identical float ops
+in identical order, so output equals the unsegmented scan bit-for-bit
+(asserted in tests/test_segmented.py). Executor memory is bounded by one
+segment instead of one symbol; wall-clock is n_segments sequential jobs,
+each parallel across symbols — the right trade exactly when single symbols
+are huge.
+
+Constraints: ``segment_rows ≥ p`` (so the SMA seed always completes inside
+segment 0) and null-free input (compact/filter upstream; a null inside a
+continuation would shift the fold).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+from polars_quant_spark.operators.recurrence import _ewma
+
+
+def ewma_segmented(
+    df: DataFrame,
+    x: str,
+    p: int,
+    alpha: float | None = None,
+    out: str = "ema",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """SMA-seeded exponential scan, bit-equal to
+    ``with_recurrences(..., Rec(out, "ema"|"rma", ...))`` on null-free input,
+    but bounded by ``segment_rows`` of executor memory per group instead of
+    the whole symbol. α defaults to 2/(p+1); pass 1/p for Wilder RMA."""
+    if alpha is None:
+        alpha = 2.0 / (p + 1)
+    if segment_rows < p:
+        raise ValueError(f"segment_rows ({segment_rows}) must be >= p ({p})")
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
+    )
+    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    if last_seg is None:
+        return df.withColumn(out, F.lit(None).cast("double"))
+
+    schema = StructType(
+        [
+            df.schema[partition_by],
+            StructField("_rn", LongType()),
+            StructField(out, DoubleType()),
+        ]
+    )
+
+    seeds: dict = {}  # symbol -> carried accumulator e
+    pieces: list[DataFrame] = []
+
+    def make_run(_seeds: dict):
+        # single-arg closure: a second (default) parameter would make
+        # applyInPandas call the (key, pdf) form
+        def run(pdf: pd.DataFrame) -> pd.DataFrame:
+            pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
+            sym = pdf[partition_by].iloc[0]
+            vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
+            e = _seeds.get(sym)
+            if e is None:
+                res = _ewma(vals, alpha, p)
+                valid = np.where(~np.isnan(res))[0]
+                e_out = float(res[valid[-1]]) if valid.size else np.nan
+            else:
+                z = np.empty(vals.shape[0] + 1, dtype=np.float64)
+                z[0] = e
+                z[1:] = vals
+                res = (
+                    pd.Series(z).ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
+                )
+                e_out = float(res[-1]) if res.size else e
+            body = pd.DataFrame(
+                {
+                    partition_by: pdf[partition_by],
+                    "_rn": pdf["_rn"].astype("int64"),
+                    out: res,
+                }
+            )
+            # marker row (_rn = -1) smuggles the carried accumulator out of
+            # the executors; filtered before the final join
+            mark = pd.DataFrame({partition_by: [sym], "_rn": [-1], out: [e_out]})
+            return pd.concat([body, mark], ignore_index=True)
+
+        return run
+
+    for k in range(int(last_seg) + 1):
+        seg = base.where(F.col("_seg") == k).select(partition_by, "_rn", x)
+        res = (
+            seg.groupBy(partition_by)
+            .applyInPandas(make_run(dict(seeds)), schema=schema)
+            .persist()
+        )
+        for r in res.where(F.col("_rn") == -1).collect():
+            e_val = r[out]
+            if e_val is not None and not np.isnan(e_val):
+                seeds[r[partition_by]] = float(e_val)
+        pieces.append(res.where(F.col("_rn") >= 0))
+
+    merged = pieces[0]
+    for piece in pieces[1:]:
+        merged = merged.unionByName(piece)
+    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")

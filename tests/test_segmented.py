@@ -1,0 +1,63 @@
+"""Segmented EMA/RMA must equal the single-group scan bit-for-bit."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+from polars_quant_spark.operators.segmented import ewma_segmented
+
+
+@pytest.fixture(scope="module")
+def tall_df(spark):
+    """Two symbols, one 'fat' (2 500 bars → 3 segments at 1 000 rows)."""
+    rng = np.random.default_rng(5)
+    frames = []
+    for sym, n in [("FAT", 2500), ("THIN", 40)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "t": np.arange(n),
+                    "close": 100.0 + np.cumsum(rng.normal(0, 1, n)),
+                }
+            )
+        )
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+@pytest.mark.parametrize("alpha,p", [(None, 20), (1.0 / 14, 14)])
+def test_segmented_bit_equal_to_single_group(spark, tall_df, alpha, p):
+    kernel = "ema" if alpha is None else "rma"
+    whole = (
+        with_recurrences(tall_df, [Rec("e", kernel, ["close"], {"p": p})])
+        .select("symbol", "t", "e")
+        .collect()
+    )
+    segd = (
+        ewma_segmented(
+            tall_df, "close", p, alpha=alpha, out="e", segment_rows=1000
+        )
+        .select("symbol", "t", "e")
+        .collect()
+    )
+    w = {(r["symbol"], r["t"]): r["e"] for r in whole}
+    s = {(r["symbol"], r["t"]): r["e"] for r in segd}
+    assert set(w) == set(s)
+    diff = [k for k in w if (w[k] is None) != (s[k] is None) or
+            (w[k] is not None and w[k] != s[k])]
+    assert not diff, diff[:5]
+
+
+def test_segmented_short_symbol_all_null(spark, tall_df):
+    segd = ewma_segmented(tall_df, "close", 50, out="e", segment_rows=1000)
+    thin = segd.where("symbol = 'THIN'").select("e").collect()
+    assert all(r["e"] is None for r in thin)
+
+
+def test_segment_rows_must_cover_seed(spark, tall_df):
+    with pytest.raises(ValueError, match="segment_rows"):
+        ewma_segmented(tall_df, "close", 20, segment_rows=10)

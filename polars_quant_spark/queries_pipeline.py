@@ -1091,3 +1091,111 @@ def _ivf_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(
         emb, queries, k=5, n_centroids=8, nprobe=3, train_rounds=2
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming window helpers, driver-verified in batch mode: F.window /
+# F.session_window compute identically over batch input (withWatermark is a
+# no-op there), so the exact aggregation logic the streams run gets a DuckDB
+# hash check. Window starts compare as epoch-µs int64 on both engines.
+# ---------------------------------------------------------------------------
+
+_HOUR_US = 3_600_000_000
+_Q15_US = 900_000_000
+
+
+def _events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.withColumn(
+        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+    ).select("event_time", "event_type", "user_id", "value")
+
+
+@q(
+    "stream_tumbling_batch",
+    f"""
+SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS win_start_us,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.streaming.windows import tumbling_counts
+
+    out = tumbling_counts(_events_with_time(spark, sf_dir), window="1 hour")
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("win_start_us"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@q(
+    "stream_sliding_batch",
+    f"""
+WITH exploded AS (
+  SELECT (epoch_us(ts) // {_Q15_US}) * {_Q15_US} - k.k * {_Q15_US} AS win_start_us,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest(range(0, 4)) AS k) k
+)
+SELECT win_start_us, event_type,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(*) AS avg_value
+FROM exploded
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1h windows sliding by 15min: every event lands in exactly 4 windows,
+    which the twin reproduces by exploding 4 slide offsets."""
+    from polars_quant_spark.streaming.windows import sliding_avg
+
+    out = sliding_avg(_events_with_time(spark, sf_dir))
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("win_start_us"),
+        "event_type",
+        "avg_value",
+    )
+
+
+@q(
+    "stream_session_batch",
+    f"""
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY epoch_us(ts)) > {30 * 60 * 1_000_000}
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+tagged AS (
+  SELECT user_id, ts_us, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM ordered
+)
+SELECT user_id,
+       MIN(ts_us) AS session_start_us,
+       MAX(ts_us) + {30 * 60 * 1_000_000} AS session_end_us,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS session_value
+FROM tagged
+GROUP BY user_id, sess_id
+""",
+)
+def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """session_window(gap=30min) vs the classic gaps-and-islands twin:
+    session end = last event + gap, start = first event."""
+    from polars_quant_spark.streaming.windows import session_windows
+
+    out = session_windows(_events_with_time(spark, sf_dir), gap="30 minutes")
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("session_start")).alias("session_start_us"),
+        F.unix_micros(F.col("session_end")).alias("session_end_us"),
+        "n_events",
+        "session_value",
+    )

@@ -50,12 +50,15 @@ def tumbling_counts(
 ) -> DataFrame:
     """Watermarked tumbling-window counts/sums per event_type — the canonical
     late-data-tolerant rollup."""
+    # DECIMAL(38,6) sum: partial aggregation across micro-batches reorders a
+    # float sum run-to-run; the decimal sum is exact and association-free, so
+    # the streaming result is deterministic (and twin-checkable vs DuckDB).
     return (
         events.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", window).alias("win"), F.col("event_type"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("sum_value"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -77,7 +80,12 @@ def sliding_avg(
     return (
         events.withWatermark("event_time", watermark)
         .groupBy(F.window("event_time", window, slide).alias("win"), F.col("event_type"))
-        .agg(F.avg("value").alias("avg_value"))
+        .agg(
+            (
+                F.sum(F.col("value").cast("decimal(38,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value")
+        )
         .select(
             F.col("win.start").alias("window_start"),
             "event_type",
@@ -97,7 +105,9 @@ def session_windows(
         .groupBy(F.session_window("event_time", gap).alias("win"), F.col("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum("value").alias("session_value"),
+            F.sum(F.col("value").cast("decimal(38,6)"))
+            .cast("double")
+            .alias("session_value"),
         )
         .select(
             F.col("win.start").alias("session_start"),

@@ -135,10 +135,24 @@ def kama(x: np.ndarray, p: int = 30) -> np.ndarray:
         k = float(np.cumsum(v[:p])[-1]) / p
         out[p - 1] = k
         adiff = np.abs(np.diff(v))
+        # trailing-p volatility, vectorized but with the exact left-to-right
+        # summation order of a fresh per-window cumsum (row-wise cumsum over
+        # sliding windows; chunked so the (rows × p) scratch stays small).
+        # The r1 kernel sliced+cumsum'd per step — O(n·p) with Python-level
+        # slicing overhead dominating the scan.
+        vol = np.empty(n - p)
+        win = np.lib.stride_tricks.sliding_window_view(adiff, p)  # rows: [j, j+p)
+        step = max(1, 4_000_000 // p)
+        for lo in range(0, n - p, step):
+            hi = min(lo + step, n - p)
+            vol[lo:hi] = win[lo:hi].cumsum(axis=1)[:, -1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            er_all = np.where(vol > 0, np.abs(v[p:] - v[:-p]) / vol, 0.0)
+        # the k-fold stays a scalar loop (data-dependent smoothing constant),
+        # with the identical per-step arithmetic (incl. libm `** 2`) as the
+        # DuckDB POWER(er·Δ + s, 2) recursion
         for i in range(p, n):
-            vol = float(np.cumsum(adiff[i - p : i])[-1])
-            er = abs(v[i] - v[i - p]) / vol if vol > 0 else 0.0
-            sc = (er * (fast_sc - slow_sc) + slow_sc) ** 2
+            sc = (er_all[i - p] * (fast_sc - slow_sc) + slow_sc) ** 2
             k = k + sc * (v[i] - k)
             out[i] = k
         return out

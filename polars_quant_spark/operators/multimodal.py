@@ -63,6 +63,29 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_documents(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Adapt the documents table into the media schema (payload = UTF-8
+    bytes of the text). Gives the binary-column pipeline a corpus that
+    exists in every test environment — and, because the stub featurizer is
+    deterministic md5, an exact DuckDB twin (see queries_pipeline
+    media_features)."""
+    kind = F.element_at(
+        F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+        (F.col(id_col) % 3 + 1).cast("int"),
+    )
+    return docs.select(
+        F.col(id_col).alias("media_id"),
+        kind.alias("kind"),
+        F.concat(kind, F.lit("/x-doc")).alias("mime"),
+        F.col(text).cast("binary").alias("payload"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.when(kind == "video", (F.col(id_col) % 30 + 1) * 1000)
+        .cast("int")
+        .alias("duration_ms"),
+    )
+
+
 FEATURE_SCHEMA = StructType(
     [
         StructField("media_id", LongType()),

@@ -1199,3 +1199,61 @@ def stream_session_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "session_value",
     )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing, driver-verified: the decode stub is deterministic
+# md5, so adapting documents into binary payloads (UTF-8 bytes) gives the
+# whole mapInPandas feature pipeline an exact SQL twin — schema, batch
+# iteration, digest, per-dim features all hash-checked. A real deployment
+# swaps _decode_stub's body; the verified plumbing is identical.
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "media_features",
+    """
+SELECT doc_id AS media_id,
+       ['image', 'audio', 'video'][(doc_id % 3) + 1] AS kind,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_digest,
+       d.d AS dim,
+       ROUND(CAST(('0x' || substring(md5(text), 2 * d.d + 1, 2)) AS INTEGER) / 255.0, 6) AS feat
+FROM documents CROSS JOIN (SELECT unnest(range(0, 8)) AS d) d
+""",
+)
+def media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.media_from_documents(docs)
+    feats = mm.extract_features(media)
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        "payload_digest",
+        F.posexplode("features").alias("dim", "_f"),
+    ).select(
+        "media_id", "kind", "n_bytes", "payload_digest", "dim", r6(F.col("_f")).alias("feat")
+    )
+
+
+@q(
+    "media_frame_plan",
+    """
+SELECT doc_id AS media_id, k.k * 1000 AS frame_ts_ms
+FROM documents
+CROSS JOIN (SELECT unnest(range(0, 30)) AS k) k
+WHERE doc_id % 3 = 2
+  AND k.k * 1000 <= (doc_id % 30 + 1) * 1000 - 1
+""",
+)
+def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators import multimodal as mm
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = mm.media_from_documents(docs)
+    return mm.frame_sample_plan(media, every_ms=1000).select(
+        "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
+    )

@@ -124,3 +124,28 @@ def bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("low"),
         (F.col("event_id") % 1000 + 100).cast("double").alias("volume"),
     )
+
+
+def write_bucketed_bars(
+    df: DataFrame, table: str = "bars_bucketed", buckets: int = 32
+) -> None:
+    """Persist a bar frame bucketed by symbol, sorted by (symbol, t).
+
+    This is the 100 TB deployment shape the scale notes promise: a bucketed
+    scan reports HashPartitioning(symbol, buckets), which satisfies every
+    downstream ``Window.partitionBy(symbol)`` / ``groupBy(symbol)``
+    distribution requirement — the indicator pipeline's one exchange
+    disappears entirely, and the in-bucket sort removes the window sort too
+    (asserted in tests/test_plans.py::test_bucketed_bars_no_exchange).
+    Bucketing requires a catalog table (saveAsTable), not a bare path."""
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, "symbol")
+        .sortBy("symbol", "t")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def read_bucketed_bars(spark: SparkSession, table: str = "bars_bucketed") -> DataFrame:
+    return spark.table(table)

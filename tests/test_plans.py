@@ -150,6 +150,18 @@ def test_embedding_near_dupes_is_blocked_not_all_pairs(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
 
 
+def test_simhash_df_single_shuffle(spark, sf_dir):
+    """The codegen SimHash (explode → 32 conditional sums) must shuffle on
+    the doc id for the agg plus the widen rebalance and the final doc join —
+    and contain no interpreted nested-HOF aggregate lambdas."""
+    from polars_quant_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan(dedup.simhash_df(docs))
+    assert "aggregate(" not in p  # the interpreted HOF form is gone
+    assert n_exchanges(p) <= 4
+
+
 def test_widen_preserves_pushdown_and_pruning(spark, sf_dir):
     """widen()'s round-robin repartition must not block predicate pushdown
     or column pruning (SCALE.md 'narrow scans' note)."""
@@ -183,3 +195,32 @@ def test_recurrence_single_shuffle(spark, sf_dir):
     assert n_exchanges(p) <= 2
     import re
     assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1
+
+
+def test_bucketed_bars_no_exchange(spark, sf_dir, tmp_path_factory):
+    """A symbol-bucketed bar store must run the indicator window with ZERO
+    exchanges — the scale-notes claim ('bucket the store, delete the
+    exchange'), proven on a real bucketed table."""
+    from polars_quant_spark.functions import momentum as mo
+    from polars_quant_spark.functions import overlap as ov
+    from polars_quant_spark.sources.bars import (
+        bars,
+        read_bucketed_bars,
+        write_bucketed_bars,
+    )
+
+    write_bucketed_bars(bars(spark, sf_dir), "bars_bucketed_t", buckets=8)
+    try:
+        b = read_bucketed_bars(spark, "bars_bucketed_t")
+        w = Window.partitionBy("symbol").orderBy("t")
+        df = b.select(
+            "symbol",
+            "t",
+            ov.sma("close", 20, w).alias("sma"),
+            mo.willr("high", "low", "close", 14, w).alias("willr"),
+        )
+        p = plan(df)
+        assert n_exchanges(p) == 0, p
+        assert df.count() > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bars_bucketed_t")

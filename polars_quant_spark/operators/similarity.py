@@ -60,11 +60,6 @@ def _unrolled_dot(vec: Column, const: list[float]) -> Column:
     return acc
 
 
-def _unrolled_sqnorm(vec: Column, dim: int) -> Column:
-    acc: Column = vec[0].cast("double") * vec[0].cast("double")
-    for i in range(1, dim):
-        acc = acc + vec[i].cast("double") * vec[i].cast("double")
-    return acc
 
 
 def cosine_topk(

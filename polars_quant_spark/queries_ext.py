@@ -615,10 +615,18 @@ QUERIES["ind_ht_family"] = _ht_family
 # pinned as parquet. Hash-compares the full Spark pipeline — shuffle,
 # per-group ordering, NaN→NULL, rounding — against that recomputation;
 # kernel correctness itself is covered by the property tests
-# (tests/test_hilbert_streaming.py). Pinned at sf0.01, the driver's gate SF.
-ORACLES["ind_ht_family"] = (
-    "SELECT * FROM read_parquet('/root/repo/golden/ind_ht_family_sf0.01.parquet')"
-)
+# (tests/test_hilbert_streaming.py). One golden file per test SF; the SQL
+# picks the one matching the registered views' scale via the events count
+# (1k/10k/100k rows at sf0.001/0.01/0.1) so the harness runs at any SF.
+ORACLES["ind_ht_family"] = """
+SELECT g.* EXCLUDE (filename)
+FROM read_parquet('/root/repo/golden/ind_ht_family_sf*.parquet',
+                  filename=true, union_by_name=true) g
+WHERE regexp_extract(g.filename, 'sf[0-9.]+[0-9]') =
+      (SELECT CASE count(*) WHEN 1000 THEN 'sf0.001'
+                            WHEN 10000 THEN 'sf0.01'
+                            ELSE 'sf0.1' END FROM events)
+"""
 
 
 def _mavp_query(spark: SparkSession, sf_dir: str) -> DataFrame:

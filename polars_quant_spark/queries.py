@@ -58,6 +58,34 @@ def _w():
 r6 = round6
 
 
+def micros(c: F.Column) -> F.Column:
+    """Quantize a double to integer micro-units (FLOOR(x·1e6 + 0.5), long).
+
+    Integer-domain money/measure sums: a long add per row stays inside
+    whole-stage codegen (~3× faster than the DECIMAL(38,6) accumulate it
+    replaces, which re-parses every double through BigDecimal). The DuckDB
+    twin writes SUM(CAST(FLOOR(x*1e6+0.5) AS BIGINT)) — both engines then
+    sum exact integers, so association order can't drift the hash."""
+    return F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def units(c: F.Column) -> F.Column:
+    """Micro-units → units as double (the final presentation division)."""
+    return c.cast("double") / F.lit(1000000.0)
+
+
+def merge_micros(c: F.Column) -> F.Column:
+    """Scale-safe merge of per-partition long partials: DECIMAL(38,0) sum.
+
+    A single-level long sum would overflow int64 at ~9.2e12 units per group
+    — reachable for global sums at 100 TB. The two-level shape (groupBy
+    (keys, spark_partition_id) with long sums, then this decimal merge over
+    the tiny partials frame) keeps the per-row hot path in codegen'd long
+    arithmetic and pays BigDecimal only on groups×partitions rows. DuckDB's
+    SUM(BIGINT) widens to HUGEINT — both sides exact integers."""
+    return F.sum(c.cast("decimal(38,0)"))
+
+
 # F.col needs an active SparkContext in PySpark 4 — keep module import inert.
 KEY = ["symbol", "t"]
 
@@ -107,13 +135,13 @@ def bars_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q1_pricing_summary",
     """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))) AS DOUBLE) AS sum_charge,
-       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_quantity), 6) AS avg_qty,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_extendedprice), 6) AS avg_price,
-       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS DOUBLE) / COUNT(l_discount), 6) AS avg_disc,
+       CAST(SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_qty,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_base_price,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_disc_price,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_charge,
+       ROUND(CAST(SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_price,
+       ROUND(CAST(SUM(CAST(FLOOR(l_discount * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_disc,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
@@ -121,30 +149,38 @@ GROUP BY l_returnflag, l_linestatus
 """,
 )
 def rel_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q1 shape: predicate pushdown to parquet + hash aggregate.
-    Scale: pure map-side partials + tiny shuffle (4 groups). The widen()
-    only round-robins narrow local scans; pushdown/pruning pass through it
-    (verified in the executed plan: PushedFilters + pruned ReadSchema)."""
-    li = widen(load_table(spark, sf_dir, "lineitem"))
+    """TPC-H Q1 shape: predicate pushdown to parquet + two-level hash agg.
 
-    def dsum(c: F.Column) -> F.Column:
-        return F.sum(c.cast("decimal(38,6)")).cast("double")
+    Scale: the per-row hot path is floor-quantize + long add (whole-stage
+    codegen); per-(group, input-partition) long partials are exchanged —
+    groups × partitions rows, tiny for 4 groups — and merged in DECIMAL so
+    a 100 TB global sum cannot overflow int64 (see merge_micros)."""
+    li = load_table(spark, sf_dir, "lineitem")
 
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    partials = (
         li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p"))
         .agg(
-            dsum(F.col("l_quantity")).alias("sum_qty"),
-            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
-            dsum(disc_price).alias("sum_disc_price"),
-            dsum(charge).alias("sum_charge"),
-            r6(dsum(F.col("l_quantity")) / F.count("l_quantity")).alias("avg_qty"),
-            r6(dsum(F.col("l_extendedprice")) / F.count("l_extendedprice")).alias("avg_price"),
-            r6(dsum(F.col("l_discount")) / F.count("l_discount")).alias("avg_disc"),
-            F.count(F.lit(1)).alias("count_order"),
+            F.sum(micros(F.col("l_quantity"))).alias("_qty"),
+            F.sum(micros(F.col("l_extendedprice"))).alias("_price"),
+            F.sum(micros(disc_price)).alias("_disc_price"),
+            F.sum(micros(charge)).alias("_charge"),
+            F.sum(micros(F.col("l_discount"))).alias("_disc"),
+            F.count(F.lit(1)).alias("_n"),
         )
+    )
+    n = F.sum("_n")
+    return partials.groupBy("l_returnflag", "l_linestatus").agg(
+        units(merge_micros(F.col("_qty"))).alias("sum_qty"),
+        units(merge_micros(F.col("_price"))).alias("sum_base_price"),
+        units(merge_micros(F.col("_disc_price"))).alias("sum_disc_price"),
+        units(merge_micros(F.col("_charge"))).alias("sum_charge"),
+        r6(units(merge_micros(F.col("_qty"))) / n).alias("avg_qty"),
+        r6(units(merge_micros(F.col("_price"))) / n).alias("avg_price"),
+        r6(units(merge_micros(F.col("_disc"))) / n).alias("avg_disc"),
+        n.alias("count_order"),
     )
 
 
@@ -152,7 +188,7 @@ def rel_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q3_shipping_priority",
     """
 SELECT l_orderkey,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
        STRFTIME(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority
 FROM customer JOIN orders ON c_custkey = o_custkey
               JOIN lineitem ON l_orderkey = o_orderkey
@@ -181,10 +217,13 @@ def rel_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(od, li.l_orderkey == od.o_orderkey)
         .join(cu, od.o_custkey == cu.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        # Per-order revenue is bounded (≤7 lineitems/order at any SF), so a
+        # single-level long sum of micro-units can't overflow — no decimal
+        # anywhere in this plan.
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
-            .cast("double")
-            .alias("revenue")
+            units(
+                F.sum(micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -201,7 +240,7 @@ def rel_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q5_region_revenue",
     """
 SELECT n_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
 JOIN lineitem ON l_orderkey = o_orderkey
@@ -236,12 +275,15 @@ def rel_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
-        .groupBy("n_name")
+        # Per-nation revenue grows with SF → two-level quantized sum: long
+        # partials per (nation, partition), decimal merge over the tiny
+        # partials frame (see rel_q1 / merge_micros).
+        .groupBy("n_name", F.spark_partition_id().alias("_p"))
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
-            .cast("double")
-            .alias("revenue")
+            F.sum(micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_rev")
         )
+        .groupBy("n_name")
+        .agg(units(merge_micros(F.col("_rev"))).alias("revenue"))
     )
 
 
@@ -250,8 +292,8 @@ def rel_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_type, STRFTIME(ts, '%Y-%m-%d') AS day,
        COUNT(*) AS n_events,
-       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value,
-       ROUND(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) / COUNT(value), 6) AS avg_value,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS sum_value,
+       ROUND(CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(value), 6) AS avg_value,
        COUNT(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY event_type, STRFTIME(ts, '%Y-%m-%d')
@@ -259,19 +301,32 @@ GROUP BY event_type, STRFTIME(ts, '%Y-%m-%d')
 )
 def agg_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling daily rollup over the event stream (batch form of the
-    streaming window agg)."""
+    streaming window agg).
+
+    The distinct count is hand-planned as two hash aggs — (key, user_id)
+    partials first, then per-key merge — instead of count_distinct, whose
+    mixed distinct/plain-agg plan Expands every input row 2×. Stage 1 does
+    the heavy reduction map-side on (key, user) with long micro-unit sums;
+    stage 2 touches only ~|users per key-day| rows, merging in decimal
+    (overflow-safe at any SF) and counting rows = distinct users."""
     from polars_quant_spark.sources.bars import events_with_ts
 
-    ev = widen(events_with_ts(spark, sf_dir))
-    return ev.groupBy(
-        "event_type", F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+    ev = events_with_ts(spark, sf_dir)
+    per_user = ev.groupBy(
+        "event_type",
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
     ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
-        r6(
-            F.sum(F.col("value").cast("decimal(38,6)")).cast("double") / F.count("value")
-        ).alias("avg_value"),
-        F.count_distinct(F.col("user_id")).alias("n_users"),
+        F.count(F.lit(1)).alias("_n"),
+        F.count("value").alias("_nv"),
+        F.sum(micros(F.col("value"))).alias("_sv"),
+    )
+    sum_value = units(merge_micros(F.col("_sv")))
+    return per_user.groupBy("event_type", "day").agg(
+        F.sum("_n").alias("n_events"),
+        sum_value.alias("sum_value"),
+        r6(sum_value / F.sum("_nv")).alias("avg_value"),
+        F.count("user_id").alias("n_users"),
     )
 
 

@@ -199,10 +199,18 @@ def minhash_dedup_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
+    # A candidate pair with zero shared shingles has jaccard 0, so for any
+    # positive threshold the pairs surviving the filter are exactly the keys
+    # of `inter` — joining `cand` back in would only re-traverse the whole
+    # LSH subtree a second time. Keep the left join for threshold <= 0,
+    # where zero-overlap candidates must still be emitted.
+    base = (
+        inter
+        if threshold > 0
+        else cand.join(inter, ["id_a", "id_b"], "left").na.fill({"_inter": 0})
+    )
     out = (
-        cand.join(inter, ["id_a", "id_b"], "left")
-        .na.fill({"_inter": 0})
-        .join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        base.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
         .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
         .select(
             "id_a",

@@ -5,8 +5,11 @@ driver tables and is hash-compared against the ANSI-SQL twin on DuckDB
 (CORRECTNESS_r{N}.json). Conventions that make the hash comparison exact:
 
 * every float output column is ROUND(x, 6) on both engines;
-* group SUMs go through DECIMAL(38,6) on both engines (double association
-  differs between engines; decimal addition is exact and order-free);
+* group SUMs quantize to integer micro-units first (FLOOR(x·1e6+0.5)) and
+  sum integers on both engines — exact in any association order; Spark adds
+  longs in codegen (two-level with a DECIMAL merge where a group's total
+  grows with the dataset: see micros/units/merge_micros), DuckDB's
+  SUM(BIGINT) widens to HUGEINT;
 * recurrences (EMA family) are recursive CTEs on the DuckDB side with the
   smoothing factor inlined as a full-precision double literal — the same
   double arithmetic the numpy kernels execute;
@@ -1034,7 +1037,7 @@ for _name in list(ORACLES):
 @q(
     "rel_q6_forecast_revenue",
     """
-SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+SELECT CAST(SUM(CAST(FLOOR(l_extendedprice * l_discount * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
        COUNT(*) AS n
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -1045,8 +1048,9 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
 )
 def rel_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q6 shape: pure filter + scalar aggregate — every predicate
-    pushes to the parquet scan, zero shuffles beyond the final combine."""
-    li = widen(load_table(spark, sf_dir, "lineitem"))
+    pushes to the parquet scan; a global sum grows with the dataset, so the
+    quantized long partials merge in decimal (see rel_q1 / merge_micros)."""
+    li = load_table(spark, sf_dir, "lineitem")
     return (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -1054,11 +1058,14 @@ def rel_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.02, 0.06)
             & (F.col("l_quantity") < 24)
         )
+        .groupBy(F.spark_partition_id().alias("_p"))
         .agg(
-            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(38,6)"))
-            .cast("double")
-            .alias("revenue"),
-            F.count(F.lit(1)).alias("n"),
+            F.sum(micros(F.col("l_extendedprice") * F.col("l_discount"))).alias("_rev"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .agg(
+            units(merge_micros(F.col("_rev"))).alias("revenue"),
+            F.sum("_n").alias("n"),
         )
     )
 
@@ -1067,7 +1074,7 @@ def rel_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_q10_returned_items",
     """
 SELECT c_custkey, c_name,
-       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
        n_name
 FROM customer
 JOIN orders   ON c_custkey = o_custkey
@@ -1095,10 +1102,12 @@ def rel_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cu, od.o_custkey == cu.c_custkey)  # SF-scaled: no forced hint
         .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
+        # per-customer revenue is bounded (fixed orders/customer in TPC-H),
+        # so single-level long micro-unit sums are overflow-safe at any SF
         .agg(
-            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(38,6)"))
-            .cast("double")
-            .alias("revenue")
+            units(
+                F.sum(micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue")
         )
         .select("c_custkey", "c_name", "revenue", "n_name")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))

@@ -15,7 +15,7 @@ from polars_quant_spark.functions._util import round6 as r6
 from polars_quant_spark.functions._util import widen
 from polars_quant_spark.operators import dedup, similarity, text
 from polars_quant_spark.oracle import recursive_with
-from polars_quant_spark.queries import ORACLES, QUERIES, q
+from polars_quant_spark.queries import ORACLES, QUERIES, merge_micros, micros, q, units
 from polars_quant_spark.sources.bars import BARS_CTE, bars, load_table
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
@@ -842,18 +842,29 @@ def sel_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rel_rollup_revenue",
     """
 SELECT o_orderpriority, o_orderstatus,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS revenue,
+       CAST(SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
        COUNT(*) AS n
 FROM orders
 GROUP BY ROLLUP(o_orderpriority, o_orderstatus)
 """,
 )
 def rel_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Grouping-sets rollup (free in Spark; SURVEY §2.4 extension surface)."""
-    od = widen(load_table(spark, sf_dir, "orders"))
-    return od.rollup("o_orderpriority", "o_orderstatus").agg(
-        F.sum(F.col("o_totalprice").cast("decimal(38,6)")).cast("double").alias("revenue"),
-        F.count(F.lit(1)).alias("n"),
+    """Grouping-sets rollup (free in Spark; SURVEY §2.4 extension surface).
+
+    Rollup of a sum = sum over rolled-up partials, so the quantized
+    two-level shape composes: plain (priority, status, partition) long
+    partials first, then the rollup runs entirely on the tiny partials
+    frame with a decimal merge (grand totals grow with SF)."""
+    od = load_table(spark, sf_dir, "orders")
+    partials = od.groupBy(
+        "o_orderpriority", "o_orderstatus", F.spark_partition_id().alias("_p")
+    ).agg(
+        F.sum(micros(F.col("o_totalprice"))).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partials.rollup("o_orderpriority", "o_orderstatus").agg(
+        units(merge_micros(F.col("_rev"))).alias("revenue"),
+        F.sum("_n").alias("n"),
     )
 
 

@@ -29,7 +29,7 @@ from polars_quant_spark.functions import price as pr
 from polars_quant_spark.functions import returns as ret
 from polars_quant_spark.functions import volatility as vy
 from polars_quant_spark.functions import volume as vu
-from polars_quant_spark.functions._util import round6, widen
+from polars_quant_spark.functions._util import round6
 from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 from polars_quant_spark.oracle import (
     BARS_CTE,

@@ -218,8 +218,10 @@ def margin_backtest(
         out = _fold(
             pdf[order_by].to_numpy(dtype="float64"),
             pdf[price].to_numpy(dtype="float64"),
-            pdf[buy].fillna(False).to_numpy(dtype="bool"),
-            pdf[sell].fillna(False).to_numpy(dtype="bool"),
+            # nullable-boolean route, not object-dtype fillna (whose silent
+            # downcast is deprecated — see vectorized.py)
+            pdf[buy].astype("boolean").fillna(False).to_numpy(dtype="bool"),
+            pdf[sell].astype("boolean").fillna(False).to_numpy(dtype="bool"),
             p,
         )
         names = [f.name for f in _SCHEMA_EXTRA]

@@ -270,3 +270,37 @@ def test_subsample_and_subgroup_ic(spark):
         assert r["ic_mean"] > 0.9  # robust across halves
     groups = factor.subgroup_ic(panel, "factor", "fwd_ret", "symbol", "t").collect()
     assert len(groups) == 6
+
+
+def test_quantized_two_level_sum_matches_decimal(spark):
+    """Guard the integer-domain sum discipline (queries.micros/units/
+    merge_micros): the two-level long-partials + decimal-merge shape must
+    equal a plain DECIMAL(38,6) sum of the same quantized values, for any
+    partitioning of the input."""
+    from polars_quant_spark.queries import merge_micros, micros, units
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, 5000).astype(str),
+            "x": np.round(rng.normal(1000.0, 700.0, 5000), 4),  # incl. negatives
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(7)
+    two_level = (
+        df.groupBy("g", F.spark_partition_id().alias("_p"))
+        .agg(F.sum(micros(F.col("x"))).alias("_s"))
+        .groupBy("g")
+        .agg(units(merge_micros(F.col("_s"))).alias("s"))
+    )
+    reference = df.groupBy("g").agg(
+        (
+            F.sum((micros(F.col("x")) / F.lit(1000000.0)).cast("decimal(38,6)"))
+            .cast("double")
+        ).alias("s")
+    )
+    got = {r["g"]: r["s"] for r in two_level.collect()}
+    want = {r["g"]: r["s"] for r in reference.collect()}
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)

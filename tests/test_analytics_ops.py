@@ -304,3 +304,52 @@ def test_quantized_two_level_sum_matches_decimal(spark):
     assert got.keys() == want.keys()
     for k in want:
         assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+class TestSaltedJoin:
+    def _skewed(self, spark):
+        rng = np.random.default_rng(3)
+        # 10k rows, 80% on one hot key
+        keys = np.where(rng.random(10_000) < 0.8, 7, rng.integers(0, 50, 10_000))
+        big = spark.createDataFrame(
+            pd.DataFrame({"k": keys, "v": rng.normal(size=10_000)})
+        )
+        small = spark.createDataFrame(
+            pd.DataFrame({"k": np.arange(50), "name": [f"n{i}" for i in range(50)]})
+        )
+        return big, small
+
+    def test_matches_plain_inner_join(self, spark):
+        from polars_quant_spark.operators.skew import salted_join
+
+        big, small = self._skewed(spark)
+        got = salted_join(big, small, "k", salt=8).groupBy("k", "name").count()
+        want = big.join(small, "k").groupBy("k", "name").count()
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    def test_left_keeps_unmatched_big_rows(self, spark):
+        from polars_quant_spark.operators.skew import salted_join
+
+        big, small = self._skewed(spark)
+        small_missing_hot = small.where(F.col("k") != 7)
+        got = salted_join(big, small_missing_hot, "k", salt=8, how="left")
+        assert got.count() == big.count()
+        assert got.where(F.col("k") == 7).where(F.col("name").isNotNull()).count() == 0
+
+    def test_salt_spreads_hot_key(self, spark):
+        from polars_quant_spark.operators.skew import _SALT, salted_join  # noqa: F401
+
+        big, small = self._skewed(spark)
+        # inspect the pre-drop salted frame: the hot key must occupy >1 salt
+        b = big.withColumn(
+            "s", F.pmod(F.xxhash64(F.col("v")), F.lit(8)).cast("int")
+        )
+        n_salts = b.where(F.col("k") == 7).select("s").distinct().count()
+        assert n_salts == 8
+
+    def test_rejects_outer(self, spark):
+        from polars_quant_spark.operators.skew import salted_join
+
+        big, small = self._skewed(spark)
+        with pytest.raises(ValueError):
+            salted_join(big, small, "k", how="outer")

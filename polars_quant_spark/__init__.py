@@ -33,6 +33,7 @@ from polars_quant_spark.operators import recurrence
 from polars_quant_spark.operators import hilbert
 from polars_quant_spark.operators import asof, clean, dedup, factor, linear
 from polars_quant_spark.operators import multimodal, segmented, similarity, text
+from polars_quant_spark.operators.skew import salted_join
 from polars_quant_spark.operators.selector import Selector
 from polars_quant_spark.operators import strategy
 from polars_quant_spark.backtest import (
@@ -69,6 +70,7 @@ __all__ = [
     "segmented",
     "similarity",
     "text",
+    "salted_join",
     "Selector",
     "strategy",
     # backtesting

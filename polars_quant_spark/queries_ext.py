@@ -985,3 +985,49 @@ FROM bars b LEFT JOIN extdif d ON b.symbol = d.symbol AND b.t = d.t
 WINDOW w5 AS (PARTITION BY b.symbol ORDER BY b.t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew-join: per-nation customer rollup through salted_join
+# ---------------------------------------------------------------------------
+
+
+def _salted_nation_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """customer ⋈ nation through ``salted_join`` (operators/skew.py), then
+    the two-level quantized rollup. Proves the salted plan is
+    result-identical to the plain equi-join (the oracle is the plain
+    join). nationkey is the classic hot-key shape at 100 TB: 25 distinct
+    values over billions of customers, so an unsalted shuffle join puts
+    1/25th of the fact table on single reducers; salting spreads each key
+    over `salt` of them. Two-level micro-unit sum because per-nation row
+    counts are unbounded in SF (single long partials would overflow past
+    ~1e9 rows/nation)."""
+    from polars_quant_spark.operators.skew import salted_join
+    from polars_quant_spark.queries import merge_micros, micros, units
+    from polars_quant_spark.sources.bars import load_table
+
+    cu = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey"), "c_acctbal"
+    )
+    na = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("nationkey"), "n_name"
+    )
+    j = salted_join(cu, na, "nationkey", salt=8)
+    partials = j.groupBy("n_name", F.spark_partition_id().alias("_p")).agg(
+        F.sum(micros(F.col("c_acctbal"))).alias("_bal"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partials.groupBy("n_name").agg(
+        units(merge_micros(F.col("_bal"))).alias("total_acctbal"),
+        F.sum("_n").alias("n_customers"),
+    )
+
+
+QUERIES["rel_salted_nation_rollup"] = _salted_nation_query
+ORACLES["rel_salted_nation_rollup"] = """
+SELECT n_name,
+       CAST(SUM(CAST(FLOOR(c_acctbal * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS total_acctbal,
+       COUNT(*) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""

@@ -49,19 +49,6 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
-def _unrolled_dot(vec: Column, const: list[float]) -> Column:
-    """Σ vec[i]·cᵢ with the constant side inlined as literals — plain
-    codegen'd mul-adds (HOF lambdas are interpreted; see module doc).
-    Left-to-right accumulation, bit-matching F.aggregate and DuckDB
-    list_sum."""
-    acc: Column = vec[0].cast("double") * F.lit(float(const[0]))
-    for i in range(1, len(const)):
-        acc = acc + vec[i].cast("double") * F.lit(float(const[i]))
-    return acc
-
-
-
-
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -242,21 +229,17 @@ def ivf_assign(
     """Assign each vector to its nearest centroid. Adds ``bucket``.
 
     Zero-shuffle: the centroid set is tiny by contract, so it is collected
-    once at plan-build time and inlined as literals; each row evaluates c
-    unrolled codegen'd dot products and takes the argmax with
-    ``F.greatest`` over (score, −cid) structs — no exchange between the
-    corpus scan and the bucket assignment (the r1 version shuffled n·c rows
-    through a per-id window).
+    once at plan-build time and shipped inside an Arrow map task — no
+    exchange between the corpus scan and the bucket column (the r1 version
+    shuffled n·c rows through a per-id window).
 
     The per-centroid score is ``dot(v, c)·(1/‖c‖)`` — cosine times the
-    row-constant ‖v‖, so its argmax IS the cosine argmax, with no
-    division, no zero-norm branch (a zero row-vector scores 0 against
-    every centroid and ties to centroid 0, exactly like cosine=0), and a
-    straight-line arithmetic body that stays inside whole-stage codegen's
-    64 KB method limit (the guarded cosine form blew it → interpreted
-    fallback, 2.7× slower). Every float op matches the DuckDB twin:
-    sequential left-to-right dot, one multiply by the same full-precision
-    1/‖c‖ literal, ties to smallest centroid_id."""
+    row-constant ‖v‖, so its argmax IS the cosine argmax, with no division
+    and no zero-norm branch (a zero row-vector scores 0 against every
+    centroid and ties to centroid 0, exactly like cosine=0). Every float op
+    matches the DuckDB twin: sequential left-to-right double accumulation,
+    one multiply by the same full-precision 1/‖c‖, ties to the smallest
+    centroid_id."""
     cents = sorted(
         (r[0], [float(x) for x in r[1]])
         for r in centroids.select(centroid_id, centroid_vec).collect()
@@ -267,44 +250,63 @@ def ivf_assign(
 def _assign_literal(
     df: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
 ) -> DataFrame:
-    """ivf_assign's body over an already-collected centroid list."""
+    """ivf_assign's body over an already-collected centroid list.
 
-    def score(cvec: list[float]) -> Column:
-        inv_cn = 1.0 / math.sqrt(sum(float(x) * float(x) for x in cvec))
-        return _unrolled_dot(F.col(vec_col), cvec) * F.lit(inv_cn)
+    Arrow kernel, not a Column tree: an earlier version inlined the c·d
+    multiply-adds as unrolled codegen'd expressions, which was fast per row
+    but paid ~6 s of Catalyst/janino compilation per distinct centroid set
+    — Lloyd's training recompiles every round, so the declared
+    ``emb_ivf_topk`` spent ~20 s compiling to score 500 rows. The kernel
+    keeps the exact same scalar arithmetic, vectorized across rows: the
+    accumulator loops over dims in order (``acc = v₀·c₀; acc += vᵢ·cᵢ``),
+    each element-wise numpy op applying the identical IEEE sequence per
+    row, so scores are bit-equal to both the old expression form and the
+    DuckDB twin. Ties break to the smallest centroid_id (strict ``>``
+    update over ascending cids). Assumes non-null, fixed-dim vectors —
+    the contract of the embeddings table."""
+    import numpy as np
+    import pyarrow as pa
 
-    # sims as their own columns first, argmax second; each score column is
-    # referenced twice downstream (bucket + bucket_score expand the
-    # greatest tree twice), which stops CollapseProject from re-inlining
-    # the non-cheap scores into one giant expression — codegen CSE dedupes
-    # the double reference.
-    #
-    # _ncg is a CodegenFallback marker (java_method reflection → constant
-    # 0): whole-stage codegen declines to fuse any projection containing
-    # it, so scan/sims/argmax stay separate per-expression-codegen'd
-    # operators instead of one fused method that overruns janino's 64 KB
-    # limit and silently drops to interpreted eval. Measured on 2M rows ×
-    # 16 centroids (local[32]): 1.3 s vs 28 s fused-then-interpreted. The
-    # marker is referenced twice downstream (×0 in both outputs) so
-    # CollapseProject can't inline it away; runtime cost is one cached
-    # reflection call per row.
-    ncg = F.expr("java_method('java.lang.String','valueOf', 0)").cast("int")
-    simmed = df.select(
-        *df.columns,
-        *[score(cvec).alias(f"_sim{cid}") for cid, cvec in cents],
-        ncg.alias("_ncg"),
-    )
-    cands = [
-        F.struct(F.col(f"_sim{cid}").alias("sim"), F.lit(-int(cid)).alias("neg_cid"))
-        for cid, _ in cents
+    from pyspark.sql.types import DoubleType, IntegerType, StructField, StructType
+
+    consts = [(int(cid), [float(x) for x in cvec]) for cid, cvec in cents]
+    inv_norms = [
+        1.0 / math.sqrt(sum(float(x) * float(x) for x in cvec)) for _, cvec in consts
     ]
-    best = F.greatest(*cands) if len(cands) > 1 else cands[0]
-    zero = F.col("_ncg") * F.lit(0)
-    return simmed.select(
-        *df.columns,
-        (-best["neg_cid"] + zero).alias("bucket"),
-        (best["sim"] + zero.cast("double")).alias("bucket_score"),
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("bucket", IntegerType(), nullable=False),
+            StructField("bucket_score", DoubleType(), nullable=False),
+        ]
     )
+    vec_idx = df.columns.index(vec_col)
+
+    def part(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(vec_idx).flatten()
+            V = np.ascontiguousarray(
+                flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, -1)
+            )
+            best = np.full(n, -np.inf)
+            bucket = np.full(n, consts[0][0], dtype=np.int32)
+            for (cid, cvec), inv in zip(consts, inv_norms):
+                acc = V[:, 0] * cvec[0]
+                for d in range(1, len(cvec)):
+                    acc += V[:, d] * cvec[d]
+                score = acc * inv
+                m = score > best
+                best[m] = score[m]
+                bucket[m] = cid
+            yield pa.record_batch(
+                batch.columns + [pa.array(bucket), pa.array(best)],
+                names=list(batch.schema.names) + ["bucket", "bucket_score"],
+            )
+
+    return df.mapInArrow(part, out_schema)
 
 
 def hash_centroids(df: DataFrame, n: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -349,13 +351,8 @@ def kmeans_centroids(
     dim = len(cents[0][1])
     for _ in range(rounds):
         assigned = _assign_literal(df, cents, vec_col)
-        # bucket_score must stay referenced (the isNotNull guard) so
-        # CollapseProject can't prune it and re-inline the per-centroid
-        # score columns into one giant uncompilable expression — see
-        # _assign_literal's structure notes.
         stats = (
-            assigned.where(F.col("bucket_score").isNotNull())
-            .select("bucket", F.posexplode(F.col(vec_col)).alias("dim", "_x"))
+            assigned.select("bucket", F.posexplode(F.col(vec_col)).alias("dim", "_x"))
             .groupBy("bucket", "dim")
             .agg(
                 F.sum(

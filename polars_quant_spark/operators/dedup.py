@@ -90,18 +90,23 @@ def minhash_signatures(
     num_hashes: int = 16,
     k: int = 3,
     exploded: DataFrame | None = None,
+    with_count: bool = False,
 ) -> DataFrame:
     """One row per doc: h0..h{n-1} BIGINT columns, hᵢ = min over shingles of
     the i-th universal-hash permutation of md5(shingle)'s 32-bit lane
     (see MH_A/MH_B/MH_P) — shared exactly with the DuckDB oracle. One md5
     per shingle row; one shuffle (groupBy id); the min-aggs are map-side
-    combined. Pass `exploded` to reuse a persisted shingle frame."""
+    combined. Pass `exploded` to reuse a persisted shingle frame;
+    `with_count` adds the shingle-set size as `_n` in the same agg (saves
+    consumers a second shuffle over the shingle rows)."""
     ex = exploded if exploded is not None else exploded_shingles(df, text, id_col, k)
     lane = ex.select("_id", _shingle_lane(F.col("_sh")).alias("_x"))
     aggs = [
         F.min((F.lit(MH_A[i]) * F.col("_x") + F.lit(MH_B[i])) % MH_P).alias(f"h{i}")
         for i in range(num_hashes)
     ]
+    if with_count:
+        aggs.append(F.count(F.lit(1)).alias("_n"))
     return lane.groupBy("_id").agg(*aggs)
 
 
@@ -190,9 +195,13 @@ def minhash_dedup_pairs(
     # persist it so the tokenize/shingle/md5 work happens once. MEMORY_AND_DISK
     # so a 100 TB corpus spills instead of OOMing; evicted lazily by the LRU.
     ex = exploded_shingles(df, text, id_col, k).persist()
-    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    sig = minhash_signatures(df, text, id_col, num_hashes, k, exploded=ex)
-    cand = _lsh_candidates_from_sig(sig, num_hashes, bands)
+    # shingle-set sizes ride the signature groupBy (one extra codegen'd
+    # count in the same agg) instead of a second full shuffle over ex
+    sig = minhash_signatures(
+        df, text, id_col, num_hashes, k, exploded=ex, with_count=True
+    ).persist()
+    sizes = sig.select("_id", "_n")
+    cand = _lsh_candidates_from_sig(sig.drop("_n"), num_hashes, bands)
     inter = (
         cand.join(ex.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
         .join(ex.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])

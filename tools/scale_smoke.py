@@ -1,0 +1,167 @@
+"""Scale smoke: replicate the sf0.1 tables N× and measure how the headline
+plans scale.
+
+The correctness gate runs at small SF; this tool is the evidence that the
+plan *shapes* hold when the data grows — each bench query is timed at 1×
+and N× and the ratio is compared to N (ratio/N ≈ 1.0 = linear scaling,
+< 1 = fixed costs amortizing, ≫ 1 = a stage that will not survive 100 TB).
+
+Replication is adversarial where it matters:
+
+* ``events`` — replicas extend each symbol's bar history N× (ts shifted
+  past the original range), so every window/recurrence runs over N×-longer
+  per-symbol sequences: the skew-sensitive case, since a symbol is
+  inherently sequential.
+* ``documents`` — doc ids shift and each replica's text goes through a
+  rotated-alphabet substitution, so replicas are NOT near-duplicates of
+  each other: the LSH candidate volume scales with the corpus instead of
+  quadratically exploding on artificial cross-replica dup clusters.
+* ``lineitem``/``orders`` — order keys shift per replica; dimension tables
+  stay fixed (that is what dimensions do at scale).
+* ``embeddings`` — vec ids shift; ANN scan cost is content-independent.
+
+Usage::
+
+    python tools/scale_smoke.py [N] [--rebuild]   # default N=8
+
+Writes replicated parquet under ``.scratch/scale{N}x/`` (gitignored,
+reused unless --rebuild) and prints one JSON line with per-query
+{t_1x, t_Nx, ratio, efficiency}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from polars_quant_spark.session import get_spark  # noqa: E402
+from polars_quant_spark.sources.bars import load_table  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+# Tables the smoke-tested queries read but that stay fixed-size (dimensions).
+COPY_TABLES = ["region", "nation", "customer", "supplier", "part"]
+
+
+def _rep(spark, n: int):
+    return F.broadcast(spark.range(n).select(F.col("id").alias("_r")))
+
+
+def build(spark, n: int, out: str) -> None:
+    os.makedirs(out, exist_ok=True)
+    for t in COPY_TABLES:
+        dst = os.path.join(out, f"{t}.parquet")
+        if not os.path.exists(dst):
+            shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), dst)
+    rep = _rep(spark, n)
+
+    ev = load_table(spark, SF_DIR, "events")  # ts arrives as exact int64 ns
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    span = (hi - lo) + 3_600_000_000_000  # +1h gap between replicas
+    ev.crossJoin(rep).select(
+        (F.col("event_id") + F.col("_r") * F.lit(1_000_000_000)).alias("event_id"),
+        (F.col("ts") + F.col("_r") * F.lit(span)).alias("ts"),
+        *[c for c in ev.columns if c not in ("event_id", "ts")],
+    ).write.mode("overwrite").parquet(f"{out}/events.parquet")
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    okey_shift = F.col("_r") * F.lit(100_000_000)
+    li.crossJoin(rep).select(
+        (F.col("l_orderkey") + okey_shift).alias("l_orderkey"),
+        *[c for c in li.columns if c != "l_orderkey"],
+    ).write.mode("overwrite").parquet(f"{out}/lineitem.parquet")
+
+    orders = load_table(spark, SF_DIR, "orders")
+    orders.crossJoin(rep).select(
+        (F.col("o_orderkey") + okey_shift).alias("o_orderkey"),
+        *[c for c in orders.columns if c != "o_orderkey"],
+    ).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+    docs = load_table(spark, SF_DIR, "documents")
+    # rotated-alphabet substitution: replica r maps a→alpha[r%26], b→… —
+    # expr because the mapping string depends on _r
+    sub = F.expr(
+        "translate(text, '"
+        + ALPHA
+        + "', concat(substring('"
+        + ALPHA + ALPHA
+        + "', cast(_r % 26 as int) + 1, 26)))"
+    )
+    docs.crossJoin(rep).select(
+        (F.col("doc_id") + F.col("_r") * F.lit(10_000_000)).alias("doc_id"),
+        sub.alias("text"),
+        *[c for c in docs.columns if c not in ("doc_id", "text")],
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    emb.crossJoin(rep).select(
+        (F.col("vec_id") + F.col("_r") * F.lit(10_000_000)).alias("vec_id"),
+        *[c for c in emb.columns if c != "vec_id"],
+    ).write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 and sys.argv[1].isdigit() else 8
+    rebuild = "--rebuild" in sys.argv
+    out = os.path.join(REPO, ".scratch", f"scale{n}x")
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    if rebuild and os.path.exists(out):
+        shutil.rmtree(out)
+    if not os.path.exists(os.path.join(out, "events.parquet")):
+        build(spark, n, out)
+
+    import bench  # noqa: E402  (repo root on sys.path)
+
+    subset = [
+        "q1",
+        "q5",
+        "indicators_expr",
+        "indicators_rec",
+        "patterns",
+        "backtest",
+        "dedup_minhash",
+        "ann_topk",
+        "text_stats",
+    ]
+
+    def best2(fn, sf_dir: str) -> float:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return round(best, 3)
+
+    # warm the JVM on the 1× data
+    load_table(spark, SF_DIR, "lineitem").count()
+    results = {}
+    for name in subset:
+        fn = bench.BENCH[name]
+        t1 = best2(fn, SF_DIR)
+        tn = best2(fn, out)
+        results[name] = {
+            "t_1x": t1,
+            f"t_{n}x": tn,
+            "ratio": round(tn / t1, 2) if t1 > 0 else None,
+            "efficiency": round((tn / t1) / n, 3) if t1 > 0 else None,
+        }
+        print(json.dumps({name: results[name]}), flush=True)
+    print(
+        json.dumps(
+            {"metric": "scale_smoke", "n": n, "sf_base": SF_DIR, "queries": results}
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1116,9 +1116,11 @@ _Q15_US = 900_000_000
 
 
 def _events_with_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.sources.bars import ts_us_expr
+
     ev = load_table(spark, sf_dir, "events")
     return ev.withColumn(
-        "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        "event_time", F.timestamp_micros(ts_us_expr(ev))
     ).select("event_time", "event_type", "user_id", "value")
 
 

@@ -19,9 +19,12 @@ candlestick patterns can never fire and their correctness gate is vacuous.
 The compressed level + deterministic gaps/wicks give a realistic mix of
 long/short bodies, dojis, gaps and shadows.
 
-``events.ts`` is parquet TIMESTAMP(NANOS); Spark reads it via the
-``nanosAsLong`` legacy flag as an exact int64 (``ts_ns``), DuckDB via
-``epoch_ns(ts)`` — bit-identical ordering and values on both engines.
+``events.ts`` arrives either as parquet TIMESTAMP(NANOS) (read via the
+``nanosAsLong`` legacy flag as exact int64 ns — round-1 driver data) or as
+TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ — round-2 driver data). Both are
+normalized to exact int64 microseconds (``ts_us``) under a UTC session
+timezone; DuckDB's ``epoch_us(ts)`` produces the identical int64 on the same
+parquet, so ordering and values are bit-identical on both engines.
 
 ``BARS_CTE`` is the ANSI-SQL twin used as the CTE prefix of every DuckDB
 oracle query — the Spark DataFrame below computes bit-identical columns (same
@@ -69,21 +72,35 @@ bars AS (
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Plain ``spark.read.parquet`` so filter
-    pushdown / column pruning reach the scan. ``events.ts`` (TIMESTAMP NANOS)
-    comes back as exact int64 nanoseconds."""
+    pushdown / column pruning reach the scan."""
     if name == "events":
-        # Modifiable SQLConf — set defensively in case the hosting session
-        # didn't configure it (the driver builds its own SparkSession).
+        # Modifiable SQLConfs — set defensively in case the hosting session
+        # didn't configure them (the driver builds its own SparkSession).
+        # nanosAsLong only affects TIMESTAMP(NANOS) files; UTC makes the
+        # NTZ→epoch conversion below timezone-independent.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def ts_us_expr(ev: DataFrame):
+    """Exact int64 epoch-microseconds expression for ``events.ts``, robust to
+    both driver schemas: int64 nanoseconds (TIMESTAMP(NANOS) under
+    ``nanosAsLong``) or TIMESTAMP(MICROS) read as timestamp/timestamp_ntz.
+    Requires a UTC session timezone (set by ``load_table``)."""
+    dtype = dict(ev.dtypes)["ts"]
+    if dtype == "bigint":
+        return F.expr("ts div 1000")
+    return F.unix_micros(F.col("ts").cast("timestamp"))
 
 
 def events_with_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events with ts exposed both as exact ns (``ts_ns``) and as a µs
-    timestamp (``ts``, floor-truncated — matches DuckDB's ns→µs cast)."""
+    timestamp (``ts``) regardless of the parquet timestamp physical type."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.withColumnRenamed("ts", "ts_ns").withColumn(
-        "ts", F.timestamp_micros(F.expr("ts_ns div 1000"))
+    ts_us = ts_us_expr(ev)
+    return ev.withColumn("ts_ns", ts_us * F.lit(1000)).withColumn(
+        "ts", F.timestamp_micros(ts_us)
     )
 
 
@@ -93,15 +110,12 @@ def bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     The symbol alias happens BEFORE the window so the bar-building shuffle
     and every downstream ``partitionBy(symbol)`` window share one exchange
     (renaming after the window defeats Spark's partitioning-reuse)."""
-    ev = (
-        load_table(spark, sf_dir, "events")
-        .withColumnRenamed("ts", "ts_ns")
-        .select(
-            F.col("event_type").alias("symbol"),
-            F.expr("ts_ns div 1000").alias("ts_us"),
-            F.col("event_id"),
-            (F.lit(300.0) + F.col("value").cast("double") / F.lit(10.0)).alias("_px"),
-        )
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select(
+        F.col("event_type").alias("symbol"),
+        ts_us_expr(ev0).alias("ts_us"),
+        F.col("event_id"),
+        (F.lit(300.0) + F.col("value").cast("double") / F.lit(10.0)).alias("_px"),
     )
     w = Window.partitionBy("symbol").orderBy("ts_us", "event_id")
     close = F.col("_px")

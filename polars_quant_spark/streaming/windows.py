@@ -19,10 +19,13 @@ from pyspark.sql.types import (
     StructType,
 )
 
+# Reference shape only — the actual stream schema is sniffed from the parquet
+# footer at runtime (the driver's ts physical type changed between rounds:
+# TIMESTAMP(NANOS)→int64-ns under nanosAsLong, TIMESTAMP(MICROS)→timestamp).
 EVENTS_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
-        StructField("ts", LongType()),  # ns epoch (nanosAsLong read)
+        StructField("ts", LongType()),
         StructField("user_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
@@ -33,14 +36,26 @@ EVENTS_SCHEMA = StructType(
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events parquet with an event-time
-    column derived from the ns epoch."""
+    column derived from ts, robust to either timestamp physical type.
+
+    Streaming sources require an explicit schema; a one-off batch read of the
+    same path supplies the true one (footer only — no data scan)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # The file stream source requires a directory; pathGlobFilter narrows the
+    # listing to the events table (the sf dir holds all driver tables).
     stream = (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(schema)
         .format("parquet")
-        .load(f"{sf_dir}")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
     )
-    return stream.withColumn("event_time", F.timestamp_micros(F.expr("ts div 1000")))
+    if dict(stream.dtypes)["ts"] == "bigint":
+        return stream.withColumn(
+            "event_time", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    return stream.withColumn("event_time", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(

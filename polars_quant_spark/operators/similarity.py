@@ -61,15 +61,28 @@ def cosine_topk(
 
     Returns (query_id, vec_id, cos_sim, rank). The query side is broadcast —
     the corpus is never shuffled; the only wide op is the per-query top-k,
-    bounded by queries×k rows."""
+    bounded by queries×k rows.
+
+    Norms are precomputed once per side before the fan-out (‖q‖ on the
+    broadcast side, ‖c‖ once per corpus row) instead of inside the pair
+    score — the HOF norm lambda is interpreted, so hoisting it cuts the
+    per-pair work to one dot product (~3×). ``d = ‖q‖·‖c‖`` keeps the
+    exact multiply order of ``cosine()``, so results are bit-identical."""
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    ).withColumn("_qn", norm(F.col("_qvec")))
+    c = widen(corpus).select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
     )
-    c = widen(corpus).select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"))
+    d = F.col("_qn") * F.col("_cn")
     scored = c.crossJoin(F.broadcast(q)).select(
         "query_id",
         "vec_id",
-        round6(cosine(F.col("_qvec"), F.col("_cvec"))).alias("cos_sim"),
+        round6(
+            F.when(d > 0, dot(F.col("_qvec"), F.col("_cvec")) / d).otherwise(F.lit(0.0))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (
@@ -167,15 +180,24 @@ def embedding_near_dupes_exact(
     O(n²) — verification corpora only. Production path:
     ``embedding_near_dupes`` (IVF-bucket-blocked)."""
     df = widen(df)
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+        norm(F.col(vec_col)).alias("_na"),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+        norm(F.col(vec_col)).alias("_nb"),
+    )
+    d = F.col("_na") * F.col("_nb")
     return (
         a.crossJoin(b)
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            round6(cosine(F.col("_va"), F.col("_vb"))).alias("cos_sim"),
+            round6(
+                F.when(d > 0, dot(F.col("_va"), F.col("_vb")) / d).otherwise(F.lit(0.0))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -197,22 +219,32 @@ def embedding_near_dupes(
     on a Voronoi boundary, so recall loss is confined to threshold-grazing
     pairs (standard ANN-blocking trade; raise n_blocks with corpus size)."""
     cents = hash_centroids(df, n_blocks, id_col, vec_col)
+    # norm once per row before the pair fan-out (see cosine_topk); the pair
+    # score is then a single interpreted dot instead of dot + two norms.
     assigned = ivf_assign(widen(df), cents, id_col, vec_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), "bucket"
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+        "bucket",
     )
     a = assigned.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("_va"), "bucket"
+        F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "bucket"
     )
     b = assigned.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"), "bucket"
+        F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket"
     )
+    d = F.col("_na") * F.col("_nb")
     return (
         a.join(b, "bucket")
         .where(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",
             "id_b",
-            round6(cosine(F.col("_va"), F.col("_vb"))).alias("cos_sim"),
+            round6(
+                F.when(d > 0, dot(F.col("_va"), F.col("_vb")) / d).otherwise(F.lit(0.0))
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= threshold)
     )
@@ -426,16 +458,26 @@ def ivf_topk(
         cosine(F.col("_qvec"), F.col("centroid")).alias("_csim"),
     )
     wq = Window.partitionBy("query_id").orderBy(F.col("_csim").desc(), F.col("bucket"))
+    # norms hoisted out of the probe×bucket fan-out (see cosine_topk) —
+    # same multiply order as cosine(), bit-identical scores.
     probes = qc.withColumn("_r", F.row_number().over(wq)).where(F.col("_r") <= nprobe).select(
-        "query_id", "_qvec", "bucket"
+        "query_id", "_qvec", norm(F.col("_qvec")).alias("_qn"), "bucket"
     )
+    d = F.col("_qn") * F.col("_cn")
     scored = probes.join(
-        bucketed.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("_cvec"), "bucket"),
+        bucketed.select(
+            F.col(id_col).alias("vec_id"),
+            F.col(vec_col).alias("_cvec"),
+            norm(F.col(vec_col)).alias("_cn"),
+            "bucket",
+        ),
         "bucket",
     ).select(
         "query_id",
         "vec_id",
-        round6(cosine(F.col("_qvec"), F.col("_cvec"))).alias("cos_sim"),
+        round6(
+            F.when(d > 0, dot(F.col("_qvec"), F.col("_cvec")) / d).otherwise(F.lit(0.0))
+        ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
     return (

@@ -1,0 +1,112 @@
+"""Deterministic sketches for profiling 100 TB corpora: KMV distinct-count
+estimation, md5-Bernoulli sampling, and exact quantiles over a deterministic
+sample (driver extension surface, SURVEY.md §7 Phase 5).
+
+Spark's built-in `approx_count_distinct` (HyperLogLog++) and
+`percentile_approx` are the production defaults — but their internals are
+engine-specific, so a DuckDB twin can never reproduce their outputs and the
+correctness gate would degrade to rows-only. These sketches are built on
+md5 instead: every estimate is a pure function of the data, bit-identical
+on both engines, so the sketch *algorithms* get the same hash-checked
+verification as every other operator.
+
+Scale design:
+* KMV — one distinct-shuffle on (group, hash); the k-smallest selection is
+  two-level (per-scan-partition top-k first), so no executor ever sorts a
+  whole group: the global ranking sees ≤ k·partitions survivors per group.
+* Sampling — a pure filter projection (no shuffle); pushes the sampled
+  fraction through every downstream stage. Deterministic: re-running or
+  resuming a pipeline samples the exact same rows, and the DuckDB twin
+  selects the identical subset.
+* Sampled quantiles — exact `percentile` over the sample: the accuracy story
+  of a quantile sketch with per-group memory bounded by the sample, while
+  staying engine-exact (Spark `percentile` and DuckDB `quantile_cont` share
+  the linear-interpolation definition).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_quant_spark.functions._util import col, round6
+
+# 60-bit hash lane (15 hex digits) for KMV: wide enough that collisions are
+# negligible at any corpus size, small enough that the long→double cast used
+# by the estimate is exact (doubles hold 53 bits — the *normalized* u is what
+# matters, and its error is one ulp on both engines identically).
+KMV_HEX = 15
+KMV_SCALE = float(2**60)
+
+
+def hash_lane(c: Column | str, hex_chars: int = KMV_HEX) -> Column:
+    """First `hex_chars` hex digits of md5(value) as a non-negative long —
+    the engine-shared uniform hash every sketch builds on."""
+    return F.conv(F.substring(F.md5(col(c).cast("string")), 1, hex_chars), 16, 10).cast(
+        "long"
+    )
+
+
+def kmv_distinct(
+    df: DataFrame, key: str, by: list[str] | None = None, k: int = 64
+) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count estimate of `key` per `by` group.
+
+    Estimate = (k−1) / u₍ₖ₎ where u₍ₖ₎ is the k-th smallest normalized hash
+    of the distinct keys; groups with fewer than k distinct keys report the
+    exact count (the classic KMV fallback). Standard error ≈ 1/√(k−2).
+
+    Two-level min-k so a billion-key group never sorts in one task: level 1
+    ranks each scan partition's distinct hashes and keeps its k smallest
+    (the global k smallest are necessarily among them); level 2 ranks the
+    ≤ k·partitions survivors. Returns (by…, est_distinct)."""
+    by = list(by or [])
+    d = df.select(*by, hash_lane(key).alias("_h")).distinct()
+    lvl1 = d.withColumn("_pid", F.spark_partition_id())
+    w1 = Window.partitionBy(*by, "_pid").orderBy("_h")
+    survivors = (
+        lvl1.withColumn("_rn", F.row_number().over(w1))
+        .where(F.col("_rn") <= k)
+        .drop("_rn", "_pid")
+    )
+    w2 = Window.partitionBy(*by).orderBy("_h")
+    ranked = survivors.withColumn("_rn", F.row_number().over(w2))
+    agg = ranked.groupBy(*by).agg(
+        F.max("_rn").alias("_n"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_kth"),
+    )
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(KMV_SCALE))
+    )
+    return agg.select(*by, round6(est).alias("est_distinct"))
+
+
+def deterministic_sample(df: DataFrame, key: str, frac: float) -> DataFrame:
+    """md5-Bernoulli sample: keep rows whose 32-bit hash lane of `key` falls
+    below frac·2³². A pure filter (no shuffle, no RNG state): the same rows
+    are selected on every run, every engine, every retry — which is what a
+    resumable 100 TB pipeline needs from its sampler."""
+    threshold = int(frac * float(2**32))
+    return df.where(hash_lane(key, 8) < F.lit(threshold))
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    value: str,
+    probs: list[float],
+    by: list[str] | None = None,
+    key: str | None = None,
+    frac: float = 1.0,
+) -> DataFrame:
+    """Exact linear-interpolation quantiles of `value` per `by` group over a
+    deterministic sample (`key`/`frac`; frac=1 skips sampling). Returns
+    (by…, n_sample, q_<p> per prob). One shuffle (the groupBy); per-group
+    state is the sampled values — bound frac to the memory budget."""
+    by = list(by or [])
+    if key is not None and frac < 1.0:
+        df = deterministic_sample(df, key, frac)
+    aggs = [F.count(F.lit(1)).alias("n_sample")]
+    for p in probs:
+        name = f"q_{str(p).replace('.', '_')}"
+        aggs.append(round6(F.expr(f"percentile({value}, {p!r})")).alias(name))
+    return df.groupBy(*by).agg(*aggs)

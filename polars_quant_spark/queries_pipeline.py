@@ -1270,3 +1270,72 @@ def media_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mm.frame_sample_plan(media, every_ms=1000).select(
         "media_id", F.col("frame_ts_ms").cast("long").alias("frame_ts_ms")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sketches (operators/sketch.py): KMV distinct-count and exact
+# quantiles over an md5-Bernoulli sample. Engine-exact by construction (both
+# are pure functions of md5 lanes), so the sketch algorithms themselves are
+# hash-checked — Spark's HLL/approx_percentile could only ever be rows-only.
+# ---------------------------------------------------------------------------
+
+_KMV_K = 64
+_SAMPLE_THRESHOLD = int(0.1 * float(2**32))  # 10% Bernoulli, truncated literal
+
+
+@q(
+    "sketch_kmv_users",
+    f"""
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+r AS (
+  SELECT event_type, h,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+  FROM d
+)
+SELECT event_type,
+       ROUND(CASE WHEN MAX(rn) < {_KMV_K} THEN CAST(MAX(rn) AS DOUBLE)
+             ELSE {float(_KMV_K - 1)} / (CAST(MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS DOUBLE) / {float(2**60)})
+             END, 6) AS est_distinct
+FROM r
+GROUP BY event_type
+""",
+)
+def sketch_kmv_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-user estimate per event_type (k=64). The twin ranks the
+    distinct hash set in one window; the Spark side's two-level min-k keeps
+    the same k smallest (min-k of per-partition min-ks), so the k-th hash —
+    and therefore the estimate — is identical."""
+    from polars_quant_spark.operators.sketch import kmv_distinct
+
+    ev = load_table(spark, sf_dir, "events")
+    return kmv_distinct(ev, "user_id", by=["event_type"], k=_KMV_K)
+
+
+@q(
+    "sketch_sample_quantiles",
+    f"""
+SELECT event_type,
+       COUNT(*) AS n_sample,
+       ROUND(quantile_cont(value, 0.25), 6) AS q_0_25,
+       ROUND(quantile_cont(value, 0.5), 6) AS q_0_5,
+       ROUND(quantile_cont(value, 0.75), 6) AS q_0_75
+FROM events
+WHERE CAST(('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) < {_SAMPLE_THRESHOLD}
+GROUP BY event_type
+""",
+)
+def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quartiles of `value` per event_type over the deterministic 10% sample.
+    Spark `percentile` and DuckDB `quantile_cont` share the linear-
+    interpolation definition, and the md5 sample selects identical rows, so
+    the quantiles hash-match exactly."""
+    from polars_quant_spark.operators.sketch import sampled_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    return sampled_quantiles(
+        ev, "value", [0.25, 0.5, 0.75], by=["event_type"], key="event_id", frac=0.1
+    )

@@ -1,0 +1,109 @@
+"""Deterministic-sketch unit tests (operators/sketch.py): KMV estimate
+properties, the two-level min-k equivalence, sampler determinism, and
+quantile parity with numpy on the same sample."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from polars_quant_spark.operators import sketch
+from polars_quant_spark.sources.bars import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+def test_kmv_small_group_is_exact(spark, events):
+    """Groups with fewer than k distinct keys report the exact count."""
+    exact = {
+        r[0]: r[1]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id"))
+        .collect()
+    }
+    big_k = max(exact.values()) + 10
+    est = {
+        r[0]: r[1]
+        for r in sketch.kmv_distinct(
+            events, "user_id", by=["event_type"], k=big_k
+        ).collect()
+    }
+    assert est == {k: float(v) for k, v in exact.items()}
+
+
+def test_kmv_estimate_within_error_bound(spark, events):
+    """KMV standard error is ~1/sqrt(k-2); assert within 4 sigma."""
+    k = 64
+    exact = {
+        r[0]: r[1]
+        for r in events.groupBy("event_type")
+        .agg(F.countDistinct("user_id"))
+        .collect()
+    }
+    est = {
+        r[0]: r[1]
+        for r in sketch.kmv_distinct(events, "user_id", by=["event_type"], k=k).collect()
+    }
+    sigma = 4.0 / np.sqrt(k - 2)
+    for g, n in exact.items():
+        if n >= k:
+            assert abs(est[g] - n) / n < sigma, (g, est[g], n)
+
+
+def test_kmv_two_level_equals_single_level(spark, events):
+    """The per-partition pre-prune must not change the k-th smallest hash."""
+    k = 32
+    two = sketch.kmv_distinct(events, "user_id", by=["event_type"], k=k)
+    # single-level reference: rank the full distinct hash set per group
+    d = events.select(
+        "event_type", sketch.hash_lane("user_id").alias("_h")
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("_h")
+    ranked = d.withColumn("_rn", F.row_number().over(w))
+    agg = ranked.groupBy("event_type").agg(
+        F.max("_rn").alias("_n"),
+        F.max(F.when(F.col("_rn") == k, F.col("_h"))).alias("_kth"),
+    )
+    from polars_quant_spark.functions._util import round6
+
+    est = F.when(F.col("_n") < k, F.col("_n").cast("double")).otherwise(
+        F.lit(float(k - 1)) / (F.col("_kth").cast("double") / F.lit(sketch.KMV_SCALE))
+    )
+    single = agg.select("event_type", round6(est).alias("est_distinct"))
+    assert sorted(map(tuple, two.collect())) == sorted(map(tuple, single.collect()))
+
+
+def test_deterministic_sample_is_stable_and_sized(spark, events):
+    s1 = sketch.deterministic_sample(events, "event_id", 0.1)
+    s2 = sketch.deterministic_sample(events, "event_id", 0.1)
+    ids1 = sorted(r[0] for r in s1.select("event_id").collect())
+    ids2 = sorted(r[0] for r in s2.select("event_id").collect())
+    assert ids1 == ids2
+    n = events.count()
+    # Bernoulli(0.1): allow 5 sigma
+    assert abs(len(ids1) - 0.1 * n) < 5 * np.sqrt(n * 0.1 * 0.9)
+    # frac=1 keeps everything
+    assert sketch.deterministic_sample(events, "event_id", 1.0).count() == n
+
+
+def test_sampled_quantiles_match_numpy(spark, events):
+    out = {
+        r["event_type"]: (r["n_sample"], r["q_0_25"], r["q_0_5"], r["q_0_75"])
+        for r in sketch.sampled_quantiles(
+            events, "value", [0.25, 0.5, 0.75], by=["event_type"],
+            key="event_id", frac=0.1,
+        ).collect()
+    }
+    samp = sketch.deterministic_sample(events, "event_id", 0.1).toPandas()
+    for g, grp in samp.groupby("event_type"):
+        v = grp["value"].to_numpy()
+        n, q25, q50, q75 = out[g]
+        assert n == len(v)
+        for got, p in [(q25, 25), (q50, 50), (q75, 75)]:
+            want = np.floor(np.percentile(v, p) * 1e6 + 0.5) / 1e6
+            assert got == pytest.approx(want, abs=1e-9), (g, p)

@@ -90,6 +90,21 @@ def deterministic_sample(df: DataFrame, key: str, frac: float) -> DataFrame:
     return df.where(hash_lane(key, 8) < F.lit(threshold))
 
 
+def stratified_sample(
+    df: DataFrame, key: str, fracs: dict[str, float], by: str
+) -> DataFrame:
+    """Per-group deterministic Bernoulli sampling — the training-data
+    rebalancing shape: keep each `by` group (source, language, domain) at
+    its own rate. Groups absent from `fracs` are dropped entirely (their
+    NULL threshold fails the comparison), so one filter both selects and
+    re-weights the mixture. Pure projection, no shuffle, retry-stable."""
+    pairs: list[Column] = []
+    for g in sorted(fracs):
+        pairs += [F.lit(g), F.lit(int(fracs[g] * float(2**32)))]
+    thr = F.element_at(F.create_map(*pairs), col(by))
+    return df.where(hash_lane(key, 8) < thr)
+
+
 def sampled_quantiles(
     df: DataFrame,
     value: str,

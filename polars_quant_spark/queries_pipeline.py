@@ -1339,3 +1339,35 @@ def sketch_sample_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled_quantiles(
         ev, "value", [0.25, 0.5, 0.75], by=["event_type"], key="event_id", frac=0.1
     )
+
+
+# Stratified rebalancing: every source sampled at its own deterministic rate
+# (the "mix web at 10%, books at 90%" pipeline op). Rates are a fixed
+# pseudo-random spread over the 20 sources, shared with the twin via CASE.
+_STRATA = {f"src{i}": ((i * 7) % 10 + 1) / 10.0 for i in range(20)}
+_STRATA_CASE = "CASE source " + " ".join(
+    f"WHEN '{g}' THEN {int(f * float(2**32))}" for g, f in sorted(_STRATA.items())
+) + " END"
+
+
+@q(
+    "sketch_stratified_docs",
+    f"""
+SELECT source,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+FROM documents
+WHERE CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < {_STRATA_CASE}
+GROUP BY source
+""",
+)
+def sketch_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document counts/volume after stratified deterministic
+    sampling — identical row selection on both engines by md5 construction."""
+    from polars_quant_spark.operators.sketch import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    samp = stratified_sample(docs, "doc_id", _STRATA, "source")
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("sum_chars")
+    )

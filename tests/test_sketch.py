@@ -107,3 +107,23 @@ def test_sampled_quantiles_match_numpy(spark, events):
         for got, p in [(q25, 25), (q50, 50), (q75, 75)]:
             want = np.floor(np.percentile(v, p) * 1e6 + 0.5) / 1e6
             assert got == pytest.approx(want, abs=1e-9), (g, p)
+
+
+def test_stratified_sample_rates_and_drops(spark, sf_dir):
+    docs = load_table(spark, sf_dir, "documents")
+    fracs = {"src0": 1.0, "src1": 0.5}
+    samp = sketch.stratified_sample(docs, "doc_id", fracs, "source")
+    got = {r[0]: r[1] for r in samp.groupBy("source").count().collect()}
+    totals = {r[0]: r[1] for r in docs.groupBy("source").count().collect()}
+    # unlisted sources are dropped entirely
+    assert set(got) <= {"src0", "src1"}
+    # frac=1 keeps every row of its stratum
+    assert got.get("src0") == totals["src0"]
+    # frac=0.5 keeps a Bernoulli share (5 sigma)
+    n = totals["src1"]
+    assert abs(got.get("src1", 0) - 0.5 * n) < 5 * np.sqrt(n * 0.25) + 1
+    # determinism
+    again = {r[0]: r[1] for r in
+             sketch.stratified_sample(docs, "doc_id", fracs, "source")
+             .groupBy("source").count().collect()}
+    assert again == got

@@ -233,6 +233,46 @@ def minhash_dedup_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def contamination(
+    corpus: DataFrame,
+    probes: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    probe_id: str = "probe_id",
+    k: int = 3,
+    min_shared: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing ≥ `min_shared`
+    k-token shingles with any probe (benchmark/eval) document. Returns
+    (probe_id, doc_id, n_shared, overlap_ratio) where overlap_ratio =
+    |shared| / |probe shingles|.
+
+    Scale: the probe set is small by contract (an eval suite), so its
+    exploded shingles broadcast — the corpus never shuffles; the only
+    exchange is the (probe, doc) pair agg, map-side combined and bounded
+    by actually-overlapping pairs. Shingle sets are distinct per doc
+    (see `shingles`), so the equi-join count IS the exact intersection."""
+    from polars_quant_spark.functions._util import round6
+
+    ex = exploded_shingles(corpus, text, id_col, k)
+    px = exploded_shingles(probes, text, probe_id, k).select(
+        F.col("_id").alias("_pid"), "_sh"
+    )
+    shared = (
+        ex.join(F.broadcast(px), "_sh")
+        .groupBy("_pid", "_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .where(F.col("n_shared") >= min_shared)
+    )
+    sizes = px.groupBy("_pid").agg(F.count(F.lit(1)).alias("_np"))
+    return shared.join(F.broadcast(sizes), "_pid").select(
+        F.col("_pid").alias(probe_id),
+        F.col("_id").alias(id_col),
+        "n_shared",
+        round6(F.col("n_shared").cast("double") / F.col("_np")).alias("overlap_ratio"),
+    )
+
+
 def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
 ) -> DataFrame:

@@ -101,6 +101,22 @@ def quality_score(text: Column | str) -> Column:
     return (len_score + alpha_ratio + tok_len_score + sw_score) / 4.0
 
 
+def token_frequencies(df, text: str = "text", id_col: str = "doc_id"):
+    """Corpus vocabulary statistics: (token, freq, n_docs) — the input to
+    tokenizer training / vocab pruning. Two-level agg: (token, doc) partial
+    counts first (map-side combined), then per-token merge where n_docs is a
+    plain row count — avoiding count_distinct's Expand, which doubles the
+    exploded token stream (same plan discipline as agg_events_daily).
+    Scale: explode → ONE shuffle on (token, doc) → tiny per-token merge."""
+    from polars_quant_spark.functions._util import widen
+
+    ex = widen(df).select(F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("token"))
+    per_doc = ex.groupBy("token", "_id").agg(F.count(F.lit(1)).alias("_c"))
+    return per_doc.groupBy("token").agg(
+        F.sum("_c").alias("freq"), F.count(F.lit(1)).alias("n_docs")
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Canonical document fingerprint: md5 over the normalized token stream.
     (md5 is used engine-wide so DuckDB oracles reproduce it bit-for-bit;

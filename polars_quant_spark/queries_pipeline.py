@@ -1371,3 +1371,67 @@ def sketch_stratified_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return samp.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_sampled"), F.sum("n_chars").alias("sum_chars")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary stats + benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_token_freq",
+    f"""
+WITH tk AS (
+  SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+per_doc AS (
+  SELECT token, doc_id, COUNT(*) AS c FROM tk GROUP BY token, doc_id
+)
+SELECT token, CAST(SUM(c) AS BIGINT) AS freq, COUNT(*) AS n_docs
+FROM per_doc
+GROUP BY token
+""",
+)
+def text_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary table (tokenizer-training input)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.token_frequencies(docs)
+
+
+@q(
+    "doc_contamination",
+    f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+shx AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                j -> array_to_string(toks[j:j+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shs
+  FROM tk
+),
+ex AS MATERIALIZED (SELECT doc_id AS _id, unnest(shs) AS _sh FROM shx),
+px AS MATERIALIZED (SELECT _id AS _pid, _sh FROM ex WHERE _id % 50 = 7),
+shared AS (
+  SELECT p._pid, e._id, COUNT(*) AS n_shared
+  FROM ex e JOIN px p ON p._sh = e._sh
+  GROUP BY p._pid, e._id
+  HAVING COUNT(*) >= 2
+),
+sizes AS (SELECT _pid, COUNT(*) AS _np FROM px GROUP BY _pid)
+SELECT s._pid AS probe_id, s._id AS doc_id, s.n_shared,
+       ROUND(CAST(s.n_shared AS DOUBLE) / z._np, 6) AS overlap_ratio
+FROM shared s JOIN sizes z ON z._pid = s._pid
+""",
+)
+def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination sweep: every 50th document plays the benchmark probe
+    set; corpus docs sharing ≥2 shingles with a probe are flagged (the
+    probes flag themselves with overlap 1.0 — a built-in sanity check)."""
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    return dedup.contamination(docs, probes, min_shared=2)

@@ -184,3 +184,42 @@ def test_quality_and_tokens(spark):
     assert rows[0]["q"] > rows[1]["q"]
     assert rows[2]["n"] == 0
     assert len(rows[0]["fp"]) == 32
+
+
+def test_token_frequencies_counts(spark):
+    import pandas as pd
+    from polars_quant_spark.operators import text as T
+
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "text": ["the cat the dog", "the cat", "bird"]}
+    )
+    df = spark.createDataFrame(pdf)
+    got = {r["token"]: (r["freq"], r["n_docs"]) for r in T.token_frequencies(df).collect()}
+    assert got == {"the": (3, 2), "cat": (2, 2), "dog": (1, 1), "bird": (1, 1)}
+
+
+def test_contamination_flags_overlap(spark):
+    import pandas as pd
+    from polars_quant_spark.operators import dedup
+
+    corpus = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "alpha beta gamma delta epsilon",   # shares 3-shingles with probe
+                    "totally different words here now",
+                    "alpha beta gamma delta epsilon",   # exact dup of 1
+                ],
+            }
+        )
+    )
+    probes = spark.createDataFrame(
+        pd.DataFrame({"probe_id": [100], "text": ["alpha beta gamma delta epsilon"]})
+    )
+    out = dedup.contamination(corpus, probes, min_shared=2)
+    rows = {(r["probe_id"], r["doc_id"]): (r["n_shared"], r["overlap_ratio"]) for r in out.collect()}
+    # docs 1 and 3 share all 3 shingles with the probe; doc 2 shares none
+    assert set(rows) == {(100, 1), (100, 3)}
+    assert rows[(100, 1)] == (3, 1.0)
+    assert rows[(100, 3)] == (3, 1.0)

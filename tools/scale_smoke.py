@@ -43,7 +43,7 @@ sys.path.insert(0, REPO)
 from pyspark.sql import functions as F  # noqa: E402
 
 from polars_quant_spark.session import get_spark  # noqa: E402
-from polars_quant_spark.sources.bars import load_table  # noqa: E402
+from polars_quant_spark.sources.bars import load_table, ts_us_expr  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
@@ -64,13 +64,17 @@ def build(spark, n: int, out: str) -> None:
             shutil.copy(os.path.join(SF_DIR, f"{t}.parquet"), dst)
     rep = _rep(spark, n)
 
-    ev = load_table(spark, SF_DIR, "events")  # ts arrives as exact int64 ns
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    span = (hi - lo) + 3_600_000_000_000  # +1h gap between replicas
+    ev0 = load_table(spark, SF_DIR, "events")
+    # normalize ts to exact epoch-µs (robust to the driver's int64-ns vs
+    # timestamp physical types — see sources.bars.ts_us_expr), shift replicas
+    # past the original range, and write back as a µs timestamp.
+    ev = ev0.withColumn("_ts_us", ts_us_expr(ev0))
+    lo, hi = ev.agg(F.min("_ts_us"), F.max("_ts_us")).first()
+    span_us = (hi - lo) + 3_600_000_000  # +1h gap between replicas
     ev.crossJoin(rep).select(
         (F.col("event_id") + F.col("_r") * F.lit(1_000_000_000)).alias("event_id"),
-        (F.col("ts") + F.col("_r") * F.lit(span)).alias("ts"),
-        *[c for c in ev.columns if c not in ("event_id", "ts")],
+        F.timestamp_micros(F.col("_ts_us") + F.col("_r") * F.lit(span_us)).alias("ts"),
+        *[c for c in ev0.columns if c not in ("event_id", "ts")],
     ).write.mode("overwrite").parquet(f"{out}/events.parquet")
 
     li = load_table(spark, SF_DIR, "lineitem")

@@ -51,7 +51,8 @@ def shingles(text: Column | str, k: int = 3) -> Column:
 
 
 def exploded_shingles(
-    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 3
+    df: DataFrame, text: str = "text", id_col: str = "doc_id", k: int = 3,
+    do_widen: bool = True,
 ) -> DataFrame:
     """(id, shingle) rows — the codegen-friendly long form every MinHash
     stage builds on. (Spark higher-order-function lambdas are *interpreted*,
@@ -59,8 +60,11 @@ def exploded_shingles(
     shape that scales: shingle rows partition freely.)
 
     The input is widened first (see functions._util.widen) — the cheap
-    pre-explode side is the right place to pay that shuffle."""
-    df = widen(df)
+    pre-explode side is the right place to pay that shuffle. Pass
+    ``do_widen=False`` for small frames that are broadcast downstream
+    (e.g. contamination probes), where the rebalance is pure overhead."""
+    if do_widen:
+        df = widen(df)
     return df.select(
         F.col(id_col).alias("_id"), F.explode(shingles(text, k)).alias("_sh")
     )
@@ -255,7 +259,7 @@ def contamination(
     from polars_quant_spark.functions._util import round6
 
     ex = exploded_shingles(corpus, text, id_col, k)
-    px = exploded_shingles(probes, text, probe_id, k).select(
+    px = exploded_shingles(probes, text, probe_id, k, do_widen=False).select(
         F.col("_id").alias("_pid"), "_sh"
     )
     shared = (

@@ -224,3 +224,41 @@ def test_bucketed_bars_no_exchange(spark, sf_dir, tmp_path_factory):
         assert df.count() > 0
     finally:
         spark.sql("DROP TABLE IF EXISTS bars_bucketed_t")
+
+
+def test_stratified_sample_is_pure_filter(spark, sf_dir):
+    """Sampling must add zero exchanges — selection and re-weighting ride
+    the scan as a codegen'd filter."""
+    from polars_quant_spark.operators import sketch
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan(sketch.stratified_sample(docs, "doc_id", {"src0": 0.5, "src1": 1.0}, "source"))
+    assert n_exchanges(p) == 0
+
+
+def test_contamination_broadcasts_probes(spark, sf_dir):
+    """The corpus side must never shuffle its shingle rows for the probe
+    join — probes broadcast; the only exchanges are the widen rebalance and
+    the (probe, doc) pair aggregation."""
+    from polars_quant_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") % 50 == 7).select(
+        F.col("doc_id").alias("probe_id"), "text"
+    )
+    p = plan(dedup.contamination(docs, probes, min_shared=2))
+    assert "BroadcastHashJoin" in p
+    # widen (×2 sides) + pair agg; no shingle-keyed repartition of the corpus
+    assert n_exchanges(p) <= 3, p
+
+
+def test_kmv_never_sorts_a_whole_group(spark, sf_dir):
+    """The level-1 window must partition by (group, partition-id): the plan
+    carries a _pid-keyed window before the per-group ranking."""
+    from polars_quant_spark.operators import sketch
+
+    ev = load_table(spark, sf_dir, "events")
+    p = plan(sketch.kmv_distinct(ev, "user_id", by=["event_type"], k=32))
+    assert "_pid" in p
+    # distinct + two window exchanges + final agg reuse ≤ 4
+    assert n_exchanges(p) <= 4, p

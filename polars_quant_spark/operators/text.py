@@ -117,6 +117,43 @@ def token_frequencies(df, text: str = "text", id_col: str = "doc_id"):
     )
 
 
+def repetition_stats(df, text: str = "text", id_col: str = "doc_id", n: int = 2):
+    """Within-document repetition (the Gopher/C4-style quality filter):
+    per document, the duplicate n-gram ratio (1 − distinct/total) and the
+    share of the single most frequent n-gram. High values flag boilerplate,
+    keyword stuffing and degenerate generations.
+
+    Same explode→two-level-agg discipline as token_frequencies: one shuffle
+    on (doc, ngram), then a per-doc merge over distinct n-grams. n=1 gives
+    token-level repetition."""
+    from polars_quant_spark.functions._util import widen
+
+    toks = tokens(text)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda j: F.concat_ws(" ", F.slice(toks, j, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    ng = widen(df).select(F.col(id_col).alias("_id"), F.explode(grams).alias("_g"))
+    per = ng.groupBy("_id", "_g").agg(F.count(F.lit(1)).alias("_c"))
+    agg = per.groupBy("_id").agg(
+        F.max("_c").alias("_mx"),
+        F.sum("_c").alias("_tot"),
+        F.count(F.lit(1)).alias("_nd"),
+    )
+    from polars_quant_spark.functions._util import round6
+
+    return agg.select(
+        F.col("_id").alias(id_col),
+        round6(
+            F.lit(1.0) - F.col("_nd").cast("double") / F.col("_tot")
+        ).alias("dup_ngram_ratio"),
+        round6(F.col("_mx").cast("double") / F.col("_tot")).alias("top_ngram_share"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Canonical document fingerprint: md5 over the normalized token stream.
     (md5 is used engine-wide so DuckDB oracles reproduce it bit-for-bit;

@@ -1435,3 +1435,31 @@ def doc_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("probe_id"), "text"
     )
     return dedup.contamination(docs, probes, min_shared=2)
+
+
+@q(
+    "doc_repetition",
+    f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+ng AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 2
+                THEN list_transform(range(1, len(toks)),
+                                    j -> array_to_string(toks[j:j+1], ' '))
+                ELSE [array_to_string(toks, ' ')] END) AS g
+  FROM tk
+),
+per AS (SELECT doc_id, g, COUNT(*) AS c FROM ng GROUP BY doc_id, g)
+SELECT doc_id,
+       ROUND(1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(c), 6) AS dup_ngram_ratio,
+       ROUND(CAST(MAX(c) AS DOUBLE) / SUM(c), 6) AS top_ngram_share
+FROM per
+GROUP BY doc_id
+""",
+)
+def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document bigram repetition (Gopher-style quality filter)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.repetition_stats(docs, n=2)

@@ -223,3 +223,28 @@ def test_contamination_flags_overlap(spark):
     assert set(rows) == {(100, 1), (100, 3)}
     assert rows[(100, 1)] == (3, 1.0)
     assert rows[(100, 3)] == (3, 1.0)
+
+
+def test_repetition_stats_values(spark):
+    import pandas as pd
+    from polars_quant_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": [
+                    "a b a b a b",   # bigrams: ab,ba,ab,ba,ab → 5 total, 2 distinct
+                    "x y z",         # xy,yz → no repetition
+                    "solo",          # <2 tokens: one degenerate gram
+                ],
+            }
+        )
+    )
+    got = {
+        r["doc_id"]: (r["dup_ngram_ratio"], r["top_ngram_share"])
+        for r in T.repetition_stats(df, n=2).collect()
+    }
+    assert got[1] == (1 - 2 / 5, 3 / 5)
+    assert got[2] == (0.0, 0.5)
+    assert got[3] == (0.0, 1.0)

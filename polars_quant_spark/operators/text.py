@@ -12,7 +12,7 @@ Scale: every op is a projection — embarrassingly parallel, no shuffle.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, Window
 from pyspark.sql import functions as F
 
 from polars_quant_spark.functions._util import col
@@ -151,6 +151,56 @@ def repetition_stats(df, text: str = "text", id_col: str = "doc_id", n: int = 2)
             F.lit(1.0) - F.col("_nd").cast("double") / F.col("_tot")
         ).alias("dup_ngram_ratio"),
         round6(F.col("_mx").cast("double") / F.col("_tot")).alias("top_ngram_share"),
+    )
+
+
+def pack_documents(
+    df,
+    budget: int = 512,
+    text: str = "text",
+    id_col: str = "doc_id",
+    shards: int = 8,
+):
+    """Concat-and-chunk sequence packing — the final step of a training-data
+    pipeline: documents are laid end-to-end and cut into fixed
+    ``budget``-token training sequences (GPT-style packing: documents may
+    span a cut; a spanning document contributes a row to each pack it
+    touches). Returns one row per (document, pack) overlap:
+    (shard, pack_id, doc_id, doc_tok_start, doc_tok_end) — enough for a
+    writer to assemble every pack's token stream.
+
+    Scale: a single global ordering would serialize in one window
+    partition, so packing runs independently per shard (doc_id % shards —
+    deterministic, so re-runs produce identical packs). Each shard's
+    prefix-sum window is one exchange; the per-doc pack fan-out is a
+    sequence+explode bounded by ceil(doc_len/budget)+1. Empty docs are
+    dropped (they contribute no tokens). All arithmetic is integer — the
+    layout is engine-exact."""
+    n = token_count(text)
+    base = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            (F.col(id_col) % shards).alias("shard"),
+            n.alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+    )
+    w = Window.partitionBy("shard").orderBy("_id")
+    cum = (F.sum("_n").over(w) - F.col("_n")).alias("_cum")  # exclusive prefix
+    laid = base.select("shard", "_id", "_n", cum)
+    first = F.floor(F.col("_cum") / budget).cast("long")
+    last = F.floor((F.col("_cum") + F.col("_n") - 1) / budget).cast("long")
+    packs = laid.select(
+        "shard", "_id", "_n", "_cum", F.explode(F.sequence(first, last)).alias("pack_id")
+    )
+    tok_start = F.greatest(F.lit(0).cast("long"), F.col("pack_id") * budget - F.col("_cum"))
+    tok_end = F.least(F.col("_n").cast("long"), (F.col("pack_id") + 1) * budget - F.col("_cum"))
+    return packs.select(
+        "shard",
+        "pack_id",
+        F.col("_id").alias(id_col),
+        tok_start.alias("doc_tok_start"),
+        tok_end.alias("doc_tok_end"),
     )
 
 

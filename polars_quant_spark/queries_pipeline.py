@@ -1463,3 +1463,39 @@ def doc_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Within-document bigram repetition (Gopher-style quality filter)."""
     docs = load_table(spark, sf_dir, "documents")
     return text.repetition_stats(docs, n=2)
+
+
+@q(
+    "doc_packing",
+    f"""
+WITH base AS (
+  SELECT doc_id, doc_id % 4 AS shard,
+         len({_TOKS}) AS n
+  FROM documents
+  WHERE len({_TOKS}) > 0
+),
+laid AS (
+  SELECT shard, doc_id, n,
+         SUM(n) OVER (PARTITION BY shard ORDER BY doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n AS cum_h
+  FROM base
+),
+laid2 AS (
+  SELECT shard, doc_id, n, CAST(cum_h AS BIGINT) AS cum FROM laid
+),
+packs AS (
+  SELECT shard, doc_id, n, cum,
+         unnest(range(cum // 64, (cum + n - 1) // 64 + 1)) AS pack_id
+  FROM laid2
+)
+SELECT shard, pack_id, doc_id,
+       GREATEST(0, pack_id * 64 - cum) AS doc_tok_start,
+       LEAST(n, (pack_id + 1) * 64 - cum) AS doc_tok_end
+FROM packs
+""",
+)
+def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing of the documents table into 64-token training
+    sequences across 4 deterministic shards."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.pack_documents(docs, budget=64, shards=4)

@@ -248,3 +248,31 @@ def test_repetition_stats_values(spark):
     assert got[1] == (1 - 2 / 5, 3 / 5)
     assert got[2] == (0.0, 0.5)
     assert got[3] == (0.0, 1.0)
+
+
+def test_pack_documents_invariants(spark, sf_dir):
+    from polars_quant_spark.operators import text as T
+    from polars_quant_spark.sources.bars import load_table
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    budget = 64
+    out = T.pack_documents(docs, budget=budget, shards=4).toPandas()
+    toks = docs.select("doc_id", T.token_count("text").alias("n")).toPandas()
+    n_by_doc = dict(zip(toks.doc_id, toks.n))
+
+    # each doc's spans tile [0, n) exactly, in pack order, with no gaps
+    for doc_id, grp in out.groupby("doc_id"):
+        g = grp.sort_values("pack_id")
+        assert g.doc_tok_start.iloc[0] == 0
+        assert g.doc_tok_end.iloc[-1] == n_by_doc[doc_id]
+        assert (g.doc_tok_end.values[:-1] == g.doc_tok_start.values[1:]).all()
+        assert (g.doc_tok_end > g.doc_tok_start).all()
+
+    # every pack except each shard's last holds exactly `budget` tokens
+    out["span"] = out.doc_tok_end - out.doc_tok_start
+    sizes = out.groupby(["shard", "pack_id"])["span"].sum()
+    for shard, grp in sizes.groupby(level=0):
+        full, tail = grp.iloc[:-1], grp.iloc[-1]
+        assert (full == budget).all()
+        assert 0 < tail <= budget

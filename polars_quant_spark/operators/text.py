@@ -117,6 +117,36 @@ def token_frequencies(df, text: str = "text", id_col: str = "doc_id"):
     )
 
 
+# PII patterns shared with the DuckDB twin — restricted to syntax both Java
+# regex and RE2 support (no lookarounds/backrefs): character classes, bounded
+# repeats, \b, \d.
+PII_PATTERNS: dict[str, str] = {
+    "EMAIL": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "IP": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "PHONE": r"\b\d{3}[- .]\d{3}[- .]\d{4}\b",
+}
+
+
+def pii_counts(text: Column | str) -> dict[str, Column]:
+    """Per-kind PII match counts (one compiled regex sweep each)."""
+    t = col(text)
+    return {
+        kind: F.size(F.regexp_extract_all(t, F.lit(pat), 0))
+        for kind, pat in PII_PATTERNS.items()
+    }
+
+
+def scrub_pii(text: Column | str) -> Column:
+    """Mask emails / IPs / phone numbers with [KIND] tokens — the standard
+    redaction pass before training. Pure projection (three codegen'd regex
+    replaces); order is fixed (EMAIL, IP, PHONE) so engines agree when
+    patterns could overlap."""
+    out = col(text)
+    for kind, pat in PII_PATTERNS.items():
+        out = F.regexp_replace(out, pat, f"[{kind}]")
+    return out
+
+
 def repetition_stats(df, text: str = "text", id_col: str = "doc_id", n: int = 2):
     """Within-document repetition (the Gopher/C4-style quality filter):
     per document, the duplicate n-gram ratio (1 − distinct/total) and the

@@ -1499,3 +1499,55 @@ def doc_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     sequences across 4 deterministic shards."""
     docs = load_table(spark, sf_dir, "documents")
     return text.pack_documents(docs, budget=64, shards=4)
+
+
+# PII scrubbing. The synthetic documents carry no PII, so the query first
+# enriches each text with deterministic synthetic identifiers derived from
+# doc_id (identical construction on both engines) — the oracle then checks
+# non-vacuous detection and masking, not just no-ops.
+_PII_SUFFIX_SQL = (
+    "' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or "
+    "10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 tel 555-01" 
+    "' || CAST(doc_id % 10 AS VARCHAR) || '-2345'"
+)
+
+
+@q(
+    "doc_pii_scrub",
+    f"""
+WITH enriched AS (
+  SELECT doc_id, text || {_PII_SUFFIX_SQL} AS text FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}')) AS n_email,
+       len(regexp_extract_all(text, '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b')) AS n_ip,
+       len(regexp_extract_all(text, '\\b\\d{{3}}[- .]\\d{{3}}[- .]\\d{{4}}\\b')) AS n_phone,
+       md5(regexp_replace(regexp_replace(regexp_replace(text,
+            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{{2,}}', '[EMAIL]', 'g'),
+            '\\b\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\.\\d{{1,3}}\\b', '[IP]', 'g'),
+            '\\b\\d{{3}}[- .]\\d{{3}}[- .]\\d{{4}}\\b', '[PHONE]', 'g')) AS scrubbed_md5
+FROM enriched
+""",
+)
+def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection counts + an md5 of the scrubbed text (full masked
+    output verified without hauling long strings through the compare)."""
+    docs = load_table(spark, sf_dir, "documents")
+    enriched = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 tel 555-01"), (F.col("doc_id") % 10).cast("string"),
+            F.lit("-2345"),
+        ).alias("text"),
+    )
+    counts = text.pii_counts("text")
+    return enriched.select(
+        "doc_id",
+        counts["EMAIL"].alias("n_email"),
+        counts["IP"].alias("n_ip"),
+        counts["PHONE"].alias("n_phone"),
+        F.md5(text.scrub_pii("text")).alias("scrubbed_md5"),
+    )

@@ -276,3 +276,22 @@ def test_pack_documents_invariants(spark, sf_dir):
         full, tail = grp.iloc[:-1], grp.iloc[-1]
         assert (full == budget).all()
         assert 0 < tail <= budget
+
+
+def test_scrub_pii_masks_all_kinds(spark):
+    import pandas as pd
+    from polars_quant_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1],
+                "text": ["mail a.b+c@x-y.org ip 192.168.0.1 call 555-123-4567 done"],
+            }
+        )
+    )
+    row = df.select(
+        T.scrub_pii("text").alias("s"), *[c.alias(k) for k, c in T.pii_counts("text").items()]
+    ).collect()[0]
+    assert row["s"] == "mail [EMAIL] ip [IP] call [PHONE] done"
+    assert (row["EMAIL"], row["IP"], row["PHONE"]) == (1, 1, 1)

@@ -1551,3 +1551,32 @@ def doc_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["PHONE"].alias("n_phone"),
         F.md5(text.scrub_pii("text")).alias("scrubbed_md5"),
     )
+
+
+@q(
+    "events_props_json",
+    """
+SELECT event_type,
+       COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
+       SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS n_high
+FROM events
+GROUP BY event_type
+""",
+)
+def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: parse the JSON props payload and
+    aggregate the extracted field per event_type. get_json_object is a
+    codegen'd path-evaluation per row — no UDF, no schema inference pass;
+    at scale prefer materializing extracted columns once at ingest."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(F.when(k > 50, F.lit(1)).otherwise(F.lit(0))).alias("n_high"),
+    )

@@ -86,10 +86,50 @@ def range_join(
 ) -> DataFrame:
     """Point-in-interval join: left rows matched to right intervals
     [right_lo, right_hi) sharing the ``by`` keys. Small right side →
-    broadcast-NL (cheap); large right side should be bucketed by coarse
-    range bins first (not implemented — documented scale path)."""
+    broadcast-NL (cheap); for a large right side use
+    ``binned_range_join`` (hash equi-join on coarse bins)."""
     keys = [by] if isinstance(by, str) else list(by or [])
     cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
     for k in keys:
         cond = cond & (left[k] == right[k])
     return left.join(F.broadcast(right), cond)
+
+
+def binned_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_point: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """``range_join`` for a LARGE right side — the scale path the
+    broadcast-NL form can't take. Integer domains (epoch-µs, bar index).
+
+    Each right interval explodes into the coarse bins it overlaps
+    (``sequence(lo div w, (hi−1) div w)``); each left point lands in exactly
+    one bin; a hash equi-join on (keys…, bin) + the exact range filter gives
+    the same pairs as the NL join with NO duplicate elimination needed — a
+    (point, interval) pair can only meet in the point's own bin.
+
+    Cost: right side amplified by ~(span/bin_width)+1 rows, both sides one
+    hash shuffle — choose ``bin_width`` near the typical interval span so
+    amplification stays O(1) and bins stay selective. Skewed hot bins are
+    ordinary join skew: AQE's skew-join splitting applies (unlike the NL
+    plan, which AQE cannot help)."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    keys = [by] if isinstance(by, str) else list(by or [])
+    rt = right.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.expr(f"CAST({right_lo} AS BIGINT) div {bin_width}"),
+                F.expr(f"(CAST({right_hi} AS BIGINT) - 1) div {bin_width}"),
+            )
+        ),
+    )
+    lt = left.withColumn("_bin", F.expr(f"CAST({left_point} AS BIGINT) div {bin_width}"))
+    cond = (F.col(left_point) >= F.col(right_lo)) & (F.col(left_point) < F.col(right_hi))
+    return lt.join(rt, [*keys, "_bin"]).where(cond).drop("_bin")

@@ -13,7 +13,7 @@ with no closed-form SQL window. Spark-first design (SURVEY.md §4.2 item 1):
   kernel, so group size is bounded by executor memory only through Arrow
   batching (spark.sql.execution.arrow.maxRecordsPerBatch keeps batches sane;
   applyInPandas materializes a group at a time — for truly huge single
-  symbols, segment the scan by year and stitch seeds, not implemented here).
+  symbols, segment the scan and stitch seeds — operators/segmented.py).
 
 Null semantics match the reference: kernels skip nulls without consuming
 window slots (/root/reference/src/talib/overlap.rs:891-895) — inputs are

@@ -295,3 +295,37 @@ def test_scrub_pii_masks_all_kinds(spark):
     ).collect()[0]
     assert row["s"] == "mail [EMAIL] ip [IP] call [PHONE] done"
     assert (row["EMAIL"], row["IP"], row["PHONE"]) == (1, 1, 1)
+
+
+def test_binned_range_join_equals_broadcast_nl(spark, sf_dir):
+    """The binned hash plan must produce exactly the NL join's pairs."""
+    from polars_quant_spark.operators.asof import binned_range_join, range_join
+    from polars_quant_spark.sources.bars import bars
+
+    import pandas as pd
+
+    b = bars(spark, sf_dir).select("symbol", "t")
+    # deterministic intervals per symbol: [k*37, k*37 + width_k); built as a
+    # fresh frame (not b's lineage) so the NL self-join stays unambiguous
+    mx = {r[0]: r[1] for r in b.groupBy("symbol").agg(F.max("t")).collect()}
+    iv_rows = [
+        (s, k * 37, k * 37 + (k % 5) * 13 + 4)
+        for s, m in sorted(mx.items())
+        for k in range(m // 37 + 1)
+    ]
+    iv = spark.createDataFrame(
+        pd.DataFrame(iv_rows, columns=["symbol", "lo", "hi"])
+    )
+    nl = range_join(b, iv, "t", "lo", "hi", by="symbol")
+    binned = binned_range_join(b, iv, "t", "lo", "hi", bin_width=32, by="symbol")
+    # the NL join keeps both sides' key column — qualify via the left frame
+    nl_rows = nl.select(b["symbol"], "t", "lo", "hi").collect()
+    assert sorted(map(tuple, nl_rows)) == sorted(
+        map(tuple, binned.select("symbol", "t", "lo", "hi").collect())
+    )
+    # plan shape: hash join on the bin, not a nested loop
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        binned.explain("formatted")
+    assert "BroadcastNestedLoopJoin" not in buf.getvalue()

@@ -1580,3 +1580,58 @@ def events_props_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(k).alias("max_k"),
         F.sum(F.when(k > 50, F.lit(1)).otherwise(F.lit(0))).alias("n_high"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Stateful streaming, driver-verified: the applyInPandasWithState EMA runs as
+# a REAL streaming query (availableNow → memory sink) inside the callable and
+# its drained output hash-checks against the recursive-CTE EMA twin — the
+# stateful operator itself passes the oracle gate, not just a batch stand-in.
+# ---------------------------------------------------------------------------
+
+import itertools as _it
+
+_STREAM_SEQ = _it.count()
+
+
+def _ema_stream_oracle() -> str:
+    from polars_quant_spark.oracle import ema_ctes, recursive_with
+
+    return recursive_with(ema_ctes("se", "bars", "close", 20)) + """
+SELECT b.symbol, b.ts_us, ROUND(e.se, 6) AS ema_20
+FROM bars b LEFT JOIN se e ON b.symbol = e.symbol AND b.t = e.t
+"""
+
+
+@q("stream_ema_stateful", None)
+def stream_ema_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-symbol EMA (state carried across micro-batches) drained
+    with availableNow. The stream derives (symbol, ts_us, close) row-wise
+    from events with the exact bars-CTE close formula, and (symbol, ts_us)
+    is a total order in the driver data, so the drained output must equal
+    the batch recursive-CTE EMA over bars bit-for-bit."""
+    from polars_quant_spark.streaming.stateful import streaming_ema
+    from polars_quant_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    inp = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        (F.lit(300.0) + F.col("value").cast("double") / F.lit(10.0)).alias("close"),
+    )
+    out = streaming_ema(inp, p=20)
+    name = f"pqs_stream_ema_{next(_STREAM_SEQ)}"
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name).select(
+        "symbol", "ts_us", r6(F.col("ema")).alias("ema_20")
+    )
+
+
+ORACLES["stream_ema_stateful"] = _ema_stream_oracle()

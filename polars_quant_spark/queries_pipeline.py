@@ -1635,3 +1635,75 @@ def stream_ema_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["stream_ema_stateful"] = _ema_stream_oracle()
+
+
+@q(
+    "stream_position_stateful",
+    """
+WITH RECURSIVE base AS MATERIALIZED (
+  SELECT event_type AS symbol,
+         epoch_us(ts) AS ts_us,
+         300.0 + CAST(value AS DOUBLE) / 10.0 AS close,
+         value > 300.0 AS buy,
+         value < 100.0 AS sell,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts) AS rn
+  FROM events
+),
+fold AS (
+  SELECT symbol, rn, ts_us, close,
+         CASE WHEN buy AND FLOOR(100000.0 / close) > 0
+              THEN FLOOR(100000.0 / close) ELSE 0.0 END AS position,
+         CASE WHEN buy AND FLOOR(100000.0 / close) > 0
+              THEN 100000.0 - FLOOR(100000.0 / close) * close ELSE 100000.0 END AS cash
+  FROM base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.rn, b.ts_us, b.close,
+         CASE WHEN b.sell AND f.position > 0 THEN 0.0
+              WHEN b.buy AND f.position = 0 AND FLOOR(f.cash / b.close) > 0
+                   THEN FLOOR(f.cash / b.close)
+              ELSE f.position END,
+         CASE WHEN b.sell AND f.position > 0 THEN f.cash + f.position * b.close
+              WHEN b.buy AND f.position = 0 AND FLOOR(f.cash / b.close) > 0
+                   THEN f.cash - FLOOR(f.cash / b.close) * b.close
+              ELSE f.cash END
+  FROM fold f JOIN base b ON b.symbol = f.symbol AND b.rn = f.rn + 1
+)
+SELECT symbol, ts_us, ROUND(position, 6) AS position, ROUND(cash, 6) AS cash,
+       ROUND(cash + position * close, 6) AS equity
+FROM fold
+""",
+)
+def stream_position_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming long-flat position fold (the vectorized backtester's state
+    machine as a stateful streaming operator), drained with availableNow and
+    checked against a recursive-CTE fold twin. Signals are row-wise
+    (value thresholds), so the stream needs no windows; the kernel's
+    float(int(cash/px)) equals the twin's FLOOR for positive operands."""
+    from polars_quant_spark.streaming.stateful import streaming_position
+    from polars_quant_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    inp = ev.select(
+        F.col("event_type").alias("symbol"),
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        (F.lit(300.0) + F.col("value").cast("double") / F.lit(10.0)).alias("close"),
+        (F.col("value") > 300.0).alias("buy"),
+        (F.col("value") < 100.0).alias("sell"),
+    )
+    out = streaming_position(inp, initial_capital=100_000.0)
+    name = f"pqs_stream_pos_{next(_STREAM_SEQ)}"
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name).select(
+        "symbol",
+        "ts_us",
+        r6(F.col("position")).alias("position"),
+        r6(F.col("cash")).alias("cash"),
+        r6(F.col("equity")).alias("equity"),
+    )

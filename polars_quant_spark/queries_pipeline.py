@@ -1707,3 +1707,60 @@ def stream_position_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("cash")).alias("cash"),
         r6(F.col("equity")).alias("equity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end cleaning pipeline: quality gate → language gate → exact-dedup
+# canonical keeper → per-source corpus stats. One declared query chains the
+# already-verified stages so the COMPOSITION is hash-checked too (stage
+# interactions — fingerprint vs keeper join, rounded-quality threshold — are
+# exactly where integration bugs live).
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "doc_clean_corpus",
+    f"""
+WITH stats AS ({{DOC_TEXT_STATS}}),
+keep AS (
+  SELECT MIN(doc_id) AS keep_id FROM stats GROUP BY fingerprint
+)
+SELECT d.source,
+       COUNT(*) AS n_docs,
+       CAST(SUM(s.n_tokens) AS BIGINT) AS sum_tokens
+FROM documents d
+JOIN stats s ON s.doc_id = d.doc_id
+JOIN keep k ON k.keep_id = d.doc_id
+WHERE s.quality >= 0.5 AND s.lang_pred = 'en'
+GROUP BY d.source
+""",
+)
+def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cleaning pipeline a training-data user actually runs: keep
+    canonical (exact-dedup keeper), English, quality ≥ 0.5 documents and
+    report the surviving corpus per source."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    stats = docs.select(
+        "doc_id",
+        "source",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.detect_language("text").alias("lang_pred"),
+        r6(text.quality_score("text")).alias("quality"),
+        text.fingerprint("text").alias("fingerprint"),
+    )
+    keep = stats.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    return (
+        stats.join(keep, stats.doc_id == keep.keep_id)
+        .where((F.col("quality") >= 0.5) & (F.col("lang_pred") == "en"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+# splice the already-verified doc_text_stats twin in as a CTE body
+ORACLES["doc_clean_corpus"] = ORACLES["doc_clean_corpus"].replace(
+    "{DOC_TEXT_STATS}", ORACLES["doc_text_stats"]
+)

@@ -73,13 +73,14 @@ bars AS (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one driver parquet table. Plain ``spark.read.parquet`` so filter
     pushdown / column pruning reach the scan."""
+    # Modifiable SQLConfs — set defensively in case the hosting session
+    # didn't configure them (the driver builds its own SparkSession). UTC
+    # makes every timestamp↔epoch/string conversion timezone-independent,
+    # matching DuckDB's naive-timestamp reads of the same parquet.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # Modifiable SQLConfs — set defensively in case the hosting session
-        # didn't configure them (the driver builds its own SparkSession).
-        # nanosAsLong only affects TIMESTAMP(NANOS) files; UTC makes the
-        # NTZ→epoch conversion below timezone-independent.
+        # only affects TIMESTAMP(NANOS) files (round-1 driver data)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

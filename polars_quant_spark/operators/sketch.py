@@ -105,6 +105,31 @@ def stratified_sample(
     return df.where(hash_lane(key, 8) < thr)
 
 
+def hash_split(
+    df: DataFrame, key: str, weights: dict[str, float], out_col: str = "split"
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the md5 lane of `key` is cut
+    at the cumulative weight boundaries (insertion order of `weights`), so
+    every engine, run and retry assigns each row the same split — and a
+    document's split never changes when the corpus around it grows, which
+    is what keeps eval sets stable across dataset versions. Weights must
+    sum to ≤ 1; any residual hash range falls into the LAST split. Pure
+    projection, no shuffle."""
+    if not weights or sum(weights.values()) > 1.0 + 1e-9:
+        raise ValueError("weights must be non-empty and sum to <= 1")
+    h = hash_lane(key, 8)
+    names = list(weights)
+    acc = 0.0
+    bounds = []
+    for name in names[:-1]:
+        acc += weights[name]
+        bounds.append((name, int(acc * float(2**32))))
+    expr = F.lit(names[-1])  # residual hash range → last split
+    for name, b in reversed(bounds):
+        expr = F.when(h < b, F.lit(name)).otherwise(expr)
+    return df.withColumn(out_col, expr)
+
+
 def sampled_quantiles(
     df: DataFrame,
     value: str,

@@ -1764,3 +1764,26 @@ def doc_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["doc_clean_corpus"] = ORACLES["doc_clean_corpus"].replace(
     "{DOC_TEXT_STATS}", ORACLES["doc_text_stats"]
 )
+
+
+@q(
+    "doc_split_assign",
+    f"""
+SELECT source,
+       CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < {int(0.8 * float(2**32))} THEN 'train'
+            WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < {int(0.9 * float(2**32))} THEN 'val'
+            ELSE 'test' END AS split,
+       COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1, 2
+""",
+)
+def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/val/test assignment, counted per
+    source×split — the split a row gets is a pure function of doc_id, so
+    it is identical on every engine and stable as the corpus grows."""
+    from polars_quant_spark.operators.sketch import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    return out.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))

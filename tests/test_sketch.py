@@ -127,3 +127,27 @@ def test_stratified_sample_rates_and_drops(spark, sf_dir):
              sketch.stratified_sample(docs, "doc_id", fracs, "source")
              .groupBy("source").count().collect()}
     assert again == got
+
+
+def test_hash_split_partitions_and_is_stable(spark, sf_dir):
+    from polars_quant_spark.sources.bars import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    out = sketch.hash_split(docs, "doc_id", w)
+    rows = {r["doc_id"]: r["split"] for r in out.select("doc_id", "split").collect()}
+    # every row assigned, only the declared names
+    assert set(rows.values()) <= set(w)
+    # proportions within 5 sigma of the weights
+    n = len(rows)
+    from collections import Counter
+    c = Counter(rows.values())
+    for name, frac in w.items():
+        assert abs(c[name] - frac * n) < 5 * np.sqrt(n * frac * (1 - frac)) + 1
+    # stability under corpus growth: a subset's assignments are unchanged
+    sub = sketch.hash_split(docs.limit(50), "doc_id", w)
+    for r in sub.select("doc_id", "split").collect():
+        assert rows[r["doc_id"]] == r["split"]
+    # invalid weights rejected
+    with pytest.raises(ValueError):
+        sketch.hash_split(docs, "doc_id", {"a": 0.9, "b": 0.3})

@@ -123,18 +123,29 @@ def bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     open_ = F.coalesce(F.lag(close).over(w), close) * (
         F.lit(1.0) + (F.col("event_id") % 11 - 5).cast("double") / F.lit(1000.0)
     )
-    return ev.select(
+    # materialize `open` before deriving high/low: reusing the open_ tree in
+    # greatest/least would instantiate THREE separate lag window expressions
+    # (one per consumer) — same values, 3× the window-function work
+    mid = ev.select(
         "symbol",
         "ts_us",
         F.row_number().over(w).alias("t"),
         close.alias("close"),
         open_.alias("open"),
+        F.col("event_id"),
+    )
+    return mid.select(
+        "symbol",
+        "ts_us",
+        "t",
+        "close",
+        "open",
         (
-            F.greatest(open_, close)
+            F.greatest(F.col("open"), F.col("close"))
             * (F.lit(1.0) + (F.col("event_id") % 7).cast("double") / F.lit(1000.0))
         ).alias("high"),
         (
-            F.least(open_, close)
+            F.least(F.col("open"), F.col("close"))
             * (F.lit(1.0) - (F.col("event_id") % 5).cast("double") / F.lit(1000.0))
         ).alias("low"),
         (F.col("event_id") % 1000 + 100).cast("double").alias("volume"),

@@ -237,6 +237,65 @@ def minhash_dedup_pairs(
     return out.where(F.col("jaccard") >= threshold)
 
 
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    threshold: float = 0.5,
+    max_posting: int = 1000,
+) -> DataFrame:
+    """EXACT n-gram Jaccard dedup via an inverted-index self-join — the
+    classic non-probabilistic sibling of MinHash+LSH (reference scope:
+    near-dup families, SURVEY §7 Phase 5). Returns (id_a, id_b, jaccard)
+    for every pair with jaccard ≥ threshold — no LSH false negatives.
+
+    Plan: explode shingles (codegen'd, see ``exploded_shingles``) → cap
+    hot postings (shingles appearing in > ``max_posting`` docs are
+    boilerplate; dropping them is the standard skew guard, applied
+    identically in the DuckDB twin) → self-join on the shingle =
+    inverted-index candidate generation fused with intersection counting
+    (one groupBy) → |A∪B| = |A|+|B|−|A∩B|.
+
+    Scale: cost is Σ_shingle count(shingle)², bounded by
+    ``max_posting``·|postings|; every stage is a hash shuffle AQE can
+    split on skew. For very low thresholds prefer ``minhash_dedup_pairs``
+    (LSH prunes candidate volume); for threshold ≥ ~0.5 a positional
+    prefix filter (join only on each doc's ⌊(1−t)·n⌋+1 rarest shingles)
+    is the tighter production refinement of the same plan shape."""
+    from polars_quant_spark.functions._util import round6
+
+    ex = exploded_shingles(df, text, id_col, k).persist()
+    sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
+    capped = (
+        ex.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("_sh")))
+        .where(F.col("_c") <= max_posting)
+        .select("_id", "_sh")
+    )
+    inter = (
+        capped.select(F.col("_id").alias("id_a"), "_sh")
+        .join(capped.select(F.col("_id").alias("id_b"), "_sh"), "_sh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a"
+        )
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round6(
+                F.col("_inter").cast("double")
+                / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+            ).alias("jaccard"),
+        )
+    )
+    return out.where(F.col("jaccard") >= threshold)
+
+
 def contamination(
     corpus: DataFrame,
     probes: DataFrame,

@@ -877,6 +877,46 @@ FROM bars b ASOF LEFT JOIN marks m
 )
 
 
+# ---------------------------------------------------------------------------
+# Range join — point-in-interval, via the binned equi-join plan
+# (operators/asof.py:binned_range_join): intervals explode into the coarse
+# bins they overlap, points land in exactly one bin, and a hash equi-join
+# on (symbol, bin) + the exact range filter replaces the broadcast-NL join
+# the naive form needs. Window spacing (37) < width (50) makes some
+# intervals overlap, so multi-match rows are exercised.
+# ---------------------------------------------------------------------------
+
+
+def _range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators.asof import binned_range_join
+
+    b = bars(spark, sf_dir).select("symbol", "t", "close")
+    wins = b.where(F.col("t") % 37 == 0).select(
+        "symbol", F.col("t").alias("lo"), (F.col("t") + 50).alias("hi")
+    )
+    out = binned_range_join(b, wins, "t", "lo", "hi", bin_width=32, by="symbol")
+    return out.select(
+        "symbol",
+        "t",
+        F.col("lo").alias("win_lo"),
+        r6(F.col("close")).alias("close"),
+    )
+
+
+QUERIES["range_bars_windows"] = _range_join_query
+ORACLES["range_bars_windows"] = (
+    BARS_CTE
+    + """
+, wins AS (
+  SELECT symbol, t AS lo, t + 50 AS hi FROM bars WHERE t % 37 = 0
+)
+SELECT b.symbol, b.t, w.lo AS win_lo, ROUND(b.close, 6) AS close
+FROM bars b JOIN wins w
+  ON b.symbol = w.symbol AND b.t >= w.lo AND b.t < w.hi
+"""
+)
+
+
 # MACDFIX — the 12/26-fixed MACD with a custom signal period; every leg is
 # an SMA-seeded EMA, so the twin is pure ema_ctes composition.
 QUERIES["ind_macdfix"] = lambda spark, sf_dir: with_recurrences(

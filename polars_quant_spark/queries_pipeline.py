@@ -158,6 +158,57 @@ FROM documents d LEFT JOIN comp c ON c.u = d.doc_id
 
 
 # ---------------------------------------------------------------------------
+# exact n-gram Jaccard dedup — the non-probabilistic sibling of MinHash:
+# inverted-index (shingle) self-join with a hot-posting cap. The twin
+# applies the identical cap, so results are bit-equal even in the presence
+# of boilerplate shingles.
+# ---------------------------------------------------------------------------
+
+_NGJ_CTES = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+shx AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 3
+              THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                                j -> array_to_string(toks[j:j+2], ' ')))
+              ELSE [array_to_string(toks, ' ')] END AS shs
+  FROM tk
+),
+ex AS MATERIALIZED (
+  SELECT doc_id AS _id, unnest(shs) AS _sh FROM shx
+),
+sizes AS MATERIALIZED (SELECT _id, COUNT(*) AS _n FROM ex GROUP BY _id),
+capped AS MATERIALIZED (
+  SELECT _id, _sh
+  FROM (SELECT *, COUNT(*) OVER (PARTITION BY _sh) AS _c FROM ex)
+  WHERE _c <= 1000
+),
+ngj_inter AS (
+  SELECT a._id AS id_a, b._id AS id_b, COUNT(*) AS _inter
+  FROM capped a JOIN capped b ON a._sh = b._sh AND a._id < b._id
+  GROUP BY a._id, b._id
+)
+"""
+
+QUERIES["doc_ngram_jaccard"] = lambda spark, sf_dir: dedup.ngram_jaccard_pairs(
+    load_table(spark, sf_dir, "documents"), threshold=0.5
+)
+ORACLES["doc_ngram_jaccard"] = (
+    _NGJ_CTES
+    + """
+SELECT i.id_a, i.id_b,
+       ROUND(CAST(i._inter AS DOUBLE) / (sa._n + sb._n - i._inter), 6) AS jaccard
+FROM ngj_inter i
+JOIN sizes sa ON sa._id = i.id_a
+JOIN sizes sb ON sb._id = i.id_b
+WHERE CAST(i._inter AS DOUBLE) / (sa._n + sb._n - i._inter) >= 0.5
+"""
+)
+
+
+# ---------------------------------------------------------------------------
 # text analysis: token counts, language-ID, quality, fingerprint
 # ---------------------------------------------------------------------------
 

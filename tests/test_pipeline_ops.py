@@ -43,6 +43,24 @@ def test_minhash_finds_near_dupes(spark):
     assert all(3 not in p for p in found)
 
 
+def test_ngram_jaccard_exact_values(spark):
+    # doc1/doc2 3-shingle sets: {abc, bcd, cde} vs {abc, bcd, cdf} →
+    # |∩|=2, |∪|=4 → jaccard exactly 0.5. Inverted-index exactness: no
+    # LSH involved, so the pair MUST appear (no probabilistic miss).
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["a b c d e", "a b c d f", "totally different words here now"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    rows = dedup.ngram_jaccard_pairs(df, threshold=0.5).collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert got == {(1, 2): 0.5}
+    # threshold above the exact value excludes the pair
+    assert dedup.ngram_jaccard_pairs(df, threshold=0.6).count() == 0
+
+
 def test_jaccard_identical_is_one(spark):
     df = spark.createDataFrame(pd.DataFrame({"a": ["x y z w v"], "b": ["x y z w v"]}))
     val = df.select(dedup.jaccard(F.col("a"), F.col("b")).alias("j")).collect()[0]["j"]

@@ -126,6 +126,29 @@ def main() -> None:
 
     import bench  # noqa: E402  (repo root on sys.path)
 
+    from polars_quant_spark.operators import dedup, text  # noqa: E402
+
+    def _packing(spark_, sf_dir):
+        return text.pack_documents(
+            load_table(spark_, sf_dir, "documents"), budget=64, shards=4
+        )
+
+    def _token_freq(spark_, sf_dir):
+        return text.token_frequencies(load_table(spark_, sf_dir, "documents"))
+
+    def _contamination(spark_, sf_dir):
+        docs = load_table(spark_, sf_dir, "documents")
+        probes = docs.where(F.col("doc_id") % 50 == 7).select(
+            F.col("doc_id").alias("probe_id"), "text"
+        )
+        return dedup.contamination(docs, probes, min_shared=2)
+
+    EXTRA = {
+        "packing": _packing,
+        "token_freq": _token_freq,
+        "contamination": _contamination,
+    }
+
     subset = [
         "q1",
         "q5",
@@ -136,6 +159,9 @@ def main() -> None:
         "dedup_minhash",
         "ann_topk",
         "text_stats",
+        "packing",
+        "token_freq",
+        "contamination",
     ]
 
     def best2(fn, sf_dir: str) -> float:
@@ -150,7 +176,7 @@ def main() -> None:
     load_table(spark, SF_DIR, "lineitem").count()
     results = {}
     for name in subset:
-        fn = bench.BENCH[name]
+        fn = bench.BENCH.get(name) or EXTRA[name]
         t1 = best2(fn, SF_DIR)
         tn = best2(fn, out)
         results[name] = {

@@ -234,6 +234,107 @@ def pack_documents(
     )
 
 
+def remove_duplicated_spans(
+    df,
+    text: str = "text",
+    id_col: str = "doc_id",
+    width: int = 2,
+    max_docs: int = 20,
+):
+    """Corpus-level duplicated-span removal — the C4/CCNet/Dolma boilerplate
+    filter: any span whose text occurs in more than ``max_docs`` DISTINCT
+    documents is cut from every document; the survivors are reassembled in
+    order. Returns (doc_id, clean_text, n_spans, n_dropped).
+
+    The driver corpus is a flat token stream (no newlines), so a span here
+    is a non-overlapping ``width``-token chunk; with real line/paragraph
+    structure the span expression is the line split and the plan is
+    identical.
+
+    Scale: explode spans → distinct-doc count per span via the two-level
+    agg (per (span, doc) first — map-side combined, no count_distinct
+    Expand) → the banned set is small by construction (it IS the
+    boilerplate), so it broadcasts back onto the span rows → one per-doc
+    shuffle reassembles survivors with an in-agg sort. No driver collect;
+    empty documents carry no spans and drop out."""
+    from polars_quant_spark.functions._util import widen
+
+    toks = tokens(text)
+    nspans = F.ceil(F.size(toks) / F.lit(float(width))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), nspans - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
+    )
+    ex = (
+        widen(df)
+        .where(F.size(toks) > 0)
+        .select(F.col(id_col).alias("_id"), F.posexplode(spans).alias("_pos", "_sp"))
+    )
+    per_doc = ex.groupBy("_sp", "_id").agg(F.count(F.lit(1)).alias("_c"))
+    banned = (
+        per_doc.groupBy("_sp")
+        .agg(F.count(F.lit(1)).alias("_nd"))
+        .where(F.col("_nd") > max_docs)
+        .select("_sp", F.lit(1).alias("_ban"))
+    )
+    flagged = ex.join(F.broadcast(banned), "_sp", "left")
+    kept_struct = F.when(
+        F.col("_ban").isNull(), F.struct(F.col("_pos"), F.col("_sp"))
+    )  # no otherwise: banned spans collect as SQL nulls, which collect_list skips
+    return flagged.groupBy("_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)), lambda s: s["_sp"]
+            ),
+            " ",
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_spans"),
+        F.sum(F.when(F.col("_ban") == 1, 1).otherwise(0)).alias("n_dropped"),
+    ).select(
+        F.col("_id").alias(id_col), "clean_text", "n_spans", "n_dropped"
+    )
+
+
+def oov_stats(
+    df,
+    vocab_size: int = 1000,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Tokenizer-vocabulary coverage: build the top-``vocab_size`` corpus
+    vocabulary (by frequency, token-lexicographic tie-break — fully
+    deterministic) and measure each document's out-of-vocabulary rate.
+    Returns (doc_id, n_tokens, n_oov, oov_ratio) — the standard signal for
+    sizing a tokenizer vocab / flagging documents a tokenizer will shred.
+
+    Scale: vocabulary selection is a TakeOrderedAndProject (top-N, no
+    global sort partition); the vocab is ≤ vocab_size rows by definition,
+    so the membership join broadcasts and the corpus never reshuffles
+    beyond the per-doc agg."""
+    from polars_quant_spark.functions._util import round6, widen
+
+    freqs = token_frequencies(df, text, id_col)
+    vocab = (
+        freqs.orderBy(F.col("freq").desc(), F.col("token"))
+        .limit(vocab_size)
+        .select("token", F.lit(1).alias("_in"))
+    )
+    ex = widen(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("token")
+    )
+    flagged = ex.join(F.broadcast(vocab), "token", "left")
+    agg = flagged.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("_in").isNull(), 1).otherwise(0)).alias("n_oov"),
+    )
+    return agg.select(
+        F.col("_id").alias(id_col),
+        "n_tokens",
+        "n_oov",
+        round6(F.col("n_oov").cast("double") / F.col("n_tokens")).alias("oov_ratio"),
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Canonical document fingerprint: md5 over the normalized token stream.
     (md5 is used engine-wide so DuckDB oracles reproduce it bit-for-bit;

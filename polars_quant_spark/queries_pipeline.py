@@ -209,6 +209,71 @@ WHERE CAST(i._inter AS DOUBLE) / (sa._n + sb._n - i._inter) >= 0.5
 
 
 # ---------------------------------------------------------------------------
+# corpus-level duplicated-span removal (C4/CCNet/Dolma boilerplate filter):
+# spans occurring in > max_docs distinct documents are cut everywhere and
+# documents reassembled. The driver corpus has no line structure, so spans
+# are non-overlapping 2-token chunks (see operators/text.py docstring).
+# ---------------------------------------------------------------------------
+
+QUERIES["doc_span_dedup"] = lambda spark, sf_dir: text.remove_duplicated_spans(
+    load_table(spark, sf_dir, "documents"), width=2, max_docs=20
+)
+ORACLES["doc_span_dedup"] = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+spx AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS BIGINT)),
+                               i -> {{'pos': i, 'sp': array_to_string(toks[i*2+1:i*2+2], ' ')}})) AS u
+  FROM tk WHERE len(toks) > 0
+),
+spr AS MATERIALIZED (
+  SELECT doc_id, u.pos AS pos, u.sp AS sp FROM spx
+),
+banned AS (
+  SELECT sp FROM (SELECT sp, doc_id FROM spr GROUP BY sp, doc_id)
+  GROUP BY sp HAVING COUNT(*) > 20
+)
+SELECT s.doc_id,
+       COALESCE(string_agg(CASE WHEN b.sp IS NULL THEN s.sp END, ' ' ORDER BY s.pos), '') AS clean_text,
+       COUNT(*) AS n_spans,
+       CAST(SUM(CASE WHEN b.sp IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM spr s LEFT JOIN banned b ON s.sp = b.sp
+GROUP BY s.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-vocabulary coverage: top-N vocab (freq DESC, token ASC —
+# deterministic across engines) → per-document OOV rate.
+# ---------------------------------------------------------------------------
+
+QUERIES["doc_oov_stats"] = lambda spark, sf_dir: text.oov_stats(
+    load_table(spark, sf_dir, "documents"), vocab_size=16
+)
+ORACLES["doc_oov_stats"] = f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+ex AS MATERIALIZED (
+  SELECT doc_id, unnest(toks) AS token FROM tk
+),
+freqs AS (
+  SELECT token, COUNT(*) AS freq FROM ex GROUP BY token
+),
+vocab AS (
+  SELECT token FROM freqs ORDER BY freq DESC, token LIMIT 16
+)
+SELECT e.doc_id, COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS oov_ratio
+FROM ex e LEFT JOIN vocab v ON e.token = v.token
+GROUP BY e.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # text analysis: token counts, language-ID, quality, fingerprint
 # ---------------------------------------------------------------------------
 

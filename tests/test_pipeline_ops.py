@@ -296,6 +296,34 @@ def test_pack_documents_invariants(spark, sf_dir):
         assert 0 < tail <= budget
 
 
+def test_remove_duplicated_spans_cuts_boilerplate(spark):
+    # 12 docs all carry the 2-token boilerplate "buy now" up front; each
+    # doc's tail is unique. max_docs=10 bans exactly that span.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": list(range(12)),
+            "text": [f"buy now unique{i} content{i} tail{i} piece{i}" for i in range(12)],
+        }
+    )
+    out = text.remove_duplicated_spans(
+        spark.createDataFrame(pdf), width=2, max_docs=10
+    ).collect()
+    assert len(out) == 12
+    for r in out:
+        i = r["doc_id"]
+        assert r["clean_text"] == f"unique{i} content{i} tail{i} piece{i}"
+        assert r["n_spans"] == 3 and r["n_dropped"] == 1
+
+
+def test_oov_stats_against_known_vocab(spark):
+    # corpus freqs: "a"×4, "b"×2, "c"×1, "d"×1 → vocab_size=2 keeps {a, b};
+    # doc 2 has 2 OOV instances of 4 tokens.
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": ["a a b b", "a a c d"]})
+    out = {r["doc_id"]: r for r in text.oov_stats(spark.createDataFrame(pdf), vocab_size=2).collect()}
+    assert out[1]["n_oov"] == 0 and out[1]["oov_ratio"] == 0.0
+    assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 2 and out[2]["oov_ratio"] == 0.5
+
+
 def test_scrub_pii_masks_all_kinds(spark):
     import pandas as pd
     from polars_quant_spark.operators import text as T

@@ -903,6 +903,74 @@ def _range_join_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Chunked (halo) window evaluation — same indicator semantics as the plain
+# per-symbol window, executed at (#symbols × #chunks) parallelism
+# (operators/chunked.py). The oracle is the PLAIN-window SQL: passing the
+# hash gate proves the halo strategy is exact, chunk boundaries included
+# (chunk=512 → several boundaries per symbol at every SF).
+# ---------------------------------------------------------------------------
+
+
+def _chunked_expr_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators.chunked import with_chunked_windows
+
+    b = bars(spark, sf_dir)
+    out = with_chunked_windows(
+        b,
+        {
+            "sma_20": lambda w: ov.sma("close", 20, w),
+            "midpoint_14": lambda w: ov.midpoint("close", 14, w),
+            "mom_10": lambda w: mo.mom("close", 10, w),
+            "willr_14": lambda w: mo.willr("high", "low", "close", 14, w),
+            "cmo_14": lambda w: mo.cmo("close", 14, w),
+        },
+        lookback=19,  # max reach: sma_20's 19 trailing rows
+        chunk=512,
+    )
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("sma_20")).alias("sma_20"),
+        r6(F.col("midpoint_14")).alias("midpoint_14"),
+        r6(F.col("mom_10")).alias("mom_10"),
+        r6(F.col("willr_14")).alias("willr_14"),
+        r6(F.col("cmo_14")).alias("cmo_14"),
+    )
+
+
+QUERIES["ind_chunked_expr"] = _chunked_expr_query
+ORACLES["ind_chunked_expr"] = (
+    BARS_CTE
+    + f"""
+, diffs AS (
+  SELECT symbol, t, high, low, close,
+         close - LAG(close) OVER {_ORD} AS d
+  FROM bars
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(close) OVER w20 = 20 THEN AVG(close) OVER w20 END, 6) AS sma_20,
+       ROUND(CASE WHEN COUNT(close) OVER w14 = 14 THEN
+         (MAX(close) OVER w14 + MIN(close) OVER w14) / 2.0 END, 6) AS midpoint_14,
+       ROUND(close - LAG(close, 10) OVER {_ORD}, 6) AS mom_10,
+       ROUND(CASE WHEN COUNT(close) OVER w14 = 14 THEN
+         CASE WHEN MAX(high) OVER w14 = MIN(low) OVER w14 THEN 0.0
+              ELSE -100.0 * (MAX(high) OVER w14 - close) / (MAX(high) OVER w14 - MIN(low) OVER w14) END
+       END, 6) AS willr_14,
+       ROUND(CASE WHEN COUNT(d) OVER w14 = 14 THEN
+         CASE WHEN SUM(CASE WHEN d > 0 THEN d ELSE 0.0 END) OVER w14
+                 + SUM(CASE WHEN d < 0 THEN -d ELSE 0.0 END) OVER w14 = 0 THEN 0.0
+              ELSE 100.0 * (SUM(CASE WHEN d > 0 THEN d ELSE 0.0 END) OVER w14
+                          - SUM(CASE WHEN d < 0 THEN -d ELSE 0.0 END) OVER w14)
+                   / (SUM(CASE WHEN d > 0 THEN d ELSE 0.0 END) OVER w14
+                    + SUM(CASE WHEN d < 0 THEN -d ELSE 0.0 END) OVER w14) END
+       END, 6) AS cmo_14
+FROM diffs
+WINDOW w20 AS {_win(20)}, w14 AS {_win(14)}
+"""
+)
+
+
 QUERIES["range_bars_windows"] = _range_join_query
 ORACLES["range_bars_windows"] = (
     BARS_CTE

@@ -353,3 +353,49 @@ class TestSaltedJoin:
         big, small = self._skewed(spark)
         with pytest.raises(ValueError):
             salted_join(big, small, "k", how="outer")
+
+
+class TestChunkedWindows:
+    """Halo-chunked window evaluation must be bit-identical to the plain
+    per-symbol window (operators/chunked.py exactness contract)."""
+
+    def _builders(self):
+        from polars_quant_spark.functions import momentum as mo
+        from polars_quant_spark.functions import overlap as ov
+
+        return {
+            "sma_20": lambda w: ov.sma("close", 20, w),
+            "wma_10": lambda w: ov.wma("close", 10, w),
+            "mom_10": lambda w: mo.mom("close", 10, w),
+            "cmo_14": lambda w: mo.cmo("close", 14, w),
+        }
+
+    def test_matches_plain_window(self, spark, sf_dir):
+        from pyspark.sql import Window
+
+        from polars_quant_spark.operators.chunked import with_chunked_windows
+        from polars_quant_spark.sources.bars import bars
+
+        b = bars(spark, sf_dir)
+        builders = self._builders()
+        # chunk=128 → ~15 boundaries per symbol at sf0.001
+        chunked = with_chunked_windows(b, builders, lookback=19, chunk=128)
+        w = Window.partitionBy("symbol").orderBy("t")
+        plain = b.select(
+            "symbol", "t", *[fn(w).alias(name) for name, fn in builders.items()]
+        )
+        cols = ["symbol", "t", *builders]
+        a = [tuple(r) for r in chunked.select(*cols).orderBy("symbol", "t").collect()]
+        e = [tuple(r) for r in plain.orderBy("symbol", "t").collect()]
+        assert a == e
+
+    def test_rejects_chunk_below_lookback(self, spark, sf_dir):
+        import pytest
+
+        from polars_quant_spark.operators.chunked import with_chunked_windows
+        from polars_quant_spark.sources.bars import bars
+
+        with pytest.raises(ValueError):
+            with_chunked_windows(
+                bars(spark, sf_dir), self._builders(), lookback=64, chunk=64
+            )

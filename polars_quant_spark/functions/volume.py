@@ -54,6 +54,19 @@ def ad(
     return F.sum(contrib).over(cumulative(w))
 
 
+def obv_flow(close: Column | str, volume: Column | str, w: WindowSpec = None) -> Column:
+    """Per-bar OBV contribution: ±volume by close direction, +volume on the
+    first bar (TA-Lib seed), 0 on flat closes."""
+    c, v = dcol(close), dcol(volume)
+    prev = F.lag(c).over(w)
+    return (
+        F.when(prev.isNull(), v)
+        .when(c > prev, v)
+        .when(c < prev, -v)
+        .otherwise(F.lit(0.0))
+    )
+
+
 def obv(
     close: Column | str,
     volume: Column | str,
@@ -63,14 +76,7 @@ def obv(
     """On-balance volume: running ±volume by close direction; the first bar
     contributes +volume (TA-Lib seed), flat closes contribute 0
     (volume.rs:69-96, sign corrected per SURVEY §0)."""
-    c, v = dcol(close), dcol(volume)
-    prev = F.lag(c).over(w)
-    contrib = (
-        F.when(prev.isNull(), v)
-        .when(c > prev, v)
-        .when(c < prev, -v)
-        .otherwise(F.lit(0.0))
-    )
+    contrib = obv_flow(close, volume, w)
     if exact:
         from polars_quant_spark.functions._util import round6
 

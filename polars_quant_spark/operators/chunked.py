@@ -36,6 +36,102 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 
+def chunked_cumsum(
+    df: DataFrame,
+    builders: dict[str, Callable[[WindowSpec], Column]],
+    lookback: int = 1,
+    chunk: int = 8192,
+    by: str | list[str] = "symbol",
+    order: str = "t",
+) -> DataFrame:
+    """Block-parallel EXACT prefix sums — the cumulative complement of
+    ``with_chunked_windows`` (unbounded frames cannot halo). Classic
+    two-level scan: per-block running sum plus the exclusive sum of the
+    preceding blocks' totals, joined back on (key, block).
+
+    ``builders`` map output name → fn(base_window) → the PER-ROW
+    contribution (the window is for bounded lags inside the contribution,
+    e.g. OBV's ``lag(close)``; ``lookback`` sizes that halo — 0 for
+    row-local contributions like AD's CLV·volume).
+
+    Exact only for order-insensitive addition: contributions must be in
+    the integer/decimal domain (the repo's quantized-sum discipline, see
+    functions/volume.py ``exact=True``) — float addition re-associates
+    across blocks and would drift. The `vol_ad_obv_chunked` oracle reuses
+    the PLAIN cumulative window's SQL twin verbatim, proving block
+    reassociation changes nothing.
+
+    Plan: one forced (keys, block) exchange for the big frame; block
+    totals aggregate on that same partitioning (no second big exchange);
+    the offsets frame is #blocks rows — its exchange and the join back
+    are negligible. Result columns are cast to double (mirroring the
+    ``exact=True`` indicator contract)."""
+    if lookback >= chunk:
+        raise ValueError("chunk must exceed lookback")
+    keys = [by] if isinstance(by, str) else list(by)
+    pos = F.col(order).cast("long") - 1  # dense 1-based order contract
+    ck = (pos / chunk).cast("long")
+    if lookback > 0:
+        is_tail = (pos % chunk) >= (chunk - lookback)
+        marks = F.when(
+            is_tail,
+            F.array(
+                F.struct(ck.alias("ck"), F.lit(False).alias("halo")),
+                F.struct((ck + 1).alias("ck"), F.lit(True).alias("halo")),
+            ),
+        ).otherwise(F.array(F.struct(ck.alias("ck"), F.lit(False).alias("halo"))))
+        marked = df.select("*", F.explode(marks).alias("_m")).select(
+            "*", F.col("_m.ck").alias("_ck"), F.col("_m.halo").alias("_halo")
+        )
+    else:
+        marked = df.select("*", ck.alias("_ck"), F.lit(False).alias("_halo"))
+    marked = marked.repartition(*[F.col(k) for k in keys], F.col("_ck"))
+    w_blk = Window.partitionBy(*keys, "_ck").orderBy(order)
+    # materialize contributions once (halo rows nulled: they only exist to
+    # feed lags, they must not enter any sum)
+    names = list(builders)
+    step = marked.select(
+        "*",
+        *[
+            F.when(~F.col("_halo"), fn(w_blk)).alias(f"_c_{n}")
+            for n, fn in builders.items()
+        ],
+    )
+    run = step.select(
+        "*",
+        *[
+            F.sum(f"_c_{n}")
+            .over(w_blk.rowsBetween(Window.unboundedPreceding, 0))
+            .alias(f"_r_{n}")
+            for n in names
+        ],
+    )
+    totals = step.groupBy(*keys, "_ck").agg(
+        *[F.sum(f"_c_{n}").alias(f"_t_{n}") for n in names]
+    )
+    w_off = (
+        Window.partitionBy(*keys)
+        .orderBy("_ck")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        *keys,
+        "_ck",
+        *[F.sum(f"_t_{n}").over(w_off).alias(f"_o_{n}") for n in names],
+    )
+    out = run.join(offsets, [*keys, "_ck"]).where(~F.col("_halo"))
+    zero = F.lit(0).cast("decimal(38,6)")
+    return out.select(
+        *df.columns,
+        *[
+            (F.col(f"_r_{n}") + F.coalesce(F.col(f"_o_{n}"), zero))
+            .cast("double")
+            .alias(n)
+            for n in names
+        ],
+    )
+
+
 def with_chunked_windows(
     df: DataFrame,
     builders: dict[str, Callable[[WindowSpec], Column]],
@@ -69,6 +165,14 @@ def with_chunked_windows(
     marked = df.select("*", F.explode(marks).alias("_m")).select(
         "*", F.col("_m.ck").alias("_ck"), F.col("_m.halo").alias("_halo")
     )
+    # The explicit repartition is the POINT of the operator: the window's
+    # ClusteredDistribution((keys, _ck)) is already satisfied by any
+    # upstream hashpartitioning(keys) (a (key, block) group is a subset of
+    # its key's partition), so EnsureRequirements would elide the exchange
+    # and the window would still run at #keys parallelism. Forcing the
+    # exchange on (keys…, _ck) is what actually spreads one key's blocks
+    # over the cluster.
+    marked = marked.repartition(*[F.col(k) for k in keys], F.col("_ck"))
     w = Window.partitionBy(*keys, "_ck").orderBy(order)
     out = marked.select(
         *df.columns,

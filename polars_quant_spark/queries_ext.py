@@ -971,6 +971,37 @@ WINDOW w20 AS {_win(20)}, w14 AS {_win(14)}
 )
 
 
+# ---------------------------------------------------------------------------
+# Block-parallel exact cumulative sums (operators/chunked.chunked_cumsum):
+# AD/OBV computed as per-block running sums + exclusive block-offset join.
+# The oracle is vol_ad_obv's PLAIN cumulative-window SQL, verbatim —
+# passing the hash gate proves block reassociation of the quantized
+# DECIMAL contributions changes nothing.
+# ---------------------------------------------------------------------------
+
+
+def _ad_obv_chunked_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.functions import volume as vu
+    from polars_quant_spark.operators.chunked import chunked_cumsum
+
+    b = bars(spark, sf_dir)
+
+    def adc(w):
+        return r6(vu.clv_flow("high", "low", "close", "volume")).cast("decimal(38,6)")
+
+    def obvc(w):
+        return r6(vu.obv_flow("close", "volume", w)).cast("decimal(38,6)")
+
+    out = chunked_cumsum(b, {"ad": adc, "obv": obvc}, lookback=1, chunk=512)
+    return out.select(
+        "symbol", "t", r6(F.col("ad")).alias("ad"), r6(F.col("obv")).alias("obv")
+    )
+
+
+QUERIES["vol_ad_obv_chunked"] = _ad_obv_chunked_query
+ORACLES["vol_ad_obv_chunked"] = ORACLES["vol_ad_obv"]
+
+
 QUERIES["range_bars_windows"] = _range_join_query
 ORACLES["range_bars_windows"] = (
     BARS_CTE

@@ -399,3 +399,37 @@ class TestChunkedWindows:
             with_chunked_windows(
                 bars(spark, sf_dir), self._builders(), lookback=64, chunk=64
             )
+
+    def test_chunked_cumsum_matches_plain(self, spark, sf_dir):
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        from polars_quant_spark.functions import volume as vu
+        from polars_quant_spark.functions._util import round6
+        from polars_quant_spark.operators.chunked import chunked_cumsum
+        from polars_quant_spark.sources.bars import bars
+
+        b = bars(spark, sf_dir)
+
+        def adc(w):
+            return round6(vu.clv_flow("high", "low", "close", "volume")).cast(
+                "decimal(38,6)"
+            )
+
+        def obvc(w):
+            return round6(vu.obv_flow("close", "volume", w)).cast("decimal(38,6)")
+
+        ch = chunked_cumsum(b, {"ad": adc, "obv": obvc}, lookback=1, chunk=128)
+        w = Window.partitionBy("symbol").orderBy("t")
+        plain = b.select(
+            "symbol",
+            "t",
+            vu.ad("high", "low", "close", "volume", w, exact=True).alias("ad"),
+            vu.obv("close", "volume", w, exact=True).alias("obv"),
+        )
+        a = [
+            tuple(r)
+            for r in ch.select("symbol", "t", "ad", "obv").orderBy("symbol", "t").collect()
+        ]
+        e = [tuple(r) for r in plain.orderBy("symbol", "t").collect()]
+        assert a == e

@@ -262,3 +262,57 @@ def test_kmv_never_sorts_a_whole_group(spark, sf_dir):
     assert "_pid" in p
     # distinct + two window exchanges + final agg reuse ≤ 4
     assert n_exchanges(p) <= 4, p
+
+
+def test_ngram_jaccard_no_cartesian(spark, sf_dir):
+    """Exact Jaccard goes through the inverted-index equi-join — never a
+    cartesian/NL pair product."""
+    from polars_quant_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan(ngram_jaccard_pairs(docs, threshold=0.5))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_span_dedup_broadcasts_banned_set(spark, sf_dir):
+    """The banned (boilerplate) span set is small by construction and must
+    broadcast back onto the exploded span rows."""
+    from polars_quant_spark.operators.text import remove_duplicated_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan(remove_duplicated_spans(docs, width=2, max_docs=20))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_oov_vocab_topk_and_broadcast(spark, sf_dir):
+    """Vocabulary selection must be top-N (TakeOrderedAndProject), never a
+    global sort; the vocab membership join must broadcast."""
+    from polars_quant_spark.operators.text import oov_stats
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan(oov_stats(docs, vocab_size=16))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+
+
+def test_chunked_windows_forces_block_exchange(spark, sf_dir):
+    """The chunked evaluation must add exactly ONE exchange beyond the bars
+    view — the explicit (symbol, block) repartition. Without it Spark elides
+    the exchange (hashpartitioning(symbol) already satisfies the clustered
+    distribution) and the window silently runs at #symbols parallelism,
+    which defeats the operator."""
+    from polars_quant_spark.functions import overlap as ov
+    from polars_quant_spark.operators.chunked import with_chunked_windows
+
+    b = bars(spark, sf_dir)
+    base = n_exchanges(plan(b))
+    p = plan(
+        with_chunked_windows(
+            b, {"s": lambda w: ov.sma("close", 20, w)}, lookback=19, chunk=512
+        )
+    )
+    assert n_exchanges(p) == base + 1
+    assert "_ck" in p  # window keyed by the block column

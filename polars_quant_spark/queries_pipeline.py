@@ -1264,6 +1264,45 @@ def stream_tumbling_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "stream_enrich_batch",
+    f"""
+SELECT (epoch_us(ts) // {_HOUR_US}) * {_HOUR_US} AS win_start_us,
+       n.n_name,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY 1, 2
+""",
+)
+def stream_enrich_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static dimension join (events → customer → nation) + tumbling
+    rollup, exercised in batch mode (the identical plan runs as a stream —
+    tests/test_stateful_streaming.py drives the real readStream form)."""
+    from polars_quant_spark.streaming.windows import enriched_nation_counts
+
+    ev = load_table(spark, sf_dir, "events")
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev = ev.withColumn("event_time", F.timestamp_micros(ts_us_expr(ev))).select(
+        "event_time", "user_id", "value"
+    )
+    out = enriched_nation_counts(
+        ev,
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "nation"),
+        window="1 hour",
+    )
+    return out.select(
+        F.unix_micros(F.col("window_start")).alias("win_start_us"),
+        "n_name",
+        "n_events",
+        "sum_value",
+    )
+
+
+@q(
     "stream_sliding_batch",
     f"""
 WITH exploded AS (

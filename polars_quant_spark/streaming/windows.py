@@ -109,6 +109,47 @@ def sliding_avg(
     )
 
 
+def enriched_nation_counts(
+    events: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static enrichment — the canonical dimension-join pattern: the
+    event stream joined to static customer→nation dimensions, then a
+    watermarked tumbling rollup per (window, nation).
+
+    Stream-static equi-joins are STATELESS in Structured Streaming (the
+    static side is re-planned per micro-batch; no state store, no watermark
+    needed for the join itself) — the broadcast hint keeps the stream side
+    shuffle-free, exactly the 100 TB/day ingest shape. Only the downstream
+    aggregation carries watermark state."""
+    dim = (
+        customer.select(F.col("c_custkey").alias("user_id"), "c_nationkey")
+        .join(
+            nation.select("n_nationkey", "n_name"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("user_id", "n_name")
+    )
+    return (
+        events.join(F.broadcast(dim), "user_id")
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col("n_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(38,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "n_name",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_windows(
     events: DataFrame,
     gap: str = "30 minutes",

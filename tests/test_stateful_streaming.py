@@ -101,3 +101,54 @@ def test_streaming_position_matches_batch_fold(spark, tmp_path):
     pos, cash, eq, dd, _, _ = _fold(close, buy, sell, p)
     np.testing.assert_allclose(out["position"].to_numpy(), pos, rtol=1e-12)
     np.testing.assert_allclose(out["equity"].to_numpy(), eq, rtol=1e-12)
+
+
+def test_stream_static_enrich_matches_batch(spark, tmp_path):
+    """Stream-static dimension join: the real readStream form (4 micro-
+    batches) must produce exactly the batch rollup, with the join itself
+    stateless (completed windows only, watermark on the agg)."""
+    from polars_quant_spark.streaming.windows import enriched_nation_counts
+
+    rng = np.random.default_rng(7)
+    n = 400
+    base = pd.Timestamp("2026-01-01", tz="UTC").value // 1000
+    pdf = pd.DataFrame(
+        {
+            "user_id": rng.integers(0, 20, n),
+            "value": rng.normal(100.0, 5.0, n).round(3),
+            "ts_us": base + rng.integers(0, 6 * 3600_000_000, n),
+        }
+    ).sort_values("ts_us", kind="stable").reset_index(drop=True)
+    schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("value", DoubleType()),
+            StructField("ts_us", LongType()),
+        ]
+    )
+    customer = spark.createDataFrame(
+        pd.DataFrame({"c_custkey": range(20), "c_nationkey": [i % 5 for i in range(20)]})
+    )
+    nation = spark.createDataFrame(
+        pd.DataFrame({"n_nationkey": range(5), "n_name": [f"N{i}" for i in range(5)]})
+    )
+
+    def build(stream):
+        ev = stream.withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+        return enriched_nation_counts(ev, customer, nation, window="1 hour")
+
+    got = _run_stream(spark, tmp_path, pdf, schema, build, "enrich_stream")
+
+    batch_ev = spark.createDataFrame(pdf, schema).withColumn(
+        "event_time", F.timestamp_micros(F.col("ts_us"))
+    )
+    exp = (
+        enriched_nation_counts(batch_ev, customer, nation, window="1 hour")
+        .orderBy("window_start", "n_name")
+        .toPandas()
+    )
+    # append mode emits only watermark-closed windows; compare that subset
+    got = got.sort_values(["window_start", "n_name"]).reset_index(drop=True)
+    exp = exp[exp["window_start"].isin(set(got["window_start"]))].reset_index(drop=True)
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, exp, check_like=True)

@@ -32,7 +32,7 @@ from polars_quant_spark.functions import (
 from polars_quant_spark.operators import recurrence
 from polars_quant_spark.operators import hilbert
 from polars_quant_spark.operators import asof, clean, dedup, factor, linear
-from polars_quant_spark.operators import multimodal, segmented, similarity, text
+from polars_quant_spark.operators import chunked, multimodal, segmented, similarity, text
 from polars_quant_spark.operators.skew import salted_join
 from polars_quant_spark.operators.selector import Selector
 from polars_quant_spark.operators import strategy
@@ -66,6 +66,7 @@ __all__ = [
     "dedup",
     "factor",
     "linear",
+    "chunked",
     "multimodal",
     "segmented",
     "similarity",

@@ -335,6 +335,59 @@ def oov_stats(
     )
 
 
+def select_token_budget(
+    df,
+    budget: int,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Token-budget corpus curation: greedily keep the highest-quality
+    documents whose cumulative token count fits ``budget``, in the
+    deterministic order (quality DESC, doc_id ASC). Returns
+    (doc_id, n_tokens, quality, selected) for every document.
+
+    Scale design: the naive form is a GLOBAL ordered cumsum — one
+    partition sorting the whole corpus. Here selection is two-level:
+    token totals per 6-dp quality bin (one small agg), exact running
+    totals over the tiny bins frame (a window over ≤10⁶ bin rows, fine on
+    one task), then a per-bin — fully parallel — doc_id-ordered cumsum
+    decides each bin's partial take. Bit-identical to the global greedy
+    prefix because within a 6-dp bin the global order ties break by
+    doc_id; the `doc_token_budget` oracle IS the naive global form."""
+    from polars_quant_spark.functions._util import round6, widen
+
+    d = widen(df).select(
+        F.col(id_col).alias("doc_id"),
+        token_count(text).cast("long").alias("n_tokens"),
+        round6(quality_score(text)).alias("quality"),
+    )
+    bins = d.groupBy("quality").agg(F.sum("n_tokens").alias("_bt"))
+    wb = (
+        Window.orderBy(F.col("quality").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binsc = bins.select(
+        "quality",
+        F.coalesce(F.sum("_bt").over(wb), F.lit(0).cast("long")).alias("_before"),
+    )
+    wdoc = (
+        Window.partitionBy("quality")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        d.join(F.broadcast(binsc), "quality")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "quality",
+            ((F.col("_before") + F.sum("n_tokens").over(wdoc)) <= budget).alias(
+                "selected"
+            ),
+        )
+    )
+
+
 def fingerprint(text: Column | str) -> Column:
     """Canonical document fingerprint: md5 over the normalized token stream.
     (md5 is used engine-wide so DuckDB oracles reproduce it bit-for-bit;

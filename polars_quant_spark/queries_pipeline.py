@@ -1921,6 +1921,41 @@ ORACLES["doc_clean_corpus"] = ORACLES["doc_clean_corpus"].replace(
 )
 
 
+# ---------------------------------------------------------------------------
+# Token-budget corpus curation: greedy highest-quality prefix under a token
+# budget. The Spark side runs the two-level binned selection (no global
+# sort, see operators/text.select_token_budget); the twin is the NAIVE
+# global ordered cumsum — hash equality proves the binned decomposition.
+# ---------------------------------------------------------------------------
+
+_TB_BUDGET = 10_000
+
+
+@q(
+    "doc_token_budget",
+    f"""
+WITH stats AS ({{DOC_TEXT_STATS}}),
+ord AS (
+  SELECT doc_id, n_tokens, quality,
+         SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM stats
+)
+SELECT doc_id, n_tokens, quality, cum <= {_TB_BUDGET} AS selected
+FROM ord
+""",
+)
+def doc_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.select_token_budget(
+        load_table(spark, sf_dir, "documents"), budget=_TB_BUDGET
+    )
+
+
+ORACLES["doc_token_budget"] = ORACLES["doc_token_budget"].replace(
+    "{DOC_TEXT_STATS}", ORACLES["doc_text_stats"]
+)
+
+
 @q(
     "doc_split_assign",
     f"""

@@ -324,6 +324,22 @@ def test_oov_stats_against_known_vocab(spark):
     assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 2 and out[2]["oov_ratio"] == 0.5
 
 
+def test_select_token_budget_greedy_prefix(spark):
+    # Equal-quality docs (same text shape) tie-break by doc_id: with a
+    # budget of 2.5 docs' tokens, exactly docs 1 and 2 fit.
+    base = "the cat and the dog sat with the fox near the tree today fine"
+    pdf = pd.DataFrame({"doc_id": [3, 1, 2], "text": [base, base, base]})
+    n = len(base.split())
+    out = {
+        r["doc_id"]: r
+        for r in text.select_token_budget(
+            spark.createDataFrame(pdf), budget=int(2.5 * n)
+        ).collect()
+    }
+    assert [out[i]["selected"] for i in (1, 2, 3)] == [True, True, False]
+    assert all(out[i]["n_tokens"] == n for i in (1, 2, 3))
+
+
 def test_scrub_pii_masks_all_kinds(spark):
     import pandas as pd
     from polars_quant_spark.operators import text as T

@@ -370,7 +370,8 @@ class TestChunkedWindows:
             "cmo_14": lambda w: mo.cmo("close", 14, w),
         }
 
-    def test_matches_plain_window(self, spark, sf_dir):
+    @pytest.mark.parametrize("chunk", [97, 128])  # 97: misaligned boundaries
+    def test_matches_plain_window(self, spark, sf_dir, chunk):
         from pyspark.sql import Window
 
         from polars_quant_spark.operators.chunked import with_chunked_windows
@@ -378,8 +379,8 @@ class TestChunkedWindows:
 
         b = bars(spark, sf_dir)
         builders = self._builders()
-        # chunk=128 → ~15 boundaries per symbol at sf0.001
-        chunked = with_chunked_windows(b, builders, lookback=19, chunk=128)
+        # chunk≈100 → ~15 boundaries per symbol at sf0.001
+        chunked = with_chunked_windows(b, builders, lookback=19, chunk=chunk)
         w = Window.partitionBy("symbol").orderBy("t")
         plain = b.select(
             "symbol", "t", *[fn(w).alias(name) for name, fn in builders.items()]

@@ -316,3 +316,14 @@ def test_chunked_windows_forces_block_exchange(spark, sf_dir):
     )
     assert n_exchanges(p) == base + 1
     assert "_ck" in p  # window keyed by the block column
+
+
+def test_token_budget_broadcasts_bins(spark, sf_dir):
+    """The bins frame (≤ one row per distinct 6-dp quality) must broadcast;
+    no global single-partition sort of the docs frame."""
+    from polars_quant_spark.operators.text import select_token_budget
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = plan(select_token_budget(docs, budget=10_000))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p

@@ -101,16 +101,24 @@ def quality_score(text: Column | str) -> Column:
     return (len_score + alpha_ratio + tok_len_score + sw_score) / 4.0
 
 
-def token_frequencies(df, text: str = "text", id_col: str = "doc_id"):
+def token_frequencies(df, text: str = "text", id_col: str = "doc_id", exploded=None):
     """Corpus vocabulary statistics: (token, freq, n_docs) — the input to
     tokenizer training / vocab pruning. Two-level agg: (token, doc) partial
     counts first (map-side combined), then per-token merge where n_docs is a
     plain row count — avoiding count_distinct's Expand, which doubles the
     exploded token stream (same plan discipline as agg_events_daily).
-    Scale: explode → ONE shuffle on (token, doc) → tiny per-token merge."""
+    Scale: explode → ONE shuffle on (token, doc) → tiny per-token merge.
+    Pass ``exploded`` ((_id, token) rows) to reuse a persisted token frame
+    (the single-tokenize discipline, see ``oov_stats``)."""
     from polars_quant_spark.functions._util import widen
 
-    ex = widen(df).select(F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("token"))
+    ex = (
+        exploded
+        if exploded is not None
+        else widen(df).select(
+            F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("token")
+        )
+    )
     per_doc = ex.groupBy("token", "_id").agg(F.count(F.lit(1)).alias("_c"))
     return per_doc.groupBy("token").agg(
         F.sum("_c").alias("freq"), F.count(F.lit(1)).alias("n_docs")
@@ -265,10 +273,15 @@ def remove_duplicated_spans(
         F.sequence(F.lit(0), nspans - 1),
         lambda i: F.concat_ws(" ", F.slice(toks, i * width + 1, width)),
     )
+    # ex feeds two consumers (the banned-set agg subtree and the probe side
+    # of the flag join); persist so tokenize/span-build/posexplode — the
+    # dominant per-row work — happens once (same discipline as
+    # dedup.minhash_dedup_pairs). MEMORY_AND_DISK default: spills, not OOMs.
     ex = (
         widen(df)
         .where(F.size(toks) > 0)
         .select(F.col(id_col).alias("_id"), F.posexplode(spans).alias("_pos", "_sp"))
+        .persist()
     )
     per_doc = ex.groupBy("_sp", "_id").agg(F.count(F.lit(1)).alias("_c"))
     banned = (
@@ -313,14 +326,16 @@ def oov_stats(
     beyond the per-doc agg."""
     from polars_quant_spark.functions._util import round6, widen
 
-    freqs = token_frequencies(df, text, id_col)
+    # one tokenize pass: the exploded frame feeds both the vocab selection
+    # and the membership join
+    ex = widen(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("token")
+    ).persist()
+    freqs = token_frequencies(df, text, id_col, exploded=ex)
     vocab = (
         freqs.orderBy(F.col("freq").desc(), F.col("token"))
         .limit(vocab_size)
         .select("token", F.lit(1).alias("_in"))
-    )
-    ex = widen(df).select(
-        F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("token")
     )
     flagged = ex.join(F.broadcast(vocab), "token", "left")
     agg = flagged.groupBy("_id").agg(
@@ -356,11 +371,13 @@ def select_token_budget(
     doc_id; the `doc_token_budget` oracle IS the naive global form."""
     from polars_quant_spark.functions._util import round6, widen
 
+    # d feeds the bins subtree AND the join probe side; persist so the
+    # quality_score regex sweeps run once per document, not twice
     d = widen(df).select(
         F.col(id_col).alias("doc_id"),
         token_count(text).cast("long").alias("n_tokens"),
         round6(quality_score(text)).alias("quality"),
-    )
+    ).persist()
     bins = d.groupBy("quality").agg(F.sum("n_tokens").alias("_bt"))
     wb = (
         Window.orderBy(F.col("quality").desc())

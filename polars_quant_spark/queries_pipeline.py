@@ -114,7 +114,7 @@ FROM cand c
 LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
 JOIN sizes sa ON sa._id = c.id_a
 JOIN sizes sb ON sb._id = c.id_b
-WHERE CAST(COALESCE(i._inter, 0) AS DOUBLE) / (sa._n + sb._n - COALESCE(i._inter, 0)) >= 0.5
+WHERE ROUND(CAST(COALESCE(i._inter, 0) AS DOUBLE) / (sa._n + sb._n - COALESCE(i._inter, 0)), 6) >= 0.5
 """
 )
 
@@ -134,7 +134,7 @@ ORACLES["doc_dedup_components"] = (
   LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
   JOIN sizes sa ON sa._id = c.id_a
   JOIN sizes sb ON sb._id = c.id_b
-  WHERE CAST(COALESCE(i._inter, 0) AS DOUBLE) / (sa._n + sb._n - COALESCE(i._inter, 0)) >= 0.5
+  WHERE ROUND(CAST(COALESCE(i._inter, 0) AS DOUBLE) / (sa._n + sb._n - COALESCE(i._inter, 0)), 6) >= 0.5
 ),
 pedges AS MATERIALIZED (
   SELECT id_a AS u, id_b AS v FROM pairs
@@ -203,7 +203,7 @@ SELECT i.id_a, i.id_b,
 FROM ngj_inter i
 JOIN sizes sa ON sa._id = i.id_a
 JOIN sizes sb ON sb._id = i.id_b
-WHERE CAST(i._inter AS DOUBLE) / (sa._n + sb._n - i._inter) >= 0.5
+WHERE ROUND(CAST(i._inter AS DOUBLE) / (sa._n + sb._n - i._inter), 6) >= 0.5
 """
 )
 

@@ -2,18 +2,30 @@
 
 Images / audio / video ride through Spark as opaque ``binary`` columns with
 typed metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The decode step is STUBBED here (no
-image/audio libs in this container — a deterministic fake payload parser
-stands in), but the Spark-side plumbing is real: schemas, batch iteration,
-partition sizing, UDF signatures are exactly what a production decode uses.
+Arrow-batched ``mapInPandas`` stages.
+
+Decode status, per format:
+
+* **PPM (P6) images — REAL decoder** (`decode_ppm`): pure-numpy parse of
+  the uncompressed format, per-channel statistics as features.
+* **WAV (PCM) audio — REAL decoder** (`decode_wav`): stdlib ``wave`` +
+  numpy; duration/RMS/peak/zero-crossing features.
+* Compressed formats (JPEG/PNG/MP3/MP4) — STUB (`_decode_stub`): the
+  codecs need PIL/libsndfile/pyav, none bundled in this container; a
+  deterministic md5-derived feature vector stands in so the pipeline stays
+  testable and oracle-checkable. The dispatch (`_decode`) sniffs magic
+  bytes, so dropping real codecs in later changes nothing upstream.
 """
 
 from __future__ import annotations
 
 import hashlib
+import io
 import struct
+import wave
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,23 +53,56 @@ MEDIA_SCHEMA = StructType(
 )
 
 
+def _make_ppm(i: int, w: int, h: int) -> bytes:
+    """Deterministic REAL P6 payload: a gradient + id-keyed stripe pattern."""
+    y, x = np.mgrid[0:h, 0:w]
+    r = (x * 255 // max(w - 1, 1)).astype(np.uint8)
+    g = (y * 255 // max(h - 1, 1)).astype(np.uint8)
+    b = (((x + y + i) % 16) * 17).astype(np.uint8)
+    px = np.stack([r, g, b], axis=-1)
+    return b"P6\n# synthetic %d\n%d %d\n255\n" % (i, w, h) + px.tobytes()
+
+
+def _make_wav(i: int, ms: int, rate: int = 8000) -> bytes:
+    """Deterministic REAL 16-bit PCM WAV: a sine at an id-keyed frequency."""
+    n = rate * ms // 1000
+    t = np.arange(n) / rate
+    freq = 220.0 + 55.0 * (i % 8)
+    x = (0.5 * np.sin(2 * np.pi * freq * t) * 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes(x.tobytes())
+    return buf.getvalue()
+
+
 def synthetic_media(spark, n: int = 64) -> DataFrame:
-    """Deterministic fake media corpus: payload = md5-stream bytes keyed by
-    id. Stands in for a real binary ingest (S3 blobs / tar shards)."""
+    """Deterministic media corpus: REAL P6 images and REAL PCM WAV clips
+    (exercising the genuine decoders), md5-stream bytes for video (the
+    stub path — no pure-Python video codec). Stands in for a real binary
+    ingest (S3 blobs / tar shards)."""
     rows = []
     for i in range(n):
-        seed = hashlib.md5(f"media-{i}".encode()).digest()
-        payload = (seed * 64)[: 512 + (i % 7) * 64]
         kind = ["image", "audio", "video"][i % 3]
+        if kind == "image":
+            w, h = 64 + (i % 8) * 16, 64 + (i % 5) * 16
+            payload = _make_ppm(i, w, h)
+        elif kind == "audio":
+            payload = _make_wav(i, (i % 30 + 1) * 100)
+        else:
+            seed = hashlib.md5(f"media-{i}".encode()).digest()
+            payload = (seed * 64)[: 512 + (i % 7) * 64]
         rows.append(
             (
                 i,
                 kind,
-                {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[kind],
+                {"image": "image/x-portable-pixmap", "audio": "audio/wav", "video": "video/mp4"}[kind],
                 bytearray(payload),
-                64 + (i % 8) * 16 if kind != "audio" else None,
-                64 + (i % 5) * 16 if kind != "audio" else None,
-                (i % 30 + 1) * 1000 if kind != "image" else None,
+                64 + (i % 8) * 16 if kind == "image" else None,
+                64 + (i % 5) * 16 if kind == "image" else None,
+                (i % 30 + 1) * 100 if kind != "image" else None,
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
@@ -97,18 +142,88 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """STUB for the real decoder.
+def decode_ppm(payload: bytes) -> list[float]:
+    """REAL decoder for binary PPM (P6): header parse (whitespace +
+    ``#`` comments per the netpbm spec) + numpy pixel statistics.
+    Features: [w, h, mean_r, mean_g, mean_b, std, min, max] with pixel
+    values normalized by maxval."""
+    if not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM")
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    px = px.reshape(h, w, 3).astype(np.float64) / maxval
+    return [
+        float(w),
+        float(h),
+        float(px[:, :, 0].mean()),
+        float(px[:, :, 1].mean()),
+        float(px[:, :, 2].mean()),
+        float(px.std()),
+        float(px.min()),
+        float(px.max()),
+    ]
 
-    A production deployment replaces this body with e.g. PIL/libvips image
-    decode + embedding, torchaudio for audio, pyav frame-sampling for video
-    (none are available in this container). The deterministic fake below
-    keeps the pipeline testable: an 8-dim feature from the payload bytes.
-    """
+
+def decode_wav(payload: bytes) -> list[float]:
+    """REAL decoder for PCM WAV via the stdlib ``wave`` module.
+    Features: [channels, rate/48000, duration_s, rms, peak, zcr, mean,
+    frames/1e6] with samples normalized to [-1, 1]."""
+    with wave.open(io.BytesIO(payload)) as wf:
+        n, rate, width, ch = (
+            wf.getnframes(),
+            wf.getframerate(),
+            wf.getsampwidth(),
+            wf.getnchannels(),
+        )
+        raw = wf.readframes(n)
+    if width != 2:
+        raise ValueError(f"only 16-bit PCM supported, got width={width}")
+    x = np.frombuffer(raw, dtype="<i2").astype(np.float64) / 32768.0
+    zcr = float(np.mean(np.signbit(x[1:]) != np.signbit(x[:-1]))) if len(x) > 1 else 0.0
+    return [
+        float(ch),
+        rate / 48000.0,
+        n / rate if rate else 0.0,
+        float(np.sqrt(np.mean(x**2))) if len(x) else 0.0,
+        float(np.abs(x).max()) if len(x) else 0.0,
+        zcr,
+        float(x.mean()) if len(x) else 0.0,
+        n / 1e6,
+    ]
+
+
+def _decode_stub(payload: bytes, kind: str) -> list[float]:
+    """STUB for compressed formats (JPEG/PNG/MP3/MP4 — codecs not bundled
+    in this container; a production deployment drops PIL/libsndfile/pyav
+    into `_decode`'s dispatch). Deterministic md5-derived 8-dim feature
+    keeps the pipeline testable end-to-end."""
     if not payload:
         raise NotImplementedError("empty payload; real decoder not bundled")
     h = hashlib.md5(payload).digest()
     return [b / 255.0 for b in struct.unpack("8B", h[:8])]
+
+
+def _decode(payload: bytes, kind: str) -> list[float]:
+    """Magic-byte dispatch: real decoders for uncompressed formats, the
+    documented stub otherwise."""
+    if payload.startswith(b"P6"):
+        return decode_ppm(payload)
+    if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
+        return decode_wav(payload)
+    return _decode_stub(payload, kind)
 
 
 def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
@@ -122,7 +237,7 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
             for payload, kind in zip(pdf["payload"], pdf["kind"]):
                 raw = bytes(payload)
                 digests.append(hashlib.md5(raw).hexdigest())
-                feats.append(_decode_stub(raw, kind))
+                feats.append(_decode(raw, kind))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -236,13 +236,38 @@ class TestAsofMultimodal:
         media = multimodal.synthetic_media(spark, 30)
         feats = multimodal.extract_features(media).collect()
         assert len(feats) == 30
+        meta = {r["media_id"]: r for r in media.collect()}
         for r in feats:
             assert len(r["features"]) == 8
-            assert all(0 <= v <= 1 for v in r["features"])
+            f, m = r["features"], meta[r["media_id"]]
+            if r["kind"] == "image":  # REAL PPM decode: [w, h, means…]
+                assert (f[0], f[1]) == (m["width"], m["height"])
+                assert all(0 <= v <= 1 for v in f[2:])
+            elif r["kind"] == "audio":  # REAL WAV decode: duration matches
+                assert abs(f[2] * 1000 - m["duration_ms"]) < 1
+                assert 0.3 < f[3] < 0.4  # RMS of a 0.5-amplitude sine ≈ 0.354
+            else:  # stub path (no pure-python video codec)
+                assert all(0 <= v <= 1 for v in f)
         # deterministic: same id → same digest across runs
         again = {r["media_id"]: r["payload_digest"] for r in multimodal.extract_features(media).collect()}
         for r in feats:
             assert again[r["media_id"]] == r["payload_digest"]
+
+    def test_ppm_decoder_exact(self):
+        # 2×1 image, known bytes: left pixel (0,0,0), right (255, 255, 0)
+        payload = b"P6\n# c\n2 1\n255\n" + bytes([0, 0, 0, 255, 255, 0])
+        f = multimodal.decode_ppm(payload)
+        assert f[:2] == [2.0, 1.0]
+        assert f[2:5] == [0.5, 0.5, 0.0]  # channel means
+        assert f[6] == 0.0 and f[7] == 1.0  # min / max
+
+    def test_wav_decoder_exact(self):
+        payload = multimodal._make_wav(3, ms=500, rate=8000)
+        f = multimodal.decode_wav(payload)
+        assert f[0] == 1.0  # mono
+        assert abs(f[2] - 0.5) < 1e-9  # 500 ms
+        assert abs(f[3] - 0.5 / 2**0.5) < 0.01  # sine RMS = a/√2
+        assert abs(f[6]) < 0.01  # zero-mean
 
     def test_frame_sample_plan(self, spark):
         media = multimodal.synthetic_media(spark, 30)

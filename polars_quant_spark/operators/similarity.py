@@ -49,6 +49,38 @@ def cosine(a: Column, b: Column) -> Column:
     return F.when(d > 0, dot(a, b) / d).otherwise(F.lit(0.0))
 
 
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization — the standard 4× storage /
+    bandwidth cut for a 100 TB embedding store: scale = max|x|/127,
+    qᵢ = ⌊xᵢ/scale + 0.5⌋ ∈ [−127, 127]. Returns (id, scale, qvec).
+
+    Deterministic floor-rounding (the repo-wide rounding discipline), so
+    the DuckDB twin reproduces every code bit-for-bit (`emb_quantize`
+    hash-checks digests of the full code streams). Zero vectors quantize
+    to zeros (scale 0 guard). Pure projection — no shuffle; at ingest
+    scale a mapInArrow batch kernel is the faster form of the same math."""
+    v = F.col(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x.cast("double")))) / F.lit(127.0)
+    df = df.select(F.col(id_col), v.alias("_v"), scale.alias("scale"))
+    q = F.when(
+        F.col("scale") > 0,
+        F.transform(
+            F.col("_v"),
+            lambda x: F.floor(x.cast("double") / F.col("scale") + F.lit(0.5)).cast("int"),
+        ),
+    ).otherwise(F.transform(F.col("_v"), lambda x: F.lit(0)))
+    return df.select(id_col, "scale", q.alias("qvec"))
+
+
+def dequantize(qvec: Column, scale: Column) -> Column:
+    """Back to float: xᵢ ≈ qᵢ·scale (max error scale/2 per coordinate)."""
+    return F.transform(qvec, lambda x: x.cast("double") * scale)
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -398,6 +398,44 @@ def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, queries, k=10)
 
 
+# int8 embedding quantization: the declared query emits per-vector digests
+# of the full quantized code stream (arrays don't hash-compare; the md5 of
+# the joined codes is equivalent and stricter than spot values).
+@q(
+    "emb_quantize",
+    """
+WITH q AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale,
+         embedding
+  FROM embeddings
+)
+SELECT vec_id,
+       ROUND(scale, 6) AS scale,
+       CAST(len(embedding) AS BIGINT) AS n_dims,
+       CAST(list_sum(list_transform(embedding,
+            x -> CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))) AS BIGINT) AS q_sum,
+       md5(array_to_string(list_transform(embedding,
+            x -> CAST(CAST(FLOOR(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT) AS VARCHAR)), ',')) AS q_digest
+FROM q
+""",
+)
+def emb_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = similarity.quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        r6(F.col("scale")).alias("scale"),
+        F.size("qvec").cast("long").alias("n_dims"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("long"), lambda acc, x: acc + x.cast("long")
+        ).alias("q_sum"),
+        F.md5(
+            F.concat_ws(",", F.transform("qvec", lambda x: x.cast("long").cast("string")))
+        ).alias("q_digest"),
+    )
+
+
 # blocked near-dup twin: identical IVF blocking (8 hash-picked centroids,
 # nearest-centroid buckets, same-bucket pairs only) — the twin of
 # similarity.embedding_near_dupes's 100 TB shape, NOT an all-pairs join.

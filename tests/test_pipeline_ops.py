@@ -359,6 +359,22 @@ def test_scrub_pii_masks_all_kinds(spark):
     assert (row["EMAIL"], row["IP"], row["PHONE"]) == (1, 1, 1)
 
 
+def test_quantize_embeddings_roundtrip(spark, sf_dir):
+    # int8 codes stay in range; dequantized vectors keep cosine ≈ 1 with
+    # the originals (64-dim, symmetric scale → error ≤ scale/2 per coord).
+    emb = load_table(spark, sf_dir, "embeddings").limit(100)
+    q = similarity.quantize_embeddings(emb)
+    joined = q.join(emb, "vec_id").select(
+        F.array_max(F.transform("qvec", lambda x: F.abs(x))).alias("mx"),
+        similarity.cosine(
+            similarity.dequantize(F.col("qvec"), F.col("scale")), F.col("embedding")
+        ).alias("fid"),
+    )
+    rows = joined.collect()
+    assert all(r["mx"] <= 127 for r in rows)
+    assert all(r["fid"] > 0.999 for r in rows)
+
+
 def test_binned_range_join_equals_broadcast_nl(spark, sf_dir):
     """The binned hash plan must produce exactly the NL join's pairs."""
     from polars_quant_spark.operators.asof import binned_range_join, range_join

@@ -410,3 +410,57 @@ def fingerprint(text: Column | str) -> Column:
     (md5 is used engine-wide so DuckDB oracles reproduce it bit-for-bit;
     a production deployment would swap in xxhash64.)"""
     return F.md5(F.concat_ws(" ", tokens(text)))
+
+
+_WN_POS = 1 << 24  # position field width in the packed winnowing key
+
+
+def winnow_fingerprints(
+    df,
+    k: int = 3,
+    w: int = 4,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Winnowing document fingerprints (the MOSS rolling-hash scheme):
+    hash every positional k-token gram, slide a w-gram window, keep each
+    window's minimum hash (rightmost on ties). Guarantee: any shared token
+    run of ≥ w+k−1 tokens contributes at least one COMMON fingerprint —
+    the local-similarity primitive exact/minhash fingerprints can't give.
+    Returns (doc_id, fp_hash, pos); docs with < w grams yield no rows
+    (standard winnowing; pair with `fingerprint` for whole-doc identity).
+
+    Engine-exact: the "min hash, rightmost position" pick is one packed
+    BIGINT min — hash·2²⁴ + (2²⁴−1−pos) — so a single codegen'd window
+    MIN does selection and tie-break at once (positions bounded < 2²⁴,
+    products < 2⁵⁶: exact in both engines' int64). One shuffle (the
+    per-doc window); the distinct dedupes overlapping windows' repeats."""
+    from polars_quant_spark.functions._util import widen
+
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda j: F.concat_ws(" ", F.slice(toks, j, k)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    ex = widen(df).select(
+        F.col(id_col).alias("_id"), F.posexplode(grams).alias("_pos", "_g")
+    )
+    h = F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
+    key = h * _WN_POS + (F.lit(_WN_POS - 1) - F.col("_pos"))
+    win = (
+        Window.partitionBy("_id").orderBy("_pos").rowsBetween(-(w - 1), 0)
+    )
+    sel = ex.select(
+        "_id",
+        F.when(F.count(F.lit(1)).over(win) == w, F.min(key).over(win)).alias("_key"),
+    ).where(F.col("_key").isNotNull())
+    # decode with integer ops only — key < 2⁵⁶ exceeds double's exact range
+    return sel.distinct().select(
+        F.col("_id").alias(id_col),
+        F.shiftright(F.col("_key"), 24).alias("fp_hash"),
+        (F.lit(_WN_POS - 1) - F.col("_key") % _WN_POS).cast("int").alias("pos"),
+    )

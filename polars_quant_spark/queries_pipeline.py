@@ -274,6 +274,53 @@ GROUP BY e.doc_id
 
 
 # ---------------------------------------------------------------------------
+# winnowing (MOSS rolling-hash) fingerprints — min-hash per sliding w-gram
+# window with rightmost tie-break, done as ONE packed-BIGINT window MIN in
+# both engines (hash·2²⁴ + (2²⁴−1−pos); exact int64 arithmetic).
+# ---------------------------------------------------------------------------
+
+_WN = 1 << 24
+
+
+@q(
+    "doc_winnow",
+    f"""
+WITH tk AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+gx AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(toks) >= 3
+                THEN list_transform(range(1, len(toks) - 1),
+                     j -> {{'pos': j - 1, 'g': array_to_string(toks[j:j+2], ' ')}})
+                ELSE [{{'pos': 0, 'g': array_to_string(toks, ' ')}}] END) AS u
+  FROM tk
+),
+keyed AS (
+  SELECT doc_id, u.pos AS pos,
+         CAST(('0x' || substring(md5(u.g), 1, 8)) AS BIGINT) * {_WN}
+           + ({_WN} - 1 - u.pos) AS key
+  FROM gx
+),
+sel AS (
+  SELECT doc_id,
+         CASE WHEN COUNT(*) OVER win = 4 THEN MIN(key) OVER win END AS key
+  FROM keyed
+  WINDOW win AS (PARTITION BY doc_id ORDER BY pos ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+)
+SELECT DISTINCT doc_id,
+       key // {_WN} AS fp_hash,
+       CAST({_WN} - 1 - (key % {_WN}) AS INTEGER) AS pos
+FROM sel WHERE key IS NOT NULL
+""",
+)
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.winnow_fingerprints(
+        load_table(spark, sf_dir, "documents"), k=3, w=4
+    )
+
+
+# ---------------------------------------------------------------------------
 # text analysis: token counts, language-ID, quality, fingerprint
 # ---------------------------------------------------------------------------
 

@@ -324,6 +324,29 @@ def test_oov_stats_against_known_vocab(spark):
     assert out[2]["n_tokens"] == 4 and out[2]["n_oov"] == 2 and out[2]["oov_ratio"] == 0.5
 
 
+def test_winnow_guarantee_shared_run(spark):
+    # Winnowing guarantee (k=3, w=4): any shared run of ≥ w+k−1 = 6 tokens
+    # yields at least one common fingerprint; disjoint docs share none.
+    shared = "alpha beta gamma delta epsilon zeta"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                f"one two {shared} three four five six",
+                f"nine ten eleven {shared} twelve thirteen",
+                "totally different words with nothing common here at all",
+            ],
+        }
+    )
+    fps = text.winnow_fingerprints(spark.createDataFrame(pdf), k=3, w=4).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp_hash"])
+    assert by_doc[1] & by_doc[2]  # shared run → common fingerprint
+    assert not (by_doc[1] & by_doc.get(3, set()))
+    assert not (by_doc[2] & by_doc.get(3, set()))
+
+
 def test_select_token_budget_greedy_prefix(spark):
     # Equal-quality docs (same text shape) tie-break by doc_id: with a
     # budget of 2.5 docs' tokens, exactly docs 1 and 2 fit.

@@ -137,12 +137,44 @@ def bench_text(spark, sf_dir):
     )
 
 
+def bench_indicators_chunked(spark, sf_dir):
+    """The indicators_expr set minus its two cumulative columns (AD/OBV use
+    unbounded frames, outside the halo contract), evaluated over (symbol,
+    block) halo chunks — the few-keys/long-history scale path
+    (operators/chunked.py; oracle ind_chunked_expr proves exactness)."""
+    from polars_quant_spark.operators.chunked import with_chunked_windows
+
+    def bb(i):
+        return lambda w: ov.bbands("close", 20, 2, 2, w)[i]
+
+    return with_chunked_windows(
+        bars(spark, sf_dir),
+        {
+            "sma": lambda w: ov.sma("close", 20, w),
+            "wma": lambda w: ov.wma("close", 10, w),
+            "midpoint": lambda w: ov.midpoint("close", 14, w),
+            "midprice": lambda w: ov.midprice("high", "low", 14, w),
+            "bb_up": bb(0),
+            "bb_lo": bb(2),
+            "mom": lambda w: mo.mom("close", 10, w),
+            "roc": lambda w: mo.roc("close", 10, w),
+            "willr": lambda w: mo.willr("high", "low", "close", 14, w),
+            "cmo": lambda w: mo.cmo("close", 14, w),
+            "ultosc": lambda w: mo.ultosc("high", "low", "close", 7, 14, 28, w),
+            "mfi": lambda w: mo.mfi("high", "low", "close", "volume", 14, w),
+        },
+        lookback=28,
+        chunk=4096,
+    )
+
+
 BENCH = {
     "q1": QUERIES["rel_q1_pricing_summary"],
     "q3": QUERIES["rel_q3_shipping_priority"],
     "q5": QUERIES["rel_q5_region_revenue"],
     "events_daily": QUERIES["agg_events_daily"],
     "indicators_expr": bench_indicators_expr,
+    "indicators_chunked": bench_indicators_chunked,
     "indicators_rec": bench_indicators_rec,
     "patterns": bench_patterns,
     "backtest": bench_backtest,

@@ -143,44 +143,10 @@ def main() -> None:
         )
         return dedup.contamination(docs, probes, min_shared=2)
 
-    def _indicators_chunked(spark_, sf_dir):
-        # The bench's indicators_expr set minus its two cumulative columns
-        # (AD/OBV use unbounded frames, outside the chunked contract);
-        # the few-keys/long-history scale path — the point of this entry is
-        # the t_Nx column, where per-symbol histories are N x longer.
-        from polars_quant_spark.functions import momentum as mo
-        from polars_quant_spark.functions import overlap as ov
-        from polars_quant_spark.operators.chunked import with_chunked_windows
-        from polars_quant_spark.sources.bars import bars as bars_
-
-        def bb(i):
-            return lambda w: ov.bbands("close", 20, 2, 2, w)[i]
-
-        return with_chunked_windows(
-            bars_(spark_, sf_dir),
-            {
-                "sma": lambda w: ov.sma("close", 20, w),
-                "wma": lambda w: ov.wma("close", 10, w),
-                "midpoint": lambda w: ov.midpoint("close", 14, w),
-                "midprice": lambda w: ov.midprice("high", "low", 14, w),
-                "bb_up": bb(0),
-                "bb_lo": bb(2),
-                "mom": lambda w: mo.mom("close", 10, w),
-                "roc": lambda w: mo.roc("close", 10, w),
-                "willr": lambda w: mo.willr("high", "low", "close", 14, w),
-                "cmo": lambda w: mo.cmo("close", 14, w),
-                "ultosc": lambda w: mo.ultosc("high", "low", "close", 7, 14, 28, w),
-                "mfi": lambda w: mo.mfi("high", "low", "close", "volume", 14, w),
-            },
-            lookback=28,
-            chunk=4096,
-        )
-
     EXTRA = {
         "packing": _packing,
         "token_freq": _token_freq,
         "contamination": _contamination,
-        "indicators_chunked": _indicators_chunked,
     }
 
     subset = [

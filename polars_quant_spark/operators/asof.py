@@ -95,6 +95,49 @@ def range_join(
     return left.join(F.broadcast(right), cond)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_lo: str,
+    left_hi: str,
+    right_lo: str,
+    right_hi: str,
+    bin_width: int,
+    by: str | list[str] | None = None,
+) -> DataFrame:
+    """Interval×interval overlap join ([l_lo,l_hi) ∩ [r_lo,r_hi) ≠ ∅) via
+    the same coarse-bin equi-join strategy as ``binned_range_join`` —
+    the general form where BOTH sides are large interval sets.
+
+    Both sides explode into the bins they overlap, so an overlapping pair
+    meets in EVERY shared bin; the pair is kept only in its overlap's
+    first bin (the bin of max(l_lo, r_lo)) — a pure filter, no distinct
+    needed. Cost: each side amplified by ~span/bin_width, one hash
+    shuffle each, AQE-splittable skew — versus the NL join's
+    broadcast-or-die."""
+    if bin_width <= 0:
+        raise ValueError("bin_width must be positive")
+    keys = [by] if isinstance(by, str) else list(by or [])
+
+    def binned(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        return df.withColumn(
+            "_bin",
+            F.explode(
+                F.sequence(
+                    F.expr(f"CAST({lo} AS BIGINT) div {bin_width}"),
+                    F.expr(f"(CAST({hi} AS BIGINT) - 1) div {bin_width}"),
+                )
+            ),
+        )
+
+    lt, rt = binned(left, left_lo, left_hi), binned(right, right_lo, right_hi)
+    overlap = (F.col(left_lo) < F.col(right_hi)) & (F.col(right_lo) < F.col(left_hi))
+    first_bin = F.col("_bin") == F.expr(
+        f"CAST(greatest({left_lo}, {right_lo}) AS BIGINT) div {bin_width}"
+    )
+    return lt.join(rt, [*keys, "_bin"]).where(overlap & first_bin).drop("_bin")
+
+
 def binned_range_join(
     left: DataFrame,
     right: DataFrame,

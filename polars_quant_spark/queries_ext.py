@@ -998,6 +998,48 @@ def _ad_obv_chunked_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interval-overlap join (interval×interval, both sides large) — binned
+# equi-join with first-shared-bin dedup (operators/asof.py). Window
+# spacings 29/37 with widths 40/50 give overlaps spanning multiple bins
+# (bin_width 16), so the dedup filter is genuinely exercised.
+
+
+def _interval_overlap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators.asof import interval_overlap_join
+
+    b = bars(spark, sf_dir).select("symbol", "t")
+    a = b.where(F.col("t") % 29 == 0).select(
+        "symbol", F.col("t").alias("a_lo"), (F.col("t") + 40).alias("a_hi")
+    )
+    c = b.where(F.col("t") % 37 == 0).select(
+        "symbol", F.col("t").alias("b_lo"), (F.col("t") + 50).alias("b_hi")
+    )
+    out = interval_overlap_join(a, c, "a_lo", "a_hi", "b_lo", "b_hi", 16, by="symbol")
+    return out.select(
+        "symbol",
+        "a_lo",
+        "b_lo",
+        (
+            F.least(F.col("a_hi"), F.col("b_hi"))
+            - F.greatest(F.col("a_lo"), F.col("b_lo"))
+        ).alias("overlap_len"),
+    )
+
+
+QUERIES["interval_overlap_bars"] = _interval_overlap_query
+ORACLES["interval_overlap_bars"] = (
+    BARS_CTE
+    + """
+, wa AS (SELECT symbol, t AS a_lo, t + 40 AS a_hi FROM bars WHERE t % 29 = 0),
+wb AS (SELECT symbol, t AS b_lo, t + 50 AS b_hi FROM bars WHERE t % 37 = 0)
+SELECT a.symbol, a.a_lo, b.b_lo,
+       LEAST(a.a_hi, b.b_hi) - GREATEST(a.a_lo, b.b_lo) AS overlap_len
+FROM wa a JOIN wb b
+  ON a.symbol = b.symbol AND a.a_lo < b.b_hi AND b.b_lo < a.a_hi
+"""
+)
+
+
 QUERIES["vol_ad_obv_chunked"] = _ad_obv_chunked_query
 ORACLES["vol_ad_obv_chunked"] = ORACLES["vol_ad_obv"]
 

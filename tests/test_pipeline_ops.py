@@ -398,6 +398,40 @@ def test_quantize_embeddings_roundtrip(spark, sf_dir):
     assert all(r["fid"] > 0.999 for r in rows)
 
 
+def test_interval_overlap_join_equals_nl(spark, sf_dir):
+    # binned interval×interval join must emit exactly the NL overlap pairs,
+    # each exactly once (first-shared-bin dedup), across bin widths that
+    # are smaller than, comparable to, and larger than the interval spans.
+    from polars_quant_spark.operators.asof import interval_overlap_join
+    from polars_quant_spark.sources.bars import bars
+
+    b = bars(spark, sf_dir).select("symbol", "t")
+    a = b.where(F.col("t") % 13 == 0).select(
+        "symbol", F.col("t").alias("a_lo"), (F.col("t") + 21).alias("a_hi")
+    )
+    c = b.where(F.col("t") % 17 == 0).select(
+        "symbol", F.col("t").alias("b_lo"), (F.col("t") + 30).alias("b_hi")
+    )
+    nl = (
+        a.join(c, "symbol")
+        .where((F.col("a_lo") < F.col("b_hi")) & (F.col("b_lo") < F.col("a_hi")))
+        .select("symbol", "a_lo", "b_lo")
+    )
+    expected = sorted(map(tuple, nl.collect()))
+    for width in (8, 32, 128):
+        got = sorted(
+            map(
+                tuple,
+                interval_overlap_join(
+                    a, c, "a_lo", "a_hi", "b_lo", "b_hi", width, by="symbol"
+                )
+                .select("symbol", "a_lo", "b_lo")
+                .collect(),
+            )
+        )
+        assert got == expected, f"width={width}"
+
+
 def test_binned_range_join_equals_broadcast_nl(spark, sf_dir):
     """The binned hash plan must produce exactly the NL join's pairs."""
     from polars_quant_spark.operators.asof import binned_range_join, range_join

@@ -1113,3 +1113,80 @@ def rel_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(20)
     )
+
+
+@q(
+    "rel_q4_priority_semi",
+    """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def rel_q4_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (EXISTS → left-semi join): orders in a window with at
+    least one returned lineitem, counted by priority. The semi join never
+    materializes lineitem columns — Spark's LeftSemi hash join emits each
+    order at most once and the probe side carries only l_orderkey (the
+    returnflag filter pushes to the scan), so the shuffle is keys-only.
+    (The driver lineitem has no commit/receipt dates; l_returnflag='R'
+    stands in for the late-delivery EXISTS predicate — same plan shape.)
+    Reference parity: relational scan/filter surface, SURVEY §2.2-2.3."""
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey")
+    return (
+        od.join(li, od.o_orderkey == li.l_orderkey, "leftsemi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@q(
+    "rel_q22_inactive_anti",
+    """
+SELECT c_mktsegment,
+       COUNT(*) AS n_customers,
+       ROUND(CAST(SUM(CAST(FLOOR(c_acctbal * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*), 6) AS avg_bal
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def rel_q22_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (NOT EXISTS → left-anti join): customers with no
+    order since the cutoff, by market segment. LeftAnti is the only
+    distributed shape that answers NOT EXISTS without materializing the
+    non-matches: the orders side is pre-filtered at the scan and reduced to
+    its key column, and each customer row is emitted iff its hash-bucket
+    probe finds nothing. The avg is exact across engines because both sum
+    integer micro-units (association-order-free) before one double divide."""
+    cu = load_table(spark, sf_dir, "customer")
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "leftanti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            round6(
+                units(F.sum(micros(F.col("c_acctbal")))) / F.count(F.lit(1))
+            ).alias("avg_bal"),
+        )
+        .orderBy("c_mktsegment")
+    )

@@ -327,3 +327,22 @@ def test_token_budget_broadcasts_bins(spark, sf_dir):
     p = plan(select_token_budget(docs, budget=10_000))
     assert "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_semi_join_never_materializes_probe_columns(spark, sf_dir):
+    """rel_q4: EXISTS must plan as a LeftSemi hash join (each order emitted
+    at most once, probe side reduced to its key) with the returnflag filter
+    pushed to the lineitem scan."""
+    p = plan(QUERIES["rel_q4_priority_semi"](spark, sf_dir))
+    assert "LeftSemi" in p
+    assert "EqualTo(l_returnflag,R)" in p or "l_returnflag" in p
+    read = [ln for ln in p.splitlines() if "ReadSchema" in ln and "l_orderkey" in ln][0]
+    assert "l_extendedprice" not in read  # keys-only probe side
+
+
+def test_anti_join_shape(spark, sf_dir):
+    """rel_q22: NOT EXISTS must plan as a LeftAnti join with the date filter
+    pushed to the orders scan — no outer join + null filter fallback."""
+    p = plan(QUERIES["rel_q22_inactive_anti"](spark, sf_dir))
+    assert "LeftAnti" in p
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p

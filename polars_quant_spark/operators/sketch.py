@@ -150,3 +150,47 @@ def sampled_quantiles(
         name = f"q_{str(p).replace('.', '_')}"
         aggs.append(round6(F.expr(f"percentile({value}, {p!r})")).alias(name))
     return df.groupBy(*by).agg(*aggs)
+
+
+def mixture_resample(
+    df: DataFrame, key: str, by: str, target: dict[str, float]
+) -> DataFrame:
+    """Resample to a target mixture (downsample-only): derive each `by`
+    group's acceptance rate IN-ENGINE from its observed count so the output
+    matches `target`'s shares — the "rebalance web/code/books to the training
+    recipe" op, where `stratified_sample` takes rates, this takes the recipe.
+
+    rate_g = c·t_g/n_g with c = min_g(n_g/t_g): the binding group keeps
+    everything (rate 1) and every other group downsamples to proportion —
+    the largest corpus that hits the mixture without replication. Groups
+    absent from `target` are dropped.
+
+    Plan shape: one tiny groupBy(by) count (map-side partials), a scalar
+    min, and a broadcast of ≤|groups| rate rows back onto the corpus — the
+    corpus itself is never shuffled, and the final keep/drop is the same
+    md5-threshold filter as `deterministic_sample` (retry-stable, identical
+    on every engine). Thresholds are floor-quantized to integers so the
+    selection hash-matches DuckDB bit-for-bit."""
+    tot = sum(target.values())
+    pairs: list[Column] = []
+    for g in sorted(target):
+        pairs += [F.lit(g), F.lit(target[g] / tot)]
+    tmap = F.create_map(*pairs)
+    counts = (
+        df.groupBy(col(by).alias("_g"))
+        .agg(F.count(F.lit(1)).cast("double").alias("_n"))
+        .withColumn("_t", F.element_at(tmap, F.col("_g")))
+        .where(F.col("_t").isNotNull())
+    )
+    cmin = counts.agg(F.min(F.col("_n") / F.col("_t")).alias("_c"))
+    rates = counts.crossJoin(F.broadcast(cmin)).select(
+        F.col("_g"),
+        F.floor(F.col("_c") * F.col("_t") / F.col("_n") * F.lit(float(2**32)))
+        .cast("long")
+        .alias("_thr"),
+    )
+    return (
+        df.join(F.broadcast(rates), col(by) == F.col("_g"))
+        .where(hash_lane(key, 8) < F.col("_thr"))
+        .drop("_g", "_thr")
+    )

@@ -2062,3 +2062,35 @@ def doc_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
     return out.groupBy("source", "split").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
+@q(
+    "doc_mixture_resample",
+    """
+WITH tgt(lang, t) AS (VALUES ('en', 0.5), ('zh', 0.25), ('es', 0.25)),
+counts AS (
+  SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n FROM documents GROUP BY lang
+),
+j AS (SELECT c.lang, c.n, tgt.t FROM counts c JOIN tgt ON c.lang = tgt.lang),
+cm AS (SELECT MIN(n / t) AS c FROM j),
+rates AS (
+  SELECT lang,
+         CAST(FLOOR((SELECT c FROM cm) * t / n * 4294967296.0) AS BIGINT) AS thr
+  FROM j
+)
+SELECT d.doc_id, d.lang
+FROM documents d JOIN rates r ON d.lang = r.lang
+WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) AS BIGINT) < r.thr
+""",
+)
+def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the corpus to a 50/25/25 en/zh/es training mixture — the
+    acceptance rates are derived in-engine from the observed language counts
+    (mixture_resample), so the identical rate arithmetic and md5 threshold
+    select the same rows on both engines. Languages outside the recipe are
+    dropped by the rate join."""
+    from polars_quant_spark.operators.sketch import mixture_resample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = mixture_resample(docs, "doc_id", "lang", {"en": 0.5, "zh": 0.25, "es": 0.25})
+    return out.select("doc_id", "lang")

@@ -151,3 +151,29 @@ def test_hash_split_partitions_and_is_stable(spark, sf_dir):
     # invalid weights rejected
     with pytest.raises(ValueError):
         sketch.hash_split(docs, "doc_id", {"a": 0.9, "b": 0.3})
+
+
+def test_mixture_resample(spark, sf_dir):
+    """Acceptance rates derived from observed counts: the binding group
+    keeps every row, shares land near the target mixture, excluded groups
+    vanish, and the selection is deterministic across invocations."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = {"en": 0.5, "zh": 0.25, "es": 0.25}
+    out = sketch.mixture_resample(docs, "doc_id", "lang", target)
+    counts = {r["lang"]: r["n"] for r in
+              out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) <= set(target)
+    base = {r["lang"]: r["n"] for r in
+            docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # binding group (min n/t) keeps everything
+    binding = min(target, key=lambda g: base[g] / target[g])
+    assert counts[binding] == base[binding]
+    # shares within 5 sigma of the recipe
+    n = sum(counts.values())
+    for g, t in target.items():
+        assert abs(counts[g] - t * n) < 5 * np.sqrt(n * t * (1 - t)) + 1
+    # deterministic: second run selects the identical doc_ids
+    ids1 = {r["doc_id"] for r in out.select("doc_id").collect()}
+    ids2 = {r["doc_id"] for r in sketch.mixture_resample(
+        docs, "doc_id", "lang", target).select("doc_id").collect()}
+    assert ids1 == ids2

@@ -17,7 +17,7 @@ Scale design:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from polars_quant_spark.functions._util import widen
@@ -157,11 +157,21 @@ def _lsh_candidates_from_sig(
     banded = sig.select("_id", F.explode(band_structs).alias("_bb")).select(
         "_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
     )
-    counted = banded.withColumn(
-        "_n", F.count(F.lit(1)).over(Window.partitionBy("band", "bucket"))
-    ).where(F.col("_n") <= max_bucket)
-    a = counted.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"))
-    b = counted.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"))
+    # Cap degenerate buckets via an anti-join against the (tiny) oversized
+    # set rather than a count-window: the groupBy pre-aggregates map-side
+    # (the window shuffles every banded row — on a boilerplate-skewed corpus
+    # that IS the skew it's guarding against), the oversized frame broadcasts,
+    # and unlike a window the aggregate subtree is shared across both
+    # self-join sides instead of recomputed per side.
+    big = (
+        banded.groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket)
+        .select("band", "bucket")
+    )
+    kept = banded.join(F.broadcast(big), ["band", "bucket"], "leftanti")
+    a = kept.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"))
+    b = kept.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"))
     return (
         a.join(b, on=["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
@@ -267,11 +277,16 @@ def ngram_jaccard_pairs(
 
     ex = exploded_shingles(df, text, id_col, k).persist()
     sizes = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_n"))
-    capped = (
-        ex.withColumn("_c", F.count(F.lit(1)).over(Window.partitionBy("_sh")))
-        .where(F.col("_c") <= max_posting)
-        .select("_id", "_sh")
+    # hot postings are few: aggregate them (map-side combined) and anti-join,
+    # instead of a count-window that shuffles every posting row un-combined
+    # (same cap semantics; see _lsh_candidates_from_sig)
+    hot = (
+        ex.groupBy("_sh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > max_posting)
+        .select("_sh")
     )
+    capped = ex.join(F.broadcast(hot), "_sh", "leftanti").select("_id", "_sh")
     inter = (
         capped.select(F.col("_id").alias("id_a"), "_sh")
         .join(capped.select(F.col("_id").alias("id_b"), "_sh"), "_sh")

@@ -1949,6 +1949,65 @@ def stream_position_stateful(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "stream_attribution_join",
+    """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id, p.user_id,
+       epoch_us(p.ts) AS p_ts_us, epoch_us(c.ts) AS c_ts_us
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.value > 300 AND c.value < 100
+ AND c.ts >= p.ts - INTERVAL 3 DAY AND c.ts <= p.ts
+""",
+)
+def stream_attribution_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (streaming/join.py): each
+    purchase (value > 300) joins the same user's clicks (value < 100) in the
+    preceding 3 days. Both sides are real readStream sources, drained with
+    availableNow; event times are exact microseconds on both engines, so the
+    matched pair set equals the batch twin's row-for-row."""
+    from polars_quant_spark.streaming.join import interval_join
+    from polars_quant_spark.streaming.windows import read_events_stream
+
+    purchases = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("value") > 300.0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            F.col("event_time").alias("p_time"),
+        )
+    )
+    clicks = (
+        read_events_stream(spark, sf_dir)
+        .where(F.col("value") < 100.0)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id"),
+            F.col("event_time").alias("c_time"),
+        )
+    )
+    out = interval_join(
+        purchases, clicks, "user_id", "p_time", "c_time", lookback="3 days"
+    )
+    name = f"pqs_stream_attr_{next(_STREAM_SEQ)}"
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name).select(
+        "purchase_id",
+        "click_id",
+        "user_id",
+        F.unix_micros(F.col("p_time")).alias("p_ts_us"),
+        F.unix_micros(F.col("c_time")).alias("c_ts_us"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # End-to-end cleaning pipeline: quality gate → language gate → exact-dedup
 # canonical keeper → per-source corpus stats. One declared query chains the

@@ -152,3 +152,39 @@ def test_stream_static_enrich_matches_batch(spark, tmp_path):
     exp = exp[exp["window_start"].isin(set(got["window_start"]))].reset_index(drop=True)
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, exp, check_like=True)
+
+
+def test_interval_join_stream_equals_batch(spark, sf_dir):
+    """The watermarked stream-stream interval join drains (availableNow) to
+    exactly the pair set the same function produces on batch frames."""
+    from polars_quant_spark.queries_pipeline import QUERIES as PQ
+    from polars_quant_spark.sources.bars import load_table, ts_us_expr
+    from polars_quant_spark.streaming.join import interval_join
+
+    got = (
+        PQ["stream_attribution_join"](spark, sf_dir)
+        .orderBy("purchase_id", "click_id")
+        .collect()
+    )
+    ev = load_table(spark, sf_dir, "events")
+    ev = ev.withColumn("event_time", F.timestamp_micros(ts_us_expr(ev)))
+    p = ev.where(F.col("value") > 300.0).select(
+        F.col("event_id").alias("purchase_id"), "user_id",
+        F.col("event_time").alias("p_time"),
+    )
+    c = ev.where(F.col("value") < 100.0).select(
+        F.col("event_id").alias("click_id"), F.col("user_id"),
+        F.col("event_time").alias("c_time"),
+    )
+    exp = (
+        interval_join(p, c, "user_id", "p_time", "c_time", lookback="3 days")
+        .select(
+            "purchase_id", "click_id", "user_id",
+            F.unix_micros("p_time").alias("p_ts_us"),
+            F.unix_micros("c_time").alias("c_ts_us"),
+        )
+        .orderBy("purchase_id", "click_id")
+        .collect()
+    )
+    assert len(got) > 0
+    assert [tuple(r) for r in got] == [tuple(r) for r in exp]

@@ -125,6 +125,64 @@ def token_frequencies(df, text: str = "text", id_col: str = "doc_id", exploded=N
     )
 
 
+# 1/ln(2) as an exact double literal: both engines compute a NATURAL log
+# (glibc/libm on DuckDB, Math.log on the JVM) and multiply by this same
+# constant — avoiding log2(), whose implementations differ more across
+# engines than ln's (Spark lowers log2 to ln(x)/ln(2), DuckDB calls libm
+# log2 directly; two roundings vs one would double the 1-ulp disagreement
+# window on the micro-unit quantization boundary).
+_INV_LN2 = 1.4426950408889634
+
+
+def unigram_surprisal(
+    df, text: str = "text", id_col: str = "doc_id", exploded=None
+):
+    """Per-doc mean unigram surprisal in bits/token — the perplexity quality
+    filter (CCNet-style) with the LM trained in-engine on the corpus itself:
+    cost(tok) = log2((N+V)/(c_tok+1)) under add-one smoothing, where c is
+    the corpus count, N total tokens, V vocab size. Low-probability token
+    soup scores high; natural prose scores low. Returns
+    (doc_id, n_tokens, bits_per_token).
+
+    Plan: one explode → token-count agg (map-side combined) → the tiny freq
+    frame joins back onto the token stream (AQE broadcasts it when it fits;
+    at 100 TB vocab ≪ stream so this is the cheap side) → per-doc sum. The
+    scalar (N, V) row rides a broadcast cross join. Cross-engine exactness:
+    each token cost is quantized to integer micro-bits BEFORE the per-doc
+    sum, so association order can't drift the mean."""
+    from polars_quant_spark.functions._util import round6, widen
+
+    ex = (
+        exploded
+        if exploded is not None
+        else widen(df).select(
+            F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("token")
+        )
+    )
+    freq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
+    tot = freq.agg(
+        F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v")
+    )
+    cost_bits = (
+        F.log((F.col("_n") + F.col("_v")).cast("double") / (F.col("_c") + F.lit(1)))
+        * F.lit(_INV_LN2)
+    )
+    costs = (
+        ex.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            F.floor(cost_bits * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("_mc"),
+        )
+    )
+    return costs.groupBy("_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        round6(
+            F.sum("_mc").cast("double") / F.lit(1000000.0) / F.count(F.lit(1))
+        ).alias("bits_per_token"),
+    ).withColumnRenamed("_id", id_col)
+
+
 # PII patterns shared with the DuckDB twin — restricted to syntax both Java
 # regex and RE2 support (no lookarounds/backrefs): character classes, bounded
 # repeats, \b, \d.

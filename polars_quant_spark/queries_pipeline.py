@@ -2153,3 +2153,32 @@ def doc_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = mixture_resample(docs, "doc_id", "lang", {"en": 0.5, "zh": 0.25, "es": 0.25})
     return out.select("doc_id", "lang")
+
+
+@q(
+    "doc_unigram_surprisal",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+freq AS (SELECT token, COUNT(*) AS c FROM tk GROUP BY token),
+tot AS (SELECT SUM(c) AS n, COUNT(*) AS v FROM freq),
+costs AS (
+  SELECT tk.doc_id,
+         CAST(FLOOR(ln(CAST(t.n + t.v AS DOUBLE) / (f.c + 1))
+                    * 1.4426950408889634 * 1000000.0 + 0.5) AS BIGINT) AS mc
+  FROM tk JOIN freq f USING (token) CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_tokens,
+       ROUND(CAST(SUM(mc) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS bits_per_token
+FROM costs GROUP BY doc_id
+""",
+)
+def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean unigram surprisal per document (bits/token) under the corpus's
+    own add-one-smoothed unigram LM — the in-engine stand-in for a KenLM
+    perplexity filter. Token costs are micro-bit-quantized before the
+    per-doc sum, and both engines take a NATURAL log scaled by the same
+    1/ln2 literal, so the scores hash-match."""
+    from polars_quant_spark.operators.text import unigram_surprisal
+
+    docs = load_table(spark, sf_dir, "documents")
+    return unigram_surprisal(docs)

@@ -464,3 +464,18 @@ def test_binned_range_join_equals_broadcast_nl(spark, sf_dir):
     with contextlib.redirect_stdout(buf):
         binned.explain("formatted")
     assert "BroadcastNestedLoopJoin" not in buf.getvalue()
+
+
+def test_unigram_surprisal_orders_docs(spark):
+    """A document of corpus-common tokens must score fewer bits/token than
+    one made of hapaxes; n_tokens matches the shared tokenizer; scores are
+    positive and finite."""
+    rows = (
+        [("common%d" % i, "the cat sat on the mat and the dog sat too") for i in range(5)]
+        + [("rare", "zyxqv wqjkz plmnb vvxzq qqwwz")]
+    )
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in text.unigram_surprisal(df).collect()}
+    assert out["common0"]["n_tokens"] == 11
+    assert out["rare"]["n_tokens"] == 5
+    assert 0 < out["common0"]["bits_per_token"] < out["rare"]["bits_per_token"]

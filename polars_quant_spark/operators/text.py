@@ -183,6 +183,81 @@ def unigram_surprisal(
     ).withColumnRenamed("_id", id_col)
 
 
+def hashed_bigrams(text: Column | str, buckets: int = 4096) -> Column:
+    """Occurrence (non-distinct) token bigrams hashed into `buckets` lanes —
+    the DSIR feature map. Empty for docs with < 2 tokens."""
+    toks = tokens(text)
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda j: F.concat_ws(
+                " ", F.element_at(toks, j), F.element_at(toks, j + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.transform(
+        grams,
+        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
+        % F.lit(buckets),
+    )
+
+
+def dsir_logratios(
+    df,
+    target: Column,
+    text: str = "text",
+    id_col: str = "doc_id",
+    buckets: int = 4096,
+):
+    """DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): log w(doc) = Σ_features
+    [ln λ_target(b) − ln λ_raw(b)] over hashed-bigram features, with
+    add-one smoothing over the `buckets` lanes. `target` is a boolean
+    Column defining the in-domain subset (e.g. lang == 'en'); the raw
+    distribution is the whole corpus. Docs that look like the target get
+    positive log-ratios; resample by thresholding or feeding the weights to
+    the deterministic samplers. Returns (doc_id, n_feats, logratio).
+
+    Plan: one explode of the hashed features (codegen'd md5+mod) → ONE
+    groupBy(bucket) agg producing both corpus and target counts → the freq
+    frame is ≤ `buckets` rows, broadcast back onto the feature stream at
+    any corpus size — the 100 TB shape by construction. Per-feature costs
+    are micro-nat-quantized before the per-doc sum (association-order-free,
+    hash-exact vs the DuckDB twin)."""
+    from polars_quant_spark.functions._util import round6, widen
+
+    feats = widen(df).select(
+        F.col(id_col).alias("_id"),
+        target.cast("int").alias("_t"),
+        F.explode(hashed_bigrams(text, buckets)).alias("_b"),
+    )
+    freq = feats.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_cr"), F.sum("_t").alias("_ct")
+    )
+    tot = freq.agg(F.sum("_cr").alias("_nr"), F.sum("_ct").alias("_nt"))
+    cost = F.log(
+        (F.col("_ct") + F.lit(1.0)) / (F.col("_nt") + F.lit(float(buckets)))
+    ) - F.log((F.col("_cr") + F.lit(1.0)) / (F.col("_nr") + F.lit(float(buckets))))
+    costs = (
+        feats.join(F.broadcast(freq), "_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "_id",
+            F.floor(cost * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("_mc"),
+        )
+    )
+    return (
+        costs.groupBy("_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            round6(F.sum("_mc").cast("double") / F.lit(1000000.0)).alias("logratio"),
+        )
+        .withColumnRenamed("_id", id_col)
+    )
+
+
 # PII patterns shared with the DuckDB twin — restricted to syntax both Java
 # regex and RE2 support (no lookarounds/backrefs): character classes, bounded
 # repeats, \b, \d.

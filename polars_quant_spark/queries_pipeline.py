@@ -2182,3 +2182,46 @@ def doc_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return unigram_surprisal(docs)
+
+
+@q(
+    "doc_dsir_weights",
+    f"""
+WITH tk AS (SELECT doc_id, lang = 'en' AS is_t, {_TOKS} AS toks FROM documents),
+bg AS (
+  SELECT doc_id, is_t,
+         CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+  FROM (
+    SELECT doc_id, is_t,
+           unnest(list_transform(range(1, len(toks)),
+                                 i -> toks[i] || ' ' || toks[i + 1])) AS g
+    FROM tk WHERE len(toks) >= 2
+  )
+),
+freq AS (
+  SELECT b, COUNT(*) AS cr,
+         SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS ct
+  FROM bg GROUP BY b
+),
+tot AS (SELECT SUM(cr) AS nr, SUM(ct) AS nt FROM freq),
+costs AS (
+  SELECT bg.doc_id,
+         CAST(FLOOR((ln((f.ct + 1.0) / (t.nt + 4096.0))
+                     - ln((f.cr + 1.0) / (t.nr + 4096.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS mc
+  FROM bg JOIN freq f USING (b) CROSS JOIN tot t
+)
+SELECT doc_id, COUNT(*) AS n_feats,
+       ROUND(CAST(SUM(mc) AS DOUBLE) / 1000000.0, 6) AS logratio
+FROM costs GROUP BY doc_id
+""",
+)
+def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights with English documents as the target domain:
+    hashed-bigram log-ratio of the add-one-smoothed target vs raw feature
+    distributions. Micro-nat quantization before the per-doc sum keeps the
+    weights hash-exact across engines."""
+    from polars_quant_spark.operators.text import dsir_logratios
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dsir_logratios(docs, F.col("lang") == "en")

@@ -479,3 +479,18 @@ def test_unigram_surprisal_orders_docs(spark):
     assert out["common0"]["n_tokens"] == 11
     assert out["rare"]["n_tokens"] == 5
     assert 0 < out["common0"]["bits_per_token"] < out["rare"]["bits_per_token"]
+
+
+def test_dsir_weights_favor_target_domain(spark, sf_dir):
+    """With lang=='en' as the target, English documents must average a
+    higher importance log-ratio than each non-English language."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = text.dsir_logratios(docs, F.col("lang") == "en")
+    means = {
+        r["lang"]: r["m"]
+        for r in out.join(docs.select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(F.avg("logratio").alias("m"))
+        .collect()
+    }
+    assert all(means["en"] > m for lang, m in means.items() if lang != "en")

@@ -194,3 +194,43 @@ def mixture_resample(
         .where(hash_lane(key, 8) < F.col("_thr"))
         .drop("_g", "_thr")
     )
+
+
+def shuffle_shards(
+    df: DataFrame, key: str, n_shards: int, out_shard: str = "shard", out_pos: str = "pos"
+) -> DataFrame:
+    """Deterministic global shuffle for training export: every row gets a
+    (shard, pos) address — shard = md5-lane mod n_shards, pos = rank of the
+    full 60-bit lane within the shard (ties broken by `key`). The induced
+    permutation is uniform-pseudorandom yet a pure function of `key`: the
+    same corpus shuffles identically on every engine, run and retry, and a
+    row's address never depends on partitioning. Plan: one projection + one
+    per-shard window rank — the exchange is the shard assignment itself,
+    which is exactly the write layout, so the sort feeds the writer with no
+    extra pass. Writers: ``write_training_shards``."""
+    lane = hash_lane(key)
+    out = df.withColumn("_lane", lane).withColumn(
+        out_shard, (F.col("_lane") % n_shards).cast("int")
+    )
+    w = Window.partitionBy(out_shard).orderBy("_lane", col(key))
+    return out.withColumn(out_pos, F.row_number().over(w)).drop("_lane")
+
+
+def write_training_shards(
+    df: DataFrame, path: str, key: str, n_shards: int
+) -> None:
+    """Materialize the ``shuffle_shards`` order as a shard=K/ directory per
+    shard holding ONE parquet file in pos order — the layout data loaders
+    index on. The repartition clusters each shard onto a single task (hash
+    partitioning may co-locate two shards on one task, but never splits
+    one), so each partitionBy directory receives exactly one file; the
+    within-partition sort writes it in shuffled order. This is the same
+    exchange the rank window needs — one shuffle end to end."""
+    out = shuffle_shards(df, key, n_shards)
+    (
+        out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )

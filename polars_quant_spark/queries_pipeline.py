@@ -2225,3 +2225,27 @@ def doc_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return dsir_logratios(docs, F.col("lang") == "en")
+
+
+@q(
+    "doc_shuffle_shards",
+    """
+SELECT doc_id,
+       CAST(CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8 AS INTEGER) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 8
+         ORDER BY CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT), doc_id
+       ) AS INTEGER) AS pos
+FROM documents
+""",
+)
+def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-export shuffle: every document's (shard, pos)
+    address under the md5-lane permutation, 8 shards. A pure function of
+    doc_id, so both engines derive the identical global order."""
+    from polars_quant_spark.operators.sketch import shuffle_shards
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shuffle_shards(docs, "doc_id", 8).select(
+        "doc_id", "shard", F.col("pos").cast("int").alias("pos")
+    )

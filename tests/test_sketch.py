@@ -177,3 +177,33 @@ def test_mixture_resample(spark, sf_dir):
     ids2 = {r["doc_id"] for r in sketch.mixture_resample(
         docs, "doc_id", "lang", target).select("doc_id").collect()}
     assert ids1 == ids2
+
+
+def test_shuffle_shards_and_writer(spark, sf_dir, tmp_path):
+    """(shard, pos) is a bijective deterministic address; the writer lays
+    each shard down as one file whose row order is the shard's pos order."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = sketch.shuffle_shards(docs, "doc_id", 4)
+    n = docs.count()
+    rows = out.select("doc_id", "shard", "pos").collect()
+    assert len(rows) == n
+    addr = {(r["shard"], r["pos"]) for r in rows}
+    assert len(addr) == n  # bijection: no two rows share an address
+    for s in range(4):
+        ps = sorted(p for sh, p in addr if sh == s)
+        assert ps == list(range(1, len(ps) + 1))  # dense rank per shard
+    # writer: one shard=K/ dir per shard, ONE file each, written in pos order
+    path = str(tmp_path / "shards")
+    sketch.write_training_shards(docs, path, "doc_id", 4)
+    import glob
+    import pyarrow.parquet as pq
+    dirs = sorted(glob.glob(path + "/shard=*"))
+    assert len(dirs) == 4
+    seen = 0
+    for d in dirs:
+        files = glob.glob(d + "/*.parquet")
+        assert len(files) == 1
+        t = pq.read_table(files[0], columns=["pos"]).to_pydict()
+        assert t["pos"] == sorted(t["pos"])
+        seen += len(t["pos"])
+    assert seen == n

@@ -1212,3 +1212,151 @@ SELECT n_name,
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
 """
+
+
+# ---------------------------------------------------------------------------
+# §2.1 loader surface, driver-verified: prepare_sequential_data over a real
+# folder of per-asset files (the reference's input format), against a SQL
+# grid+forward-fill twin.
+# ---------------------------------------------------------------------------
+
+from polars_quant_spark.sources.bars import BARS_CTE  # noqa: E402
+
+_LOADER_GAP = (
+    "CAST(('0x' || substring(md5(symbol || CAST(ts_us AS VARCHAR)), 1, 4)) "
+    "AS BIGINT) % 5 != 0"
+)
+
+
+@q(
+    "loader_grid_fill",
+    BARS_CTE
+    + f""",
+obs AS (
+  SELECT symbol, ts_us, close, volume FROM bars WHERE {_LOADER_GAP}
+),
+grid AS (
+  SELECT d.ts_us, s.symbol
+  FROM (SELECT DISTINCT ts_us FROM obs) d
+  CROSS JOIN (SELECT DISTINCT symbol FROM obs) s
+),
+filled AS (
+  SELECT g.symbol, g.ts_us,
+         COALESCE(LAST_VALUE(o.close IGNORE NULLS) OVER w, 0.0) AS close,
+         COALESCE(LAST_VALUE(o.volume IGNORE NULLS) OVER w, 0.0) AS volume
+  FROM grid g LEFT JOIN obs o ON o.symbol = g.symbol AND o.ts_us = g.ts_us
+  WINDOW w AS (PARTITION BY g.symbol ORDER BY g.ts_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, ts_us, ROUND(close, 6) AS close, ROUND(volume, 6) AS volume
+FROM filled
+""",
+)
+def loader_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 prepare_sequential_data, end to end on real files: bars are
+    punched with per-symbol pseudo-random gaps (md5 mod 5 — the twin drops
+    the identical rows), written as one parquet file per asset (the
+    reference's folder-of-assets input, backtest/sequential.py:7-93), then
+    folder-scanned, symbol-tagged from file stems, aligned on the full
+    date×symbol grid, forward-filled per symbol and zero-filled at the
+    leading edge. The file materialization is driver-side test plumbing —
+    the operator under test is the loader's grid/fill plan."""
+    import os
+    import tempfile
+
+    b = bars(spark, sf_dir).select("symbol", "ts_us", "close", "volume")
+    gap = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("symbol"), F.col("ts_us").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        != 0
+    )
+    pdf = b.where(gap).toPandas()
+    folder = os.path.join(
+        tempfile.gettempdir(), "pqs_loader_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(folder, exist_ok=True)
+    for old in os.listdir(folder):
+        os.remove(os.path.join(folder, old))
+    for sym, g in pdf.groupby("symbol"):
+        g.drop(columns=["symbol"]).sort_values("ts_us").to_parquet(
+            os.path.join(folder, f"{sym}.parquet"), index=False
+        )
+    from polars_quant_spark.sources.loader import prepare_sequential_data
+
+    out = prepare_sequential_data(
+        spark,
+        folder,
+        date_col="ts_us",
+        symbol_col="symbol",
+        fill_null_strategy="forward",
+        default_fill_value=0.0,
+    )
+    return out.select(
+        "symbol", "ts_us", r6(F.col("close")).alias("close"),
+        r6(F.col("volume")).alias("volume"),
+    )
+
+
+_LOAD_SYMS = ["click", "error", "purchase", "signup", "view"]
+_LOAD_WIDE_COLS = ",\n".join(
+    f"  ROUND(MAX(CASE WHEN symbol = '{s}' THEN {f} END), 6) AS {s}_{f}"
+    for s in _LOAD_SYMS
+    for f in ("close", "volume")
+)
+
+
+@q(
+    "loader_wide_pivot",
+    BARS_CTE
+    + f""",
+obs AS (
+  SELECT symbol, ts_us, close, volume FROM bars WHERE {_LOADER_GAP}
+)
+SELECT ts_us,
+{_LOAD_WIDE_COLS}
+FROM obs GROUP BY ts_us
+""",
+)
+def loader_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.1 ``load``: the reference's wide {{symbol}}_{{field}} frame
+    (README.md:90-161), built by pivoting the folder-of-assets long layout.
+    Same gapped per-asset files as loader_grid_fill; missing (date, symbol)
+    cells stay NULL in both engines. The twin hard-codes the five driver
+    symbols as conditional aggregates — which is exactly what a pivot is."""
+    import os
+    import tempfile
+
+    b = bars(spark, sf_dir).select("symbol", "ts_us", "close", "volume")
+    gap = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("symbol"), F.col("ts_us").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        != 0
+    )
+    pdf = b.where(gap).toPandas()
+    folder = os.path.join(
+        tempfile.gettempdir(), "pqs_loadw_" + os.path.basename(sf_dir.rstrip("/"))
+    )
+    os.makedirs(folder, exist_ok=True)
+    for old in os.listdir(folder):
+        os.remove(os.path.join(folder, old))
+    for sym, g in pdf.groupby("symbol"):
+        g.drop(columns=["symbol"]).sort_values("ts_us").to_parquet(
+            os.path.join(folder, f"{sym}.parquet"), index=False
+        )
+    from polars_quant_spark.sources.loader import load
+
+    wide = load(spark, folder, date_col="ts_us", fields=["close", "volume"])
+    cols = [c for c in wide.columns if c != "ts_us"]
+    return wide.select("ts_us", *[r6(F.col(c)).alias(c) for c in cols])

@@ -1360,3 +1360,37 @@ def loader_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = load(spark, folder, date_col="ts_us", fields=["close", "volume"])
     cols = [c for c in wide.columns if c != "ts_us"]
     return wide.select("ts_us", *[r6(F.col(c)).alias(c) for c in cols])
+
+
+@q(
+    "rel_topk_per_group",
+    """
+SELECT c_mktsegment, o_orderkey, o_totalprice, rnk FROM (
+  SELECT c.c_mktsegment, o.o_orderkey, o.o_totalprice,
+         CAST(ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                                 ORDER BY o.o_totalprice DESC, o.o_orderkey)
+              AS INTEGER) AS rnk
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+) t WHERE rnk <= 3
+""",
+)
+def rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k (3 priciest orders per market segment) via a rank
+    window — the group-local sibling of q3/q10's global TakeOrdered. Spark
+    plans the rank<=k filter as WindowGroupLimit: each map task keeps only
+    its local top-3 per segment BEFORE the exchange, so the shuffle carries
+    O(segments·k·tasks) rows, not the orders table (asserted in
+    test_plans.py)."""
+    from polars_quant_spark.sources.bars import load_table
+
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .select("c_mktsegment", "o_orderkey", "o_totalprice")
+        .withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+    )

@@ -346,3 +346,11 @@ def test_anti_join_shape(spark, sf_dir):
     p = plan(QUERIES["rel_q22_inactive_anti"](spark, sf_dir))
     assert "LeftAnti" in p
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p or "ShuffledHashJoin" in p
+
+
+def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
+    """rel_topk_per_group: the rank<=k filter must push into
+    WindowGroupLimit on BOTH sides of the exchange (partial map-side top-k,
+    then final) — the shuffle carries per-task survivors, not the table."""
+    p = plan(QUERIES["rel_topk_per_group"](spark, sf_dir))
+    assert p.count("WindowGroupLimit") >= 2

@@ -1,13 +1,51 @@
 """Data-cleaning operators (`clean`, reference README.md:246-342, SURVEY
 §2.8): winsorization (percentile / sigma / MAD), z-scoring, group
-neutralization. All window/groupBy compositions over exact percentiles."""
+neutralization.
+
+Scale shape: group statistics are computed as AGGREGATES and broadcast-
+joined back onto the fact table — the fact table itself is never shuffled
+(a per-group stats frame has one row per group: thousands of dates, not
+billions of rows). The previous window form (`F.percentile(...).over(
+Window.partitionBy(keys))`) shuffled every fact row to compute the same
+numbers, and with no keys degenerated to a single-task global window.
+Exact interpolated percentiles stay the default (they are what the DuckDB
+quantile_cont twins check); pass ``approx=True`` for the 100 TB path —
+``approx_percentile`` sketches are mergeable map-side, so no group's value
+list ever sits in one buffer.
+"""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from polars_quant_spark.operators.linear import residualize
+
+
+def _pct(x, q: float, approx: bool, accuracy: int = 10000):
+    if approx:
+        return F.approx_percentile(x, F.lit(q), F.lit(accuracy))
+    return F.percentile(x, F.lit(q))
+
+
+def _with_stats(df: DataFrame, keys: list[str], aggs: list) -> DataFrame:
+    """Attach per-group aggregates to every row without shuffling the fact
+    table: groupBy produces one row per group (map-side combined), the tiny
+    stats frame broadcasts, and the join is a broadcast hash probe. The join
+    is null-safe so rows in a NULL-keyed group keep their stats (the window
+    form this replaces treated NULL as an ordinary partition value)."""
+    if not keys:
+        return df.crossJoin(F.broadcast(df.agg(*aggs)))
+    grouped = df.groupBy(*keys).agg(*aggs)
+    agg_names = grouped.columns[len(keys):]
+    stats = grouped.select(
+        *[F.col(k).alias(f"_k_{k}") for k in keys], *agg_names
+    )
+    cond = None
+    for k in keys:
+        c = F.col(k).eqNullSafe(F.col(f"_k_{k}"))
+        cond = c if cond is None else (cond & c)
+    return df.join(F.broadcast(stats), cond).drop(*[f"_k_{k}" for k in keys])
 
 
 def winsorize(
@@ -19,37 +57,52 @@ def winsorize(
     n_sigma: float = 3.0,
     group_by: list[str] | None = None,
     out: str | None = None,
+    approx: bool = False,
 ) -> DataFrame:
     """Clamp outliers per group.
 
-    * percentile: clamp to [P(lower), P(upper)] (exact interpolated percentile)
+    * percentile: clamp to [P(lower), P(upper)] (exact interpolated
+      percentile by default; ``approx=True`` → mergeable t-digest sketch)
     * sigma: clamp to mean ± n_sigma·std (sample std)
     * mad: clamp to median ± n_sigma·1.4826·MAD
     """
     out = out or col
     x = F.col(col).cast("double")
     keys = group_by or []
-    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
     if method == "percentile":
-        lo = F.percentile(x, F.lit(lower)).over(w)
-        hi = F.percentile(x, F.lit(upper)).over(w)
+        work = _with_stats(
+            df,
+            keys,
+            [_pct(x, lower, approx).alias("_lo"), _pct(x, upper, approx).alias("_hi")],
+        )
     elif method == "sigma":
-        mu, sd = F.avg(x).over(w), F.stddev_samp(x).over(w)
-        lo, hi = mu - n_sigma * sd, mu + n_sigma * sd
+        work = _with_stats(
+            df, keys, [F.avg(x).alias("_mu"), F.stddev_samp(x).alias("_sd")]
+        ).select(
+            *df.columns,
+            (F.col("_mu") - n_sigma * F.col("_sd")).alias("_lo"),
+            (F.col("_mu") + n_sigma * F.col("_sd")).alias("_hi"),
+        )
     elif method == "mad":
-        med = F.percentile(x, F.lit(0.5)).over(w)
-        # MAD needs a second pass over |x − median| — window-over-window, so
-        # compute median first, then the MAD window on the derived column.
-        df = df.withColumn("_med", med).withColumn("_ad", F.abs(x - F.col("_med")))
-        mad = F.percentile(F.col("_ad"), F.lit(0.5)).over(w)
+        # MAD needs a second pass over |x − median|: median stats first,
+        # then the MAD aggregate on the derived column.
+        work = _with_stats(df, keys, [_pct(x, 0.5, approx).alias("_med")])
+        work = work.withColumn("_ad", F.abs(x - F.col("_med")))
+        work = _with_stats(work, keys, [_pct(F.col("_ad"), 0.5, approx).alias("_mad")])
         scale = n_sigma * 1.4826
-        return (
-            df.withColumn(out, F.greatest(F.least(x, F.col("_med") + scale * mad), F.col("_med") - scale * mad))
-            .drop("_med", "_ad")
+        return work.select(
+            *df.columns,
+            (F.col("_med") - scale * F.col("_mad")).alias("_lo"),
+            (F.col("_med") + scale * F.col("_mad")).alias("_hi"),
+        ).withColumn(out, F.greatest(F.least(x, F.col("_hi")), F.col("_lo"))).drop(
+            "_lo", "_hi"
         )
     else:
         raise ValueError(f"unknown winsorize method {method!r}")
-    return df.withColumn(out, F.greatest(F.least(x, hi), lo))
+    return (
+        work.withColumn(out, F.greatest(F.least(x, F.col("_hi")), F.col("_lo")))
+        .drop("_lo", "_hi", "_mu", "_sd")
+    )
 
 
 def zscore(
@@ -62,9 +115,12 @@ def zscore(
     out = out or f"{col}_z"
     x = F.col(col).cast("double")
     keys = group_by or []
-    w = Window.partitionBy(*keys) if keys else Window.partitionBy()
-    mu, sd = F.avg(x).over(w), F.stddev_samp(x).over(w)
-    return df.withColumn(out, F.when(sd > 0, (x - mu) / sd))
+    work = _with_stats(
+        df, keys, [F.avg(x).alias("_mu"), F.stddev_samp(x).alias("_sd")]
+    )
+    return work.withColumn(
+        out, F.when(F.col("_sd") > 0, (x - F.col("_mu")) / F.col("_sd"))
+    ).drop("_mu", "_sd")
 
 
 def neutralize(
@@ -82,8 +138,8 @@ def neutralize(
     x = F.col(col).cast("double")
     if industry_col is not None:
         keys = (group_by or []) + [industry_col]
-        w = Window.partitionBy(*keys)
-        work = work.withColumn("_demeaned", x - F.avg(x).over(w))
+        work = _with_stats(work, keys, [F.avg(x).alias("_ind_mu")])
+        work = work.withColumn("_demeaned", x - F.col("_ind_mu")).drop("_ind_mu")
     else:
         work = work.withColumn("_demeaned", x)
     if size_col is not None:

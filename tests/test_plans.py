@@ -354,3 +354,23 @@ def test_topk_per_group_uses_window_group_limit(spark, sf_dir):
     then final) — the shuffle carries per-task survivors, not the table."""
     p = plan(QUERIES["rel_topk_per_group"](spark, sf_dir))
     assert p.count("WindowGroupLimit") >= 2
+
+
+def test_clean_stats_broadcast_no_fact_shuffle(spark, sf_dir):
+    """winsorize/zscore attach group stats via broadcast join-back: the plan
+    must contain no Window (the old per-group-window form shuffled every
+    fact row; keyless form degenerated to a single-task global window) and
+    must probe the stats via BroadcastHashJoin."""
+    from polars_quant_spark.operators.clean import winsorize, zscore
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    for out in (
+        winsorize(li, "l_extendedprice", group_by=["l_returnflag"]),
+        winsorize(li, "l_extendedprice", method="mad"),
+        zscore(li, "l_extendedprice", group_by=["l_returnflag"]),
+    ):
+        p = plan(out)
+        assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+        assert "Window" not in p

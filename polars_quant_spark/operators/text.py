@@ -159,6 +159,8 @@ def unigram_surprisal(
             F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("token")
         )
     )
+    # (not persisted: recomputing the codegen'd tokenize is cheaper than
+    # caching a token stream larger than the input — see dsir_logratios)
     freq = ex.groupBy("token").agg(F.count(F.lit(1)).alias("_c"))
     tot = freq.agg(
         F.sum("_c").alias("_n"), F.count(F.lit(1)).alias("_v")
@@ -183,12 +185,15 @@ def unigram_surprisal(
     ).withColumnRenamed("_id", id_col)
 
 
-def hashed_bigrams(text: Column | str, buckets: int = 4096) -> Column:
-    """Occurrence (non-distinct) token bigrams hashed into `buckets` lanes —
-    the DSIR feature map. Empty for docs with < 2 tokens."""
+def bigrams(text: Column | str) -> Column:
+    """Occurrence (non-distinct) token bigrams — the DSIR feature strings.
+    Empty for docs with < 2 tokens. Hashing deliberately happens AFTER the
+    explode (see ``dsir_logratios``): md5 inside a higher-order-function
+    lambda is interpreted per element, md5 over exploded rows is codegen'd
+    (the same ~10× explode discipline the MinHash path is built on)."""
     toks = tokens(text)
     n = F.size(toks)
-    grams = F.when(
+    return F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(1), n - 1),
@@ -197,11 +202,6 @@ def hashed_bigrams(text: Column | str, buckets: int = 4096) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return F.transform(
-        grams,
-        lambda g: F.conv(F.substring(F.md5(g), 1, 8), 16, 10).cast("long")
-        % F.lit(buckets),
-    )
 
 
 def dsir_logratios(
@@ -231,8 +231,19 @@ def dsir_logratios(
     feats = widen(df).select(
         F.col(id_col).alias("_id"),
         target.cast("int").alias("_t"),
-        F.explode(hashed_bigrams(text, buckets)).alias("_b"),
+        F.explode(bigrams(text)).alias("_g"),
+    ).select(
+        "_id",
+        "_t",
+        (
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long")
+            % F.lit(buckets)
+        ).alias("_b"),
     )
+    # feats feeds the freq agg AND the cost projection; it is deliberately
+    # NOT persisted — the exploded feature stream is larger than the input,
+    # so recomputing the codegen'd tokenize+md5 beats writing the stream to
+    # cache (measured at sf0.1; also the only sane trade at 100 TB)
     freq = feats.groupBy("_b").agg(
         F.count(F.lit(1)).alias("_cr"), F.sum("_t").alias("_ct")
     )

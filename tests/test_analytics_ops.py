@@ -226,6 +226,23 @@ class TestAsofMultimodal:
         assert out[10] == (200, 10)  # exact timestamp matches
         assert out[15] == (300, 14)
 
+    def test_asof_forward(self, spark):
+        left = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"] * 3, "ts": [5, 10, 15], "lv": [1, 2, 3]})
+        )
+        right = spark.createDataFrame(
+            pd.DataFrame({"k": ["a"] * 3, "ts": [4, 10, 14], "rv": [100, 200, 300]})
+        )
+        out = {
+            r["ts"]: (r["r_rv"], r["r_ts"])
+            for r in asof.asof_join(
+                left, right, "ts", "k", direction="forward"
+            ).collect()
+        }
+        assert out[5] == (200, 10)   # earliest at-or-after
+        assert out[10] == (200, 10)  # exact timestamp matches
+        assert out[15] == (None, None)  # nothing after
+
     def test_asof_tolerance(self, spark):
         left = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [100], "lv": [1]}))
         right = spark.createDataFrame(pd.DataFrame({"k": ["a"], "ts": [10], "rv": [7]}))

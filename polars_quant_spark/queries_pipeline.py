@@ -2249,3 +2249,143 @@ def doc_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shuffle_shards(docs, "doc_id", 8).select(
         "doc_id", "shard", F.col("pos").cast("int").alias("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-sequence analytics: ordered funnel (view → click → purchase)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "events_funnel",
+    """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.tc
+  GROUP BY e.user_id
+),
+staged AS (
+  SELECT u.user_id,
+         CASE WHEN p.tp IS NOT NULL THEN 3
+              WHEN c.tc IS NOT NULL THEN 2
+              WHEN v.tv IS NOT NULL THEN 1
+              ELSE 0 END AS stage
+  FROM (SELECT DISTINCT user_id FROM events) u
+  LEFT JOIN v ON u.user_id = v.user_id
+  LEFT JOIN c ON u.user_id = c.user_id
+  LEFT JOIN p ON u.user_id = p.user_id
+)
+SELECT stage, COUNT(*) AS n_users FROM staged GROUP BY stage ORDER BY stage
+""",
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel: users who viewed, then clicked strictly
+    after their first view, then purchased strictly after that click —
+    counted by deepest stage reached. Spark computes the three chained
+    conditional mins as windows over ONE hashpartitioning(user_id) exchange
+    (each step's window references the previous step's column — same
+    partition spec, no new shuffle, no ordering needed), then dedups to one
+    row per user. This is the scale shape for sequence analytics: the event
+    log is shuffled once, never self-joined per step (the SQL twin's
+    three-way join form is quadratic in steps)."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select("user_id", "event_type", ts_us_expr(ev0).alias("ts_us"))
+    w = Window.partitionBy("user_id")
+    ev = ev.withColumn(
+        "_tv", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    )
+    ev = ev.withColumn(
+        "_tc",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("_tv")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    ev = ev.withColumn(
+        "_tp",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("_tc")),
+                F.col("ts_us"),
+            )
+        ).over(w),
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.first("_tv").alias("tv"), F.first("_tc").alias("tc"), F.first("_tp").alias("tp")
+    )
+    staged = per_user.select(
+        F.when(F.col("tp").isNotNull(), 3)
+        .when(F.col("tc").isNotNull(), 2)
+        .when(F.col("tv").isNotNull(), 1)
+        .otherwise(0)
+        .alias("stage")
+    )
+    return (
+        staged.groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+@q(
+    "events_cohort_retention",
+    """
+WITH d AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+f AS (SELECT user_id, MIN(day) AS d0 FROM d GROUP BY user_id),
+pairs AS (
+  SELECT DISTINCT d.user_id, f.d0 // 7 AS cohort_week,
+         (d.day - f.d0) // 7 AS week_offset
+  FROM d JOIN f ON d.user_id = f.user_id
+)
+SELECT cohort_week, week_offset, COUNT(*) AS n_users
+FROM pairs GROUP BY cohort_week, week_offset
+ORDER BY cohort_week, week_offset
+""",
+)
+def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention triangle: users bucketed by first-activity
+    week, counted once per (cohort, weeks-since-first) they were active.
+    The first-activity day is a window min over the same user partitioning
+    the dedup groupBy then reuses (subset partitioning satisfies the
+    clustered distribution — no second user shuffle), and distinctness is a
+    groupBy, not count_distinct (whose Expand would double the event
+    stream)."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    d = ev0.select("user_id", ts_us_expr(ev0).alias("_us")).select(
+        "user_id", F.expr("_us div 86400000000").alias("day")
+    )
+    w = Window.partitionBy("user_id")
+    d = d.withColumn("_d0", F.min("day").over(w))
+    pairs = (
+        d.select(
+            "user_id",
+            F.expr("_d0 div 7").alias("cohort_week"),
+            F.expr("(day - _d0) div 7").alias("week_offset"),
+        )
+        .groupBy("user_id", "cohort_week", "week_offset")
+        .agg(F.lit(1))
+    )
+    return (
+        pairs.groupBy("cohort_week", "week_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )

@@ -374,3 +374,12 @@ def test_clean_stats_broadcast_no_fact_shuffle(spark, sf_dir):
         p = plan(out)
         assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
         assert "Window" not in p
+
+
+def test_funnel_windows_share_one_exchange(spark, sf_dir):
+    """events_funnel: the three chained conditional-min windows must share a
+    single hashpartitioning(user_id) exchange — total exchanges are that
+    one + the stage rollup + the final sort, nothing per step."""
+    p = plan(QUERIES["events_funnel"](spark, sf_dir))
+    assert p.count(") Window") == 3
+    assert n_exchanges(p) == 3

@@ -517,3 +517,101 @@ def ivf_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def embedding_gram(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact Gram matrix Σ x·xᵀ over the corpus, as (i, j, gram) rows for
+    the upper triangle — the one-pass moment aggregation PCA/whitening
+    builds on (d² numbers regardless of corpus size).
+
+    Exactness at any scale: each component is quantized to integer
+    micro-units FIRST (q = ⌊x·1e6 + 0.5⌋), each Arrow batch computes the
+    int64 matmul QᵀQ (exact — values ≤ ~1e13·rows_per_batch ≪ 2⁶³), and
+    the per-partition partials merge as DECIMAL(38,0). Integer addition is
+    association-free, so the result hash-matches the DuckDB twin
+    bit-for-bit — same discipline as the relational micro-unit sums, lifted
+    to a matrix. One mapInArrow pass + one tiny groupBy((i,j)) merge."""
+    import numpy as np
+    import pyarrow as pa
+
+    def part(batches):
+        G = None
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            flat = rb.column(0).flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype("float64").reshape(n, -1)
+            Q = np.floor(X * 1e6 + 0.5).astype("int64")
+            g = Q.T @ Q
+            G = g if G is None else G + g
+        if G is None:
+            return
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(iu.astype("int32")),
+                pa.array(ju.astype("int32")),
+                pa.array(G[iu, ju]),
+            ],
+            names=["i", "j", "s"],
+        )
+
+    partials = df.select(vec_col).mapInArrow(part, "i int, j int, s long")
+    return partials.groupBy("i", "j").agg(
+        round6(
+            F.sum(F.col("s").cast("decimal(38,0)")).cast("double")
+            / F.lit(1e12)
+        ).alias("gram")
+    )
+
+
+def pca_project(
+    df: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Project embeddings onto the top-k principal components (centered
+    PCA). Distributed design: the d×d covariance comes from the one-pass
+    ``embedding_gram`` + a mean aggregate (d² + d numbers — driver-tiny at
+    any corpus size), the eigendecomposition runs on the driver with numpy
+    (64×64, microseconds), and the k component vectors are closed over the
+    projection as literal arrays — a pure codegen'd expression over the
+    corpus, no second shuffle. Component signs are canonicalized (largest
+    |loading| positive) so output is deterministic up to eigenvalue ties.
+    Returns (id_col, pc0..pc{k-1})."""
+    import numpy as np
+
+    gr = embedding_gram(df, vec_col, id_col).toPandas()
+    d = int(gr["i"].max()) + 1
+    G = np.zeros((d, d))
+    G[gr["i"], gr["j"]] = gr["gram"]
+    G[gr["j"], gr["i"]] = gr["gram"]
+    stats = df.select(
+        F.count(F.lit(1)).alias("n"),
+        *[
+            F.avg(F.element_at(widen(df)[vec_col], i + 1)).alias(f"m{i}")
+            for i in range(d)
+        ],
+    ).collect()[0]
+    n = stats["n"]
+    mu = np.array([stats[f"m{i}"] for i in range(d)])
+    cov = (G - n * np.outer(mu, mu)) / max(n - 1, 1)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    sign = np.sign(W[np.argmax(np.abs(W), axis=0), np.arange(W.shape[1])])
+    W = W * sign
+    v = widen(df)[vec_col]
+    cols = []
+    for c in range(W.shape[1]):
+        w = F.array(*[F.lit(float(x)) for x in W[:, c]])
+        proj = dot(v, w) - F.lit(float(mu @ W[:, c]))
+        cols.append(round6(proj).alias(f"pc{c}"))
+    return widen(df).select(F.col(id_col), *cols)

@@ -2389,3 +2389,30 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("cohort_week", "week_offset")
     )
+
+
+@q(
+    "emb_gram",
+    """
+WITH q AS (
+  SELECT list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+idx AS (SELECT unnest(range(1, 65)) AS p)
+SELECT CAST(i.p - 1 AS INTEGER) AS i, CAST(j.p - 1 AS INTEGER) AS j,
+       ROUND(CAST(SUM(qv[i.p] * qv[j.p]) AS DOUBLE) / 1000000000000.0, 6) AS gram
+FROM q, idx i, idx j
+WHERE j.p >= i.p
+GROUP BY i.p, j.p
+""",
+)
+def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact corpus Gram matrix (upper triangle) — the moment aggregation
+    behind PCA/whitening. Components are integer-micro-quantized per row and
+    the int64 batch matmuls merge in decimal, so the d² sums are
+    association-order-free and hash-match the twin's quantized pair sums
+    (the twin's d² unnest join is the verification form; the Spark side is
+    one mapInArrow GEMM pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_gram(emb)

@@ -494,3 +494,31 @@ def test_dsir_weights_favor_target_domain(spark, sf_dir):
         .collect()
     }
     assert all(means["en"] > m for lang, m in means.items() if lang != "en")
+
+
+def test_pca_project_matches_numpy(spark, sf_dir):
+    """pca_project (distributed gram + driver eigh + codegen'd projection)
+    agrees with a direct numpy PCA on the collected corpus to within the
+    6dp gram quantization."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    k = 4
+    out = (
+        similarity.pca_project(emb, k=k)
+        .toPandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    X = np.stack(
+        emb.toPandas().sort_values("vec_id")["embedding"].to_numpy()
+    ).astype("float64")
+    vals, vecs = np.linalg.eigh(np.cov(X.T))
+    order = np.argsort(vals)[::-1][:k]
+    W = vecs[:, order]
+    sign = np.sign(W[np.argmax(np.abs(W), axis=0), np.arange(k)])
+    W = W * sign
+    ref = (X - X.mean(0)) @ W
+    got = out[[f"pc{i}" for i in range(k)]].to_numpy()
+    assert np.abs(got - ref).max() < 1e-3
+    # variance concentrates in eigen-order
+    var = got.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-9 for i in range(k - 1))

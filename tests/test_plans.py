@@ -383,3 +383,30 @@ def test_funnel_windows_share_one_exchange(spark, sf_dir):
     p = plan(QUERIES["events_funnel"](spark, sf_dir))
     assert p.count(") Window") == 3
     assert n_exchanges(p) == 3
+
+
+def test_partition_pruning_on_date_partitioned_store(spark, sf_dir, tmp_path):
+    """The 100 TB layout is date-partitioned parquet; a day filter must
+    prune at the PARTITION level (PartitionFilters in the scan, files from
+    other days never opened), not just at the row level."""
+    from polars_quant_spark.sources.bars import load_table, ts_us_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    path = str(tmp_path / "events_by_day")
+    ev.withColumn("_us", ts_us_expr(ev)).withColumn(
+        "day", F.expr("_us div 86400000000").cast("int")
+    ).drop("_us").write.partitionBy("day").mode("overwrite").parquet(path)
+    days = [r["day"] for r in spark.read.parquet(path).select("day").distinct().collect()]
+    target = sorted(days)[0]
+    q = spark.read.parquet(path).where(F.col("day") == target).groupBy("event_type").count()
+    p = plan(q)
+    assert "PartitionFilters" in p
+    pf_line = [ln for ln in p.splitlines() if "PartitionFilters" in ln][0]
+    assert "day" in pf_line and "dynamicpruning" not in pf_line
+    got = {r["event_type"]: r["count"] for r in q.collect()}
+    exp_rows = spark.read.parquet(path).collect()
+    exp: dict = {}
+    for r in exp_rows:
+        if r["day"] == target:
+            exp[r["event_type"]] = exp.get(r["event_type"], 0) + 1
+    assert got == exp

@@ -2416,3 +2416,58 @@ def emb_gram(spark: SparkSession, sf_dir: str) -> DataFrame:
     one mapInArrow GEMM pass)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_gram(emb)
+
+
+@q(
+    "agg_incremental_merge",
+    """
+SELECT event_type,
+       epoch_us(ts) // 86400000000 AS day,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(FLOOR(value * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 1000000.0 AS sum_value
+FROM events
+GROUP BY event_type, epoch_us(ts) // 86400000000
+""",
+)
+def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental backfill pattern: the daily rollup computed as TWO
+    partial aggregations (history before a cutoff day, new arrivals after)
+    merged by re-aggregating the unioned partials — the shape a daily
+    100 TB pipeline uses to fold yesterday's partition into a persisted
+    aggregate instead of rescanning all of history. Exactness is the
+    micro-unit discipline: integer partial sums merge in any association
+    order, so incremental == full-recompute bit-for-bit (the twin IS the
+    full recompute)."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select(
+        "event_type", "value", ts_us_expr(ev0).alias("_us")
+    ).withColumn("day", F.expr("_us div 86400000000"))
+    cutoff = F.lit(19745)  # mid-range day; both halves non-empty at any SF
+
+    def partial(part: DataFrame) -> DataFrame:
+        return part.groupBy("event_type", "day").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")
+            ).alias("_sum_micros"),
+        )
+
+    old = partial(ev.where(F.col("day") < cutoff))
+    new = partial(ev.where(F.col("day") >= cutoff))
+    merged = (
+        old.unionByName(new)
+        .groupBy("event_type", "day")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum(F.col("_sum_micros").cast("decimal(38,0)")).alias("_sm"),
+        )
+    )
+    return merged.select(
+        "event_type",
+        "day",
+        "n_events",
+        (F.col("_sm").cast("double") / F.lit(1000000.0)).alias("sum_value"),
+    )

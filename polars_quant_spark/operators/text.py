@@ -608,3 +608,66 @@ def winnow_fingerprints(
         F.shiftright(F.col("_key"), 24).alias("fp_hash"),
         (F.lit(_WN_POS - 1) - F.col("_key") % _WN_POS).cast("int").alias("pos"),
     )
+
+
+def bm25_scores(
+    df,
+    query_terms: list[str],
+    text: str = "text",
+    id_col: str = "doc_id",
+    k1: float = 1.2,
+    b: float = 0.75,
+):
+    """BM25 keyword retrieval over the corpus (Robertson/Sparck Jones):
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·|d|/avgdl)), with
+    idf(t) = ln(1 + (N−df+0.5)/(df+0.5)). Returns (id, score) for docs
+    matching ≥1 term, scores 6dp.
+
+    Plan shape — the inverted-index discipline: one explode → per-(doc,
+    term) tf agg restricted to the query terms at the scan (the filter is a
+    literal IN over ≤|query| strings, pushed before the shuffle, so the
+    aggregated stream is query-sized, not corpus-sized); doc lengths ride a
+    separate tiny agg; df/idf come from a ≤|query|-row aggregate that
+    broadcasts. Per-term costs are micro-quantized before the per-doc sum
+    (association-order-free, the ln discipline of ``unigram_surprisal``),
+    so scores hash-match the DuckDB twin."""
+    from polars_quant_spark.functions._util import round6, widen
+
+    terms = sorted(set(query_terms))
+    ex = widen(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("token")
+    )
+    lens = ex.groupBy("_id").agg(F.count(F.lit(1)).alias("_dl"))
+    nstats = lens.agg(
+        F.count(F.lit(1)).alias("_n"), F.sum("_dl").alias("_sumdl")
+    )
+    tf = (
+        ex.where(F.col("token").isin(terms))
+        .groupBy("_id", "token")
+        .agg(F.count(F.lit(1)).alias("_tf"))
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("_df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, "_id")
+        .crossJoin(F.broadcast(nstats))
+    )
+    avgdl = F.col("_sumdl").cast("double") / F.col("_n").cast("double")
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    tfn = F.col("_tf").cast("double")
+    denom = tfn + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("_dl") / avgdl)
+    cost = idf * tfn * F.lit(k1 + 1.0) / denom
+    per_term = scored.select(
+        "_id",
+        F.floor(cost * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("_mc"),
+    )
+    return (
+        per_term.groupBy("_id")
+        .agg(
+            round6(F.sum("_mc").cast("double") / F.lit(1000000.0)).alias("score")
+        )
+        .withColumnRenamed("_id", id_col)
+    )

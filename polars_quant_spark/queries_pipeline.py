@@ -2471,3 +2471,49 @@ def agg_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         (F.col("_sm").cast("double") / F.lit(1000000.0)).alias("sum_value"),
     )
+
+
+_BM25_TERMS = ("data", "model", "training")
+_BM25_K1, _BM25_B = 1.2, 0.75
+# float literals interpolated from the same Python arithmetic the Spark
+# operator performs (shortest-repr round-trip == identical doubles)
+_BM25_IN = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@q(
+    "doc_bm25",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+lens AS (SELECT doc_id, COUNT(*) AS dl FROM tk GROUP BY doc_id),
+ns AS (SELECT COUNT(*) AS n, SUM(dl) AS sumdl FROM lens),
+tf AS (
+  SELECT doc_id, token, COUNT(*) AS tf FROM tk
+  WHERE token IN ({_BM25_IN}) GROUP BY doc_id, token
+),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+costs AS (
+  SELECT tf.doc_id,
+         CAST(FLOOR(
+           ln(1.0 + (ns.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * tf.tf * {_BM25_K1 + 1.0!r}
+           / (tf.tf + {_BM25_K1!r} * ({1.0 - _BM25_B!r}
+              + {_BM25_B!r} * lens.dl / (CAST(ns.sumdl AS DOUBLE) / ns.n)))
+           * 1000000.0 + 0.5) AS BIGINT) AS mc
+  FROM tf
+  JOIN dfreq ON tf.token = dfreq.token
+  JOIN lens ON tf.doc_id = lens.doc_id
+  CROSS JOIN ns
+)
+SELECT doc_id, ROUND(CAST(SUM(mc) AS DOUBLE) / 1000000.0, 6) AS score
+FROM costs GROUP BY doc_id
+""",
+)
+def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval for a fixed query over the documents corpus —
+    the inverted-index scoring plan (term filter pushed before the shuffle,
+    ≤|query|-row df/idf broadcast, micro-quantized per-term costs) checked
+    against the textbook SQL form with bit-identical float literals."""
+    from polars_quant_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    return bm25_scores(docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B)

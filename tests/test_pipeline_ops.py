@@ -522,3 +522,18 @@ def test_pca_project_matches_numpy(spark, sf_dir):
     # variance concentrates in eigen-order
     var = got.var(axis=0)
     assert all(var[i] >= var[i + 1] - 1e-9 for i in range(k - 1))
+
+
+def test_bm25_ranks_term_rich_docs(spark):
+    """A document rich in query terms outranks a single-hit one; documents
+    with no query terms are absent; rare terms outweigh common ones."""
+    rows = [
+        ("rich", "model training data model training data extra words here"),
+        ("single", "one model mention in a long piece of ordinary text " + "filler " * 20),
+        ("none", "completely unrelated content about weather and cooking"),
+    ] + [("pad%d" % i, "ordinary filler text piece %d" % i) for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["score"] for r in
+           text.bm25_scores(df, ["model", "training", "data"]).collect()}
+    assert "none" not in out
+    assert out["rich"] > out["single"] > 0

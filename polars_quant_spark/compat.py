@@ -283,3 +283,133 @@ class VectorizedBacktester:
             order_by=self.order_by,
         )
         return curve, metrics
+
+
+# ---------------------------------------------------------------------------
+# v0.x README function surface (reference README.md:60-440): returns, load,
+# linear, clean, Strategy — the documented-but-unexported roadmap API, under
+# the reference's names and signatures. The one structural change is Spark's
+# explicit axes: `returns` takes partition/order columns (the reference
+# treats row order as time), and the loaders take the SparkSession first.
+# ---------------------------------------------------------------------------
+
+from polars_quant_spark.functions import returns as _ret
+from polars_quant_spark.operators import clean as _cl
+from polars_quant_spark.operators import linear as _lin
+from polars_quant_spark.operators.strategy import STRATEGIES  # noqa: F401
+from polars_quant_spark.sources.loader import (  # noqa: F401
+    load,
+    prepare_sequential_data,
+)
+
+
+def returns(
+    df: DataFrame,
+    price_col: str = "close",
+    period: int = 1,
+    method: str = "simple",
+    return_col: str = "return",
+    partition_by: str | None = None,
+    order_by: str = "date",
+) -> DataFrame:
+    """README.md:31-85 `returns`. method: 'simple' | 'log'. Single-asset
+    frames order globally by `order_by` (matches the reference's implicit
+    row order); pass `partition_by` for multi-asset frames — the form that
+    scales."""
+    w = (
+        Window.partitionBy(partition_by).orderBy(order_by)
+        if partition_by
+        else Window.orderBy(order_by)
+    )
+    if method == "simple":
+        c = _ret.returns(price_col, period, w)
+    elif method == "log":
+        c = _ret.log_returns(price_col, period, w)
+    else:
+        raise ValueError(f"unknown returns method {method!r}")
+    return df.withColumn(return_col, c)
+
+
+def linear(
+    df: DataFrame,
+    x_cols: list[str],
+    y_col: str,
+    pred_col: str = "pred",
+    resid_col: str = "resid",
+    return_stats: bool = False,
+):
+    """README.md:166-245 `linear`: global OLS fit; adds pred/resid columns;
+    `return_stats=True` additionally returns ([b0, b1, ...], r²) with b0
+    the intercept — collected from the one-row moment solve, never from the
+    data."""
+    beta = _lin.ols(df, y_col, x_cols)
+    joined = df.crossJoin(F.broadcast(beta))
+    pred = F.col("coefficients")[0]
+    for i, x in enumerate(x_cols):
+        pred = pred + F.col("coefficients")[i + 1] * F.col(x).cast("double")
+    out = (
+        joined.withColumn(pred_col, pred)
+        .withColumn(resid_col, F.col(y_col).cast("double") - F.col(pred_col))
+        .drop("coefficients", "r2", "n")
+    )
+    if return_stats:
+        row = beta.collect()[0]
+        return out, (list(row["coefficients"]), row["r2"])
+    return out
+
+
+def clean(
+    df: DataFrame,
+    col: str,
+    winsorize: str | None = None,
+    winsorize_n: float | None = None,
+    neutralize_market_cap: bool = False,
+    cap_col: str | None = None,
+    neutralize_industry: bool = False,
+    industry_col: str | None = None,
+    standardize: bool = False,
+    group_by: list[str] | None = None,
+) -> DataFrame:
+    """README.md:246-342 `clean`: winsorize → market-cap neutralize →
+    industry neutralize → standardize (the reference's processing order),
+    emitting `{col}_cleaned`. winsorize: 'mad' | 'sigma' (n = sigmas,
+    default 3) | 'percentile' (n = tail %, default 1.0)."""
+    out_col = f"{col}_cleaned"
+    work, cur = df, col
+    if winsorize is not None:
+        if winsorize == "percentile":
+            n = 1.0 if winsorize_n is None else winsorize_n
+            work = _cl.winsorize(
+                work, cur, method="percentile",
+                lower=n / 100.0, upper=1.0 - n / 100.0,
+                group_by=group_by, out=out_col,
+            )
+        elif winsorize in ("sigma", "mad"):
+            n = 3.0 if winsorize_n is None else winsorize_n
+            work = _cl.winsorize(
+                work, cur, method=winsorize, n_sigma=n,
+                group_by=group_by, out=out_col,
+            )
+        else:
+            raise ValueError(f"unknown winsorize method {winsorize!r}")
+        cur = out_col
+    if neutralize_market_cap:
+        if cap_col is None:
+            raise ValueError("cap_col required when neutralize_market_cap=True")
+        work = _cl.neutralize(
+            work, cur, size_col=cap_col, group_by=group_by, out=out_col
+        )
+        cur = out_col
+    if neutralize_industry:
+        if industry_col is None:
+            raise ValueError("industry_col required when neutralize_industry=True")
+        work = _cl.neutralize(
+            work, cur, industry_col=industry_col, group_by=group_by, out=out_col
+        )
+        cur = out_col
+    if standardize:
+        work = _cl.zscore(work, cur, group_by=group_by, out=out_col)
+        cur = out_col
+    if cur == col:  # no stage ran: the cleaned column is the input
+        work = work.withColumn(out_col, F.col(col).cast("double"))
+    return work

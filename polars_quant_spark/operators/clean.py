@@ -148,4 +148,6 @@ def neutralize(
         )
         work = residualize(work, "_demeaned", ["_logsize"], group_by, out=out)
         return work.drop("_demeaned", "_logsize")
-    return work.withColumnRenamed("_demeaned", out)
+    # withColumn (not withColumnRenamed): replaces an existing `out` column
+    # instead of creating an ambiguous duplicate when out == the input col
+    return work.withColumn(out, F.col("_demeaned")).drop("_demeaned")

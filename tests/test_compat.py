@@ -94,3 +94,54 @@ def test_vectorized_backtester_class(frame):
     assert curve.count() == 120
     m = metrics.collect()[0]
     assert m["n_bars"] == 120.0
+
+
+def test_readme_v0x_surface(spark):
+    """README.md:60-342 function surface under reference names: returns
+    (documented example values), linear (stats tuple), clean (full chain
+    winsorize→cap→industry→standardize emits {col}_cleaned, zero-mean
+    unit-ish spread)."""
+    r = pq.returns(
+        spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "date": ["2024-01-01", "2024-01-02", "2024-01-03", "2024-01-04"],
+                    "close": [100.0, 102.0, 101.0, 105.0],
+                }
+            )
+        ),
+        price_col="close",
+    )
+    vals = [row["return"] for row in r.orderBy("date").collect()]
+    assert vals[0] is None
+    assert vals[1:] == pytest.approx([0.02, -0.009803921568627416, 0.039603960396039604])
+
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "stock": list("abcdef"),
+                "factor": [1.5, 2.3, 10.0, 1.8, 2.1, 1.9],
+                "market_cap": [100.0, 200.0, 150.0, 300.0, 250.0, 180.0],
+                "industry": ["fin", "tech", "fin", "tech", "cons", "cons"],
+            }
+        )
+    )
+    res, (coef, r2) = pq.linear(df, ["market_cap"], "factor", return_stats=True)
+    assert len(coef) == 2 and 0.0 <= r2 <= 1.0
+    assert {"pred", "resid"} <= set(res.columns)
+    # residuals sum to ~0 (intercept fitted)
+    s = res.agg(F.sum("resid")).collect()[0][0]
+    assert abs(s) < 1e-6
+
+    cleaned = pq.clean(
+        df, "factor", winsorize="sigma", winsorize_n=3.0,
+        neutralize_market_cap=True, cap_col="market_cap",
+        neutralize_industry=True, industry_col="industry", standardize=True,
+    )
+    rows = cleaned.select("factor_cleaned").collect()
+    xs = [row["factor_cleaned"] for row in rows]
+    assert abs(sum(xs)) < 1e-6  # standardized: zero mean
+    assert pq.clean(df, "factor").columns[-1] == "factor_cleaned"  # no-op form
+
+    assert len(pq.STRATEGIES) >= 15
+    assert callable(pq.load) and callable(pq.prepare_sequential_data)

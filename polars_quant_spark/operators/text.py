@@ -671,3 +671,47 @@ def bm25_scores(
         )
         .withColumnRenamed("_id", id_col)
     )
+
+
+def hashed_tf_vectors(
+    df,
+    dim: int = 64,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Feature-hashing (hashing-trick) term-frequency vectors: each token's
+    md5 lane indexes one of `dim` buckets; the doc's vector is the integer
+    count per bucket. The in-engine text→vector featurizer — its output is
+    an ``array<double>`` drop-in for the whole similarity stack
+    (``cosine_topk``, ``embedding_gram``/``pca_project``, IVF), giving a
+    no-external-model baseline for text similarity search.
+
+    Plan: explode → md5 per token row (codegen'd) → one (doc, bucket)
+    count agg → per-doc assembly of the dense array from the collected
+    (bucket, count) pairs (a per-doc HOF over ≤dim entries — interpreted,
+    but O(dim) per DOC, not per token; the token-volume work all stays in
+    codegen). Counts are integers, so vectors are engine-exact."""
+    from polars_quant_spark.functions._util import widen
+
+    ex = widen(df).select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text)).alias("_tok")
+    ).select(
+        "_id",
+        (
+            F.conv(F.substring(F.md5(F.col("_tok")), 1, 8), 16, 10).cast("long")
+            % F.lit(dim)
+        ).alias("_b"),
+    )
+    counts = ex.groupBy("_id", "_b").agg(F.count(F.lit(1)).alias("_c"))
+    assembled = counts.groupBy("_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("_b"), F.col("_c")))
+        ).alias("_m")
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: F.coalesce(
+            F.element_at(F.col("_m"), j), F.lit(0).cast("long")
+        ).cast("double"),
+    )
+    return assembled.select(F.col("_id").alias(id_col), vec.alias("tf_vec"))

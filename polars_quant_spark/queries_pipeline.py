@@ -2517,3 +2517,52 @@ def doc_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return bm25_scores(docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
+
+
+@q(
+    "doc_tf_vectors",
+    f"""
+WITH tk AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents),
+b AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(token), 1, 8)) AS BIGINT) % 64 AS bkt
+  FROM tk
+),
+c AS (SELECT doc_id, bkt, COUNT(*) AS n FROM b GROUP BY doc_id, bkt),
+c2 AS (
+  SELECT doc_id, list(bkt ORDER BY bkt) AS bks, list(n ORDER BY bkt) AS ns
+  FROM c GROUP BY doc_id
+),
+vec AS (
+  SELECT doc_id,
+         list_transform(range(0, 64),
+           j -> COALESCE(ns[list_position(bks, j)], 0)) AS v
+  FROM c2
+)
+SELECT doc_id,
+       CAST(list_sum(v) AS BIGINT) AS total_tf,
+       md5(array_to_string(list_transform(v, x -> CAST(x AS VARCHAR)), ',')) AS vec_digest
+FROM vec
+""",
+)
+def doc_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashed TF vectors (the in-engine text→vector featurizer):
+    per-doc 64-bucket token-count arrays, compared via an md5 digest of the
+    integer count stream (engine-exact — counts are integers) plus the
+    total token mass. The vectors drop into the whole similarity stack
+    (cosine_topk / gram / PCA) as array<double> embeddings."""
+    from polars_quant_spark.operators.text import hashed_tf_vectors
+
+    docs = load_table(spark, sf_dir, "documents")
+    v = hashed_tf_vectors(docs, dim=64)
+    return v.select(
+        "doc_id",
+        F.aggregate(
+            "tf_vec", F.lit(0).cast("long"), lambda a, x: a + x.cast("long")
+        ).alias("total_tf"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform("tf_vec", lambda x: x.cast("long").cast("string"))
+            )
+        ).alias("vec_digest"),
+    )

@@ -537,3 +537,22 @@ def test_bm25_ranks_term_rich_docs(spark):
            text.bm25_scores(df, ["model", "training", "data"]).collect()}
     assert "none" not in out
     assert out["rich"] > out["single"] > 0
+
+
+def test_tf_vectors_feed_similarity_stack(spark, sf_dir):
+    """hashed_tf_vectors output drops into cosine_topk as embeddings:
+    every doc's nearest neighbor under cosine is itself (sim 1.0)."""
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    v = text.hashed_tf_vectors(docs)
+    q = v.limit(5).select(
+        F.col("doc_id").alias("query_id"), F.col("tf_vec").alias("embedding")
+    )
+    c = v.select("doc_id", F.col("tf_vec").alias("embedding"))
+    top1 = (
+        similarity.cosine_topk(c, q, k=1, id_col="doc_id")
+        .where(F.col("rank") == 1)
+        .collect()
+    )
+    assert len(top1) == 5
+    for r in top1:  # output contract names the corpus id column vec_id
+        assert r["vec_id"] == r["query_id"] and r["cos_sim"] == 1.0

@@ -1394,3 +1394,39 @@ def rel_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rnk", F.row_number().over(w))
         .where(F.col("rnk") <= 3)
     )
+
+
+@q(
+    "rel_rank_family",
+    """
+SELECT c_mktsegment, c_custkey,
+       CAST(RANK() OVER w AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w AS BIGINT) AS drnk,
+       ROUND(PERCENT_RANK() OVER w, 6) AS prnk,
+       ROUND(CUME_DIST() OVER w, 6) AS cdist,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile
+FROM customer
+WHERE c_custkey <= 300
+WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def rel_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL rank-function family over one window spec — rank,
+    dense_rank, percent_rank, cume_dist, ntile share a single sort+exchange
+    (Spark plans them in one Window node). Total order via the acctbal,
+    custkey tie-break keeps every function deterministic cross-engine."""
+    from polars_quant_spark.sources.bars import load_table
+
+    cu = load_table(spark, sf_dir, "customer").where(F.col("c_custkey") <= 300)
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return cu.select(
+        "c_mktsegment",
+        "c_custkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        r6(F.percent_rank().over(w)).alias("prnk"),
+        r6(F.cume_dist().over(w)).alias("cdist"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

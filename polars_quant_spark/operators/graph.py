@@ -1,0 +1,86 @@
+"""Iterative graph operators (extension surface, sibling of
+``dedup.connected_components``'s min-label propagation).
+
+``pagerank`` runs a fixed number of power iterations as DataFrame rounds:
+each round is one join (rank onto edges) + one aggregation (contributions
+per destination) — the standard distributed PageRank shape, where a round's
+shuffle volume is O(edges) and no adjacency ever sits in one task.
+
+Cross-engine exactness (the oracle discipline): per-edge contributions are
+quantized to integer PICO-units before the per-destination sum, so the only
+float ops per round are one division, one multiply-add chain — identical
+and association-order-free on both engines. The DuckDB twin chains the same
+rounds as CTEs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from polars_quant_spark.functions._util import round6
+
+_PICO = 1e12
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    damping: float = 0.85,
+    iters: int = 3,
+    undirected: bool = True,
+) -> DataFrame:
+    """PageRank over the edge list, `iters` fixed power iterations from the
+    uniform start. Returns (node, rank) for every node incident to an edge.
+    ``undirected=True`` mirrors each edge. Fixed iteration count keeps the
+    oracle a finite CTE chain; for rank-until-convergence wrap in a driver
+    loop with ``localCheckpoint`` every few rounds (see
+    ``dedup.connected_components``)."""
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("_d").alias("_s"), F.col("_s").alias("_d")))
+    # materialize the edge list before iterating: every round joins against
+    # it, and without the checkpoint each round re-executes the whole
+    # upstream pipeline (e.g. the MinHash LSH subtree) once per reference —
+    # same flat-lineage discipline as dedup.connected_components
+    e = e.distinct().localCheckpoint()
+    deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    nodes = deg.select(F.col("_s").alias("node"))
+    n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+
+    # r0 = 1/N for every node
+    r = nodes.crossJoin(F.broadcast(n_nodes)).select(
+        "node", (F.lit(1.0) / F.col("_n")).alias("rank")
+    )
+    for _ in range(iters):
+        contribs = (
+            e.join(r.withColumnRenamed("node", "_s"), "_s")
+            .join(F.broadcast(deg), "_s")
+            .select(
+                F.col("_d").alias("node"),
+                F.floor(
+                    F.col("rank") / F.col("_deg") * F.lit(_PICO) + F.lit(0.5)
+                )
+                .cast("long")
+                .alias("_cp"),
+            )
+            .groupBy("node")
+            .agg(F.sum(F.col("_cp").cast("decimal(38,0)")).alias("_sum"))
+        )
+        r = (
+            nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(n_nodes))
+            .select(
+                "node",
+                (
+                    (F.lit(1.0 - damping) / F.col("_n"))
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_sum").cast("double"), F.lit(0.0))
+                        / F.lit(_PICO)
+                    )
+                ).alias("rank"),
+            )
+        )
+    return r.select("node", round6(F.col("rank")).alias("rank"))

@@ -1430,3 +1430,46 @@ def rel_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.cume_dist().over(w)).alias("cdist"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@q(
+    "bars_resample_5",
+    BARS_CTE
+    + """
+SELECT symbol,
+       (t - 1) // 5 AS bucket,
+       ROUND(arg_min(open, t), 6) AS open,
+       ROUND(MAX(high), 6) AS high,
+       ROUND(MIN(low), 6) AS low,
+       ROUND(arg_max(close, t), 6) AS close,
+       ROUND(SUM(CAST(FLOOR(volume * 1000000.0 + 0.5) AS BIGINT)) / 1000000.0, 6) AS volume,
+       COUNT(*) AS n_bars
+FROM bars
+GROUP BY symbol, (t - 1) // 5
+""",
+)
+def bars_resample_5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLCV downsampling (5-bar buckets): first open / max high / min low /
+    last close / summed volume per (symbol, bucket) — the core bar
+    resampling op, as ONE hash aggregation. first/last are min_by/max_by on
+    the bar index (aggregation input order is undefined after a shuffle —
+    F.first/F.last would be nondeterministic; the argmin/argmax pair is the
+    order-free form both engines share). Volume sums in integer micro-units.
+    At scale this is a map-side-combinable groupBy — no window, no sort."""
+    b = bars(spark, sf_dir)
+    return (
+        b.groupBy("symbol", F.expr("(t - 1) div 5").alias("bucket"))
+        .agg(
+            r6(F.min_by("open", "t")).alias("open"),
+            r6(F.max("high")).alias("high"),
+            r6(F.min("low")).alias("low"),
+            r6(F.max_by("close", "t")).alias("close"),
+            r6(
+                F.sum(
+                    F.floor(F.col("volume") * 1000000.0 + F.lit(0.5)).cast("long")
+                ).cast("double")
+                / F.lit(1000000.0)
+            ).alias("volume"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+    )

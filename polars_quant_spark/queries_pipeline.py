@@ -2566,3 +2566,57 @@ def doc_tf_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("vec_digest"),
     )
+
+
+def _pagerank_oracle(iters: int = 3, damping: float = 0.85) -> str:
+    """Twin of operators/graph.pagerank over the minhash near-dup graph:
+    the SAME float literals (shortest-repr of the Python arithmetic) and
+    pico-quantized per-edge contributions, chained as one CTE per round."""
+    one_minus_d = repr(1.0 - damping)
+    d = repr(damping)
+    parts = [
+        f"WITH pairs AS ({ORACLES['doc_minhash_pairs']}),",
+        "e0 AS (SELECT id_a AS s, id_b AS d FROM pairs"
+        " UNION ALL SELECT id_b, id_a FROM pairs),",
+        "e AS (SELECT DISTINCT s, d FROM e0),",
+        "deg AS (SELECT s, COUNT(*) AS deg FROM e GROUP BY s),",
+        "nodes AS (SELECT s AS node FROM deg),",
+        "nn AS (SELECT COUNT(*) AS n FROM nodes),",
+        "r0 AS (SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f""",
+c{i} AS (
+  SELECT e.d AS node,
+         SUM(CAST(FLOOR(r.rank / deg.deg * 1000000000000.0 + 0.5) AS BIGINT)) AS s
+  FROM e JOIN r{i - 1} r ON e.s = r.node JOIN deg ON e.s = deg.s
+  GROUP BY e.d
+),
+r{i} AS (
+  SELECT nodes.node,
+         {one_minus_d} / nn.n
+           + {d} * (COALESCE(CAST(c{i}.s AS DOUBLE), 0.0) / 1000000000000.0) AS rank
+  FROM nodes LEFT JOIN c{i} ON nodes.node = c{i}.node CROSS JOIN nn
+)"""
+        )
+    parts.append(f"\nSELECT node, ROUND(rank, 6) AS rank FROM r{iters}")
+    return "".join(parts)
+
+
+@q("doc_pagerank", None)
+def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the MinHash near-dup candidate graph — boilerplate
+    'template hubs' get high rank. Three power iterations, each one
+    edges-join + pico-quantized contribution agg (operators/graph.py);
+    the twin chains identical rounds as CTEs."""
+    from polars_quant_spark.operators.graph import pagerank
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return pagerank(pairs, "src", "dst").withColumnRenamed("node", "node")
+
+
+ORACLES["doc_pagerank"] = _pagerank_oracle()

@@ -556,3 +556,18 @@ def test_tf_vectors_feed_similarity_stack(spark, sf_dir):
     assert len(top1) == 5
     for r in top1:  # output contract names the corpus id column vec_id
         assert r["vec_id"] == r["query_id"] and r["cos_sim"] == 1.0
+
+
+def test_pagerank_star_graph(spark):
+    """On a star graph the hub outranks every leaf; total rank mass stays
+    ~1 (undirected graph has no dangling loss); deterministic across runs."""
+    from polars_quant_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("hub", f"leaf{i}") for i in range(6)], ["src", "dst"]
+    )
+    out = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert all(out["hub"] > out[f"leaf{i}"] for i in range(6))
+    assert abs(sum(out.values()) - 1.0) < 1e-3
+    out2 = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
+    assert out == out2

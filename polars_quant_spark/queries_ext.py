@@ -1473,3 +1473,101 @@ def bars_resample_5(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_bars"),
         )
     )
+
+
+@q(
+    "bars_vwap",
+    BARS_CTE
+    + """
+SELECT symbol,
+       (t - 1) // 20 AS bucket,
+       ROUND(CAST(SUM(CAST(FLOOR(close * volume * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0
+             / (CAST(SUM(CAST(FLOOR(volume * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                / 1000000.0), 6) AS vwap,
+       ROUND(CAST(SUM(CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*), 6) AS twap
+FROM bars
+GROUP BY symbol, (t - 1) // 20
+""",
+)
+def bars_vwap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VWAP and TWAP per 20-bar bucket — the execution-quality benchmarks,
+    as one map-side-combinable aggregation with integer micro-unit sums on
+    both numerator and denominator (association-order-free; the final two
+    divisions are identical double ops on both engines)."""
+    b = bars(spark, sf_dir)
+
+    def micros_sum(c):
+        return F.sum(F.floor(c * 1000000.0 + F.lit(0.5)).cast("long")).cast(
+            "double"
+        ) / F.lit(1000000.0)
+
+    return b.groupBy("symbol", F.expr("(t - 1) div 20").alias("bucket")).agg(
+        r6(
+            micros_sum(F.col("close") * F.col("volume")) / micros_sum(F.col("volume"))
+        ).alias("vwap"),
+        r6(micros_sum(F.col("close")) / F.count(F.lit(1))).alias("twap"),
+    )
+
+
+@q(
+    "bars_return_cov",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol, t,
+         close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0 AS ret
+  FROM bars
+),
+qq AS (
+  SELECT symbol, t, CAST(FLOOR(ret * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM r WHERE ret IS NOT NULL
+)
+SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+       ROUND((CAST(SUM(a.qr * b.qr) AS DOUBLE) / 1000000000000.0
+              - (CAST(SUM(a.qr) AS DOUBLE) / 1000000.0)
+                * (CAST(SUM(b.qr) AS DOUBLE) / 1000000.0) / COUNT(*))
+             / (COUNT(*) - 1), 6) AS cov
+FROM qq a JOIN qq b ON a.t = b.t AND a.symbol <= b.symbol
+GROUP BY a.symbol, b.symbol
+""",
+)
+def bars_return_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise-complete return covariance across symbols (upper triangle
+    incl. variances) — the input to portfolio construction. Returns are
+    micro-quantized before the pair products, so the moment sums are
+    integer-exact in any order; the t-equi-join aligns symbols (one shuffle
+    on t; at scale pre-bucket the bar store by t for this access path).
+    Feeds operators/portfolio.min_variance_weights."""
+    from polars_quant_spark.sources.bars import load_table  # noqa: F401
+
+    b = bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("t")
+    r = b.select(
+        "symbol", "t",
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    qq = r.select(
+        "symbol", "t",
+        F.floor(F.col("ret") * 1000000.0 + F.lit(0.5)).cast("long").alias("qr"),
+    )
+    a = qq.select(F.col("symbol").alias("sym_a"), "t", F.col("qr").alias("_qa"))
+    bq = qq.select(F.col("symbol").alias("sym_b"), "t", F.col("qr").alias("_qb"))
+    n = F.count(F.lit(1))
+    return (
+        a.join(bq, "t")
+        .where(F.col("sym_a") <= F.col("sym_b"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            r6(
+                (
+                    F.sum(F.col("_qa") * F.col("_qb")).cast("double") / F.lit(1e12)
+                    - (F.sum("_qa").cast("double") / F.lit(1e6))
+                    * (F.sum("_qb").cast("double") / F.lit(1e6))
+                    / n
+                )
+                / (n - F.lit(1))
+            ).alias("cov")
+        )
+    )

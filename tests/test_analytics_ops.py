@@ -476,3 +476,31 @@ class TestChunkedWindows:
         ]
         e = [tuple(r) for r in plain.orderBy("symbol", "t").collect()]
         assert a == e
+
+
+def test_min_variance_weights(spark, sf_dir):
+    """Weights sum to 1, match the closed-form numpy solve on the same
+    covariance, and the minimum-variance portfolio has variance <= any
+    single asset's."""
+    import numpy as np
+
+    from polars_quant_spark.operators.portfolio import min_variance_weights
+    from polars_quant_spark.queries import QUERIES
+
+    cov_df = QUERIES["bars_return_cov"](spark, sf_dir)
+    out = {r["symbol"]: r["weight"] for r in
+           min_variance_weights(spark, cov_df).collect()}
+    assert abs(sum(out.values()) - 1.0) < 1e-9
+    rows = cov_df.collect()
+    syms = sorted(out)
+    idx = {s: i for i, s in enumerate(syms)}
+    S = np.zeros((len(syms), len(syms)))
+    for r in rows:
+        i, j = idx[r["sym_a"]], idx[r["sym_b"]]
+        S[i, j] = S[j, i] = r["cov"]
+    S += 1e-9 * np.eye(len(syms))
+    wref = np.linalg.solve(S, np.ones(len(syms)))
+    wref /= wref.sum()
+    got = np.array([out[s] for s in syms])
+    assert np.abs(got - wref).max() < 1e-9
+    assert got @ S @ got <= min(np.diag(S)) + 1e-12

@@ -1571,3 +1571,60 @@ def bars_return_cov(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cov")
         )
     )
+
+
+@q(
+    "bars_var_cvar",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol,
+         close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0 AS ret
+  FROM bars
+),
+rr AS (SELECT symbol, ret FROM r WHERE ret IS NOT NULL),
+v AS (SELECT symbol, quantile_cont(ret, 0.05) AS var5 FROM rr GROUP BY symbol)
+SELECT rr.symbol,
+       ROUND(v.var5, 6) AS var_5,
+       ROUND(CAST(SUM(CASE WHEN rr.ret <= v.var5
+                           THEN CAST(FLOOR(rr.ret * 1000000.0 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS DOUBLE) / 1000000.0
+             / SUM(CASE WHEN rr.ret <= v.var5 THEN 1 ELSE 0 END), 6) AS cvar_5,
+       COUNT(*) AS n_rets
+FROM rr JOIN v ON rr.symbol = v.symbol
+GROUP BY rr.symbol, v.var5
+""",
+)
+def bars_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol 5% Value-at-Risk (exact interpolated return quantile —
+    Spark `percentile` and DuckDB `quantile_cont` share the definition) and
+    Conditional VaR (mean of the tail at-or-below VaR, integer micro-unit
+    sum / exact count). The VaR stats frame is one row per symbol,
+    broadcast back onto the returns — the clean.py join-back shape."""
+    b = bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("t")
+    rr = b.select(
+        "symbol",
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)).alias("ret"),
+    ).where(F.col("ret").isNotNull())
+    v = rr.groupBy("symbol").agg(
+        F.percentile(F.col("ret"), F.lit(0.05)).alias("_var5")
+    )
+    tail_micros = F.sum(
+        F.when(
+            F.col("ret") <= F.col("_var5"),
+            F.floor(F.col("ret") * 1000000.0 + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
+    )
+    tail_n = F.sum(F.when(F.col("ret") <= F.col("_var5"), 1).otherwise(0))
+    return (
+        rr.join(F.broadcast(v), "symbol")
+        .groupBy("symbol", "_var5")
+        .agg(
+            r6(tail_micros.cast("double") / F.lit(1000000.0) / tail_n).alias("cvar_5"),
+            F.count(F.lit(1)).alias("n_rets"),
+        )
+        .select(
+            "symbol", r6(F.col("_var5")).alias("var_5"), "cvar_5", "n_rets"
+        )
+    )

@@ -1025,6 +1025,7 @@ FROM bars b LEFT JOIN trix_tbl x ON b.symbol = x.symbol AND b.t = x.t
 # Pull in the extension surface (DMI family, SAR, stochastic variants,
 # patterns, pipeline ops) — registers into the same dicts.
 import polars_quant_spark.queries_ext  # noqa: E402,F401
+import polars_quant_spark.queries_tpch  # noqa: E402,F401
 import polars_quant_spark.queries_patterns  # noqa: E402,F401
 import polars_quant_spark.queries_pipeline  # noqa: E402,F401
 

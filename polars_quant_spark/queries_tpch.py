@@ -1,0 +1,528 @@
+"""Extended TPC-H-shape relational surface (q7/q8/q11/q14/q15/q16/q17/q18/
+q19/q21 adapted to the driver schema — no partsupp table, no commit/receipt
+dates; substitutions are noted per query and keep the *plan shape* that makes
+each TPC-H query interesting: multi-join star chains, conditional aggregates,
+scalar-subquery thresholds, correlated-average join-backs, agg-filtered semi
+joins, disjunctive pushdown, exists/not-exists composition).
+
+Reference parity: the reference's relational/query surface is its Polars
+lazy-frame pipeline (scan → filter → join → group_by → sort, README.md:40-98);
+these queries exercise the same algebra Spark-first. All money sums follow the
+house micro-unit convention (see queries.py docstring) so cross-engine hashes
+are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from polars_quant_spark.functions._util import round6 as r6
+from polars_quant_spark.queries import merge_micros, micros, q, units
+from polars_quant_spark.sources.bars import load_table
+
+_REV_SQL = "CAST(FLOOR(l_extendedprice * (1 - l_discount) * 1000000.0 + 0.5) AS BIGINT)"
+
+
+def _rev_micros() -> F.Column:
+    return micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+
+
+@q(
+    "rel_q7_nation_volume",
+    f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(SUM(rev) AS DOUBLE) / 1000000.0 AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(YEAR FROM l_shipdate) AS BIGINT) AS l_year,
+         {_REV_SQL} AS rev
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def rel_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year.
+
+    Plan: the two nation filters prune supplier/customer *before* their
+    joins (each side keeps ~1/25 of rows), nation broadcasts, and the only
+    large shuffles are lineitem↔orders and the pre-filtered customer probe.
+    The disjunctive nation-pair predicate is applied post-join on the two
+    small dimension columns — Catalyst pushes the single-nation halves into
+    each branch via constraint propagation where possible."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    na = load_table(spark, sf_dir, "nation")
+    pair = ["NATION_1", "NATION_2"]
+    su = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(na.where(F.col("n_name").isin(pair))),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(na.where(F.col("n_name").isin(pair))),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .where(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(units(F.sum(_rev_micros())).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@q(
+    "rel_q8_market_share",
+    f"""
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN nation = 'NATION_3' THEN rev ELSE 0 END) AS DOUBLE)
+             / CAST(SUM(rev) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         {_REV_SQL} AS rev,
+         n2.n_name AS nation
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'REGION_0'
+    AND p_type = 'ECONOMY'
+    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def rel_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: a nation's market share inside one region/part-type
+    market, by order year — the conditional-aggregate-over-a-star query.
+
+    Plan: part is filtered to one p_type before its join (broadcastable
+    after the filter at driver SFs; AQE decides), region+nation broadcast,
+    and the share is two micro-unit sums in ONE aggregate pass (a CASE
+    inside the sum, not two scans). The customer-side region filter prunes
+    via the broadcast dim chain customer→nation→region."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY").select("p_partkey")
+    od = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "REGION_0")
+    cu = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(re), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    su = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(na), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev = _rev_micros()
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("nation") == "NATION_3", rev).otherwise(F.lit(0))).alias("_nat"),
+            F.sum(rev).alias("_all"),
+        )
+        .select(
+            "o_year",
+            r6(F.col("_nat").cast("double") / F.col("_all").cast("double")).alias("mkt_share"),
+        )
+        .orderBy("o_year")
+    )
+
+
+@q(
+    "rel_q11_important_parts",
+    f"""
+WITH pv AS (
+  SELECT l_partkey, SUM({_REV_SQL}) AS value_m
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(value_m AS DOUBLE) / 1000000.0 AS part_value
+FROM pv
+WHERE CAST(value_m AS DOUBLE) > 0.001 * (SELECT CAST(SUM(value_m) AS DOUBLE) FROM pv)
+ORDER BY part_value DESC, l_partkey
+LIMIT 50
+""",
+)
+def rel_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose traded value exceeds a fraction of the
+    GLOBAL total — the scalar-subquery-threshold query. (No partsupp table
+    in the driver schema; lineitem revenue per part stands in for
+    ps_supplycost·ps_availqty. Same shape: agg → global scalar → filter.)
+
+    Plan: ONE shuffle builds the per-part values; the global total is a
+    second tiny agg over those partials, broadcast back as a 1-row join —
+    the per-part frame is never re-scanned from parquet (Spark reuses the
+    shuffle output across both consumers) and never re-shuffled. Top-k is
+    TakeOrderedAndProject."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pv = li.groupBy("l_partkey").agg(F.sum(_rev_micros()).alias("_vm"))
+    total = pv.agg(merge_micros(F.col("_vm")).alias("_tot"))
+    return (
+        pv.join(F.broadcast(total))
+        .where(F.col("_vm").cast("double") > 0.001 * F.col("_tot").cast("double"))
+        .select("l_partkey", units(F.col("_vm")).alias("part_value"))
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
+        .limit(50)
+    )
+
+
+@q(
+    "rel_q14_promo_share",
+    f"""
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV_SQL} ELSE 0 END) AS DOUBLE)
+             / CAST(SUM({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue_pct
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+""",
+)
+def rel_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one ship month — the
+    conditional-aggregate ratio query.
+
+    Plan: the month filter pushes to the lineitem scan (row-group pruning
+    on l_shipdate at scale), part joins on the filtered remainder (p_type
+    is the only part column read), and both sums come out of one aggregate
+    pass. Global sums → two-level micro-unit merge."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = _rev_micros()
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .groupBy(F.spark_partition_id().alias("_p"))
+        .agg(
+            F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0))).alias("_promo"),
+            F.sum(rev).alias("_all"),
+        )
+        .agg(
+            merge_micros(F.col("_promo")).alias("_pm"),
+            merge_micros(F.col("_all")).alias("_am"),
+        )
+        .select(
+            r6(
+                F.lit(100.0) * F.col("_pm").cast("double") / F.col("_am").cast("double")
+            ).alias("promo_revenue_pct")
+        )
+    )
+
+
+@q(
+    "rel_q15_top_supplier",
+    f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(SUM({_REV_SQL}) AS DOUBLE) / 1000000.0 AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def rel_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with maximum quarterly revenue —
+    the scalar-subquery-max query (ties kept, hence no LIMIT 1).
+
+    Plan: one shuffle for per-supplier revenue; the max is a tiny agg over
+    those partials broadcast back as a 1-row equality join (same
+    shuffle-reuse shape as rel_q11); supplier attaches by key afterwards —
+    at most a handful of rows reach that join's left side, so it
+    broadcasts the winners, not the supplier table. Revenue equality is
+    exact because both engines quantized to micro-units first."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        units(F.sum(_rev_micros())).alias("total_revenue")
+    )
+    mx = rev.agg(F.max("total_revenue").alias("_mx"))
+    winners = rev.join(F.broadcast(mx), rev.total_revenue == F.col("_mx")).select(
+        "supplier_no", "total_revenue"
+    )
+    return (
+        su.join(F.broadcast(winners), su.s_suppkey == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@q(
+    "rel_q16_supplier_counts",
+    """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+LIMIT 30
+""",
+)
+def rel_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many distinct suppliers serve each surviving
+    (brand, type, size) bucket. (No partsupp table; the observed distinct
+    (l_partkey, l_suppkey) pairs in lineitem stand in for it.)
+
+    Plan: COUNT(DISTINCT) is rewritten as two stacked exact aggregates —
+    distinct pairs on the shuffle key, then distinct (group, suppkey), then
+    a plain count — so no Expand node and every level map-side combines.
+    The part filter lands before the join and prunes to three columns."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    pa = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .select("p_brand", "p_type", "p_size", "l_suppkey")
+        .distinct()
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count(F.lit(1)).alias("supplier_cnt"))
+        .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size")
+        .limit(30)
+    )
+
+
+@q(
+    "rel_q17_small_qty_revenue",
+    """
+SELECT ROUND(CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / 7.0, 6) AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+JOIN (SELECT l_partkey AS agg_partkey, 0.2 * AVG(l_quantity) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) pa
+  ON agg_partkey = l_partkey
+WHERE p_brand = 'Brand#5' AND p_type = 'SMALL'
+  AND l_quantity < avg_qty
+""",
+)
+def rel_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from below-average-quantity orders of one
+    brand's small parts — the correlated-average subquery, decorrelated as
+    an aggregate join-back (the only distributed form: the per-part average
+    joins back to the detail rows by key instead of re-running per row).
+
+    Plan: two shuffles on the same key (detail, per-part avg) hash-join
+    without a third exchange; the brand/type filter reduces the join's part
+    side to a broadcastable sliver. avg_qty stays double — both engines
+    compute 0.2·AVG identically (sum/count in doubles, same order within a
+    key after the shuffle? no: AVG is order-sensitive — here each part's
+    group is small and both engines sum doubles ascending-key-free; the
+    predicate compares strictly below, and quantities are integral halves,
+    so boundary drift cannot flip the comparison)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").where(
+        (F.col("p_brand") == "Brand#5") & (F.col("p_type") == "SMALL")
+    ).select("p_partkey")
+    # decimal-exact AVG: micro-unit sum / count, so association order can't
+    # drift the 0.2·avg threshold between engines
+    avg = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (
+            F.lit(0.2)
+            * (units(F.sum(micros(F.col("l_quantity")))) / F.count(F.lit(1)))
+        ).alias("avg_qty")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(avg, li.l_partkey == F.col("agg_partkey"))
+        .where(F.col("l_quantity") < F.col("avg_qty"))
+        .groupBy()
+        .agg(
+            r6(units(F.sum(micros(F.col("l_extendedprice")))) / F.lit(7.0)).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@q(
+    "rel_q18_large_orders",
+    """
+SELECT c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice,
+       ROUND(SUM(l_quantity), 6) AS sum_qty
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                     GROUP BY l_orderkey HAVING SUM(l_quantity) > 150)
+GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+)
+def rel_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (IN → agg-filtered left-semi
+    join) with their customers, top 20 by price.
+
+    Plan: the HAVING aggregate runs once on (orderkey), its survivors form
+    a small keys-only frame that SEMI-joins lineitem before the wide joins
+    — the classic reduce-early shape (quantity sums are integral in TPC-H
+    so the >150 cut is exact); orders/customer attach afterwards; top-k is
+    TakeOrderedAndProject, no global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(micros(F.col("l_quantity"))).alias("_q"))
+        .where(units(F.col("_q")) > 150.0)
+        .select(F.col("l_orderkey").alias("_bigkey"))
+    )
+    od = load_table(spark, sf_dir, "orders")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        li.join(big, li.l_orderkey == F.col("_bigkey"), "leftsemi")
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(r6(units(F.sum(micros(F.col("l_quantity"))))).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "rel_q19_disjunctive_revenue",
+    f"""
+SELECT CAST(SUM({_REV_SQL}) AS DOUBLE) / 1000000.0 AS revenue,
+       COUNT(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+""",
+)
+def rel_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs over both join sides — the disjunctive
+    pushdown query.
+
+    Plan: Catalyst splits the disjunction into per-side implied filters
+    (p_brand IN (…) AND p_size ≤ 35 on part; l_quantity BETWEEN 1 AND 30 on
+    lineitem) that push to both scans BEFORE the join, then re-checks the
+    exact residual post-join — the textbook reason to write this
+    declaratively instead of unioning three hand-built branches."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    j = li.join(pa, li.l_partkey == pa.p_partkey)
+    qt = F.col("l_quantity")
+    cond = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & qt.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & qt.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & qt.between(20, 30))
+    )
+    return (
+        j.where(cond)
+        .groupBy(F.spark_partition_id().alias("_p"))
+        .agg(F.sum(_rev_micros()).alias("_r"), F.count(F.lit(1)).alias("_n"))
+        .agg(units(merge_micros(F.col("_r"))).alias("revenue"), F.sum("_n").alias("n"))
+    )
+
+
+@q(
+    "rel_q21_sole_returner",
+    """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(DISTINCT l_suppkey) AS n_supp,
+         COUNT(DISTINCT CASE WHEN l_returnflag = 'R' THEN l_suppkey END) AS n_ret
+  FROM lineitem GROUP BY l_orderkey
+),
+culprit AS (
+  SELECT DISTINCT l.l_orderkey, l.l_suppkey
+  FROM lineitem l JOIN per_order p ON l.l_orderkey = p.l_orderkey
+  WHERE l.l_returnflag = 'R' AND p.n_supp > 1 AND p.n_ret = 1
+)
+SELECT s_name, COUNT(*) AS numwait
+FROM culprit JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+)
+def rel_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE offender inside
+    multi-supplier orders — the exists/not-exists double-correlation query.
+    (No commit/receipt dates in the driver schema; l_returnflag='R' stands
+    in for "failed to deliver on time".)
+
+    The two correlated subqueries (EXISTS another supplier; NOT EXISTS
+    another *offending* supplier) decorrelate into ONE per-order aggregate
+    — n_supp > 1 ∧ n_ret = 1 — instead of two self-joins of lineitem;
+    the offender set then joins back by (orderkey, R). That turns TPC-H's
+    most join-heavy query into two shuffles on l_orderkey (which hash-join
+    without a third exchange) plus a 100-row supplier broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(
+            F.when(F.col("l_returnflag") == "R", F.col("l_suppkey"))
+        ).alias("n_ret"),
+    )
+    culprit = (
+        li.where(F.col("l_returnflag") == "R")
+        .join(
+            per_order.where((F.col("n_supp") > 1) & (F.col("n_ret") == 1)),
+            "l_orderkey",
+        )
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    # supplier scales with SF — no forced hint; AQE broadcasts while it fits
+    return (
+        culprit.join(su, culprit.l_suppkey == su.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

@@ -234,3 +234,75 @@ def write_training_shards(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+def exact_k_per_group(
+    df: DataFrame,
+    group: str,
+    key: str,
+    k: int,
+    seed: str = "holdout",
+) -> DataFrame:
+    """Deterministic reservoir: EXACTLY min(k, |group|) rows per group,
+    chosen by md5 rank — the eval-holdout primitive (`stratified_sample`
+    draws a *rate*, so small groups can come back empty; an eval set needs
+    a guaranteed count per slice). The pick is a pure function of
+    (seed, key): stable under retries, re-runs, and corpus growth limited
+    to the usual reservoir caveat (a new row displaces at most one pick).
+
+    Scale: one hash shuffle on `group` + a rank window whose per-group
+    state is a running counter; with group cardinality ≪ rows the skew
+    bound is the fattest group, same as any per-group top-k. The md5 lane
+    is engine-exact, so the DuckDB twin picks the identical rows."""
+    lane = hash_lane(F.concat(F.lit(seed), F.lit(":"), col(key).cast("string")))
+    w = Window.partitionBy(group).orderBy(lane, col(key))
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .where(F.col("_rk") <= k)
+        .drop("_rk")
+    )
+
+
+def numeric_histogram(
+    df: DataFrame,
+    value: str,
+    bins: int = 20,
+    group: str | None = None,
+) -> DataFrame:
+    """Equi-width histogram with in-engine bounds — the profiling primitive
+    behind length/score dashboards. Bounds come from one global min/max
+    aggregate (broadcast back as a 1-row join, same shuffle-reuse shape as
+    rel_q11); each row then lands in bin floor((x−lo)/width), with the max
+    clamped into the last bin. Returns (group?, bin, lo_edge, hi_edge, n).
+
+    Scale: two passes over the column (bounds, counts) with map-side
+    combine on ≤ bins·groups cells; no sort. Bin edges are computed from
+    micro-unit integers so the cut points are engine-exact even for float
+    inputs."""
+    x = col(value).cast("double")
+    m = F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    bounds = df.agg(F.min(m).alias("_lo"), F.max(m).alias("_hi"))
+    j = df.join(F.broadcast(bounds))
+    width = F.greatest((F.col("_hi") - F.col("_lo")), F.lit(1).cast("long"))
+    b = F.least(
+        F.lit(bins - 1).cast("long"),
+        F.floor(((m - F.col("_lo")) * bins).cast("double") / width.cast("double")).cast("long"),
+    )
+    keys = ([group] if group else []) + ["bin"]
+    out = (
+        j.select(*([group] if group else []), b.alias("bin"), F.col("_lo"), F.col("_hi"))
+        .groupBy(*keys, "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    lo_edge = (F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo")) / bins).cast(
+        "double"
+    ) / 1000000.0
+    hi_edge = (
+        F.col("_lo") + (F.col("bin") + 1) * (F.col("_hi") - F.col("_lo")) / bins
+    ).cast("double") / 1000000.0
+    return out.select(
+        *keys,
+        round6(lo_edge).alias("lo_edge"),
+        round6(hi_edge).alias("hi_edge"),
+        "n",
+    )

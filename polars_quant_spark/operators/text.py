@@ -715,3 +715,47 @@ def hashed_tf_vectors(
         ).cast("double"),
     )
     return assembled.select(F.col("_id").alias(id_col), vec.alias("tf_vec"))
+
+
+def chunk_documents(
+    df,
+    size: int = 64,
+    stride: int = 48,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """Sliding-window document chunking (RAG / context-window prep): each
+    document's token stream is cut into windows of ``size`` tokens whose
+    starts advance by ``stride`` (overlap = size − stride). The final
+    window is the last start strictly inside the stream, so every token is
+    covered and no start is ≥ the token count. Returns one row per chunk:
+    (id, chunk_id, tok_start, tok_end, chunk_text) with chunk_text rebuilt
+    on the shared tokenizer contract (lowercased, punctuation folded to
+    single spaces — chunk boundaries are token-exact, text is normalized).
+
+    Scale: a pure projection + bounded explode (ceil(n/stride) rows per
+    doc) — no shuffle, embarrassingly parallel, the same shape as the
+    multimodal frame-sample fan-out. Chunk counts are integer arithmetic,
+    so the layout is engine-exact."""
+    if stride <= 0 or size <= 0 or stride > size:
+        raise ValueError("need 0 < stride <= size")
+    toks = tokens(text)
+    base = df.select(
+        F.col(id_col).alias("_id"), toks.alias("_toks"), F.size(toks).alias("_n")
+    ).where(F.col("_n") > 0)
+    # last start index = stride * floor((n-1)/stride)  (ints; engine-exact)
+    n_chunks = F.floor((F.col("_n") - 1) / stride).cast("long") + 1
+    ch = base.select(
+        "_id", "_toks", "_n", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks - 1)).alias("chunk_id")
+    )
+    start = (F.col("chunk_id") * stride).cast("long")
+    end = F.least(F.col("_n").cast("long"), start + size)
+    return ch.select(
+        F.col("_id").alias(id_col),
+        "chunk_id",
+        start.alias("tok_start"),
+        end.alias("tok_end"),
+        F.concat_ws(
+            " ", F.slice(F.col("_toks"), start + 1, (end - start).cast("int"))
+        ).alias("chunk_text"),
+    )

@@ -2620,3 +2620,91 @@ def doc_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["doc_pagerank"] = _pagerank_oracle()
+
+
+@q(
+    "doc_chunking",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS toks FROM documents
+),
+b AS (
+  SELECT doc_id, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+),
+g AS (
+  SELECT doc_id, toks, n,
+         UNNEST(range(0, CAST(FLOOR((n - 1) / 48.0) AS BIGINT) + 1)) AS chunk_id
+  FROM b
+)
+SELECT doc_id, chunk_id,
+       chunk_id * 48 AS tok_start,
+       LEAST(n, chunk_id * 48 + 64) AS tok_end,
+       array_to_string(toks[chunk_id * 48 + 1 : LEAST(n, chunk_id * 48 + 64)], ' ') AS chunk_text
+FROM g
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking (size 64, stride 48 → 16-token overlap) —
+    the retrieval / context-window prep step. Pure projection + bounded
+    explode; chunk boundaries are integer-exact across engines and the
+    rebuilt chunk text hash-matches token-for-token."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.chunk_documents(docs, size=64, stride=48)
+
+
+@q(
+    "doc_eval_holdout",
+    """
+WITH ranked AS (
+  SELECT source, doc_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY CAST(('0x' || substring(md5('holdout:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                    doc_id
+         ) AS rk
+  FROM documents
+)
+SELECT source, doc_id FROM ranked WHERE rk <= 25
+""",
+)
+def doc_eval_holdout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic eval holdout: EXACTLY 25 docs per source by md5 rank
+    (sketch.exact_k_per_group) — rate-based sampling can return empty
+    slices; an eval set needs a guaranteed per-slice count."""
+    from polars_quant_spark.operators.sketch import exact_k_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return exact_k_per_group(docs, "source", "doc_id", 25).select("source", "doc_id")
+
+
+@q(
+    "doc_length_histogram",
+    """
+WITH m AS (
+  SELECT CAST(FLOOR(CAST(n_chars AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS mu, source
+  FROM documents
+),
+bounds AS (SELECT MIN(mu) AS lo, MAX(mu) AS hi FROM m),
+binned AS (
+  SELECT source,
+         LEAST(19, CAST(FLOOR(CAST((mu - lo) * 20 AS DOUBLE) / CAST(GREATEST(hi - lo, 1) AS DOUBLE)) AS BIGINT)) AS bin,
+         lo, hi
+  FROM m CROSS JOIN bounds
+)
+SELECT source, bin,
+       ROUND((lo + bin * (hi - lo) / 20) / 1000000.0, 6) AS lo_edge,
+       ROUND((lo + (bin + 1) * (hi - lo) / 20) / 1000000.0, 6) AS hi_edge,
+       COUNT(*) AS n
+FROM binned
+GROUP BY source, bin, lo, hi
+""",
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram (20 equi-width bins, in-engine
+    bounds) — the profiling dashboard primitive. Bounds are one tiny
+    min/max agg broadcast back (shuffle-reuse shape); bin edges come from
+    micro-unit integers so the cuts are engine-exact."""
+    from polars_quant_spark.operators.sketch import numeric_histogram
+
+    docs = load_table(spark, sf_dir, "documents")
+    return numeric_histogram(docs, "n_chars", bins=20, group="source")

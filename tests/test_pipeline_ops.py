@@ -571,3 +571,111 @@ def test_pagerank_star_graph(spark):
     assert abs(sum(out.values()) - 1.0) < 1e-3
     out2 = {r["node"]: r["rank"] for r in pagerank(edges).collect()}
     assert out == out2
+
+
+# ---------------------------------------------------------------------------
+# chunk_documents / exact_k_per_group / numeric_histogram
+# ---------------------------------------------------------------------------
+
+
+def test_chunk_documents_covers_every_token_with_overlap(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                " ".join(f"w{i}" for i in range(150)),  # multi-chunk
+                " ".join(f"w{i}" for i in range(64)),   # exactly one window
+                "single",                                # tiny
+            ],
+        }
+    )
+    out = (
+        text.chunk_documents(spark.createDataFrame(pdf), size=64, stride=48)
+        .orderBy("doc_id", "chunk_id")
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 1: starts advance by 48 and the union of [start,end) covers 0..150
+    starts = [r["tok_start"] for r in by_doc[1]]
+    assert starts == [0, 48, 96, 144]
+    assert all(r["tok_end"] - r["tok_start"] <= 64 for r in by_doc[1])
+    covered = set()
+    for r in by_doc[1]:
+        covered.update(range(r["tok_start"], r["tok_end"]))
+    assert covered == set(range(150))
+    # consecutive chunks overlap by size - stride = 16 (except the tail)
+    assert by_doc[1][0]["tok_end"] - by_doc[1][1]["tok_start"] == 16
+    # doc 2: one full window, no spurious second chunk beyond 64/48 rule
+    assert [(r["tok_start"], r["tok_end"]) for r in by_doc[2]] == [(0, 64), (48, 64)]
+    # doc 3: one 1-token chunk, text round-trips on the contract
+    assert [(r["tok_start"], r["tok_end"], r["chunk_text"]) for r in by_doc[3]] == [
+        (0, 1, "single")
+    ]
+    # chunk text matches the token slice for a middle chunk
+    assert by_doc[1][1]["chunk_text"].split(" ")[0] == "w48"
+    assert len(by_doc[1][1]["chunk_text"].split(" ")) == 64
+
+
+def test_chunk_documents_rejects_bad_stride(spark):
+    pdf = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "text": ["a b"]}))
+    with pytest.raises(ValueError):
+        text.chunk_documents(pdf, size=8, stride=9)
+    with pytest.raises(ValueError):
+        text.chunk_documents(pdf, size=8, stride=0)
+
+
+def test_exact_k_per_group_counts_and_determinism(spark):
+    from polars_quant_spark.operators.sketch import exact_k_per_group
+
+    pdf = pd.DataFrame(
+        {
+            "g": ["a"] * 50 + ["b"] * 3 + ["c"] * 1,
+            "k": list(range(54)),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = exact_k_per_group(df, "g", "k", 5).collect()
+    by_g: dict = {}
+    for r in out:
+        by_g.setdefault(r["g"], set()).add(r["k"])
+    assert len(by_g["a"]) == 5          # capped at k
+    assert len(by_g["b"]) == 3          # whole small group kept
+    assert by_g["c"] == {53}
+    # pure function of (seed, key): identical on re-run
+    again = exact_k_per_group(df, "g", "k", 5).collect()
+    assert {(r["g"], r["k"]) for r in again} == {(r["g"], r["k"]) for r in out}
+    # adding rows displaces at most |new rows| picks per group
+    grown = spark.createDataFrame(
+        pd.DataFrame({"g": ["a"] * 51, "k": list(range(50)) + [999]})
+    )
+    picks2 = {
+        r["k"] for r in exact_k_per_group(grown, "g", "k", 5).collect()
+    }
+    assert len(by_g["a"] & picks2) >= 4
+
+
+def test_numeric_histogram_partitions_all_rows(spark):
+    from polars_quant_spark.operators.sketch import numeric_histogram
+
+    rng = np.random.default_rng(7)
+    pdf = pd.DataFrame({"x": rng.normal(100.0, 15.0, 500)})
+    df = spark.createDataFrame(pdf)
+    rows = numeric_histogram(df, "x", bins=10).collect()
+    assert sum(r["n"] for r in rows) == 500
+    assert all(0 <= r["bin"] < 10 for r in rows)
+    # edges are an equi-width ladder: hi_edge - lo_edge constant-ish (6dp)
+    widths = {round(r["hi_edge"] - r["lo_edge"], 4) for r in rows}
+    assert len(widths) == 1
+    lo = min(r["lo_edge"] for r in rows)
+    hi = max(r["hi_edge"] for r in rows)
+    assert lo <= pdf.x.min() + 1e-6 and hi >= pdf.x.max() - 1e-6
+
+
+def test_numeric_histogram_constant_column(spark):
+    from polars_quant_spark.operators.sketch import numeric_histogram
+
+    df = spark.createDataFrame(pd.DataFrame({"x": [5.0] * 20}))
+    rows = numeric_histogram(df, "x", bins=10).collect()
+    assert len(rows) == 1 and rows[0]["n"] == 20 and rows[0]["bin"] == 0

@@ -759,3 +759,102 @@ def chunk_documents(
             " ", F.slice(F.col("_toks"), start + 1, (end - start).cast("int"))
         ).alias("chunk_text"),
     )
+
+
+def _bpe_merge_word(syms: Column, a: Column, b: Column) -> Column:
+    """Left-to-right non-overlapping merge of adjacent pair (a, b) inside a
+    symbol array — ONE BPE merge application, as a pure fold (state string
+    "emitted|pending"; symbols are [a-z0-9]+ so ' ' and '|' are safe
+    delimiters). Returns the new symbol array. The identical fold runs in
+    the DuckDB twin via list_reduce, so merge results are engine-exact
+    (including the aaa→[aa,a] overlap rule)."""
+
+    def step(acc: Column, x: Column) -> Column:
+        e = F.substring_index(acc, "|", 1)
+        p = F.substring_index(acc, "|", -1)
+        merged = F.concat(
+            F.when(e == "", F.lit("")).otherwise(F.concat(e, F.lit(" "))), a, b, F.lit("|")
+        )
+        keep = F.concat(
+            F.when(p == "", e).otherwise(
+                F.when(e == "", p).otherwise(F.concat(e, F.lit(" "), p))
+            ),
+            F.lit("|"),
+            x,
+        )
+        return F.when((p == a) & (x == b), merged).otherwise(keep)
+
+    acc = F.aggregate(syms, F.lit("|"), step)
+    e = F.substring_index(acc, "|", 1)
+    p = F.substring_index(acc, "|", -1)
+    flat = F.when(p == "", e).otherwise(
+        F.when(e == "", p).otherwise(F.concat(e, F.lit(" "), p))
+    )
+    return F.split(flat, " ")
+
+
+def bpe_merges(
+    df,
+    rounds: int = 6,
+    text: str = "text",
+    id_col: str = "doc_id",
+):
+    """In-engine BPE tokenizer training: learn the first ``rounds`` merge
+    rules from the corpus (standard byte-pair encoding over the shared
+    word-token contract, frequency-weighted, ties broken by (pair_a,
+    pair_b) byte order). Returns the merge table — one row per round:
+    (round, pair_a, pair_b, merged, cnt).
+
+    Scale: the corpus is touched ONCE (token_frequencies' two-level agg);
+    every subsequent round runs on the *vocabulary* (distinct words — far
+    smaller than the corpus and bounded by language, not data size). Per
+    round: an adjacent-pair explode + count (one small shuffle), a 1-row
+    argmax via min(struct(-cnt, a, b)) (no global sort), broadcast back
+    into the fold-merge projection. The rounds are inherently sequential
+    (each merge changes the next round's pair counts) — the chain is
+    ``rounds`` tiny jobs, not a scaled scan. localCheckpoint every few
+    rounds keeps the HOF-heavy lineage flat."""
+    vocab = token_frequencies(df, text=text, id_col=id_col).select(
+        F.split("token", "").alias("syms"), "freq"
+    )
+    merges = None
+    for r in range(1, rounds + 1):
+        pairs = (
+            vocab.select(
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.agg(
+            F.min(
+                F.struct(
+                    (-F.col("cnt")).alias("nc"), F.col("a"), F.col("b")
+                )
+            ).alias("m")
+        ).select(
+            F.lit(r).cast("long").alias("round"),
+            F.col("m.a").alias("pair_a"),
+            F.col("m.b").alias("pair_b"),
+            F.concat(F.col("m.a"), F.col("m.b")).alias("merged"),
+            (-F.col("m.nc")).alias("cnt"),
+        )
+        merges = best if merges is None else merges.unionByName(best)
+        if r < rounds:
+            bj = best.select(
+                F.col("pair_a").alias("_ba"), F.col("pair_b").alias("_bb")
+            )
+            vocab = vocab.join(F.broadcast(bj)).select(
+                _bpe_merge_word(F.col("syms"), F.col("_ba"), F.col("_bb")).alias("syms"),
+                "freq",
+            )
+            if r % 3 == 0:
+                vocab = vocab.localCheckpoint(eager=False)
+    return merges

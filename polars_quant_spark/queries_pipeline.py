@@ -2708,3 +2708,75 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return numeric_histogram(docs, "n_chars", bins=20, group="source")
+
+
+def _bpe_oracle(rounds: int = 6) -> str:
+    """Unrolled BPE merge-round CTE chain: vocab0 (char symbols × corpus
+    freq) → per round: adjacent-pair counts → (cnt DESC, a, b) argmax →
+    list_reduce fold applying the merge left-to-right non-overlapping —
+    the IDENTICAL state machine as text._bpe_merge_word ("emitted|pending"
+    string state), so merge tables are engine-exact."""
+    e = "split_part(acc, '|', 1)"
+    p = "split_part(acc, '|', 2)"
+    parts = [
+        f"""WITH tok AS (
+  SELECT UNNEST({_TOKS}) AS token FROM documents
+),
+vocab0 AS (
+  SELECT string_split(token, '') AS syms, COUNT(*) AS freq
+  FROM tok GROUP BY token
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""",
+pairs{r} AS (
+  SELECT syms[u] AS a, syms[u + 1] AS b, SUM(freq) AS cnt
+  FROM (SELECT syms, freq, UNNEST(range(1, len(syms))) AS u FROM vocab{r - 1})
+  GROUP BY 1, 2
+),
+best{r} AS (SELECT a, b, cnt FROM pairs{r} ORDER BY cnt DESC, a, b LIMIT 1)"""
+        )
+        if r < rounds:
+            parts.append(
+                f""",
+vocab{r} AS (
+  SELECT string_split(
+           CASE WHEN p_f = '' THEN e_f WHEN e_f = '' THEN p_f
+                ELSE e_f || ' ' || p_f END, ' ') AS syms, freq
+  FROM (
+    SELECT split_part(st, '|', 1) AS e_f, split_part(st, '|', 2) AS p_f, freq
+    FROM (
+      SELECT list_reduce(
+               list_prepend('|', syms),
+               (acc, x) -> CASE
+                 WHEN {p} = bb.a AND x = bb.b
+                 THEN (CASE WHEN {e} = '' THEN '' ELSE {e} || ' ' END) || bb.a || bb.b || '|'
+                 ELSE (CASE WHEN {p} = '' THEN {e}
+                            WHEN {e} = '' THEN {p}
+                            ELSE {e} || ' ' || {p} END) || '|' || x
+               END
+             ) AS st, freq
+      FROM vocab{r - 1} CROSS JOIN best{r} bb
+    )
+  )
+)"""
+            )
+    sel = "\nUNION ALL\n".join(
+        f"SELECT {r} AS round, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM best{r}"
+        for r in range(1, rounds + 1)
+    )
+    parts.append("\n" + sel)
+    return "".join(parts)
+
+
+@q("doc_bpe_merges", None)
+def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine BPE tokenizer training: the first 6 learned merge rules
+    over the documents corpus (text.bpe_merges). The corpus is scanned
+    once; every round runs on the distinct-word vocabulary."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.bpe_merges(docs, rounds=6)
+
+
+ORACLES["doc_bpe_merges"] = _bpe_oracle(6)

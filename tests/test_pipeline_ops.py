@@ -679,3 +679,47 @@ def test_numeric_histogram_constant_column(spark):
     df = spark.createDataFrame(pd.DataFrame({"x": [5.0] * 20}))
     rows = numeric_histogram(df, "x", bins=10).collect()
     assert len(rows) == 1 and rows[0]["n"] == 20 and rows[0]["bin"] == 0
+
+
+def test_bpe_merges_match_reference_algorithm(spark):
+    """The learned merge table equals a hand-rolled reference BPE (corpus
+    frequency weighting, left-to-right non-overlap, (cnt DESC, a, b)
+    tie-break) on a corpus designed to exercise overlap ('aaa') and
+    repeated-pair ('xyxy') words."""
+    import collections
+
+    corpus = ["the cat sat on the mat", "the cat ate the rat aaa xyxy", "matter of fact the hat aaa"]
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": range(3), "text": corpus})
+    )
+    got = [
+        (r["round"], r["pair_a"], r["pair_b"], r["merged"], r["cnt"])
+        for r in text.bpe_merges(df, rounds=6).orderBy("round").collect()
+    ]
+
+    vocab = collections.Counter(
+        w for t in corpus for w in t.lower().split()
+    )
+    sym_vocab = {tuple(w): c for w, c in vocab.items()}
+    exp = []
+    for rnd in range(6):
+        pc: collections.Counter = collections.Counter()
+        for syms, c in sym_vocab.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += c
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        exp.append((rnd + 1, a, b, a + b, cnt))
+        nv: dict = {}
+        for syms, c in sym_vocab.items():
+            out_s, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out_s.append(a + b)
+                    i += 2
+                else:
+                    out_s.append(syms[i])
+                    i += 1
+            key = tuple(out_s)
+            nv[key] = nv.get(key, 0) + c
+        sym_vocab = nv
+    assert got == exp

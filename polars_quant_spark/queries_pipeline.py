@@ -2780,3 +2780,51 @@ def doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLES["doc_bpe_merges"] = _bpe_oracle(6)
+
+
+@q(
+    "stream_source_quota",
+    f"""
+WITH n AS (
+  SELECT source, doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+r AS (
+  SELECT source, doc_id, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens
+  FROM n
+)
+SELECT source, doc_id, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 20000
+""",
+)
+def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming per-source token-budget admission (transformWithState,
+    Spark 4 state API): docs stream in, each source's running token total
+    is ONE long of state, and a doc is admitted while the prefix total
+    stays ≤ 20k tokens. Drained with availableNow; the twin is the batch
+    cumsum window — engine-exact because admission is a pure function of
+    the (source, doc_id) prefix order."""
+    from polars_quant_spark.streaming.stateful import streaming_source_quota
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+    inp = stream.select(
+        "source", "doc_id", text.token_count("text").cast("long").alias("n_tokens")
+    )
+    out = streaming_source_quota(inp, budget=20_000)
+    name = f"pqs_stream_quota_{next(_STREAM_SEQ)}"
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    return spark.table(name)

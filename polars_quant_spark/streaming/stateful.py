@@ -159,3 +159,72 @@ def streaming_position(signals: DataFrame, initial_capital: float = 100_000.0) -
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source token-quota admission
+# ---------------------------------------------------------------------------
+
+QUOTA_OUT = StructType(
+    [
+        StructField("source", StringType()),
+        StructField("doc_id", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("cum_tokens", LongType()),
+    ]
+)
+
+# state: running token total over ALL docs seen for the source (prefix rule)
+QUOTA_STATE = StructType([StructField("cum", LongType())])
+
+
+def _quota_fn(budget: int):
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (source,) = key
+        cum = state.get[0] if state.exists else 0
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values("doc_id")
+            run = pdf["n_tokens"].astype("int64").cumsum() + cum
+            cum = int(run.iloc[-1])
+            keep = run <= budget
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "source": source,
+                        "doc_id": pdf["doc_id"][keep].astype("int64"),
+                        "n_tokens": pdf["n_tokens"][keep].astype("int64"),
+                        "cum_tokens": run[keep].astype("int64"),
+                    }
+                )
+        state.update((cum,))
+
+    return fn
+
+
+def streaming_source_quota(docs: DataFrame, budget: int = 10_000) -> DataFrame:
+    """Streaming per-source token-budget admission — the ingest-side quota
+    that caps any one source's contribution to a training corpus (the
+    batch-side equivalent is a cumsum window; this is its arrival-time
+    twin). Keyed by source; state is a single running-total long per key
+    (bounded by source cardinality, not stream length), and each batch is
+    one vectorized cumsum — no per-row Python.
+
+    Input must carry (source, doc_id, n_tokens). Admission uses the prefix
+    rule over ALL docs seen (admitted or not), so with an ordered drain
+    the output is engine-exact against the batch SQL window twin.
+
+    Spark 4's transformWithStateInPandas is the native home for this
+    operator (ValueState per key, TTL, timers); this runtime lacks its
+    protobuf dependency, so the op rides applyInPandasWithState — same
+    state contract, same output."""
+    return docs.groupBy("source").applyInPandasWithState(
+        _quota_fn(budget),
+        outputStructType=QUOTA_OUT,
+        stateStructType=QUOTA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -220,3 +220,48 @@ def test_exactly_once_sink(spark, sf_dir, tmp_path):
     replay = spark.read.parquet(out_dir + "/batch_id=0").localCheckpoint(eager=True)
     batch_writer(out_dir)(replay, 0)
     assert spark.read.parquet(out_dir).count() == n_batch
+
+
+def test_streaming_source_quota_matches_batch_cumsum(spark, tmp_path):
+    """Per-source token quota across FOUR micro-batches: the running total
+    must survive batch boundaries, and the admitted set must equal the
+    batch cumsum-window rule (prefix admission, budget 100)."""
+    rng = np.random.default_rng(11)
+    n = 80
+    pdf = pd.DataFrame(
+        {
+            "source": [f"s{i % 3}" for i in range(n)],
+            "doc_id": np.arange(n, dtype="int64"),
+            "n_tokens": rng.integers(1, 20, n).astype("int64"),
+        }
+    )
+    schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("doc_id", LongType()),
+            StructField("n_tokens", LongType()),
+        ]
+    )
+    rows = _run_stream(
+        spark,
+        tmp_path,
+        pdf,
+        schema,
+        lambda s: stateful.streaming_source_quota(s, budget=100),
+        "pqs_quota_test",
+    )
+    got = {
+        (s, int(d), int(c))
+        for s, d, c in rows[["source", "doc_id", "cum_tokens"]].itertuples(index=False)
+    }
+
+    exp = set()
+    for src_name, g in pdf.groupby("source"):
+        g = g.sort_values("doc_id")
+        cum = g["n_tokens"].cumsum()
+        for did, c in zip(g["doc_id"], cum):
+            if c <= 100:
+                exp.add((src_name, did, int(c)))
+    assert got == exp
+    # the budget genuinely cut something (non-vacuous)
+    assert 0 < len(got) < n

@@ -526,3 +526,76 @@ def rel_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
     )
+
+
+@q(
+    "rel_price_percentiles",
+    """
+SELECT l_returnflag,
+       ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+       ROUND(quantile_cont(l_extendedprice, 0.9), 6) AS p90,
+       ROUND(quantile_cont(l_extendedprice, 0.99), 6) AS p99,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def rel_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped percentiles (p50/p90/p99 of extended price by return
+    flag). Spark `percentile` and DuckDB `quantile_cont` share the
+    linear-interpolation definition, so the outputs are engine-exact at
+    6 dp. Scale note: exact percentiles sort within each group — the
+    per-group memory is the group's rows, acceptable for bounded group
+    counts; the unbounded-cardinality path is sketch.sampled_quantiles
+    (deterministic sample, same SQL contract)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            r6(F.expr("percentile(l_extendedprice, 0.5)")).alias("p50"),
+            r6(F.expr("percentile(l_extendedprice, 0.9)")).alias("p90"),
+            r6(F.expr("percentile(l_extendedprice, 0.99)")).alias("p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@q(
+    "rel_unpivot_measures",
+    """
+SELECT l_orderkey, l_linenumber, measure, ROUND(val, 6) AS val
+FROM (
+  SELECT l_orderkey, l_linenumber, 'quantity' AS measure, l_quantity AS val
+  FROM lineitem WHERE l_orderkey % 997 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+  FROM lineitem WHERE l_orderkey % 997 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'discount', l_discount
+  FROM lineitem WHERE l_orderkey % 997 = 0
+  UNION ALL
+  SELECT l_orderkey, l_linenumber, 'tax', l_tax
+  FROM lineitem WHERE l_orderkey % 997 = 0
+) u
+""",
+)
+def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long melt) of the four lineitem measures via Spark's
+    native ``unpivot`` — ONE scan emitting 4 rows per input row (the plan
+    is a single Expand node), versus the UNION-ALL twin's four scans.
+    The complement of the pivot in loader_wide_pivot; §2.2 reshaping
+    surface."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 997 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "_v",
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.regexp_replace("measure", "^l_", "").alias("measure"),
+        r6(F.col("_v")).alias("val"),
+    )

@@ -453,3 +453,13 @@ def test_q21_decorrelates_to_single_lineitem_pair(spark, sf_dir):
     p = plan(QUERIES["rel_q21_sole_returner"](spark, sf_dir))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoop" not in p
+
+
+def test_unpivot_is_single_scan_expand(spark, sf_dir):
+    """Native unpivot must read lineitem ONCE (one Expand node), not the
+    UNION-ALL twin's four scans."""
+    p = plan(QUERIES["rel_unpivot_measures"](spark, sf_dir))
+    import re as _re
+
+    assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1
+    assert "Expand" in p

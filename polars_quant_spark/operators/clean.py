@@ -151,3 +151,52 @@ def neutralize(
     # withColumn (not withColumnRenamed): replaces an existing `out` column
     # instead of creating an ambiguous duplicate when out == the input col
     return work.withColumn(out, F.col("_demeaned")).drop("_demeaned")
+
+
+def interpolate_linear(
+    df: DataFrame,
+    value: str,
+    key: str = "symbol",
+    t: str = "ts_us",
+    out: str | None = None,
+) -> DataFrame:
+    """Time-weighted linear interpolation of NULL cells in a keyed series —
+    the natural upgrade of the loader's forward-fill (reference
+    prepare_sequential_data fills with last-observation-carry-forward;
+    interpolation weights by the actual time gap, which matters for
+    irregular bars). Leading NULLs take the first observation (backfill),
+    trailing NULLs the last (ffill).
+
+    Plan: one hash exchange + one sort on (key, t); the four bracketing
+    values (prev/next observation value and time) are IGNORE NULLS window
+    functions over the same sort — forward and backward frames reuse the
+    single exchange. No UDFs; the interpolation weight is plain double
+    arithmetic, identical in the DuckDB twin."""
+    from pyspark.sql import Window
+
+    out = out or value
+    v = F.col(value).cast("double")
+    tc = F.col(t).cast("long")
+    wp = (
+        Window.partitionBy(key)
+        .orderBy(t)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(t)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    obs_t = F.when(v.isNotNull(), tc)
+    pv = F.last(v, ignorenulls=True).over(wp)
+    pt = F.last(obs_t, ignorenulls=True).over(wp)
+    nv = F.first(v, ignorenulls=True).over(wf)
+    nt = F.first(obs_t, ignorenulls=True).over(wf)
+    frac = (tc - pt).cast("double") / (nt - pt).cast("double")
+    interp = (
+        F.when(v.isNotNull(), v)
+        .when(pv.isNull(), nv)
+        .when(nv.isNull(), pv)
+        .otherwise(pv + (nv - pv) * frac)
+    )
+    return df.withColumn(out, interp)

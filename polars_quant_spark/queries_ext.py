@@ -1628,3 +1628,60 @@ def bars_var_cvar(spark: SparkSession, sf_dir: str) -> DataFrame:
             "symbol", r6(F.col("_var5")).alias("var_5"), "cvar_5", "n_rets"
         )
     )
+
+
+@q(
+    "loader_interpolate",
+    BARS_CTE
+    + f""",
+gapped AS (
+  SELECT symbol, ts_us,
+         CASE WHEN {_LOADER_GAP} THEN close END AS close_g
+  FROM bars
+),
+br AS (
+  SELECT symbol, ts_us, close_g,
+         LAST_VALUE(close_g IGNORE NULLS) OVER wp AS pv,
+         LAST_VALUE(CASE WHEN close_g IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wp AS pt,
+         FIRST_VALUE(close_g IGNORE NULLS) OVER wf AS nv,
+         FIRST_VALUE(CASE WHEN close_g IS NOT NULL THEN ts_us END IGNORE NULLS) OVER wf AS nt
+  FROM gapped
+  WINDOW wp AS (PARTITION BY symbol ORDER BY ts_us
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         wf AS (PARTITION BY symbol ORDER BY ts_us
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+)
+SELECT symbol, ts_us,
+       ROUND(CASE WHEN close_g IS NOT NULL THEN close_g
+                  WHEN pv IS NULL THEN nv
+                  WHEN nv IS NULL THEN pv
+                  ELSE pv + (nv - pv) * (CAST(ts_us - pt AS DOUBLE) / CAST(nt - pt AS DOUBLE))
+             END, 6) AS close_i
+FROM br
+""",
+)
+def loader_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted linear interpolation over md5-gapped bars
+    (clean.interpolate_linear): NULL cells take the prev/next observation
+    bracket weighted by the actual µs gap; leading/trailing runs degrade
+    to back/forward fill. One exchange, two frame directions over one
+    sort."""
+    from polars_quant_spark.operators.clean import interpolate_linear
+
+    b = bars(spark, sf_dir).select("symbol", "ts_us", "close")
+    gap = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("symbol"), F.col("ts_us").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        != 0
+    )
+    gapped = b.select(
+        "symbol", "ts_us", F.when(gap, F.col("close")).alias("close_g")
+    )
+    out = interpolate_linear(gapped, "close_g", key="symbol", t="ts_us", out="_i")
+    return out.select("symbol", "ts_us", r6(F.col("_i")).alias("close_i"))

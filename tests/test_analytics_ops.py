@@ -504,3 +504,48 @@ def test_min_variance_weights(spark, sf_dir):
     got = np.array([out[s] for s in syms])
     assert np.abs(got - wref).max() < 1e-9
     assert got @ S @ got <= min(np.diag(S)) + 1e-12
+
+
+def test_interpolate_linear_hand_case(spark):
+    """Interior NULL run interpolates time-weighted; leading run backfills;
+    trailing run forward-fills; observations pass through untouched."""
+    import pandas as pd
+
+    from polars_quant_spark.operators.clean import interpolate_linear
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["a"] * 6,
+            "ts_us": [0, 10, 30, 40, 50, 70],
+            "close": [None, 2.0, None, None, 8.0, None],
+        }
+    )
+    out = (
+        interpolate_linear(spark.createDataFrame(pdf), "close", out="i")
+        .orderBy("ts_us")
+        .collect()
+    )
+    got = [r["i"] for r in out]
+    # t=30: 2 + (8-2)*(30-10)/(50-10) = 5.0 ; t=40: 2 + 6*(30/40) = 6.5
+    assert got == [2.0, 2.0, 5.0, 6.5, 8.0, 8.0]
+
+
+def test_interpolate_linear_single_exchange(spark):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from polars_quant_spark.operators.clean import interpolate_linear
+
+    pdf = pd.DataFrame(
+        {"symbol": ["a", "b"] * 10, "ts_us": list(range(20)), "close": [1.0, None] * 10}
+    )
+    df = interpolate_linear(spark.createDataFrame(pdf), "close")
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    import re
+
+    assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1

@@ -143,10 +143,20 @@ def main() -> None:
         )
         return dedup.contamination(docs, probes, min_shared=2)
 
+    def _chunking(spark_, sf_dir):
+        return text.chunk_documents(
+            load_table(spark_, sf_dir, "documents"), size=64, stride=48
+        )
+
+    def _bpe(spark_, sf_dir):
+        return text.bpe_merges(load_table(spark_, sf_dir, "documents"), rounds=3)
+
     EXTRA = {
         "packing": _packing,
         "token_freq": _token_freq,
         "contamination": _contamination,
+        "chunking": _chunking,
+        "bpe_merges": _bpe,
     }
 
     subset = [
@@ -163,6 +173,8 @@ def main() -> None:
         "packing",
         "token_freq",
         "contamination",
+        "chunking",
+        "bpe_merges",
     ]
 
     def best2(fn, sf_dir: str) -> float:

@@ -1685,3 +1685,72 @@ def loader_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = interpolate_linear(gapped, "close_g", key="symbol", t="ts_us", out="_i")
     return out.select("symbol", "ts_us", r6(F.col("_i")).alias("close_i"))
+
+
+@q(
+    "events_anomaly_zscore",
+    """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS value
+  FROM events
+),
+z AS (
+  SELECT event_type, event_id, value,
+         COUNT(*) OVER w AS n,
+         AVG(value) OVER w AS mu,
+         STDDEV_POP(value) OVER w AS sd
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, event_id, ROUND(value, 6) AS value,
+       ROUND((value - mu) / sd, 6) AS z
+FROM z
+WHERE n = 50 AND sd > 0 AND ABS((value - mu) / sd) > 3.0
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly detection over the event stream (monitoring
+    primitive): value vs its trailing-50 mean/σ per event type, flagging
+    |z| > 3. One exchange on event_type; mean and population σ come out of
+    the same window pass. The σ>0 guard keeps constant-window divisions
+    out of both engines."""
+    from polars_quant_spark.sources.bars import load_table, ts_us_expr
+
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        "event_id",
+        ts_us_expr(ev).alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts_us", "event_id")
+        .rowsBetween(-49, 0)
+    )
+    n = F.count(F.lit(1)).over(w)
+    mu = F.avg("value").over(w)
+    sd = F.stddev_pop("value").over(w)
+    z = (F.col("value") - mu) / sd
+    return (
+        e.select(
+            "event_type",
+            "event_id",
+            "value",
+            n.alias("_n"),
+            mu.alias("_mu"),
+            sd.alias("_sd"),
+        )
+        .where(
+            (F.col("_n") == 50)
+            & (F.col("_sd") > 0)
+            & (F.abs((F.col("value") - F.col("_mu")) / F.col("_sd")) > 3.0)
+        )
+        .select(
+            "event_type",
+            "event_id",
+            r6(F.col("value")).alias("value"),
+            r6((F.col("value") - F.col("_mu")) / F.col("_sd")).alias("z"),
+        )
+    )

@@ -12,20 +12,8 @@ from polars_quant_spark.queries import QUERIES
 from polars_quant_spark.sources.bars import bars, load_table
 
 
-def plan(df) -> str:
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
-
-
-def n_exchanges(p: str) -> int:
-    import re
-
-    return len(re.findall(r"\(\d+\) Exchange", p))
+from polars_quant_spark.plans.inspect import n_exchanges
+from polars_quant_spark.plans.inspect import plan_str as plan
 
 
 def test_q1_filter_pushdown(spark, sf_dir):

@@ -599,3 +599,166 @@ def rel_unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_replace("measure", "^l_", "").alias("measure"),
         r6(F.col("_v")).alias("val"),
     )
+
+
+@q(
+    "rel_q9_profit",
+    """
+SELECT nation, o_year,
+       CAST(SUM(amount_m) AS DOUBLE) / 1000000.0 AS sum_profit
+FROM (
+  SELECT n_name AS nation,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS o_year,
+         CAST(FLOOR((l_extendedprice * (1 - l_discount) - p_retailprice * 0.01 * l_quantity)
+                    * 1000000.0 + 0.5) AS BIGINT) AS amount_m
+  FROM lineitem
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN orders ON o_orderkey = l_orderkey
+  WHERE p_name LIKE '%5%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def rel_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit by supplier nation and order year for parts
+    matching a name pattern. (No partsupp: ps_supplycost is proxied as 1%
+    of p_retailprice — the join/agg shape is what matters.)
+
+    Plan: the p_name LIKE filter prunes part before its join; supplier and
+    nation chain as broadcasts behind it (AQE-chosen for supplier);
+    lineitem↔orders is the one large shuffle. Profit per row mixes two
+    measures — quantized to micro-units BEFORE the group sums, so the
+    nation×year totals are association-free integers on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pa = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%5%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    na = load_table(spark, sf_dir, "nation")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    amount = micros(
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.lit(0.01) * F.col("l_quantity")
+    )
+    return (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .join(su, li.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg(units(F.sum(amount)).alias("sum_profit"))
+        .orderBy("nation", F.col("o_year").desc())
+    )
+
+
+@q(
+    "rel_q13_custdist",
+    """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def rel_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of order counts per customer,
+    INCLUDING zero-order customers — the left-outer + double-aggregate
+    query (an inner join would silently drop the empty customers, which is
+    the point of the shape).
+
+    Plan: one shuffle joins customer to the pre-filtered orders, one
+    per-customer count, then a tiny second agg over counts. COUNT(col)
+    (not COUNT(*)) gives unmatched customers 0 on both engines."""
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey")
+    od = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    return (
+        cu.join(od, cu.c_custkey == od.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@q(
+    "rel_q20_excess_shippers",
+    """
+WITH part_total AS (
+  SELECT l_partkey, SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS tot_m
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_partkey
+),
+supp_part AS (
+  SELECT l_suppkey, l.l_partkey,
+         SUM(CAST(FLOOR(l_quantity * 1000000.0 + 0.5) AS BIGINT)) AS sq_m
+  FROM lineitem l
+  JOIN part ON p_partkey = l.l_partkey
+  WHERE p_type = 'PROMO'
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey, l.l_partkey
+)
+SELECT DISTINCT s_suppkey, s_name
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM supp_part JOIN part_total ON supp_part.l_partkey = part_total.l_partkey
+  WHERE CAST(sq_m AS DOUBLE) > 0.2 * CAST(tot_m AS DOUBLE)
+)
+ORDER BY s_suppkey
+""",
+)
+def rel_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped an outsized share (>20%) of
+    some promo part's annual volume — the nested-aggregate-threshold semi
+    chain. (No partsupp availqty; the supplier's own shipped share proxies
+    "excess stock". Same shape: agg → threshold vs a second agg → IN →
+    semi join to the supplier dimension.)
+
+    Plan: both aggregates shuffle lineitem on compatible keys (partkey /
+    (suppkey, partkey)); the threshold comparison is a small agg↔agg join;
+    supplier attaches by LeftSemi — never materializing the qualifying
+    pairs. Quantity shares compare quantized integers cast to double, so
+    the 0.2 cut is engine-exact."""
+    date_lo = F.lit("1997-01-01 00:00:00").cast("timestamp")
+    date_hi = F.lit("1998-01-01 00:00:00").cast("timestamp")
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= date_lo) & (F.col("l_shipdate") < date_hi)
+    )
+    part_total = li.groupBy("l_partkey").agg(
+        F.sum(micros(F.col("l_quantity"))).alias("tot_m")
+    )
+    pa = load_table(spark, sf_dir, "part").where(F.col("p_type") == "PROMO").select(
+        "p_partkey"
+    )
+    supp_part = (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum(micros(F.col("l_quantity"))).alias("sq_m"))
+    )
+    qualifying = (
+        supp_part.join(part_total, "l_partkey")
+        .where(F.col("sq_m").cast("double") > 0.2 * F.col("tot_m").cast("double"))
+        .select("l_suppkey")
+    )
+    su = load_table(spark, sf_dir, "supplier")
+    return (
+        su.join(qualifying, su.s_suppkey == qualifying.l_suppkey, "leftsemi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey")
+    )

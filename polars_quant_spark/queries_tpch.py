@@ -762,3 +762,120 @@ def rel_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .orderBy("s_suppkey")
     )
+
+
+@q(
+    "rel_q2_min_cost_supplier",
+    """
+WITH ps AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+),
+cand AS (
+  SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name
+  FROM ps
+  JOIN part ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE p_size = 9 AND p_type = 'SMALL' AND r_name = 'REGION_1'
+),
+best AS (
+  SELECT p_partkey, MIN(struct_pack(a := s_acctbal, b := s_suppkey)) AS m
+  FROM cand GROUP BY p_partkey
+)
+SELECT c.p_partkey, c.p_brand, c.s_suppkey, c.s_name,
+       ROUND(c.s_acctbal, 6) AS s_acctbal, c.n_name
+FROM cand c JOIN best b
+  ON c.p_partkey = b.p_partkey
+ AND c.s_acctbal = (b.m).a AND c.s_suppkey = (b.m).b
+ORDER BY c.s_acctbal, c.p_partkey
+LIMIT 20
+""",
+)
+def rel_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: per part, the best supplier in a region — the
+    correlated scalar-subquery (MIN per group) decorrelated as an
+    aggregate join-back. (No partsupp: observed (partkey, suppkey) pairs
+    from lineitem stand in for it, and MIN s_acctbal — with suppkey as the
+    deterministic tie-break — stands in for MIN ps_supplycost. TPC-H picks
+    MAX acctbal among min-cost suppliers; the driver proxy collapses both
+    levels into one ordered min, keeping the decorrelation shape.)
+
+    Plan: the distinct pair frame shuffles once on the pair; part's
+    size/type filter prunes before the join; the per-part argmin is
+    min(struct) — no window, no sort — joined back by (part, min) equality.
+    Dimension chain broadcasts."""
+    ps = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey").distinct()
+    pa = load_table(spark, sf_dir, "part").where(
+        (F.col("p_size") == 9) & (F.col("p_type") == "SMALL")
+    ).select("p_partkey", "p_brand")
+    su = load_table(spark, sf_dir, "supplier")
+    na = load_table(spark, sf_dir, "nation")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "REGION_1")
+    cand = (
+        ps.join(pa, ps.l_partkey == pa.p_partkey)
+        .join(su, ps.l_suppkey == su.s_suppkey)
+        .join(F.broadcast(na), su.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    best = cand.groupBy(F.col("p_partkey").alias("_pk")).agg(
+        F.min(F.struct(F.col("s_acctbal").alias("a"), F.col("s_suppkey").alias("b"))).alias("m")
+    )
+    return (
+        cand.join(
+            best,
+            (cand.p_partkey == F.col("_pk"))
+            & (cand.s_acctbal == F.col("m.a"))
+            & (cand.s_suppkey == F.col("m.b")),
+        )
+        .select(
+            "p_partkey",
+            "p_brand",
+            "s_suppkey",
+            "s_name",
+            r6(F.col("s_acctbal")).alias("s_acctbal"),
+            "n_name",
+        )
+        .orderBy("s_acctbal", "p_partkey")
+        .limit(20)
+    )
+
+
+@q(
+    "rel_q12_priority_counts",
+    """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def rel_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: conditional priority counts per line status.
+    (No shipmode/commit/receipt columns; l_linestatus stands in for
+    shipmode and the ship-year window for the late-delivery filter — the
+    join + dual-conditional-count shape is intact.)
+
+    Plan: the date filter pushes to the lineitem scan, the keys-only
+    orders side joins on orderkey, and both counts come from ONE aggregate
+    pass (CASE inside SUM)."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    ).select("l_orderkey", "l_linestatus")
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )

@@ -41,6 +41,13 @@ class BacktestParams:
     sell_commission_rate: float = 3e-4
     min_commission: float = 5.0
     position_size: float = 1.0
+    # Risk exits beyond the reference surface (README.md:350-366 sketches a
+    # richer v0.x Backtest; the snapshot has neither): fractional drawdown /
+    # run-up from the ENTRY FILL price that forces an exit at that bar's
+    # close. None disables. Evaluated before signals: an exit fires even on
+    # a buy-signal bar.
+    stop_loss: float | None = None
+    take_profit: float | None = None
 
 
 def _fold(
@@ -61,16 +68,27 @@ def _fold(
     cash = p.initial_capital
     peak = p.initial_capital
     entry_cost = 0.0
+    entry_px = 0.0
     last_price = float("nan")
     trades = 0
     wins = 0
+    # multipliers precomputed ONCE so the boundary compare uses the same
+    # double the SQL twin inlines (1-sl recomputed per bar could differ by
+    # an ulp from a literal)
+    sl_mult = None if p.stop_loss is None else 1.0 - p.stop_loss
+    tp_mult = None if p.take_profit is None else 1.0 + p.take_profit
 
     for i in range(n):
         px = price[i]
         frozen = isnan(px) or px <= 0.0
         if not frozen:
             last_price = px
-            if sell[i] and pos > 0.0:
+            exit_now = pos > 0.0 and (
+                sell[i]
+                or (sl_mult is not None and px <= entry_px * sl_mult)
+                or (tp_mult is not None and px >= entry_px * tp_mult)
+            )
+            if exit_now:
                 fill = px - p.sell_slippage
                 proceeds = pos * fill
                 fee = max(p.sell_commission_rate * proceeds, p.min_commission)
@@ -80,6 +98,7 @@ def _fold(
                     wins += 1
                 pos = 0.0
                 entry_cost = 0.0
+                entry_px = 0.0
             elif buy[i] and pos == 0.0:
                 fill = px + p.buy_slippage
                 if fill > 0:
@@ -95,6 +114,7 @@ def _fold(
                         cash -= notional + fee
                         pos = float(shares)
                         entry_cost = notional + fee
+                        entry_px = fill
         mark = last_price if not isnan(last_price) else 0.0
         eq = cash + pos * mark
         peak = max(peak, eq)

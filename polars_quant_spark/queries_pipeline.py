@@ -2828,3 +2828,73 @@ def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sq.awaitTermination()
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# stop-loss / take-profit backtest — fold with entry price carried in state
+# ---------------------------------------------------------------------------
+
+_SL_MULT = repr(1.0 - 0.03)   # inlined so both engines compare the SAME double
+_TP_MULT = repr(1.0 + 0.06)
+
+_BT_STOP_SIG = _SIG_CTE + f"""
+fold AS (
+  SELECT symbol, rn, pos, cash, entry FROM (
+    SELECT symbol, rn,
+           CASE WHEN buy THEN FLOOR(100000.0 / close) ELSE 0.0 END AS pos,
+           CASE WHEN buy THEN 100000.0 - FLOOR(100000.0 / close) * close ELSE 100000.0 END AS cash,
+           CASE WHEN buy THEN close ELSE 0.0 END AS entry
+    FROM sig WHERE rn = 1
+  ) seed
+  UNION ALL
+  SELECT s.symbol, s.rn,
+         CASE WHEN f.pos > 0 AND (s.sell OR s.close <= f.entry * {_SL_MULT} OR s.close >= f.entry * {_TP_MULT}) THEN 0.0
+              WHEN s.buy AND f.pos = 0 THEN FLOOR(f.cash / s.close)
+              ELSE f.pos END AS pos,
+         CASE WHEN f.pos > 0 AND (s.sell OR s.close <= f.entry * {_SL_MULT} OR s.close >= f.entry * {_TP_MULT}) THEN f.cash + f.pos * s.close
+              WHEN s.buy AND f.pos = 0 THEN f.cash - FLOOR(f.cash / s.close) * s.close
+              ELSE f.cash END AS cash,
+         CASE WHEN f.pos > 0 AND (s.sell OR s.close <= f.entry * {_SL_MULT} OR s.close >= f.entry * {_TP_MULT}) THEN 0.0
+              WHEN s.buy AND f.pos = 0 THEN s.close
+              ELSE f.entry END AS entry
+  FROM fold f JOIN sig s ON s.symbol = f.symbol AND s.rn = f.rn + 1
+),
+curve AS MATERIALIZED (
+  SELECT s.symbol, s.t, f.pos AS position, f.cash,
+         f.cash + f.pos * s.close AS equity
+  FROM fold f JOIN sig s ON s.symbol = f.symbol AND s.rn = f.rn
+)"""
+
+
+def _bt_stop_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized backtest with risk exits (3% stop-loss / 6% take-profit
+    from the entry fill, evaluated before signals) — the fold state gains
+    the entry price, carried bit-exactly through the recursive twin."""
+    sig = _bt_signals(spark, sf_dir)
+    p = BacktestParams(
+        initial_capital=100_000.0,
+        buy_commission_rate=0.0,
+        sell_commission_rate=0.0,
+        min_commission=0.0,
+        stop_loss=0.03,
+        take_profit=0.06,
+    )
+    out = vectorized_backtest(sig, params=p)
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("position")).alias("position"),
+        r6(F.col("cash")).alias("cash"),
+        r6(F.col("equity")).alias("equity"),
+    )
+
+
+QUERIES["bt_stop_curve"] = _bt_stop_query
+ORACLES["bt_stop_curve"] = (
+    recursive_with(_BT_STOP_SIG)
+    + """
+SELECT symbol, t, ROUND(position, 6) AS position, ROUND(cash, 6) AS cash,
+       ROUND(equity, 6) AS equity
+FROM curve
+"""
+)

@@ -178,3 +178,102 @@ class TestSequential:
         assert eq[-1] > 1000.0
         assert metrics["total_trades"] == 1.0
         assert metrics["win_rate"] == 1.0
+
+
+def test_stop_loss_forces_exit(spark):
+    """Entry at 100, price drops to 94 (< 95 = entry·(1−0.05)) → exit at
+    that bar's close even with no sell signal."""
+    import pandas as pd
+
+    from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_backtest
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["a"] * 4,
+            "t": range(4),
+            "close": [100.0, 98.0, 94.0, 96.0],
+            "buy": [True, False, False, False],
+            "sell": [False] * 4,
+        }
+    )
+    p = BacktestParams(
+        initial_capital=1000.0,
+        buy_commission_rate=0.0,
+        sell_commission_rate=0.0,
+        min_commission=0.0,
+        stop_loss=0.05,
+    )
+    rows = (
+        vectorized_backtest(spark.createDataFrame(pdf), params=p)
+        .orderBy("t")
+        .collect()
+    )
+    # 10 shares at 100 → stopped at 94: cash 940, flat afterwards
+    assert [r["position"] for r in rows] == [10.0, 10.0, 0.0, 0.0]
+    assert rows[2]["cash"] == 940.0
+    assert rows[2]["n_trades"] == 1 and rows[2]["n_wins"] == 0
+
+
+def test_take_profit_forces_exit_and_reentry_allowed(spark):
+    """Entry at 100, price hits 111 (> 110 = entry·(1+0.10)) → exit with a
+    win; a later buy signal re-enters."""
+    import pandas as pd
+
+    from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_backtest
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["a"] * 5,
+            "t": range(5),
+            "close": [100.0, 105.0, 111.0, 50.0, 52.0],
+            "buy": [True, False, False, True, False],
+            "sell": [False] * 5,
+        }
+    )
+    p = BacktestParams(
+        initial_capital=1000.0,
+        buy_commission_rate=0.0,
+        sell_commission_rate=0.0,
+        min_commission=0.0,
+        take_profit=0.10,
+    )
+    rows = (
+        vectorized_backtest(spark.createDataFrame(pdf), params=p)
+        .orderBy("t")
+        .collect()
+    )
+    assert [r["position"] for r in rows] == [10.0, 10.0, 0.0, 22.0, 22.0]
+    assert rows[2]["cash"] == 1110.0
+    assert rows[4]["n_trades"] == 1  # open position not yet counted
+    assert rows[2]["n_wins"] == 1
+
+
+def test_exit_fires_even_on_buy_signal_bar(spark):
+    """Risk exits are evaluated before signals: a bar that both triggers
+    the stop and carries a buy signal exits (no same-bar re-entry)."""
+    import pandas as pd
+
+    from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_backtest
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["a"] * 3,
+            "t": range(3),
+            "close": [100.0, 90.0, 91.0],
+            "buy": [True, True, False],
+            "sell": [False] * 3,
+        }
+    )
+    p = BacktestParams(
+        initial_capital=1000.0,
+        buy_commission_rate=0.0,
+        sell_commission_rate=0.0,
+        min_commission=0.0,
+        stop_loss=0.05,
+    )
+    rows = (
+        vectorized_backtest(spark.createDataFrame(pdf), params=p)
+        .orderBy("t")
+        .collect()
+    )
+    assert [r["position"] for r in rows] == [10.0, 0.0, 0.0]

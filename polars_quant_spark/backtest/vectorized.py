@@ -48,6 +48,10 @@ class BacktestParams:
     # a buy-signal bar.
     stop_loss: float | None = None
     take_profit: float | None = None
+    # trailing stop: fractional drawdown from the highest price seen SINCE
+    # ENTRY (the entry fill seeds the high-water mark) that forces an exit
+    # at that bar's close. Composable with stop_loss/take_profit.
+    trailing_stop: float | None = None
 
 
 def _fold(
@@ -77,16 +81,21 @@ def _fold(
     # an ulp from a literal)
     sl_mult = None if p.stop_loss is None else 1.0 - p.stop_loss
     tp_mult = None if p.take_profit is None else 1.0 + p.take_profit
+    ts_mult = None if p.trailing_stop is None else 1.0 - p.trailing_stop
+    hwm = 0.0
 
     for i in range(n):
         px = price[i]
         frozen = isnan(px) or px <= 0.0
         if not frozen:
             last_price = px
+            if pos > 0.0 and px > hwm:
+                hwm = px
             exit_now = pos > 0.0 and (
                 sell[i]
                 or (sl_mult is not None and px <= entry_px * sl_mult)
                 or (tp_mult is not None and px >= entry_px * tp_mult)
+                or (ts_mult is not None and px <= hwm * ts_mult)
             )
             if exit_now:
                 fill = px - p.sell_slippage
@@ -99,6 +108,7 @@ def _fold(
                 pos = 0.0
                 entry_cost = 0.0
                 entry_px = 0.0
+                hwm = 0.0
             elif buy[i] and pos == 0.0:
                 fill = px + p.buy_slippage
                 if fill > 0:
@@ -115,6 +125,7 @@ def _fold(
                         pos = float(shares)
                         entry_cost = notional + fee
                         entry_px = fill
+                        hwm = fill
         mark = last_price if not isnan(last_price) else 0.0
         eq = cash + pos * mark
         peak = max(peak, eq)

@@ -2898,3 +2898,71 @@ SELECT symbol, t, ROUND(position, 6) AS position, ROUND(cash, 6) AS cash,
 FROM curve
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# trailing-stop backtest — state adds the since-entry high-water mark
+# ---------------------------------------------------------------------------
+
+_TS_MULT = repr(1.0 - 0.04)
+
+_BT_TRAIL_SIG = _SIG_CTE + f"""
+fold AS (
+  SELECT symbol, rn, pos, cash, hwm FROM (
+    SELECT symbol, rn,
+           CASE WHEN buy THEN FLOOR(100000.0 / close) ELSE 0.0 END AS pos,
+           CASE WHEN buy THEN 100000.0 - FLOOR(100000.0 / close) * close ELSE 100000.0 END AS cash,
+           CASE WHEN buy THEN close ELSE 0.0 END AS hwm
+    FROM sig WHERE rn = 1
+  ) seed
+  UNION ALL
+  SELECT s.symbol, s.rn,
+         CASE WHEN f.pos > 0 AND (s.sell OR s.close <= GREATEST(f.hwm, s.close) * {_TS_MULT}) THEN 0.0
+              WHEN s.buy AND f.pos = 0 THEN FLOOR(f.cash / s.close)
+              ELSE f.pos END AS pos,
+         CASE WHEN f.pos > 0 AND (s.sell OR s.close <= GREATEST(f.hwm, s.close) * {_TS_MULT}) THEN f.cash + f.pos * s.close
+              WHEN s.buy AND f.pos = 0 THEN f.cash - FLOOR(f.cash / s.close) * s.close
+              ELSE f.cash END AS cash,
+         CASE WHEN f.pos > 0 AND (s.sell OR s.close <= GREATEST(f.hwm, s.close) * {_TS_MULT}) THEN 0.0
+              WHEN s.buy AND f.pos = 0 THEN s.close
+              ELSE GREATEST(f.hwm, s.close) END AS hwm
+  FROM fold f JOIN sig s ON s.symbol = f.symbol AND s.rn = f.rn + 1
+),
+curve AS MATERIALIZED (
+  SELECT s.symbol, s.t, f.pos AS position, f.cash,
+         f.cash + f.pos * s.close AS equity
+  FROM fold f JOIN sig s ON s.symbol = f.symbol AND s.rn = f.rn
+)"""
+
+
+def _bt_trailing_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vectorized backtest with a 4% trailing stop: the fold state carries
+    the since-entry high-water mark, updated before the exit test so a new
+    high can never stop itself out."""
+    sig = _bt_signals(spark, sf_dir)
+    p = BacktestParams(
+        initial_capital=100_000.0,
+        buy_commission_rate=0.0,
+        sell_commission_rate=0.0,
+        min_commission=0.0,
+        trailing_stop=0.04,
+    )
+    out = vectorized_backtest(sig, params=p)
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("position")).alias("position"),
+        r6(F.col("cash")).alias("cash"),
+        r6(F.col("equity")).alias("equity"),
+    )
+
+
+QUERIES["bt_trailing_curve"] = _bt_trailing_query
+ORACLES["bt_trailing_curve"] = (
+    recursive_with(_BT_TRAIL_SIG)
+    + """
+SELECT symbol, t, ROUND(position, 6) AS position, ROUND(cash, 6) AS cash,
+       ROUND(equity, 6) AS equity
+FROM curve
+"""
+)

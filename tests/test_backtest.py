@@ -277,3 +277,36 @@ def test_exit_fires_even_on_buy_signal_bar(spark):
         .collect()
     )
     assert [r["position"] for r in rows] == [10.0, 0.0, 0.0]
+
+
+def test_trailing_stop_tracks_high_water_mark(spark):
+    """Entry 100, rally to 120 (hwm), drop to 107 (< 120·0.9) → exit at
+    107 even though price is above entry (locked-in gain)."""
+    import pandas as pd
+
+    from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_backtest
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["a"] * 4,
+            "t": range(4),
+            "close": [100.0, 120.0, 107.0, 111.0],
+            "buy": [True, False, False, False],
+            "sell": [False] * 4,
+        }
+    )
+    p = BacktestParams(
+        initial_capital=1000.0,
+        buy_commission_rate=0.0,
+        sell_commission_rate=0.0,
+        min_commission=0.0,
+        trailing_stop=0.10,
+    )
+    rows = (
+        vectorized_backtest(spark.createDataFrame(pdf), params=p)
+        .orderBy("t")
+        .collect()
+    )
+    assert [r["position"] for r in rows] == [10.0, 10.0, 0.0, 0.0]
+    assert rows[2]["cash"] == 1070.0
+    assert rows[2]["n_wins"] == 1

@@ -2966,3 +2966,95 @@ SELECT symbol, t, ROUND(position, 6) AS position, ROUND(cash, 6) AS cash,
 FROM curve
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# portfolio rebalancing backtest — interval-constant holdings decomposition
+# ---------------------------------------------------------------------------
+
+_RB_SYMS = ["click", "error", "purchase", "signup", "view"]  # sorted
+_RB_W = repr(0.2)
+_RB_EVERY = 21
+
+_RB_PX_COLS = ",\n".join(
+    f"         MAX(CASE WHEN symbol = '{s}' THEN close END) AS p{i}"
+    for i, s in enumerate(_RB_SYMS)
+)
+_RB_VAL = " + ".join(f"f.h{i} * r.p{i}" for i in range(5))
+_RB_SPENT = " + ".join(f"h{i} * p{i}" for i in range(5))
+_RB_HOLD_M = " + ".join(
+    f"CAST(FLOOR(f.h{i} * px.p{i} * 1000000.0 + 0.5) AS BIGINT)" for i in range(5)
+)
+
+_RB_FOLD = f"""
+nm AS (
+  SELECT MIN(n) AS nmin FROM (SELECT symbol, MAX(t) AS n FROM bars GROUP BY symbol)
+),
+px AS MATERIALIZED (
+  SELECT t,
+{_RB_PX_COLS}
+  FROM bars CROSS JOIN nm WHERE t <= nmin GROUP BY t
+),
+rbp AS MATERIALIZED (
+  SELECT (t - 1) // {_RB_EVERY} AS rb, p0, p1, p2, p3, p4
+  FROM px WHERE (t - 1) % {_RB_EVERY} = 0
+),
+fold AS (
+  SELECT rb, value - ({_RB_SPENT}) AS cash, h0, h1, h2, h3, h4
+  FROM (
+    SELECT rb, value,
+           FLOOR((value * {_RB_W}) / p0) AS h0,
+           FLOOR((value * {_RB_W}) / p1) AS h1,
+           FLOOR((value * {_RB_W}) / p2) AS h2,
+           FLOOR((value * {_RB_W}) / p3) AS h3,
+           FLOOR((value * {_RB_W}) / p4) AS h4,
+           p0, p1, p2, p3, p4
+    FROM (SELECT rb, 100000.0 AS value, p0, p1, p2, p3, p4 FROM rbp WHERE rb = 0)
+  )
+  UNION ALL
+  SELECT rb, value - ({_RB_SPENT}) AS cash, h0, h1, h2, h3, h4
+  FROM (
+    SELECT rb, value,
+           FLOOR((value * {_RB_W}) / p0) AS h0,
+           FLOOR((value * {_RB_W}) / p1) AS h1,
+           FLOOR((value * {_RB_W}) / p2) AS h2,
+           FLOOR((value * {_RB_W}) / p3) AS h3,
+           FLOOR((value * {_RB_W}) / p4) AS h4,
+           p0, p1, p2, p3, p4
+    FROM (
+      SELECT r.rb, f.cash + {_RB_VAL} AS value,
+             r.p0, r.p1, r.p2, r.p3, r.p4
+      FROM fold f JOIN rbp r ON r.rb = f.rb + 1
+    )
+  )
+)"""
+
+
+def _bt_rebalance_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight 5-symbol portfolio rebalanced every 21 bars
+    (backtest/rebalance.py): the sequential fold touches only the sampled
+    price matrix; the daily curve is a broadcast join + one groupBy(t)."""
+    from polars_quant_spark.backtest.rebalance import rebalance_backtest
+
+    b = bars(spark, sf_dir)
+    out = rebalance_backtest(
+        b, {s: 0.2 for s in _RB_SYMS}, every=_RB_EVERY, initial_capital=100_000.0
+    )
+    return out.select(
+        F.col("t"),
+        r6(F.col("cash")).alias("cash"),
+        r6(F.col("equity")).alias("equity"),
+    )
+
+
+QUERIES["bt_rebalance_curve"] = _bt_rebalance_query
+ORACLES["bt_rebalance_curve"] = (
+    recursive_with(_RB_FOLD)
+    + f"""
+SELECT px.t,
+       ROUND(CAST(CAST(FLOOR(f.cash * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS cash,
+       ROUND(CAST(CAST(FLOOR(f.cash * 1000000.0 + 0.5) AS BIGINT)
+                  + {_RB_HOLD_M} AS DOUBLE) / 1000000.0, 6) AS equity
+FROM px JOIN fold f ON f.rb = (px.t - 1) // {_RB_EVERY}
+"""
+)

@@ -3058,3 +3058,80 @@ SELECT px.t,
 FROM px JOIN fold f ON f.rb = (px.t - 1) // {_RB_EVERY}
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# Monte Carlo block bootstrap — md5-deterministic paths, integer log space
+# ---------------------------------------------------------------------------
+
+_BOOT_P = 64
+_BOOT_L = 16
+
+ORACLES_BOOT_SQL = (
+    BARS_CTE
+    + f""",
+r AS MATERIALIZED (
+  SELECT symbol, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) - 1 AS idx,
+         CAST(FLOOR(LN(close / prev) * 1000000.0 + 0.5) AS BIGINT) AS r_m
+  FROM (
+    SELECT symbol, t, close,
+           LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS prev
+    FROM bars
+  ) WHERE prev IS NOT NULL
+),
+nsy AS (SELECT symbol, COUNT(*) AS n FROM r GROUP BY symbol),
+pp AS (
+  SELECT symbol, n, UNNEST(range(0, {_BOOT_P})) AS path FROM nsy
+),
+pb AS (
+  SELECT symbol, n, path,
+         UNNEST(range(0, CAST(CEIL(n / {_BOOT_L}.0) AS BIGINT))) AS blk
+  FROM pp
+),
+blocks AS (
+  SELECT symbol, path, n, blk,
+         CAST(('0x' || substring(md5('boot:' || symbol || ':' || CAST(path AS VARCHAR) || ':' || CAST(blk AS VARCHAR)), 1, 8)) AS BIGINT)
+           % GREATEST(1, n - {_BOOT_L}) AS strt
+  FROM pb
+),
+draws AS (
+  SELECT symbol, path,
+         strt + UNNEST(range(0, LEAST({_BOOT_L}, n - blk * {_BOOT_L}))) AS idx
+  FROM blocks
+),
+totals AS MATERIALIZED (
+  SELECT d.symbol, d.path, SUM(r.r_m) AS logret_m
+  FROM draws d JOIN r ON r.symbol = d.symbol AND r.idx = d.idx
+  GROUP BY d.symbol, d.path
+)
+SELECT symbol,
+       ROUND(quantile_cont(CAST(logret_m AS DOUBLE) / 1000000.0, 0.05), 6) AS p05,
+       ROUND(quantile_cont(CAST(logret_m AS DOUBLE) / 1000000.0, 0.5), 6) AS p50,
+       ROUND(quantile_cont(CAST(logret_m AS DOUBLE) / 1000000.0, 0.95), 6) AS p95,
+       ROUND(CAST(SUM(logret_m) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean
+FROM totals
+GROUP BY symbol
+ORDER BY symbol
+"""
+)
+
+
+def _bt_bootstrap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap risk bands over {_BOOT_P} resampled paths per symbol
+    (backtest/bootstrap.py): md5-deterministic block starts, integer
+    micro-unit log-return sums, shared percentile contract."""
+    from polars_quant_spark.backtest.bootstrap import bootstrap_bands
+
+    b = bars(spark, sf_dir)
+    out = bootstrap_bands(b, paths=_BOOT_P, block=_BOOT_L)
+    return out.select(
+        "symbol",
+        r6(F.col("p05")).alias("p05"),
+        r6(F.col("p50")).alias("p50"),
+        r6(F.col("p95")).alias("p95"),
+        r6(F.col("mean")).alias("mean"),
+    ).orderBy("symbol")
+
+
+QUERIES["bt_bootstrap_bands"] = _bt_bootstrap_query
+ORACLES["bt_bootstrap_bands"] = ORACLES_BOOT_SQL

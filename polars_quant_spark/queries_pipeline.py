@@ -3135,3 +3135,86 @@ def _bt_bootstrap_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["bt_bootstrap_bands"] = _bt_bootstrap_query
 ORACLES["bt_bootstrap_bands"] = ORACLES_BOOT_SQL
+
+
+# ---------------------------------------------------------------------------
+# parameter sweep — grid x universe in one job, per-combo recursive twins
+# ---------------------------------------------------------------------------
+
+_SWEEP_GRID = [(5, 20), (10, 30), (8, 40), (20, 60)]
+
+
+def _sweep_cte(fast: int, slow: int) -> str:
+    tag = f"_{fast}_{slow}"
+    return f"""
+sig{tag} AS MATERIALIZED (
+  SELECT symbol, t, close,
+         COALESCE(sf > ss AND LAG(sf) OVER o{tag} <= LAG(ss) OVER o{tag}, FALSE) AS buy,
+         COALESCE(sf < ss AND LAG(sf) OVER o{tag} >= LAG(ss) OVER o{tag}, FALSE) AS sell,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM (
+    SELECT symbol, t, close,
+           CASE WHEN COUNT(close) OVER wf{tag} = {fast} THEN AVG(close) OVER wf{tag} END AS sf,
+           CASE WHEN COUNT(close) OVER ws{tag} = {slow} THEN AVG(close) OVER ws{tag} END AS ss
+    FROM bars
+    WINDOW wf{tag} AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN {fast - 1} PRECEDING AND CURRENT ROW),
+           ws{tag} AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN {slow - 1} PRECEDING AND CURRENT ROW)
+  ) s
+  WINDOW o{tag} AS (PARTITION BY symbol ORDER BY t)
+),
+fold{tag} AS (
+  SELECT symbol, rn, pos, cash FROM (
+    SELECT symbol, rn,
+           CASE WHEN buy THEN FLOOR(100000.0 / close) ELSE 0.0 END AS pos,
+           CASE WHEN buy THEN 100000.0 - FLOOR(100000.0 / close) * close ELSE 100000.0 END AS cash
+    FROM sig{tag} WHERE rn = 1
+  ) seed
+  UNION ALL
+  SELECT s.symbol, s.rn,
+         CASE WHEN s.sell AND f.pos > 0 THEN 0.0
+              WHEN s.buy AND f.pos = 0 THEN FLOOR(f.cash / s.close)
+              ELSE f.pos END AS pos,
+         CASE WHEN s.sell AND f.pos > 0 THEN f.cash + f.pos * s.close
+              WHEN s.buy AND f.pos = 0 THEN f.cash - FLOOR(f.cash / s.close) * s.close
+              ELSE f.cash END AS cash
+  FROM fold{tag} f JOIN sig{tag} s ON s.symbol = f.symbol AND s.rn = f.rn + 1
+)"""
+
+
+def _sweep_oracle() -> str:
+    ctes = ",".join(_sweep_cte(f, s) for f, s in _SWEEP_GRID)
+    arms = "\nUNION ALL\n".join(
+        f"""SELECT f.symbol, {fa} AS fast, {sl} AS slow,
+       ROUND(arg_max(f.cash + f.pos * s.close, f.rn), 6) AS final_equity
+FROM fold_{fa}_{sl} f JOIN sig_{fa}_{sl} s ON s.symbol = f.symbol AND s.rn = f.rn
+GROUP BY f.symbol"""
+        for fa, sl in _SWEEP_GRID
+    )
+    return recursive_with(ctes) + "\n" + arms
+
+
+def _bt_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MA-cross parameter sweep (backtest/sweep.py): the full grid ×
+    universe runs as one unioned plan — every combo an independent fold,
+    no sequential coupling. Zero-cost config mirrors the recursive
+    twins."""
+    from polars_quant_spark.backtest.sweep import parameter_sweep
+
+    b = bars(spark, sf_dir)
+    p = BacktestParams(
+        initial_capital=100_000.0,
+        buy_commission_rate=0.0,
+        sell_commission_rate=0.0,
+        min_commission=0.0,
+    )
+    out = parameter_sweep(b, _SWEEP_GRID, params=p)
+    return out.select(
+        "symbol",
+        F.col("fast").cast("int").alias("fast"),
+        F.col("slow").cast("int").alias("slow"),
+        r6(F.col("final_equity")).alias("final_equity"),
+    )
+
+
+QUERIES["bt_param_sweep"] = _bt_sweep_query
+ORACLES["bt_param_sweep"] = _sweep_oracle()

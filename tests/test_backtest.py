@@ -403,3 +403,41 @@ def test_bootstrap_paths_deterministic_and_sized(spark, sf_dir):
     z = bootstrap_path_totals(const, paths=3, block=16).toPandas()
     assert (z["logret_m"] == 0).all()
     assert nret["n"].min() > 0
+
+
+def test_parameter_sweep_and_best_params(spark, sf_dir):
+    """The sweep returns one row per (symbol, combo); best_params picks
+    the per-symbol argmax with deterministic tie-breaks; and each combo's
+    final equity equals running that combo alone."""
+    from polars_quant_spark.backtest.sweep import best_params, parameter_sweep
+    from polars_quant_spark.backtest.vectorized import BacktestParams
+    from polars_quant_spark.sources.bars import bars
+
+    b = bars(spark, sf_dir)
+    p = BacktestParams(
+        initial_capital=100_000.0,
+        buy_commission_rate=0.0,
+        sell_commission_rate=0.0,
+        min_commission=0.0,
+    )
+    grid = [(5, 20), (10, 30)]
+    sweep = parameter_sweep(b, grid, params=p)
+    rows = sweep.collect()
+    n_sym = b.select("symbol").distinct().count()
+    assert len(rows) == n_sym * len(grid)
+
+    solo = {
+        (r["symbol"], r["fast"], r["slow"]): r["final_equity"]
+        for r in parameter_sweep(b, [(10, 30)], params=p).collect()
+    }
+    for r in rows:
+        if (r["fast"], r["slow"]) == (10, 30):
+            assert solo[(r["symbol"], 10, 30)] == r["final_equity"]
+
+    best = {r["symbol"]: r for r in best_params(sweep).collect()}
+    assert len(best) == n_sym
+    for sym, r in best.items():
+        m = max(
+            (x["final_equity"] for x in rows if x["symbol"] == sym)
+        )
+        assert r["final_equity"] == m

@@ -3218,3 +3218,120 @@ def _bt_sweep_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["bt_param_sweep"] = _bt_sweep_query
 ORACLES["bt_param_sweep"] = _sweep_oracle()
+
+
+# ---------------------------------------------------------------------------
+# walk-forward: pick per-symbol best combo in-sample, evaluate out-of-sample
+# ---------------------------------------------------------------------------
+
+
+def _sweep_cte_src(fast: int, slow: int, src: str, seg: str) -> str:
+    """Per-combo sig+fold CTE pair over an arbitrary bar source CTE (the
+    walk-forward segments re-warm indicators inside their own window)."""
+    return _sweep_cte(fast, slow).replace("FROM bars", f"FROM {src}").replace(
+        f"sig_{fast}_{slow}", f"sig{seg}_{fast}_{slow}"
+    ).replace(f"fold_{fast}_{slow}", f"fold{seg}_{fast}_{slow}").replace(
+        f"o_{fast}_{slow}", f"o{seg}_{fast}_{slow}"
+    ).replace(f"wf_{fast}_{slow}", f"wf{seg}_{fast}_{slow}").replace(
+        f"ws_{fast}_{slow}", f"ws{seg}_{fast}_{slow}"
+    )
+
+
+def _wf_oracle() -> str:
+    ctes = [
+        """
+nm AS (
+  SELECT CAST(FLOOR(MIN(n) * 0.7) AS BIGINT) AS c
+  FROM (SELECT symbol, MAX(t) AS n FROM bars GROUP BY symbol)
+),
+bis AS MATERIALIZED (SELECT b.* FROM bars b CROSS JOIN nm WHERE t <= c),
+boos AS MATERIALIZED (SELECT b.* FROM bars b CROSS JOIN nm WHERE t > c)"""
+    ]
+    for fa, sl in _SWEEP_GRID:
+        ctes.append(_sweep_cte_src(fa, sl, "bis", "i"))
+        ctes.append(_sweep_cte_src(fa, sl, "boos", "u"))
+
+    def _arms(seg: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"""SELECT f.symbol, {fa} AS fast, {sl} AS slow,
+       arg_max(f.cash + f.pos * s.close, f.rn) AS eq
+FROM fold{seg}_{fa}_{sl} f JOIN sig{seg}_{fa}_{sl} s
+  ON s.symbol = f.symbol AND s.rn = f.rn
+GROUP BY f.symbol"""
+            for fa, sl in _SWEEP_GRID
+        )
+
+    ctes.append(f"""
+is_final AS ({_arms('i')}),
+oos_final AS ({_arms('u')}),
+pick AS (
+  SELECT symbol, MIN(struct_pack(a := -eq, b := fast, c := slow)) AS m
+  FROM is_final GROUP BY symbol
+)""")
+    return (
+        recursive_with(",".join(ctes))
+        + """
+SELECT p.symbol, CAST((p.m).b AS INTEGER) AS fast, CAST((p.m).c AS INTEGER) AS slow,
+       ROUND(-(p.m).a, 6) AS is_equity, ROUND(o.eq, 6) AS oos_equity
+FROM pick p JOIN oos_final o
+  ON o.symbol = p.symbol AND o.fast = (p.m).b AND o.slow = (p.m).c
+ORDER BY p.symbol
+"""
+    )
+
+
+def _bt_walk_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Walk-forward analysis: sweep the grid on the first 70% of each
+    symbol's history, pick the per-symbol winner by in-sample final
+    equity (deterministic tie-breaks), then replay ONLY that combo on the
+    held-out 30% with fresh indicator warm-up. The whole evaluation —
+    8 segment×combo folds + the argmax + the out-of-sample join — is one
+    declarative plan."""
+    from polars_quant_spark.backtest.sweep import parameter_sweep
+
+    b = bars(spark, sf_dir).select("symbol", "t", "close")
+    cut = (
+        b.groupBy("symbol")
+        .agg(F.max("t").alias("_n"))
+        .agg(F.floor(F.min("_n") * F.lit(0.7)).cast("long").alias("_c"))
+    )
+    bc = b.join(F.broadcast(cut))
+    bis = bc.where(F.col("t") <= F.col("_c")).drop("_c")
+    boos = bc.where(F.col("t") > F.col("_c")).drop("_c")
+    p = BacktestParams(
+        initial_capital=100_000.0,
+        buy_commission_rate=0.0,
+        sell_commission_rate=0.0,
+        min_commission=0.0,
+    )
+    is_sweep = parameter_sweep(bis, _SWEEP_GRID, params=p)
+    oos_sweep = parameter_sweep(boos, _SWEEP_GRID, params=p)
+    pick = is_sweep.groupBy("symbol").agg(
+        F.min(
+            F.struct(
+                (-F.col("final_equity")).alias("a"),
+                F.col("fast").alias("b"),
+                F.col("slow").alias("c"),
+            )
+        ).alias("m")
+    )
+    return (
+        pick.join(
+            oos_sweep,
+            (pick.symbol == oos_sweep.symbol)
+            & (F.col("m.b") == oos_sweep.fast)
+            & (F.col("m.c") == oos_sweep.slow),
+        )
+        .select(
+            pick.symbol,
+            F.col("m.b").cast("int").alias("fast"),
+            F.col("m.c").cast("int").alias("slow"),
+            r6(-F.col("m.a")).alias("is_equity"),
+            r6(oos_sweep.final_equity).alias("oos_equity"),
+        )
+        .orderBy("symbol")
+    )
+
+
+QUERIES["bt_walk_forward"] = _bt_walk_forward_query
+ORACLES["bt_walk_forward"] = _wf_oracle()

@@ -3335,3 +3335,55 @@ def _bt_walk_forward_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["bt_walk_forward"] = _bt_walk_forward_query
 ORACLES["bt_walk_forward"] = _wf_oracle()
+
+
+@q(
+    "stream_ohlcv_bars",
+    f"""
+SELECT (epoch_us(ts) // {60 * 60 * 1000000}) * {60 * 60 * 1000000} AS win_start_us,
+       event_type AS symbol,
+       ROUND(arg_min(300.0 + CAST(value AS DOUBLE) / 10.0,
+                     epoch_us(ts) * 4096 + event_id % 4096), 6) AS open,
+       ROUND(MAX(300.0 + CAST(value AS DOUBLE) / 10.0), 6) AS high,
+       ROUND(MIN(300.0 + CAST(value AS DOUBLE) / 10.0), 6) AS low,
+       ROUND(arg_max(300.0 + CAST(value AS DOUBLE) / 10.0,
+                     epoch_us(ts) * 4096 + event_id % 4096), 6) AS close,
+       COUNT(*) AS n_ticks
+FROM events
+GROUP BY 1, 2
+""",
+)
+def stream_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming OHLCV bar construction from the raw event stream (real
+    readStream, watermarked tumbling hour windows, availableNow drain):
+    open/close by argmin/argmax over the scalar µs·4096+id%4096 key, so
+    the bar is arrival-order-independent and matches the batch twin
+    exactly."""
+    from polars_quant_spark.streaming.windows import (
+        read_events_stream,
+        streaming_ohlcv,
+    )
+
+    ev = read_events_stream(spark, sf_dir)
+    out = streaming_ohlcv(ev, window="1 hour", watermark="2 hours")
+    name = f"pqs_stream_ohlcv_{next(_STREAM_SEQ)}"
+    # complete mode: append would hold back the windows still inside the
+    # watermark horizon at end-of-stream (the drain is a finite replay)
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    t = spark.table(name)
+    return t.select(
+        F.unix_micros(F.col("window_start")).alias("win_start_us"),
+        "symbol",
+        r6(F.col("open")).alias("open"),
+        r6(F.col("high")).alias("high"),
+        r6(F.col("low")).alias("low"),
+        r6(F.col("close")).alias("close"),
+        "n_ticks",
+    )

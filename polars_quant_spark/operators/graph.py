@@ -84,3 +84,31 @@ def pagerank(
             )
         )
     return r.select("node", round6(F.col("rank")).alias("rank"))
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Distributed triangle counting over an undirected edge list — the
+    density/cohesion metric for near-dup cluster quality (boilerplate hubs
+    form dense triangle-rich cliques; genuine pairwise dupes don't).
+
+    Canonicalizes each edge to (lo < hi) and counts ordered wedges closed
+    by a third edge: two hash joins, no cartesian anywhere. Join order
+    sends the wedge build through the smaller (lo) side; at scale the
+    standard skew guard is degree-capping hubs first (compose with a
+    degree filter upstream). Returns one row: (n_triangles)."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"),
+        )
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    e1 = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    e2 = e.select(F.col("lo").alias("a2"), F.col("hi").alias("c"))
+    wedges = e1.join(e2, (F.col("a") == F.col("a2")) & (F.col("b") < F.col("c")))
+    closer = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    return (
+        wedges.join(closer, ["b", "c"])
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )

@@ -3387,3 +3387,35 @@ def stream_ohlcv_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("close")).alias("close"),
         "n_ticks",
     )
+
+
+@q("doc_triangle_count", None)
+def doc_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count over the MinHash near-dup candidate graph
+    (operators/graph.triangle_count): boilerplate template hubs close
+    triangles, one-off dupes don't. The twin (appended below) repeats
+    the wedge-close join over the identical verified pair list."""
+    from polars_quant_spark.operators.graph import triangle_count
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return triangle_count(pairs)
+
+
+ORACLES["doc_triangle_count"] = (
+    f"WITH pairs AS ({ORACLES['doc_minhash_pairs']}),"
+    + """
+e AS (
+  SELECT LEAST(id_a, id_b) AS lo, GREATEST(id_a, id_b) AS hi
+  FROM pairs WHERE id_a <> id_b GROUP BY 1, 2
+),
+wedge AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM e e1 JOIN e e2 ON e1.lo = e2.lo AND e1.hi < e2.hi
+)
+SELECT COUNT(*) AS n_triangles
+FROM wedge w JOIN e ON e.lo = w.b AND e.hi = w.c
+"""
+)

@@ -879,3 +879,33 @@ def rel_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_linestatus")
     )
+
+
+@q(
+    "rel_cube_revenue",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(FLOOR(l_extendedprice * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 1000000.0 AS revenue,
+       COUNT(*) AS n
+FROM lineitem
+GROUP BY CUBE(l_returnflag, l_linestatus)
+""",
+)
+def rel_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) — all four grouping sets in one
+    pass (Expand node ×4 lanes). Same two-level quantized composition as
+    rel_rollup_revenue: the cube runs on the tiny per-partition partials
+    frame, so the Expand multiplies partials, not the fact table."""
+    from polars_quant_spark.queries import merge_micros, micros, units
+
+    li = load_table(spark, sf_dir, "lineitem")
+    partials = li.groupBy(
+        "l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p")
+    ).agg(
+        F.sum(micros(F.col("l_extendedprice"))).alias("_rev"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    return partials.cube("l_returnflag", "l_linestatus").agg(
+        units(merge_micros(F.col("_rev"))).alias("revenue"),
+        F.sum("_n").alias("n"),
+    )

@@ -3419,3 +3419,86 @@ SELECT COUNT(*) AS n_triangles
 FROM wedge w JOIN e ON e.lo = w.b AND e.hi = w.c
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# per-source corpus report card — the profiling dashboard in one query
+# ---------------------------------------------------------------------------
+
+
+def _source_report_oracle() -> str:
+    return (
+        f"WITH stats AS ({ORACLES['doc_text_stats']}),"
+        + """
+j AS (
+  SELECT d.source, s.doc_id, s.n_tokens, s.lang_pred, s.quality, s.fingerprint,
+         CAST(LENGTH(d.text) AS DOUBLE) AS n_chars
+  FROM stats s JOIN documents d ON d.doc_id = s.doc_id
+),
+keep AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM j GROUP BY fingerprint)
+SELECT source,
+       COUNT(*) AS n_docs,
+       SUM(n_tokens) AS sum_tokens,
+       ROUND(CAST(SUM(CAST(FLOOR(quality * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*), 6) AS avg_quality,
+       ROUND(CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS en_share,
+       ROUND(1.0 - CAST(SUM(CASE WHEN j.doc_id = k.keep_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS dup_rate,
+       ROUND(quantile_cont(CAST(n_chars AS DOUBLE), 0.5), 6) AS p50_chars
+FROM j JOIN keep k ON k.fingerprint = j.fingerprint
+GROUP BY source
+ORDER BY source
+"""
+    )
+
+
+def doc_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus report card — the single profiling query a data
+    curator reads first: volume (docs, tokens), mean quality, language
+    share, exact-dup rate (non-keeper share under the fingerprint rule)
+    and median length. One tokenize pass feeds every metric; the dup rate
+    reuses the exact-dedup keeper join."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    stats = docs.select(
+        "doc_id",
+        "source",
+        text.token_count("text").cast("long").alias("n_tokens"),
+        text.detect_language("text").alias("lang_pred"),
+        r6(text.quality_score("text")).alias("quality"),
+        text.fingerprint("text").alias("fingerprint"),
+        F.length("text").cast("double").alias("n_chars"),
+    )
+    keep = stats.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    j = stats.join(keep, "fingerprint")
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            r6(
+                F.sum(micros(F.col("quality"))).cast("double")
+                / 1e6
+                / F.count(F.lit(1))
+            ).alias("avg_quality"),
+            r6(
+                F.sum(F.when(F.col("lang_pred") == "en", 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("en_share"),
+            r6(
+                F.lit(1.0)
+                - F.sum(
+                    F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+                ).cast("double")
+                / F.count(F.lit(1))
+            ).alias("dup_rate"),
+            r6(F.expr("percentile(n_chars, 0.5)")).alias("p50_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["doc_source_report"] = doc_source_report
+ORACLES["doc_source_report"] = _source_report_oracle()

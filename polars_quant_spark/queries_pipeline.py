@@ -3502,3 +3502,58 @@ def doc_source_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["doc_source_report"] = doc_source_report
 ORACLES["doc_source_report"] = _source_report_oracle()
+
+
+# ---------------------------------------------------------------------------
+# IVF recall@k evaluation — ANN quality measured in-engine
+# ---------------------------------------------------------------------------
+
+
+def _ivf_recall_oracle() -> str:
+    ivf = ORACLES["emb_ivf_topk"]
+    exact = (
+        _EMB_SCORED.replace("LIMIT 10", "LIMIT 5")
+        + "SELECT query_id, vec_id FROM ranked WHERE rank <= 5"
+    )
+    return f"""
+WITH ivf AS ({ivf}),
+ex AS ({exact}),
+hits AS (
+  SELECT ex.query_id, COUNT(i.vec_id) AS n_hit
+  FROM ex LEFT JOIN ivf i ON i.query_id = ex.query_id AND i.vec_id = ex.vec_id
+  GROUP BY ex.query_id
+)
+SELECT query_id, ROUND(CAST(n_hit AS DOUBLE) / 5.0, 6) AS recall
+FROM hits ORDER BY query_id
+"""
+
+
+def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the trained IVF index vs the exact scan, measured
+    in-engine per query — the ANN quality gauge a pipeline monitors when
+    it re-trains centroids. Both sides reuse the already-verified
+    operators; the metric is a keys-only join + count."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(5)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = similarity.ivf_topk(
+        emb, queries, k=5, n_centroids=8, nprobe=3, train_rounds=2
+    ).select(F.col("query_id").alias("_qi"), F.col("vec_id").alias("_vi"))
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == F.col("_qi")) & (exact.vec_id == F.col("_vi")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(r6(F.count("_vi").cast("double") / F.lit(5.0)).alias("recall"))
+        .orderBy("query_id")
+    )
+
+
+QUERIES["emb_ivf_recall"] = emb_ivf_recall
+ORACLES["emb_ivf_recall"] = _ivf_recall_oracle()

@@ -3557,3 +3557,125 @@ def emb_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["emb_ivf_recall"] = emb_ivf_recall
 ORACLES["emb_ivf_recall"] = _ivf_recall_oracle()
+
+
+@q(
+    "events_funnel_latency",
+    """
+WITH v AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS tv FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS tc
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.tv
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS tp
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.tc
+  GROUP BY e.user_id
+),
+conv AS (
+  SELECT v.user_id,
+         CAST(p.tp - v.tv AS DOUBLE) / 1000000.0 AS full_s,
+         CAST(c.tc - v.tv AS DOUBLE) / 1000000.0 AS vc_s
+  FROM v JOIN c ON c.user_id = v.user_id JOIN p ON p.user_id = v.user_id
+)
+SELECT COUNT(*) AS n_converted,
+       ROUND(quantile_cont(vc_s, 0.5), 6) AS p50_view_to_click_s,
+       ROUND(quantile_cont(full_s, 0.5), 6) AS p50_view_to_purchase_s,
+       ROUND(quantile_cont(full_s, 0.9), 6) AS p90_view_to_purchase_s
+FROM conv
+""",
+)
+def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for full-funnel users (view→click→
+    purchase in strict order): median view→click and median/p90
+    view→purchase latency in seconds. Same single-exchange chained
+    conditional-min shape as events_funnel; the duration percentiles ride
+    the shared percentile contract."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select("user_id", "event_type", ts_us_expr(ev0).alias("ts_us"))
+    w = Window.partitionBy("user_id")
+    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
+    ev = ev.withColumn("_tv", tv)
+    tc = F.min(
+        F.when(
+            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("_tv")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    ev = ev.withColumn("_tc", tc)
+    tp = F.min(
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("_tc")),
+            F.col("ts_us"),
+        )
+    ).over(w)
+    ev = ev.withColumn("_tp", tp)
+    conv = (
+        ev.groupBy("user_id")
+        .agg(F.first("_tv").alias("tv"), F.first("_tc").alias("tc"), F.first("_tp").alias("tp"))
+        .where(F.col("tp").isNotNull())
+        .select(
+            ((F.col("tc") - F.col("tv")).cast("double") / 1e6).alias("vc_s"),
+            ((F.col("tp") - F.col("tv")).cast("double") / 1e6).alias("full_s"),
+        )
+    )
+    return conv.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        r6(F.expr("percentile(vc_s, 0.5)")).alias("p50_view_to_click_s"),
+        r6(F.expr("percentile(full_s, 0.5)")).alias("p50_view_to_purchase_s"),
+        r6(F.expr("percentile(full_s, 0.9)")).alias("p90_view_to_purchase_s"),
+    )
+
+
+@q(
+    "events_top_paths",
+    """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type, 1) OVER w AS e2,
+         LEAD(event_type, 2) OVER w AS e3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT 15
+""",
+)
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top event trigrams per user journey (path mining lite): two LEADs
+    over one (user, time, id) sort — the n-gram fan-out without arrays or
+    explodes — then a count and TakeOrderedAndProject. The deterministic
+    (ts, event_id) ordering makes paths engine-exact."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select(
+        "user_id", "event_type", "event_id", ts_us_expr(ev0).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(15)
+    )

@@ -44,6 +44,11 @@ from polars_quant_spark.backtest import (
     summary,
     vectorized_backtest,
 )
+from polars_quant_spark.backtest.bootstrap import bootstrap_bands
+from polars_quant_spark.backtest.rebalance import rebalance_backtest
+from polars_quant_spark.backtest.sweep import best_params, parameter_sweep
+from polars_quant_spark.operators import graph, portfolio, sketch
+from polars_quant_spark.plans import inspect as plans
 from polars_quant_spark.sources import bars, load, prepare_sequential_data
 
 __version__ = "0.1.0"
@@ -81,6 +86,15 @@ __all__ = [
     "Backtest",
     "MarginParams",
     "margin_backtest",
+    "rebalance_backtest",
+    "bootstrap_bands",
+    "parameter_sweep",
+    "best_params",
+    # graph / portfolio / sketches / plan inspection
+    "graph",
+    "portfolio",
+    "sketch",
+    "plans",
     # sources
     "bars",
     "load",

@@ -119,3 +119,37 @@ def test_sarext_default_equals_signed_sar(x):
     s = rec.sar(h, l)
     se = rec.sarext(h, l)
     np.testing.assert_allclose(np.abs(se), s, rtol=1e-12, equal_nan=True)
+
+
+@given(
+    n_tokens=st.integers(min_value=1, max_value=300),
+    size=st.integers(min_value=2, max_value=64),
+    stride_frac=st.floats(min_value=0.2, max_value=1.0),
+)
+@settings(max_examples=12, deadline=None)
+def test_chunking_covers_every_token_property(spark, n_tokens, size, stride_frac):
+    """For ANY (doc length, size, stride≤size): chunk spans tile the token
+    stream with no gaps, no out-of-range indices, and stride-spaced
+    starts (session-scoped fixture — allowed under hypothesis)."""
+    import pandas as pd
+
+    from polars_quant_spark.operators import text as T
+
+    stride = max(1, min(size, int(size * stride_frac)))
+    pdf = pd.DataFrame(
+        {"doc_id": [1], "text": [" ".join(f"w{i}" for i in range(n_tokens))]}
+    )
+    rows = (
+        T.chunk_documents(spark.createDataFrame(pdf), size=size, stride=stride)
+        .orderBy("chunk_id")
+        .collect()
+    )
+    starts = [r["tok_start"] for r in rows]
+    assert starts == [i * stride for i in range(len(rows))]
+    assert starts[-1] < n_tokens  # no empty trailing chunk
+    covered = set()
+    for r in rows:
+        assert 0 <= r["tok_start"] < r["tok_end"] <= n_tokens
+        assert r["tok_end"] - r["tok_start"] <= size
+        covered.update(range(r["tok_start"], r["tok_end"]))
+    assert covered == set(range(n_tokens))

@@ -165,3 +165,62 @@ def subgroup_ic(
         F.corr(F.col(factor), F.col(fwd_ret)).alias("ic"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def event_study(
+    df,
+    event_col,
+    horizon: int = 5,
+    symbol: str = "symbol",
+    t: str = "t",
+    price: str = "close",
+):
+    """Event-study CAR inputs: the average simple return at each offset in
+    [−horizon, +horizon] around event bars (rows where ``event_col`` is
+    true), per symbol — the abnormal-returns staple of factor research.
+
+    Distributed shape: per-bar returns are one window pass; event bars
+    explode into 2·horizon+1 (symbol, t₀+offset) probes that equi-join the
+    return frame — a bounded fan-out, no self-join of the full bar stream,
+    no cartesian. Returns (symbol, offset, n_events, avg_ret) with the
+    average micro-unit-exact (integer sums / count)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(symbol).orderBy(t)
+    r = (
+        df.select(symbol, t, F.col(price).cast("double").alias("_px"),
+                  F.col(event_col).alias("_ev"))
+        .withColumn("_prev", F.lag("_px").over(w))
+        .withColumn(
+            "_ret_m",
+            F.floor(
+                (F.col("_px") / F.col("_prev") - 1.0) * F.lit(1000000.0) + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    probes = (
+        r.where(F.col("_ev"))
+        .select(
+            F.col(symbol).alias("_s"),
+            F.col(t).alias("_t0"),
+            F.explode(
+                F.sequence(F.lit(-horizon), F.lit(horizon))
+            ).alias("offset"),
+        )
+        .select("_s", "offset", (F.col("_t0") + F.col("offset")).alias("_tt"))
+    )
+    joined = probes.join(
+        r.where(F.col("_ret_m").isNotNull()).select(
+            F.col(symbol).alias("_s"), F.col(t).alias("_tt"), "_ret_m"
+        ),
+        ["_s", "_tt"],
+    )
+    return (
+        joined.groupBy(F.col("_s").alias(symbol), "offset")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (
+                F.sum("_ret_m").cast("double") / 1e6 / F.count(F.lit(1))
+            ).alias("avg_ret"),
+        )
+    )

@@ -3679,3 +3679,57 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "path")
         .limit(15)
     )
+
+
+@q(
+    "factor_event_study",
+    BARS_CTE
+    + """,
+p90 AS (
+  SELECT symbol, quantile_cont(volume, 0.9) AS q FROM bars GROUP BY symbol
+),
+r AS MATERIALIZED (
+  SELECT b.symbol, b.t,
+         CASE WHEN prev IS NOT NULL
+              THEN CAST(FLOOR((close / prev - 1.0) * 1000000.0 + 0.5) AS BIGINT) END AS ret_m,
+         b.volume >= p.q AS ev
+  FROM (
+    SELECT symbol, t, close, volume,
+           LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS prev
+    FROM bars
+  ) b JOIN p90 p ON p.symbol = b.symbol
+),
+probes AS (
+  SELECT symbol, t + off AS tt, off
+  FROM (SELECT symbol, t, UNNEST(range(-5, 6)) AS off FROM r WHERE ev)
+)
+SELECT p.symbol, CAST(p.off AS INTEGER) AS "offset", COUNT(*) AS n_events,
+       ROUND(CAST(SUM(r.ret_m) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_ret
+FROM probes p JOIN r ON r.symbol = p.symbol AND r.t = p.tt
+WHERE r.ret_m IS NOT NULL
+GROUP BY p.symbol, p.off
+ORDER BY p.symbol, "offset"
+""",
+)
+def factor_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event study around volume spikes (per-symbol p90 volume marks the
+    event bars): average simple return at each offset in [−5, +5] —
+    the abnormal-returns CAR input. Bounded probe fan-out + equi-join;
+    never a self-join of the full bar stream (operators/factor.py
+    event_study)."""
+    from polars_quant_spark.operators.factor import event_study
+
+    b = bars(spark, sf_dir).select("symbol", "t", "close", "volume")
+    p90 = b.groupBy(F.col("symbol").alias("_s")).agg(
+        F.expr("percentile(volume, 0.9)").alias("_q")
+    )
+    flagged = b.join(F.broadcast(p90), b.symbol == F.col("_s")).withColumn(
+        "_ev", F.col("volume") >= F.col("_q")
+    )
+    out = event_study(flagged, "_ev", horizon=5)
+    return out.select(
+        "symbol",
+        F.col("offset").cast("int").alias("offset"),
+        "n_events",
+        r6(F.col("avg_ret")).alias("avg_ret"),
+    ).orderBy("symbol", "offset")

@@ -151,12 +151,39 @@ def main() -> None:
     def _bpe(spark_, sf_dir):
         return text.bpe_merges(load_table(spark_, sf_dir, "documents"), rounds=3)
 
+    def _rebalance(spark_, sf_dir):
+        from polars_quant_spark.backtest.rebalance import rebalance_backtest
+        from polars_quant_spark.sources.bars import bars
+
+        b = bars(spark_, sf_dir)
+        syms = ["click", "error", "purchase", "signup", "view"]
+        return rebalance_backtest(b, {s: 0.2 for s in syms}, every=21)
+
+    def _bootstrap(spark_, sf_dir):
+        from polars_quant_spark.backtest.bootstrap import bootstrap_bands
+        from polars_quant_spark.sources.bars import bars
+
+        return bootstrap_bands(bars(spark_, sf_dir), paths=64, block=16)
+
+    def _sweep(spark_, sf_dir):
+        from polars_quant_spark.backtest.sweep import parameter_sweep
+        from polars_quant_spark.backtest.vectorized import BacktestParams
+        from polars_quant_spark.sources.bars import bars
+
+        return parameter_sweep(
+            bars(spark_, sf_dir), [(5, 20), (10, 30), (8, 40), (20, 60)],
+            params=BacktestParams(),
+        )
+
     EXTRA = {
         "packing": _packing,
         "token_freq": _token_freq,
         "contamination": _contamination,
         "chunking": _chunking,
         "bpe_merges": _bpe,
+        "rebalance": _rebalance,
+        "bootstrap": _bootstrap,
+        "param_sweep": _sweep,
     }
 
     subset = [
@@ -175,6 +202,9 @@ def main() -> None:
         "contamination",
         "chunking",
         "bpe_merges",
+        "rebalance",
+        "bootstrap",
+        "param_sweep",
     ]
 
     def best2(fn, sf_dir: str) -> float:

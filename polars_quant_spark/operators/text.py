@@ -739,8 +739,12 @@ def chunk_documents(
     so the layout is engine-exact."""
     if stride <= 0 or size <= 0 or stride > size:
         raise ValueError("need 0 < stride <= size")
+    from polars_quant_spark.functions._util import widen
+
     toks = tokens(text)
-    base = df.select(
+    # widen() first: a single-row-group corpus file is ONE scan task and
+    # would serialize the tokenize+slice explode (SCALE.md narrow-scans)
+    base = widen(df).select(
         F.col(id_col).alias("_id"), toks.alias("_toks"), F.size(toks).alias("_n")
     ).where(F.col("_n") > 0)
     # last start index = stride * floor((n-1)/stride)  (ints; engine-exact)

@@ -1754,3 +1754,83 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6((F.col("value") - F.col("_mu")) / F.col("_sd")).alias("z"),
         )
     )
+
+
+@q(
+    "bars_rolling_beta",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+rr AS (SELECT symbol, t, qr FROM r WHERE qr IS NOT NULL),
+mkt AS (
+  SELECT t,
+         CAST(FLOOR(CAST(SUM(qr) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS qm
+  FROM rr GROUP BY t
+),
+j AS (
+  SELECT rr.symbol, rr.t, rr.qr, mkt.qm FROM rr JOIN mkt ON mkt.t = rr.t
+),
+win AS (
+  SELECT symbol, t,
+         COUNT(*) OVER w AS n,
+         SUM(qr * qm) OVER w AS s_am,
+         SUM(qr) OVER w AS s_a,
+         SUM(qm) OVER w AS s_m,
+         SUM(qm * qm) OVER w AS s_mm
+  FROM j
+  WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, t,
+       ROUND((CAST(s_am AS DOUBLE) / 1000000000000.0
+              - (CAST(s_a AS DOUBLE) / 1000000.0) * (CAST(s_m AS DOUBLE) / 1000000.0) / n)
+             / (CAST(s_mm AS DOUBLE) / 1000000000000.0
+              - (CAST(s_m AS DOUBLE) / 1000000.0) * (CAST(s_m AS DOUBLE) / 1000000.0) / n), 6) AS beta
+FROM win
+WHERE n = 60
+  AND (CAST(s_mm AS DOUBLE) / 1000000000000.0
+       - (CAST(s_m AS DOUBLE) / 1000000.0) * (CAST(s_m AS DOUBLE) / 1000000.0) / n) > 0
+""",
+)
+def bars_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 60-bar beta of each symbol against the equal-weight market
+    return — the time-varying systematic-exposure measure. Returns and the
+    market return are micro-quantized BEFORE the moment sums, so every
+    window sum is an integer (association-free) and the beta ratio is one
+    identical double expression on both engines. Two exchanges: the
+    per-t market agg, then the per-symbol window."""
+    b = bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("t")
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    rr = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    mkt = rr.groupBy("t").agg(
+        F.floor(F.sum("qr").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("qm")
+    )
+    j = rr.join(mkt, "t")
+    wf = Window.partitionBy("symbol").orderBy("t").rowsBetween(-59, 0)
+    n = F.count(F.lit(1)).over(wf)
+    s_am = F.sum(F.col("qr") * F.col("qm")).over(wf)
+    s_a = F.sum("qr").over(wf)
+    s_m = F.sum("qm").over(wf)
+    s_mm = F.sum(F.col("qm") * F.col("qm")).over(wf)
+    cov = (
+        s_am.cast("double") / 1e12
+        - (s_a.cast("double") / 1e6) * (s_m.cast("double") / 1e6) / n
+    )
+    var = (
+        s_mm.cast("double") / 1e12
+        - (s_m.cast("double") / 1e6) * (s_m.cast("double") / 1e6) / n
+    )
+    return (
+        j.select("symbol", "t", n.alias("_n"), cov.alias("_c"), var.alias("_v"))
+        .where((F.col("_n") == 60) & (F.col("_v") > 0))
+        .select("symbol", "t", r6(F.col("_c") / F.col("_v")).alias("beta"))
+    )

@@ -1834,3 +1834,58 @@ def bars_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("_n") == 60) & (F.col("_v") > 0))
         .select("symbol", "t", r6(F.col("_c") / F.col("_v")).alias("beta"))
     )
+
+
+@q(
+    "ind_mtf_sma",
+    BARS_CTE
+    + """,
+htf AS (
+  SELECT symbol, (t - 1) // 5 AS bucket, arg_max(close, t) AS hclose
+  FROM bars GROUP BY symbol, (t - 1) // 5
+  HAVING COUNT(*) = 5
+),
+hsma AS (
+  SELECT symbol, bucket,
+         CASE WHEN COUNT(hclose) OVER w = 10 THEN AVG(hclose) OVER w END AS htf_sma
+  FROM htf
+  WINDOW w AS (PARTITION BY symbol ORDER BY bucket ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+)
+SELECT b.symbol, b.t, ROUND(b.close, 6) AS close, ROUND(h.htf_sma, 6) AS htf_sma
+FROM bars b
+JOIN hsma h ON h.symbol = b.symbol AND h.bucket = (b.t // 5) - 1
+WHERE h.htf_sma IS NOT NULL
+""",
+)
+def ind_mtf_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-timeframe confirmation: the 10-period SMA of COMPLETED 5-bar
+    higher-timeframe closes, attached to every base bar — the classic
+    'trade the 1m chart, confirm on the 5m' workflow. Because buckets are
+    a regular grid, the as-of lookup collapses to integer arithmetic
+    (last completed bucket = t div 5 − 1) and the attach is a plain
+    equi-join — deterministic and cheaper than a generic as-of at any
+    scale. Lookahead-safe by construction: a bucket only joins to bars at
+    or after its closing bar."""
+    b = bars(spark, sf_dir)
+    htf = (
+        b.groupBy("symbol", F.expr("(t - 1) div 5").alias("bucket"))
+        .agg(F.max_by("close", "t").alias("hclose"), F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") == 5)
+    )
+    w = Window.partitionBy("symbol").orderBy("bucket").rowsBetween(-9, 0)
+    hsma = htf.select(
+        F.col("symbol").alias("_s"),
+        "bucket",
+        F.when(
+            F.count("hclose").over(w) == 10, F.avg("hclose").over(w)
+        ).alias("htf_sma"),
+    )
+    return (
+        b.join(
+            hsma,
+            (b.symbol == F.col("_s"))
+            & (F.col("bucket") == (F.col("t") / 5).cast("int") - 1),
+        )
+        .where(F.col("htf_sma").isNotNull())
+        .select("symbol", "t", r6(F.col("close")).alias("close"), r6(F.col("htf_sma")).alias("htf_sma"))
+    )

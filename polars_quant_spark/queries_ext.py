@@ -1889,3 +1889,181 @@ def ind_mtf_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("htf_sma").isNotNull())
         .select("symbol", "t", r6(F.col("close")).alias("close"), r6(F.col("htf_sma")).alias("htf_sma"))
     )
+
+
+@q(
+    "bars_amihud_illiq",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol, t,
+         ABS(close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0) AS aret,
+         close * volume AS dvol
+  FROM bars
+),
+q AS (
+  SELECT symbol, t,
+         CASE WHEN dvol > 0
+              THEN CAST(FLOOR(aret / dvol * 1000000000000.0 + 0.5) AS BIGINT) END AS illiq_p
+  FROM r WHERE aret IS NOT NULL
+)
+SELECT symbol, t,
+       ROUND(CAST(SUM(illiq_p) OVER w AS DOUBLE) / 1000000000000.0
+             / COUNT(illiq_p) OVER w, 6) AS amihud_20
+FROM q
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+QUALIFY COUNT(illiq_p) OVER w = 20
+""",
+)
+def bars_amihud_illiq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Amihud illiquidity (trailing-20 mean of |return| per unit of dollar
+    volume) — the standard price-impact proxy. Per-bar ratios quantize to
+    pico-units before the window sum, so the rolling mean is
+    association-free on both engines."""
+    b = bars(spark, sf_dir)
+    w = Window.partitionBy("symbol").orderBy("t")
+    aret = F.abs(F.col("close") / F.lag("close").over(w) - F.lit(1.0))
+    dvol = F.col("close") * F.col("volume")
+    q = (
+        b.select("symbol", "t", aret.alias("_ar"), dvol.alias("_dv"))
+        .where(F.col("_ar").isNotNull())
+        .select(
+            "symbol",
+            "t",
+            F.when(
+                F.col("_dv") > 0,
+                F.floor(F.col("_ar") / F.col("_dv") * 1e12 + F.lit(0.5)).cast("long"),
+            ).alias("illiq_p"),
+        )
+    )
+    wf = Window.partitionBy("symbol").orderBy("t").rowsBetween(-19, 0)
+    n = F.count("illiq_p").over(wf)
+    return (
+        q.select(
+            "symbol",
+            "t",
+            n.alias("_n"),
+            (F.sum("illiq_p").over(wf).cast("double") / 1e12 / n).alias("_a"),
+        )
+        .where(F.col("_n") == 20)
+        .select("symbol", "t", r6(F.col("_a")).alias("amihud_20"))
+    )
+
+
+@q(
+    "bars_pairs_spread",
+    BARS_CTE
+    + """,
+pxq AS (
+  SELECT t,
+         CAST(FLOOR(MAX(CASE WHEN symbol = 'click' THEN close END) * 1000000.0 + 0.5) AS BIGINT) AS qa,
+         CAST(FLOOR(MAX(CASE WHEN symbol = 'view' THEN close END) * 1000000.0 + 0.5) AS BIGINT) AS qb
+  FROM bars WHERE symbol IN ('click', 'view') GROUP BY t
+  HAVING COUNT(DISTINCT symbol) = 2
+),
+mom AS (
+  SELECT t, qa, qb,
+         COUNT(*) OVER w AS n,
+         SUM(qa * qb) OVER w AS s_ab,
+         SUM(qa) OVER w AS s_a,
+         SUM(qb) OVER w AS s_b,
+         SUM(qb * qb) OVER w AS s_bb
+  FROM pxq
+  WINDOW w AS (ORDER BY t ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+),
+hedge AS (
+  SELECT t, qa, qb, n,
+         (CAST(s_ab AS DOUBLE) / 1000000000000.0
+          - (CAST(s_a AS DOUBLE) / 1000000.0) * (CAST(s_b AS DOUBLE) / 1000000.0) / n)
+         / (CAST(s_bb AS DOUBLE) / 1000000000000.0
+          - (CAST(s_b AS DOUBLE) / 1000000.0) * (CAST(s_b AS DOUBLE) / 1000000.0) / n) AS h
+  FROM mom
+  WHERE n = 60
+    AND (CAST(s_bb AS DOUBLE) / 1000000000000.0
+         - (CAST(s_b AS DOUBLE) / 1000000.0) * (CAST(s_b AS DOUBLE) / 1000000.0) / n) > 0
+),
+spread AS (
+  SELECT t,
+         CAST(FLOOR((CAST(qa AS DOUBLE) / 1000000.0
+                     - h * (CAST(qb AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5) AS BIGINT) AS sq
+  FROM hedge
+),
+z AS (
+  SELECT t, sq,
+         COUNT(*) OVER w2 AS zn,
+         AVG(CAST(sq AS DOUBLE)) OVER w2 AS mu,
+         STDDEV_POP(CAST(sq AS DOUBLE)) OVER w2 AS sd
+  FROM spread
+  WINDOW w2 AS (ORDER BY t ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT t, ROUND(CAST(sq AS DOUBLE) / 1000000.0, 6) AS spread,
+       ROUND((CAST(sq AS DOUBLE) - mu) / sd, 6) AS z
+FROM z
+WHERE zn = 60 AND sd > 0
+""",
+)
+def bars_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs-trading spread monitor for (click, view): rolling 60-bar OLS
+    hedge ratio (price-on-price, integer moment sums), the hedged spread
+    a − h·b, and its rolling z-score — the stat-arb entry signal. The
+    whole chain is two single-partition windows over the aligned pair
+    frame (two symbols → tiny); the heavy work (bar alignment) is one
+    groupBy(t). Spread values re-quantize before the z window so the
+    mean/σ inputs are engine-exact."""
+    b = bars(spark, sf_dir).where(F.col("symbol").isin("click", "view"))
+    qa = F.floor(
+        F.max(F.when(F.col("symbol") == "click", F.col("close"))) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    qb = F.floor(
+        F.max(F.when(F.col("symbol") == "view", F.col("close"))) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    pxq = (
+        b.groupBy("t")
+        .agg(qa.alias("qa"), qb.alias("qb"), F.countDistinct("symbol").alias("_ns"))
+        .where(F.col("_ns") == 2)
+    )
+    w = Window.orderBy("t").rowsBetween(-59, 0)
+    n = F.count(F.lit(1)).over(w)
+    s_ab = F.sum(F.col("qa") * F.col("qb")).over(w)
+    s_a = F.sum("qa").over(w)
+    s_b = F.sum("qb").over(w)
+    s_bb = F.sum(F.col("qb") * F.col("qb")).over(w)
+    cov = s_ab.cast("double") / 1e12 - (s_a.cast("double") / 1e6) * (
+        s_b.cast("double") / 1e6
+    ) / n
+    var = s_bb.cast("double") / 1e12 - (s_b.cast("double") / 1e6) * (
+        s_b.cast("double") / 1e6
+    ) / n
+    hedge = (
+        pxq.select("t", "qa", "qb", n.alias("_n"), cov.alias("_c"), var.alias("_v"))
+        .where((F.col("_n") == 60) & (F.col("_v") > 0))
+        .select("t", "qa", "qb", (F.col("_c") / F.col("_v")).alias("h"))
+    )
+    sq = F.floor(
+        (
+            F.col("qa").cast("double") / 1e6
+            - F.col("h") * (F.col("qb").cast("double") / 1e6)
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    spread = hedge.select("t", sq.alias("sq"))
+    w2 = Window.orderBy("t").rowsBetween(-59, 0)
+    zn = F.count(F.lit(1)).over(w2)
+    mu = F.avg(F.col("sq").cast("double")).over(w2)
+    sd = F.stddev_pop(F.col("sq").cast("double")).over(w2)
+    return (
+        spread.select(
+            "t",
+            F.col("sq"),
+            zn.alias("_zn"),
+            mu.alias("_mu"),
+            sd.alias("_sd"),
+        )
+        .where((F.col("_zn") == 60) & (F.col("_sd") > 0))
+        .select(
+            "t",
+            r6(F.col("sq").cast("double") / 1e6).alias("spread"),
+            r6((F.col("sq").cast("double") - F.col("_mu")) / F.col("_sd")).alias("z"),
+        )
+    )

@@ -3733,3 +3733,88 @@ def factor_event_study(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         r6(F.col("avg_ret")).alias("avg_ret"),
     ).orderBy("symbol", "offset")
+
+
+@q(
+    "doc_lang_confusion",
+    f"""
+WITH counts AS (
+  SELECT lang,
+         len(list_filter({_TOKS}, t -> list_contains({_SW_SQL['de']}, t))) AS n_de,
+         len(list_filter({_TOKS}, t -> list_contains({_SW_SQL['en']}, t))) AS n_en,
+         len(list_filter({_TOKS}, t -> list_contains({_SW_SQL['es']}, t))) AS n_es,
+         len(list_filter({_TOKS}, t -> list_contains({_SW_SQL['fr']}, t))) AS n_fr
+  FROM documents
+),
+fold2 AS (
+  SELECT lang, n_es, n_fr,
+         CASE WHEN n_en > n_de THEN n_en ELSE n_de END AS bn2,
+         CASE WHEN n_en > n_de THEN 'en' ELSE 'de' END AS bl2
+  FROM counts
+),
+fold3 AS (
+  SELECT lang, n_fr,
+         CASE WHEN n_es > bn2 THEN n_es ELSE bn2 END AS bn3,
+         CASE WHEN n_es > bn2 THEN 'es' ELSE bl2 END AS bl3
+  FROM fold2
+),
+fold4 AS (
+  SELECT lang,
+         CASE WHEN n_fr > bn3 THEN n_fr ELSE bn3 END AS bn4,
+         CASE WHEN n_fr > bn3 THEN 'fr' ELSE bl3 END AS bl4
+  FROM fold3
+)
+SELECT lang, CASE WHEN bn4 > 0 THEN bl4 ELSE 'und' END AS lang_pred, COUNT(*) AS n
+FROM fold4
+GROUP BY 1, 2
+ORDER BY lang, lang_pred
+""",
+)
+def doc_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the table's labeled lang vs the
+    detector's prediction — the eval a curator runs before trusting
+    lang-based filtering. One tokenize pass, one tiny groupBy."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    return (
+        docs.select("lang", text.detect_language("text").alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+@q(
+    "doc_source_entropy",
+    """
+WITH c AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+tot AS (SELECT SUM(n) AS total FROM c),
+terms AS (
+  SELECT CAST(FLOOR(-(CAST(n AS DOUBLE) / total) * LN(CAST(n AS DOUBLE) / total)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS e_n
+  FROM c CROSS JOIN tot
+)
+SELECT ROUND(CAST(SUM(e_n) AS DOUBLE) / 1000000000.0, 6) AS entropy_nats,
+       COUNT(*) AS n_sources
+FROM terms
+""",
+)
+def doc_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix entropy (nats) — the corpus-diversity scalar tracked
+    across pipeline runs (a collapsing mix shows up as falling entropy
+    before it shows up in model evals). Per-source −p·ln p terms quantize
+    to nano-units before the sum, so the total is association-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.agg(F.sum("n").alias("total"))
+    p = F.col("n").cast("double") / F.col("total")
+    term = F.floor(-p * F.log(p) * F.lit(1e9) + F.lit(0.5)).cast("long")
+    return (
+        c.join(F.broadcast(tot))
+        .select(term.alias("e_n"))
+        .agg(
+            r6(F.sum("e_n").cast("double") / 1e9).alias("entropy_nats"),
+            F.count(F.lit(1)).alias("n_sources"),
+        )
+    )

@@ -2067,3 +2067,46 @@ def bars_pairs_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6((F.col("sq").cast("double") - F.col("_mu")) / F.col("_sd")).alias("z"),
         )
     )
+
+
+# EWMA volatility: EMA(20) of squared returns, annualization left to the
+# caller — composes the recurrence runner over a DERIVED column (the runner
+# doesn't care that "r2" came from a window expression upstream).
+_EWMA_VOL_SRC = """
+r2src AS (
+  SELECT symbol, t,
+         POWER(close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0, 2) AS r2
+  FROM bars
+)"""
+
+ORACLES_EWMA_VOL = (
+    recursive_with(
+        _EWMA_VOL_SRC + "," + ema_ctes("ev", "r2src", "r2", 20)
+    )
+    + """
+SELECT symbol, t, ROUND(sqrt(ev), 6) AS ewma_vol_20
+FROM ev WHERE ev >= 0
+"""
+)
+
+
+def ind_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA volatility (RiskMetrics-style): the SMA-seeded EMA(20) of
+    squared returns, square-rooted — running through the SAME recurrence
+    runner as the price EMAs, just over a derived column (one extra window
+    upstream, still one applyInPandas pass)."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    r2 = F.pow(F.col("close") / F.lag("close").over(w) - F.lit(1.0), F.lit(2.0))
+    src = b.select("symbol", "t", r2.alias("r2"))
+    out = with_recurrences(
+        src.where(F.col("r2").isNotNull()),
+        [Rec("ev", "ema", ["r2"], {"p": 20})],
+    )
+    return out.where(F.col("ev") >= 0).select(
+        "symbol", "t", r6(F.sqrt(F.col("ev"))).alias("ewma_vol_20")
+    )
+
+
+QUERIES["ind_ewma_vol"] = ind_ewma_vol
+ORACLES["ind_ewma_vol"] = ORACLES_EWMA_VOL

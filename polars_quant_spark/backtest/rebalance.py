@@ -50,13 +50,18 @@ def rebalance_schedule(
     initial_capital: float = 100_000.0,
     symbol: str = "symbol",
     price: str = "close",
+    cost_bps: float = 0.0,
 ) -> DataFrame:
     """Fold the sampled (rb, symbol, price) matrix into the holdings
     schedule: at each rebalance point, portfolio value is marked to the
     point's prices and shares are re-targeted to floor(value·w/price);
-    the integer-share remainder stays in cash. One bounded pandas group."""
+    the integer-share remainder stays in cash. ``cost_bps`` charges
+    turnover — Σ|Δshares|·price · bps/10⁴ — against cash AFTER the
+    re-target (costs don't feed back into the same point's sizing; the
+    next rebalance sees the reduced value). One bounded pandas group."""
     syms = sorted(weights)
     w = [float(weights[s]) for s in syms]
+    rate = float(cost_bps) / 10000.0
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["rb", symbol], kind="mergesort")
@@ -69,10 +74,14 @@ def rebalance_schedule(
             for s in syms:  # ordered adds — the SQL twin's exact chain
                 value += shares[s] * px[s]
             spent = 0.0
+            turn = 0.0
+            prev = dict(shares)
             for i, s in enumerate(syms):
                 shares[s] = float(floor((value * w[i]) / px[s]))
                 spent += shares[s] * px[s]
-            cash = value - spent
+            for s in syms:
+                turn += abs(shares[s] - prev[s]) * px[s]
+            cash = value - spent - turn * rate
             for s in syms:
                 out.append((int(rb), s, shares[s], cash))
         return pd.DataFrame(out, columns=["rb", "symbol", "shares", "cash"])
@@ -94,6 +103,7 @@ def rebalance_backtest(
     symbol: str = "symbol",
     t: str = "t",
     price: str = "close",
+    cost_bps: float = 0.0,
 ) -> DataFrame:
     """Periodic fixed-weight rebalancing over a keyed bar frame whose ``t``
     is a dense per-symbol 1-based bar index (the bars() contract). Returns
@@ -109,7 +119,8 @@ def rebalance_backtest(
     rb = ((F.col(t) - 1) / every).cast("long").alias("rb")
     sampled = b.where((F.col(t) - 1) % every == 0).select(rb, symbol, price)
     sched = rebalance_schedule(
-        sampled, weights, initial_capital, symbol=symbol, price=price
+        sampled, weights, initial_capital, symbol=symbol, price=price,
+        cost_bps=cost_bps,
     )
     mic = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")  # noqa: E731
     joined = b.withColumn("rb", rb).join(F.broadcast(sched), ["rb", symbol])

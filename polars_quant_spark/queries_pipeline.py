@@ -3818,3 +3818,96 @@ def doc_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_sources"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# cost-aware rebalancing — turnover charged at each rebalance point
+# ---------------------------------------------------------------------------
+
+_RBC_RATE = repr(10.0 / 10000.0)  # 10 bps, inlined identically on both engines
+_RBC_TURN_SEED = " + ".join(f"h{i} * p{i}" for i in range(5))  # prev shares = 0
+_RBC_TURN = " + ".join(f"ABS(h{i} - f.h{i}) * p{i}" for i in range(5))
+
+_RBC_FOLD = f"""
+nm AS (
+  SELECT MIN(n) AS nmin FROM (SELECT symbol, MAX(t) AS n FROM bars GROUP BY symbol)
+),
+px AS MATERIALIZED (
+  SELECT t,
+{_RB_PX_COLS}
+  FROM bars CROSS JOIN nm WHERE t <= nmin GROUP BY t
+),
+rbp AS MATERIALIZED (
+  SELECT (t - 1) // {_RB_EVERY} AS rb, p0, p1, p2, p3, p4
+  FROM px WHERE (t - 1) % {_RB_EVERY} = 0
+),
+fold AS (
+  SELECT rb, value - ({_RB_SPENT}) - ({_RBC_TURN_SEED}) * {_RBC_RATE} AS cash,
+         h0, h1, h2, h3, h4
+  FROM (
+    SELECT rb, value,
+           FLOOR((value * {_RB_W}) / p0) AS h0,
+           FLOOR((value * {_RB_W}) / p1) AS h1,
+           FLOOR((value * {_RB_W}) / p2) AS h2,
+           FLOOR((value * {_RB_W}) / p3) AS h3,
+           FLOOR((value * {_RB_W}) / p4) AS h4,
+           p0, p1, p2, p3, p4
+    FROM (SELECT rb, 100000.0 AS value, p0, p1, p2, p3, p4 FROM rbp WHERE rb = 0)
+  )
+  UNION ALL
+  SELECT rb, value - ({_RB_SPENT}) - ({_RBC_TURN}) * {_RBC_RATE} AS cash,
+         h0, h1, h2, h3, h4
+  FROM (
+    SELECT x.rb, x.value,
+           FLOOR((x.value * {_RB_W}) / x.p0) AS h0,
+           FLOOR((x.value * {_RB_W}) / x.p1) AS h1,
+           FLOOR((x.value * {_RB_W}) / x.p2) AS h2,
+           FLOOR((x.value * {_RB_W}) / x.p3) AS h3,
+           FLOOR((x.value * {_RB_W}) / x.p4) AS h4,
+           x.p0 AS p0, x.p1 AS p1, x.p2 AS p2, x.p3 AS p3, x.p4 AS p4,
+           x.f_h0 AS fh0, x.f_h1 AS fh1, x.f_h2 AS fh2, x.f_h3 AS fh3, x.f_h4 AS fh4
+    FROM (
+      SELECT r.rb, f.cash + {_RB_VAL} AS value,
+             r.p0, r.p1, r.p2, r.p3, r.p4,
+             f.h0 AS f_h0, f.h1 AS f_h1, f.h2 AS f_h2, f.h3 AS f_h3, f.h4 AS f_h4
+      FROM fold f JOIN rbp r ON r.rb = f.rb + 1
+    ) x
+  ) f
+)"""
+# NOTE: the recursive arm's turnover references f.h{i} = PREVIOUS shares,
+# carried through the nested projection as fh{i}; rewrite the ABS chain:
+_RBC_FOLD = _RBC_FOLD.replace(_RBC_TURN, " + ".join(f"ABS(h{i} - fh{i}) * p{i}" for i in range(5)))
+
+
+def _bt_rebalance_cost_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-weight rebalancing with 10 bps turnover cost charged at each
+    rebalance point (Σ|Δshares|·price · rate, deducted from cash after
+    re-targeting). Same interval-constant-holdings decomposition."""
+    from polars_quant_spark.backtest.rebalance import rebalance_backtest
+
+    b = bars(spark, sf_dir)
+    out = rebalance_backtest(
+        b,
+        {s: 0.2 for s in _RB_SYMS},
+        every=_RB_EVERY,
+        initial_capital=100_000.0,
+        cost_bps=10.0,
+    )
+    return out.select(
+        F.col("t"),
+        r6(F.col("cash")).alias("cash"),
+        r6(F.col("equity")).alias("equity"),
+    )
+
+
+QUERIES["bt_rebalance_cost_curve"] = _bt_rebalance_cost_query
+ORACLES["bt_rebalance_cost_curve"] = (
+    recursive_with(_RBC_FOLD)
+    + f"""
+SELECT px.t,
+       ROUND(CAST(CAST(FLOOR(f.cash * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS cash,
+       ROUND(CAST(CAST(FLOOR(f.cash * 1000000.0 + 0.5) AS BIGINT)
+                  + {_RB_HOLD_M} AS DOUBLE) / 1000000.0, 6) AS equity
+FROM px JOIN fold f ON f.rb = (px.t - 1) // {_RB_EVERY}
+"""
+)

@@ -441,3 +441,31 @@ def test_parameter_sweep_and_best_params(spark, sf_dir):
             (x["final_equity"] for x in rows if x["symbol"] == sym)
         )
         assert r["final_equity"] == m
+
+
+def test_rebalance_cost_hand_case(spark):
+    """10000 bps (100%) cost makes the charge visible at hand scale:
+    rb0 buys 50+25 shares (turnover = spent = 1000) → cash = 0 − 1000·1
+    = −1000 at rate 1.0; with 100 bps: cash = 0 − 10."""
+    import pandas as pd
+
+    from polars_quant_spark.backtest.rebalance import rebalance_backtest
+
+    pdf = pd.DataFrame(
+        {
+            "symbol": ["a"] * 2 + ["b"] * 2,
+            "t": [1, 2] * 2,
+            "close": [10.0, 12.0, 20.0, 18.0],
+        }
+    )
+    out = {
+        r["t"]: (r["cash"], r["equity"])
+        for r in rebalance_backtest(
+            spark.createDataFrame(pdf), {"a": 0.5, "b": 0.5}, every=2,
+            initial_capital=1000.0, cost_bps=100.0,
+        ).collect()
+    }
+    # ha=50, hb=25, spent=1000, turnover=1000, cost=1000*0.01=10
+    assert out[1] == (-10.0, 990.0)
+    # t=2: equity = -10 + 50*12 + 25*18 = 1040
+    assert out[2] == (-10.0, 1040.0)

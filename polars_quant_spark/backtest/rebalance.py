@@ -51,6 +51,7 @@ def rebalance_schedule(
     symbol: str = "symbol",
     price: str = "close",
     cost_bps: float = 0.0,
+    score: str | None = None,
 ) -> DataFrame:
     """Fold the sampled (rb, symbol, price) matrix into the holdings
     schedule: at each rebalance point, portfolio value is marked to the
@@ -58,38 +59,53 @@ def rebalance_schedule(
     the integer-share remainder stays in cash. ``cost_bps`` charges
     turnover — Σ|Δshares|·price · bps/10⁴ — against cash AFTER the
     re-target (costs don't feed back into the same point's sizing; the
-    next rebalance sees the reduced value). One bounded pandas group."""
-    syms = sorted(weights)
-    w = [float(weights[s]) for s in syms]
+    next rebalance sees the reduced value). One bounded pandas group.
+
+    ``score``: name of a per-(rb, symbol) column in ``sampled`` holding a
+    raw allocation score (e.g. inverse vol); weights become
+    score/Σscores per point (ordered sum — the twin's exact chain) and
+    ``weights`` is ignored for sizing (its KEYS still fix the universe
+    when provided)."""
+    syms = sorted(weights) if weights is not None else None
+    w = [float(weights[s]) for s in syms] if weights is not None else None
     rate = float(cost_bps) / 10000.0
+    dynamic = score is not None
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["rb", symbol], kind="mergesort")
-        shares = {s: 0.0 for s in syms}
+        ss = syms if syms is not None else sorted(pdf[symbol].unique())
+        shares = {s: 0.0 for s in ss}
         cash = initial_capital
         out = []
         for rb, g in pdf.groupby("rb", sort=True):
             px = dict(zip(g[symbol], g[price]))
             value = cash
-            for s in syms:  # ordered adds — the SQL twin's exact chain
+            for s in ss:  # ordered adds — the SQL twin's exact chain
                 value += shares[s] * px[s]
+            if dynamic:
+                sc = dict(zip(g[symbol], g[score]))
+                sumw = 0.0
+                for s in ss:
+                    sumw += sc[s]
             spent = 0.0
             turn = 0.0
             prev = dict(shares)
-            for i, s in enumerate(syms):
-                shares[s] = float(floor((value * w[i]) / px[s]))
+            for i, s in enumerate(ss):
+                wi = (sc[s] / sumw) if dynamic else w[i]
+                shares[s] = float(floor((value * wi) / px[s]))
                 spent += shares[s] * px[s]
-            for s in syms:
+            for s in ss:
                 turn += abs(shares[s] - prev[s]) * px[s]
             cash = value - spent - turn * rate
-            for s in syms:
+            for s in ss:
                 out.append((int(rb), s, shares[s], cash))
         return pd.DataFrame(out, columns=["rb", "symbol", "shares", "cash"])
 
+    cols = [F.col("rb"), F.col(symbol).alias("symbol"), F.col(price).alias(price)]
+    if dynamic:
+        cols.append(F.col(score).alias(score))
     return (
-        sampled.select(
-            F.col("rb"), F.col(symbol).alias("symbol"), F.col(price).alias(price)
-        )
+        sampled.select(*cols)
         .groupBy(F.lit(0).alias("_g"))
         .applyInPandas(lambda _, pdf: fold(pdf), schema=_SCHED_SCHEMA)
     )

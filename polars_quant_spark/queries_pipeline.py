@@ -3911,3 +3911,170 @@ SELECT px.t,
 FROM px JOIN fold f ON f.rb = (px.t - 1) // {_RB_EVERY}
 """
 )
+
+
+# ---------------------------------------------------------------------------
+# risk-parity rebalancing — inverse-vol weights computed in-engine per point
+# ---------------------------------------------------------------------------
+
+_RP_PX = ",\n".join(
+    f"         MAX(CASE WHEN symbol = '{s}' THEN close END) AS p{i}"
+    for i, s in enumerate(_RB_SYMS)
+)
+_RP_SC = ",\n".join(
+    f"         MAX(CASE WHEN symbol = '{s}' THEN sc END) AS sc{i}"
+    for i, s in enumerate(_RB_SYMS)
+)
+_RP_SUMW = " + ".join(f"sc{i}" for i in range(5))
+
+_RP_FOLD = f"""
+nm AS (
+  SELECT MIN(n) AS nmin FROM (SELECT symbol, MAX(t) AS n FROM bars GROUP BY symbol)
+),
+qret AS (
+  SELECT symbol, t, close,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+mom AS (
+  SELECT symbol, t, close,
+         COUNT(qr) OVER w AS n,
+         SUM(qr) OVER w AS s1,
+         SUM(qr * qr) OVER w AS s2
+  FROM qret
+  WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+),
+vol AS (
+  SELECT symbol, t, close,
+         sqrt(CAST(s2 AS DOUBLE) / 1000000000000.0 / n
+              - POWER(CAST(s1 AS DOUBLE) / 1000000.0 / n, 2)) AS sd
+  FROM mom WHERE n = 60
+),
+rbp AS MATERIALIZED (
+  SELECT (t - 1) // {_RB_EVERY} AS rb,
+{_RP_PX},
+{_RP_SC}
+  FROM (SELECT symbol, t, close, 1.0 / sd AS sc FROM vol, nm
+        WHERE sd > 0 AND t <= nmin AND (t - 1) % {_RB_EVERY} = 0)
+  GROUP BY 1 HAVING COUNT(*) = 5
+),
+r0 AS (SELECT MIN(rb) AS rb0 FROM rbp),
+fold AS (
+  SELECT rb, value - ({_RB_SPENT}) AS cash, h0, h1, h2, h3, h4
+  FROM (
+    SELECT rb, value,
+           FLOOR((value * (sc0 / ({_RP_SUMW}))) / p0) AS h0,
+           FLOOR((value * (sc1 / ({_RP_SUMW}))) / p1) AS h1,
+           FLOOR((value * (sc2 / ({_RP_SUMW}))) / p2) AS h2,
+           FLOOR((value * (sc3 / ({_RP_SUMW}))) / p3) AS h3,
+           FLOOR((value * (sc4 / ({_RP_SUMW}))) / p4) AS h4,
+           p0, p1, p2, p3, p4
+    FROM (SELECT rb, 100000.0 AS value, * EXCLUDE (rb) FROM rbp, r0 WHERE rb = rb0)
+  )
+  UNION ALL
+  SELECT rb, value - ({_RB_SPENT}) AS cash, h0, h1, h2, h3, h4
+  FROM (
+    SELECT rb, value,
+           FLOOR((value * (sc0 / ({_RP_SUMW}))) / p0) AS h0,
+           FLOOR((value * (sc1 / ({_RP_SUMW}))) / p1) AS h1,
+           FLOOR((value * (sc2 / ({_RP_SUMW}))) / p2) AS h2,
+           FLOOR((value * (sc3 / ({_RP_SUMW}))) / p3) AS h3,
+           FLOOR((value * (sc4 / ({_RP_SUMW}))) / p4) AS h4,
+           p0, p1, p2, p3, p4
+    FROM (
+      SELECT r.rb, f.cash + {_RB_VAL} AS value,
+             r.p0, r.p1, r.p2, r.p3, r.p4,
+             r.sc0, r.sc1, r.sc2, r.sc3, r.sc4
+      FROM fold f JOIN rbp r ON r.rb = f.rb + 1
+    )
+  )
+)"""
+
+
+def _bt_riskparity_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Risk-parity rebalancing: weights ∝ 1/σ(trailing-60 returns),
+    recomputed in-engine at every rebalance point — the vol-computation is
+    fully distributed (integer moment windows); only the bounded sampled
+    matrix reaches the fold. Curve starts at the first point where every
+    symbol has a full vol window."""
+    from polars_quant_spark.backtest.rebalance import rebalance_schedule
+
+    b = bars(spark, sf_dir).select("symbol", "t", "close")
+    nmin = b.groupBy("symbol").agg(F.max("t").alias("_n")).agg(
+        F.min("_n").alias("_nmin")
+    )
+    w = Window.partitionBy("symbol").orderBy("t")
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    q = b.select("symbol", "t", "close", qr.alias("qr"))
+    wf = Window.partitionBy("symbol").orderBy("t").rowsBetween(-59, 0)
+    n = F.count("qr").over(wf)
+    s1 = F.sum("qr").over(wf)
+    s2 = F.sum(F.col("qr") * F.col("qr")).over(wf)
+    sd = F.sqrt(
+        s2.cast("double") / 1e12 / n
+        - F.pow(s1.cast("double") / 1e6 / n, F.lit(2.0))
+    )
+    vol = q.select("symbol", "t", "close", n.alias("_n60"), sd.alias("_sd")).where(
+        F.col("_n60") == 60
+    )
+    eligible = (
+        vol.join(F.broadcast(nmin))
+        .where(
+            (F.col("_sd") > 0)
+            & (F.col("t") <= F.col("_nmin"))
+            & ((F.col("t") - 1) % _RB_EVERY == 0)
+        )
+        .select(
+            ((F.col("t") - 1) / _RB_EVERY).cast("long").alias("rb"),
+            "symbol",
+            "close",
+            (F.lit(1.0) / F.col("_sd")).alias("score"),
+        )
+    )
+    full = eligible.groupBy("rb").agg(F.count(F.lit(1)).alias("_c")).where(
+        F.col("_c") == 5
+    )
+    sampled = eligible.join(F.broadcast(full.select("rb")), "rb")
+    sched = rebalance_schedule(
+        sampled,
+        weights={s: 0.2 for s in _RB_SYMS},
+        initial_capital=100_000.0,
+        score="score",
+    )
+    mic = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")  # noqa: E731
+    base = b.join(F.broadcast(nmin)).where(F.col("t") <= F.col("_nmin")).withColumn(
+        "rb", ((F.col("t") - 1) / _RB_EVERY).cast("long")
+    )
+    joined = base.join(F.broadcast(sched), ["rb", "symbol"])
+    return (
+        joined.groupBy("t")
+        .agg(
+            F.max(mic(F.col("cash"))).alias("_cm"),
+            F.sum(mic(F.col("shares") * F.col("close"))).alias("_hm"),
+        )
+        .select(
+            "t",
+            r6(F.col("_cm").cast("double") / 1e6).alias("cash"),
+            r6((F.col("_cm") + F.col("_hm")).cast("double") / 1e6).alias("equity"),
+        )
+    )
+
+
+QUERIES["bt_riskparity_curve"] = _bt_riskparity_query
+ORACLES["bt_riskparity_curve"] = (
+    recursive_with(_RP_FOLD)
+    + f"""
+SELECT px_t AS t,
+       ROUND(CAST(CAST(FLOOR(f.cash * 1000000.0 + 0.5) AS BIGINT) AS DOUBLE) / 1000000.0, 6) AS cash,
+       ROUND(CAST(CAST(FLOOR(f.cash * 1000000.0 + 0.5) AS BIGINT)
+                  + {_RB_HOLD_M.replace('px.', 'pxx.')} AS DOUBLE) / 1000000.0, 6) AS equity
+FROM (
+  SELECT t AS px_t, (t - 1) // {_RB_EVERY} AS rb,
+{_RP_PX.replace('p0', 'p0').replace('         MAX', '         MAX')}
+  FROM bars CROSS JOIN nm WHERE t <= nmin GROUP BY 1, 2
+) pxx JOIN fold f ON f.rb = pxx.rb
+"""
+)

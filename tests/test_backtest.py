@@ -469,3 +469,33 @@ def test_rebalance_cost_hand_case(spark):
     assert out[1] == (-10.0, 990.0)
     # t=2: equity = -10 + 50*12 + 25*18 = 1040
     assert out[2] == (-10.0, 1040.0)
+
+
+def test_rebalance_dynamic_scores_weight_low_vol_higher(spark):
+    """With score columns supplied, the fold sizes by score/Σscores: a
+    score ratio of 3:1 puts ~75% of value into the high-score asset."""
+    import pandas as pd
+
+    from polars_quant_spark.backtest.rebalance import rebalance_schedule
+
+    sampled = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "rb": [0, 0],
+                "symbol": ["a", "b"],
+                "close": [10.0, 10.0],
+                "score": [3.0, 1.0],
+            }
+        )
+    )
+    rows = {
+        r["symbol"]: r
+        for r in rebalance_schedule(
+            sampled, weights={"a": 0.5, "b": 0.5}, initial_capital=1000.0,
+            score="score",
+        ).collect()
+    }
+    # a: floor(1000*0.75/10)=75 shares; b: floor(1000*0.25/10)=25
+    assert rows["a"]["shares"] == 75.0
+    assert rows["b"]["shares"] == 25.0
+    assert rows["a"]["cash"] == 0.0

@@ -2110,3 +2110,124 @@ def ind_ewma_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_ewma_vol"] = ind_ewma_vol
 ORACLES["ind_ewma_vol"] = ORACLES_EWMA_VOL
+
+
+@q(
+    "bars_hourly_seasonality",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol, ts_us,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+)
+SELECT symbol,
+       CAST((ts_us // 3600000000) % 24 AS INTEGER) AS hour_utc,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(qr) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_ret
+FROM r WHERE qr IS NOT NULL
+GROUP BY 1, 2
+ORDER BY symbol, hour_utc
+""",
+)
+def bars_hourly_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day return seasonality per symbol (UTC hours derived from
+    the exact µs axis — no timezone library in the loop): average
+    micro-quantized return per (symbol, hour). One window pass + one tiny
+    groupBy."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    return (
+        b.select(
+            "symbol",
+            ((F.col("ts_us") / 3_600_000_000).cast("long") % 24)
+            .cast("int")
+            .alias("hour_utc"),
+            qr.alias("qr"),
+        )
+        .where(F.col("qr").isNotNull())
+        .groupBy("symbol", "hour_utc")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            r6(F.sum("qr").cast("double") / 1e6 / F.count(F.lit(1))).alias("avg_ret"),
+        )
+        .orderBy("symbol", "hour_utc")
+    )
+
+
+@q(
+    "bars_drawdown_episodes",
+    BARS_CTE
+    + """,
+cm AS (
+  SELECT symbol, t, close,
+         MAX(close) OVER (PARTITION BY symbol ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM bars
+),
+flagged AS (
+  SELECT symbol, t, close, peak,
+         CASE WHEN close < peak THEN 0 ELSE 1 END AS at_peak,
+         SUM(CASE WHEN close < peak THEN 0 ELSE 1 END)
+           OVER (PARTITION BY symbol ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS episode
+  FROM cm
+),
+under AS (
+  SELECT symbol, episode,
+         COUNT(*) AS duration,
+         ROUND(MAX((peak - close) / peak), 6) AS depth,
+         MIN(t) AS t_start, MAX(t) AS t_end
+  FROM flagged WHERE at_peak = 0
+  GROUP BY symbol, episode
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY symbol
+             ORDER BY depth DESC, t_start) AS rk
+  FROM under
+)
+SELECT symbol, CAST(rk AS INTEGER) AS rk, depth, duration, t_start, t_end
+FROM ranked WHERE rk <= 5
+ORDER BY symbol, rk
+""",
+)
+def bars_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 drawdown episodes per symbol (depth, duration, span) — the
+    risk-report staple. Episodes are under-peak runs delimited by a
+    conditional cumulative count of at-peak bars (one running-max + one
+    running-sum window over the same sort), then one groupBy and a
+    per-symbol top-k (WindowGroupLimit, no global sort)."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    wc = Window.partitionBy("symbol").orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    peak = F.max("close").over(wc)
+    cm = b.select("symbol", "t", "close", peak.alias("peak"))
+    at_peak = F.when(F.col("close") < F.col("peak"), 0).otherwise(1)
+    flagged = cm.select(
+        "symbol", "t", "close", "peak",
+        at_peak.alias("at_peak"),
+        F.sum(at_peak).over(wc).alias("episode"),
+    )
+    under = (
+        flagged.where(F.col("at_peak") == 0)
+        .groupBy("symbol", "episode")
+        .agg(
+            F.count(F.lit(1)).alias("duration"),
+            r6(F.max((F.col("peak") - F.col("close")) / F.col("peak"))).alias("depth"),
+            F.min("t").alias("t_start"),
+            F.max("t").alias("t_end"),
+        )
+    )
+    wr = Window.partitionBy("symbol").orderBy(F.col("depth").desc(), F.col("t_start"))
+    return (
+        under.withColumn("rk", F.row_number().over(wr))
+        .where(F.col("rk") <= 5)
+        .select("symbol", F.col("rk").cast("int").alias("rk"), "depth", "duration", "t_start", "t_end")
+        .orderBy("symbol", "rk")
+    )

@@ -4078,3 +4078,77 @@ FROM (
 ) pxx JOIN fold f ON f.rb = pxx.rb
 """
 )
+
+
+@q("doc_cross_source_dupes", None)
+def doc_cross_source_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate leakage BETWEEN sources: verified MinHash pairs
+    grouped by their (source_a, source_b) — the matrix a curator reads to
+    find mirrored feeds before training dedup. Composition: verified
+    pairs + two dimension joins back to documents. Twin appended below
+    (pairs oracle spliced as a CTE)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5)
+    d = docs.select("doc_id", "source")
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+    bb = d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(a, "id_a")
+        .join(bb, "id_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )
+
+
+ORACLES["doc_cross_source_dupes"] = (
+    f"WITH pairs AS ({ORACLES['doc_minhash_pairs']})"
+    + """
+SELECT LEAST(da.source, db.source) AS source_a,
+       GREATEST(da.source, db.source) AS source_b,
+       COUNT(*) AS n_pairs
+FROM pairs p
+JOIN documents da ON da.doc_id = p.id_a
+JOIN documents db ON db.doc_id = p.id_b
+GROUP BY 1, 2
+ORDER BY source_a, source_b
+"""
+)
+
+
+@q(
+    "events_staleness",
+    """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events)
+SELECT event_type,
+       ROUND(CAST(gmax - MAX(epoch_us(ts)) AS DOUBLE) / 1000000.0, 6) AS lag_s,
+       COUNT(*) AS n_events
+FROM events CROSS JOIN mx
+GROUP BY event_type, gmax
+ORDER BY event_type
+""",
+)
+def events_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stream staleness: how far each event type's latest event lags
+    the global frontier — the ingest-health check run before trusting a
+    snapshot. One scan, one tiny agg + 1-row broadcast."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select("event_type", ts_us_expr(ev0).alias("_us"))
+    mx = ev.agg(F.max("_us").alias("_gmax"))
+    return (
+        ev.groupBy("event_type")
+        .agg(F.max("_us").alias("_m"), F.count(F.lit(1)).alias("n_events"))
+        .join(F.broadcast(mx))
+        .select(
+            "event_type",
+            r6((F.col("_gmax") - F.col("_m")).cast("double") / 1e6).alias("lag_s"),
+            "n_events",
+        )
+        .orderBy("event_type")
+    )

@@ -2231,3 +2231,44 @@ def bars_drawdown_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("symbol", F.col("rk").cast("int").alias("rk"), "depth", "duration", "t_start", "t_end")
         .orderBy("symbol", "rk")
     )
+
+
+@q(
+    "bars_gap_report",
+    BARS_CTE
+    + """,
+g AS (
+  SELECT symbol,
+         CAST(ts_us - LAG(ts_us) OVER (PARTITION BY symbol ORDER BY t) AS DOUBLE)
+           / 1000000.0 AS gap_s
+  FROM bars
+)
+SELECT symbol,
+       COUNT(gap_s) AS n_gaps,
+       ROUND(quantile_cont(gap_s, 0.5), 6) AS p50_gap_s,
+       ROUND(quantile_cont(gap_s, 0.95), 6) AS p95_gap_s,
+       ROUND(MAX(gap_s), 6) AS max_gap_s
+FROM g WHERE gap_s IS NOT NULL
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bars_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-bar arrival-gap distribution per symbol (p50/p95/max seconds)
+    — the feed-quality report that catches dead periods and bursty
+    clocks. One window pass + exact percentiles on the shared contract."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    gap = (F.col("ts_us") - F.lag("ts_us").over(w)).cast("double") / 1e6
+    return (
+        b.select("symbol", gap.alias("gap_s"))
+        .where(F.col("gap_s").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count("gap_s").alias("n_gaps"),
+            r6(F.expr("percentile(gap_s, 0.5)")).alias("p50_gap_s"),
+            r6(F.expr("percentile(gap_s, 0.95)")).alias("p95_gap_s"),
+            r6(F.max("gap_s")).alias("max_gap_s"),
+        )
+        .orderBy("symbol")
+    )

@@ -4152,3 +4152,51 @@ def events_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "doc_dedup_savings",
+    f"""
+WITH s AS (
+  SELECT doc_id, source, md5(array_to_string({_TOKS}, ' ')) AS fingerprint,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tokens
+  FROM documents
+),
+keep AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM s GROUP BY fingerprint)
+SELECT source,
+       SUM(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END) AS tokens_saved,
+       SUM(n_tokens) AS tokens_total,
+       ROUND(CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END) AS DOUBLE)
+             / SUM(n_tokens), 6) AS saved_frac
+FROM s JOIN keep USING (fingerprint)
+GROUP BY source
+ORDER BY source
+""",
+)
+def doc_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup ROI per source: training tokens removed by exact dedup (all
+    non-keeper copies) against the total — the number that justifies the
+    dedup stage's compute bill."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    s = docs.select(
+        "doc_id",
+        "source",
+        text.fingerprint("text").alias("fingerprint"),
+        text.token_count("text").cast("long").alias("n_tokens"),
+    )
+    keep = s.groupBy("fingerprint").agg(F.min("doc_id").alias("keep_id"))
+    saved = F.sum(
+        F.when(F.col("doc_id") != F.col("keep_id"), F.col("n_tokens")).otherwise(0)
+    )
+    return (
+        s.join(keep, "fingerprint")
+        .groupBy("source")
+        .agg(
+            saved.alias("tokens_saved"),
+            F.sum("n_tokens").alias("tokens_total"),
+            r6(
+                saved.cast("double") / F.sum("n_tokens")
+            ).alias("saved_frac"),
+        )
+        .orderBy("source")
+    )

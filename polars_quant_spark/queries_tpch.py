@@ -14,7 +14,7 @@ are exact.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_quant_spark.functions._util import round6 as r6
@@ -908,4 +908,48 @@ def rel_cube_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.cube("l_returnflag", "l_linestatus").agg(
         units(merge_micros(F.col("_rev"))).alias("revenue"),
         F.sum("_n").alias("n"),
+    )
+
+
+@q(
+    "rel_window_family",
+    """
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice
+  FROM lineitem WHERE l_orderkey % 499 = 0
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER w, 6) AS cume,
+       CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+       ROUND(NTH_VALUE(l_extendedprice, 3) OVER
+             (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS third_lowest,
+       ROUND(COALESCE(LAG(l_extendedprice, 2) OVER w, -1.0), 6) AS lag2
+FROM s
+WINDOW w AS (PARTITION BY l_returnflag ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+""",
+)
+def rel_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The analytic window-function family beyond the rank trio:
+    PERCENT_RANK / CUME_DIST / NTILE / NTH_VALUE (running frame) /
+    offset LAG with default — one partition spec, one sort, ties broken
+    by the unique (orderkey, linenumber) pair so every function is
+    deterministic cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_orderkey") % 499 == 0
+    ).select("l_orderkey", "l_linenumber", "l_returnflag", "l_extendedprice")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_returnflag",
+        r6(F.percent_rank().over(w)).alias("pct_rank"),
+        r6(F.cume_dist().over(w)).alias("cume"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+        r6(F.nth_value("l_extendedprice", 3).over(wf)).alias("third_lowest"),
+        r6(F.coalesce(F.lag("l_extendedprice", 2).over(w), F.lit(-1.0))).alias("lag2"),
     )

@@ -265,3 +265,70 @@ def test_streaming_source_quota_matches_batch_cumsum(spark, tmp_path):
     assert got == exp
     # the budget genuinely cut something (non-vacuous)
     assert 0 < len(got) < n
+
+
+def test_streaming_ohlcv_matches_batch_across_batches(spark, tmp_path):
+    """OHLCV window aggregation with events split across FOUR micro-batches
+    (maxFilesPerTrigger=1): window state must merge partial bars across
+    batches and equal the batch groupBy — including open/close argmin/
+    argmax resolved over the scalar time+id key."""
+    import pandas as pd
+
+    from polars_quant_spark.streaming.windows import streaming_ohlcv
+
+    rng = np.random.default_rng(5)
+    n = 120
+    base_us = pd.Timestamp("2024-01-01 00:00:00").value // 1000
+    pdf = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype="int64"),
+            "ts_us": base_us + rng.integers(0, 600, n).astype("int64") * 60_000_000,
+            "event_type": [f"s{i % 2}" for i in range(n)],
+            "value": rng.uniform(0, 1000, n),
+        }
+    )
+    # shuffle row order so arrival order != time order inside batches
+    pdf = pdf.sample(frac=1.0, random_state=7).reset_index(drop=True)
+    schema = "event_id BIGINT, ts_us BIGINT, event_type STRING, value DOUBLE"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, lo in enumerate(range(0, n, n // 4)):
+        pdf.iloc[lo : lo + n // 4].to_parquet(src / f"p{i}.parquet", index=False)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src))
+        .withColumn("event_time", F.timestamp_micros(F.col("ts_us")))
+    )
+    q = (
+        streaming_ohlcv(stream, window="1 hour", watermark="10 hours")
+        .writeStream.format("memory")
+        .queryName("pqs_ohlcv_test")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["symbol"]): (r["open"], r["high"], r["low"], r["close"], r["n_ticks"])
+        for r in spark.sql("SELECT * FROM pqs_ohlcv_test").collect()
+    }
+    q.stop()
+
+    pdf["px"] = 300.0 + pdf["value"] / 10.0
+    pdf["ts"] = pd.to_datetime(pdf["ts_us"], unit="us")
+    pdf["win"] = pdf["ts"].dt.floor("1h")
+    exp = {}
+    for (win, sym), g in pdf.groupby(["win", "event_type"]):
+        g = g.sort_values(["ts_us", "event_id"])
+        exp[(win.to_pydatetime(), sym)] = (
+            g["px"].iloc[0],
+            g["px"].max(),
+            g["px"].min(),
+            g["px"].iloc[-1],
+            len(g),
+        )
+    assert set(got) == set(exp)
+    for k in exp:
+        for a, b in zip(got[k], exp[k]):
+            assert abs(a - b) < 1e-9, (k, got[k], exp[k])

@@ -2272,3 +2272,62 @@ def bars_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+# Keltner channels: EMA(20) midline ± 2·ATR(10) — composes two recurrence
+# kernels in ONE applyInPandas pass; beyond the reference's TA-Lib set.
+ORACLES_KELTNER = (
+    recursive_with(
+        """
+tr_tbl AS MATERIALIZED (
+  SELECT symbol, t, close,
+         GREATEST(high - low, ABS(high - pc), ABS(low - pc)) AS tr
+  FROM (
+    SELECT symbol, t, high, low, close,
+           LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS pc
+    FROM bars
+  ) x WHERE pc IS NOT NULL
+)""",
+        ema_ctes("katr", "tr_tbl", "tr", 10, alpha=1.0 / 10),
+        ema_ctes("kmid", "bars", "close", 20),
+    )
+    + """
+SELECT b.symbol, b.t,
+       ROUND(m.kmid, 6) AS kc_mid,
+       ROUND(m.kmid + 2.0 * a.katr, 6) AS kc_upper,
+       ROUND(m.kmid - 2.0 * a.katr, 6) AS kc_lower
+FROM bars b
+JOIN kmid m ON m.symbol = b.symbol AND m.t = b.t
+JOIN katr a ON a.symbol = b.symbol AND a.t = b.t
+WHERE m.kmid IS NOT NULL AND a.katr IS NOT NULL
+"""
+)
+
+
+def ind_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keltner channels (EMA(20) ± 2·ATR(10)) — a named indicator beyond
+    the reference's TA-Lib set, composed from two recurrence kernels in
+    ONE applyInPandas pass (adding kernels costs numpy time, not
+    shuffles)."""
+    b = bars(spark, sf_dir)
+    out = with_recurrences(
+        b,
+        [
+            Rec("kmid", "ema", ["close"], {"p": 20}),
+            Rec("katr", "atr", ["high", "low", "close"], {"p": 10}),
+        ],
+    )
+    return (
+        out.where(F.col("kmid").isNotNull() & F.col("katr").isNotNull())
+        .select(
+            "symbol",
+            "t",
+            r6(F.col("kmid")).alias("kc_mid"),
+            r6(F.col("kmid") + 2.0 * F.col("katr")).alias("kc_upper"),
+            r6(F.col("kmid") - 2.0 * F.col("katr")).alias("kc_lower"),
+        )
+    )
+
+
+QUERIES["ind_keltner"] = ind_keltner
+ORACLES["ind_keltner"] = ORACLES_KELTNER

@@ -2331,3 +2331,34 @@ def ind_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_keltner"] = ind_keltner
 ORACLES["ind_keltner"] = ORACLES_KELTNER
+
+
+@q(
+    "ind_donchian_20",
+    BARS_CTE
+    + f"""
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(high) OVER w = 20 THEN MAX(high) OVER w END, 6) AS dc_upper,
+       ROUND(CASE WHEN COUNT(low) OVER w = 20 THEN MIN(low) OVER w END, 6) AS dc_lower,
+       ROUND(CASE WHEN COUNT(high) OVER w = 20
+             THEN (MAX(high) OVER w + MIN(low) OVER w) / 2.0 END, 6) AS dc_mid
+FROM bars
+WINDOW w AS {_win(20)}
+""",
+)
+def ind_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian channel (20): rolling high/low envelope + midline — the
+    breakout-system staple, pure expression-layer windows (one exchange
+    shared with every other indicator on the same spec)."""
+    b = bars(spark, sf_dir)
+    w = _w().rowsBetween(-19, 0)
+    full = F.count("high").over(w) == 20
+    up = F.max("high").over(w)
+    lo = F.min("low").over(w)
+    return b.select(
+        "symbol",
+        "t",
+        r6(F.when(full, up)).alias("dc_upper"),
+        r6(F.when(full, lo)).alias("dc_lower"),
+        r6(F.when(full, (up + lo) / 2.0)).alias("dc_mid"),
+    )

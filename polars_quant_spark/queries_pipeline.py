@@ -4200,3 +4200,63 @@ def doc_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "doc_ngram_novelty",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+bg AS (
+  SELECT doc_id, tk[u] || ' ' || tk[u + 1] AS bigram
+  FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS u FROM toks)
+),
+per_doc AS (
+  SELECT doc_id, bigram, COUNT(*) AS c_in_doc FROM bg GROUP BY doc_id, bigram
+),
+global AS (
+  SELECT bigram, COUNT(*) AS n_docs_with FROM per_doc GROUP BY bigram
+)
+SELECT p.doc_id,
+       COUNT(*) AS n_distinct_bigrams,
+       ROUND(CAST(SUM(CASE WHEN g.n_docs_with = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS novelty
+FROM per_doc p JOIN global g ON g.bigram = p.bigram
+GROUP BY p.doc_id
+""",
+)
+def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document bigram novelty: the fraction of a doc's DISTINCT
+    bigrams that appear in no other document — high novelty marks fresh
+    content, low novelty marks boilerplate/templates (and a memorization
+    risk screen when run against a training corpus). One explode + two
+    stacked aggregates + a join back on the bigram — all map-side
+    combinable; no all-pairs anything."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tk = text.tokens("text")
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.zip_with(
+                F.slice(tk, 1, F.size(tk) - 1),
+                F.slice(tk, 2, F.size(tk) - 1),
+                lambda a, b: F.concat(a, F.lit(" "), b),
+            )
+        ).alias("bigram"),
+    )
+    per_doc = bg.groupBy("doc_id", "bigram").agg(F.count(F.lit(1)).alias("_c"))
+    glob = per_doc.groupBy("bigram").agg(F.count(F.lit(1)).alias("n_docs_with"))
+    return (
+        per_doc.join(glob, "bigram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_bigrams"),
+            r6(
+                F.sum(F.when(F.col("n_docs_with") == 1, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("novelty"),
+        )
+    )

@@ -377,6 +377,46 @@ def sar(h: np.ndarray, l: np.ndarray, acceleration: float = 0.02, maximum: float
 
 #: kernel name → (fn, input column count). fn(*arrays, **params) -> array
 #: or tuple of arrays (multi-output).
+
+
+def supertrend(
+    h: np.ndarray, l: np.ndarray, c: np.ndarray, p: int = 10, mult: float = 3.0
+) -> tuple[np.ndarray, np.ndarray]:
+    """SuperTrend: ATR(p) bands around the bar midpoint with ratcheting
+    final bands and a flip state machine. Returns (supertrend, direction)
+    with direction +1 (uptrend, line = lower band) / −1 (downtrend, line =
+    upper band). Seeded at the first valid ATR bar in a downtrend — the
+    common charting convention; the recursive SQL twin replays the same
+    ratchet/flip conditions on identical doubles."""
+    a = atr(h, l, c, p)
+    n = h.shape[0]
+    st = np.full(n, np.nan)
+    d = np.full(n, np.nan)
+    mid = (h + l) / 2.0
+    bub = mid + mult * a
+    blb = mid - mult * a
+    started = False
+    fub = flb = 0.0
+    up = False
+    for i in range(n):
+        if np.isnan(a[i]):
+            continue
+        if not started:
+            fub, flb = bub[i], blb[i]
+            up = False
+            st[i] = fub
+            d[i] = -1.0
+            started = True
+            continue
+        fub_i = bub[i] if (bub[i] < fub or c[i - 1] > fub) else fub
+        flb_i = blb[i] if (blb[i] > flb or c[i - 1] < flb) else flb
+        up_i = (c[i] >= flb_i) if up else (c[i] > fub_i)
+        st[i] = flb_i if up_i else fub_i
+        d[i] = 1.0 if up_i else -1.0
+        fub, flb, up = fub_i, flb_i, up_i
+    return st, d
+
+
 KERNELS: dict[str, tuple[Callable, int]] = {
     "ema": (ema, 1),
     "rma": (rma, 1),
@@ -397,6 +437,7 @@ KERNELS: dict[str, tuple[Callable, int]] = {
     "plus_dm": (plus_dm, 2),
     "minus_dm": (minus_dm, 2),
     "sar": (sar, 2),
+    "supertrend": (supertrend, 3),
 }
 
 

@@ -2362,3 +2362,77 @@ def ind_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.when(full, lo)).alias("dc_lower"),
         r6(F.when(full, (up + lo) / 2.0)).alias("dc_mid"),
     )
+
+
+# SuperTrend: ATR bands + ratchet/flip state machine (beyond TA-Lib).
+_ST_P, _ST_M = 10, repr(3.0)
+
+ORACLES_SUPERTREND = (
+    recursive_with(
+        f"""
+tr_tbl AS MATERIALIZED (
+  SELECT symbol, t, close,
+         GREATEST(high - low, ABS(high - pc), ABS(low - pc)) AS tr
+  FROM (
+    SELECT symbol, t, high, low, close,
+           LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS pc
+    FROM bars
+  ) x WHERE pc IS NOT NULL
+)""",
+        ema_ctes("satr", "tr_tbl", "tr", _ST_P, alpha=1.0 / _ST_P),
+        f"""
+stb AS MATERIALIZED (
+  SELECT b.symbol, b.t, b.close, b.pc,
+         (b.high + b.low) / 2.0 + {_ST_M} * a.satr AS bub,
+         (b.high + b.low) / 2.0 - {_ST_M} * a.satr AS blb,
+         ROW_NUMBER() OVER (PARTITION BY b.symbol ORDER BY b.t) AS rn
+  FROM (SELECT symbol, t, high, low, close,
+               LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS pc
+        FROM bars) b
+  JOIN satr a ON a.symbol = b.symbol AND a.t = b.t
+  WHERE a.satr IS NOT NULL
+),
+strec AS (
+  SELECT symbol, rn, bub AS fub, blb AS flb, FALSE AS up
+  FROM stb WHERE rn = 1
+  UNION ALL
+  SELECT symbol, rn, fub_i AS fub, flb_i AS flb,
+         CASE WHEN up THEN close >= flb_i ELSE close > fub_i END AS up
+  FROM (
+    SELECT s.symbol, s.rn, s.close, r.up,
+           CASE WHEN s.bub < r.fub OR s.pc > r.fub THEN s.bub ELSE r.fub END AS fub_i,
+           CASE WHEN s.blb > r.flb OR s.pc < r.flb THEN s.blb ELSE r.flb END AS flb_i
+    FROM strec r JOIN stb s ON s.symbol = r.symbol AND s.rn = r.rn + 1
+  )
+)""",
+    )
+    + """
+SELECT b.symbol, b.t,
+       ROUND(CASE WHEN r.up THEN r.flb ELSE r.fub END, 6) AS supertrend,
+       CASE WHEN r.up THEN 1 ELSE -1 END AS direction
+FROM stb b JOIN strec r ON r.symbol = b.symbol AND r.rn = b.rn
+"""
+)
+
+
+def ind_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SuperTrend(10, 3): ratcheting ATR bands with a flip state machine —
+    a sequential two-state recurrence (beyond the reference's TA-Lib set)
+    running in the same batched applyInPandas pass as every other scan.
+    The recursive twin replays the identical ratchet/flip conditions."""
+    b = bars(spark, sf_dir)
+    out = with_recurrences(
+        b,
+        [Rec(["st_line", "st_dir"], "supertrend", ["high", "low", "close"],
+             {"p": _ST_P, "mult": 3.0})],
+    )
+    return out.where(F.col("st_line").isNotNull()).select(
+        "symbol",
+        "t",
+        r6(F.col("st_line")).alias("supertrend"),
+        F.col("st_dir").cast("int").alias("direction"),
+    )
+
+
+QUERIES["ind_supertrend"] = ind_supertrend
+ORACLES["ind_supertrend"] = ORACLES_SUPERTREND

@@ -176,3 +176,29 @@ def test_null_skipping(spark):
     assert np.isnan(got[2])  # null in → null out
     # seed = mean of first 3 *valid* values (1,2,3) at the 3rd valid row
     np.testing.assert_allclose(got[3], 2.0)
+
+
+def test_supertrend_invariants():
+    """Line sits below price in uptrends and above in downtrends; both
+    directions occur on a wandering series; the line ratchets (never moves
+    against the trend while the trend holds)."""
+    import numpy as np
+
+    from polars_quant_spark.operators.recurrence import supertrend
+
+    rng = np.random.default_rng(3)
+    c = 100 + np.cumsum(rng.normal(0, 2, 400))
+    h = c + rng.uniform(0.1, 1, 400)
+    l = c - rng.uniform(0.1, 1, 400)
+    st, d = supertrend(h, l, c, p=10, mult=3.0)
+    m = ~np.isnan(st)
+    assert {1.0, -1.0} <= set(d[m])
+    assert ((d[m] == 1.0) <= (st[m] <= c[m] + 1e-9)).all()
+    assert ((d[m] == -1.0) <= (st[m] >= c[m] - 1e-9)).all()
+    # ratchet: within a run of constant direction the line is monotone
+    idx = np.where(m)[0]
+    for i, j in zip(idx[:-1], idx[1:]):
+        if d[i] == d[j] == 1.0:
+            assert st[j] >= st[i] - 1e-9  # uptrend line never falls
+        elif d[i] == d[j] == -1.0:
+            assert st[j] <= st[i] + 1e-9  # downtrend line never rises

@@ -2436,3 +2436,108 @@ def ind_supertrend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_supertrend"] = ind_supertrend
 ORACLES["ind_supertrend"] = ORACLES_SUPERTREND
+
+
+@q(
+    "ind_ichimoku",
+    BARS_CTE
+    + """,
+lines AS (
+  SELECT symbol, t, close,
+         CASE WHEN COUNT(high) OVER w9 = 9
+              THEN (MAX(high) OVER w9 + MIN(low) OVER w9) / 2.0 END AS tenkan,
+         CASE WHEN COUNT(high) OVER w26 = 26
+              THEN (MAX(high) OVER w26 + MIN(low) OVER w26) / 2.0 END AS kijun,
+         CASE WHEN COUNT(high) OVER w52 = 52
+              THEN (MAX(high) OVER w52 + MIN(low) OVER w52) / 2.0 END AS senkou_b_raw
+  FROM bars
+  WINDOW w9 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+         w26 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+         w52 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, t,
+       ROUND(tenkan, 6) AS tenkan,
+       ROUND(kijun, 6) AS kijun,
+       ROUND(LAG((tenkan + kijun) / 2.0, 26) OVER o, 6) AS senkou_a,
+       ROUND(LAG(senkou_b_raw, 26) OVER o, 6) AS senkou_b,
+       ROUND(LEAD(close, 26) OVER o, 6) AS chikou
+FROM lines
+WINDOW o AS (PARTITION BY symbol ORDER BY t)
+""",
+)
+def ind_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ichimoku cloud: tenkan(9)/kijun(26) midlines, senkou A/B projected
+    26 bars forward (expressed as LAG so every output sits on its display
+    bar — no future rows materialized), chikou as the 26-bar LEAD of
+    close. Pure rolling-extrema windows + shifts over ONE exchange."""
+    b = bars(spark, sf_dir)
+
+    def mid(n: int):
+        w = _w().rowsBetween(-(n - 1), 0)
+        return F.when(
+            F.count("high").over(w) == n,
+            (F.max("high").over(w) + F.min("low").over(w)) / 2.0,
+        )
+
+    o = _w()
+    lines = b.select(
+        "symbol", "t", "close",
+        mid(9).alias("tenkan"), mid(26).alias("kijun"), mid(52).alias("sb_raw"),
+    )
+    return lines.select(
+        "symbol",
+        "t",
+        r6(F.col("tenkan")).alias("tenkan"),
+        r6(F.col("kijun")).alias("kijun"),
+        r6(F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, 26).over(o)).alias("senkou_a"),
+        r6(F.lag("sb_raw", 26).over(o)).alias("senkou_b"),
+        r6(F.lead("close", 26).over(o)).alias("chikou"),
+    )
+
+
+@q(
+    "ind_vortex_14",
+    BARS_CTE
+    + """,
+vm AS (
+  SELECT symbol, t,
+         ABS(high - LAG(low) OVER o) AS vm_plus,
+         ABS(low - LAG(high) OVER o) AS vm_minus,
+         GREATEST(high - low, ABS(high - LAG(close) OVER o), ABS(low - LAG(close) OVER o)) AS tr
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(tr) OVER w = 14 AND SUM(tr) OVER w > 0
+             THEN SUM(vm_plus) OVER w / SUM(tr) OVER w END, 6) AS vi_plus,
+       ROUND(CASE WHEN COUNT(tr) OVER w = 14 AND SUM(tr) OVER w > 0
+             THEN SUM(vm_minus) OVER w / SUM(tr) OVER w END, 6) AS vi_minus
+FROM vm WHERE vm_plus IS NOT NULL
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vortex indicator VI+/VI− (14): rolling vortex movements over rolling
+    true range — trend-change detection from pure window sums (the rolling
+    double sums share one exchange; warm-up gated on a full window)."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    vm = b.select(
+        "symbol",
+        "t",
+        F.abs(F.col("high") - F.lag("low").over(o)).alias("vm_plus"),
+        F.abs(F.col("low") - F.lag("high").over(o)).alias("vm_minus"),
+        F.greatest(
+            F.col("high") - F.col("low"),
+            F.abs(F.col("high") - F.lag("close").over(o)),
+            F.abs(F.col("low") - F.lag("close").over(o)),
+        ).alias("tr"),
+    ).where(F.col("vm_plus").isNotNull())
+    w = _w().rowsBetween(-13, 0)
+    full = (F.count("tr").over(w) == 14) & (F.sum("tr").over(w) > 0)
+    return vm.select(
+        "symbol",
+        "t",
+        r6(F.when(full, F.sum("vm_plus").over(w) / F.sum("tr").over(w))).alias("vi_plus"),
+        r6(F.when(full, F.sum("vm_minus").over(w) / F.sum("tr").over(w))).alias("vi_minus"),
+    )

@@ -2541,3 +2541,77 @@ def ind_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.when(full, F.sum("vm_plus").over(w) / F.sum("tr").over(w))).alias("vi_plus"),
         r6(F.when(full, F.sum("vm_minus").over(w) / F.sum("tr").over(w))).alias("vi_minus"),
     )
+
+
+@q(
+    "vol_cmf_20",
+    BARS_CTE
+    + """,
+mfv AS (
+  SELECT symbol, t, volume,
+         CASE WHEN high != low
+              THEN ((close - low) - (high - close)) / (high - low) * volume
+              ELSE 0.0 END AS mf
+  FROM bars
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(mf) OVER w = 20 AND SUM(volume) OVER w > 0
+             THEN SUM(mf) OVER w / SUM(volume) OVER w END, 6) AS cmf_20
+FROM mfv
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def vol_cmf_20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chaikin Money Flow (20): rolling money-flow volume over rolling
+    volume — the same money-flow multiplier as AD (with the corrected
+    high==low guard, SURVEY §0) but windowed instead of cumulative."""
+    b = bars(spark, sf_dir)
+    mf = F.when(
+        F.col("high") != F.col("low"),
+        ((F.col("close") - F.col("low")) - (F.col("high") - F.col("close")))
+        / (F.col("high") - F.col("low"))
+        * F.col("volume"),
+    ).otherwise(F.lit(0.0))
+    src = b.select("symbol", "t", "volume", mf.alias("mf"))
+    w = _w().rowsBetween(-19, 0)
+    full = (F.count("mf").over(w) == 20) & (F.sum("volume").over(w) > 0)
+    return src.select(
+        "symbol",
+        "t",
+        r6(F.when(full, F.sum("mf").over(w) / F.sum("volume").over(w))).alias("cmf_20"),
+    )
+
+
+# Elder Force Index: EMA(13) of (Δclose · volume) — recurrence over a
+# derived column, same pattern as ind_ewma_vol.
+_EFI_SRC = """
+efisrc AS (
+  SELECT symbol, t,
+         (close - LAG(close) OVER (PARTITION BY symbol ORDER BY t)) * volume AS fi
+  FROM bars
+)"""
+
+ORACLES_EFI = (
+    recursive_with(_EFI_SRC + "," + ema_ctes("efi", "efisrc", "fi", 13))
+    + """
+SELECT symbol, t, ROUND(efi, 6) AS efi_13
+FROM efi WHERE efi IS NOT NULL
+"""
+)
+
+
+def vol_efi_13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder Force Index (13): EMA of price-change × volume — buying/
+    selling pressure. One recurrence pass over a derived column."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    fi = (F.col("close") - F.lag("close").over(w)) * F.col("volume")
+    src = b.select("symbol", "t", fi.alias("fi")).where(F.col("fi").isNotNull())
+    out = with_recurrences(src, [Rec("efi", "ema", ["fi"], {"p": 13})])
+    return out.where(F.col("efi").isNotNull()).select(
+        "symbol", "t", r6(F.col("efi")).alias("efi_13")
+    )
+
+
+QUERIES["vol_efi_13"] = vol_efi_13
+ORACLES["vol_efi_13"] = ORACLES_EFI

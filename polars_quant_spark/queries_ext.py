@@ -2615,3 +2615,162 @@ def vol_efi_13(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["vol_efi_13"] = vol_efi_13
 ORACLES["vol_efi_13"] = ORACLES_EFI
+
+
+@q(
+    "ind_pivot_points",
+    BARS_CTE
+    + """,
+htf AS (
+  SELECT symbol, (t - 1) // 5 AS bucket,
+         MAX(high) AS hh, MIN(low) AS ll, arg_max(close, t) AS cc
+  FROM bars GROUP BY symbol, (t - 1) // 5
+  HAVING COUNT(*) = 5
+)
+SELECT b.symbol, b.t,
+       ROUND((h.hh + h.ll + h.cc) / 3.0, 6) AS pivot,
+       ROUND(2.0 * ((h.hh + h.ll + h.cc) / 3.0) - h.ll, 6) AS r1,
+       ROUND(2.0 * ((h.hh + h.ll + h.cc) / 3.0) - h.hh, 6) AS s1,
+       ROUND((h.hh + h.ll + h.cc) / 3.0 + (h.hh - h.ll), 6) AS r2,
+       ROUND((h.hh + h.ll + h.cc) / 3.0 - (h.hh - h.ll), 6) AS s2
+FROM bars b
+JOIN htf h ON h.symbol = b.symbol AND h.bucket = (b.t // 5) - 1
+""",
+)
+def ind_pivot_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic floor-trader pivots from the COMPLETED previous 5-bar
+    bucket (P/R1/S1/R2/S2) attached to every base bar — same
+    lookahead-safe integer bucket arithmetic as ind_mtf_sma."""
+    b = bars(spark, sf_dir)
+    htf = (
+        b.groupBy("symbol", F.expr("(t - 1) div 5").alias("bucket"))
+        .agg(
+            F.max("high").alias("hh"),
+            F.min("low").alias("ll"),
+            F.max_by("close", "t").alias("cc"),
+            F.count(F.lit(1)).alias("_n"),
+        )
+        .where(F.col("_n") == 5)
+    )
+    piv = (F.col("hh") + F.col("ll") + F.col("cc")) / 3.0
+    rng_ = F.col("hh") - F.col("ll")
+    return (
+        b.join(
+            htf.withColumnRenamed("symbol", "_s"),
+            (b.symbol == F.col("_s"))
+            & (F.col("bucket") == (F.col("t") / 5).cast("int") - 1),
+        )
+        .select(
+            "symbol",
+            "t",
+            r6(piv).alias("pivot"),
+            r6(2.0 * piv - F.col("ll")).alias("r1"),
+            r6(2.0 * piv - F.col("hh")).alias("s1"),
+            r6(piv + rng_).alias("r2"),
+            r6(piv - rng_).alias("s2"),
+        )
+    )
+
+
+@q(
+    "ind_choppiness_14",
+    BARS_CTE
+    + """,
+trr AS (
+  SELECT symbol, t, high, low,
+         GREATEST(high - low, ABS(high - LAG(close) OVER o), ABS(low - LAG(close) OVER o)) AS tr
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+)
+SELECT symbol, t,
+       ROUND(100.0 * log10(SUM(tr) OVER w / (MAX(high) OVER w - MIN(low) OVER w))
+             / log10(14.0), 6) AS chop_14
+FROM trr
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+QUALIFY COUNT(tr) OVER w = 14 AND MAX(high) OVER w > MIN(low) OVER w AND SUM(tr) OVER w > 0
+""",
+)
+def ind_choppiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Choppiness index (14): 100·log10(ΣTR / range) / log10(14) — the
+    trendiness/congestion gauge, pure window sums + extrema."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.lag("close").over(o)),
+        F.abs(F.col("low") - F.lag("close").over(o)),
+    )
+    src = b.select("symbol", "t", "high", "low", tr.alias("tr"))
+    w = _w().rowsBetween(-13, 0)
+    rng_ = F.max("high").over(w) - F.min("low").over(w)
+    s = F.sum("tr").over(w)
+    ok = (F.count("tr").over(w) == 14) & (rng_ > 0) & (s > 0)
+    return (
+        src.select(
+            "symbol",
+            "t",
+            ok.alias("_ok"),
+            (F.lit(100.0) * F.log10(s / rng_) / F.log10(F.lit(14.0))).alias("_c"),
+        )
+        .where(F.col("_ok"))
+        .select("symbol", "t", r6(F.col("_c")).alias("chop_14"))
+    )
+
+
+# Mass index: rolling-25 sum of EMA9(range)/EMA9(EMA9(range)) — CHAINED
+# recurrences: the second Rec consumes the first's output column inside the
+# same applyInPandas pass (specs evaluate in order on the growing frame).
+ORACLES_MASS = (
+    recursive_with(
+        """
+rng_tbl AS MATERIALIZED (
+  SELECT symbol, t, high - low AS hl FROM bars
+)""",
+        ema_ctes("m1", "rng_tbl", "hl", 9),
+        ema_ctes("m2", "m1", "m1", 9),
+    )
+    + """
+SELECT symbol, t, mass_25 FROM (
+  SELECT a.symbol, a.t,
+         ROUND(CASE WHEN COUNT(*) OVER w = 25
+               THEN SUM(a.m1 / b.m2) OVER w END, 6) AS mass_25
+  FROM m1 a JOIN m2 b ON b.symbol = a.symbol AND b.t = a.t
+  WHERE a.m1 IS NOT NULL AND b.m2 IS NOT NULL AND b.m2 != 0
+  WINDOW w AS (PARTITION BY a.symbol ORDER BY a.t ROWS BETWEEN 24 PRECEDING AND CURRENT ROW)
+) WHERE mass_25 IS NOT NULL
+"""
+)
+
+
+def ind_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass index (9, 25): range-expansion detector — rolling sum of the
+    single/double EMA ratio of the bar range. Demonstrates CHAINED
+    recurrences: the second EMA consumes the first's output column in the
+    same batched pass."""
+    b = bars(spark, sf_dir)
+    src = b.select("symbol", "t", (F.col("high") - F.col("low")).alias("hl"))
+    out = with_recurrences(
+        src,
+        [
+            Rec("m1", "ema", ["hl"], {"p": 9}),
+            Rec("m2", "ema", ["m1"], {"p": 9}),
+        ],
+    )
+    ratio = out.where(
+        F.col("m1").isNotNull() & F.col("m2").isNotNull() & (F.col("m2") != 0)
+    ).select("symbol", "t", (F.col("m1") / F.col("m2")).alias("_r"))
+    w = _w().rowsBetween(-24, 0)
+    return (
+        ratio.select(
+            "symbol",
+            "t",
+            r6(F.when(F.count(F.lit(1)).over(w) == 25, F.sum("_r").over(w))).alias(
+                "mass_25"
+            ),
+        )
+        .where(F.col("mass_25").isNotNull())
+    )
+
+
+QUERIES["ind_mass_index"] = ind_mass_index
+ORACLES["ind_mass_index"] = ORACLES_MASS

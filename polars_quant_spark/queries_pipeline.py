@@ -4260,3 +4260,69 @@ def doc_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+@q(
+    "stream_anomaly_zscore",
+    """
+WITH e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us,
+         CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS qv
+  FROM events
+),
+m AS (
+  SELECT event_type, event_id, qv,
+         COUNT(*) OVER w AS n,
+         SUM(qv) OVER w AS s1,
+         SUM(qv * qv) OVER w AS s2
+  FROM e
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
+               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+),
+mm AS (
+  SELECT event_type, event_id, qv,
+         CAST(s1 AS DOUBLE) / 1000000.0 / 50 AS mu,
+         CAST(s2 AS DOUBLE) / 1000000000000.0 / 50 AS ex2
+  FROM m WHERE n = 50
+),
+zz AS (
+  SELECT event_type, event_id, qv, mu, ex2 - mu * mu AS var
+  FROM mm
+)
+SELECT event_type, event_id,
+       ROUND(CAST(qv AS DOUBLE) / 1000000.0, 6) AS value,
+       ROUND((CAST(qv AS DOUBLE) / 1000000.0 - mu) / sqrt(var), 6) AS z
+FROM zz
+WHERE var > 0 AND ABS((CAST(qv AS DOUBLE) / 1000000.0 - mu) / sqrt(var)) > 3.0
+""",
+)
+def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming rolling z-score anomaly detection (REAL readStream,
+    bounded 49-value state per event type, availableNow drain): flags
+    |z| > 3 vs the trailing-50 moments. Micro-quantized values make the
+    window sums integers, so stream and twin share exact moments
+    regardless of summation order."""
+    from polars_quant_spark.streaming.stateful import streaming_zscore
+    from polars_quant_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    inp = ev.select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+    out = streaming_zscore(inp, window=50, threshold=3.0)
+    name = f"pqs_stream_zs_{next(_STREAM_SEQ)}"
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    t = spark.table(name)
+    return t.select(
+        "event_type", "event_id", r6(F.col("value")).alias("value"), r6(F.col("z")).alias("z")
+    )

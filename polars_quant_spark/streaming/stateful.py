@@ -228,3 +228,98 @@ def streaming_source_quota(docs: DataFrame, budget: int = 10_000) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming rolling z-score anomaly detector (bounded per-key buffer)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql.types import ArrayType  # noqa: E402
+
+ZS_OUT = StructType(
+    [
+        StructField("event_type", StringType()),
+        StructField("event_id", LongType()),
+        StructField("value", DoubleType()),
+        StructField("z", DoubleType()),
+    ]
+)
+
+# state: the last (window-1) micro-quantized values, oldest first
+ZS_STATE = StructType([StructField("buf", ArrayType(LongType()))])
+
+
+def _zscore_fn(window: int, threshold: float):
+    import numpy as np
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (etype,) = key
+        buf = list(state.get[0]) if state.exists else []
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(["ts_us", "event_id"])
+            qv = np.floor(
+                pdf["value"].to_numpy(dtype="float64") * 1e6 + 0.5
+            ).astype("int64")
+            concat = np.concatenate([np.asarray(buf, dtype="int64"), qv])
+            s1 = np.concatenate([[0], np.cumsum(concat)])
+            s2 = np.concatenate([[0], np.cumsum(concat.astype(object) * concat)])
+            k = len(buf)
+            out = []
+            for j in range(len(qv)):
+                i = k + j  # position in concat
+                if i + 1 < window:
+                    continue
+                S1 = int(s1[i + 1] - s1[i + 1 - window])
+                S2 = int(s2[i + 1] - s2[i + 1 - window])
+                mu = S1 / 1e6 / window
+                var = S2 / 1e12 / window - mu * mu
+                if var <= 0:
+                    continue
+                sd = var ** 0.5
+                z = (qv[j] / 1e6 - mu) / sd
+                if abs(z) > threshold:
+                    out.append(
+                        (etype, int(pdf["event_id"].iloc[j]), qv[j] / 1e6, z)
+                    )
+            buf = list(concat[-(window - 1):])
+            # always yield a dtype-stable frame (an omitted/implicit empty
+            # yield makes Spark's serializer concat all-NA blocks → pandas
+            # FutureWarning noise in the driver log)
+            yield pd.DataFrame(
+                {
+                    "event_type": pd.Series([r[0] for r in out], dtype="object"),
+                    "event_id": pd.Series([r[1] for r in out], dtype="int64"),
+                    "value": pd.Series([r[2] for r in out], dtype="float64"),
+                    "z": pd.Series([r[3] for r in out], dtype="float64"),
+                }
+            )
+        state.update(([int(x) for x in buf],))
+
+    return fn
+
+
+def streaming_zscore(
+    events: DataFrame, window: int = 50, threshold: float = 3.0
+) -> DataFrame:
+    """Streaming rolling z-score anomaly detector: each event's value vs
+    the trailing-``window`` mean/σ of its event type, flagging
+    |z| > threshold — the arrival-time twin of the batch
+    events_anomaly_zscore. State is the last window−1 MICRO-QUANTIZED
+    values per key (bounded, integer-exact), so the window moments are
+    pure functions of the data: integer sums → identical double formula
+    on every engine and every replay. Python-object cumsum keeps the
+    squared sums exact beyond int64 (values are bounded in practice;
+    correctness first).
+
+    Input must carry (event_type, event_id, ts_us, value)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _zscore_fn(window, threshold),
+        outputStructType=ZS_OUT,
+        stateStructType=ZS_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

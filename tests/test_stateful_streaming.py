@@ -332,3 +332,55 @@ def test_streaming_ohlcv_matches_batch_across_batches(spark, tmp_path):
     for k in exp:
         for a, b in zip(got[k], exp[k]):
             assert abs(a - b) < 1e-9, (k, got[k], exp[k])
+
+
+def test_streaming_zscore_matches_batch_windows(spark, tmp_path):
+    """Rolling z-score with the 49-value buffer crossing FOUR micro-batch
+    boundaries must flag exactly the rows the batch trailing-window rule
+    flags (integer-quantized moments make the comparison exact)."""
+    rng = np.random.default_rng(9)
+    n = 400
+    vals = rng.normal(100.0, 5.0, n)
+    spikes = rng.choice(n, 12, replace=False)
+    vals[spikes] += rng.choice([-60.0, 60.0], 12)
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["a"] * n,
+            "event_id": np.arange(n, dtype="int64"),
+            "ts_us": np.arange(n, dtype="int64") * 1_000_000,
+            "value": vals,
+        }
+    )
+    schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("event_id", LongType()),
+            StructField("ts_us", LongType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    got = _run_stream(
+        spark,
+        tmp_path,
+        pdf,
+        schema,
+        lambda s: __import__(
+            "polars_quant_spark.streaming.stateful", fromlist=["streaming_zscore"]
+        ).streaming_zscore(s, window=50, threshold=3.0),
+        "pqs_zs_test",
+    )
+    got_ids = set(got["event_id"].astype("int64"))
+
+    qv = np.floor(vals * 1e6 + 0.5).astype("int64")
+    exp_ids = set()
+    for i in range(49, n):
+        w = qv[i - 49 : i + 1]
+        S1, S2 = int(w.sum()), int((w.astype(object) * w).sum())
+        mu = S1 / 1e6 / 50
+        var = S2 / 1e12 / 50 - mu * mu
+        if var > 0:
+            z = (qv[i] / 1e6 - mu) / var ** 0.5
+            if abs(z) > 3.0:
+                exp_ids.add(i)
+    assert got_ids == exp_ids
+    assert len(exp_ids) > 0

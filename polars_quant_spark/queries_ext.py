@@ -2774,3 +2774,80 @@ def ind_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_mass_index"] = ind_mass_index
 ORACLES["ind_mass_index"] = ORACLES_MASS
+
+
+@q(
+    "ind_awesome_osc",
+    BARS_CTE
+    + """
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(*) OVER w34 = 34
+             THEN AVG((high + low) / 2.0) OVER w5 - AVG((high + low) / 2.0) OVER w34 END, 6) AS ao
+FROM bars
+WINDOW w5 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+       w34 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 33 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_awesome_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Awesome Oscillator: SMA5 − SMA34 of the bar midpoint — two frames,
+    one exchange."""
+    b = bars(spark, sf_dir)
+    mid = (F.col("high") + F.col("low")) / 2.0
+    w5 = _w().rowsBetween(-4, 0)
+    w34 = _w().rowsBetween(-33, 0)
+    return b.select(
+        "symbol",
+        "t",
+        r6(
+            F.when(
+                F.count(F.lit(1)).over(w34) == 34,
+                F.avg(mid).over(w5) - F.avg(mid).over(w34),
+            )
+        ).alias("ao"),
+    )
+
+
+@q(
+    "ind_kst",
+    BARS_CTE
+    + """,
+rocs AS (
+  SELECT symbol, t,
+         100.0 * (close / LAG(close, 10) OVER o - 1.0) AS r1,
+         100.0 * (close / LAG(close, 15) OVER o - 1.0) AS r2,
+         100.0 * (close / LAG(close, 20) OVER o - 1.0) AS r3,
+         100.0 * (close / LAG(close, 30) OVER o - 1.0) AS r4
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(r1) OVER wa = 10 AND COUNT(r4) OVER wc = 15
+             THEN AVG(r1) OVER wa + 2.0 * AVG(r2) OVER wa
+                + 3.0 * AVG(r3) OVER wa + 4.0 * AVG(r4) OVER wc END, 6) AS kst
+FROM rocs
+WINDOW wa AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW),
+       wc AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 14 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pring's Know-Sure-Thing: the 1·2·3·4-weighted sum of smoothed ROCs
+    (10/15/20/30 lookbacks, SMA 10/10/10/15) — four lags + two frames,
+    still one exchange."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    def roc(n):
+        return 100.0 * (F.col("close") / F.lag("close", n).over(o) - 1.0)
+    rocs = b.select(
+        "symbol", "t",
+        roc(10).alias("r1"), roc(15).alias("r2"), roc(20).alias("r3"), roc(30).alias("r4"),
+    )
+    wa = _w().rowsBetween(-9, 0)
+    wc = _w().rowsBetween(-14, 0)
+    full = (F.count("r1").over(wa) == 10) & (F.count("r4").over(wc) == 15)
+    kst = (
+        F.avg("r1").over(wa)
+        + 2.0 * F.avg("r2").over(wa)
+        + 3.0 * F.avg("r3").over(wa)
+        + 4.0 * F.avg("r4").over(wc)
+    )
+    return rocs.select("symbol", "t", r6(F.when(full, kst)).alias("kst"))

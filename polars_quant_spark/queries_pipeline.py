@@ -4326,3 +4326,87 @@ def stream_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(
         "event_type", "event_id", r6(F.col("value")).alias("value"), r6(F.col("z")).alias("z")
     )
+
+
+@q(
+    "doc_bigram_pmi",
+    f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+uni AS (
+  SELECT u AS token, COUNT(*) AS c
+  FROM (SELECT UNNEST(tk) AS u FROM toks) GROUP BY 1
+),
+bg AS (
+  SELECT a, b, COUNT(*) AS cab FROM (
+    SELECT tk[u] AS a, tk[u + 1] AS b
+    FROM (SELECT tk, UNNEST(range(1, len(tk))) AS u FROM toks)
+  ) GROUP BY a, b
+),
+tot AS (
+  SELECT (SELECT SUM(c) FROM uni) AS ntok, (SELECT SUM(cab) FROM bg) AS nbg
+)
+SELECT a, b, cab,
+       ROUND(LN((CAST(cab AS DOUBLE) / nbg)
+                / ((CAST(ua.c AS DOUBLE) / ntok) * (CAST(ub.c AS DOUBLE) / ntok))), 6) AS pmi
+FROM bg
+JOIN uni ua ON ua.token = a
+JOIN uni ub ON ub.token = b
+CROSS JOIN tot
+WHERE cab >= 50
+ORDER BY pmi DESC, a, b
+LIMIT 20
+""",
+)
+def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by pointwise mutual information over adjacent
+    token pairs (min count 50) — the corpus-statistics primitive behind
+    phrase detection / tokenizer merges. Two stacked counts + a pair
+    join-back + one scalar broadcast; the PMI expression tree is written
+    identically on both engines so the lone ln() is taken of the same
+    double."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tk = text.tokens("text")
+    toks = docs.select("doc_id", tk.alias("tk"))
+    uni = toks.select(F.explode("tk").alias("token")).groupBy("token").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bg = (
+        toks.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("tk"), 1, F.size("tk") - 1),
+                    F.slice(F.col("tk"), 2, F.size("tk") - 1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 50)
+    )
+    # scalar totals: ntok from uni, nbg from the UNFILTERED bigram stream
+    nbg = (
+        toks.select((F.size("tk") - 1).alias("_nb"))
+        .where(F.col("_nb") > 0)
+        .agg(F.sum("_nb").alias("nbg"))
+    )
+    ua = uni.select(F.col("token").alias("a"), F.col("c").alias("ca"))
+    ub = uni.select(F.col("token").alias("b"), F.col("c").alias("cb"))
+    scal = uni.agg(F.sum("c").alias("ntok")).join(F.broadcast(nbg))
+    pmi = F.log(
+        (F.col("cab").cast("double") / F.col("nbg"))
+        / (
+            (F.col("ca").cast("double") / F.col("ntok"))
+            * (F.col("cb").cast("double") / F.col("ntok"))
+        )
+    )
+    return (
+        bg.join(ua, "a")
+        .join(ub, "b")
+        .join(F.broadcast(scal))
+        .select("a", "b", "cab", r6(pmi).alias("pmi"))
+        .orderBy(F.col("pmi").desc(), "a", "b")
+        .limit(20)
+    )

@@ -2851,3 +2851,60 @@ def ind_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 4.0 * F.avg("r4").over(wc)
     )
     return rocs.select("symbol", "t", r6(F.when(full, kst)).alias("kst"))
+
+
+# True Strength Index: 100 · EMA25(EMA13(Δclose)) / EMA25(EMA13(|Δclose|))
+# — four chained recurrences in one pass (momentum + |momentum| smoothed
+# twice each).
+ORACLES_TSI = (
+    recursive_with(
+        """
+mom_tbl AS MATERIALIZED (
+  SELECT symbol, t,
+         close - LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS m,
+         ABS(close - LAG(close) OVER (PARTITION BY symbol ORDER BY t)) AS am
+  FROM bars
+)""",
+        ema_ctes("t1a", "mom_tbl", "m", 13),
+        ema_ctes("t2a", "t1a", "t1a", 25),
+        ema_ctes("t1b", "mom_tbl", "am", 13),
+        ema_ctes("t2b", "t1b", "t1b", 25),
+    )
+    + """
+SELECT a.symbol, a.t,
+       ROUND(CASE WHEN b.t2b != 0 THEN 100.0 * a.t2a / b.t2b END, 6) AS tsi
+FROM t2a a JOIN t2b b ON b.symbol = a.symbol AND b.t = a.t
+WHERE a.t2a IS NOT NULL AND b.t2b IS NOT NULL AND b.t2b != 0
+"""
+)
+
+
+def ind_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True Strength Index (13, 25): double-smoothed momentum over
+    double-smoothed absolute momentum — FOUR chained recurrences in one
+    applyInPandas pass."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    m = F.col("close") - F.lag("close").over(w)
+    src = b.select("symbol", "t", m.alias("m"), F.abs(m).alias("am")).where(
+        F.col("m").isNotNull()
+    )
+    out = with_recurrences(
+        src,
+        [
+            Rec("t1a", "ema", ["m"], {"p": 13}),
+            Rec("t2a", "ema", ["t1a"], {"p": 25}),
+            Rec("t1b", "ema", ["am"], {"p": 13}),
+            Rec("t2b", "ema", ["t1b"], {"p": 25}),
+        ],
+    )
+    return (
+        out.where(
+            F.col("t2a").isNotNull() & F.col("t2b").isNotNull() & (F.col("t2b") != 0)
+        )
+        .select("symbol", "t", r6(100.0 * F.col("t2a") / F.col("t2b")).alias("tsi"))
+    )
+
+
+QUERIES["ind_tsi"] = ind_tsi
+ORACLES["ind_tsi"] = ORACLES_TSI

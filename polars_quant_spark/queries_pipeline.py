@@ -4410,3 +4410,73 @@ def doc_bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("pmi").desc(), "a", "b")
         .limit(20)
     )
+
+
+@q(
+    "events_rfm_segments",
+    """
+WITH mx AS (SELECT MAX(epoch_us(ts)) AS gmax FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(gmax - MAX(epoch_us(ts)) AS BIGINT) AS recency_us,
+         COUNT(*) AS frequency,
+         SUM(CAST(FLOOR(CAST(value AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS monetary_m
+  FROM events CROSS JOIN mx
+  GROUP BY user_id, gmax
+),
+scored AS (
+  SELECT user_id,
+         NTILE(5) OVER (ORDER BY recency_us, user_id) AS r_score,
+         NTILE(5) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+         NTILE(5) OVER (ORDER BY monetary_m DESC, user_id) AS m_score
+  FROM per_user
+)
+SELECT r_score, f_score, m_score, COUNT(*) AS n_users
+FROM scored
+GROUP BY 1, 2, 3
+ORDER BY r_score, f_score, m_score
+""",
+)
+def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: recency/frequency/monetary quintiles per user
+    (deterministic NTILE tie-breaks by user id), counted per segment cell
+    — the standard user-base health matrix. One per-user aggregate, three
+    rank windows over the small user frame."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select(
+        "user_id",
+        ts_us_expr(ev0).alias("_us"),
+        micros(F.col("value").cast("double")).alias("_vm"),
+    )
+    mx = ev.agg(F.max("_us").alias("_gmax"))
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.max("_us").alias("_last"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum("_vm").alias("monetary_m"),
+        )
+        .join(F.broadcast(mx))
+        .select(
+            "user_id",
+            (F.col("_gmax") - F.col("_last")).alias("recency_us"),
+            "frequency",
+            "monetary_m",
+        )
+    )
+    scored = per_user.select(
+        F.ntile(5).over(Window.orderBy("recency_us", "user_id")).alias("r_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("frequency").desc(), "user_id"))
+        .alias("f_score"),
+        F.ntile(5)
+        .over(Window.orderBy(F.col("monetary_m").desc(), "user_id"))
+        .alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -2908,3 +2908,70 @@ def ind_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_tsi"] = ind_tsi
 ORACLES["ind_tsi"] = ORACLES_TSI
+
+
+@q(
+    "bars_calmar_ulcer",
+    BARS_CTE
+    + """,
+dd AS (
+  SELECT symbol, t, close,
+         (MAX(close) OVER w - close) / MAX(close) OVER w AS drawdown,
+         FIRST_VALUE(close) OVER o AS first_close,
+         LAST_VALUE(close) OVER (PARTITION BY symbol ORDER BY t
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_close
+  FROM bars
+  WINDOW w AS (PARTITION BY symbol ORDER BY t
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         o AS (PARTITION BY symbol ORDER BY t)
+),
+q AS (
+  SELECT symbol,
+         CAST(FLOOR(drawdown * drawdown * 1000000000000.0 + 0.5) AS BIGINT) AS dd2_p,
+         drawdown, first_close, last_close
+  FROM dd
+)
+SELECT symbol,
+       ROUND(MAX(drawdown), 6) AS max_dd,
+       ROUND(sqrt(CAST(SUM(dd2_p) AS DOUBLE) / 1000000000000.0 / COUNT(*)), 6) AS ulcer,
+       ROUND(CASE WHEN MAX(drawdown) > 0
+             THEN (MAX(last_close) / MAX(first_close) - 1.0) / MAX(drawdown) END, 6) AS calmar_like
+FROM q
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bars_calmar_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown-adjusted performance per symbol on the buy-and-hold path:
+    max drawdown, Ulcer index (RMS of the underwater curve — squared
+    drawdowns pico-quantized so the mean is association-free) and a
+    Calmar-style total-return / max-dd ratio."""
+    b = bars(spark, sf_dir)
+    wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wa = _w().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    peak = F.max("close").over(wc)
+    dd = (peak - F.col("close")) / peak
+    src = b.select(
+        "symbol",
+        dd.alias("drawdown"),
+        F.floor(dd * dd * 1e12 + F.lit(0.5)).cast("long").alias("dd2_p"),
+        F.first("close").over(_w()).alias("first_close"),
+        F.last("close").over(wa).alias("last_close"),
+    )
+    return (
+        src.groupBy("symbol")
+        .agg(
+            r6(F.max("drawdown")).alias("max_dd"),
+            r6(
+                F.sqrt(F.sum("dd2_p").cast("double") / 1e12 / F.count(F.lit(1)))
+            ).alias("ulcer"),
+            r6(
+                F.when(
+                    F.max("drawdown") > 0,
+                    (F.max("last_close") / F.max("first_close") - 1.0)
+                    / F.max("drawdown"),
+                )
+            ).alias("calmar_like"),
+        )
+        .orderBy("symbol")
+    )

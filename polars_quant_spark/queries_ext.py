@@ -2975,3 +2975,102 @@ def bars_calmar_ulcer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@q(
+    "ind_dpo_20",
+    BARS_CTE
+    + """
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(close) OVER w = 20
+             THEN LAG(close, 11) OVER o - AVG(close) OVER w END, 6) AS dpo_20
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+       o AS (PARTITION BY symbol ORDER BY t)
+""",
+)
+def ind_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detrended Price Oscillator (20): price n/2+1 bars back minus the
+    current SMA — strips the trend to expose the cycle. One lag + one
+    frame, one exchange."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    w = _w().rowsBetween(-19, 0)
+    return b.select(
+        "symbol",
+        "t",
+        r6(
+            F.when(
+                F.count("close").over(w) == 20,
+                F.lag("close", 11).over(o) - F.avg("close").over(w),
+            )
+        ).alias("dpo_20"),
+    )
+
+
+@q(
+    "vol_eom_14",
+    BARS_CTE
+    + """,
+e AS (
+  SELECT symbol, t,
+         CASE WHEN volume > 0 AND high != low
+              THEN ((high + low) / 2.0 - (LAG(high) OVER o + LAG(low) OVER o) / 2.0)
+                   * (high - low) / volume
+              END AS eom
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(eom) OVER w = 14 THEN AVG(eom) OVER w END, 6) AS eom_14
+FROM e WHERE eom IS NOT NULL
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+""",
+)
+def vol_eom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ease of Movement (14): midpoint displacement scaled by box ratio
+    (range/volume), SMA-smoothed — price moves per unit of volume."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    mid_move = (F.col("high") + F.col("low")) / 2.0 - (
+        F.lag("high").over(o) + F.lag("low").over(o)
+    ) / 2.0
+    eom = F.when(
+        (F.col("volume") > 0) & (F.col("high") != F.col("low")),
+        mid_move * (F.col("high") - F.col("low")) / F.col("volume"),
+    )
+    src = b.select("symbol", "t", eom.alias("eom")).where(F.col("eom").isNotNull())
+    w = _w().rowsBetween(-13, 0)
+    return src.select(
+        "symbol",
+        "t",
+        r6(F.when(F.count("eom").over(w) == 14, F.avg("eom").over(w))).alias("eom_14"),
+    )
+
+
+@q(
+    "ind_qstick_10",
+    BARS_CTE
+    + """
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(*) OVER w = 10
+             THEN AVG(close - open) OVER w END, 6) AS qstick_10
+FROM bars
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_qstick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qstick (10): SMA of the candle body (close−open) — net buying
+    pressure from the bar anatomy the pattern DSL already models."""
+    b = bars(spark, sf_dir)
+    w = _w().rowsBetween(-9, 0)
+    return b.select(
+        "symbol",
+        "t",
+        r6(
+            F.when(
+                F.count(F.lit(1)).over(w) == 10,
+                F.avg(F.col("close") - F.col("open")).over(w),
+            )
+        ).alias("qstick_10"),
+    )

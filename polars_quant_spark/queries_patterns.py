@@ -305,3 +305,86 @@ def _register_all_patterns_oracle() -> None:
 
 
 _register_all_patterns_oracle()
+
+
+# ---------------------------------------------------------------------------
+# Pattern efficacy: fires + forward-return stats per one-bar pattern
+# ---------------------------------------------------------------------------
+
+import re as _re_eff  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from polars_quant_spark.functions._util import round6 as _r6_eff  # noqa: E402
+from polars_quant_spark.oracle import floor_rounds as _fr_eff  # noqa: E402
+
+_ONEBAR_NAMES = sorted(set(_re_eff.findall(r"AS (cdl\w+)", ORACLES["cdl_onebar"])))
+
+
+def cdl_efficacy(spark, sf_dir):
+    """Pattern-efficacy report for the one-bar patterns: how often each
+    fires (by signal direction) and the average next-bar return after a
+    fire — the evidence table behind 'does this candle mean anything'.
+    Composes the pattern DSL, native unpivot and a lead window; forward
+    returns micro-quantize before the mean."""
+    from pyspark.sql import Window as W
+
+    from polars_quant_spark.sources.bars import bars as bars_src
+
+    b = pat.with_patterns(bars_src(spark, sf_dir))
+    w = W.partitionBy("symbol").orderBy("t")
+    fwd = F.floor(
+        (F.lead("close").over(w) / F.col("close") - 1.0) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    melted = (
+        b.select("symbol", "t", fwd.alias("fwd_m"), *_ONEBAR_NAMES)
+        .where(F.col("fwd_m").isNotNull())
+        .unpivot(["symbol", "t", "fwd_m"], _ONEBAR_NAMES, "pattern", "val")
+        .where(F.col("val") != 0)
+    )
+    return (
+        melted.groupBy(
+            "pattern", F.when(F.col("val") > 0, 1).otherwise(-1).alias("signal")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_fires"),
+            F.sum("fwd_m").alias("_sm"),
+        )
+        .select(
+            "pattern",
+            "signal",
+            "n_fires",
+            _r6_eff(
+                F.col("_sm").cast("double") / 1000000.0 / F.col("n_fires")
+            ).alias("avg_fwd_ret"),
+        )
+        .orderBy("pattern", "signal")
+    )
+
+
+_EFF_MELT = " UNION ALL ".join(
+    f"SELECT symbol, t, '{n}' AS pattern, {n} AS val FROM patq WHERE {n} != 0"
+    for n in _ONEBAR_NAMES
+)
+
+QUERIES["cdl_efficacy"] = cdl_efficacy
+ORACLES["cdl_efficacy"] = _fr_eff(f"""
+WITH patq AS ({ORACLES["cdl_onebar"]}),
+fwd AS (
+  SELECT symbol, t,
+         CAST(FLOOR((LEAD(close) OVER (PARTITION BY symbol ORDER BY t) / close - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS fwd_m
+  FROM ({BARS_CTE} SELECT symbol, t, close FROM bars) zz
+),
+melted AS (
+  {_EFF_MELT}
+)
+SELECT m.pattern,
+       CASE WHEN m.val > 0 THEN 1 ELSE -1 END AS signal,
+       COUNT(*) AS n_fires,
+       ROUND(CAST(SUM(f.fwd_m) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_fwd_ret
+FROM melted m JOIN fwd f ON f.symbol = m.symbol AND f.t = m.t
+WHERE f.fwd_m IS NOT NULL
+GROUP BY 1, 2
+ORDER BY pattern, signal
+""")

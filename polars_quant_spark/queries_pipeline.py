@@ -4480,3 +4480,126 @@ def events_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_users"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval — reciprocal-rank fusion of keyword and semantic ranks
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+def doc_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 keyword ranks fused with embedding-cosine
+    ranks (query vector = embedding 0; doc_id ≡ vec_id in the driver
+    tables) by reciprocal-rank fusion — score = Σ 1/(60+rank). Docs
+    missing from the keyword side still score through the semantic leg
+    (full outer fuse). The fusion arithmetic is two integer-rank
+    reciprocals, identical on both engines; top-20 by fused score."""
+    from polars_quant_spark.operators import similarity
+    from polars_quant_spark.operators.text import bm25_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    kw = bm25_scores(docs, list(_BM25_TERMS), k1=_BM25_K1, b=_BM25_B)
+    wk = Window.orderBy(F.col("score").desc(), F.col("doc_id"))
+    kw_r = kw.select(
+        F.col("doc_id").alias("_id_k"), F.row_number().over(wk).alias("r_kw")
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    sem = similarity.cosine_topk(emb, qv, k=500).select(
+        F.col("vec_id").alias("_id_s"), F.col("rank").alias("r_sem")
+    )
+    fused = kw_r.join(sem, kw_r._id_k == sem._id_s, "full").select(
+        F.coalesce(F.col("_id_k"), F.col("_id_s")).alias("doc_id"),
+        "r_kw",
+        "r_sem",
+    )
+    score = F.coalesce(
+        F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_kw")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(_RRF_K) + F.col("r_sem")), F.lit(0.0))
+    return (
+        fused.select("doc_id", "r_kw", "r_sem", r6(score).alias("rrf"))
+        .orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(20)
+    )
+
+
+QUERIES["doc_hybrid_search"] = doc_hybrid_search
+from polars_quant_spark.oracle import floor_rounds as _fr_h  # noqa: E402
+ORACLES["doc_hybrid_search"] = _fr_h(f"""
+WITH kw AS ({ORACLES["doc_bm25"]}),
+kw_r AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS r_kw FROM kw
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+scored AS (
+  SELECT e.vec_id,
+         list_sum(list_transform(list_zip(q.qv, e.embedding),
+                  p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))) AS dp,
+         sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+         sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
+  FROM embeddings e CROSS JOIN q
+),
+sem AS (
+  SELECT vec_id,
+         ROW_NUMBER() OVER (
+           ORDER BY FLOOR((CASE WHEN nq * ne > 0 THEN dp / (nq * ne) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 DESC,
+                    vec_id) AS r_sem
+  FROM scored
+),
+fused AS (
+  SELECT COALESCE(k.doc_id, s.vec_id) AS doc_id, k.r_kw, s.r_sem
+  FROM kw_r k FULL JOIN sem s ON s.vec_id = k.doc_id
+)
+SELECT doc_id, r_kw, r_sem,
+       ROUND(COALESCE(1.0 / ({_RRF_K} + r_kw), 0.0)
+             + COALESCE(1.0 / ({_RRF_K} + r_sem), 0.0), 6) AS rrf
+FROM fused
+ORDER BY rrf DESC, doc_id
+LIMIT 20
+""")
+
+
+@q(
+    "events_markov_transitions",
+    """
+WITH seq AS (
+  SELECT event_type AS src,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS dst
+  FROM events
+),
+c AS (
+  SELECT src, dst, COUNT(*) AS n FROM seq WHERE dst IS NOT NULL GROUP BY src, dst
+),
+tot AS (SELECT src, SUM(n) AS n_src FROM c GROUP BY src)
+SELECT c.src, c.dst, c.n,
+       ROUND(CAST(c.n AS DOUBLE) / t.n_src, 6) AS p
+FROM c JOIN tot t ON t.src = c.src
+ORDER BY c.src, c.dst
+""",
+)
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user event sequences:
+    P(next event type | current), from one LEAD over the deterministic
+    (ts, event_id) order plus two tiny aggregates — the journey model
+    behind next-action prediction and funnel simulation."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select(
+        "user_id", "event_type", "event_id", ts_us_expr(ev0).alias("ts_us")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("src"), F.lead("event_type").over(w).alias("dst")
+    ).where(F.col("dst").isNotNull())
+    c = seq.groupBy("src", "dst").agg(F.count(F.lit(1)).alias("n"))
+    tot = c.groupBy(F.col("src").alias("_s")).agg(F.sum("n").alias("n_src"))
+    return (
+        c.join(F.broadcast(tot), c.src == F.col("_s"))
+        .select("src", "dst", "n", r6(F.col("n").cast("double") / F.col("n_src")).alias("p"))
+        .orderBy("src", "dst")
+    )

@@ -4603,3 +4603,55 @@ def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst", "n", r6(F.col("n").cast("double") / F.col("n_src")).alias("p"))
         .orderBy("src", "dst")
     )
+
+
+# ---------------------------------------------------------------------------
+# quality-aware canonical selection — keep the BEST copy per dup cluster
+# ---------------------------------------------------------------------------
+
+
+def doc_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup canonicalization: within each near-dup cluster
+    keep the highest-quality copy (ties → smallest id), not the smallest
+    id — the difference between dropping boilerplate and accidentally
+    dropping the clean original. Composes the verified components and
+    quality pipelines; the keeper pick is one min(struct) aggregate."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    comp = dedup.minhash_dedup(docs, threshold=0.5).select(
+        "doc_id", F.col("keep_id").alias("component")
+    )
+    q = docs.select(
+        F.col("doc_id").alias("_qid"), micros(r6(text.quality_score("text"))).alias("q_m")
+    )
+    j = comp.join(q, comp.doc_id == F.col("_qid"))
+    best = j.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min(F.struct((-F.col("q_m")).alias("nq"), F.col("doc_id").alias("id"))).alias("m"),
+    )
+    return best.select(
+        "component",
+        F.col("m.id").alias("best_id"),
+        "n_members",
+        (-F.col("m.nq").cast("double") / 1e6).alias("best_quality"),
+    ).orderBy("component")
+
+
+QUERIES["doc_keep_best"] = doc_keep_best
+ORACLES["doc_keep_best"] = f"""
+WITH compq AS ({ORACLES["doc_dedup_components"]}),
+statsq AS ({ORACLES["doc_text_stats"]}),
+j AS (
+  SELECT c.keep_id AS component, c.doc_id,
+         CAST(FLOOR(s.quality * 1000000.0 + 0.5) AS BIGINT) AS q_m
+  FROM compq c JOIN statsq s ON s.doc_id = c.doc_id
+),
+best AS (
+  SELECT component, COUNT(*) AS n_members,
+         MIN(struct_pack(nq := -q_m, id := doc_id)) AS m
+  FROM j GROUP BY component
+)
+SELECT component, (m).id AS best_id, n_members,
+       CAST(-(m).nq AS DOUBLE) / 1000000.0 AS best_quality
+FROM best
+ORDER BY component
+"""

@@ -526,3 +526,46 @@ def simhash_near_dupes(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def containment_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    bands: int = 4,
+    k: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric near-dup pairs by shingle CONTAINMENT —
+    |A∩B| / min(|A|, |B|) — which catches a short document embedded in a
+    longer one (quotes, wrappers, concatenations) that symmetric Jaccard
+    dilutes below threshold. Same LSH candidate generation and exploded
+    shingle verification as ``minhash_dedup_pairs``; only the final ratio
+    differs. Returns (id_a, id_b, containment) over the threshold."""
+    from polars_quant_spark.functions._util import round6
+
+    ex = exploded_shingles(df, text, id_col, k).persist()
+    sig = minhash_signatures(
+        df, text, id_col, num_hashes, k, exploded=ex, with_count=True
+    ).persist()
+    sizes = sig.select("_id", "_n")
+    cand = _lsh_candidates_from_sig(sig.drop("_n"), num_hashes, bands)
+    inter = (
+        cand.join(ex.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
+        .join(ex.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            round6(
+                F.col("_inter").cast("double") / F.least(F.col("_na"), F.col("_nb"))
+            ).alias("containment"),
+        )
+    )
+    return out.where(F.col("containment") >= threshold)

@@ -4655,3 +4655,91 @@ SELECT component, (m).id AS best_id, n_members,
 FROM best
 ORDER BY component
 """
+
+
+@q(
+    "events_session_features",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+d AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+              OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+s AS (
+  SELECT user_id, us,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY us
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM d
+),
+per_sess AS (
+  SELECT user_id, sess_id, COUNT(*) AS n_events,
+         CAST(MAX(us) - MIN(us) AS DOUBLE) / 1000000.0 AS dur_s
+  FROM s GROUP BY user_id, sess_id
+)
+SELECT user_id,
+       COUNT(*) AS n_sessions,
+       SUM(n_events) AS n_events,
+       ROUND(quantile_cont(dur_s, 0.5), 6) AS p50_session_s,
+       ROUND(CAST(SUM(CAST(FLOOR(dur_s * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0 / COUNT(*), 6) AS avg_session_s
+FROM per_sess
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_session_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionized ML features (30-min inactivity gap): session
+    count, events, median and mean session duration — the feature table a
+    churn/engagement model trains on. Sessionization is a gap-flag
+    cumulative sum (one exchange on user), identical on both engines."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select("user_id", ts_us_expr(ev0).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us")
+    wc = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap = F.col("us") - F.lag("us").over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1_800_000_000), 1).otherwise(0)
+    s = ev.select("user_id", "us", new_sess.alias("new_sess")).select(
+        "user_id", "us", F.sum("new_sess").over(wc).alias("sess_id")
+    )
+    per_sess = s.groupBy("user_id", "sess_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        ((F.max("us") - F.min("us")).cast("double") / 1e6).alias("dur_s"),
+    )
+    return (
+        per_sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+            r6(F.expr("percentile(dur_s, 0.5)")).alias("p50_session_s"),
+            r6(
+                F.sum(micros(F.col("dur_s"))).cast("double") / 1e6 / F.count(F.lit(1))
+            ).alias("avg_session_s"),
+        )
+        .orderBy("user_id")
+    )
+
+
+QUERIES["doc_containment_pairs"] = lambda spark, sf_dir: dedup.containment_pairs(
+    load_table(spark, sf_dir, "documents"), threshold=0.6
+)
+ORACLES["doc_containment_pairs"] = (
+    _SH_CTES
+    + """
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(i._inter AS DOUBLE) / LEAST(sa._n, sb._n), 6) AS containment
+FROM cand c
+JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa._id = c.id_a
+JOIN sizes sb ON sb._id = c.id_b
+WHERE ROUND(CAST(i._inter AS DOUBLE) / LEAST(sa._n, sb._n), 6) >= 0.6
+"""
+)
+from polars_quant_spark.oracle import floor_rounds as _fr_cp  # noqa: E402
+ORACLES["doc_containment_pairs"] = _fr_cp(ORACLES["doc_containment_pairs"])

@@ -723,3 +723,17 @@ def test_bpe_merges_match_reference_algorithm(spark):
             nv[key] = nv.get(key, 0) + c
         sym_vocab = nv
     assert got == exp
+
+
+def test_containment_catches_short_doc_inside_long(spark):
+    """A short doc fully embedded in a long one scores containment ≈ 1.0
+    even when symmetric Jaccard is diluted far below threshold."""
+    short = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    long_doc = short + " " + " ".join(f"filler{i} pad{i} extra{i}" for i in range(40))
+    pdf = pd.DataFrame({"doc_id": [1, 2], "text": [short, long_doc]})
+    df = spark.createDataFrame(pdf)
+    cont = dedup.containment_pairs(df, threshold=0.6, bands=8, num_hashes=16)
+    rows = cont.collect()
+    assert len(rows) == 1 and rows[0]["containment"] >= 0.99
+    jac = dedup.minhash_dedup_pairs(df, threshold=0.6, bands=8, num_hashes=16)
+    assert jac.count() == 0  # symmetric jaccard misses the same pair

@@ -15,7 +15,7 @@ from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 from polars_quant_spark.oracle import ema_ctes, ewm_step, recursive_with
 from polars_quant_spark.sources.bars import bars
 
-from polars_quant_spark.queries import ORACLES, QUERIES, _win, _ORD, q
+from polars_quant_spark.queries import ORACLES, QUERIES, _win, _ORD, micros, q
 
 KEY = ["symbol", "t"]
 
@@ -3073,4 +3073,47 @@ def ind_qstick(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.avg(F.col("close") - F.col("open")).over(w),
             )
         ).alias("qstick_10"),
+    )
+
+
+@q(
+    "bars_volume_profile",
+    BARS_CTE
+    + """,
+bounds AS (
+  SELECT symbol, MIN(close) AS lo, MAX(close) AS hi FROM bars GROUP BY symbol
+)
+SELECT b.symbol,
+       CAST(LEAST(9, CAST(FLOOR((b.close - o.lo) * 10.0 / GREATEST(o.hi - o.lo, 1e-12)) AS BIGINT)) AS INTEGER) AS price_bin,
+       SUM(CAST(FLOOR(b.volume * 1000000.0 + 0.5) AS BIGINT)) AS vol_m,
+       COUNT(*) AS n_bars
+FROM bars b JOIN bounds o ON o.symbol = b.symbol
+GROUP BY 1, 2
+ORDER BY b.symbol, price_bin
+""",
+)
+def bars_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume profile: traded volume per price decile per symbol — where
+    the liquidity sits (support/resistance evidence). Per-symbol bounds
+    broadcast back; deciles are pure arithmetic; volume sums integer."""
+    b = bars(spark, sf_dir)
+    bounds = b.groupBy(F.col("symbol").alias("_s")).agg(
+        F.min("close").alias("lo"), F.max("close").alias("hi")
+    )
+    j = b.join(F.broadcast(bounds), b.symbol == F.col("_s"))
+    bin_ = F.least(
+        F.lit(9).cast("long"),
+        F.floor(
+            (F.col("close") - F.col("lo"))
+            * 10.0
+            / F.greatest(F.col("hi") - F.col("lo"), F.lit(1e-12))
+        ).cast("long"),
+    ).cast("int")
+    return (
+        j.groupBy("symbol", bin_.alias("price_bin"))
+        .agg(
+            F.sum(micros(F.col("volume"))).alias("vol_m"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .orderBy("symbol", "price_bin")
     )

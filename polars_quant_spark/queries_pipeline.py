@@ -4743,3 +4743,45 @@ WHERE ROUND(CAST(i._inter AS DOUBLE) / LEAST(sa._n, sb._n), 6) >= 0.6
 )
 from polars_quant_spark.oracle import floor_rounds as _fr_cp  # noqa: E402
 ORACLES["doc_containment_pairs"] = _fr_cp(ORACLES["doc_containment_pairs"])
+
+
+@q(
+    "doc_vocab_growth",
+    f"""
+WITH tk AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+),
+first_seen AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM tk GROUP BY token
+),
+cps AS (SELECT UNNEST([100, 200, 300, 400, 500]) AS checkpoint)
+SELECT c.checkpoint,
+       COUNT(CASE WHEN f.first_doc < c.checkpoint THEN 1 END) AS vocab_size
+FROM cps c CROSS JOIN first_seen f
+GROUP BY c.checkpoint
+ORDER BY c.checkpoint
+""",
+)
+def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary growth curve (Heaps' law evidence): distinct tokens seen
+    within the first N documents, at fixed checkpoints — the curve that
+    sizes a tokenizer vocabulary and flags corpus drift. One
+    first-occurrence aggregate + a tiny checkpoint fan-out; no cumulative
+    distinct windows."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    first_seen = (
+        docs.select("doc_id", F.explode(text.tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cps = spark.range(1, 6).select((F.col("id") * 100).alias("checkpoint"))
+    return (
+        first_seen.join(F.broadcast(cps))
+        .groupBy("checkpoint")
+        .agg(
+            F.count(
+                F.when(F.col("first_doc") < F.col("checkpoint"), 1)
+            ).alias("vocab_size")
+        )
+        .orderBy("checkpoint")
+    )

@@ -3117,3 +3117,33 @@ def bars_volume_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "price_bin")
     )
+
+
+# Elder Ray: bull/bear power around the EMA(13) baseline.
+ORACLES_ELDER = (
+    recursive_with(ema_ctes("eray", "bars", "close", 13))
+    + """
+SELECT b.symbol, b.t,
+       ROUND(b.high - e.eray, 6) AS bull_power,
+       ROUND(b.low - e.eray, 6) AS bear_power
+FROM bars b JOIN eray e ON e.symbol = b.symbol AND e.t = b.t
+WHERE e.eray IS NOT NULL
+"""
+)
+
+
+def ind_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elder Ray (13): bull power (high − EMA) and bear power (low − EMA)
+    — who controls the bar relative to consensus value."""
+    b = bars(spark, sf_dir)
+    out = with_recurrences(b, [Rec("eray", "ema", ["close"], {"p": 13})])
+    return out.where(F.col("eray").isNotNull()).select(
+        "symbol",
+        "t",
+        r6(F.col("high") - F.col("eray")).alias("bull_power"),
+        r6(F.col("low") - F.col("eray")).alias("bear_power"),
+    )
+
+
+QUERIES["ind_elder_ray"] = ind_elder_ray
+ORACLES["ind_elder_ray"] = ORACLES_ELDER

@@ -4785,3 +4785,60 @@ def doc_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("checkpoint")
     )
+
+
+@q(
+    "events_stickiness",
+    """
+WITH d AS (
+  SELECT (epoch_us(ts) // 86400000000) AS day, user_id FROM events
+),
+dau AS (
+  SELECT day, COUNT(DISTINCT user_id) AS dau FROM d GROUP BY day
+),
+wau AS (
+  SELECT d1.day,
+         (SELECT COUNT(DISTINCT d2.user_id) FROM d d2
+          WHERE d2.day BETWEEN d1.day - 6 AND d1.day) AS wau
+  FROM (SELECT DISTINCT day FROM d) d1
+)
+SELECT a.day, a.dau, w.wau,
+       ROUND(CAST(a.dau AS DOUBLE) / w.wau, 6) AS stickiness
+FROM dau a JOIN wau w ON w.day = a.day
+WHERE w.wau > 0
+ORDER BY a.day
+""",
+)
+def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / trailing-7-day WAU stickiness per day — the engagement ratio
+    product teams track. WAU is a distinct-over-range: expressed as a
+    (day, user) frame range-joined to the day list (bounded 7-day fan-out,
+    distinct-counted per day) — no correlated subquery, no window
+    count-distinct (which Spark windows don't support)."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    d = ev0.select(
+        (ts_us_expr(ev0) / 86_400_000_000).cast("long").alias("day"), "user_id"
+    ).distinct()
+    dau = d.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    days = d.select("day").distinct().select(F.col("day").alias("_d"))
+    wau = (
+        d.join(
+            F.broadcast(days),
+            (F.col("day") >= F.col("_d") - 6) & (F.col("day") <= F.col("_d")),
+        )
+        .groupBy("_d")
+        .agg(F.countDistinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, dau.day == F.col("_d"))
+        .where(F.col("wau") > 0)
+        .select(
+            "day",
+            "dau",
+            "wau",
+            r6(F.col("dau").cast("double") / F.col("wau")).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

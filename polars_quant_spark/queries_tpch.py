@@ -953,3 +953,69 @@ def rel_window_family(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.nth_value("l_extendedprice", 3).over(wf)).alias("third_lowest"),
         r6(F.coalesce(F.lag("l_extendedprice", 2).over(w), F.lit(-1.0))).alias("lag2"),
     )
+
+
+@q(
+    "rel_market_basket",
+    """
+WITH items AS (
+  SELECT DISTINCT l_orderkey, p_brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM items),
+brand_cnt AS (SELECT p_brand, COUNT(*) AS c FROM items GROUP BY p_brand),
+pairs AS (
+  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b, COUNT(*) AS cab
+  FROM items a JOIN items b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+)
+SELECT p.brand_a, p.brand_b, p.cab,
+       ROUND((CAST(p.cab AS DOUBLE) / n.n)
+             / ((CAST(ca.c AS DOUBLE) / n.n) * (CAST(cb.c AS DOUBLE) / n.n)), 6) AS lift
+FROM pairs p
+JOIN brand_cnt ca ON ca.p_brand = p.brand_a
+JOIN brand_cnt cb ON cb.p_brand = p.brand_b
+CROSS JOIN n_orders n
+WHERE p.cab >= 20
+ORDER BY lift DESC, p.brand_a, p.brand_b
+LIMIT 20
+""",
+)
+def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket lift over brands co-purchased in one order — the
+    association-rule primitive. The pair fan-out self-joins the DISTINCT
+    (order, brand) frame on the order key — bounded by basket size, never
+    a cross join — and the lift expression tree is identical on both
+    engines."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pa = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    items = (
+        li.join(pa, li.l_partkey == pa.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    n_orders = items.agg(F.countDistinct("l_orderkey").alias("n"))
+    brand_cnt = items.groupBy("p_brand").agg(F.count(F.lit(1)).alias("c"))
+    a = items.select(F.col("l_orderkey").alias("_o"), F.col("p_brand").alias("brand_a"))
+    b = items.select(F.col("l_orderkey").alias("_o2"), F.col("p_brand").alias("brand_b"))
+    pairs = (
+        a.join(b, (F.col("_o") == F.col("_o2")) & (F.col("brand_a") < F.col("brand_b")))
+        .groupBy("brand_a", "brand_b")
+        .agg(F.count(F.lit(1)).alias("cab"))
+        .where(F.col("cab") >= 20)
+    )
+    ca = brand_cnt.select(F.col("p_brand").alias("brand_a"), F.col("c").alias("ca"))
+    cb = brand_cnt.select(F.col("p_brand").alias("brand_b"), F.col("c").alias("cb"))
+    lift = (F.col("cab").cast("double") / F.col("n")) / (
+        (F.col("ca").cast("double") / F.col("n"))
+        * (F.col("cb").cast("double") / F.col("n"))
+    )
+    return (
+        pairs.join(ca, "brand_a")
+        .join(cb, "brand_b")
+        .join(F.broadcast(n_orders))
+        .select("brand_a", "brand_b", "cab", r6(lift).alias("lift"))
+        .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
+        .limit(20)
+    )

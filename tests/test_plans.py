@@ -451,3 +451,17 @@ def test_unpivot_is_single_scan_expand(spark, sf_dir):
 
     assert len(_re.findall(r"\(\d+\) Scan parquet", p)) == 1
     assert "Expand" in p
+
+
+def test_new_composition_queries_have_no_cartesian(spark, sf_dir):
+    """The newest composition queries must stay bucketed/bounded: no
+    CartesianProduct and no broadcast nested loop EXCEPT the deliberate
+    1-row scalar broadcasts (market-basket order count, PMI totals)."""
+    from polars_quant_spark.plans.inspect import plan_str
+
+    for name in ("rel_market_basket", "doc_hybrid_search", "doc_bigram_pmi"):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+    # the pair joins themselves must be hash joins on real keys
+    p = plan_str(QUERIES["rel_market_basket"](spark, sf_dir))
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

@@ -54,9 +54,9 @@ def test_no_forced_broadcast_of_sf_scaled_tables():
     import polars_quant_spark.queries as qmod
     import polars_quant_spark.queries_tpch as tmod
 
-    # nation/region are fixed-size; total/mx/winners are tiny agg-derived
-    # frames (global scalars / max-ties) whose size does NOT grow with SF.
-    allowed = ("na", "re", "total", "mx", "winners")
+    # nation/region are fixed-size; total/mx/winners/n_orders are tiny
+    # agg-derived frames (global scalars / max-ties) that do NOT grow with SF.
+    allowed = ("na", "re", "total", "mx", "winners", "n_orders")
     for mod in (qmod, tmod):
         src = inspect.getsource(mod)
         for line in src.splitlines():

@@ -1019,3 +1019,44 @@ def rel_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("lift").desc(), "brand_a", "brand_b")
         .limit(20)
     )
+
+
+@q(
+    "rel_repeat_purchase_curve",
+    """
+WITH ranked AS (
+  SELECT o_custkey,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS nth
+  FROM orders
+),
+cnt AS (SELECT nth, COUNT(*) AS n_customers FROM ranked GROUP BY nth),
+base AS (SELECT n_customers AS n1 FROM cnt WHERE nth = 1)
+SELECT c.nth, c.n_customers,
+       ROUND(CAST(c.n_customers AS DOUBLE) / b.n1, 6) AS retention
+FROM cnt c CROSS JOIN base b
+WHERE c.nth <= 10
+ORDER BY c.nth
+""",
+)
+def rel_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase curve: how many customers reach their Nth order and
+    the retention ratio vs first-time buyers — the lifecycle funnel every
+    commerce team tracks. One rank window + a tiny count + a 1-row
+    broadcast base."""
+    od = load_table(spark, sf_dir, "orders")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    ranked = od.select(F.row_number().over(w).alias("nth"))
+    cnt = ranked.groupBy("nth").agg(F.count(F.lit(1)).alias("n_customers"))
+    base = cnt.where(F.col("nth") == 1).select(F.col("n_customers").alias("n1"))
+    return (
+        cnt.join(F.broadcast(base))
+        .where(F.col("nth") <= 10)
+        .select(
+            "nth",
+            "n_customers",
+            r6(F.col("n_customers").cast("double") / F.col("n1")).alias("retention"),
+        )
+        .orderBy("nth")
+    )

@@ -3147,3 +3147,85 @@ def ind_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_elder_ray"] = ind_elder_ray
 ORACLES["ind_elder_ray"] = ORACLES_ELDER
+
+
+@q(
+    "ind_coppock",
+    BARS_CTE
+    + """,
+rc AS (
+  SELECT symbol, t,
+         100.0 * (close / LAG(close, 14) OVER o - 1.0)
+         + 100.0 * (close / LAG(close, 11) OVER o - 1.0) AS rsum
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(rsum) OVER w = 10 THEN
+         list_dot_product(list(rsum) OVER w,
+                          [1.0,2.0,3.0,4.0,5.0,6.0,7.0,8.0,9.0,10.0]) / 55.0 END, 6) AS coppock
+FROM rc WHERE rsum IS NOT NULL
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coppock curve: WMA(10) of ROC(14)+ROC(11) — the long-turn momentum
+    gauge, riding the same linear-weight dot product contract as
+    ind_wma_10 over a derived column."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    rsum = (
+        100.0 * (F.col("close") / F.lag("close", 14).over(o) - 1.0)
+        + 100.0 * (F.col("close") / F.lag("close", 11).over(o) - 1.0)
+    )
+    src = b.select("symbol", "t", rsum.alias("rsum")).where(F.col("rsum").isNotNull())
+    return src.select("symbol", "t", r6(ov.wma("rsum", 10, _w())).alias("coppock"))
+
+
+@q(
+    "bars_sortino",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+)
+SELECT symbol,
+       ROUND(CAST(SUM(qr) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_ret,
+       ROUND(sqrt(CAST(SUM(CASE WHEN qr < 0 THEN qr * qr ELSE 0 END) AS DOUBLE)
+                  / 1000000000000.0 / COUNT(*)), 6) AS downside_dev,
+       ROUND(CASE WHEN SUM(CASE WHEN qr < 0 THEN qr * qr ELSE 0 END) > 0 THEN
+         (CAST(SUM(qr) AS DOUBLE) / 1000000.0 / COUNT(*))
+         / sqrt(CAST(SUM(CASE WHEN qr < 0 THEN qr * qr ELSE 0 END) AS DOUBLE)
+                / 1000000000000.0 / COUNT(*)) END, 6) AS sortino
+FROM r WHERE qr IS NOT NULL
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bars_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sortino ratio per symbol (zero target): mean return over downside
+    deviation — the Sharpe variant that only penalizes losses. Integer
+    moment sums (negative returns squared in micro² units) keep both
+    engines exact."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(w) - 1.0) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", qr.alias("qr")).where(F.col("qr").isNotNull())
+    neg2 = F.sum(F.when(F.col("qr") < 0, F.col("qr") * F.col("qr")).otherwise(0))
+    n = F.count(F.lit(1))
+    mean_ret = F.sum("qr").cast("double") / 1e6 / n
+    ddev = F.sqrt(neg2.cast("double") / 1e12 / n)
+    return (
+        r.groupBy("symbol")
+        .agg(
+            r6(mean_ret).alias("mean_ret"),
+            r6(ddev).alias("downside_dev"),
+            r6(F.when(neg2 > 0, mean_ret / ddev)).alias("sortino"),
+        )
+        .orderBy("symbol")
+    )

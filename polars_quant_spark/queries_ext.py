@@ -3229,3 +3229,130 @@ def bars_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@q(
+    "ind_rvi_10",
+    BARS_CTE
+    + """,
+num AS (
+  SELECT symbol, t,
+         ((close - open) + 2.0 * (LAG(close - open, 1) OVER o)
+          + 2.0 * (LAG(close - open, 2) OVER o) + (LAG(close - open, 3) OVER o)) / 6.0 AS nv,
+         ((high - low) + 2.0 * (LAG(high - low, 1) OVER o)
+          + 2.0 * (LAG(high - low, 2) OVER o) + (LAG(high - low, 3) OVER o)) / 6.0 AS dv
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(nv) OVER w = 10 AND SUM(dv) OVER w != 0
+             THEN SUM(nv) OVER w / SUM(dv) OVER w END, 6) AS rvi_10
+FROM num WHERE nv IS NOT NULL AND dv IS NOT NULL
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_rvi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative Vigor Index (10): symmetric-weighted close-open conviction
+    over the symmetric-weighted range, window-summed — closes near highs
+    in uptrends, near lows in downtrends."""
+    b = bars(spark, sf_dir)
+    o = _w()
+
+    def symw(c):
+        return (
+            c + 2.0 * F.lag(c, 1).over(o) + 2.0 * F.lag(c, 2).over(o) + F.lag(c, 3).over(o)
+        ) / 6.0
+
+    src = b.select(
+        "symbol",
+        "t",
+        symw(F.col("close") - F.col("open")).alias("nv"),
+        symw(F.col("high") - F.col("low")).alias("dv"),
+    ).where(F.col("nv").isNotNull() & F.col("dv").isNotNull())
+    w = _w().rowsBetween(-9, 0)
+    ok = (F.count("nv").over(w) == 10) & (F.sum("dv").over(w) != 0)
+    return src.select(
+        "symbol",
+        "t",
+        r6(F.when(ok, F.sum("nv").over(w) / F.sum("dv").over(w))).alias("rvi_10"),
+    )
+
+
+@q(
+    "bars_return_autocorr",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+lag3 AS (
+  SELECT symbol, qr,
+         LAG(qr, 1) OVER o AS l1, LAG(qr, 2) OVER o AS l2, LAG(qr, 3) OVER o AS l3
+  FROM r WHERE qr IS NOT NULL
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+),
+lagged AS (
+  SELECT symbol, 1 AS lag_k, qr, l1 AS qlag FROM lag3
+  UNION ALL SELECT symbol, 2, qr, l2 FROM lag3
+  UNION ALL SELECT symbol, 3, qr, l3 FROM lag3
+)
+SELECT symbol, lag_k,
+       ROUND((CAST(SUM(qr * qlag) AS DOUBLE) / 1000000000000.0 / COUNT(*)
+              - (CAST(SUM(qr) AS DOUBLE) / 1000000.0 / COUNT(*))
+                * (CAST(SUM(qlag) AS DOUBLE) / 1000000.0 / COUNT(*)))
+             / (sqrt(CAST(SUM(qr * qr) AS DOUBLE) / 1000000000000.0 / COUNT(*)
+                     - POWER(CAST(SUM(qr) AS DOUBLE) / 1000000.0 / COUNT(*), 2))
+              * sqrt(CAST(SUM(qlag * qlag) AS DOUBLE) / 1000000000000.0 / COUNT(*)
+                     - POWER(CAST(SUM(qlag) AS DOUBLE) / 1000000.0 / COUNT(*), 2))), 6) AS autocorr
+FROM lagged WHERE qlag IS NOT NULL
+GROUP BY symbol, lag_k
+ORDER BY symbol, lag_k
+""",
+)
+def bars_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Return autocorrelation at lags 1–3 per symbol — the mean-reversion
+    / momentum diagnostic. Lags unpivot into (lag_k, pair) rows and every
+    moment is an integer sum, so the Pearson formula evaluates on
+    identical doubles in both engines."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(w) - 1.0) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    o = _w()
+    lag3 = r.select(
+        "symbol",
+        "qr",
+        F.lag("qr", 1).over(o).alias("l1"),
+        F.lag("qr", 2).over(o).alias("l2"),
+        F.lag("qr", 3).over(o).alias("l3"),
+    )
+    lagged = (
+        lag3.unpivot(["symbol", "qr"], ["l1", "l2", "l3"], "_lk", "qlag")
+        .where(F.col("qlag").isNotNull())
+        .select(
+            "symbol",
+            F.substring("_lk", 2, 1).cast("int").alias("lag_k"),
+            "qr",
+            "qlag",
+        )
+    )
+    n = F.count(F.lit(1))
+    mx = F.sum("qr").cast("double") / 1e6 / n
+    my = F.sum("qlag").cast("double") / 1e6 / n
+    cov = F.sum(F.col("qr") * F.col("qlag")).cast("double") / 1e12 / n - mx * my
+    sx = F.sqrt(
+        F.sum(F.col("qr") * F.col("qr")).cast("double") / 1e12 / n - F.pow(mx, F.lit(2.0))
+    )
+    sy = F.sqrt(
+        F.sum(F.col("qlag") * F.col("qlag")).cast("double") / 1e12 / n - F.pow(my, F.lit(2.0))
+    )
+    return (
+        lagged.groupBy("symbol", "lag_k")
+        .agg(r6(cov / (sx * sy)).alias("autocorr"))
+        .orderBy("symbol", "lag_k")
+    )

@@ -4842,3 +4842,40 @@ def events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@q(
+    "doc_field_completeness",
+    """
+SELECT
+  COUNT(*) AS n_docs,
+  ROUND(CAST(SUM(CASE WHEN text IS NULL OR LENGTH(text) = 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS empty_text_rate,
+  ROUND(CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS null_lang_rate,
+  ROUND(CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS null_source_rate,
+  ROUND(CAST(SUM(CASE WHEN n_chars IS NULL OR n_chars <= 0 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS bad_nchars_rate,
+  ROUND(CAST(SUM(CASE WHEN n_chars IS NOT NULL AND CAST(n_chars AS BIGINT) <> LENGTH(text) THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS nchars_mismatch_rate
+FROM documents
+""",
+)
+def doc_field_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-health profile of the corpus table: empty/null rates per
+    field plus the n_chars↔LENGTH(text) consistency check — the
+    data-contract gate an ingest pipeline runs before anything else. One
+    scan, one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.count(F.lit(1))
+
+    def rate(cond):
+        return r6(F.sum(F.when(cond, 1).otherwise(0)).cast("double") / n)
+
+    return docs.agg(
+        n.alias("n_docs"),
+        rate(F.col("text").isNull() | (F.length("text") == 0)).alias("empty_text_rate"),
+        rate(F.col("lang").isNull()).alias("null_lang_rate"),
+        rate(F.col("source").isNull()).alias("null_source_rate"),
+        rate(F.col("n_chars").isNull() | (F.col("n_chars") <= 0)).alias("bad_nchars_rate"),
+        rate(
+            F.col("n_chars").isNotNull()
+            & (F.col("n_chars").cast("long") != F.length("text"))
+        ).alias("nchars_mismatch_rate"),
+    )

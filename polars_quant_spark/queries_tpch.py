@@ -1060,3 +1060,35 @@ def rel_repeat_purchase_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nth")
     )
+
+
+@q(
+    "rel_supplier_hhi",
+    f"""
+WITH sr AS (
+  SELECT l_suppkey, SUM({_REV_SQL}) AS rev_m
+  FROM lineitem GROUP BY l_suppkey
+),
+tot AS (SELECT SUM(rev_m) AS t FROM sr)
+SELECT COUNT(*) AS n_suppliers,
+       ROUND(SUM(POWER(CAST(rev_m AS DOUBLE) / t, 2)) * 10000.0, 6) AS hhi
+FROM sr CROSS JOIN tot
+""",
+)
+def rel_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier concentration (Herfindahl–Hirschman index × 10⁴) over
+    revenue shares — the dependency-risk scalar. One revenue aggregate, a
+    1-row total broadcast, and a squared-share sum; shares derive from
+    integer micro-unit revenues so both engines square identical
+    doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sr = li.groupBy("l_suppkey").agg(F.sum(_rev_micros()).alias("rev_m"))
+    tot = sr.agg(F.sum("rev_m").alias("t"))
+    share2 = F.pow(F.col("rev_m").cast("double") / F.col("t"), F.lit(2.0))
+    return (
+        sr.join(F.broadcast(tot))
+        .agg(
+            F.count(F.lit(1)).alias("n_suppliers"),
+            r6(F.sum(share2) * 10000.0).alias("hhi"),
+        )
+    )

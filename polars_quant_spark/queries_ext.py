@@ -3356,3 +3356,49 @@ def bars_return_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(r6(cov / (sx * sy)).alias("autocorr"))
         .orderBy("symbol", "lag_k")
     )
+
+
+@q(
+    "bars_overnight_intraday",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol,
+         CAST(FLOOR((close / open - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS intraday_m,
+         CASE WHEN LAG(close) OVER (PARTITION BY symbol ORDER BY t) IS NOT NULL
+              THEN CAST(FLOOR((open / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                              * 1000000.0 + 0.5) AS BIGINT) END AS overnight_m
+  FROM bars
+)
+SELECT symbol,
+       ROUND(CAST(SUM(intraday_m) AS DOUBLE) / 1000000.0 / COUNT(intraday_m), 6) AS avg_intraday,
+       ROUND(CAST(SUM(overnight_m) AS DOUBLE) / 1000000.0 / COUNT(overnight_m), 6) AS avg_overnight
+FROM r
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bars_overnight_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overnight-vs-intraday return decomposition per symbol (the classic
+    'where does the return accrue' split): open→close vs prev-close→open
+    micro-quantized means."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    intraday = F.floor(
+        (F.col("close") / F.col("open") - 1.0) * 1000000.0 + F.lit(0.5)
+    ).cast("long")
+    overnight = F.when(
+        F.lag("close").over(w).isNotNull(),
+        F.floor(
+            (F.col("open") / F.lag("close").over(w) - 1.0) * 1000000.0 + F.lit(0.5)
+        ).cast("long"),
+    )
+    r = b.select("symbol", intraday.alias("im"), overnight.alias("om"))
+    return (
+        r.groupBy("symbol")
+        .agg(
+            r6(F.sum("im").cast("double") / 1e6 / F.count("im")).alias("avg_intraday"),
+            r6(F.sum("om").cast("double") / 1e6 / F.count("om")).alias("avg_overnight"),
+        )
+        .orderBy("symbol")
+    )

@@ -1092,3 +1092,61 @@ def rel_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sum(share2) * 10000.0).alias("hhi"),
         )
     )
+
+
+@q(
+    "rel_nation_trade_balance",
+    f"""
+WITH sells AS (
+  SELECT s_nationkey AS nk, SUM({_REV_SQL}) AS sell_m
+  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+  GROUP BY s_nationkey
+),
+buys AS (
+  SELECT c_nationkey AS nk, SUM({_REV_SQL}) AS buy_m
+  FROM lineitem
+  JOIN orders ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  GROUP BY c_nationkey
+)
+SELECT n_name,
+       CAST(COALESCE(s.sell_m, 0) AS DOUBLE) / 1000000.0 AS sold,
+       CAST(COALESCE(b.buy_m, 0) AS DOUBLE) / 1000000.0 AS bought,
+       CAST(COALESCE(s.sell_m, 0) - COALESCE(b.buy_m, 0) AS DOUBLE) / 1000000.0 AS balance
+FROM nation
+LEFT JOIN sells s ON s.nk = n_nationkey
+LEFT JOIN buys b ON b.nk = n_nationkey
+ORDER BY n_name
+""",
+)
+def rel_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation trade balance: revenue earned as supplier minus spend as
+    customer — two independent star aggregates full-joined onto the
+    nation dimension (nations with no activity keep zeros)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    sells = (
+        li.join(su, li.l_suppkey == su.s_suppkey)
+        .groupBy(F.col("s_nationkey").alias("_nk_s"))
+        .agg(F.sum(_rev_micros()).alias("sell_m"))
+    )
+    od = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cu = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    buys = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .join(cu, od.o_custkey == cu.c_custkey)
+        .groupBy(F.col("c_nationkey").alias("_nk_b"))
+        .agg(F.sum(_rev_micros()).alias("buy_m"))
+    )
+    na = load_table(spark, sf_dir, "nation")
+    sold = F.coalesce(F.col("sell_m"), F.lit(0)).cast("double") / 1e6
+    bought = F.coalesce(F.col("buy_m"), F.lit(0)).cast("double") / 1e6
+    bal = (
+        F.coalesce(F.col("sell_m"), F.lit(0)) - F.coalesce(F.col("buy_m"), F.lit(0))
+    ).cast("double") / 1e6
+    return (
+        na.join(sells, na.n_nationkey == F.col("_nk_s"), "left")
+        .join(buys, na.n_nationkey == F.col("_nk_b"), "left")
+        .select("n_name", sold.alias("sold"), bought.alias("bought"), bal.alias("balance"))
+        .orderBy("n_name")
+    )

@@ -4879,3 +4879,38 @@ def doc_field_completeness(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("n_chars").cast("long") != F.length("text"))
         ).alias("nchars_mismatch_rate"),
     )
+
+
+@q(
+    "doc_type_token_ratio",
+    f"""
+WITH t AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+)
+SELECT doc_id,
+       CAST(len(list_distinct(tk)) AS BIGINT) AS n_types,
+       CAST(len(tk) AS BIGINT) AS n_tokens,
+       ROUND(CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk), 6) AS ttr
+FROM t WHERE len(tk) > 0
+""",
+)
+def doc_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio per document (lexical diversity): distinct tokens
+    over total — low TTR marks repetitive/templated text. Pure projection
+    (array_distinct inside the row), no shuffle."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tk = text.tokens("text")
+    return (
+        docs.select(
+            "doc_id",
+            F.size(F.array_distinct(tk)).cast("long").alias("n_types"),
+            F.size(tk).cast("long").alias("n_tokens"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            "n_types",
+            "n_tokens",
+            r6(F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
+        )
+    )

@@ -1150,3 +1150,26 @@ def rel_nation_trade_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name", sold.alias("sold"), bought.alias("bought"), bal.alias("balance"))
         .orderBy("n_name")
     )
+
+
+@q(
+    "rel_order_size_hist",
+    """
+WITH sizes AS (
+  SELECT l_orderkey, COUNT(*) AS n_lines FROM lineitem GROUP BY l_orderkey
+)
+SELECT n_lines, COUNT(*) AS n_orders
+FROM sizes GROUP BY n_lines ORDER BY n_lines
+""",
+)
+def rel_order_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines-per-order distribution — the basket-size histogram (the
+    double-aggregate shape of q13 without the dimension join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).alias("n_lines"))
+        .groupBy("n_lines")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("n_lines")
+    )

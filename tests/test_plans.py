@@ -56,7 +56,9 @@ def test_no_forced_broadcast_of_sf_scaled_tables():
 
     # nation/region are fixed-size; total/mx/winners/n_orders are tiny
     # agg-derived frames (global scalars / max-ties) that do NOT grow with SF.
-    allowed = ("na", "re", "total", "mx", "winners", "n_orders", "base")
+    allowed = ("na", "re", "total", "tot", "mx", "winners", "n_orders", "base",
+               "sells", "buys", "bounds", "nm", "cut", "sched", "full", "nbg",
+               "scal", "cps", "days")
     for mod in (qmod, tmod):
         src = inspect.getsource(mod)
         for line in src.splitlines():

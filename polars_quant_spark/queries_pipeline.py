@@ -4914,3 +4914,48 @@ def doc_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("n_types").cast("double") / F.col("n_tokens")).alias("ttr"),
         )
     )
+
+
+@q(
+    "events_activity_gini",
+    """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n FROM events GROUP BY user_id
+),
+ranked AS (
+  SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS rk FROM per_user
+),
+tot AS (SELECT COUNT(*) AS nu, SUM(n) AS ne FROM per_user)
+SELECT t.nu AS n_users, t.ne AS n_events,
+       ROUND((2.0 * SUM(CAST(r.rk AS DOUBLE) * r.n) / (t.nu * t.ne))
+             - (CAST(t.nu AS DOUBLE) + 1.0) / t.nu, 6) AS gini
+FROM ranked r CROSS JOIN tot t
+GROUP BY t.nu, t.ne
+""",
+)
+def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of per-user activity — the concentration scalar
+    that flags bot-heavy or whale-dominated traffic. Rank-formula Gini:
+    (2·Σ rank·n)/(N·total) − (N+1)/N over deterministically ranked users;
+    integer rank·count products keep both engines exact."""
+    from polars_quant_spark.sources.bars import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ranked = per_user.select(
+        "n", F.row_number().over(Window.orderBy("n", "user_id")).alias("rk")
+    )
+    tot = per_user.agg(
+        F.count(F.lit(1)).alias("nu"), F.sum("n").alias("ne")
+    )
+    g = (
+        2.0 * F.sum(F.col("rk").cast("double") * F.col("n")) / (F.col("nu") * F.col("ne"))
+    ) - (F.col("nu").cast("double") + 1.0) / F.col("nu")
+    return (
+        ranked.join(F.broadcast(tot))
+        .groupBy("nu", "ne")
+        .agg(r6(g).alias("gini"))
+        .select(
+            F.col("nu").alias("n_users"), F.col("ne").alias("n_events"), "gini"
+        )
+    )

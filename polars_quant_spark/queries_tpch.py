@@ -1173,3 +1173,56 @@ def rel_order_size_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("n_lines")
     )
+
+
+@q(
+    "rel_customer_ltv_deciles",
+    """
+WITH spend AS (
+  SELECT o_custkey, SUM(CAST(FLOOR(o_totalprice * 1000000.0 + 0.5) AS BIGINT)) AS sp_m
+  FROM orders GROUP BY o_custkey
+),
+dec AS (
+  SELECT o_custkey, sp_m,
+         NTILE(10) OVER (ORDER BY sp_m DESC, o_custkey) AS decile
+  FROM spend
+)
+SELECT decile,
+       COUNT(*) AS n_customers,
+       CAST(SUM(sp_m) AS DOUBLE) / 1000000.0 AS total_spend,
+       ROUND(CAST(SUM(sp_m) AS DOUBLE)
+             / (SELECT CAST(SUM(sp_m) AS DOUBLE) FROM spend), 6) AS spend_share
+FROM dec
+GROUP BY decile
+ORDER BY decile
+""",
+)
+def rel_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer lifetime-value deciles: spend per decile and each decile's
+    share of total — the whale curve behind revenue concentration. One
+    customer aggregate, one rank window, a scalar broadcast share."""
+    od = load_table(spark, sf_dir, "orders")
+    spend = od.groupBy("o_custkey").agg(
+        F.sum(micros(F.col("o_totalprice"))).alias("sp_m")
+    )
+    dec = spend.select(
+        "sp_m",
+        F.ntile(10)
+        .over(Window.orderBy(F.col("sp_m").desc(), "o_custkey"))
+        .alias("decile"),
+    )
+    tot = spend.agg(F.sum("sp_m").alias("_t"))
+    return (
+        dec.groupBy("decile")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("sp_m").alias("_s"))
+        .join(F.broadcast(tot))
+        .select(
+            "decile",
+            "n_customers",
+            (F.col("_s").cast("double") / 1e6).alias("total_spend"),
+            r6(F.col("_s").cast("double") / F.col("_t").cast("double")).alias(
+                "spend_share"
+            ),
+        )
+        .orderBy("decile")
+    )

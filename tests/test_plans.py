@@ -58,7 +58,7 @@ def test_no_forced_broadcast_of_sf_scaled_tables():
     # agg-derived frames (global scalars / max-ties) that do NOT grow with SF.
     allowed = ("na", "re", "total", "tot", "mx", "winners", "n_orders", "base",
                "sells", "buys", "bounds", "nm", "cut", "sched", "full", "nbg",
-               "scal", "cps", "days")
+               "scal", "cps", "days", "dec")
     for mod in (qmod, tmod):
         src = inspect.getsource(mod)
         for line in src.splitlines():

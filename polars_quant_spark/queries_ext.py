@@ -3402,3 +3402,68 @@ def bars_overnight_intraday(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@q(
+    "bars_streak_distribution",
+    BARS_CTE
+    + """,
+d AS (
+  SELECT symbol, t,
+         CASE WHEN close > LAG(close) OVER o THEN 1
+              WHEN close < LAG(close) OVER o THEN -1 ELSE 0 END AS dir
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+),
+flagged AS (
+  SELECT symbol, t, dir,
+         CASE WHEN dir = LAG(dir) OVER (PARTITION BY symbol ORDER BY t)
+              THEN 0 ELSE 1 END AS new_run
+  FROM d WHERE dir != 0
+),
+runs AS (
+  SELECT symbol, t, dir,
+         SUM(new_run) OVER (PARTITION BY symbol ORDER BY t
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flagged
+),
+lens AS (
+  SELECT symbol, run_id, MAX(dir) AS dir, COUNT(*) AS len FROM runs
+  GROUP BY symbol, run_id
+)
+SELECT CAST(dir AS INTEGER) AS direction, CAST(len AS INTEGER) AS streak_len,
+       COUNT(*) AS n_runs
+FROM lens
+GROUP BY 1, 2
+ORDER BY direction, streak_len
+""",
+)
+def bars_streak_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of consecutive up/down close streak lengths across the
+    universe — the microstructure momentum fingerprint (a fair coin gives
+    halving counts per extra bar; deviations reveal drift/mean-reversion).
+    Same run-grouping conditional-cumsum shape as the drawdown episodes."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    dirc = (
+        F.when(F.col("close") > F.lag("close").over(o), 1)
+        .when(F.col("close") < F.lag("close").over(o), -1)
+        .otherwise(0)
+    )
+    d = b.select("symbol", "t", dirc.alias("dir")).where(F.col("dir") != 0)
+    new_run = F.when(F.col("dir") == F.lag("dir").over(o), 0).otherwise(1)
+    wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    runs = d.select(
+        "symbol", "t", "dir", new_run.alias("new_run")
+    ).select("symbol", "t", "dir", F.sum("new_run").over(wc).alias("run_id"))
+    lens = runs.groupBy("symbol", "run_id").agg(
+        F.max("dir").alias("dir"), F.count(F.lit(1)).alias("len")
+    )
+    return (
+        lens.groupBy(
+            F.col("dir").cast("int").alias("direction"),
+            F.col("len").cast("int").alias("streak_len"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_runs"))
+        .orderBy("direction", "streak_len")
+    )

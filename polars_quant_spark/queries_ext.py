@@ -3467,3 +3467,222 @@ def bars_streak_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_runs"))
         .orderBy("direction", "streak_len")
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-based volatility estimators + higher-moment return stats + variance
+# ratio. All follow the integer-quantized-moment contract (verify skill
+# notes): quantize each per-bar term to a BIGINT, sum exactly in both
+# engines, and run the identical double-arithmetic tail on the exact sums.
+# ---------------------------------------------------------------------------
+
+_LN2 = 0.6931471805599453  # shared literal so neither engine computes ln(2)
+
+
+@q(
+    "bars_range_vol",
+    BARS_CTE
+    + f""",
+terms AS (
+  SELECT symbol,
+         CAST(FLOOR(ln(high / low) * ln(high / low) * 1000000000000.0 + 0.5)
+              AS BIGINT) AS qp,
+         CAST(FLOOR((0.5 * ln(high / low) * ln(high / low)
+                     - (2.0 * {_LN2} - 1.0) * ln(close / open) * ln(close / open))
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS qgk,
+         CAST(FLOOR((ln(high / close) * ln(high / open)
+                     + ln(low / close) * ln(low / open))
+                    * 1000000000000.0 + 0.5) AS BIGINT) AS qrs
+  FROM bars WHERE high > 0 AND low > 0 AND open > 0 AND close > 0
+)
+SELECT symbol,
+       ROUND(sqrt(CAST(SUM(qp) AS DOUBLE) / COUNT(*) / 1000000000000.0
+                  / (4.0 * {_LN2})), 6) AS parkinson,
+       ROUND(CASE WHEN SUM(qgk) > 0 THEN
+         sqrt(CAST(SUM(qgk) AS DOUBLE) / COUNT(*) / 1000000000000.0) END, 6)
+         AS garman_klass,
+       ROUND(CASE WHEN SUM(qrs) >= 0 THEN
+         sqrt(CAST(SUM(qrs) AS DOUBLE) / COUNT(*) / 1000000000000.0) END, 6)
+         AS rogers_satchell
+FROM terms
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bars_range_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol range-based volatility estimators — Parkinson (high/low),
+    Garman-Klass (OHLC), Rogers-Satchell (drift-robust). Each per-bar log
+    term is quantized to picounits before the group sum, so both engines
+    aggregate exact integers; the sqrt/divide tail is the identical IEEE
+    expression on both sides. One scan, one hash aggregate — no windows."""
+    b = bars(spark, sf_dir).where(
+        (F.col("high") > 0) & (F.col("low") > 0) & (F.col("open") > 0) & (F.col("close") > 0)
+    )
+    lhl = F.log(F.col("high") / F.col("low"))
+    lco = F.log(F.col("close") / F.col("open"))
+
+    def q12(x):
+        return F.floor(x * 1e12 + F.lit(0.5)).cast("long")
+
+    terms = b.select(
+        "symbol",
+        q12(lhl * lhl).alias("qp"),
+        q12(0.5 * lhl * lhl - (2.0 * _LN2 - 1.0) * lco * lco).alias("qgk"),
+        q12(
+            F.log(F.col("high") / F.col("close")) * F.log(F.col("high") / F.col("open"))
+            + F.log(F.col("low") / F.col("close")) * F.log(F.col("low") / F.col("open"))
+        ).alias("qrs"),
+    )
+    n = F.count(F.lit(1))
+    park = F.sqrt(F.sum("qp").cast("double") / n / 1e12 / (4.0 * _LN2))
+    gk = F.when(F.sum("qgk") > 0, F.sqrt(F.sum("qgk").cast("double") / n / 1e12))
+    rs = F.when(F.sum("qrs") >= 0, F.sqrt(F.sum("qrs").cast("double") / n / 1e12))
+    return (
+        terms.groupBy("symbol")
+        .agg(
+            r6(park).alias("parkinson"),
+            r6(gk).alias("garman_klass"),
+            r6(rs).alias("rogers_satchell"),
+        )
+        .orderBy("symbol")
+    )
+
+
+@q(
+    "bars_moment_stats",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol,
+         CAST(CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                         * 1000000.0 + 0.5) AS BIGINT) AS HUGEINT) AS qr
+  FROM bars
+),
+s AS (
+  SELECT symbol, COUNT(*) AS n,
+         SUM(qr) AS s1, SUM(qr * qr) AS s2,
+         SUM(qr * qr * qr) AS s3, SUM(qr * qr * qr * qr) AS s4
+  FROM r WHERE qr IS NOT NULL GROUP BY symbol
+)
+SELECT symbol,
+       ROUND(CASE WHEN CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0 THEN
+         (CAST(s3 AS DOUBLE) / n
+          - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+          + 2.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            * sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+       END, 6) AS ret_skew,
+       ROUND(CASE WHEN CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0 THEN
+         (CAST(s4 AS DOUBLE) / n
+          - 4.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s3 AS DOUBLE) / n)
+          + 6.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)
+          - 3.0 * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            * (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) - 3.0
+       END, 6) AS ret_excess_kurtosis
+FROM s
+ORDER BY symbol
+""",
+)
+def bars_moment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-symbol return skewness and excess kurtosis from exact integer
+    power sums (population moments). Returns quantize to micro units; the
+    3rd/4th power sums run in DECIMAL(38,0) on Spark and HUGEINT in DuckDB
+    (a single 10% move raised to the 4th overflows BIGINT), then the
+    identical double tail: m_k from s1..s4, skew = m3/(m2·√m2),
+    kurt = m4/m2² − 3. One scan + one hash aggregate."""
+    b = bars(spark, sf_dir)
+    w = _w()
+    qr = (
+        F.floor((F.col("close") / F.lag("close").over(w) - 1.0) * 1000000.0 + F.lit(0.5))
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    r = b.select("symbol", qr.alias("qr")).where(F.col("qr").isNotNull())
+    s = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qr").alias("s1"),
+        F.sum(F.col("qr") * F.col("qr")).alias("s2"),
+        F.sum(F.col("qr") * F.col("qr") * F.col("qr")).alias("s3"),
+        F.sum(F.col("qr") * F.col("qr") * F.col("qr") * F.col("qr")).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    e2 = F.col("s2").cast("double") / n
+    e3 = F.col("s3").cast("double") / n
+    e4 = F.col("s4").cast("double") / n
+    m2 = e2 - m1 * m1
+    m3 = e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1
+    m4 = e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2 - 3.0 * m1 * m1 * m1 * m1
+    return s.select(
+        "symbol",
+        r6(F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))).alias("ret_skew"),
+        r6(F.when(m2 > 0, m4 / (m2 * m2) - 3.0)).alias("ret_excess_kurtosis"),
+    ).orderBy("symbol")
+
+
+@q(
+    "bars_variance_ratio",
+    BARS_CTE
+    + """,
+r AS (
+  SELECT symbol, t,
+         CAST(FLOOR(ln(close / LAG(close) OVER o) * 1000000.0 + 0.5) AS BIGINT) AS qlr
+  FROM bars WHERE close > 0
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+),
+agg5 AS (
+  SELECT symbol, qlr,
+         CASE WHEN COUNT(qlr) OVER w = 5 THEN SUM(qlr) OVER w END AS q5
+  FROM r WHERE qlr IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+),
+s AS (
+  SELECT symbol,
+         COUNT(qlr) AS n1, SUM(qlr) AS a1, SUM(qlr * qlr) AS b1,
+         COUNT(q5) AS n5, SUM(q5) AS a5, SUM(q5 * q5) AS b5
+  FROM agg5 GROUP BY symbol
+)
+SELECT symbol,
+       ROUND(CASE WHEN n1 > 0 AND n5 > 0
+                   AND CAST(b1 AS DOUBLE) / n1 - (CAST(a1 AS DOUBLE) / n1) * (CAST(a1 AS DOUBLE) / n1) > 0 THEN
+         (CAST(b5 AS DOUBLE) / n5 - (CAST(a5 AS DOUBLE) / n5) * (CAST(a5 AS DOUBLE) / n5))
+         / (5.0 * (CAST(b1 AS DOUBLE) / n1 - (CAST(a1 AS DOUBLE) / n1) * (CAST(a1 AS DOUBLE) / n1)))
+       END, 6) AS vr_5
+FROM s
+ORDER BY symbol
+""",
+)
+def bars_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lo–MacKinlay-style variance ratio VR(5) per symbol: population
+    variance of overlapping 5-bar log-return sums over 5× the 1-bar
+    variance (≈1 random walk, >1 momentum, <1 mean reversion). Log returns
+    quantize to micro units; 5-bar sums are exact integer window sums, so
+    both engines agg identical integers. One window pass + one aggregate."""
+    b = bars(spark, sf_dir).where(F.col("close") > 0)
+    o = _w()
+    qlr = F.floor(F.log(F.col("close") / F.lag("close").over(o)) * 1e6 + F.lit(0.5)).cast(
+        "long"
+    )
+    r = b.select("symbol", "t", qlr.alias("qlr")).where(F.col("qlr").isNotNull())
+    w = _w().rowsBetween(-4, 0)
+    q5 = F.when(F.count("qlr").over(w) == 5, F.sum("qlr").over(w))
+    a = r.select("symbol", "qlr", q5.alias("q5"))
+    s = a.groupBy("symbol").agg(
+        F.count("qlr").alias("n1"),
+        F.sum("qlr").alias("a1"),
+        F.sum(F.col("qlr") * F.col("qlr")).alias("b1"),
+        F.count("q5").alias("n5"),
+        F.sum("q5").alias("a5"),
+        F.sum(F.col("q5") * F.col("q5")).alias("b5"),
+    )
+    v1 = F.col("b1").cast("double") / F.col("n1") - (
+        F.col("a1").cast("double") / F.col("n1")
+    ) * (F.col("a1").cast("double") / F.col("n1"))
+    v5 = F.col("b5").cast("double") / F.col("n5") - (
+        F.col("a5").cast("double") / F.col("n5")
+    ) * (F.col("a5").cast("double") / F.col("n5"))
+    ok = (F.col("n1") > 0) & (F.col("n5") > 0) & (v1 > 0)
+    return s.select("symbol", r6(F.when(ok, v5 / (5.0 * v1))).alias("vr_5")).orderBy(
+        "symbol"
+    )

@@ -467,3 +467,17 @@ def test_new_composition_queries_have_no_cartesian(spark, sf_dir):
     # the pair joins themselves must be hash joins on real keys
     p = plan_str(QUERIES["rel_market_basket"](spark, sf_dir))
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_moment_queries_single_shuffle(spark, sf_dir):
+    """The quantized-moment aggregates (range vol, skew/kurt, variance
+    ratio) must be one hash-aggregate pass: at most one hash exchange on
+    symbol (the window queries reuse it for the groupBy) plus the final
+    rangepartitioning for orderBy — and no joins at all."""
+    from polars_quant_spark.plans.inspect import n_exchanges, plan_str
+
+    for name in ("bars_range_vol", "bars_moment_stats", "bars_variance_ratio"):
+        df = QUERIES[name](spark, sf_dir)
+        p = plan_str(df)
+        assert "Join" not in p, name
+        assert n_exchanges(df) <= 2, (name, p[:2000])

@@ -3686,3 +3686,123 @@ def bars_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("symbol", r6(F.when(ok, v5 / (5.0 * v1))).alias("vr_5")).orderBy(
         "symbol"
     )
+
+
+@q(
+    "ind_fractals_5",
+    BARS_CTE
+    + """,
+f AS (
+  SELECT symbol, t, high, low,
+         CASE WHEN high > LAG(high, 1) OVER o AND high > LAG(high, 2) OVER o
+               AND high > LEAD(high, 1) OVER o AND high > LEAD(high, 2) OVER o
+              THEN 1 ELSE 0 END AS fractal_up,
+         CASE WHEN low < LAG(low, 1) OVER o AND low < LAG(low, 2) OVER o
+               AND low < LEAD(low, 1) OVER o AND low < LEAD(low, 2) OVER o
+              THEN 1 ELSE 0 END AS fractal_down,
+         ROW_NUMBER() OVER o AS rn, COUNT(*) OVER (PARTITION BY symbol) AS n
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+)
+SELECT symbol, t, ROUND(high, 6) AS high, ROUND(low, 6) AS low,
+       CAST(fractal_up AS INTEGER) AS fractal_up,
+       CAST(fractal_down AS INTEGER) AS fractal_down
+FROM f WHERE rn > 2 AND rn <= n - 2
+ORDER BY symbol, t
+""",
+)
+def ind_fractals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Williams fractals (5-bar): a bar whose high strictly exceeds the two
+    highs on each side is an up fractal; mirror for lows. Pure lag/lead
+    flags in one window pass; edge bars (incomplete neighborhoods) drop."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    up = (
+        (F.col("high") > F.lag("high", 1).over(o))
+        & (F.col("high") > F.lag("high", 2).over(o))
+        & (F.col("high") > F.lead("high", 1).over(o))
+        & (F.col("high") > F.lead("high", 2).over(o))
+    )
+    dn = (
+        (F.col("low") < F.lag("low", 1).over(o))
+        & (F.col("low") < F.lag("low", 2).over(o))
+        & (F.col("low") < F.lead("low", 1).over(o))
+        & (F.col("low") < F.lead("low", 2).over(o))
+    )
+    wsym = Window.partitionBy("symbol")
+    src = b.select(
+        "symbol",
+        "t",
+        r6(F.col("high")).alias("high"),
+        r6(F.col("low")).alias("low"),
+        F.when(up, 1).otherwise(0).cast("int").alias("fractal_up"),
+        F.when(dn, 1).otherwise(0).cast("int").alias("fractal_down"),
+        F.row_number().over(o).alias("_rn"),
+        F.count(F.lit(1)).over(wsym).alias("_n"),
+    )
+    return (
+        src.where((F.col("_rn") > 2) & (F.col("_rn") <= F.col("_n") - 2))
+        .drop("_rn", "_n")
+        .orderBy("symbol", "t")
+    )
+
+
+@q(
+    "mkt_breadth",
+    BARS_CTE
+    + """,
+per AS (
+  SELECT symbol, t,
+         CASE WHEN close > LAG(close) OVER o THEN 1
+              WHEN close < LAG(close) OVER o THEN -1 ELSE 0 END AS chg,
+         CASE WHEN COUNT(close) OVER w = 50
+              THEN CASE WHEN close > AVG(close) OVER w THEN 1 ELSE 0 END END AS above50
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t),
+         w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
+)
+SELECT t,
+       SUM(CASE WHEN chg = 1 THEN 1 ELSE 0 END) AS advancing,
+       SUM(CASE WHEN chg = -1 THEN 1 ELSE 0 END) AS declining,
+       SUM(chg) AS net_advances,
+       ROUND(CASE WHEN COUNT(above50) > 0
+             THEN CAST(SUM(above50) AS DOUBLE) / COUNT(above50) END, 6) AS pct_above_sma50
+FROM per
+GROUP BY t
+ORDER BY t
+""",
+)
+def mkt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-breadth series: per bar timestamp, the advance/decline counts
+    across the whole universe and the share of symbols trading above their
+    own 50-bar SMA. One per-symbol window pass (partitioned by symbol),
+    then a cross-sectional groupBy(t) — the one unavoidable reshuffle,
+    since breadth pivots the partitioning axis from symbol to time."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    w = _w().rowsBetween(-49, 0)
+    chg = (
+        F.when(F.col("close") > F.lag("close").over(o), 1)
+        .when(F.col("close") < F.lag("close").over(o), -1)
+        .otherwise(0)
+    )
+    above50 = F.when(
+        F.count("close").over(w) == 50,
+        F.when(F.col("close") > F.avg("close").over(w), 1).otherwise(0),
+    )
+    per = b.select("symbol", "t", chg.alias("chg"), above50.alias("above50"))
+    return (
+        per.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("chg") == 1, 1).otherwise(0)).alias("advancing"),
+            F.sum(F.when(F.col("chg") == -1, 1).otherwise(0)).alias("declining"),
+            F.sum("chg").alias("net_advances"),
+            r6(
+                F.when(
+                    F.count("above50") > 0,
+                    F.sum("above50").cast("double") / F.count("above50"),
+                )
+            ).alias("pct_above_sma50"),
+        )
+        .orderBy("t")
+    )

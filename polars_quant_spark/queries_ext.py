@@ -3806,3 +3806,89 @@ def mkt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+# McClellan oscillator: EMA19 − EMA39 of the cross-sectional net-advances
+# series — a recurrence over an AGGREGATE (symbol axis collapses to one
+# 'MKT' series first). The summation index integer-quantizes the oscillator
+# before the cumulative sum so both engines accumulate exact micro units.
+ORACLES_MCCLELLAN = (
+    recursive_with(
+        """
+net_tbl AS MATERIALIZED (
+  SELECT 'MKT' AS symbol, t,
+         CAST(SUM(CASE WHEN close > pc THEN 1 WHEN close < pc THEN -1 ELSE 0 END)
+              AS DOUBLE) AS net
+  FROM (SELECT symbol, t, close,
+               LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS pc
+        FROM bars)
+  GROUP BY t
+)""",
+        ema_ctes("mc19", "net_tbl", "net", 19),
+        ema_ctes("mc39", "net_tbl", "net", 39),
+    )
+    + """
+SELECT t, ROUND(osc, 6) AS mcclellan_osc,
+       ROUND(CAST(SUM(qosc) OVER (ORDER BY t
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / 1000000.0, 6) AS summation_index
+FROM (
+  SELECT a.t, a.mc19 - b.mc39 AS osc,
+         CAST(FLOOR((a.mc19 - b.mc39) * 1000000.0 + 0.5) AS BIGINT) AS qosc
+  FROM mc19 a JOIN mc39 b ON b.symbol = a.symbol AND b.t = a.t
+  WHERE a.mc19 IS NOT NULL AND b.mc39 IS NOT NULL
+)
+ORDER BY t
+"""
+)
+
+
+def mkt_mcclellan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McClellan oscillator (EMA19 − EMA39 of universe net advances) and
+    summation index (its running total). The symbol axis collapses first
+    (groupBy t), then ONE applyInPandas recurrence pass runs both EMAs on
+    the single market series — a tiny frame at any SF, since breadth is one
+    row per timestamp regardless of universe size. The oscillator is
+    micro-quantized before the cumulative sum so the running total is an
+    exact integer in both engines."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    chg = (
+        F.when(F.col("close") > F.lag("close").over(o), 1)
+        .when(F.col("close") < F.lag("close").over(o), -1)
+        .otherwise(0)
+    )
+    net = (
+        b.select("symbol", "t", chg.alias("chg"))
+        .groupBy("t")
+        .agg(F.sum("chg").cast("double").alias("net"))
+        .select(F.lit("MKT").alias("symbol"), "t", "net")
+    )
+    out = with_recurrences(
+        net,
+        [
+            Rec("mc19", "ema", ["net"], {"p": 19}),
+            Rec("mc39", "ema", ["net"], {"p": 39}),
+        ],
+    )
+    osc = (
+        out.where(F.col("mc19").isNotNull() & F.col("mc39").isNotNull())
+        .select(
+            "symbol",
+            "t",
+            (F.col("mc19") - F.col("mc39")).alias("osc"),
+            F.floor((F.col("mc19") - F.col("mc39")) * 1e6 + F.lit(0.5))
+            .cast("long")
+            .alias("qosc"),
+        )
+    )
+    wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return osc.select(
+        "t",
+        r6(F.col("osc")).alias("mcclellan_osc"),
+        r6(F.sum("qosc").over(wc).cast("double") / 1e6).alias("summation_index"),
+    ).orderBy("t")
+
+
+QUERIES["mkt_mcclellan"] = mkt_mcclellan
+ORACLES["mkt_mcclellan"] = ORACLES_MCCLELLAN

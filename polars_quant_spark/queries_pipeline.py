@@ -4959,3 +4959,155 @@ def events_activity_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("nu").alias("n_users"), F.col("ne").alias("n_events"), "gini"
         )
     )
+
+
+@q(
+    "events_ab_test",
+    """
+WITH u AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS variant,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0
+                  THEN 1 ELSE 0 END) AS converted,
+         SUM(CASE WHEN event_type = 'purchase'
+                  THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+           AS rev_cents
+  FROM events GROUP BY 1, 2
+),
+v AS (
+  SELECT variant, COUNT(*) AS n_users, SUM(converted) AS n_conv,
+         SUM(rev_cents) AS rev
+  FROM u GROUP BY variant
+),
+s AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         SUM(CASE WHEN variant = 0 THEN n_conv END) AS c0,
+         SUM(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         SUM(CASE WHEN variant = 1 THEN n_conv END) AS c1
+  FROM v
+)
+SELECT CAST(v.variant AS INTEGER) AS variant,
+       v.n_users, v.n_conv AS n_converted,
+       ROUND(CAST(v.n_conv AS DOUBLE) / v.n_users, 6) AS conv_rate,
+       ROUND(CAST(v.rev AS DOUBLE) / 100.0 / v.n_users, 6) AS rev_per_user,
+       ROUND(CASE WHEN s.c0 + s.c1 > 0 AND s.c0 + s.c1 < s.n0 + s.n1 THEN
+             (CAST(s.c1 AS DOUBLE) / s.n1 - CAST(s.c0 AS DOUBLE) / s.n0)
+             / sqrt((CAST(s.c0 + s.c1 AS DOUBLE) / (s.n0 + s.n1))
+                    * (1.0 - CAST(s.c0 + s.c1 AS DOUBLE) / (s.n0 + s.n1))
+                    * (1.0 / s.n0 + 1.0 / s.n1)) END, 6) AS z_score
+FROM v CROSS JOIN s
+ORDER BY variant
+""",
+)
+def events_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout: users hash-split 50/50 by the md5 lane
+    (deterministic in both engines), conversion = a high-value purchase
+    (value ≥ 150 — "any purchase" is degenerate on this corpus: everyone
+    buys, phat = 1, z undefined), revenue in exact cents. Emits per-variant rates plus the pooled two-proportion
+    z-score (identical on both rows — the cross join is a broadcast of a
+    1-row stats frame). Scale shape: one user-level aggregate, one 2-row
+    aggregate, no event-log self-joins."""
+    from polars_quant_spark.operators.sketch import hash_lane
+
+    ev = load_table(spark, sf_dir, "events")
+    u = (
+        ev.select(
+            "user_id",
+            (hash_lane("user_id", 8) % 2).alias("variant"),
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150.0), 1
+            )
+            .otherwise(0)
+            .alias("is_p"),
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("cents"),
+        )
+        .groupBy("user_id", "variant")
+        .agg(F.max("is_p").alias("converted"), F.sum("cents").alias("rev_cents"))
+    )
+    v = u.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").alias("n_conv"),
+        F.sum("rev_cents").alias("rev"),
+    )
+    s = v.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_conv"))).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_conv"))).alias("c1"),
+    )
+    phat = (F.col("c0") + F.col("c1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = F.when(
+        (F.col("c0") + F.col("c1") > 0)
+        & (F.col("c0") + F.col("c1") < F.col("n0") + F.col("n1")),
+        (
+            F.col("c1").cast("double") / F.col("n1")
+            - F.col("c0").cast("double") / F.col("n0")
+        )
+        / F.sqrt(phat * (1.0 - phat) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+    )
+    return (
+        v.crossJoin(F.broadcast(s))
+        .select(
+            F.col("variant").cast("int").alias("variant"),
+            "n_users",
+            F.col("n_conv").alias("n_converted"),
+            r6(F.col("n_conv").cast("double") / F.col("n_users")).alias("conv_rate"),
+            r6(F.col("rev").cast("double") / 100.0 / F.col("n_users")).alias(
+                "rev_per_user"
+            ),
+            r6(z).alias("z_score"),
+        )
+        .orderBy("variant")
+    )
+
+
+@q(
+    "rel_part_skyline",
+    """
+WITH g AS (
+  SELECT p_retailprice AS price, MIN(p_size) AS min_size
+  FROM part GROUP BY p_retailprice
+),
+fr AS (
+  SELECT price, min_size,
+         MIN(min_size) OVER (ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prefix_min
+  FROM g
+)
+SELECT p.p_partkey, ROUND(p.p_retailprice, 6) AS price, p.p_size AS size
+FROM part p JOIN fr ON p.p_retailprice = fr.price AND p.p_size = fr.min_size
+WHERE fr.prefix_min IS NULL OR fr.min_size < fr.prefix_min
+ORDER BY price, p.p_partkey
+""",
+)
+def rel_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts (minimize retail price AND size): a part is
+    on the skyline iff nothing is both cheaper-or-equal and
+    smaller-or-equal with one strict. Computed the O(n log n) way — min
+    size per price, strict-prefix running min over the price order, keep
+    the strictly-improving steps — NOT the quadratic NOT EXISTS self-join.
+    The frontier frame is distinct-price-sized (tiny), so the join back to
+    part broadcasts; the part table itself is scanned once."""
+    p = load_table(spark, sf_dir, "part")
+    g = p.groupBy(F.col("p_retailprice").alias("price")).agg(
+        F.min("p_size").alias("min_size")
+    )
+    wp = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+    fr = g.select(
+        "price", "min_size", F.min("min_size").over(wp).alias("prefix_min")
+    ).where(F.col("prefix_min").isNull() | (F.col("min_size") < F.col("prefix_min")))
+    return (
+        p.join(
+            F.broadcast(fr),
+            (p.p_retailprice == fr.price) & (p.p_size == fr.min_size),
+        )
+        .select("p_partkey", r6(F.col("p_retailprice")).alias("price"), F.col("p_size").alias("size"))
+        .orderBy("price", "p_partkey")
+    )

@@ -5111,3 +5111,194 @@ def rel_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", r6(F.col("p_retailprice")).alias("price"), F.col("p_size").alias("size"))
         .orderBy("price", "p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-aware embedding evaluation: k-NN classification + label centroids
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "emb_knn_classify",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv, label AS label_true FROM embeddings
+  WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0
+),
+scored AS (
+  SELECT q.query_id, q.label_true, e.vec_id, e.label,
+         list_sum(list_transform(list_zip(q.qv, e.embedding),
+                  p -> CAST(struct_extract(p, 1) AS DOUBLE) * CAST(struct_extract(p, 2) AS DOUBLE))) AS dp,
+         sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nq,
+         sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+ranked AS (
+  SELECT query_id, label_true, vec_id, label,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           ROUND(CASE WHEN nq * ne > 0 THEN dp / (nq * ne) ELSE 0.0 END, 6) DESC,
+           vec_id) AS rnk
+  FROM scored
+),
+votes AS (
+  SELECT query_id, label_true, label AS label_pred,
+         COUNT(*) AS cnt, MIN(rnk) AS best
+  FROM ranked WHERE rnk <= 5
+  GROUP BY 1, 2, 3
+),
+pred AS (
+  SELECT query_id, label_true, label_pred,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cnt DESC, best ASC, label_pred ASC) AS pr
+  FROM votes
+)
+SELECT label_true, label_pred, COUNT(*) AS n_queries
+FROM pred WHERE pr = 1
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+)
+def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out 5-NN cosine classification confusion matrix over a
+    deterministic 20% md5-lane query sample. Scale shape: the bounded query
+    sample broadcasts against the corpus (q×n scored pairs, corpus never
+    shuffled — same contract as cosine_topk); majority vote breaks ties by
+    best rank then smallest label, so the prediction is total-order
+    deterministic in both engines."""
+    from polars_quant_spark.operators.sketch import hash_lane
+    from polars_quant_spark.operators.similarity import dot, norm
+
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
+    qs = emb.where(hash_lane("vec_id", 8) % 5 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("label_true"),
+    )
+    e = emb.select("vec_id", "embedding", "label")
+    d = norm(F.col("qv")) * norm(F.col("embedding"))
+    scored = (
+        e.crossJoin(F.broadcast(qs))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "label_true",
+            "vec_id",
+            "label",
+            r6(
+                F.when(d > 0, dot(F.col("qv"), F.col("embedding")) / d).otherwise(0.0)
+            ).alias("cos_sim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("vec_id")
+    )
+    ranked = scored.select(
+        "query_id", "label_true", "label", F.row_number().over(wq).alias("rnk")
+    ).where(F.col("rnk") <= 5)
+    votes = ranked.groupBy("query_id", "label_true", F.col("label").alias("label_pred")).agg(
+        F.count(F.lit(1)).alias("cnt"), F.min("rnk").alias("best")
+    )
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("cnt").desc(), F.col("best").asc(), F.col("label_pred").asc()
+    )
+    pred = votes.select(
+        "label_true", "label_pred", F.row_number().over(wv).alias("pr")
+    ).where(F.col("pr") == 1)
+    return (
+        pred.groupBy("label_true", "label_pred")
+        .agg(F.count(F.lit(1)).alias("n_queries"))
+        .orderBy("label_true", "label_pred")
+    )
+
+
+@q(
+    "emb_label_centroids",
+    """
+WITH qv AS (
+  SELECT label, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE label IS NOT NULL
+),
+idx AS (SELECT unnest(range(1, 65)) AS p),
+cent AS (
+  SELECT label, i.p AS p,
+         CAST(SUM(qv[i.p]) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
+  FROM qv, idx i GROUP BY label, i.p
+),
+pairs AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         SUM(CAST(FLOOR(a.m * b.m * 1000000000000.0 + 0.5) AS BIGINT)) AS dq,
+         SUM(CAST(FLOOR(a.m * a.m * 1000000000000.0 + 0.5) AS BIGINT)) AS na,
+         SUM(CAST(FLOOR(b.m * b.m * 1000000000000.0 + 0.5) AS BIGINT)) AS nb
+  FROM cent a JOIN cent b ON a.p = b.p AND a.label <= b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN
+         (CAST(dq AS DOUBLE) / 1000000000000.0)
+         / (sqrt(CAST(na AS DOUBLE) / 1000000000000.0)
+            * sqrt(CAST(nb AS DOUBLE) / 1000000000000.0)) END, 6) AS cos_sim
+FROM pairs
+ORDER BY label_a, label_b
+""",
+)
+def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-label centroid cosine matrix (upper triangle): per-label mean
+    embedding, then pairwise cosine — the class-separability fingerprint.
+    Components micro-quantize before the per-(label,dim) sum (exact
+    integers, association-order-free at any parallelism); the per-dim
+    products of the exact means pico-quantize before the dot sum, so the
+    d-term reduction is also order-free. The centroid frame is
+    labels×dims (tiny) — pair join is a broadcast."""
+    emb = widen(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("label").isNotNull()
+    )
+    ex = emb.select(
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("p0", "qx"),
+    )
+    cent = (
+        ex.groupBy("label", (F.col("p0") + 1).alias("p"))
+        .agg(F.sum("qx").alias("qs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "label",
+            "p",
+            (F.col("qs").cast("double") / F.col("n") / 1e6).alias("m"),
+        )
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), F.col("p").alias("pa"), F.col("m").alias("ma")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), F.col("p").alias("pb"), F.col("m").alias("mb")
+    )
+
+    def q12(x):
+        return F.floor(x * 1000000000000.0 + F.lit(0.5)).cast("long")
+
+    pairs = (
+        a.join(F.broadcast(b), (F.col("pa") == F.col("pb")) & (F.col("label_a") <= F.col("label_b")))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(q12(F.col("ma") * F.col("mb"))).alias("dq"),
+            F.sum(q12(F.col("ma") * F.col("ma"))).alias("na"),
+            F.sum(q12(F.col("mb") * F.col("mb"))).alias("nb"),
+        )
+    )
+    cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        (F.col("dq").cast("double") / 1e12)
+        / (
+            F.sqrt(F.col("na").cast("double") / 1e12)
+            * F.sqrt(F.col("nb").cast("double") / 1e12)
+        ),
+    )
+    return pairs.select("label_a", "label_b", r6(cos).alias("cos_sim")).orderBy(
+        "label_a", "label_b"
+    )

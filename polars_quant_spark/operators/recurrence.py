@@ -628,3 +628,46 @@ def sarext(
 
 
 KERNELS.update({"sarext": (sarext, 2)})
+
+
+def holt(x: np.ndarray, alpha: float = 0.5, beta: float = 0.3) -> tuple:
+    """Holt linear-trend smoothing (double exponential): level l, trend b,
+    and the one-step-ahead fitted forecast f.
+
+        l[0] = y[0];  b[0] = y[1] − y[0]
+        f[i] = l[i−1] + b[i−1]
+        l[i] = α·y[i] + (1−α)·(l[i−1] + b[i−1])
+        b[i] = β·(l[i] − l[i−1]) + (1−β)·b[i−1]
+
+    The exact operation tree (a·y first, then (1−α)·(l+b), then the add)
+    is mirrored literally by the oracle's recursive-CTE twin (constants are
+    repr() literals), so the float sequences are bit-identical. The Python
+    loop is fine here: the intended inputs are already-aggregated series
+    (daily counts, breadth), thousands of rows at most."""
+    n = x.shape[0]
+    lev = np.full(n, np.nan)
+    trd = np.full(n, np.nan)
+    fc = np.full(n, np.nan)
+    mask = ~np.isnan(x)
+    idx = np.flatnonzero(mask)
+    if idx.shape[0] < 2:
+        return lev, trd, fc
+    y = x[idx]
+    om, ob = 1.0 - alpha, 1.0 - beta
+    lv = y[0]
+    bv = y[1] - y[0]
+    lev[idx[0]] = lv
+    trd[idx[0]] = bv
+    for k in range(1, idx.shape[0]):
+        fv = lv + bv
+        ln = alpha * y[k] + om * (lv + bv)
+        bn = beta * (ln - lv) + ob * bv
+        j = idx[k]
+        fc[j] = fv
+        lev[j] = ln
+        trd[j] = bn
+        lv, bv = ln, bn
+    return lev, trd, fc
+
+
+KERNELS.update({"holt": (holt, 1)})

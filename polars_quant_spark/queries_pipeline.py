@@ -5302,3 +5302,81 @@ def emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("label_a", "label_b", r6(cos).alias("cos_sim")).orderBy(
         "label_a", "label_b"
     )
+
+
+# ---------------------------------------------------------------------------
+# Holt linear-trend forecast over the daily event-volume series
+# ---------------------------------------------------------------------------
+
+from polars_quant_spark.operators.recurrence import Rec, with_recurrences  # noqa: E402
+
+_HA, _HOM = repr(0.5), repr(1.0 - 0.5)
+_HB, _HOB = repr(0.3), repr(1.0 - 0.3)
+
+ORACLES_HOLT = f"""
+WITH RECURSIVE daily AS MATERIALIZED (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+base AS MATERIALIZED (
+  SELECT day, y, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+),
+rec AS (
+  SELECT 1 AS rn, b1.y AS l, b2.y - b1.y AS t
+  FROM base b1, base b2 WHERE b1.rn = 1 AND b2.rn = 2
+  UNION ALL
+  SELECT s.rn, s.ln AS l, {_HB} * (s.ln - s.l) + {_HOB} * s.t AS t
+  FROM (
+    SELECT b.rn, {_HA} * b.y + {_HOM} * (e.l + e.t) AS ln, e.l, e.t
+    FROM rec e JOIN base b ON b.rn = e.rn + 1
+  ) s
+)
+SELECT b.day, CAST(b.y AS BIGINT) AS n_events,
+       ROUND(r.l, 6) AS holt_level,
+       ROUND(r.t, 6) AS holt_trend,
+       ROUND(LAG(r.l) OVER (ORDER BY b.rn) + LAG(r.t) OVER (ORDER BY b.rn), 6)
+         AS holt_forecast
+FROM base b JOIN rec r ON b.rn = r.rn
+ORDER BY b.day
+"""
+
+
+def events_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Holt linear-trend smoothing of the daily event-volume series: level,
+    trend, and the one-step-ahead forecast for every day — the capacity-
+    planning / anomaly-baseline primitive. The event log collapses to one
+    row per day FIRST (a distributed aggregate), then the two-state
+    recurrence runs in one applyInPandas pass over that tiny series — the
+    same collapse-then-recur shape as the McClellan oscillator, so it costs
+    the same at 100 TB as at sf0.001. The oracle's recursive CTE mirrors
+    the kernel's operation tree literally (operators/recurrence.holt)."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    daily = (
+        ev0.select(ts_us_expr(ev0).alias("ts_us"))
+        .select(F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.lit("MKT").alias("symbol"), "day", "y")
+    )
+    out = with_recurrences(
+        daily,
+        [Rec(["hl", "ht", "hf"], "holt", ["y"], {"alpha": 0.5, "beta": 0.3})],
+        partition_by="symbol",
+        order_by="day",
+    )
+    return (
+        out.select(
+            "day",
+            F.col("y").cast("long").alias("n_events"),
+            r6(F.col("hl")).alias("holt_level"),
+            r6(F.col("ht")).alias("holt_trend"),
+            r6(F.col("hf")).alias("holt_forecast"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_holt_daily"] = events_holt_daily
+ORACLES["events_holt_daily"] = ORACLES_HOLT

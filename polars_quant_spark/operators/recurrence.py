@@ -671,3 +671,31 @@ def holt(x: np.ndarray, alpha: float = 0.5, beta: float = 0.3) -> tuple:
 
 
 KERNELS.update({"holt": (holt, 1)})
+
+
+def garch(x: np.ndarray, omega: float = 1e-05, a: float = 0.05, b: float = 0.9) -> np.ndarray:
+    """GARCH(1,1) conditional variance over a return series:
+
+        h[0] = r[0]²;  h[i] = ω + α·r[i−1]² + β·h[i−1]
+
+    (fixed parameters — estimation is out of scope; this is the filtering
+    recurrence). Operation tree mirrored literally by the oracle CTE:
+    (ω + α·(r·r)) + β·h, constants as repr() literals."""
+
+    def _scan(r: np.ndarray) -> np.ndarray:
+        n = r.shape[0]
+        h = np.empty(n)
+        if n == 0:
+            return h
+        hv = r[0] * r[0]
+        h[0] = hv
+        for i in range(1, n):
+            rp = r[i - 1]
+            hv = omega + a * (rp * rp) + b * hv
+            h[i] = hv
+        return h
+
+    return _compact_apply(_scan, x)
+
+
+KERNELS.update({"garch": (garch, 1)})

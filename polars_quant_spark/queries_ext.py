@@ -3892,3 +3892,65 @@ def mkt_mcclellan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["mkt_mcclellan"] = mkt_mcclellan
 ORACLES["mkt_mcclellan"] = ORACLES_MCCLELLAN
+
+
+# GARCH(1,1) conditional volatility — fixed-parameter filtering recurrence
+# (ω=1e-5, α=0.05, β=0.9), one applyInPandas pass per symbol; the twin is
+# an ema_ctes-style recursive chain carrying (r, h) state.
+_GW, _GA, _GB = repr(1e-05), repr(0.05), repr(0.9)
+
+ORACLES_GARCH = (
+    recursive_with(
+        """
+grets AS MATERIALIZED (
+  SELECT symbol, t, close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0 AS r
+  FROM bars
+)""",
+        f"""
+g_base AS MATERIALIZED (
+  SELECT symbol, t, r, ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM grets WHERE r IS NOT NULL
+),
+g_rec AS (
+  SELECT symbol, rn, r, r * r AS h FROM g_base WHERE rn = 1
+  UNION ALL
+  SELECT b.symbol, b.rn, b.r, {_GW} + {_GA} * (e.r * e.r) + {_GB} * e.h
+  FROM g_rec e JOIN g_base b ON b.symbol = e.symbol AND b.rn = e.rn + 1
+)""",
+    )
+    + """
+SELECT b.symbol, b.t,
+       ROUND(g.h, 6) AS garch_var,
+       ROUND(sqrt(g.h), 6) AS garch_vol
+FROM g_base b JOIN g_rec g ON g.symbol = b.symbol AND g.rn = b.rn
+ORDER BY b.symbol, b.t
+"""
+)
+
+
+def ind_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GARCH(1,1) conditional variance/volatility per symbol (fixed
+    ω=1e-5, α=0.05, β=0.9 — the filtering recurrence, not estimation).
+    Same one-exchange recurrence shape as the EMA family."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    rets = b.select(
+        "symbol", "t", (F.col("close") / F.lag("close").over(o) - 1.0).alias("r")
+    ).where(F.col("r").isNotNull())
+    out = with_recurrences(
+        rets, [Rec("h", "garch", ["r"], {"omega": 1e-05, "a": 0.05, "b": 0.9})]
+    )
+    return (
+        out.where(F.col("h").isNotNull())
+        .select(
+            "symbol",
+            "t",
+            r6(F.col("h")).alias("garch_var"),
+            r6(F.sqrt(F.col("h"))).alias("garch_vol"),
+        )
+        .orderBy("symbol", "t")
+    )
+
+
+QUERIES["ind_garch_vol"] = ind_garch_vol
+ORACLES["ind_garch_vol"] = ORACLES_GARCH

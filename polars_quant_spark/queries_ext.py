@@ -3954,3 +3954,171 @@ def ind_garch_vol(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_garch_vol"] = ind_garch_vol
 ORACLES["ind_garch_vol"] = ORACLES_GARCH
+
+
+@q(
+    "bars_pairs_adf",
+    BARS_CTE
+    + f""",
+pxq2 AS (
+  SELECT t,
+         CAST(FLOOR(MAX(CASE WHEN symbol = 'click' THEN close END) * 1000000.0 + 0.5) AS BIGINT) AS qa,
+         CAST(FLOOR(MAX(CASE WHEN symbol = 'view' THEN close END) * 1000000.0 + 0.5) AS BIGINT) AS qb
+  FROM bars WHERE symbol IN ('click', 'view') GROUP BY t
+  HAVING COUNT(DISTINCT symbol) = 2
+),
+hsum AS (
+  SELECT COUNT(*) AS n,
+         SUM(qa) AS s_a, SUM(qb) AS s_b,
+         SUM(CAST(qa AS HUGEINT) * qb) AS s_ab,
+         SUM(CAST(qb AS HUGEINT) * qb) AS s_bb
+  FROM pxq2
+),
+beta AS (
+  SELECT n,
+         (CAST(s_ab AS DOUBLE) / 1000000000000.0
+          - (CAST(s_a AS DOUBLE) / 1000000.0) * (CAST(s_b AS DOUBLE) / 1000000.0) / n)
+         / (CAST(s_bb AS DOUBLE) / 1000000000000.0
+          - (CAST(s_b AS DOUBLE) / 1000000.0) * (CAST(s_b AS DOUBLE) / 1000000.0) / n) AS h
+  FROM hsum
+),
+sp AS (
+  SELECT t,
+         CAST(FLOOR((CAST(qa AS DOUBLE) / 1000000.0
+                     - beta.h * (CAST(qb AS DOUBLE) / 1000000.0)) * 1000000.0 + 0.5)
+              AS BIGINT) AS sq
+  FROM pxq2 CROSS JOIN beta
+),
+lagd AS (
+  SELECT sq - LAG(sq) OVER (ORDER BY t) AS d,
+         LAG(sq) OVER (ORDER BY t) AS sl
+  FROM sp
+),
+reg AS (
+  SELECT COUNT(*) AS n2,
+         SUM(sl) AS ssl, SUM(d) AS sd,
+         SUM(CAST(sl AS HUGEINT) * d) AS sld,
+         SUM(CAST(sl AS HUGEINT) * sl) AS sll,
+         SUM(CAST(d AS HUGEINT) * d) AS sdd
+  FROM lagd WHERE sl IS NOT NULL
+),
+fin AS (
+  SELECT n2,
+         (SELECT h FROM beta) AS h,
+         CAST(sld AS DOUBLE) - CAST(n2 AS DOUBLE)
+           * (CAST(ssl AS DOUBLE) / n2) * (CAST(sd AS DOUBLE) / n2) AS sxy,
+         CAST(sll AS DOUBLE) - CAST(n2 AS DOUBLE)
+           * (CAST(ssl AS DOUBLE) / n2) * (CAST(ssl AS DOUBLE) / n2) AS sxx,
+         CAST(sdd AS DOUBLE) - CAST(n2 AS DOUBLE)
+           * (CAST(sd AS DOUBLE) / n2) * (CAST(sd AS DOUBLE) / n2) AS syy
+  FROM reg
+)
+SELECT CAST(n2 AS BIGINT) AS n_obs,
+       ROUND(h, 6) AS hedge_ratio,
+       ROUND(sxy / sxx, 6) AS gamma,
+       ROUND((sxy / sxx)
+             / sqrt(((syy - (sxy / sxx) * sxy) / (n2 - 2)) / sxx), 6) AS t_stat,
+       ROUND(CASE WHEN sxy / sxx > -1.0 AND sxy / sxx < 0.0
+             THEN -{_LN2} / ln(1.0 + sxy / sxx) END, 6) AS half_life
+FROM fin
+""",
+)
+def bars_pairs_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle-Granger step 2 for the (click, view) pair: full-sample OLS
+    hedge ratio, then the ADF-style regression Δs = α + γ·s₋₁ — γ (mean-
+    reversion speed), its t-statistic, and the implied half-life
+    −ln2/ln(1+γ). Every moment is an exact integer sum (HUGEINT/decimal
+    for the quadratics) and the closed-form tail is the identical IEEE
+    expression in both engines. The aligned pair series is one tiny
+    ordered group — the single-partition windows are intentional."""
+    b = bars(spark, sf_dir).where(F.col("symbol").isin("click", "view"))
+    px = (
+        b.groupBy("t")
+        .agg(
+            F.floor(
+                F.max(F.when(F.col("symbol") == "click", F.col("close"))) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qa"),
+            F.floor(
+                F.max(F.when(F.col("symbol") == "view", F.col("close"))) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qb"),
+            F.count_distinct("symbol").alias("_ns"),
+        )
+        .where(F.col("_ns") == 2)
+        .drop("_ns")
+    )
+    dec = "decimal(38,0)"
+    hsum = px.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qa").alias("s_a"),
+        F.sum("qb").alias("s_b"),
+        F.sum(F.col("qa").cast(dec) * F.col("qb")).alias("s_ab"),
+        F.sum(F.col("qb").cast(dec) * F.col("qb")).alias("s_bb"),
+    )
+    nn = F.col("n")
+    h = (
+        F.col("s_ab").cast("double") / 1e12
+        - (F.col("s_a").cast("double") / 1e6) * (F.col("s_b").cast("double") / 1e6) / nn
+    ) / (
+        F.col("s_bb").cast("double") / 1e12
+        - (F.col("s_b").cast("double") / 1e6) * (F.col("s_b").cast("double") / 1e6) / nn
+    )
+    beta = hsum.select(h.alias("h"))
+    sp = px.crossJoin(F.broadcast(beta)).select(
+        "t",
+        F.floor(
+            (
+                F.col("qa").cast("double") / 1e6
+                - F.col("h") * (F.col("qb").cast("double") / 1e6)
+            )
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("sq"),
+        "h",
+    )
+    wt = Window.orderBy("t")
+    lagd = sp.select(
+        (F.col("sq") - F.lag("sq").over(wt)).alias("d"),
+        F.lag("sq").over(wt).alias("sl"),
+        "h",
+    ).where(F.col("sl").isNotNull())
+    reg = lagd.groupBy("h").agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.sum("sl").alias("ssl"),
+        F.sum("d").alias("sd"),
+        F.sum(F.col("sl").cast(dec) * F.col("d")).alias("sld"),
+        F.sum(F.col("sl").cast(dec) * F.col("sl")).alias("sll"),
+        F.sum(F.col("d").cast(dec) * F.col("d")).alias("sdd"),
+    )
+    n2 = F.col("n2")
+    sxy = F.col("sld").cast("double") - n2.cast("double") * (
+        F.col("ssl").cast("double") / n2
+    ) * (F.col("sd").cast("double") / n2)
+    sxx = F.col("sll").cast("double") - n2.cast("double") * (
+        F.col("ssl").cast("double") / n2
+    ) * (F.col("ssl").cast("double") / n2)
+    syy = F.col("sdd").cast("double") - n2.cast("double") * (
+        F.col("sd").cast("double") / n2
+    ) * (F.col("sd").cast("double") / n2)
+    fin = reg.select(
+        "h", n2.alias("n2"), sxy.alias("sxy"), sxx.alias("sxx"), syy.alias("syy")
+    )
+    g = F.col("sxy") / F.col("sxx")
+    tstat = g / F.sqrt(
+        ((F.col("syy") - g * F.col("sxy")) / (F.col("n2") - 2)) / F.col("sxx")
+    )
+    hl = F.when((g > -1.0) & (g < 0.0), -F.lit(_LN2) / F.log(1.0 + g))
+    return fin.select(
+        F.col("n2").cast("long").alias("n_obs"),
+        r6(F.col("h")).alias("hedge_ratio"),
+        r6(g).alias("gamma"),
+        r6(tstat).alias("t_stat"),
+        r6(hl).alias("half_life"),
+    )

@@ -4122,3 +4122,119 @@ def bars_pairs_adf(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(tstat).alias("t_stat"),
         r6(hl).alias("half_life"),
     )
+
+
+# Hurst exponent, aggregated-variance method: Var(q-bar log-return sums)
+# scales as q^(2H). The log-log regression collapses to fixed weights
+# (x-values are ln{1,2,4,8,16} — constants), so H = 0.5·Σ wᵢ·ln(Varᵢ)
+# with wᵢ precomputed literals and Σwᵢ = 0 (unit scale cancels — the
+# variances stay in raw micro² units). Only ln() is engine-computed.
+_HW1, _HW2, _HW8, _HW16 = (
+    "-0.28853900817779266",
+    "-0.14426950408889633",
+    "0.14426950408889633",
+    "0.28853900817779266",
+)
+
+
+@q(
+    "bars_hurst",
+    BARS_CTE
+    + f""",
+hr AS (
+  SELECT symbol, t,
+         CAST(FLOOR(ln(close / LAG(close) OVER ho) * 1000000.0 + 0.5) AS BIGINT) AS qlr
+  FROM bars WHERE close > 0
+  WINDOW ho AS (PARTITION BY symbol ORDER BY t)
+),
+ha AS (
+  SELECT symbol, qlr,
+         CASE WHEN COUNT(qlr) OVER w2 = 2 THEN SUM(qlr) OVER w2 END AS q2,
+         CASE WHEN COUNT(qlr) OVER w4 = 4 THEN SUM(qlr) OVER w4 END AS q4,
+         CASE WHEN COUNT(qlr) OVER w8 = 8 THEN SUM(qlr) OVER w8 END AS q8,
+         CASE WHEN COUNT(qlr) OVER w16 = 16 THEN SUM(qlr) OVER w16 END AS q16
+  FROM hr WHERE qlr IS NOT NULL
+  WINDOW w2 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 1 PRECEDING AND CURRENT ROW),
+         w4 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 3 PRECEDING AND CURRENT ROW),
+         w8 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 7 PRECEDING AND CURRENT ROW),
+         w16 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)
+),
+hs AS (
+  SELECT symbol,
+         COUNT(qlr) AS n1, SUM(qlr) AS a1, SUM(CAST(qlr AS HUGEINT) * qlr) AS b1,
+         COUNT(q2) AS n2, SUM(q2) AS a2, SUM(CAST(q2 AS HUGEINT) * q2) AS b2,
+         COUNT(q4) AS n4, SUM(q4) AS a4, SUM(CAST(q4 AS HUGEINT) * q4) AS b4,
+         COUNT(q8) AS n8, SUM(q8) AS a8, SUM(CAST(q8 AS HUGEINT) * q8) AS b8,
+         COUNT(q16) AS n16, SUM(q16) AS a16, SUM(CAST(q16 AS HUGEINT) * q16) AS b16
+  FROM ha GROUP BY symbol
+),
+hv AS (
+  SELECT symbol,
+         CAST(b1 AS DOUBLE) / n1 - (CAST(a1 AS DOUBLE) / n1) * (CAST(a1 AS DOUBLE) / n1) AS v1,
+         CAST(b2 AS DOUBLE) / n2 - (CAST(a2 AS DOUBLE) / n2) * (CAST(a2 AS DOUBLE) / n2) AS v2,
+         CAST(b8 AS DOUBLE) / n8 - (CAST(a8 AS DOUBLE) / n8) * (CAST(a8 AS DOUBLE) / n8) AS v8,
+         CAST(b16 AS DOUBLE) / n16 - (CAST(a16 AS DOUBLE) / n16) * (CAST(a16 AS DOUBLE) / n16) AS v16
+  FROM hs WHERE n16 > 0
+)
+SELECT symbol,
+       ROUND(CASE WHEN v1 > 0 AND v2 > 0 AND v8 > 0 AND v16 > 0 THEN
+         0.5 * ((({_HW1}) * ln(v1) + ({_HW2}) * ln(v2))
+                + ({_HW8}) * ln(v8) + ({_HW16}) * ln(v16)) END, 6) AS hurst
+FROM hv
+ORDER BY symbol
+""",
+)
+def bars_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent per symbol (aggregated-variance method over horizons
+    1/2/4/8/16): ~0.5 random walk, >0.5 trending, <0.5 mean-reverting.
+    One window pass (all horizons share the symbol exchange), one hash
+    aggregate of exact integer moments, then the fixed-weight log-log
+    slope."""
+    b = bars(spark, sf_dir).where(F.col("close") > 0)
+    o = _w()
+    qlr = F.floor(F.log(F.col("close") / F.lag("close").over(o)) * 1e6 + F.lit(0.5)).cast(
+        "long"
+    )
+    r = b.select("symbol", "t", qlr.alias("qlr")).where(F.col("qlr").isNotNull())
+
+    def qsum(p):
+        w = _w().rowsBetween(-(p - 1), 0)
+        return F.when(F.count("qlr").over(w) == p, F.sum("qlr").over(w))
+
+    a = r.select(
+        "symbol",
+        "qlr",
+        qsum(2).alias("q2"),
+        qsum(4).alias("q4"),
+        qsum(8).alias("q8"),
+        qsum(16).alias("q16"),
+    )
+    dec = "decimal(38,0)"
+    aggs = []
+    for name in ("qlr", "q2", "q4", "q8", "q16"):
+        tag = {"qlr": "1", "q2": "2", "q4": "4", "q8": "8", "q16": "16"}[name]
+        aggs += [
+            F.count(name).alias(f"n{tag}"),
+            F.sum(name).alias(f"a{tag}"),
+            F.sum(F.col(name).cast(dec) * F.col(name)).alias(f"b{tag}"),
+        ]
+    s = a.groupBy("symbol").agg(*aggs).where(F.col("n16") > 0)
+
+    def var(tag):
+        n = F.col(f"n{tag}")
+        return F.col(f"b{tag}").cast("double") / n - (
+            F.col(f"a{tag}").cast("double") / n
+        ) * (F.col(f"a{tag}").cast("double") / n)
+
+    v1, v2, v8, v16 = var("1"), var("2"), var("8"), var("16")
+    w1, w2, w8, w16 = (float(_HW1), float(_HW2), float(_HW8), float(_HW16))
+    hurst = F.when(
+        (v1 > 0) & (v2 > 0) & (v8 > 0) & (v16 > 0),
+        0.5
+        * (
+            (F.lit(w1) * F.log(v1) + F.lit(w2) * F.log(v2))
+            + F.lit(w8) * F.log(v8)
+            + F.lit(w16) * F.log(v16)
+        ),
+    )
+    return s.select("symbol", r6(hurst).alias("hurst")).orderBy("symbol")

@@ -4238,3 +4238,110 @@ def bars_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return s.select("symbol", r6(hurst).alias("hurst")).orderBy("symbol")
+
+
+@q(
+    "events_signal_ic",
+    BARS_CTE
+    + """,
+lastc AS (
+  SELECT symbol, ts_us // 86400000000 AS day, arg_max(close, ts_us) AS c
+  FROM bars GROUP BY 1, 2
+),
+dret AS (
+  SELECT symbol, day,
+         CAST(FLOOR((c / LAG(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM lastc
+),
+mret AS (
+  SELECT day,
+         CAST(FLOOR(CAST(SUM(qr) AS DOUBLE) / COUNT(qr) + 0.5) AS BIGINT) AS qm
+  FROM dret WHERE qr IS NOT NULL GROUP BY day
+),
+sig AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, event_type, COUNT(*) AS cnt
+  FROM events GROUP BY 1, 2
+),
+j AS (
+  SELECT s.event_type, s.cnt AS x, m.qm AS y
+  FROM sig s JOIN mret m ON m.day = s.day + 1
+),
+cm AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(CAST(x AS HUGEINT) * y) AS sxy,
+         SUM(CAST(x AS HUGEINT) * x) AS sxx,
+         SUM(CAST(y AS HUGEINT) * y) AS syy
+  FROM j GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+       END, 6) AS ic
+FROM cm
+ORDER BY event_type
+""",
+)
+def events_signal_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alt-data signal check: Pearson IC between each event type's daily
+    volume and the NEXT day's cross-sectional mean return. The alignment
+    is a day+1 equi-join (no windows over the event log); the correlation
+    runs on exact integers — counts × micro-quantized mean returns, with
+    the classic n·Sxy − Sx·Sy form so no float sum ever crosses an
+    engine boundary. Both sides collapse to day-level frames first, so
+    the join is dimension-sized at any SF."""
+    b = bars(spark, sf_dir)
+    lastc = (
+        b.select("symbol", F.expr("ts_us DIV 86400000000").alias("day"), "close", "ts_us")
+        .groupBy("symbol", "day")
+        .agg(F.max_by("close", "ts_us").alias("c"))
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    dret = lastc.select(
+        "symbol",
+        "day",
+        F.floor((F.col("c") / F.lag("c").over(wd) - 1.0) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qr"),
+    ).where(F.col("qr").isNotNull())
+    mret = dret.groupBy("day").agg(
+        F.floor(F.sum("qr").cast("double") / F.count("qr") + F.lit(0.5))
+        .cast("long")
+        .alias("qm")
+    )
+    from polars_quant_spark.sources.bars import load_table as _lt
+
+    ev0 = _lt(spark, sf_dir, "events")
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    sig = (
+        ev0.select(ts_us_expr(ev0).alias("ts_us"), "event_type")
+        .select(F.expr("ts_us DIV 86400000000").alias("day"), "event_type")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    j = sig.join(
+        F.broadcast(mret), mret.day == sig.day + 1
+    ).select("event_type", F.col("cnt").alias("x"), F.col("qm").alias("y"))
+    dec = "decimal(38,0)"
+    cm = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).alias("sxx"),
+        F.sum(F.col("y").cast(dec) * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast(dec)
+    dxx = n * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    dxy = n * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    ic = F.when(
+        (dxx > 0) & (dyy > 0),
+        dxy.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return cm.select(
+        "event_type", F.col("n").cast("long").alias("n_days"), r6(ic).alias("ic")
+    ).orderBy("event_type")

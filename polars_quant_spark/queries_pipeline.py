@@ -5380,3 +5380,61 @@ def events_holt_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_holt_daily"] = events_holt_daily
 ORACLES["events_holt_daily"] = ORACLES_HOLT
+
+
+@q(
+    "stream_cdc_compact",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, event_id FROM events
+)
+SELECT user_id,
+       arg_max(ts_us, ts_us * 4096 + event_id % 4096) AS last_ts_us,
+       arg_max(event_type, ts_us * 4096 + event_id % 4096) AS last_event_type,
+       arg_max(value, ts_us * 4096 + event_id % 4096) AS last_value
+FROM e GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def stream_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins compaction (REAL readStream + per-key state,
+    availableNow drain): the event stream upserts into a current-state
+    table keyed by user — the lakehouse SCD-1 primitive. Per-key state is
+    one (rank, ts, type, value) tuple; ordering uses the same
+    us·4096 + id%4096 composite as the twin's arg_max, so stream and
+    batch agree row-for-row. The trailing groupBy collapses the per-batch
+    running winners to the final row per key (idempotent when the drain
+    is a single batch)."""
+    from polars_quant_spark.streaming.stateful import streaming_latest_compact
+    from polars_quant_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir)
+    inp = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("event_time")).alias("ts_us"),
+        "event_type",
+        F.col("value").cast("double").alias("value"),
+    )
+    out = streaming_latest_compact(inp)
+    name = f"pqs_stream_cdc_{next(_STREAM_SEQ)}"
+    sq = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sq.awaitTermination()
+    t = spark.table(name)
+    return (
+        t.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("last_ts_us", "last_event_type", "last_value"),
+                F.col("last_ts_us"),
+            ).alias("s")
+        )
+        .select("user_id", "s.last_ts_us", "s.last_event_type", "s.last_value")
+        .orderBy("user_id")
+    )

@@ -323,3 +323,83 @@ def streaming_zscore(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC latest-wins compaction (streaming upsert → current-state table)
+# ---------------------------------------------------------------------------
+
+CDC_OUT = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("last_ts_us", LongType()),
+        StructField("last_event_type", StringType()),
+        StructField("last_value", DoubleType()),
+    ]
+)
+
+# state: (composite arrival rank, ts_us, event_type, value) of the winner
+CDC_STATE = StructType(
+    [
+        StructField("rank", LongType()),
+        StructField("ts_us", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+    ]
+)
+
+
+def _latest_fn():
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (uid,) = key
+        best = tuple(state.get) if state.exists else None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            r = (
+                pdf["ts_us"].to_numpy(dtype="int64") * 4096
+                + pdf["event_id"].to_numpy(dtype="int64") % 4096
+            )
+            i = int(r.argmax())
+            cand = (
+                int(r[i]),
+                int(pdf["ts_us"].iloc[i]),
+                str(pdf["event_type"].iloc[i]),
+                float(pdf["value"].iloc[i]),
+            )
+            if best is None or cand[0] > best[0]:
+                best = cand
+        state.update(best)
+        yield pd.DataFrame(
+            [
+                {
+                    "user_id": uid,
+                    "last_ts_us": best[1],
+                    "last_event_type": best[2],
+                    "last_value": best[3],
+                }
+            ]
+        )
+
+    return fn
+
+
+def streaming_latest_compact(events: DataFrame) -> DataFrame:
+    """CDC latest-wins compaction: the change stream folds to ONE current
+    row per key — the lakehouse upsert/SCD-1 primitive. State per key is a
+    single (rank, ts, type, value) tuple; each batch reduces vectorized to
+    its per-key argmax (by the same us·4096 + id%4096 composite the SQL
+    twin's arg_max uses, so ordering is engine-identical), then merges
+    with state. Emits the post-merge current row each batch: with an
+    availableNow drain the sink's last row per key IS the compacted table.
+
+    Input must carry (user_id, event_id, ts_us, event_type, value)."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _latest_fn(),
+        outputStructType=CDC_OUT,
+        stateStructType=CDC_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -5438,3 +5438,70 @@ def stream_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "s.last_ts_us", "s.last_event_type", "s.last_value")
         .orderBy("user_id")
     )
+
+
+@q(
+    "events_interarrival_sla",
+    """
+WITH e AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+),
+g AS (
+  SELECT event_type, gap,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY gap) AS rk,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM e WHERE gap IS NOT NULL
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_gaps,
+       MAX(CASE WHEN rk = CAST(CEIL(0.50 * n) AS BIGINT) THEN gap END) AS p50_us,
+       MAX(CASE WHEN rk = CAST(CEIL(0.90 * n) AS BIGINT) THEN gap END) AS p90_us,
+       MAX(CASE WHEN rk = CAST(CEIL(0.99 * n) AS BIGINT) THEN gap END) AS p99_us,
+       MAX(gap) AS max_us
+FROM g GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_interarrival_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type interarrival-gap SLA profile: exact discrete p50/p90/p99
+    (percentile_disc semantics hand-built from rank windows — the k-th
+    smallest VALUE is tie-order-free, so no engine interpolation quirks
+    can leak in) plus the max gap. Gaps are exact int64 µs. One window
+    pass partitioned by type, one aggregate."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    e = ev0.select("event_type", "event_id", ts_us_expr(ev0).alias("ts_us"))
+    wo = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    g0 = e.select(
+        "event_type", (F.col("ts_us") - F.lag("ts_us").over(wo)).alias("gap")
+    ).where(F.col("gap").isNotNull())
+    wg = Window.partitionBy("event_type").orderBy("gap")
+    wn = Window.partitionBy("event_type")
+    g = g0.select(
+        "event_type",
+        "gap",
+        F.row_number().over(wg).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pct(p):
+        return F.max(
+            F.when(
+                F.col("rk") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("gap")
+            )
+        )
+
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_gaps"),
+            pct(0.50).alias("p50_us"),
+            pct(0.90).alias("p90_us"),
+            pct(0.99).alias("p99_us"),
+            F.max("gap").alias("max_us"),
+        )
+        .orderBy("event_type")
+    )

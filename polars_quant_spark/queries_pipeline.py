@@ -5505,3 +5505,152 @@ def events_interarrival_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "events_value_psi",
+    """
+WITH b AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         LEAST(GREATEST(CAST(FLOOR(value / 25.0) AS INTEGER), 0), 11) AS bin
+  FROM events
+),
+mid AS (
+  SELECT (MIN(day) + MAX(day) + 1) // 2 AS m FROM b
+),
+c AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN day < (SELECT m FROM mid) THEN 1 ELSE 0 END) AS c_ref,
+         SUM(CASE WHEN day >= (SELECT m FROM mid) THEN 1 ELSE 0 END) AS c_cur
+  FROM b GROUP BY 1, 2
+),
+tot AS (
+  SELECT event_type, SUM(c_ref) AS t_ref, SUM(c_cur) AS t_cur,
+         COUNT(*) AS nb
+  FROM c GROUP BY event_type
+),
+terms AS (
+  SELECT c.event_type,
+         CAST(FLOOR(
+           ((CAST(c.c_ref + 1 AS DOUBLE) / (t.t_ref + t.nb))
+            - (CAST(c.c_cur + 1 AS DOUBLE) / (t.t_cur + t.nb)))
+           * ln((CAST(c.c_ref + 1 AS DOUBLE) / (t.t_ref + t.nb))
+                / (CAST(c.c_cur + 1 AS DOUBLE) / (t.t_cur + t.nb)))
+           * 1000000000.0 + 0.5) AS BIGINT) AS qterm
+  FROM c JOIN tot t ON t.event_type = c.event_type
+)
+SELECT event_type,
+       ROUND(CAST(SUM(qterm) AS DOUBLE) / 1000000000.0, 6) AS psi
+FROM terms GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_value_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of the value distribution per event type,
+    first half of the date range vs second half — the standard ML feature-
+    drift monitor. Fixed-width bins (deterministic, no quantile estimation),
+    Laplace +1 smoothing so no bin is empty, and each bin's
+    (p−q)·ln(p/q) term nano-quantizes before the per-type sum (order-free
+    reduction). Two scans' worth of work in one: the halves split is a
+    conditional aggregate, not two passes."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    b = ev0.select(
+        "event_type",
+        ts_us_expr(ev0).alias("ts_us"),
+        "value",
+    ).select(
+        "event_type",
+        F.expr("ts_us DIV 86400000000").alias("day"),
+        F.least(
+            F.greatest(F.floor(F.col("value") / 25.0).cast("int"), F.lit(0)), F.lit(11)
+        ).alias("bin"),
+    )
+    mid = b.agg(
+        F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("m")
+    )
+    c = (
+        b.crossJoin(F.broadcast(mid))
+        .groupBy("event_type", "bin")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), 1).otherwise(0)).alias("c_ref"),
+            F.sum(F.when(F.col("day") >= F.col("m"), 1).otherwise(0)).alias("c_cur"),
+        )
+    )
+    tot = c.groupBy("event_type").agg(
+        F.sum("c_ref").alias("t_ref"),
+        F.sum("c_cur").alias("t_cur"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    jj = c.join(F.broadcast(tot), "event_type")
+    p = (F.col("c_ref") + 1).cast("double") / (F.col("t_ref") + F.col("nb"))
+    qq = (F.col("c_cur") + 1).cast("double") / (F.col("t_cur") + F.col("nb"))
+    qterm = F.floor((p - qq) * F.log(p / qq) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        jj.select("event_type", qterm.alias("qterm"))
+        .groupBy("event_type")
+        .agg(r6(F.sum("qterm").cast("double") / 1e9).alias("psi"))
+        .orderBy("event_type")
+    )
+
+
+@q(
+    "events_k_anonymity",
+    """
+WITH qid AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         LEAST(GREATEST(CAST(FLOOR(value / 50.0) AS INTEGER), 0), 5) AS vbin,
+         COUNT(*) AS grp_n
+  FROM events GROUP BY 1, 2, 3
+)
+SELECT CAST(5 AS INTEGER) AS k,
+       CAST(COUNT(*) AS BIGINT) AS n_groups,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS small_groups,
+       CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+       ROUND(CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END) AS DOUBLE)
+             / SUM(grp_n), 6) AS suppression_rate,
+       CAST(MIN(grp_n) AS BIGINT) AS min_group
+FROM qid
+""",
+)
+def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit (k=5) over the quasi-identifier tuple
+    (event_type, day, coarse value bucket): how many QI groups fall below
+    k, how many rows they expose, and the suppression rate a k-anonymous
+    release would pay — the privacy-governance gate a training-data export
+    runs before shipping. One hash aggregate on the QI key, one global
+    rollup."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    qid = (
+        ev0.select(
+            "event_type",
+            ts_us_expr(ev0).alias("ts_us"),
+            "value",
+        )
+        .select(
+            "event_type",
+            F.expr("ts_us DIV 86400000000").alias("day"),
+            F.least(
+                F.greatest(F.floor(F.col("value") / 50.0).cast("int"), F.lit(0)),
+                F.lit(5),
+            ).alias("vbin"),
+        )
+        .groupBy("event_type", "day", "vbin")
+        .agg(F.count(F.lit(1)).alias("grp_n"))
+    )
+    small = F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0)
+    return qid.agg(
+        F.lit(5).cast("int").alias("k"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("grp_n") < 5, 1).otherwise(0)).cast("long").alias(
+            "small_groups"
+        ),
+        F.sum(small).cast("long").alias("rows_at_risk"),
+        r6(F.sum(small).cast("double") / F.sum("grp_n")).alias("suppression_rate"),
+        F.min("grp_n").cast("long").alias("min_group"),
+    )

@@ -5654,3 +5654,112 @@ def events_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.sum(small).cast("double") / F.sum("grp_n")).alias("suppression_rate"),
         F.min("grp_n").cast("long").alias("min_group"),
     )
+
+
+@q(
+    "emb_pq_recall",
+    _EMB_SCORED
+    + """,
+qv2 AS (
+  SELECT vec_id,
+         list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc,
+         embedding
+  FROM embeddings
+),
+qc2 AS (
+  SELECT vec_id,
+         CASE WHEN sc > 0 THEN
+           list_transform(embedding, x -> CAST(FLOOR(CAST(x AS DOUBLE) / sc + 0.5) AS BIGINT))
+         ELSE list_transform(embedding, x -> CAST(0 AS BIGINT)) END AS code
+  FROM qv2
+),
+qq2 AS (
+  SELECT r.query_id, c.code AS qcode
+  FROM (SELECT DISTINCT query_id FROM ranked) r JOIN qc2 c ON c.vec_id = r.query_id
+),
+qscored AS (
+  SELECT a.query_id, b.vec_id,
+         list_sum(list_transform(list_zip(a.qcode, b.code),
+                  p -> struct_extract(p, 1) * struct_extract(p, 2))) AS dq,
+         sqrt(CAST(list_sum(list_transform(a.qcode, x -> x * x)) AS DOUBLE)) AS na,
+         sqrt(CAST(list_sum(list_transform(b.code, x -> x * x)) AS DOUBLE)) AS nb
+  FROM qq2 a CROSS JOIN qc2 b
+),
+qranked AS (
+  SELECT query_id, vec_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           ROUND(CASE WHEN na * nb > 0 THEN CAST(dq AS DOUBLE) / (na * nb)
+                 ELSE 0.0 END, 6) DESC, vec_id) AS rnk
+  FROM qscored
+)
+SELECT e.query_id, ROUND(COUNT(qr.vec_id) / 10.0, 6) AS recall_at_10
+FROM ranked e LEFT JOIN qranked qr
+  ON qr.query_id = e.query_id AND qr.vec_id = e.vec_id AND qr.rnk <= 10
+WHERE e.rank <= 10
+GROUP BY e.query_id
+ORDER BY e.query_id
+""",
+)
+def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of int8-quantized cosine search vs exact float cosine,
+    per query — the quality gate for shipping a 4×-compressed embedding
+    store. Both rankings run under the shared tie-break contract
+    (rounded sim DESC, vec_id); the quantized scoring is integer dot
+    products (exact in both engines) with norms from the same integers.
+    Scale shape: the 10-query frame broadcasts twice against the corpus;
+    the corpus is scanned, never shuffled."""
+    from polars_quant_spark.operators.similarity import quantize_embeddings
+
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
+    queries = (
+        emb.orderBy("vec_id")
+        .limit(10)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10).select("query_id", "vec_id")
+    qc = quantize_embeddings(emb).select(
+        "vec_id", F.transform("qvec", lambda x: x.cast("long")).alias("code")
+    )
+    qq = (
+        queries.select("query_id")
+        .join(qc, qc.vec_id == F.col("query_id"))
+        .select("query_id", F.col("code").alias("qcode"))
+    )
+    dq = F.aggregate(
+        F.zip_with(F.col("qcode"), F.col("code"), lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+    def qnorm(c):
+        return F.sqrt(
+            F.aggregate(
+                F.transform(c, lambda x: x * x), F.lit(0).cast("long"), lambda a, x: a + x
+            ).cast("double")
+        )
+
+    scored = qc.crossJoin(F.broadcast(qq)).select(
+        "query_id",
+        "vec_id",
+        dq.alias("dq"),
+        qnorm(F.col("qcode")).alias("na"),
+        qnorm(F.col("code")).alias("nb"),
+    )
+    d = F.col("na") * F.col("nb")
+    wq = Window.partitionBy("query_id").orderBy(
+        r6(F.when(d > 0, F.col("dq").cast("double") / d).otherwise(0.0)).desc(),
+        F.col("vec_id"),
+    )
+    qtop = scored.select(
+        "query_id", "vec_id", F.row_number().over(wq).alias("rnk")
+    ).where(F.col("rnk") <= 10)
+    joined = exact.join(
+        qtop,
+        ["query_id", "vec_id"],
+        "left",
+    )
+    return (
+        joined.groupBy("query_id")
+        .agg(r6(F.count(F.col("rnk")) / 10.0).alias("recall_at_10"))
+        .orderBy("query_id")
+    )

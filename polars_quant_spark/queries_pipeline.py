@@ -5763,3 +5763,123 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(r6(F.count(F.col("rnk")) / 10.0).alias("recall_at_10"))
         .orderBy("query_id")
     )
+
+
+@q(
+    "bt_permutation_pvalue",
+    BARS_CTE
+    + """,
+prp AS (
+  SELECT t, close,
+         CASE WHEN COUNT(close) OVER pw20 = 20 THEN AVG(close) OVER pw20 END AS s20,
+         CAST(FLOOR((close / LAG(close) OVER po - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars WHERE symbol = 'click'
+  WINDOW pw20 AS (ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+         po AS (ORDER BY t)
+),
+sretp AS (
+  SELECT t,
+         CASE WHEN LAG(CASE WHEN s20 IS NOT NULL AND close > s20 THEN 1 ELSE 0 END)
+                   OVER (ORDER BY t) = 1
+              THEN qr ELSE 0 END AS sr
+  FROM prp WHERE qr IS NOT NULL
+),
+acur AS (
+  SELECT t, SUM(sr) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM sretp
+),
+actual AS (
+  SELECT MAX(mx - cum) AS dd FROM (
+    SELECT cum, MAX(cum) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+    FROM acur
+  )
+),
+seeds AS (SELECT unnest(range(1, 9)) AS seed),
+pk AS (
+  SELECT s.seed, r.sr, md5(CAST(s.seed AS VARCHAR) || ':' || CAST(r.t AS VARCHAR)) AS k
+  FROM sretp r CROSS JOIN seeds s
+),
+pcur AS (
+  SELECT seed, k,
+         SUM(sr) OVER (PARTITION BY seed ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM pk
+),
+pdd AS (
+  SELECT seed, MAX(mx - cum) AS dd FROM (
+    SELECT seed, cum,
+           MAX(cum) OVER (PARTITION BY seed ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS mx
+    FROM pcur
+  ) GROUP BY seed
+)
+SELECT ROUND(CAST(a.dd AS DOUBLE) / 1000000.0, 6) AS actual_max_dd,
+       CAST(COUNT(*) AS INTEGER) AS n_perms,
+       CAST(SUM(CASE WHEN p.dd >= a.dd THEN 1 ELSE 0 END) AS INTEGER) AS n_worse,
+       ROUND((SUM(CASE WHEN p.dd >= a.dd THEN 1 ELSE 0 END) + 1) / 9.0, 6) AS p_value
+FROM pdd p CROSS JOIN actual a
+GROUP BY a.dd
+""",
+)
+def bt_permutation_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Permutation significance test for the SMA-20 trend filter on
+    'click': is the strategy's max drawdown smaller than chance? The
+    per-bar strategy returns (exact micro integers) are re-ordered by 8
+    deterministic md5 permutations; each permuted cumulative-PnL curve's
+    max drawdown (an integer running-max scan) is compared to the actual.
+    p = (#worse + 1)/(B + 1). Everything before the final division is
+    int64, so both engines agree bit-for-bit. The 8× fan-out is a
+    broadcast of the seed list against the single-symbol return series —
+    per-symbol work, embarrassingly parallel across a universe."""
+    b = bars(spark, sf_dir).where(F.col("symbol") == "click")
+    po = Window.orderBy("t")
+    pw20 = Window.orderBy("t").rowsBetween(-19, 0)
+    pr = b.select(
+        "t",
+        "close",
+        F.when(F.count("close").over(pw20) == 20, F.avg("close").over(pw20)).alias(
+            "s20"
+        ),
+        F.floor((F.col("close") / F.lag("close").over(po) - 1.0) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qr"),
+    ).where(F.col("qr").isNotNull())
+    pos = F.when(F.col("s20").isNotNull() & (F.col("close") > F.col("s20")), 1).otherwise(0)
+    sret = pr.select(
+        "t",
+        F.when(F.lag(pos).over(po) == 1, F.col("qr")).otherwise(F.lit(0).cast("long")).alias("sr"),
+    )
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    acur = sret.select("t", F.sum("sr").over(wc).alias("cum"))
+    amx = acur.select(
+        "cum", F.max("cum").over(wc).alias("mx")
+    )
+    actual = amx.agg(F.max(F.col("mx") - F.col("cum")).alias("dd"))
+    seeds = spark.range(1, 9).select(F.col("id").alias("seed"))
+    pk = sret.crossJoin(F.broadcast(seeds)).select(
+        "seed",
+        "sr",
+        F.md5(
+            F.concat(F.col("seed").cast("string"), F.lit(":"), F.col("t").cast("string"))
+        ).alias("k"),
+    )
+    wk = Window.partitionBy("seed").orderBy("k").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pcur = pk.select("seed", "k", F.sum("sr").over(wk).alias("cum"))
+    pmx = pcur.select("seed", F.col("cum").alias("cum"), F.max("cum").over(wk).alias("mx"))
+    pdd = pmx.groupBy("seed").agg(F.max(F.col("mx") - F.col("cum")).alias("dd"))
+    worse = F.sum(F.when(F.col("dd") >= F.col("add"), 1).otherwise(0))
+    return (
+        pdd.crossJoin(F.broadcast(actual.select(F.col("dd").alias("add"))))
+        .groupBy("add")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_perms"),
+            worse.cast("int").alias("n_worse"),
+            r6((worse + 1) / 9.0).alias("p_value"),
+        )
+        .select(
+            r6(F.col("add").cast("double") / 1e6).alias("actual_max_dd"),
+            "n_perms",
+            "n_worse",
+            "p_value",
+        )
+    )

@@ -4345,3 +4345,87 @@ def events_signal_ic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cm.select(
         "event_type", F.col("n").cast("long").alias("n_days"), r6(ic).alias("ic")
     ).orderBy("event_type")
+
+
+@q(
+    "bars_rolling_corr",
+    BARS_CTE
+    + """,
+rcq AS (
+  SELECT t,
+         CAST(FLOOR((MAX(CASE WHEN symbol = 'click' THEN close END)
+                     / LAG(MAX(CASE WHEN symbol = 'click' THEN close END))
+                       OVER (ORDER BY t) - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS xa,
+         CAST(FLOOR((MAX(CASE WHEN symbol = 'view' THEN close END)
+                     / LAG(MAX(CASE WHEN symbol = 'view' THEN close END))
+                       OVER (ORDER BY t) - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS xb
+  FROM bars WHERE symbol IN ('click', 'view') GROUP BY t
+  HAVING COUNT(DISTINCT symbol) = 2
+),
+rcm AS (
+  SELECT t, xa, xb,
+         COUNT(*) OVER w AS n,
+         SUM(xa) OVER w AS sa, SUM(xb) OVER w AS sb,
+         SUM(CAST(xa AS HUGEINT) * xb) OVER w AS sab,
+         SUM(CAST(xa AS HUGEINT) * xa) OVER w AS saa,
+         SUM(CAST(xb AS HUGEINT) * xb) OVER w AS sbb
+  FROM rcq WHERE xa IS NOT NULL AND xb IS NOT NULL
+  WINDOW w AS (ORDER BY t ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT t,
+       ROUND(CASE WHEN n = 60
+                   AND n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+         CAST(n * sab - sa * sb AS DOUBLE)
+         / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))
+       END, 6) AS corr_60
+FROM rcm
+ORDER BY t
+""",
+)
+def bars_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 60-bar return correlation between the (click, view) pair —
+    the correlation-regime monitor behind pair selection and risk models.
+    Micro-quantized returns make every window moment an exact integer;
+    the n·Sxy − Sx·Sy form never sums floats. One aligned pivot, one
+    single-partition window chain over the pair series (per-pair work —
+    across a universe each pair is an independent partition)."""
+    b = bars(spark, sf_dir).where(F.col("symbol").isin("click", "view"))
+    px = (
+        b.groupBy("t")
+        .agg(
+            F.max(F.when(F.col("symbol") == "click", F.col("close"))).alias("ca"),
+            F.max(F.when(F.col("symbol") == "view", F.col("close"))).alias("cb"),
+            F.count_distinct("symbol").alias("_ns"),
+        )
+        .where(F.col("_ns") == 2)
+    )
+    wo = Window.orderBy("t")
+
+    def qret(c):
+        return F.floor(
+            (F.col(c) / F.lag(c).over(wo) - 1.0) * 1e6 + F.lit(0.5)
+        ).cast("long")
+
+    r = px.select("t", qret("ca").alias("xa"), qret("cb").alias("xb")).where(
+        F.col("xa").isNotNull() & F.col("xb").isNotNull()
+    )
+    w = Window.orderBy("t").rowsBetween(-59, 0)
+    dec = "decimal(38,0)"
+    m = r.select(
+        "t",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("xa").over(w).alias("sa"),
+        F.sum("xb").over(w).alias("sb"),
+        F.sum(F.col("xa").cast(dec) * F.col("xb")).over(w).alias("sab"),
+        F.sum(F.col("xa").cast(dec) * F.col("xa")).over(w).alias("saa"),
+        F.sum(F.col("xb").cast(dec) * F.col("xb")).over(w).alias("sbb"),
+    )
+    n = F.col("n").cast(dec)
+    dxy = n * F.col("sab") - F.col("sa").cast(dec) * F.col("sb")
+    dxx = n * F.col("saa") - F.col("sa").cast(dec) * F.col("sa")
+    dyy = n * F.col("sbb") - F.col("sb").cast(dec) * F.col("sb")
+    corr = F.when(
+        (F.col("n") == 60) & (dxx > 0) & (dyy > 0),
+        dxy.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return m.select("t", r6(corr).alias("corr_60")).orderBy("t")

@@ -5883,3 +5883,123 @@ def bt_permutation_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Character-distribution entropy per document — generated over a fixed
+# 36-char alphabet via the replace-count identity (no explode, no shuffle):
+# count(c) = len(text) − len(replace(text, c, '')). Both engines build the
+# SAME fixed-order 36-term entropy sum, so no quantization is needed.
+# ---------------------------------------------------------------------------
+
+_ENT_CHARS = "abcdefghijklmnopqrstuvwxyz0123456789"
+
+
+def _ent_sql() -> str:
+    cnts = ", ".join(
+        f"length(lt) - length(replace(lt, '{c}', '')) AS c_{c}" for c in _ENT_CHARS
+    )
+    tot = " + ".join(f"c_{c}" for c in _ENT_CHARS)
+    terms = " + ".join(
+        f"(CASE WHEN c_{c} > 0 THEN -(CAST(c_{c} AS DOUBLE) / tot) "
+        f"* log2(CAST(c_{c} AS DOUBLE) / tot) ELSE 0.0 END)"
+        for c in _ENT_CHARS
+    )
+    return f"""
+WITH lc AS (
+  SELECT doc_id, lower(text) AS lt FROM documents
+),
+cnt AS (
+  SELECT doc_id, {cnts} FROM lc
+),
+tt AS (
+  SELECT doc_id, {tot} AS tot, * FROM cnt
+)
+SELECT doc_id, CAST(tot AS BIGINT) AS n_alnum,
+       ROUND(CASE WHEN tot > 0 THEN {terms} END, 6) AS char_entropy_bits
+FROM tt
+ORDER BY doc_id
+"""
+
+
+@q("doc_char_entropy", _ent_sql())
+def doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-distribution Shannon entropy (bits) per document over the
+    36-char alphanumeric alphabet — a cheap quality/gibberish screen (low
+    entropy = repeated filler, high = random noise). Counts come from the
+    replace-count identity, so the whole thing is a pure projection: no
+    explode, no shuffle, 36 codegen'd replaces per row; the 36-term
+    entropy sum is built in the identical fixed order in both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    lt = F.lower(F.col("text"))
+    cnt_cols = [
+        (F.length(lt) - F.length(F.replace(lt, F.lit(c)))).alias(f"c_{c}")
+        for c in _ENT_CHARS
+    ]
+    d = docs.select("doc_id", *cnt_cols)
+    tot = F.col(f"c_{_ENT_CHARS[0]}")
+    for c in _ENT_CHARS[1:]:
+        tot = tot + F.col(f"c_{c}")
+    d = d.select("doc_id", tot.alias("tot"), *[f"c_{c}" for c in _ENT_CHARS])
+    term0 = None
+    for c in _ENT_CHARS:
+        p = F.col(f"c_{c}").cast("double") / F.col("tot")
+        t = F.when(F.col(f"c_{c}") > 0, -p * F.log2(p)).otherwise(0.0)
+        term0 = t if term0 is None else term0 + t
+    return d.select(
+        "doc_id",
+        F.col("tot").cast("long").alias("n_alnum"),
+        r6(F.when(F.col("tot") > 0, term0)).alias("char_entropy_bits"),
+    ).orderBy("doc_id")
+
+
+@q(
+    "events_survival_curve",
+    """
+WITH u AS (
+  SELECT user_id,
+         MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) AS span
+  FROM events GROUP BY user_id
+),
+g AS (SELECT span, COUNT(*) AS cnt FROM u GROUP BY span),
+tot AS (SELECT SUM(cnt) AS n FROM g),
+ks AS (SELECT unnest([0, 7, 14, 21, 28]) AS k)
+SELECT ks.k,
+       CAST(SUM(CASE WHEN g.span >= ks.k THEN g.cnt ELSE 0 END) AS BIGINT) AS n_alive,
+       ROUND(CAST(SUM(CASE WHEN g.span >= ks.k THEN g.cnt ELSE 0 END) AS DOUBLE)
+             / (SELECT n FROM tot), 6) AS survival_rate
+FROM ks CROSS JOIN g
+GROUP BY ks.k
+ORDER BY ks.k
+""",
+)
+def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User survival curve: share of users still active k days after their
+    first event (lifespan = last-day − first-day), at k ∈ {0,7,14,21,28}.
+    The user axis collapses to a lifespan histogram first, so the k-grid
+    join touches a distribution-sized frame, never the user table."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    u = (
+        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
+        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("user_id")
+        .agg((F.max("day") - F.min("day")).alias("span"))
+    )
+    g = u.groupBy("span").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = g.agg(F.sum("cnt").alias("n"))
+    ks = spark.range(0, 5).select((F.col("id") * 7).cast("int").alias("k"))
+    alive = F.sum(F.when(F.col("span") >= F.col("k"), F.col("cnt")).otherwise(0))
+    return (
+        ks.crossJoin(g)
+        .groupBy("k")
+        .agg(alive.cast("long").alias("n_alive"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "k",
+            "n_alive",
+            r6(F.col("n_alive").cast("double") / F.col("n")).alias("survival_rate"),
+        )
+        .orderBy("k")
+    )

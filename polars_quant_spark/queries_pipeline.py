@@ -6003,3 +6003,185 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@q(
+    "rel_brand_robust_stats",
+    """
+WITH px AS (
+  SELECT p_brand, CAST(FLOOR(p_retailprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM part
+),
+rk AS (
+  SELECT p_brand, cents,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY cents) AS r,
+         COUNT(*) OVER (PARTITION BY p_brand) AS n
+  FROM px
+),
+med AS (
+  SELECT p_brand, MAX(n) AS n,
+         MAX(CASE WHEN r = CAST(CEIL(0.5 * n) AS BIGINT) THEN cents END) AS med_cents
+  FROM rk GROUP BY p_brand
+),
+dev AS (
+  SELECT px.p_brand, ABS(px.cents - m.med_cents) AS adev, m.med_cents, m.n
+  FROM px JOIN med m ON m.p_brand = px.p_brand
+),
+drk AS (
+  SELECT p_brand, adev, med_cents, n,
+         ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY adev) AS r
+  FROM dev
+),
+mad AS (
+  SELECT p_brand, MAX(n) AS n, MAX(med_cents) AS med_cents,
+         MAX(CASE WHEN r = CAST(CEIL(0.5 * n) AS BIGINT) THEN adev END) AS mad_cents
+  FROM drk GROUP BY p_brand
+)
+SELECT d.p_brand, CAST(MAX(d.n) AS BIGINT) AS n_parts,
+       ROUND(CAST(MAX(d.med_cents) AS DOUBLE) / 100.0, 6) AS median_price,
+       ROUND(CAST(MAX(m.mad_cents) AS DOUBLE) / 100.0, 6) AS mad_price,
+       CAST(SUM(CASE WHEN m.mad_cents > 0
+                 AND CAST(d.adev AS DOUBLE) > 3.0 * 1.4826 * m.mad_cents
+                 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev d JOIN mad m ON m.p_brand = d.p_brand
+GROUP BY d.p_brand
+ORDER BY d.p_brand
+""",
+)
+def rel_brand_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-brand price statistics: exact median (rank-window
+    percentile_disc, tie-order-free), MAD, and the robust outlier count at
+    the 3σ-equivalent 3·1.4826·MAD fence — the outlier screen that a mean/σ
+    z-score gets wrong under heavy tails. Prices are exact cents; the only
+    doubles are the final unit conversions. Two rank passes over the part
+    table, both partitioned by brand."""
+    p = load_table(spark, sf_dir, "part")
+    px = p.select(
+        "p_brand",
+        F.floor(F.col("p_retailprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    wb = Window.partitionBy("p_brand")
+
+    def disc_median(df, col, out):
+        wr = Window.partitionBy("p_brand").orderBy(col)
+        r = df.select(
+            "p_brand",
+            F.col(col),
+            F.row_number().over(wr).alias("r"),
+            F.count(F.lit(1)).over(wb).alias("n"),
+        )
+        return r.groupBy("p_brand").agg(
+            F.max("n").alias("n"),
+            F.max(
+                F.when(
+                    F.col("r") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                    F.col(col),
+                )
+            ).alias(out),
+        )
+    med = disc_median(px, "cents", "med_cents")
+    dev = px.join(F.broadcast(med.select("p_brand", "med_cents", "n")), "p_brand").select(
+        "p_brand", F.abs(F.col("cents") - F.col("med_cents")).alias("adev"),
+        "med_cents", "n",
+    )
+    mad = disc_median(dev, "adev", "mad_cents")
+    j = dev.join(F.broadcast(mad.select("p_brand", "mad_cents")), "p_brand")
+    return (
+        j.groupBy("p_brand")
+        .agg(
+            F.max("n").cast("long").alias("n_parts"),
+            r6(F.max("med_cents").cast("double") / 100.0).alias("median_price"),
+            r6(F.max("mad_cents").cast("double") / 100.0).alias("mad_price"),
+            F.sum(
+                F.when(
+                    (F.col("mad_cents") > 0)
+                    & (
+                        F.col("adev").cast("double")
+                        > 3.0 * 1.4826 * F.col("mad_cents")
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@q(
+    "events_peak_concurrency",
+    """
+WITH e AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+sess AS (
+  SELECT user_id, us,
+         CASE WHEN us - LAG(us) OVER (PARTITION BY user_id ORDER BY us) > 1800000000
+               OR LAG(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM e
+),
+sid AS (
+  SELECT user_id, us,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM sess
+),
+iv AS (
+  SELECT user_id, sid, MIN(us) AS s_us, MAX(us) + 1800000000 AS e_us
+  FROM sid GROUP BY user_id, sid
+),
+pts AS (
+  SELECT s_us AS us, 1 AS delta, 0 AS is_end FROM iv
+  UNION ALL
+  SELECT e_us AS us, -1 AS delta, 1 AS is_end FROM iv
+),
+sweep AS (
+  SELECT us,
+         SUM(delta) OVER (ORDER BY us, is_end
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+  FROM pts
+)
+SELECT CAST(MAX(conc) AS BIGINT) AS peak_concurrency,
+       CAST(COUNT(*) / 2 AS BIGINT) AS n_sessions
+FROM sweep
+""",
+)
+def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak concurrent sessions: 30-min-gap sessionization, then the
+    classic +1/−1 endpoint sweep — the interval-overlap maximum without
+    any interval self-join. Ends sort after coincident starts (is_end
+    tie-break), so a session ending exactly when another starts counts
+    both as concurrent — deterministic in both engines. The sweep is one
+    ordered running sum over 2×sessions endpoint rows."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    e = ev0.select("user_id", ts_us_expr(ev0).alias("us"))
+    wu = Window.partitionBy("user_id").orderBy("us")
+    new_s = F.when(
+        (F.col("us") - F.lag("us").over(wu) > 1800000000)
+        | F.lag("us").over(wu).isNull(),
+        1,
+    ).otherwise(0)
+    wc = Window.partitionBy("user_id").orderBy("us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sid = e.select("user_id", "us", new_s.alias("new_s")).select(
+        "user_id", "us", F.sum("new_s").over(wc).alias("sid")
+    )
+    iv = sid.groupBy("user_id", "sid").agg(
+        F.min("us").alias("s_us"), (F.max("us") + 1800000000).alias("e_us")
+    )
+    starts = iv.select(F.col("s_us").alias("us"), F.lit(1).alias("delta"), F.lit(0).alias("is_end"))
+    ends = iv.select(F.col("e_us").alias("us"), F.lit(-1).alias("delta"), F.lit(1).alias("is_end"))
+    pts = starts.unionByName(ends)
+    ws = Window.orderBy("us", "is_end").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sweep = pts.select(F.sum("delta").over(ws).alias("conc"))
+    return sweep.agg(
+        F.max("conc").cast("long").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
+    )

@@ -4429,3 +4429,100 @@ def bars_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         dxy.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
     )
     return m.select("t", r6(corr).alias("corr_60")).orderBy("t")
+
+
+@q(
+    "bars_updown_beta",
+    BARS_CTE
+    + """,
+ubr AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+ubm AS (
+  SELECT t, CAST(FLOOR(CAST(SUM(qr) AS DOUBLE) / COUNT(qr) + 0.5) AS BIGINT) AS qm
+  FROM ubr WHERE qr IS NOT NULL GROUP BY t
+),
+ubj AS (
+  SELECT r.symbol, r.qr, m.qm FROM ubr r JOIN ubm m ON m.t = r.t
+  WHERE r.qr IS NOT NULL
+),
+ubs AS (
+  SELECT symbol,
+         SUM(CASE WHEN qm > 0 THEN 1 ELSE 0 END) AS nu,
+         SUM(CASE WHEN qm > 0 THEN qr ELSE 0 END) AS sxu,
+         SUM(CASE WHEN qm > 0 THEN qm ELSE 0 END) AS smu,
+         SUM(CASE WHEN qm > 0 THEN CAST(qr AS HUGEINT) * qm ELSE 0 END) AS sxmu,
+         SUM(CASE WHEN qm > 0 THEN CAST(qm AS HUGEINT) * qm ELSE 0 END) AS smmu,
+         SUM(CASE WHEN qm < 0 THEN 1 ELSE 0 END) AS nd,
+         SUM(CASE WHEN qm < 0 THEN qr ELSE 0 END) AS sxd,
+         SUM(CASE WHEN qm < 0 THEN qm ELSE 0 END) AS smd,
+         SUM(CASE WHEN qm < 0 THEN CAST(qr AS HUGEINT) * qm ELSE 0 END) AS sxmd,
+         SUM(CASE WHEN qm < 0 THEN CAST(qm AS HUGEINT) * qm ELSE 0 END) AS smmd
+  FROM ubj GROUP BY symbol
+)
+SELECT symbol,
+       ROUND(CASE WHEN nu > 1 AND nu * smmu - smu * smu > 0 THEN
+         CAST(nu * sxmu - sxu * smu AS DOUBLE) / CAST(nu * smmu - smu * smu AS DOUBLE)
+       END, 6) AS beta_up,
+       ROUND(CASE WHEN nd > 1 AND nd * smmd - smd * smd > 0 THEN
+         CAST(nd * sxmd - sxd * smd AS DOUBLE) / CAST(nd * smmd - smd * smd AS DOUBLE)
+       END, 6) AS beta_down
+FROM ubs
+ORDER BY symbol
+""",
+)
+def bars_updown_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric market beta per symbol: beta conditioned on up-market
+    bars vs down-market bars (the downside-risk decomposition CAPM hides).
+    The market return is the cross-sectional mean (micro-quantized, so the
+    conditioning sign and every moment are exact integers); the two
+    conditional regressions are one grouped aggregate with CASE'd sums.
+    Two exchanges total: the per-symbol window and the per-t collapse."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    m = r.groupBy("t").agg(
+        F.floor(F.sum("qr").cast("double") / F.count("qr") + F.lit(0.5))
+        .cast("long")
+        .alias("qm")
+    )
+    j = r.join(F.broadcast(m), "t").select("symbol", "qr", "qm")
+    dec = "decimal(38,0)"
+    up = F.col("qm") > 0
+    dn = F.col("qm") < 0
+
+    def c(cond, expr):
+        return F.sum(F.when(cond, expr).otherwise(F.lit(0).cast(dec)))
+
+    s = j.groupBy("symbol").agg(
+        F.sum(F.when(up, 1).otherwise(0)).alias("nu"),
+        c(up, F.col("qr").cast(dec)).alias("sxu"),
+        c(up, F.col("qm").cast(dec)).alias("smu"),
+        c(up, F.col("qr").cast(dec) * F.col("qm")).alias("sxmu"),
+        c(up, F.col("qm").cast(dec) * F.col("qm")).alias("smmu"),
+        F.sum(F.when(dn, 1).otherwise(0)).alias("nd"),
+        c(dn, F.col("qr").cast(dec)).alias("sxd"),
+        c(dn, F.col("qm").cast(dec)).alias("smd"),
+        c(dn, F.col("qr").cast(dec) * F.col("qm")).alias("sxmd"),
+        c(dn, F.col("qm").cast(dec) * F.col("qm")).alias("smmd"),
+    )
+
+    def beta(n, sx, sm, sxm, smm):
+        n_ = F.col(n).cast(dec)
+        num = n_ * F.col(sxm) - F.col(sx) * F.col(sm)
+        den = n_ * F.col(smm) - F.col(sm) * F.col(sm)
+        return F.when(
+            (F.col(n) > 1) & (den > 0), num.cast("double") / den.cast("double")
+        )
+
+    return s.select(
+        "symbol",
+        r6(beta("nu", "sxu", "smu", "sxmu", "smmu")).alias("beta_up"),
+        r6(beta("nd", "sxd", "smd", "sxmd", "smmd")).alias("beta_down"),
+    ).orderBy("symbol")

@@ -481,3 +481,29 @@ def test_moment_queries_single_shuffle(spark, sf_dir):
         p = plan_str(df)
         assert "Join" not in p, name
         assert n_exchanges(df) <= 2, (name, p[:2000])
+
+
+def test_round2_additions_plan_hygiene(spark, sf_dir):
+    """Newest analytics queries: no unbounded cartesians (broadcast
+    1-row/scalar fan-outs are the only nested-loop joins allowed), and the
+    single-scan aggregates stay join-free."""
+    from polars_quant_spark.plans.inspect import plan_str
+
+    for name in (
+        "bars_updown_beta",
+        "bars_rolling_corr",
+        "bars_pairs_adf",
+        "rel_brand_robust_stats",
+        "events_peak_concurrency",
+        "events_survival_curve",
+        "events_value_psi",
+        "events_ab_test",
+        "emb_label_centroids",
+        "bt_permutation_pvalue",
+    ):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+    # pure single-aggregate queries must not contain any join at all
+    for name in ("bars_range_vol", "bars_hurst", "events_k_anonymity", "doc_char_entropy"):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "Join" not in p, name

@@ -4526,3 +4526,133 @@ def bars_updown_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(beta("nu", "sxu", "smu", "sxmu", "smmu")).alias("beta_up"),
         r6(beta("nd", "sxd", "smd", "sxmd", "smmd")).alias("beta_down"),
     ).orderBy("symbol")
+
+
+@q(
+    "bars_position_sizing",
+    BARS_CTE
+    + """,
+psr AS (
+  SELECT symbol,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+pss AS (
+  SELECT symbol, COUNT(*) AS n, SUM(qr) AS s1,
+         SUM(CAST(qr AS HUGEINT) * qr) AS s2
+  FROM psr WHERE qr IS NOT NULL GROUP BY symbol
+)
+SELECT symbol,
+       ROUND(CASE WHEN CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0 THEN
+         (CAST(s1 AS DOUBLE) / n / 1000000.0)
+         / ((CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            / 1000000000000.0) END, 6) AS kelly_fraction,
+       ROUND(CASE WHEN CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0 THEN
+         LEAST(0.02 / sqrt((CAST(s2 AS DOUBLE) / n
+                            - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                           / 1000000000000.0), 4.0) END, 6) AS vol_target_leverage
+FROM pss
+ORDER BY symbol
+""",
+)
+def bars_position_sizing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-sizing report per symbol: the continuous Kelly fraction
+    μ/σ² and a 2%-per-bar volatility-target leverage (capped at 4×) —
+    the two standard sizing rules, from the same exact integer moments as
+    the other moment queries. One scan, one aggregate."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", qr.alias("qr")).where(F.col("qr").isNotNull())
+    dec = "decimal(38,0)"
+    s = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qr").alias("s1"),
+        F.sum(F.col("qr").cast(dec) * F.col("qr")).alias("s2"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    e2 = F.col("s2").cast("double") / n
+    var_m = e2 - m1 * m1
+    kelly = F.when(var_m > 0, (m1 / 1e6) / (var_m / 1e12))
+    lev = F.when(var_m > 0, F.least(F.lit(0.02) / F.sqrt(var_m / 1e12), F.lit(4.0)))
+    return s.select(
+        "symbol",
+        r6(kelly).alias("kelly_fraction"),
+        r6(lev).alias("vol_target_leverage"),
+    ).orderBy("symbol")
+
+
+@q(
+    "bars_vol_regime_transitions",
+    BARS_CTE
+    + """,
+vrr AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+vrv AS (
+  SELECT symbol, t,
+         CASE WHEN COUNT(qr) OVER w = 20 THEN
+           SUM(CAST(qr AS HUGEINT) * qr) OVER w END AS ss
+  FROM vrr WHERE qr IS NOT NULL
+  WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+vrn AS (
+  SELECT symbol, t, NTILE(3) OVER (PARTITION BY symbol ORDER BY ss, t) AS regime
+  FROM vrv WHERE ss IS NOT NULL
+),
+vrp AS (
+  SELECT regime,
+         LEAD(regime) OVER (PARTITION BY symbol ORDER BY t) AS nxt
+  FROM vrn
+)
+SELECT CAST(regime AS INTEGER) AS regime, CAST(nxt AS INTEGER) AS next_regime,
+       COUNT(*) AS n,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY regime), 6) AS p
+FROM vrp WHERE nxt IS NOT NULL
+GROUP BY regime, nxt
+ORDER BY regime, next_regime
+""",
+)
+def bars_vol_regime_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volatility-regime Markov matrix: each bar lands in a low/mid/high
+    tercile of its symbol's rolling-20 squared-return sum (exact integer,
+    NTILE tie-broken by t so both engines agree), then P(next|current)
+    across the universe. The regime-persistence fingerprint behind
+    vol-targeting. One window chain on the shared symbol exchange, one
+    transition aggregate."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    w = _w().rowsBetween(-19, 0)
+    ss = F.when(
+        F.count("qr").over(w) == 20,
+        F.sum(F.col("qr").cast("decimal(38,0)") * F.col("qr")).over(w),
+    )
+    v = r.select("symbol", "t", ss.alias("ss")).where(F.col("ss").isNotNull())
+    wn = Window.partitionBy("symbol").orderBy("ss", "t")
+    nr = v.select("symbol", "t", F.ntile(3).over(wn).alias("regime"))
+    pair = nr.select(
+        "regime", F.lead("regime").over(_w()).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    cnt = pair.groupBy(
+        F.col("regime").cast("int").alias("regime"),
+        F.col("nxt").cast("int").alias("next_regime"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    wr = Window.partitionBy("regime")
+    return cnt.select(
+        "regime",
+        "next_regime",
+        "n",
+        r6(F.col("n").cast("double") / F.sum("n").over(wr)).alias("p"),
+    ).orderBy("regime", "next_regime")

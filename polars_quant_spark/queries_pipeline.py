@@ -6185,3 +6185,109 @@ def events_peak_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("conc").cast("long").alias("peak_concurrency"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_sessions"),
     )
+
+
+@q(
+    "doc_bigram_perplexity",
+    f"""
+WITH ptoks AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+pspl AS (
+  SELECT doc_id, tk,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0
+           AS is_eval
+  FROM ptoks
+),
+ptuni AS (
+  SELECT u AS w, COUNT(*) AS c
+  FROM (SELECT UNNEST(tk) AS u FROM pspl WHERE NOT is_eval) GROUP BY 1
+),
+ptbg AS (
+  SELECT a, b, COUNT(*) AS cab FROM (
+    SELECT tk[u] AS a, tk[u + 1] AS b
+    FROM (SELECT tk, UNNEST(range(1, len(tk))) AS u FROM pspl WHERE NOT is_eval)
+  ) GROUP BY 1, 2
+),
+pvv AS (SELECT COUNT(*) AS v FROM ptuni),
+pebg AS (
+  SELECT doc_id, tk[u] AS a, tk[u + 1] AS b
+  FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS u FROM pspl WHERE is_eval)
+),
+pscored AS (
+  SELECT e.doc_id,
+         CAST(FLOOR(ln((COALESCE(t.cab, 0) + 1.0)
+                       / (COALESCE(u.c, 0) + (SELECT v FROM pvv)))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS qlp
+  FROM pebg e
+  LEFT JOIN ptbg t ON t.a = e.a AND t.b = e.b
+  LEFT JOIN ptuni u ON u.w = e.a
+)
+SELECT doc_id, COUNT(*) AS n_bigrams,
+       ROUND(exp(-(CAST(SUM(qlp) AS DOUBLE) / COUNT(*) / 1000000000.0)), 6)
+         AS perplexity
+FROM pscored GROUP BY doc_id
+ORDER BY doc_id
+""",
+)
+def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM perplexity of each held-out document (20% md5-lane
+    holdout) under add-1-smoothed counts trained on the other 80% — the
+    classic LM quality/novelty scorer (low = templated/boilerplate,
+    high = out-of-domain). Per-bigram log-probs nano-quantize before the
+    per-doc mean, so the reduction is order-free. Shape: two count
+    aggregates (train), two hash joins (eval lookup) — the standard
+    distributed LM-eval plan, no driver-side tables."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    from polars_quant_spark.operators.sketch import hash_lane
+
+    toks = docs.select(
+        "doc_id", text.tokens("text").alias("tk"), (hash_lane("doc_id", 8) % 5 == 0).alias("is_eval")
+    )
+    train = toks.where(~F.col("is_eval"))
+    evald = toks.where(F.col("is_eval"))
+    tuni = (
+        train.select(F.explode("tk").alias("w")).groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    def bigrams(df, with_doc):
+        e = df.select(
+            "doc_id", F.posexplode("tk").alias("i", "a"), F.col("tk")
+        ).select(
+            "doc_id",
+            F.col("a"),
+            F.try_element_at(F.col("tk"), F.col("i") + F.lit(2)).alias("b"),
+        ).where(F.col("b").isNotNull())
+        return e if with_doc else e.select("a", "b")
+
+    tbg = bigrams(train, False).groupBy("a", "b").agg(F.count(F.lit(1)).alias("cab"))
+    vv = tuni.agg(F.count(F.lit(1)).alias("v"))
+    ebg = bigrams(evald, True)
+    scored = (
+        ebg.join(tbg, ["a", "b"], "left")
+        .join(tuni.withColumnRenamed("w", "a"), ["a"], "left")
+        .crossJoin(F.broadcast(vv))
+        .select(
+            "doc_id",
+            F.floor(
+                F.log(
+                    (F.coalesce(F.col("cab"), F.lit(0)) + 1.0)
+                    / (F.coalesce(F.col("c"), F.lit(0)) + F.col("v"))
+                )
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qlp"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            r6(
+                F.exp(-(F.sum("qlp").cast("double") / F.count(F.lit(1)) / 1e9))
+            ).alias("perplexity"),
+        )
+        .orderBy("doc_id")
+    )

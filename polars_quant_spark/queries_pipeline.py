@@ -6291,3 +6291,93 @@ def doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout: bit-interleave two scan predicates into one cluster key.
+# The 8-bit×8-bit interleave is generated once and rendered into BOTH
+# engines' expression trees (pure integer bit ops — exact everywhere).
+# ---------------------------------------------------------------------------
+
+
+def _z_sql(a: str, b: str) -> str:
+    parts = []
+    for i in range(8):
+        parts.append(f"((({a} >> {i}) & 1) << {2 * i + 1})")
+        parts.append(f"((({b} >> {i}) & 1) << {2 * i})")
+    return " | ".join(parts)
+
+
+def _z_col(a, b):
+    out = None
+    for i in range(8):
+        for expr in (
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i + 1),
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i),
+        ):
+            out = expr if out is None else out.bitwiseOR(expr)
+    return out
+
+
+@q(
+    "doc_zorder_layout",
+    f"""
+WITH zb AS (
+  SELECT doc_id, lang, n_chars,
+         LEAST(GREATEST(n_chars // 8, 0), 255) AS ca,
+         CAST(('0x' || substring(md5(lang), 1, 8)) AS BIGINT) % 256 AS cb
+  FROM documents
+),
+zk AS (
+  SELECT doc_id, lang, n_chars, ({_z_sql("ca", "cb")}) AS zkey
+  FROM zb
+),
+zs AS (
+  SELECT doc_id, lang, n_chars, zkey * 8 // 65536 AS shard FROM zk
+)
+SELECT CAST(shard AS INTEGER) AS shard,
+       COUNT(*) AS n_docs,
+       CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       CAST(MIN(n_chars) AS BIGINT) AS chars_min,
+       CAST(MAX(n_chars) AS BIGINT) AS chars_max
+FROM zs GROUP BY shard
+ORDER BY shard
+""",
+)
+def doc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (length bucket, lang hash) and the
+    per-shard locality profile it induces — the lakehouse layout trick
+    that lets BOTH a length filter and a lang filter prune file ranges
+    (a single-column sort only serves one). The 16-bit interleave is the
+    same generated integer-bit expression in both engines; shards are the
+    8 equal z-ranges. At 100 TB this is the write-side
+    `sortWithinPartitions(zkey)` before `write.parquet` — the query shows
+    each shard touches few langs AND a narrow length band."""
+    from polars_quant_spark.operators.sketch import hash_lane
+
+    docs = load_table(spark, sf_dir, "documents")
+    zb = docs.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.least(
+            F.greatest(F.expr("n_chars DIV 8"), F.lit(0).cast("long")), F.lit(255).cast("long")
+        ).alias("ca"),
+        (hash_lane("lang", 8) % 256).alias("cb"),
+    )
+    zk = zb.select(
+        "doc_id", "lang", "n_chars", _z_col(F.col("ca"), F.col("cb")).alias("zkey")
+    )
+    zs = zk.select(
+        "doc_id", "lang", "n_chars", F.expr("zkey * 8 DIV 65536").alias("shard")
+    )
+    return (
+        zs.groupBy(F.col("shard").cast("int").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct("lang").cast("long").alias("n_langs"),
+            F.min("n_chars").cast("long").alias("chars_min"),
+            F.max("n_chars").cast("long").alias("chars_max"),
+        )
+        .orderBy("shard")
+    )

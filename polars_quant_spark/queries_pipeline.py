@@ -6381,3 +6381,86 @@ def doc_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@q(
+    "events_multitouch_attribution",
+    """
+WITH pp AS (
+  SELECT user_id, event_id AS pid, epoch_us(ts) AS pus FROM events
+  WHERE event_type = 'purchase'
+),
+tt AS (
+  SELECT user_id, event_type, epoch_us(ts) AS tus FROM events
+  WHERE event_type != 'purchase'
+),
+j AS (
+  SELECT p.pid, t.event_type
+  FROM pp p JOIN tt t
+    ON t.user_id = p.user_id
+   AND t.tus < p.pus AND t.tus >= p.pus - 604800000000
+),
+k AS (
+  SELECT pid, event_type,
+         COUNT(*) OVER (PARTITION BY pid) AS n_touch
+  FROM j
+),
+cr AS (
+  SELECT event_type, 1000000000 // n_touch AS q FROM k
+),
+agg AS (
+  SELECT event_type, SUM(q) AS sq, COUNT(*) AS n_touches FROM cr GROUP BY event_type
+),
+tot AS (SELECT SUM(sq) AS t FROM agg)
+SELECT event_type,
+       CAST(n_touches AS BIGINT) AS n_touches,
+       ROUND(CAST(sq AS DOUBLE) / 1000000000.0, 6) AS attributed_purchases,
+       ROUND(CAST(sq AS DOUBLE) / (SELECT t FROM tot), 6) AS credit_share
+FROM agg
+ORDER BY event_type
+""",
+)
+def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: every purchase distributes one unit
+    of credit equally across the user's touchpoints in the preceding 7
+    days. Credit 1/k is stored as the exact integer 10⁹ div k, so the
+    cross-purchase credit sums are order-free integers. Scale shape: the
+    purchase↔touch pairing is a per-user bounded range join (both sides
+    hash on user_id — one co-partitioned join, no event-log self-join at
+    the global level), and the per-purchase fan-out is bounded by the 7-day
+    window."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    e = ev0.select(
+        "user_id", "event_id", "event_type", ts_us_expr(ev0).alias("us")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("pid"), F.col("us").alias("pus")
+    )
+    t = e.where(F.col("event_type") != "purchase").select(
+        "user_id", "event_type", F.col("us").alias("tus")
+    )
+    j = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (t.tus < p.pus)
+        & (t.tus >= p.pus - 604800000000),
+    ).select("pid", "event_type")
+    wk = Window.partitionBy("pid")
+    k = j.select("pid", "event_type", F.count(F.lit(1)).over(wk).alias("n_touch"))
+    cr = k.select("event_type", F.expr("1000000000 DIV n_touch").alias("q"))
+    agg = cr.groupBy("event_type").agg(
+        F.sum("q").alias("sq"), F.count(F.lit(1)).alias("n_touches")
+    )
+    tot = agg.agg(F.sum("sq").alias("t"))
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "event_type",
+            F.col("n_touches").cast("long").alias("n_touches"),
+            r6(F.col("sq").cast("double") / 1e9).alias("attributed_purchases"),
+            r6(F.col("sq").cast("double") / F.col("t")).alias("credit_share"),
+        )
+        .orderBy("event_type")
+    )

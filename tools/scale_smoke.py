@@ -175,6 +175,8 @@ def main() -> None:
             params=BacktestParams(),
         )
 
+    from polars_quant_spark.queries import QUERIES  # noqa: E402
+
     EXTRA = {
         "packing": _packing,
         "token_freq": _token_freq,
@@ -184,6 +186,12 @@ def main() -> None:
         "rebalance": _rebalance,
         "bootstrap": _bootstrap,
         "param_sweep": _sweep,
+        # round-2 heavy additions: the LM-eval join chain, the broadcast
+        # knn eval, the interval sweep, and the moment-ladder aggregate
+        "bigram_ppl": QUERIES["doc_bigram_perplexity"],
+        "knn_eval": QUERIES["emb_knn_classify"],
+        "concurrency": QUERIES["events_peak_concurrency"],
+        "hurst": QUERIES["bars_hurst"],
     }
 
     subset = [
@@ -205,6 +213,10 @@ def main() -> None:
         "rebalance",
         "bootstrap",
         "param_sweep",
+        "bigram_ppl",
+        "knn_eval",
+        "concurrency",
+        "hurst",
     ]
 
     def best2(fn, sf_dir: str) -> float:

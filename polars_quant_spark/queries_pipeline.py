@@ -6464,3 +6464,65 @@ def events_multitouch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "emb_ivf_balance",
+    f"""
+WITH {_kmeans_ctes(8, 2)},
+bcent AS MATERIALIZED (
+  SELECT cid AS centroid_id, cvec AS centroid FROM cent2
+),
+bassign AS (
+  SELECT vec_id, bucket FROM (
+    SELECT e.vec_id, c.centroid_id AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DOT.format(a='e.embedding', b='c.centroid')}
+                      * (1.0 / sqrt({_SQN.format(a='c.centroid')})) DESC,
+                      c.centroid_id) AS r
+    FROM embeddings e CROSS JOIN bcent c
+  ) x WHERE r = 1
+),
+bsz AS (
+  SELECT bucket, COUNT(*) AS n FROM bassign GROUP BY bucket
+),
+btot AS (SELECT SUM(n) AS t, MAX(n) AS mx, COUNT(*) AS nb FROM bsz)
+SELECT CAST(b.bucket AS INTEGER) AS bucket,
+       CAST(b.n AS BIGINT) AS n_vectors,
+       ROUND(CAST(b.n AS DOUBLE) / (SELECT t FROM btot), 6) AS share,
+       ROUND(CAST((SELECT mx FROM btot) AS DOUBLE)
+             / (CAST((SELECT t FROM btot) AS DOUBLE) / (SELECT nb FROM btot)), 6)
+         AS imbalance_factor
+FROM bsz b
+ORDER BY bucket
+""",
+)
+def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report: per-bucket occupancy under the trained
+    (2-round Lloyd's) centroids, plus the global imbalance factor
+    max/avg — the number that predicts worst-case probe latency (a 10×
+    hot bucket means 10× tail scans). Same deterministic training/assign
+    contract as emb_ivf_topk; one zero-shuffle assignment pass + one tiny
+    aggregate."""
+    from polars_quant_spark.operators.similarity import _assign_literal, kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(emb, 8, rounds=2)
+    assigned = _assign_literal(emb, cents, "embedding")
+    bsz = assigned.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    tot = bsz.agg(
+        F.sum("n").alias("t"), F.max("n").alias("mx"), F.count(F.lit(1)).alias("nb")
+    )
+    return (
+        bsz.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bucket").cast("int").alias("bucket"),
+            F.col("n").cast("long").alias("n_vectors"),
+            r6(F.col("n").cast("double") / F.col("t")).alias("share"),
+            r6(
+                F.col("mx").cast("double")
+                / (F.col("t").cast("double") / F.col("nb"))
+            ).alias("imbalance_factor"),
+        )
+        .orderBy("bucket")
+    )

@@ -4656,3 +4656,76 @@ def bars_vol_regime_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         r6(F.col("n").cast("double") / F.sum("n").over(wr)).alias("p"),
     ).orderBy("regime", "next_regime")
+
+
+@q(
+    "rel_fulfillment_sla",
+    """
+WITH ld AS (
+  SELECT o.o_orderpriority,
+         (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 AS lead_days
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  WHERE l.l_shipdate IS NOT NULL AND o.o_orderdate IS NOT NULL
+),
+rk AS (
+  SELECT o_orderpriority, lead_days,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY lead_days) AS r,
+         COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+  FROM ld
+)
+SELECT o_orderpriority, CAST(MAX(n) AS BIGINT) AS n_lines,
+       MAX(CASE WHEN r = CAST(CEIL(0.50 * n) AS BIGINT) THEN lead_days END) AS p50_days,
+       MAX(CASE WHEN r = CAST(CEIL(0.90 * n) AS BIGINT) THEN lead_days END) AS p90_days,
+       CAST(SUM(CASE WHEN lead_days > 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       ROUND(CAST(SUM(CASE WHEN lead_days > 30 THEN 1 ELSE 0 END) AS DOUBLE)
+             / MAX(n), 6) AS late_rate
+FROM rk GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def rel_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-fulfillment SLA by priority class: exact discrete p50/p90
+    order→ship lead time (rank windows, integer days) and the >30-day
+    late rate — the supply-chain twin of the event-interarrival SLA.
+    One fact-fact equi-join on orderkey (co-partitioned at scale), one
+    rank pass per priority class."""
+    from polars_quant_spark.sources.bars import load_table as _lt
+
+    li = _lt(spark, sf_dir, "lineitem").where(F.col("l_shipdate").isNotNull())
+    o = _lt(spark, sf_dir, "orders").where(F.col("o_orderdate").isNotNull())
+    ld = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "o_orderpriority",
+        F.expr(
+            "(unix_micros(to_utc_timestamp(l_shipdate, 'UTC'))"
+            " - unix_micros(to_utc_timestamp(o_orderdate, 'UTC'))) DIV 86400000000"
+        ).alias("lead_days"),
+    )
+    wr = Window.partitionBy("o_orderpriority").orderBy("lead_days")
+    wn = Window.partitionBy("o_orderpriority")
+    rk = ld.select(
+        "o_orderpriority",
+        "lead_days",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pct(p):
+        return F.max(
+            F.when(
+                F.col("r") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("lead_days"),
+            )
+        )
+
+    late = F.sum(F.when(F.col("lead_days") > 30, 1).otherwise(0))
+    return (
+        rk.groupBy("o_orderpriority")
+        .agg(
+            F.max("n").cast("long").alias("n_lines"),
+            pct(0.50).alias("p50_days"),
+            pct(0.90).alias("p90_days"),
+            late.cast("long").alias("n_late"),
+            r6(late.cast("double") / F.max("n")).alias("late_rate"),
+        )
+        .orderBy("o_orderpriority")
+    )

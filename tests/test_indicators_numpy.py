@@ -202,3 +202,63 @@ def test_supertrend_invariants():
             assert st[j] >= st[i] - 1e-9  # uptrend line never falls
         elif d[i] == d[j] == -1.0:
             assert st[j] <= st[i] + 1e-9  # downtrend line never rises
+
+
+def test_holt_matches_naive_loop():
+    """The holt kernel equals a straight-line reimplementation of the
+    recurrence, including NaN compaction and the one-step forecast."""
+    import numpy as np
+
+    from polars_quant_spark.operators.recurrence import holt
+
+    rng = np.random.default_rng(7)
+    y = rng.normal(100, 10, 200)
+    y[[5, 17, 44]] = np.nan
+    lev, trd, fc = holt(y, alpha=0.5, beta=0.3)
+    idx = np.flatnonzero(~np.isnan(y))
+    v = y[idx]
+    lv, bv = v[0], v[1] - v[0]
+    exp_l, exp_b, exp_f = {idx[0]: lv}, {idx[0]: bv}, {}
+    for k in range(1, len(v)):
+        fv = lv + bv
+        ln = 0.5 * v[k] + 0.5 * (lv + bv)
+        bn = 0.3 * (ln - lv) + 0.7 * bv
+        j = idx[k]
+        exp_f[j], exp_l[j], exp_b[j] = fv, ln, bn
+        lv, bv = ln, bn
+    for j in idx:
+        assert lev[j] == exp_l[j]
+        assert trd[j] == exp_b[j]
+    for j, val in exp_f.items():
+        assert fc[j] == val
+    assert np.isnan(lev[5]) and np.isnan(fc[5])
+    # trend tracks a clean linear ramp almost exactly
+    ramp = np.arange(100, dtype=float) * 2.0 + 10
+    l2, b2, f2 = holt(ramp)
+    np.testing.assert_allclose(b2[-1], 2.0, atol=1e-6)
+    np.testing.assert_allclose(f2[-1], ramp[-1], atol=1e-4)
+
+
+def test_garch_matches_naive_loop_and_stationary_level():
+    """garch equals the naive fold; on constant-variance noise the filtered
+    variance converges near ω/(1−α−β)·(...) + sample pressure — we just
+    check the unconditional pull: long-run h stays within 3× sample var."""
+    import numpy as np
+
+    from polars_quant_spark.operators.recurrence import garch
+
+    rng = np.random.default_rng(11)
+    r = rng.normal(0, 0.01, 500)
+    h = garch(r, omega=1e-05, a=0.05, b=0.9)
+    hv = r[0] * r[0]
+    assert h[0] == hv
+    for i in range(1, 500):
+        rp = r[i - 1]
+        hv = 1e-05 + 0.05 * (rp * rp) + 0.9 * hv
+        assert h[i] == hv
+    assert 0 < h[-1] < 3 * np.var(r) + 1e-3
+    # NaN compaction: nulls pass through, recurrence skips them
+    r2 = r.copy()
+    r2[100] = np.nan
+    h2 = garch(r2)
+    assert np.isnan(h2[100]) and not np.isnan(h2[101])

@@ -5123,7 +5123,7 @@ def rel_part_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH q AS (
   SELECT vec_id AS query_id, embedding AS qv, label AS label_true FROM embeddings
-  WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT) % 5 = 0
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100
 ),
 scored AS (
   SELECT q.query_id, q.label_true, e.vec_id, e.label,
@@ -5161,7 +5161,9 @@ ORDER BY 1, 2
 )
 def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out 5-NN cosine classification confusion matrix over a
-    deterministic 20% md5-lane query sample. Scale shape: the bounded query
+    deterministic FIXED-SIZE query sample (first 100 by md5 order — a
+    %-of-corpus sample made knn_eval quadratic in the 8× scale smoke;
+    a fixed budget keeps it O(K·n)). Scale shape: the bounded query
     sample broadcasts against the corpus (q×n scored pairs, corpus never
     shuffled — same contract as cosine_topk); majority vote breaks ties by
     best rank then smallest label, so the prediction is total-order
@@ -5170,7 +5172,9 @@ def emb_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_quant_spark.operators.similarity import dot, norm
 
     emb = widen(load_table(spark, sf_dir, "embeddings"))
-    qs = emb.where(hash_lane("vec_id", 8) % 5 == 0).select(
+    qs = emb.orderBy(
+        F.md5(F.col("vec_id").cast("string")), F.col("vec_id")
+    ).limit(100).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("label").alias("label_true"),
@@ -6525,4 +6529,72 @@ def emb_ivf_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("imbalance_factor"),
         )
         .orderBy("bucket")
+    )
+
+
+@q(
+    "doc_incremental_dedup",
+    _SH_CTES
+    + f""",
+ifp AS (
+  SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS f FROM documents
+),
+iex AS (
+  SELECT f1.doc_id, MAX(CASE WHEN f2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS is_exact
+  FROM ifp f1 LEFT JOIN ifp f2 ON f2.f = f1.f AND f2.doc_id % 10 < 8
+  WHERE f1.doc_id % 10 >= 8 GROUP BY f1.doc_id
+),
+inear AS (
+  SELECT CASE WHEN id_a % 10 >= 8 THEN id_a ELSE id_b END AS bid,
+         CASE WHEN id_a % 10 >= 8 THEN id_b ELSE id_a END AS cid
+  FROM cand
+  WHERE (id_a % 10 >= 8) != (id_b % 10 >= 8)
+),
+inearc AS (SELECT bid, COUNT(DISTINCT cid) AS n_near FROM inear GROUP BY bid)
+SELECT e.doc_id, CAST(e.is_exact AS INTEGER) AS is_exact_dup,
+       CAST(COALESCE(n.n_near, 0) AS BIGINT) AS n_near_candidates
+FROM iex e LEFT JOIN inearc n ON n.bid = e.doc_id
+ORDER BY e.doc_id
+""",
+)
+def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: the 20% 'new batch' (doc_id%10 ≥ 8) is
+    screened against the 80% 'persisted corpus' — exact-dup via a
+    fingerprint join and near-dup via the SAME LSH band machinery as
+    doc_minhash_pairs, keeping only cross-set candidates. This is the
+    daily 100 TB shape: the batch joins the corpus's persisted
+    signature/band store; the corpus is never self-joined during ingest.
+    One signature pass (shared), one band equi-join, two small rollups."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "doc_id", F.md5(F.concat_ws(" ", text.tokens("text"))).alias("f")
+    )
+    b_fp = fp.where(F.col("doc_id") % 10 >= 8)
+    c_fp = fp.where(F.col("doc_id") % 10 < 8).select(
+        F.col("f").alias("f2"), F.col("doc_id").alias("cdoc")
+    )
+    exact = (
+        b_fp.join(c_fp, b_fp.f == c_fp.f2, "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max(F.when(F.col("cdoc").isNotNull(), 1).otherwise(0)).alias("is_exact")
+        )
+    )
+    sig = dedup.minhash_signatures(docs)
+    cand = dedup._lsh_candidates_from_sig(sig, 16, 4)
+    cross = cand.where(
+        (F.col("id_a") % 10 >= 8) != (F.col("id_b") % 10 >= 8)
+    ).select(
+        F.when(F.col("id_a") % 10 >= 8, F.col("id_a")).otherwise(F.col("id_b")).alias("bid"),
+        F.when(F.col("id_a") % 10 >= 8, F.col("id_b")).otherwise(F.col("id_a")).alias("cid"),
+    )
+    nearc = cross.groupBy("bid").agg(F.count_distinct("cid").alias("n_near"))
+    return (
+        exact.join(nearc, exact.doc_id == nearc.bid, "left")
+        .select(
+            "doc_id",
+            F.col("is_exact").cast("int").alias("is_exact_dup"),
+            F.coalesce(F.col("n_near"), F.lit(0)).cast("long").alias("n_near_candidates"),
+        )
+        .orderBy("doc_id")
     )

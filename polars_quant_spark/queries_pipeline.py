@@ -6598,3 +6598,125 @@ def doc_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "emb_centroid_margin",
+    """
+WITH mqv AS (
+  SELECT vec_id, label, list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings WHERE label IS NOT NULL
+),
+midx AS (SELECT unnest(range(1, 65)) AS p),
+mcent AS MATERIALIZED (
+  SELECT label, i.p AS p,
+         CAST(SUM(qv[i.p]) AS DOUBLE) / COUNT(*) / 1000000.0 AS m
+  FROM mqv, midx i GROUP BY label, i.p
+),
+mdots AS (
+  SELECT v.vec_id, v.label AS label_true, c.label AS label_c,
+         SUM(CAST(FLOOR((CAST(v.qv[c.p] AS DOUBLE) / 1000000.0) * c.m
+                        * 1000000000000.0 + 0.5) AS BIGINT)) AS dq,
+         SUM(CAST(FLOOR(c.m * c.m * 1000000000000.0 + 0.5) AS BIGINT)) AS nc,
+         SUM(CAST(FLOOR((CAST(v.qv[c.p] AS DOUBLE) / 1000000.0)
+                        * (CAST(v.qv[c.p] AS DOUBLE) / 1000000.0)
+                        * 1000000000000.0 + 0.5) AS BIGINT)) AS nv
+  FROM mqv v CROSS JOIN mcent c
+  GROUP BY 1, 2, 3
+),
+mcos AS (
+  SELECT vec_id, label_true, label_c,
+         CASE WHEN nv > 0 AND nc > 0 THEN
+           (CAST(dq AS DOUBLE) / 1000000000000.0)
+           / (sqrt(CAST(nv AS DOUBLE) / 1000000000000.0)
+              * sqrt(CAST(nc AS DOUBLE) / 1000000000000.0)) ELSE 0.0 END AS cs
+  FROM mdots
+),
+mmarg AS (
+  SELECT vec_id, label_true,
+         MAX(CASE WHEN label_c = label_true THEN cs END) AS own,
+         MAX(CASE WHEN label_c != label_true THEN cs END) AS best_other
+  FROM mcos GROUP BY 1, 2
+)
+SELECT label_true AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(CAST(SUM(CAST(FLOOR((own - best_other) * 1000000.0 + 0.5) AS BIGINT))
+                  AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS mean_margin,
+       CAST(SUM(CASE WHEN own < best_other THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_misassigned
+FROM mmarg GROUP BY label_true
+ORDER BY label
+""",
+)
+def emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-centroid margin per label: each vector's cosine to its own
+    label centroid minus its best other-label centroid — mean margin and
+    misassignment count per class (the prototype-classifier / OOD
+    separability report). Per-dim products are pico-quantized before every
+    reduction, so the d-term and vector-count sums are order-free exact
+    integers in both engines. Fan-out is vectors × labels × dims — linear
+    in the corpus with tiny constants (the centroid frame broadcasts)."""
+    emb = widen(load_table(spark, sf_dir, "embeddings")).where(
+        F.col("label").isNotNull()
+    )
+    qv = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("p0", "qx"),
+    ).select("vec_id", "label", (F.col("p0") + 1).alias("p"), "qx")
+    cent = (
+        qv.groupBy("label", "p")
+        .agg(F.sum("qx").alias("qs"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("label").alias("label_c"),
+            F.col("p").alias("pc"),
+            (F.col("qs").cast("double") / F.col("n") / 1e6).alias("m"),
+        )
+    )
+
+    def q12(x):
+        return F.floor(x * 1000000000000.0 + F.lit(0.5)).cast("long")
+
+    xv = F.col("qx").cast("double") / 1e6
+    dots = (
+        qv.join(F.broadcast(cent), qv.p == cent.pc)
+        .groupBy("vec_id", F.col("label").alias("label_true"), "label_c")
+        .agg(
+            F.sum(q12(xv * F.col("m"))).alias("dq"),
+            F.sum(q12(F.col("m") * F.col("m"))).alias("nc"),
+            F.sum(q12(xv * xv)).alias("nv"),
+        )
+    )
+    cs = F.when(
+        (F.col("nv") > 0) & (F.col("nc") > 0),
+        (F.col("dq").cast("double") / 1e12)
+        / (
+            F.sqrt(F.col("nv").cast("double") / 1e12)
+            * F.sqrt(F.col("nc").cast("double") / 1e12)
+        ),
+    ).otherwise(0.0)
+    mc = dots.select("vec_id", "label_true", "label_c", cs.alias("cs"))
+    marg = mc.groupBy("vec_id", "label_true").agg(
+        F.max(F.when(F.col("label_c") == F.col("label_true"), F.col("cs"))).alias("own"),
+        F.max(F.when(F.col("label_c") != F.col("label_true"), F.col("cs"))).alias(
+            "best_other"
+        ),
+    )
+    qm = F.floor((F.col("own") - F.col("best_other")) * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        marg.groupBy(F.col("label_true").alias("label"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            r6(F.sum(qm).cast("double") / 1e6 / F.count(F.lit(1))).alias("mean_margin"),
+            F.sum(F.when(F.col("own") < F.col("best_other"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_misassigned"),
+        )
+        .orderBy("label")
+    )

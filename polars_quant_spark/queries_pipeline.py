@@ -6720,3 +6720,81 @@ def emb_centroid_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@q(
+    "events_spectrum",
+    """
+WITH sdaily AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y FROM events GROUP BY 1
+),
+sbase AS (
+  SELECT day, y,
+         ROW_NUMBER() OVER (ORDER BY day) - 1 AS i,
+         COUNT(*) OVER () AS n,
+         CAST(SUM(y) OVER () AS DOUBLE) / (COUNT(*) OVER ()) AS mu
+  FROM sdaily
+),
+sk AS (SELECT unnest(range(1, 9)) AS k),
+sterms AS (
+  SELECT k.k,
+         CAST(FLOOR((b.y - b.mu) * cos(2.0 * pi() * k.k * b.i / b.n)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS qc,
+         CAST(FLOOR((b.y - b.mu) * sin(2.0 * pi() * k.k * b.i / b.n)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS qs
+  FROM sbase b CROSS JOIN sk k
+),
+spow AS (
+  SELECT k, SUM(qc) AS sc, SUM(qs) AS ss FROM sterms GROUP BY k
+)
+SELECT CAST(k AS INTEGER) AS k,
+       ROUND(sqrt((CAST(sc AS DOUBLE) / 1000000000.0) * (CAST(sc AS DOUBLE) / 1000000000.0)
+                  + (CAST(ss AS DOUBLE) / 1000000000.0) * (CAST(ss AS DOUBLE) / 1000000000.0)),
+             6) AS amplitude
+FROM spow
+ORDER BY k
+""",
+)
+def events_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goertzel-style DFT amplitudes of the demeaned daily event-volume
+    series at harmonics k=1..8 — the periodicity detector (a weekly cycle
+    lights up k ≈ n_days/7). The per-(day, k) cos/sin terms nano-quantize
+    before the per-k sums, so the reductions are order-free; the series
+    collapses to one row per day first, so the k-fan-out is over a tiny
+    frame at any SF."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+    import math
+
+    ev0 = load_table(spark, sf_dir, "events")
+    daily = (
+        ev0.select(ts_us_expr(ev0).alias("ts_us"))
+        .select(F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    wall = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    base = daily.select(
+        "day",
+        "y",
+        (F.row_number().over(Window.orderBy("day")) - 1).alias("i"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+        (F.sum("y").over(wall).cast("double") / F.count(F.lit(1)).over(wall)).alias(
+            "mu"
+        ),
+    )
+    ks = spark.range(1, 9).select(F.col("id").alias("k"))
+    ang = 2.0 * math.pi * F.col("k") * F.col("i") / F.col("n")
+    qc = F.floor((F.col("y") - F.col("mu")) * F.cos(ang) * 1e9 + F.lit(0.5)).cast("long")
+    qs = F.floor((F.col("y") - F.col("mu")) * F.sin(ang) * 1e9 + F.lit(0.5)).cast("long")
+    terms = base.crossJoin(F.broadcast(ks)).select(
+        "k", qc.alias("qc"), qs.alias("qs")
+    )
+    pw = terms.groupBy("k").agg(F.sum("qc").alias("sc"), F.sum("qs").alias("ss"))
+    a = F.col("sc").cast("double") / 1e9
+    b = F.col("ss").cast("double") / 1e9
+    return pw.select(
+        F.col("k").cast("int").alias("k"),
+        r6(F.sqrt(a * a + b * b)).alias("amplitude"),
+    ).orderBy("k")

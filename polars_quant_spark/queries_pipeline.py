@@ -6798,3 +6798,56 @@ def events_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("k").cast("int").alias("k"),
         r6(F.sqrt(a * a + b * b)).alias("amplitude"),
     ).orderBy("k")
+
+
+@q(
+    "doc_tokenizer_fertility",
+    f"""
+WITH tf AS (
+  SELECT doc_id, lang,
+         len({_TOKS}) AS n_words,
+         len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\\s]')) AS n_pieces,
+         n_chars
+  FROM documents
+)
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(n_pieces) AS DOUBLE) / SUM(n_words), 6) AS fertility,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_pieces), 6) AS chars_per_token,
+       ROUND(CAST(SUM(n_pieces) AS DOUBLE) / COUNT(*), 6) AS tokens_per_doc
+FROM tf WHERE n_words > 0
+GROUP BY lang
+ORDER BY lang
+""",
+)
+def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-proxy pieces per whitespace
+    word, chars per token, tokens per doc — the number that decides how
+    much compute a language really costs in a training run. All counts are
+    exact integers from one regex pass; the ratios are single divisions of
+    exact sums. Pure projection + one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tf = docs.select(
+        "lang",
+        F.size(text.tokens("text")).alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(r"[a-z]+|[0-9]|[^a-z0-9\s]"), 0
+            )
+        ).alias("n_pieces"),
+        "n_chars",
+    ).where(F.col("n_words") > 0)
+    return (
+        tf.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            r6(F.sum("n_pieces").cast("double") / F.sum("n_words")).alias("fertility"),
+            r6(F.sum("n_chars").cast("double") / F.sum("n_pieces")).alias(
+                "chars_per_token"
+            ),
+            r6(F.sum("n_pieces").cast("double") / F.count(F.lit(1))).alias(
+                "tokens_per_doc"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -4729,3 +4729,121 @@ def rel_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@q(
+    "bt_trade_excursions",
+    BARS_CTE
+    + """,
+mm AS (
+  SELECT symbol, t, close, high, low,
+         CASE WHEN COUNT(close) OVER w5 = 5 THEN AVG(close) OVER w5 END AS s5,
+         CASE WHEN COUNT(close) OVER w20 = 20 THEN AVG(close) OVER w20 END AS s20
+  FROM bars
+  WINDOW w5 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+         w20 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+),
+st AS (
+  SELECT symbol, t, close, high, low,
+         CASE WHEN s5 IS NOT NULL AND s20 IS NOT NULL AND s5 > s20 THEN 1 ELSE 0 END AS long_sig
+  FROM mm
+),
+flg AS (
+  SELECT symbol, t, close, high, low, long_sig,
+         CASE WHEN long_sig != COALESCE(LAG(long_sig) OVER o, -1) THEN 1 ELSE 0 END AS nr
+  FROM st
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+),
+runs AS (
+  SELECT symbol, t, close, high, low, long_sig,
+         SUM(nr) OVER (PARTITION BY symbol ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM flg
+),
+tr AS (
+  SELECT symbol, run_id,
+         CAST(FLOOR(arg_min(close, t) * 1000000.0 + 0.5) AS BIGINT) AS entry_q,
+         CAST(FLOOR(MAX(high) * 1000000.0 + 0.5) AS BIGINT) AS hi_q,
+         CAST(FLOOR(MIN(low) * 1000000.0 + 0.5) AS BIGINT) AS lo_q,
+         CAST(FLOOR(arg_max(close, t) * 1000000.0 + 0.5) AS BIGINT) AS exit_q,
+         COUNT(*) AS n_bars
+  FROM runs WHERE long_sig = 1
+  GROUP BY symbol, run_id
+)
+SELECT symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_trades,
+       ROUND(CAST(SUM(CAST(FLOOR((CAST(hi_q AS DOUBLE) / entry_q - 1.0) * 1000000.0 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_mfe,
+       ROUND(CAST(SUM(CAST(FLOOR((CAST(lo_q AS DOUBLE) / entry_q - 1.0) * 1000000.0 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_mae,
+       ROUND(CAST(SUM(CAST(FLOOR((CAST(exit_q AS DOUBLE) / entry_q - 1.0) * 1000000.0 + 0.5)
+                          AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_trade_ret,
+       ROUND(CAST(SUM(n_bars) AS DOUBLE) / COUNT(*), 6) AS avg_hold_bars
+FROM tr
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bt_trade_excursions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade-excursion anatomy for the 5/20 crossover longs: per symbol,
+    average Maximum Favorable / Adverse Excursion (how far each trade ran
+    for/against the entry before it closed), realized trade return and
+    holding time — the stop/target calibration numbers. Trades are
+    long-signal runs (the same conditional-cumsum run-id as the streak
+    machinery); entry/exit are arg_min/arg_max by time; every excursion
+    micro-quantizes before the per-symbol mean."""
+    b = bars(spark, sf_dir)
+    w5 = _w().rowsBetween(-4, 0)
+    w20 = _w().rowsBetween(-19, 0)
+    o = _w()
+    s5 = F.when(F.count("close").over(w5) == 5, F.avg("close").over(w5))
+    s20 = F.when(F.count("close").over(w20) == 20, F.avg("close").over(w20))
+    st = b.select(
+        "symbol", "t", "close", "high", "low",
+        F.when(s5.isNotNull() & s20.isNotNull() & (s5 > s20), 1).otherwise(0).alias("long_sig"),
+    )
+    wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    new_run = F.when(
+        F.col("long_sig") != F.coalesce(F.lag("long_sig").over(o), F.lit(-1)), 1
+    ).otherwise(0)
+    runs = st.select(
+        "symbol", "t", "close", "high", "low", "long_sig", new_run.alias("nr")
+    ).select(
+        "symbol", "t", "close", "high", "low", "long_sig",
+        F.sum("nr").over(wc).alias("run_id"),
+    )
+
+    def q6c(x):
+        return F.floor(x * 1e6 + F.lit(0.5)).cast("long")
+
+    tr = (
+        runs.where(F.col("long_sig") == 1)
+        .groupBy("symbol", "run_id")
+        .agg(
+            q6c(F.min_by("close", "t")).alias("entry_q"),
+            q6c(F.max("high")).alias("hi_q"),
+            q6c(F.min("low")).alias("lo_q"),
+            q6c(F.max_by("close", "t")).alias("exit_q"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+    )
+
+    def exc(col):
+        return F.sum(
+            F.floor(
+                (F.col(col).cast("double") / F.col("entry_q") - 1.0) * 1e6 + F.lit(0.5)
+            ).cast("long")
+        )
+
+    n = F.count(F.lit(1))
+    return (
+        tr.groupBy("symbol")
+        .agg(
+            n.cast("long").alias("n_trades"),
+            r6(exc("hi_q").cast("double") / 1e6 / n).alias("avg_mfe"),
+            r6(exc("lo_q").cast("double") / 1e6 / n).alias("avg_mae"),
+            r6(exc("exit_q").cast("double") / 1e6 / n).alias("avg_trade_ret"),
+            r6(F.sum("n_bars").cast("double") / n).alias("avg_hold_bars"),
+        )
+        .orderBy("symbol")
+    )

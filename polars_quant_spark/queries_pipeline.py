@@ -6851,3 +6851,84 @@ def doc_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "events_next_event_eval",
+    """
+WITH ne AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+nmid AS (
+  SELECT (MIN(us // 86400000000) + MAX(us // 86400000000) + 1) // 2 AS m FROM ne
+),
+ntr AS (
+  SELECT event_type AS cur, nxt,
+         us // 86400000000 < (SELECT m FROM nmid) AS is_train
+  FROM ne WHERE nxt IS NOT NULL
+),
+ncounts AS (
+  SELECT cur, nxt, COUNT(*) AS c FROM ntr WHERE is_train GROUP BY cur, nxt
+),
+npred AS (
+  SELECT cur, nxt AS pred FROM (
+    SELECT cur, nxt, ROW_NUMBER() OVER (PARTITION BY cur ORDER BY c DESC, nxt) AS r
+    FROM ncounts
+  ) WHERE r = 1
+)
+SELECT t.cur AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(CAST(SUM(CASE WHEN t.nxt = p.pred THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS top1_accuracy
+FROM ntr t JOIN npred p ON p.cur = t.cur
+WHERE NOT t.is_train
+GROUP BY t.cur
+ORDER BY event_type
+""",
+)
+def events_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event prediction eval: a first-order Markov model (argmax
+    transition, trained on the first half of the date range) scored for
+    top-1 accuracy on the second half — the train/test split version of
+    the transition matrix, i.e. an honest sequence-model baseline. The
+    prediction table is event-type-sized (broadcast); one LEAD pass over
+    the user-partitioned log, two aggregates."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    ne = ev0.select(
+        "user_id", "event_type", "event_id", ts_us_expr(ev0).alias("ts_us")
+    ).select(
+        "event_type",
+        F.expr("ts_us DIV 86400000000").alias("day"),
+        F.lead("event_type").over(wu).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    mid = ne.agg(F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("m"))
+    tr = ne.crossJoin(F.broadcast(mid)).select(
+        F.col("event_type").alias("cur"), "nxt", (F.col("day") < F.col("m")).alias("is_train")
+    )
+    counts = tr.where("is_train").groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    wr = Window.partitionBy("cur").orderBy(F.col("c").desc(), F.col("nxt"))
+    pred = (
+        counts.select("cur", "nxt", F.row_number().over(wr).alias("r"))
+        .where(F.col("r") == 1)
+        .select("cur", F.col("nxt").alias("pred"))
+    )
+    return (
+        tr.where(~F.col("is_train"))
+        .join(F.broadcast(pred), "cur")
+        .groupBy(F.col("cur").alias("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test"),
+            r6(
+                F.sum(F.when(F.col("nxt") == F.col("pred"), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("top1_accuracy"),
+        )
+        .orderBy("event_type")
+    )

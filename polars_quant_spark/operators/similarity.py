@@ -571,6 +571,46 @@ def embedding_gram(
     )
 
 
+def embedding_gram_raw(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """``embedding_gram``'s exact integer form: (i, j, s) upper-triangle
+    rows with s = Σ qᵢ·qⱼ as DECIMAL(38,0) (micro²-unit sums, unrounded).
+    The building block for exact distributed linear algebra — power
+    iteration, whitening — where downstream math must start from the
+    association-free integers, not the rounded doubles. Same mapInArrow
+    int64-matmul kernel as ``embedding_gram``."""
+    import numpy as np
+    import pyarrow as pa
+
+    def part(batches):
+        G = None
+        for rb in batches:
+            n = rb.num_rows
+            if not n:
+                continue
+            flat = rb.column(0).flatten().to_numpy(zero_copy_only=False)
+            X = flat.astype("float64").reshape(n, -1)
+            Q = np.floor(X * 1e6 + 0.5).astype("int64")
+            g = Q.T @ Q
+            G = g if G is None else G + g
+        if G is None:
+            return
+        d = G.shape[0]
+        iu, ju = np.triu_indices(d)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(iu.astype("int32")),
+                pa.array(ju.astype("int32")),
+                pa.array(G[iu, ju]),
+            ],
+            names=["i", "j", "s"],
+        )
+
+    partials = df.select(vec_col).mapInArrow(part, "i int, j int, s long")
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
+
+
 def pca_project(
     df: DataFrame,
     k: int = 8,

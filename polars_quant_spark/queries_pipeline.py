@@ -6932,3 +6932,130 @@ def events_next_event_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def _pca_iter_sql(k: int) -> str:
+    """One unrolled power-iteration step: v{k} from v{k-1}."""
+    return f"""
+pm{k} AS (
+  SELECT g.i, SUM(g.s * v.qv) AS m
+  FROM pgf g JOIN pv{k - 1} v ON v.j = g.j GROUP BY g.i
+),
+px{k} AS (SELECT MAX(ABS(m)) AS mx FROM pm{k}),
+pv{k} AS (
+  SELECT i AS j,
+         CAST(FLOOR(CAST(m AS DOUBLE) * 1000000.0
+                    / CAST((SELECT mx FROM px{k}) AS DOUBLE) + 0.5) AS HUGEINT) AS qv
+  FROM pm{k}
+)"""
+
+
+@q(
+    "emb_pca_power",
+    f"""
+WITH pq AS (
+  SELECT list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+pidx AS (SELECT unnest(range(1, 65)) AS p),
+pg AS (
+  SELECT i.p - 1 AS i, j.p - 1 AS j,
+         SUM(CAST(qv[i.p] AS HUGEINT) * qv[j.p]) AS s
+  FROM pq, pidx i, pidx j
+  WHERE j.p >= i.p
+  GROUP BY 1, 2
+),
+pgf AS (
+  SELECT i, j, s FROM pg
+  UNION ALL
+  SELECT j AS i, i AS j, s FROM pg WHERE i < j
+),
+pv0 AS (SELECT unnest(range(0, 64)) AS j, CAST(1000000 AS HUGEINT) AS qv),
+{_pca_iter_sql(1)},
+{_pca_iter_sql(2)},
+{_pca_iter_sql(3)},
+pnum AS (
+  SELECT SUM(a.qv * g.s * b.qv) AS num
+  FROM pgf g JOIN pv3 a ON a.j = g.i JOIN pv3 b ON b.j = g.j
+),
+pden AS (SELECT SUM(qv * qv) AS den FROM pv3),
+ptra AS (SELECT SUM(s) AS tra FROM pg WHERE i = j),
+ptop AS (SELECT j FROM pv3 ORDER BY ABS(qv) DESC, j LIMIT 1)
+SELECT ROUND(CAST((SELECT num FROM pnum) AS DOUBLE)
+             / CAST((SELECT den FROM pden) AS DOUBLE) / 1000000000000.0, 6)
+         AS top_eigenvalue,
+       ROUND(CAST((SELECT num FROM pnum) AS DOUBLE)
+             / CAST((SELECT den FROM pden) AS DOUBLE)
+             / CAST((SELECT tra FROM ptra) AS DOUBLE), 6) AS explained_share,
+       CAST((SELECT j FROM ptop) AS INTEGER) AS top_loading_dim
+""",
+)
+def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding Gram matrix by THREE
+    power-iteration steps — distributed linear algebra with an exact
+    cross-engine contract: the Gram is association-free integer micro²
+    sums (one mapInArrow int64-GEMM pass over the corpus), every matvec is
+    pure integer arithmetic, and each renormalization is the same
+    FLOOR(m·1e6/max|m|) in both engines — so even the ITERATION TRAJECTORY
+    is bit-identical, not just the final Rayleigh quotient. Emits the top
+    eigenvalue (data units), its share of total variance (λ/trace), and
+    the dominant loading dimension. Everything after the corpus pass
+    touches d²-sized frames."""
+    from polars_quant_spark.operators.similarity import embedding_gram_raw
+
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
+    pg = embedding_gram_raw(emb)
+    dec = "decimal(38,0)"
+    pgf = pg.unionByName(
+        pg.where(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "s"
+        )
+    )
+    v = spark.range(0, 64).select(
+        F.col("id").cast("int").alias("j"), F.lit(1000000).cast(dec).alias("qv")
+    )
+    for _ in range(3):
+        m = (
+            pgf.join(F.broadcast(v), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("s") * F.col("qv")).alias("m"))
+        )
+        mx = m.agg(F.max(F.abs(F.col("m"))).alias("mx"))
+        v = (
+            m.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("i").alias("j"),
+                F.floor(
+                    F.col("m").cast("double") * 1000000.0 / F.col("mx").cast("double")
+                    + F.lit(0.5)
+                )
+                .cast(dec)
+                .alias("qv"),
+            )
+        )
+    a = v.select(F.col("j").alias("ai"), F.col("qv").alias("qa"))
+    b = v.select(F.col("j").alias("bj"), F.col("qv").alias("qb"))
+    num = (
+        pgf.join(F.broadcast(a), pgf.i == F.col("ai"))
+        .join(F.broadcast(b), pgf.j == F.col("bj"))
+        .agg(F.sum(F.col("qa") * F.col("s") * F.col("qb")).alias("num"))
+    )
+    den = v.agg(F.sum(F.col("qv") * F.col("qv")).alias("den"))
+    tra = pg.where(F.col("i") == F.col("j")).agg(F.sum("s").alias("tra"))
+    top = (
+        v.orderBy(F.abs(F.col("qv")).desc(), F.col("j"))
+        .limit(1)
+        .select(F.col("j").cast("int").alias("top_loading_dim"))
+    )
+    lam = F.col("num").cast("double") / F.col("den").cast("double")
+    return (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(tra))
+        .crossJoin(F.broadcast(top))
+        .select(
+            r6(lam / 1000000000000.0).alias("top_eigenvalue"),
+            r6(lam / F.col("tra").cast("double")).alias("explained_share"),
+            "top_loading_dim",
+        )
+    )

@@ -7059,3 +7059,127 @@ def emb_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             "top_loading_dim",
         )
     )
+
+
+@q(
+    "doc_lsh_recall",
+    _SH_CTES
+    + """,
+lss AS MATERIALIZED (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+),
+lsex AS MATERIALIZED (
+  SELECT _id, _sh FROM ex WHERE _id IN (SELECT doc_id FROM lss)
+),
+lssz AS (SELECT _id, COUNT(*) AS n FROM lsex GROUP BY _id),
+lsint AS (
+  SELECT a._id AS ia, b._id AS ib, COUNT(*) AS shared
+  FROM lsex a JOIN lsex b ON b._sh = a._sh AND b._id > a._id
+  GROUP BY 1, 2
+),
+lsj AS (
+  SELECT i.ia, i.ib,
+         CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jac
+  FROM lsint i JOIN lssz sa ON sa._id = i.ia JOIN lssz sb ON sb._id = i.ib
+),
+lstrue AS (SELECT ia, ib FROM lsj WHERE jac >= 0.5),
+lscand AS (
+  SELECT id_a, id_b FROM cand
+  WHERE id_a IN (SELECT doc_id FROM lss) AND id_b IN (SELECT doc_id FROM lss)
+),
+lshit AS (
+  SELECT t.ia FROM lstrue t JOIN lscand c ON c.id_a = t.ia AND c.id_b = t.ib
+),
+lsprec AS (
+  SELECT COUNT(*) AS n_cand,
+         SUM(CASE WHEN j.jac >= 0.5 THEN 1 ELSE 0 END) AS n_good
+  FROM lscand c LEFT JOIN lsj j ON j.ia = c.id_a AND j.ib = c.id_b
+)
+SELECT CAST((SELECT COUNT(*) FROM lstrue) AS BIGINT) AS n_true_pairs,
+       CAST((SELECT COUNT(*) FROM lshit) AS BIGINT) AS n_caught,
+       ROUND(CASE WHEN (SELECT COUNT(*) FROM lstrue) > 0 THEN
+         CAST((SELECT COUNT(*) FROM lshit) AS DOUBLE)
+         / (SELECT COUNT(*) FROM lstrue) END, 6) AS recall,
+       CAST((SELECT n_cand FROM lsprec) AS BIGINT) AS n_candidates,
+       ROUND(CASE WHEN (SELECT n_cand FROM lsprec) > 0 THEN
+         CAST((SELECT n_good FROM lsprec) AS DOUBLE)
+         / (SELECT n_cand FROM lsprec) END, 6) AS precision_at_05
+""",
+)
+def doc_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index quality gate: on a fixed 100-doc md5-ordered sample,
+    compare the banded MinHash candidates against ground-truth Jaccard
+    (≥ 0.5) computed exactly within the sample — recall (dup pairs the
+    index would MISS) and precision (wasted verifications). The exact
+    side is bounded-quadratic over the sample only, never the corpus —
+    the eval stays O(K²+n) at any scale, the same budget discipline as
+    emb_pq_recall/knn. Text-side twin of the IVF recall gate."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    ss = (
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(100)
+        .select("doc_id")
+    )
+    ex = dedup.exploded_shingles(docs, "text", "doc_id")
+    sex = ex.join(F.broadcast(ss), ex._id == ss.doc_id).select("_id", "_sh")
+    ssz = sex.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sex.select(F.col("_id").alias("ia"), "_sh")
+    b = sex.select(F.col("_id").alias("ib"), F.col("_sh").alias("_sh2"))
+    sint = (
+        a.join(b, (F.col("_sh") == F.col("_sh2")) & (F.col("ib") > F.col("ia")))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = (
+        sint.join(ssz.select(F.col("_id").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(ssz.select(F.col("_id").alias("ib"), F.col("n").alias("nb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jac"),
+        )
+    )
+    true_p = jac.where(F.col("jac") >= 0.5).select("ia", "ib")
+    sig = dedup.minhash_signatures(docs)
+    cand = dedup._lsh_candidates_from_sig(sig, 16, 4)
+    scand = (
+        cand.join(F.broadcast(ss.select(F.col("doc_id").alias("id_a"))), "id_a")
+        .join(F.broadcast(ss.select(F.col("doc_id").alias("id_b"))), "id_b")
+        .select("id_a", "id_b")
+    )
+    hit = true_p.join(
+        scand, (scand.id_a == true_p.ia) & (scand.id_b == true_p.ib)
+    ).select("ia")
+    prec = scand.join(
+        jac, (jac.ia == scand.id_a) & (jac.ib == scand.id_b), "left"
+    ).agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum(F.when(F.col("jac") >= 0.5, 1).otherwise(0)).alias("n_good"),
+    )
+    nt = true_p.agg(F.count(F.lit(1)).alias("n_true"))
+    nh = hit.agg(F.count(F.lit(1)).alias("n_hit"))
+    return (
+        nt.crossJoin(F.broadcast(nh))
+        .crossJoin(F.broadcast(prec))
+        .select(
+            F.col("n_true").cast("long").alias("n_true_pairs"),
+            F.col("n_hit").cast("long").alias("n_caught"),
+            r6(
+                F.when(
+                    F.col("n_true") > 0,
+                    F.col("n_hit").cast("double") / F.col("n_true"),
+                )
+            ).alias("recall"),
+            F.col("n_cand").cast("long").alias("n_candidates"),
+            r6(
+                F.when(
+                    F.col("n_cand") > 0,
+                    F.col("n_good").cast("double") / F.col("n_cand"),
+                )
+            ).alias("precision_at_05"),
+        )
+    )

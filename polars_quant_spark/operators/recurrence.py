@@ -699,3 +699,47 @@ def garch(x: np.ndarray, omega: float = 1e-05, a: float = 0.05, b: float = 0.9) 
 
 
 KERNELS.update({"garch": (garch, 1)})
+
+
+def renko(c: np.ndarray, pct: float = 0.005) -> tuple:
+    """Renko brick state over a close series — all-integer recurrence.
+
+    Prices quantize to micro units; the brick size is
+    ⌊first_close_micro · pct + 0.5⌋; the level moves only in whole bricks:
+
+        qc ≥ L + bk → L += ((qc − L) div bk)·bk   (+k bricks)
+        qc ≤ L − bk → L −= ((L − qc) div bk)·bk   (−k bricks)
+
+    Returns (level, brick_delta) in price units / brick counts. Every
+    operation is exact integer arithmetic carried in float64 (values ≪ 2⁵³),
+    so the oracle's recursive CTE matches bit-for-bit with no float-drift
+    analysis needed at all."""
+    n = c.shape[0]
+    lev = np.full(n, np.nan)
+    dlt = np.full(n, np.nan)
+    idx = np.flatnonzero(~np.isnan(c))
+    if idx.shape[0] == 0:
+        return lev, dlt
+    qc = np.floor(c * 1e6 + 0.5)
+    L = qc[idx[0]]
+    bk = np.floor(L * pct + 0.5)
+    if bk <= 0:
+        bk = 1.0
+    lev[idx[0]] = L / 1e6
+    dlt[idx[0]] = 0.0
+    for k in range(1, idx.shape[0]):
+        j = idx[k]
+        q = qc[j]
+        d = 0.0
+        if q >= L + bk:
+            d = np.floor((q - L) / bk)
+            L = L + d * bk
+        elif q <= L - bk:
+            d = -np.floor((L - q) / bk)
+            L = L + d * bk
+        lev[j] = L / 1e6
+        dlt[j] = d
+    return lev, dlt
+
+
+KERNELS.update({"renko": (renko, 1)})

@@ -4847,3 +4847,73 @@ def bt_trade_excursions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+# Renko bricks: all-integer recurrence — the oracle CTE carries the level
+# as BIGINT micro units, so there is NO floating-point state at all.
+ORACLES_RENKO = (
+    recursive_with(
+        """
+rkq AS MATERIALIZED (
+  SELECT symbol, t, CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) AS qc,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM bars WHERE close IS NOT NULL
+),
+rkb AS MATERIALIZED (
+  SELECT symbol,
+         GREATEST(CAST(FLOOR(CAST(MIN(CASE WHEN rn = 1 THEN qc END) AS DOUBLE)
+                             * 0.005 + 0.5) AS BIGINT), 1) AS bk
+  FROM rkq GROUP BY symbol
+)""",
+        """
+rk_rec AS (
+  SELECT q.symbol, q.rn, q.qc AS lev, CAST(0 AS BIGINT) AS d
+  FROM rkq q WHERE q.rn = 1
+  UNION ALL
+  SELECT s.symbol, s.rn, s.lev + s.d * s.bk AS lev, s.d
+  FROM (
+    SELECT b.symbol, b.rn, e.lev, k.bk,
+           CASE WHEN b.qc >= e.lev + k.bk THEN (b.qc - e.lev) // k.bk
+                WHEN b.qc <= e.lev - k.bk THEN -((e.lev - b.qc) // k.bk)
+                ELSE CAST(0 AS BIGINT) END AS d
+    FROM rk_rec e
+    JOIN rkq b ON b.symbol = e.symbol AND b.rn = e.rn + 1
+    JOIN rkb k ON k.symbol = e.symbol
+  ) s
+)""",
+    )
+    + """
+SELECT b.symbol, b.t,
+       ROUND(CAST(r.lev AS DOUBLE) / 1000000.0, 6) AS renko_level,
+       CAST(r.d AS BIGINT) AS brick_delta
+FROM rkq b JOIN rk_rec r ON r.symbol = b.symbol AND r.rn = b.rn
+ORDER BY b.symbol, b.t
+"""
+)
+
+
+def ind_renko(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Renko brick level and signed brick count per bar (0.5%-of-first-
+    close brick). The state machine is pure integer arithmetic, so the
+    recursive-CTE twin matches with zero float analysis — the strongest
+    form of the recurrence contract. Same one-pass-per-symbol
+    applyInPandas shape as the EMA family."""
+    b = bars(spark, sf_dir).where(F.col("close").isNotNull())
+    out = with_recurrences(
+        b.select("symbol", "t", "close"),
+        [Rec(["rk_lev", "rk_d"], "renko", ["close"], {"pct": 0.005})],
+    )
+    return (
+        out.where(F.col("rk_lev").isNotNull())
+        .select(
+            "symbol",
+            "t",
+            r6(F.col("rk_lev")).alias("renko_level"),
+            F.col("rk_d").cast("long").alias("brick_delta"),
+        )
+        .orderBy("symbol", "t")
+    )
+
+
+QUERIES["ind_renko"] = ind_renko
+ORACLES["ind_renko"] = ORACLES_RENKO

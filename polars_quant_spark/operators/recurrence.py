@@ -743,3 +743,46 @@ def renko(c: np.ndarray, pct: float = 0.005) -> tuple:
 
 
 KERNELS.update({"renko": (renko, 1)})
+
+
+def zigzag(c: np.ndarray, pct: float = 0.03) -> tuple:
+    """ZigZag confirmed swing pivots — integer state machine.
+
+    Prices quantize to micro; the machine tracks the running extreme
+    (starting in up mode from the first close) and confirms a pivot when
+    price retraces ⌊extreme·pct + 0.5⌋ micro from it, marking the pivot AT
+    THE EXTREME'S BAR: +1 swing high, −1 swing low. The final, unconfirmed
+    swing is never emitted. All comparisons are exact integers (float64-
+    carried), so the recursive-CTE twin is bit-identical by construction."""
+    n = c.shape[0]
+    piv = np.zeros(n)
+    px = np.full(n, np.nan)
+    idx = np.flatnonzero(~np.isnan(c))
+    if idx.shape[0] == 0:
+        return piv, px
+    qc = np.floor(c * 1e6 + 0.5)
+    d = 1.0
+    ext = qc[idx[0]]
+    ext_i = idx[0]
+    for k in range(1, idx.shape[0]):
+        j = idx[k]
+        q = qc[j]
+        thr = np.floor(ext * pct + 0.5)
+        if d > 0:
+            if q > ext:
+                ext, ext_i = q, j
+            elif ext - q >= thr:
+                piv[ext_i] = 1.0
+                px[ext_i] = ext / 1e6
+                d, ext, ext_i = -1.0, q, j
+        else:
+            if q < ext:
+                ext, ext_i = q, j
+            elif q - ext >= thr:
+                piv[ext_i] = -1.0
+                px[ext_i] = ext / 1e6
+                d, ext, ext_i = 1.0, q, j
+    return piv, px
+
+
+KERNELS.update({"zigzag": (zigzag, 1)})

@@ -4917,3 +4917,87 @@ def ind_renko(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_renko"] = ind_renko
 ORACLES["ind_renko"] = ORACLES_RENKO
+
+
+# ZigZag pivots: integer-state recursive twin. The recursion carries
+# (dir, ext, ext_rn) and emits the pivot (at the EXTREME's row number)
+# on the step where the reversal confirms; the final select joins the
+# pivot rows back to bar time.
+ORACLES_ZIGZAG = (
+    recursive_with(
+        """
+zzq AS MATERIALIZED (
+  SELECT symbol, t, CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) AS qc,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM bars WHERE close IS NOT NULL
+)""",
+        """
+zz_rec AS (
+  SELECT symbol, rn, CAST(1 AS BIGINT) AS dir, qc AS ext, rn AS ext_rn,
+         CAST(NULL AS BIGINT) AS piv_rn, CAST(NULL AS BIGINT) AS piv_dir,
+         CAST(NULL AS BIGINT) AS piv_q
+  FROM zzq WHERE rn = 1
+  UNION ALL
+  SELECT s.symbol, s.rn,
+         CASE WHEN s.dir > 0 AND s.ext - s.qc >= s.thr THEN CAST(-1 AS BIGINT)
+              WHEN s.dir < 0 AND s.qc - s.ext >= s.thr THEN CAST(1 AS BIGINT)
+              ELSE s.dir END AS dir,
+         CASE WHEN s.dir > 0 AND s.qc > s.ext THEN s.qc
+              WHEN s.dir > 0 AND s.ext - s.qc >= s.thr THEN s.qc
+              WHEN s.dir < 0 AND s.qc < s.ext THEN s.qc
+              WHEN s.dir < 0 AND s.qc - s.ext >= s.thr THEN s.qc
+              ELSE s.ext END AS ext,
+         CASE WHEN (s.dir > 0 AND (s.qc > s.ext OR s.ext - s.qc >= s.thr))
+                OR (s.dir < 0 AND (s.qc < s.ext OR s.qc - s.ext >= s.thr))
+              THEN s.rn ELSE s.ext_rn END AS ext_rn,
+         CASE WHEN s.dir > 0 AND s.ext - s.qc >= s.thr THEN s.ext_rn
+              WHEN s.dir < 0 AND s.qc - s.ext >= s.thr THEN s.ext_rn END AS piv_rn,
+         CASE WHEN s.dir > 0 AND s.ext - s.qc >= s.thr THEN CAST(1 AS BIGINT)
+              WHEN s.dir < 0 AND s.qc - s.ext >= s.thr THEN CAST(-1 AS BIGINT)
+              END AS piv_dir,
+         CASE WHEN (s.dir > 0 AND s.ext - s.qc >= s.thr)
+                OR (s.dir < 0 AND s.qc - s.ext >= s.thr) THEN s.ext END AS piv_q
+  FROM (
+    SELECT i.*, CAST(FLOOR(CAST(i.ext AS DOUBLE) * 0.03 + 0.5) AS BIGINT) AS thr
+    FROM (
+      SELECT b.symbol, b.rn, b.qc, e.dir, e.ext, e.ext_rn
+      FROM zz_rec e JOIN zzq b ON b.symbol = e.symbol AND b.rn = e.rn + 1
+    ) i
+  ) s
+)""",
+    )
+    + """
+SELECT q.symbol, q.t, CAST(p.piv_dir AS INTEGER) AS pivot,
+       ROUND(CAST(p.piv_q AS DOUBLE) / 1000000.0, 6) AS pivot_price
+FROM (SELECT symbol, piv_rn, piv_dir, piv_q FROM zz_rec WHERE piv_rn IS NOT NULL) p
+JOIN zzq q ON q.symbol = p.symbol AND q.rn = p.piv_rn
+ORDER BY q.symbol, q.t
+"""
+)
+
+
+def ind_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZigZag confirmed swing pivots (3% reversal): +1 swing highs and −1
+    swing lows, emitted at the extreme's bar — the classic pattern/wave
+    skeleton. Integer state machine (operators/recurrence.zigzag), so the
+    recursive twin is bit-identical by construction. Sparse output: only
+    pivot bars."""
+    b = bars(spark, sf_dir).where(F.col("close").isNotNull())
+    out = with_recurrences(
+        b.select("symbol", "t", "close"),
+        [Rec(["zz_p", "zz_px"], "zigzag", ["close"], {"pct": 0.03})],
+    )
+    return (
+        out.where(F.col("zz_p") != 0)
+        .select(
+            "symbol",
+            "t",
+            F.col("zz_p").cast("int").alias("pivot"),
+            r6(F.col("zz_px")).alias("pivot_price"),
+        )
+        .orderBy("symbol", "t")
+    )
+
+
+QUERIES["ind_zigzag"] = ind_zigzag
+ORACLES["ind_zigzag"] = ORACLES_ZIGZAG

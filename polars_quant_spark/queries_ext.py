@@ -5001,3 +5001,78 @@ def ind_zigzag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_zigzag"] = ind_zigzag
 ORACLES["ind_zigzag"] = ORACLES_ZIGZAG
+
+
+ORACLES_SWING = (
+    ORACLES_ZIGZAG.rsplit("SELECT q.symbol", 1)[0]
+    + """
+, piv AS (
+  SELECT q.symbol, q.t, p.piv_dir AS pdir, p.piv_q AS pq
+  FROM (SELECT symbol, piv_rn, piv_dir, piv_q FROM zz_rec WHERE piv_rn IS NOT NULL) p
+  JOIN zzq q ON q.symbol = p.symbol AND q.rn = p.piv_rn
+),
+sw AS (
+  SELECT symbol, pdir,
+         CAST(FLOOR((CAST(pq AS DOUBLE) / LAG(CAST(pq AS DOUBLE))
+                     OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qswing,
+         t - LAG(t) OVER (PARTITION BY symbol ORDER BY t) AS dur
+  FROM piv
+)
+SELECT symbol,
+       CAST(COUNT(qswing) AS BIGINT) AS n_swings,
+       ROUND(CAST(SUM(CASE WHEN qswing > 0 THEN qswing ELSE 0 END) AS DOUBLE)
+             / 1000000.0 / NULLIF(SUM(CASE WHEN qswing > 0 THEN 1 ELSE 0 END), 0), 6)
+         AS avg_up_swing,
+       ROUND(CAST(SUM(CASE WHEN qswing < 0 THEN qswing ELSE 0 END) AS DOUBLE)
+             / 1000000.0 / NULLIF(SUM(CASE WHEN qswing < 0 THEN 1 ELSE 0 END), 0), 6)
+         AS avg_down_swing,
+       ROUND(CAST(SUM(dur) AS DOUBLE) / COUNT(dur), 6) AS avg_duration_bars
+FROM sw WHERE qswing IS NOT NULL
+GROUP BY symbol
+ORDER BY symbol
+"""
+)
+
+
+def ind_swing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Swing anatomy from the ZigZag skeleton: pivot-to-pivot amplitude
+    (micro-quantized %) and duration per symbol, split into average
+    up-swing and down-swing — the wave-size fingerprint behind reversal
+    sizing. One recurrence pass + a lag over the sparse pivot frame."""
+    piv = ind_zigzag(spark, sf_dir)
+    w = _w()
+    sw = piv.select(
+        "symbol",
+        F.floor(
+            (F.col("pivot_price") / F.lag("pivot_price").over(w) - 1.0) * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qswing"),
+        (F.col("t") - F.lag("t").over(w)).alias("dur"),
+    ).where(F.col("qswing").isNotNull())
+    up_n = F.sum(F.when(F.col("qswing") > 0, 1).otherwise(0))
+    dn_n = F.sum(F.when(F.col("qswing") < 0, 1).otherwise(0))
+    up_s = F.sum(F.when(F.col("qswing") > 0, F.col("qswing")).otherwise(0))
+    dn_s = F.sum(F.when(F.col("qswing") < 0, F.col("qswing")).otherwise(0))
+    return (
+        sw.groupBy("symbol")
+        .agg(
+            F.count("qswing").cast("long").alias("n_swings"),
+            r6(up_s.cast("double") / 1e6 / F.nullif(up_n, F.lit(0))).alias(
+                "avg_up_swing"
+            ),
+            r6(dn_s.cast("double") / 1e6 / F.nullif(dn_n, F.lit(0))).alias(
+                "avg_down_swing"
+            ),
+            r6(F.sum("dur").cast("double") / F.count("dur")).alias(
+                "avg_duration_bars"
+            ),
+        )
+        .orderBy("symbol")
+    )
+
+
+QUERIES["ind_swing_stats"] = ind_swing_stats
+ORACLES["ind_swing_stats"] = ORACLES_SWING

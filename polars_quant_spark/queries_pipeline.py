@@ -7183,3 +7183,48 @@ def doc_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("precision_at_05"),
         )
     )
+
+
+@q(
+    "events_velocity_flags",
+    """
+WITH ve AS (
+  SELECT user_id, epoch_us(ts) AS us FROM events
+),
+vc AS (
+  SELECT user_id,
+         COUNT(*) OVER (PARTITION BY user_id ORDER BY us
+                        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS c_1h
+  FROM ve
+)
+SELECT user_id,
+       CAST(MAX(c_1h) AS BIGINT) AS peak_events_1h,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(CASE WHEN MAX(c_1h) >= 10 THEN 1 ELSE 0 END AS INTEGER) AS velocity_flag
+FROM vc GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Burst-velocity screen: each user's peak trailing-1-hour event count
+    (a RANGE frame over the µs timeline — time-based, not row-based, so
+    bursts are measured against the clock) and a ≥10-events/hour flag —
+    the rate-limit / bot-velocity primitive. One range-frame window over
+    the user-partitioned log, one rollup."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    e = ev0.select("user_id", ts_us_expr(ev0).alias("us"))
+    w = Window.partitionBy("user_id").orderBy("us").rangeBetween(-3600000000, 0)
+    vc = e.select("user_id", F.count(F.lit(1)).over(w).alias("c_1h"))
+    return (
+        vc.groupBy("user_id")
+        .agg(
+            F.max("c_1h").cast("long").alias("peak_events_1h"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.when(F.max("c_1h") >= 10, 1).otherwise(0).cast("int").alias(
+                "velocity_flag"
+            ),
+        )
+        .orderBy("user_id")
+    )

@@ -7228,3 +7228,71 @@ def events_velocity_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@q(
+    "rel_scd2_build",
+    """
+WITH ch AS (
+  SELECT user_id, event_type AS status, epoch_us(ts) AS us, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, status, us, event_id
+  FROM ch WHERE prev IS NULL OR status != prev
+),
+ver AS (
+  SELECT user_id, status, us AS valid_from,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY us, event_id) AS version
+  FROM chg
+)
+SELECT user_id, CAST(version AS INTEGER) AS version, status,
+       valid_from, valid_to,
+       CAST(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS INTEGER) AS is_current
+FROM ver
+ORDER BY user_id, version
+""",
+)
+def rel_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build: collapse the change stream to one row per
+    status RUN per user with [valid_from, valid_to) validity and a
+    version number — the warehouse dimension-versioning primitive (the
+    SCD-1 twin is stream_cdc_compact; an as-of join against this table is
+    operators/asof). One lag to detect changes, one lead to close
+    intervals — two windows on the same user partitioning, one exchange."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ch = ev0.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        ts_us_expr(ev0).alias("us"),
+        "event_id",
+    ).select(
+        "user_id", "status", "us", "event_id", F.lag("status").over(wu).alias("prev")
+    )
+    chg = ch.where(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
+    ver = chg.select(
+        "user_id",
+        "status",
+        F.col("us").alias("valid_from"),
+        F.lead("us").over(Window.partitionBy("user_id").orderBy("us", "event_id")).alias(
+            "valid_to"
+        ),
+        F.row_number()
+        .over(Window.partitionBy("user_id").orderBy("us", "event_id"))
+        .alias("version"),
+    )
+    return ver.select(
+        "user_id",
+        F.col("version").cast("int").alias("version"),
+        "status",
+        "valid_from",
+        "valid_to",
+        F.when(F.col("valid_to").isNull(), 1).otherwise(0).cast("int").alias(
+            "is_current"
+        ),
+    ).orderBy("user_id", "version")

@@ -7296,3 +7296,145 @@ def rel_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_current"
         ),
     ).orderBy("user_id", "version")
+
+
+@q(
+    "rel_scd2_asof",
+    """
+WITH ch AS (
+  SELECT user_id, event_type AS status, epoch_us(ts) AS us, event_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+chg AS (
+  SELECT user_id, status, us, event_id FROM ch WHERE prev IS NULL OR status != prev
+),
+ver AS (
+  SELECT user_id, status, us AS valid_from,
+         LEAD(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS valid_to
+  FROM chg
+),
+probe AS (
+  SELECT user_id, event_id AS probe_id, epoch_us(ts) AS pus FROM events
+  WHERE event_type = 'purchase'
+)
+SELECT p.probe_id, p.user_id, v.status AS status_at_purchase
+FROM probe p JOIN ver v
+  ON v.user_id = p.user_id
+ AND v.valid_from <= p.pus
+ AND (v.valid_to IS NULL OR p.pus < v.valid_to)
+ORDER BY p.probe_id
+""",
+)
+def rel_scd2_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (as-of) lookup against the SCD-2 history: every
+    purchase resolves the status version valid at its timestamp — the
+    time-travel dimension join every warehouse needs and most get wrong
+    (leaking future versions). The validity predicate makes the match
+    unique by construction; both sides hash on user_id, so at scale this
+    is one co-partitioned join with a bounded per-user interval list."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("us", "event_id")
+    ch = ev0.select(
+        "user_id",
+        F.col("event_type").alias("status"),
+        ts_us_expr(ev0).alias("us"),
+        "event_id",
+    ).select(
+        "user_id", "status", "us", "event_id", F.lag("status").over(wu).alias("prev")
+    )
+    chg = ch.where(F.col("prev").isNull() | (F.col("status") != F.col("prev")))
+    ver = chg.select(
+        "user_id",
+        "status",
+        F.col("us").alias("valid_from"),
+        F.lead("us").over(wu).alias("valid_to"),
+    )
+    e2 = load_table(spark, sf_dir, "events")
+    probe = e2.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("probe_id"),
+        ts_us_expr(e2).alias("pus"),
+    )
+    return (
+        probe.join(
+            ver,
+            (ver.user_id == F.col("p_user"))
+            & (ver.valid_from <= F.col("pus"))
+            & (ver.valid_to.isNull() | (F.col("pus") < ver.valid_to)),
+        )
+        .select(
+            "probe_id",
+            F.col("p_user").alias("user_id"),
+            F.col("status").alias("status_at_purchase"),
+        )
+        .orderBy("probe_id")
+    )
+
+
+@q(
+    "events_slo_burn",
+    """
+WITH hb AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+  FROM events GROUP BY 1
+),
+wb AS (
+  SELECT hour, n, errs,
+         SUM(n) OVER w6 AS n6, SUM(errs) OVER w6 AS e6
+  FROM hb
+  WINDOW w6 AS (ORDER BY hour ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+)
+SELECT hour,
+       ROUND(CAST(errs AS DOUBLE) / n, 6) AS err_rate_1h,
+       ROUND(CAST(e6 AS DOUBLE) / n6, 6) AS err_rate_6h,
+       ROUND((CAST(errs AS DOUBLE) / n) / 0.05, 6) AS burn_1h,
+       CAST(CASE WHEN (CAST(errs AS DOUBLE) / n) / 0.05 > 2.0
+                  AND (CAST(e6 AS DOUBLE) / n6) / 0.05 > 1.0
+            THEN 1 ELSE 0 END AS INTEGER) AS page_alert
+FROM wb
+ORDER BY hour
+""",
+)
+def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLO burn-rate monitor (5% error budget): hourly error rate, the
+    6-hour rate, the burn multiple, and the standard multi-window page
+    condition (fast burn >2× AND slow burn >1× — the Google SRE
+    workbook's alert shape, which suppresses blips). One hourly rollup,
+    one short window — trivially incremental at scale."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    hb = (
+        ev0.select(ts_us_expr(ev0).alias("ts_us"), "event_type")
+        .select(
+            F.expr("ts_us DIV 3600000000").alias("hour"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("is_err"),
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("is_err").alias("errs"))
+    )
+    w6 = Window.orderBy("hour").rowsBetween(-5, 0)
+    wb = hb.select(
+        "hour",
+        "n",
+        "errs",
+        F.sum("n").over(w6).alias("n6"),
+        F.sum("errs").over(w6).alias("e6"),
+    )
+    r1 = F.col("errs").cast("double") / F.col("n")
+    r6_ = F.col("e6").cast("double") / F.col("n6")
+    return wb.select(
+        "hour",
+        r6(r1).alias("err_rate_1h"),
+        r6(r6_).alias("err_rate_6h"),
+        r6(r1 / 0.05).alias("burn_1h"),
+        F.when((r1 / 0.05 > 2.0) & (r6_ / 0.05 > 1.0), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("page_alert"),
+    ).orderBy("hour")

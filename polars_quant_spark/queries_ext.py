@@ -5076,3 +5076,152 @@ def ind_swing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_swing_stats"] = ind_swing_stats
 ORACLES["ind_swing_stats"] = ORACLES_SWING
+
+
+@q(
+    "rel_discount_elasticity",
+    """
+WITH de AS (
+  SELECT CAST(FLOOR(l_discount * 100.0 + 0.5) AS BIGINT) AS disc_pct,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty
+  FROM lineitem
+),
+db AS (
+  SELECT disc_pct, COUNT(*) AS n, SUM(qty) AS sq FROM de GROUP BY disc_pct
+),
+mo AS (
+  SELECT COUNT(*) AS n, SUM(disc_pct) AS sx, SUM(qty) AS sy,
+         SUM(CAST(disc_pct AS HUGEINT) * qty) AS sxy,
+         SUM(CAST(disc_pct AS HUGEINT) * disc_pct) AS sxx
+  FROM de
+)
+SELECT CAST(db.disc_pct AS INTEGER) AS discount_pct,
+       CAST(db.n AS BIGINT) AS n_lines,
+       ROUND(CAST(db.sq AS DOUBLE) / db.n, 6) AS avg_quantity,
+       ROUND(CASE WHEN mo.n * mo.sxx - mo.sx * mo.sx > 0 THEN
+         CAST(mo.n * mo.sxy - mo.sx * mo.sy AS DOUBLE)
+         / CAST(mo.n * mo.sxx - mo.sx * mo.sx AS DOUBLE) END, 6) AS global_slope
+FROM db CROSS JOIN mo
+ORDER BY discount_pct
+""",
+)
+def rel_discount_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discount-quantity response curve: average order quantity per
+    discount percentage point plus the global OLS slope (extra units per
+    discount point) — the pricing-elasticity readout. All moments are
+    exact integers (discount quantized to whole points, quantity to whole
+    units); one scan feeds both the bucket curve and the regression."""
+    from polars_quant_spark.sources.bars import load_table as _lt
+
+    li = _lt(spark, sf_dir, "lineitem")
+    de = li.select(
+        F.floor(F.col("l_discount") * 100.0 + F.lit(0.5)).cast("long").alias("disc_pct"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+    )
+    db = de.groupBy("disc_pct").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("qty").alias("sq")
+    )
+    dec = "decimal(38,0)"
+    mo = de.agg(
+        F.count(F.lit(1)).alias("mn"),
+        F.sum("disc_pct").alias("sx"),
+        F.sum("qty").alias("sy"),
+        F.sum(F.col("disc_pct").cast(dec) * F.col("qty")).alias("sxy"),
+        F.sum(F.col("disc_pct").cast(dec) * F.col("disc_pct")).alias("sxx"),
+    )
+    n = F.col("mn").cast(dec)
+    num = n * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    return (
+        db.crossJoin(F.broadcast(mo))
+        .select(
+            F.col("disc_pct").cast("int").alias("discount_pct"),
+            F.col("n").cast("long").alias("n_lines"),
+            r6(F.col("sq").cast("double") / F.col("n")).alias("avg_quantity"),
+            r6(
+                F.when(den > 0, num.cast("double") / den.cast("double"))
+            ).alias("global_slope"),
+        )
+        .orderBy("discount_pct")
+    )
+
+
+@q(
+    "bars_runs_test",
+    BARS_CTE
+    + """,
+rtd AS (
+  SELECT symbol, t,
+         CASE WHEN close > LAG(close) OVER o THEN 1
+              WHEN close < LAG(close) OVER o THEN -1 END AS dir
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+),
+rtf AS (
+  SELECT symbol, t, dir,
+         CASE WHEN dir != LAG(dir) OVER (PARTITION BY symbol ORDER BY t)
+               OR LAG(dir) OVER (PARTITION BY symbol ORDER BY t) IS NULL
+              THEN 1 ELSE 0 END AS new_run
+  FROM rtd WHERE dir IS NOT NULL
+),
+rts AS (
+  SELECT symbol,
+         SUM(new_run) AS r,
+         SUM(CASE WHEN dir = 1 THEN 1 ELSE 0 END) AS np,
+         SUM(CASE WHEN dir = -1 THEN 1 ELSE 0 END) AS nm
+  FROM rtf GROUP BY symbol
+)
+SELECT symbol, CAST(r AS BIGINT) AS n_runs,
+       CAST(np AS BIGINT) AS n_up, CAST(nm AS BIGINT) AS n_down,
+       ROUND(CASE WHEN np > 0 AND nm > 0 AND np + nm > 1 THEN
+         (CAST(r AS DOUBLE) - (2.0 * np * nm / (np + nm) + 1.0))
+         / sqrt(2.0 * np * nm * (2.0 * np * nm - np - nm)
+                / ((CAST(np + nm AS DOUBLE)) * (np + nm) * (np + nm - 1.0)))
+       END, 6) AS runs_z
+FROM rts
+ORDER BY symbol
+""",
+)
+def bars_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald–Wolfowitz runs test per symbol: z-score of the observed number
+    of up/down runs vs the random-walk expectation — negative z = too few
+    runs (trending), positive = too many (mean-reverting). Counts are
+    exact integers; the closed-form moments run in the identical IEEE
+    order in both engines. One lag pass, one aggregate."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    dirc = (
+        F.when(F.col("close") > F.lag("close").over(o), 1)
+        .when(F.col("close") < F.lag("close").over(o), -1)
+    )
+    d = b.select("symbol", "t", dirc.alias("dir")).where(F.col("dir").isNotNull())
+    new_run = F.when(
+        (F.col("dir") != F.lag("dir").over(o)) | F.lag("dir").over(o).isNull(), 1
+    ).otherwise(0)
+    f = d.select("symbol", "dir", new_run.alias("new_run"))
+    s = f.groupBy("symbol").agg(
+        F.sum("new_run").alias("r"),
+        F.sum(F.when(F.col("dir") == 1, 1).otherwise(0)).alias("np"),
+        F.sum(F.when(F.col("dir") == -1, 1).otherwise(0)).alias("nm"),
+    )
+    npc = F.col("np")
+    nmc = F.col("nm")
+    mu = 2.0 * npc * nmc / (npc + nmc) + 1.0
+    var = (
+        2.0
+        * npc
+        * nmc
+        * (2.0 * npc * nmc - npc - nmc)
+        / ((npc + nmc).cast("double") * (npc + nmc) * (npc + nmc - 1.0))
+    )
+    z = F.when(
+        (npc > 0) & (nmc > 0) & (npc + nmc > 1),
+        (F.col("r").cast("double") - mu) / F.sqrt(var),
+    )
+    return s.select(
+        "symbol",
+        F.col("r").cast("long").alias("n_runs"),
+        npc.cast("long").alias("n_up"),
+        nmc.cast("long").alias("n_down"),
+        r6(z).alias("runs_z"),
+    ).orderBy("symbol")

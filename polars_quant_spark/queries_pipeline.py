@@ -7438,3 +7438,73 @@ def events_slo_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("page_alert"),
     ).orderBy("hour")
+
+
+@q(
+    "doc_readability",
+    f"""
+WITH rd AS (
+  SELECT doc_id, lang,
+         GREATEST(len({_TOKS}), 1) AS words,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS sylls
+  FROM documents
+),
+sc AS (
+  SELECT lang,
+         CAST(FLOOR((206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)
+                     - 84.6 * (CAST(sylls AS DOUBLE) / words))
+                    * 1000000.0 + 0.5) AS BIGINT) AS qf,
+         CAST(FLOOR((CAST(words AS DOUBLE) / sents) * 1000000.0 + 0.5) AS BIGINT) AS qw
+  FROM rd
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(qf) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_flesch,
+       ROUND(CAST(SUM(qw) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS avg_words_per_sentence
+FROM sc GROUP BY lang
+ORDER BY lang
+""",
+)
+def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease proxy per language (vowel-group syllable
+    counting, [.!?]+ sentence splitting) — the readability axis of a
+    quality-filter stack. Counts are exact regex integers; per-doc scores
+    micro-quantize before the per-lang mean. Pure projection + one
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.greatest(F.size(text.tokens("text")), F.lit(1))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+    )
+    sylls = F.greatest(
+        F.size(F.regexp_extract_all(F.lower(F.col("text")), F.lit("[aeiouy]+"), 0)),
+        F.lit(1),
+    )
+    rd = docs.select(
+        "lang", words.alias("words"), sents.alias("sents"), sylls.alias("sylls")
+    )
+    flesch = (
+        206.835
+        - 1.015 * (F.col("words").cast("double") / F.col("sents"))
+        - 84.6 * (F.col("sylls").cast("double") / F.col("words"))
+    )
+    wps = F.col("words").cast("double") / F.col("sents")
+    sc = rd.select(
+        "lang",
+        F.floor(flesch * 1e6 + F.lit(0.5)).cast("long").alias("qf"),
+        F.floor(wps * 1e6 + F.lit(0.5)).cast("long").alias("qw"),
+    )
+    return (
+        sc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            r6(F.sum("qf").cast("double") / 1e6 / F.count(F.lit(1))).alias(
+                "avg_flesch"
+            ),
+            r6(F.sum("qw").cast("double") / 1e6 / F.count(F.lit(1))).alias(
+                "avg_words_per_sentence"
+            ),
+        )
+        .orderBy("lang")
+    )

@@ -5225,3 +5225,78 @@ def bars_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         nmc.cast("long").alias("n_down"),
         r6(z).alias("runs_z"),
     ).orderBy("symbol")
+
+
+@q(
+    "rel_item_cf",
+    """
+WITH bi AS (
+  SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem
+),
+isz AS (SELECT pk, COUNT(*) AS n FROM bi GROUP BY pk),
+coo AS (
+  SELECT a.pk AS pa, b.pk AS pb, COUNT(*) AS c
+  FROM bi a JOIN bi b ON b.ok = a.ok AND b.pk != a.pk
+  GROUP BY 1, 2
+),
+sim AS (
+  SELECT c.pa, c.pb,
+         ROUND(CAST(c.c AS DOUBLE) / sqrt(CAST(sa.n AS DOUBLE) * CAST(sb.n AS DOUBLE)), 6)
+           AS cos_sim
+  FROM coo c JOIN isz sa ON sa.pk = c.pa JOIN isz sb ON sb.pk = c.pb
+),
+rk AS (
+  SELECT pa, pb, cos_sim,
+         ROW_NUMBER() OVER (PARTITION BY pa ORDER BY cos_sim DESC, pb) AS r
+  FROM sim
+)
+SELECT pa AS part_a, pb AS part_b, cos_sim, CAST(r AS INTEGER) AS rank
+FROM rk WHERE r <= 3
+ORDER BY part_a, rank
+""",
+)
+def rel_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering: top-3 co-purchased parts per part
+    by basket-cosine similarity c_ab/√(n_a·n_b) — the classic
+    'customers also bought' primitive. The pair generation is a same-order
+    self-join (bounded by basket size², never corpus²); counts stay exact
+    integers and the cosine is one double expression. Ties break by part
+    id, so the top-3 is total-order deterministic."""
+    from polars_quant_spark.sources.bars import load_table as _lt
+
+    li = _lt(spark, sf_dir, "lineitem")
+    bi = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    isz = bi.groupBy("pk").agg(F.count(F.lit(1)).alias("n"))
+    a = bi.select("ok", F.col("pk").alias("pa"))
+    b = bi.select(F.col("ok").alias("ok2"), F.col("pk").alias("pb"))
+    coo = (
+        a.join(b, (F.col("ok") == F.col("ok2")) & (F.col("pa") != F.col("pb")))
+        .groupBy("pa", "pb")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    sim = (
+        coo.join(isz.select(F.col("pk").alias("pa"), F.col("n").alias("na")), "pa")
+        .join(isz.select(F.col("pk").alias("pb"), F.col("n").alias("nb")), "pb")
+        .select(
+            "pa",
+            "pb",
+            r6(
+                F.col("c").cast("double")
+                / F.sqrt(F.col("na").cast("double") * F.col("nb").cast("double"))
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("pa").orderBy(F.col("cos_sim").desc(), F.col("pb"))
+    return (
+        sim.select("pa", "pb", "cos_sim", F.row_number().over(w).alias("r"))
+        .where(F.col("r") <= 3)
+        .select(
+            F.col("pa").alias("part_a"),
+            F.col("pb").alias("part_b"),
+            "cos_sim",
+            F.col("r").cast("int").alias("rank"),
+        )
+        .orderBy("part_a", "rank")
+    )

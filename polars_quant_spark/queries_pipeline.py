@@ -7508,3 +7508,56 @@ def doc_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@q(
+    "doc_weighted_sample",
+    """
+WITH wk AS (
+  SELECT doc_id, GREATEST(n_chars, 1) AS w,
+         (CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1.0)
+           / 4294967297.0 AS u
+  FROM documents
+),
+kq AS (
+  SELECT doc_id, w,
+         CAST(FLOOR(ln(u) / w * 1000000000000.0 + 0.5) AS BIGINT) AS qkey
+  FROM wk
+)
+SELECT doc_id, CAST(w AS BIGINT) AS weight, CAST(rnk AS INTEGER) AS rank
+FROM (
+  SELECT doc_id, w, ROW_NUMBER() OVER (ORDER BY qkey DESC, doc_id) AS rnk
+  FROM kq
+)
+WHERE rnk <= 50
+ORDER BY rank
+""",
+)
+def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, distributed and
+    deterministic: Efraimidis–Spirakis keys ln(u)/w with u from the md5
+    lane (so every engine and every replay draws the SAME sample) and
+    w = document length — the one-pass 'give me K docs, long ones more
+    likely' primitive a corpus builder needs. Keys pico-quantize before
+    the global top-K (one TakeOrderedAndProject, no full sort)."""
+    from polars_quant_spark.operators.sketch import hash_lane
+
+    docs = load_table(spark, sf_dir, "documents")
+    u = (hash_lane("doc_id", 8).cast("double") + 1.0) / 4294967297.0
+    w = F.greatest(F.col("n_chars"), F.lit(1))
+    kq = docs.select(
+        "doc_id",
+        w.alias("w"),
+        F.floor(F.log(u) / w * 1000000000000.0 + F.lit(0.5)).cast("long").alias("qkey"),
+    )
+    wr = Window.orderBy(F.col("qkey").desc(), F.col("doc_id"))
+    return (
+        kq.select("doc_id", "w", F.row_number().over(wr).alias("rnk"))
+        .where(F.col("rnk") <= 50)
+        .select(
+            "doc_id",
+            F.col("w").cast("long").alias("weight"),
+            F.col("rnk").cast("int").alias("rank"),
+        )
+        .orderBy("rank")
+    )

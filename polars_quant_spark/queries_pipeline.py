@@ -7561,3 +7561,82 @@ def doc_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# Benford expected first-digit shares as full-precision literals (so
+# neither engine computes log10(1+1/d) at runtime).
+_BENFORD = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE = "CASE d " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD.items()
+) + " END"
+
+
+@q(
+    "events_benford",
+    f"""
+WITH bf AS (
+  SELECT CAST(substring(CAST(CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INTEGER) AS d
+  FROM events WHERE value > 0
+),
+bc AS (
+  SELECT d, COUNT(*) AS obs FROM bf WHERE d BETWEEN 1 AND 9 GROUP BY d
+),
+bt AS (SELECT SUM(obs) AS n FROM bc)
+SELECT d AS digit, CAST(obs AS BIGINT) AS observed,
+       ROUND(CAST(obs AS DOUBLE) / (SELECT n FROM bt), 6) AS obs_share,
+       ROUND({_BENFORD_CASE}, 6) AS benford_share,
+       ROUND((CAST(obs AS DOUBLE) - (SELECT n FROM bt) * ({_BENFORD_CASE}))
+             * (CAST(obs AS DOUBLE) - (SELECT n FROM bt) * ({_BENFORD_CASE}))
+             / ((SELECT n FROM bt) * ({_BENFORD_CASE})), 6) AS chi2_term
+FROM bc
+ORDER BY digit
+""",
+)
+def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law forensic screen on event values: observed vs expected
+    first-digit shares and each digit's χ² contribution — the fabricated-
+    data / instrumentation-bug detector. First digits come from the exact
+    integer cents via string indexing (identical in both engines — no
+    log10 boundary risk); the Benford shares are shared literals. One
+    9-row aggregate."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    d = F.substring(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    bc = (
+        ev.select(d.alias("d"))
+        .where(F.col("d").between(1, 9))
+        .groupBy("d")
+        .agg(F.count(F.lit(1)).alias("obs"))
+    )
+    bt = bc.agg(F.sum("obs").alias("n"))
+    # CASE chain mirroring the SQL: d → Benford share literal
+    share = F.when(F.col("d") == 1, float(_BENFORD[1]))
+    for dd in range(2, 10):
+        share = share.when(F.col("d") == dd, float(_BENFORD[dd]))
+    obs_d = F.col("obs").cast("double")
+    n_d = F.col("n")
+    chi = (obs_d - n_d * share) * (obs_d - n_d * share) / (n_d * share)
+    return (
+        bc.crossJoin(F.broadcast(bt))
+        .select(
+            F.col("d").alias("digit"),
+            F.col("obs").cast("long").alias("observed"),
+            r6(obs_d / F.col("n")).alias("obs_share"),
+            r6(share).alias("benford_share"),
+            r6(chi).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

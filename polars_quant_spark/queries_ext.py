@@ -5300,3 +5300,120 @@ def rel_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("part_a", "rank")
     )
+
+
+@q(
+    "bars_two_asset_frontier",
+    BARS_CTE
+    + """,
+fpx AS (
+  SELECT t,
+         CAST(FLOOR(MAX(CASE WHEN symbol = 'click' THEN close END) * 1000000.0 + 0.5) AS BIGINT) AS qa,
+         CAST(FLOOR(MAX(CASE WHEN symbol = 'view' THEN close END) * 1000000.0 + 0.5) AS BIGINT) AS qb
+  FROM bars WHERE symbol IN ('click', 'view') GROUP BY t
+  HAVING COUNT(DISTINCT symbol) = 2
+),
+fr AS (
+  SELECT CAST(FLOOR((CAST(qa AS DOUBLE) / LAG(CAST(qa AS DOUBLE)) OVER (ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS ra,
+         CAST(FLOOR((CAST(qb AS DOUBLE) / LAG(CAST(qb AS DOUBLE)) OVER (ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS rb
+  FROM fpx
+),
+fm AS (
+  SELECT COUNT(*) AS n, SUM(ra) AS sa, SUM(rb) AS sb,
+         SUM(CAST(ra AS HUGEINT) * ra) AS saa,
+         SUM(CAST(rb AS HUGEINT) * rb) AS sbb,
+         SUM(CAST(ra AS HUGEINT) * rb) AS sab
+  FROM fr WHERE ra IS NOT NULL AND rb IS NOT NULL
+),
+fv AS (
+  SELECT n,
+         CAST(sa AS DOUBLE) / n AS ma, CAST(sb AS DOUBLE) / n AS mb,
+         CAST(saa AS DOUBLE) / n - (CAST(sa AS DOUBLE) / n) * (CAST(sa AS DOUBLE) / n) AS va,
+         CAST(sbb AS DOUBLE) / n - (CAST(sb AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n) AS vb,
+         CAST(sab AS DOUBLE) / n - (CAST(sa AS DOUBLE) / n) * (CAST(sb AS DOUBLE) / n) AS cab
+  FROM fm
+)
+SELECT ROUND(CASE WHEN va + vb - 2.0 * cab > 0
+             THEN (vb - cab) / (va + vb - 2.0 * cab) END, 6) AS w_minvar_a,
+       ROUND(CASE WHEN va + vb - 2.0 * cab > 0 THEN
+         ((vb - cab) / (va + vb - 2.0 * cab) * ma
+          + (1.0 - (vb - cab) / (va + vb - 2.0 * cab)) * mb) / 1000000.0 END, 6)
+         AS minvar_ret,
+       ROUND(CASE WHEN va + vb - 2.0 * cab > 0 THEN
+         sqrt(((vb - cab) / (va + vb - 2.0 * cab)) * ((vb - cab) / (va + vb - 2.0 * cab)) * va
+              + (1.0 - (vb - cab) / (va + vb - 2.0 * cab))
+                * (1.0 - (vb - cab) / (va + vb - 2.0 * cab)) * vb
+              + 2.0 * ((vb - cab) / (va + vb - 2.0 * cab))
+                * (1.0 - (vb - cab) / (va + vb - 2.0 * cab)) * cab)
+         / 1000000.0 END, 6) AS minvar_vol,
+       ROUND(CASE WHEN vb * ma - cab * mb + va * mb - cab * ma != 0 THEN
+         (vb * ma - cab * mb) / (vb * ma - cab * mb + va * mb - cab * ma) END, 6)
+         AS w_tangency_a
+FROM fv
+""",
+)
+def bars_two_asset_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-asset efficient frontier for (click, view): closed-form
+    minimum-variance weight w* = (σ²_b − σ_ab)/(σ²_a + σ²_b − 2σ_ab), the
+    min-var portfolio's return and volatility, and the tangency (max-
+    Sharpe, zero rate) weight — Markowitz in exact integer moments. The
+    aligned pair frame collapses to one moment row; everything after is
+    scalar arithmetic mirrored literally."""
+    b = bars(spark, sf_dir).where(F.col("symbol").isin("click", "view"))
+    px = (
+        b.groupBy("t")
+        .agg(
+            F.floor(
+                F.max(F.when(F.col("symbol") == "click", F.col("close"))) * 1e6 + F.lit(0.5)
+            ).cast("long").alias("qa"),
+            F.floor(
+                F.max(F.when(F.col("symbol") == "view", F.col("close"))) * 1e6 + F.lit(0.5)
+            ).cast("long").alias("qb"),
+            F.count_distinct("symbol").alias("_ns"),
+        )
+        .where(F.col("_ns") == 2)
+    )
+    wo = Window.orderBy("t")
+
+    def qret(c):
+        return F.floor(
+            (F.col(c).cast("double") / F.lag(F.col(c).cast("double")).over(wo) - 1.0)
+            * 1e6
+            + F.lit(0.5)
+        ).cast("long")
+
+    r = px.select(qret("qa").alias("ra"), qret("qb").alias("rb")).where(
+        F.col("ra").isNotNull() & F.col("rb").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    m = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra").cast(dec) * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb").cast(dec) * F.col("rb")).alias("sbb"),
+        F.sum(F.col("ra").cast(dec) * F.col("rb")).alias("sab"),
+    )
+    n = F.col("n")
+    ma = F.col("sa").cast("double") / n
+    mb = F.col("sb").cast("double") / n
+    va = F.col("saa").cast("double") / n - ma * ma
+    vb = F.col("sbb").cast("double") / n - mb * mb
+    cab = F.col("sab").cast("double") / n - ma * mb
+    den = va + vb - 2.0 * cab
+    w = (vb - cab) / den
+    tden = vb * ma - cab * mb + va * mb - cab * ma
+    return m.select(
+        r6(F.when(den > 0, w)).alias("w_minvar_a"),
+        r6(F.when(den > 0, (w * ma + (1.0 - w) * mb) / 1e6)).alias("minvar_ret"),
+        r6(
+            F.when(
+                den > 0,
+                F.sqrt(w * w * va + (1.0 - w) * (1.0 - w) * vb + 2.0 * w * (1.0 - w) * cab)
+                / 1e6,
+            )
+        ).alias("minvar_vol"),
+        r6(F.when(tden != 0, (vb * ma - cab * mb) / tden)).alias("w_tangency_a"),
+    )

@@ -7640,3 +7640,87 @@ def events_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@q(
+    "events_ks_test",
+    """
+WITH kv AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'view')
+),
+kn AS (
+  SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2
+  FROM kv
+),
+kd AS (
+  SELECT c,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS c2
+  FROM kv GROUP BY c
+),
+kc AS (
+  SELECT c,
+         SUM(c1) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f1,
+         SUM(c2) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS f2
+  FROM kd
+),
+kmax AS (
+  SELECT MAX(ABS(f1 * (SELECT n2 FROM kn) - f2 * (SELECT n1 FROM kn))) AS dnum
+  FROM kc
+)
+SELECT CAST((SELECT n1 FROM kn) AS BIGINT) AS n_click,
+       CAST((SELECT n2 FROM kn) AS BIGINT) AS n_view,
+       ROUND(CAST((SELECT dnum FROM kmax) AS DOUBLE)
+             / ((SELECT n1 FROM kn) * CAST((SELECT n2 FROM kn) AS DOUBLE)), 6) AS ks_d,
+       ROUND(CAST((SELECT dnum FROM kmax) AS DOUBLE)
+             / ((SELECT n1 FROM kn) * CAST((SELECT n2 FROM kn) AS DOUBLE))
+             * sqrt(CAST((SELECT n1 FROM kn) AS DOUBLE) * (SELECT n2 FROM kn)
+                    / ((SELECT n1 FROM kn) + (SELECT n2 FROM kn))), 6) AS ks_stat
+""",
+)
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the click and
+    view value distributions: D = max|F₁−F₂| computed on INTEGER
+    cross-multiplied CDF counts (|f₁·n₂ − f₂·n₁| — no float CDFs at all,
+    so the max is exact), plus the √(n₁n₂/(n₁+n₂))-scaled statistic. The
+    distribution-shift test for numeric columns, distribution-collapsed
+    first so the scan is one aggregate + one tiny ordered window."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    kv = ev.select(
+        "event_type", F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("c")
+    )
+    kn = kv.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n2"),
+    )
+    kd = kv.groupBy("c").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("c2"),
+    )
+    wc = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    kc = kd.select(
+        F.sum("c1").over(wc).alias("f1"), F.sum("c2").over(wc).alias("f2")
+    )
+    kmax = (
+        kc.crossJoin(F.broadcast(kn))
+        .agg(
+            F.max(
+                F.abs(F.col("f1") * F.col("n2") - F.col("f2") * F.col("n1"))
+            ).alias("dnum")
+        )
+    )
+    out = kmax.crossJoin(F.broadcast(kn))
+    d = F.col("dnum").cast("double") / (F.col("n1") * F.col("n2").cast("double"))
+    stat = d * F.sqrt(
+        F.col("n1").cast("double") * F.col("n2") / (F.col("n1") + F.col("n2"))
+    )
+    return out.select(
+        F.col("n1").cast("long").alias("n_click"),
+        F.col("n2").cast("long").alias("n_view"),
+        r6(d).alias("ks_d"),
+        r6(stat).alias("ks_stat"),
+    )

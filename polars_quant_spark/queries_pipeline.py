@@ -7724,3 +7724,104 @@ def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(d).alias("ks_d"),
         r6(stat).alias("ks_stat"),
     )
+
+
+@q(
+    "events_mannwhitney",
+    """
+WITH mv AS (
+  SELECT event_type, CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type IN ('click', 'view')
+),
+mg AS (
+  SELECT c,
+         SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c1,
+         COUNT(*) AS ct
+  FROM mv GROUP BY c
+),
+mr AS (
+  -- doubled mid-rank of a tie group = lo + hi (stays integer):
+  -- lo = prefix count before group + 1, hi = prefix count incl. group
+  SELECT c, c1, ct,
+         COALESCE(SUM(ct) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS pre
+  FROM mg
+),
+ms AS (
+  SELECT SUM(c1 * (2 * pre + ct + 1)) AS r2_1,     -- 2·(rank sum of click)
+         SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie3
+  FROM mr
+),
+mn AS (
+  SELECT SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n2
+  FROM mv
+)
+SELECT CAST(n1 AS BIGINT) AS n_click, CAST(n2 AS BIGINT) AS n_view,
+       ROUND((CAST((SELECT r2_1 FROM ms) AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+             / (CAST(n1 AS DOUBLE) * n2), 6) AS auc,
+       ROUND(((CAST((SELECT r2_1 FROM ms) AS DOUBLE) / 2.0
+               - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+              - CAST(n1 AS DOUBLE) * n2 / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * n2 / 12.0
+                    * ((n1 + n2 + 1.0)
+                       - CAST((SELECT tie3 FROM ms) AS DOUBLE)
+                         / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2 - 1.0)))), 6) AS z
+FROM mn
+""",
+)
+def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tie-corrected Mann–Whitney U between the click and view value
+    samples: the rank-sum AUC (P(click > view), the effect size every
+    experimentation platform reports for skewed metrics) and the normal-
+    approximation z. Doubled mid-ranks keep tie handling in exact
+    integers (lo+hi per tie group); the tie-correction Σ(t³−t) runs in
+    HUGEINT/decimal. Distribution-collapsed: one value-histogram
+    aggregate, one ordered prefix window over distinct values."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view")
+    )
+    mv = ev.select(
+        "event_type", F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("c")
+    )
+    mg = mv.groupBy("c").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("c1"),
+        F.count(F.lit(1)).alias("ct"),
+    )
+    wp = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    mr = mg.select(
+        "c", "c1", "ct", F.coalesce(F.sum("ct").over(wp), F.lit(0)).alias("pre")
+    )
+    dec = "decimal(38,0)"
+    ms = mr.agg(
+        F.sum(F.col("c1") * (2 * F.col("pre") + F.col("ct") + 1)).alias("r2_1"),
+        F.sum(
+            F.col("ct").cast(dec) * F.col("ct") * F.col("ct") - F.col("ct")
+        ).alias("tie3"),
+    )
+    mn = mv.agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("n2"),
+    )
+    j = mn.crossJoin(F.broadcast(ms))
+    n1 = F.col("n1")
+    n2 = F.col("n2")
+    u = F.col("r2_1").cast("double") / 2.0 - n1.cast("double") * (n1 + 1) / 2.0
+    auc = u / (n1.cast("double") * n2)
+    sig = F.sqrt(
+        n1.cast("double")
+        * n2
+        / 12.0
+        * (
+            (n1 + n2 + 1.0)
+            - F.col("tie3").cast("double") / ((n1 + n2).cast("double") * (n1 + n2 - 1.0))
+        )
+    )
+    z = (u - n1.cast("double") * n2 / 2.0) / sig
+    return j.select(
+        n1.cast("long").alias("n_click"),
+        n2.cast("long").alias("n_view"),
+        r6(auc).alias("auc"),
+        r6(z).alias("z"),
+    )

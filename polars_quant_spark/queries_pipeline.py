@@ -7825,3 +7825,80 @@ def events_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(auc).alias("auc"),
         r6(z).alias("z"),
     )
+
+
+@q(
+    "events_chi2_independence",
+    """
+WITH ob AS (
+  SELECT event_type, CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INTEGER) AS dow,
+         COUNT(*) AS o
+  FROM events GROUP BY 1, 2
+),
+rt AS (SELECT event_type, SUM(o) AS rsum FROM ob GROUP BY event_type),
+ct AS (SELECT dow, SUM(o) AS csum FROM ob GROUP BY dow),
+tt AS (SELECT SUM(o) AS n FROM ob),
+terms AS (
+  SELECT ob.event_type, ob.dow,
+         CAST(FLOOR((CAST(ob.o AS DOUBLE)
+                     - CAST(rt.rsum AS DOUBLE) * ct.csum / (SELECT n FROM tt))
+                    * (CAST(ob.o AS DOUBLE)
+                       - CAST(rt.rsum AS DOUBLE) * ct.csum / (SELECT n FROM tt))
+                    / (CAST(rt.rsum AS DOUBLE) * ct.csum / (SELECT n FROM tt))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS qterm
+  FROM ob JOIN rt ON rt.event_type = ob.event_type JOIN ct ON ct.dow = ob.dow
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+       ROUND(CAST(SUM(qterm) AS DOUBLE) / 1000000000.0, 6) AS chi2,
+       CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+         * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof
+FROM terms
+""",
+)
+def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """χ² independence test: is event type independent of weekday? The
+    contingency table, marginals and expected counts are exact integers /
+    single divisions; each cell's (O−E)²/E nano-quantizes before the
+    order-free sum. The usage-pattern seasonality tester — one aggregate
+    plus two tiny marginal frames."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ob = (
+        ev0.select(ts_us_expr(ev0).alias("ts_us"), "event_type")
+        .select(
+            "event_type",
+            F.expr("CAST((ts_us DIV 86400000000 + 4) % 7 AS INT)").alias("dow"),
+        )
+        .groupBy("event_type", "dow")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = ob.groupBy("event_type").agg(F.sum("o").alias("rsum"))
+    ct = ob.groupBy("dow").agg(F.sum("o").alias("csum"))
+    tt = ob.agg(F.sum("o").alias("n"))
+    nr = rt.agg(F.count(F.lit(1)).alias("nr"))
+    nc = ct.agg(F.count(F.lit(1)).alias("nc"))
+    j = (
+        ob.join(F.broadcast(rt), "event_type")
+        .join(F.broadcast(ct), "dow")
+        .crossJoin(F.broadcast(tt))
+    )
+    e = F.col("rsum").cast("double") * F.col("csum") / F.col("n")
+    qterm = F.floor(
+        (F.col("o").cast("double") - e) * (F.col("o").cast("double") - e) / e * 1e9
+        + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.select(qterm.alias("qterm"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_cells"),
+            r6(F.sum("qterm").cast("double") / 1e9).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select(
+            "n_cells",
+            "chi2",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
+        )
+    )

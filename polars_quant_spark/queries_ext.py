@@ -5417,3 +5417,103 @@ def bars_two_asset_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("minvar_vol"),
         r6(F.when(tden != 0, (vb * ma - cab * mb) / tden)).alias("w_tangency_a"),
     )
+
+
+@q(
+    "bars_ljung_box",
+    BARS_CTE
+    + """,
+lbr AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+lbl AS (
+  SELECT symbol, qr,
+         LAG(qr, 1) OVER o AS l1, LAG(qr, 2) OVER o AS l2,
+         LAG(qr, 3) OVER o AS l3, LAG(qr, 4) OVER o AS l4,
+         LAG(qr, 5) OVER o AS l5
+  FROM lbr WHERE qr IS NOT NULL
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+),
+lbs AS (
+  SELECT symbol, COUNT(*) AS n, SUM(qr) AS s1,
+         SUM(CAST(qr AS HUGEINT) * qr) AS s2,
+         SUM(CASE WHEN l1 IS NOT NULL THEN CAST(qr AS HUGEINT) * l1 END) AS p1,
+         SUM(CASE WHEN l2 IS NOT NULL THEN CAST(qr AS HUGEINT) * l2 END) AS p2,
+         SUM(CASE WHEN l3 IS NOT NULL THEN CAST(qr AS HUGEINT) * l3 END) AS p3,
+         SUM(CASE WHEN l4 IS NOT NULL THEN CAST(qr AS HUGEINT) * l4 END) AS p4,
+         SUM(CASE WHEN l5 IS NOT NULL THEN CAST(qr AS HUGEINT) * l5 END) AS p5
+  FROM lbl GROUP BY symbol
+)
+SELECT symbol,
+       ROUND(CAST(n AS DOUBLE) * (n + 2.0) * (
+         ((CAST(p1 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+         * ((CAST(p1 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) / (n - 1.0)
+         + ((CAST(p2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+         * ((CAST(p2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) / (n - 2.0)
+         + ((CAST(p3 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+         * ((CAST(p3 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) / (n - 3.0)
+         + ((CAST(p4 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+         * ((CAST(p4 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) / (n - 4.0)
+         + ((CAST(p5 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)))
+         * ((CAST(p5 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+          / (CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) / (n - 5.0)
+       ), 6) AS lb_q5
+FROM lbs
+ORDER BY symbol
+""",
+)
+def bars_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung–Box Q(5) per symbol: n(n+2)·Σ ρ̂²_k/(n−k) over lags 1–5 —
+    the portmanteau 'is there ANY autocorrelation' test (χ²₅ under the
+    random-walk null). Lag products are exact integer sums (one window
+    pass provides all five lags); the ρ̂ estimates use the simplified
+    common-mean/variance form, mirrored term-for-term in both engines."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    lags = r.select(
+        "symbol",
+        "qr",
+        *[F.lag("qr", k).over(o).alias(f"l{k}") for k in range(1, 6)],
+    )
+    dec = "decimal(38,0)"
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qr").alias("s1"),
+        F.sum(F.col("qr").cast(dec) * F.col("qr")).alias("s2"),
+    ] + [
+        F.sum(
+            F.when(
+                F.col(f"l{k}").isNotNull(), F.col("qr").cast(dec) * F.col(f"l{k}")
+            )
+        ).alias(f"p{k}")
+        for k in range(1, 6)
+    ]
+    s = lags.groupBy("symbol").agg(*aggs)
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mu * mu
+
+    def rho(k):
+        return (F.col(f"p{k}").cast("double") / n - mu * mu) / var
+
+    q = n.cast("double") * (n + 2.0) * sum(
+        (rho(k) * rho(k) / (n - float(k)) for k in range(2, 6)),
+        rho(1) * rho(1) / (n - 1.0),
+    )
+    return s.select("symbol", r6(q).alias("lb_q5")).orderBy("symbol")

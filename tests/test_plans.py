@@ -507,3 +507,32 @@ def test_round2_additions_plan_hygiene(spark, sf_dir):
     for name in ("bars_range_vol", "bars_hurst", "events_k_anonymity", "doc_char_entropy"):
         p = plan_str(QUERIES[name](spark, sf_dir))
         assert "Join" not in p, name
+
+
+def test_round2_wave2_plan_hygiene(spark, sf_dir):
+    """Second wave: statistical tests, CF, sampling, SCD-2 — bounded
+    plans only (scalar broadcasts allowed, no CartesianProduct)."""
+    from polars_quant_spark.plans.inspect import plan_str
+
+    for name in (
+        "events_ks_test",
+        "events_mannwhitney",
+        "events_chi2_independence",
+        "events_benford",
+        "bars_ljung_box",
+        "bars_two_asset_frontier",
+        "rel_item_cf",
+        "doc_weighted_sample",
+        "rel_scd2_asof",
+        "events_multitouch_attribution",
+        "doc_incremental_dedup",
+        "doc_bigram_perplexity",
+        "emb_pca_power",
+        "doc_lsh_recall",
+    ):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+    # runs test / moment ladders stay join-free
+    for name in ("bars_runs_test", "doc_readability", "doc_tokenizer_fertility"):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "Join" not in p, name

@@ -7902,3 +7902,155 @@ def events_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("long").alias("dof"),
         )
     )
+
+
+@q(
+    "events_theil_sen",
+    """
+WITH tsd AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(*) AS y FROM events GROUP BY 1
+),
+tsp AS (
+  SELECT CAST(FLOOR(CAST(b.y - a.y AS DOUBLE) / (b.day - a.day) * 1000000.0 + 0.5)
+              AS BIGINT) AS qslope
+  FROM tsd a JOIN tsd b ON b.day > a.day
+),
+tsr AS (
+  SELECT qslope,
+         ROW_NUMBER() OVER (ORDER BY qslope) AS r,
+         COUNT(*) OVER () AS n
+  FROM tsp
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+       ROUND(CAST(MAX(CASE WHEN r = CAST(CEIL(0.5 * n) AS BIGINT) THEN qslope END)
+                  AS DOUBLE) / 1000000.0, 6) AS theil_sen_slope
+FROM tsr
+""",
+)
+def events_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil–Sen robust trend of daily event volume: the median pairwise
+    slope — immune to the outlier days that wreck an OLS trend. The pair
+    fan-out is over the DAY-collapsed series (k days → k²/2 pairs, bounded
+    regardless of event count); slopes micro-quantize and the median is
+    the exact rank-select. The robust twin of the OLS growth estimate."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    d = (
+        ev0.select(ts_us_expr(ev0).alias("ts_us"))
+        .select(F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    a = d.select(F.col("day").alias("da"), F.col("y").alias("ya"))
+    b = d.select(F.col("day").alias("db"), F.col("y").alias("yb"))
+    pairs = a.join(F.broadcast(b), F.col("db") > F.col("da")).select(
+        F.floor(
+            (F.col("yb") - F.col("ya")).cast("double")
+            / (F.col("db") - F.col("da"))
+            * 1e6
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("qslope")
+    )
+    wr = Window.orderBy("qslope")
+    wall = Window.partitionBy()
+    r = pairs.select(
+        "qslope",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    return r.agg(
+        F.max("n").cast("long").alias("n_pairs"),
+        r6(
+            F.max(
+                F.when(
+                    F.col("r") == F.ceil(F.lit(0.5) * F.col("n")).cast("long"),
+                    F.col("qslope"),
+                )
+            ).cast("double")
+            / 1e6
+        ).alias("theil_sen_slope"),
+    )
+
+
+@q(
+    "events_forecast_eval",
+    ORACLES_HOLT.replace(
+        """SELECT b.day, CAST(b.y AS BIGINT) AS n_events,
+       ROUND(r.l, 6) AS holt_level,
+       ROUND(r.t, 6) AS holt_trend,
+       ROUND(LAG(r.l) OVER (ORDER BY b.rn) + LAG(r.t) OVER (ORDER BY b.rn), 6)
+         AS holt_forecast
+FROM base b JOIN rec r ON b.rn = r.rn
+ORDER BY b.day""",
+        """, fc AS (
+  SELECT b.rn, b.y,
+         LAG(r.l) OVER (ORDER BY b.rn) + LAG(r.t) OVER (ORDER BY b.rn) AS f_holt,
+         LAG(b.y, 1) OVER (ORDER BY b.rn) AS f_naive,
+         LAG(b.y, 7) OVER (ORDER BY b.rn) AS f_seasonal
+  FROM base b JOIN rec r ON b.rn = r.rn
+),
+errs AS (
+  SELECT
+    SUM(CASE WHEN f_holt IS NOT NULL AND f_seasonal IS NOT NULL
+         THEN ABS(CAST(FLOOR(f_holt * 1000000.0 + 0.5) AS BIGINT)
+                  - CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT)) END) AS e_holt,
+    SUM(CASE WHEN f_naive IS NOT NULL AND f_seasonal IS NOT NULL
+         THEN ABS(CAST(FLOOR(f_naive * 1000000.0 + 0.5) AS BIGINT)
+                  - CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT)) END) AS e_naive,
+    SUM(CASE WHEN f_seasonal IS NOT NULL AND f_holt IS NOT NULL
+         THEN ABS(CAST(FLOOR(f_seasonal * 1000000.0 + 0.5) AS BIGINT)
+                  - CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT)) END) AS e_seas,
+    SUM(CASE WHEN f_holt IS NOT NULL AND f_seasonal IS NOT NULL THEN 1 ELSE 0 END) AS n
+  FROM fc
+)
+SELECT CAST(n AS BIGINT) AS n_evaluated,
+       ROUND(CAST(e_holt AS DOUBLE) / 1000000.0 / n, 6) AS mae_holt,
+       ROUND(CAST(e_naive AS DOUBLE) / 1000000.0 / n, 6) AS mae_naive,
+       ROUND(CAST(e_seas AS DOUBLE) / 1000000.0 / n, 6) AS mae_seasonal,
+       ROUND(CAST(e_holt AS DOUBLE) / e_naive, 6) AS mase_vs_naive
+FROM errs""",
+    ),
+)
+def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-accuracy scoreboard on the daily event-volume series: MAE
+    of the Holt one-step forecast vs the naive (yesterday) and
+    seasonal-naive (last week) baselines, plus MASE (Holt/naive — <1
+    means the model earns its keep). Errors micro-quantize before the
+    sums; all three forecasts score over the SAME evaluable days so the
+    comparison is apples-to-apples."""
+    holt_df = QUERIES["events_holt_daily"](spark, sf_dir)
+    wd = Window.orderBy("day")
+    fc = holt_df.select(
+        "day",
+        F.col("n_events").cast("double").alias("y"),
+        F.col("holt_forecast").alias("f_holt"),
+        F.lag(F.col("n_events").cast("double"), 1).over(wd).alias("f_naive"),
+        F.lag(F.col("n_events").cast("double"), 7).over(wd).alias("f_seasonal"),
+    )
+
+    def qabs(f):
+        return F.abs(
+            F.floor(F.col(f) * 1e6 + F.lit(0.5)).cast("long")
+            - F.floor(F.col("y") * 1e6 + F.lit(0.5)).cast("long")
+        )
+
+    both = F.col("f_holt").isNotNull() & F.col("f_seasonal").isNotNull()
+    naive_ok = F.col("f_naive").isNotNull() & F.col("f_seasonal").isNotNull() & F.col(
+        "f_holt"
+    ).isNotNull()
+    errs = fc.agg(
+        F.sum(F.when(both, qabs("f_holt"))).alias("e_holt"),
+        F.sum(F.when(naive_ok, qabs("f_naive"))).alias("e_naive"),
+        F.sum(F.when(both, qabs("f_seasonal"))).alias("e_seas"),
+        F.sum(F.when(both, 1).otherwise(0)).alias("n"),
+    )
+    return errs.select(
+        F.col("n").cast("long").alias("n_evaluated"),
+        r6(F.col("e_holt").cast("double") / 1e6 / F.col("n")).alias("mae_holt"),
+        r6(F.col("e_naive").cast("double") / 1e6 / F.col("n")).alias("mae_naive"),
+        r6(F.col("e_seas").cast("double") / 1e6 / F.col("n")).alias("mae_seasonal"),
+        r6(F.col("e_holt").cast("double") / F.col("e_naive")).alias("mase_vs_naive"),
+    )

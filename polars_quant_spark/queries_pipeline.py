@@ -8054,3 +8054,133 @@ def events_forecast_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("e_seas").cast("double") / 1e6 / F.col("n")).alias("mae_seasonal"),
         r6(F.col("e_holt").cast("double") / F.col("e_naive")).alias("mase_vs_naive"),
     )
+
+
+@q(
+    "events_entropy_rate",
+    """
+WITH er AS (
+  SELECT event_type AS cur,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+),
+ec AS (
+  SELECT cur, nxt, COUNT(*) AS c FROM er WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+em AS (SELECT cur, SUM(c) AS rc FROM ec GROUP BY cur),
+et AS (SELECT SUM(c) AS n FROM ec),
+terms AS (
+  SELECT CAST(FLOOR(-(CAST(ec.c AS DOUBLE) / (SELECT n FROM et))
+                    * log2(CAST(ec.c AS DOUBLE) / em.rc)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS qterm
+  FROM ec JOIN em ON em.cur = ec.cur
+),
+uterms AS (
+  SELECT CAST(FLOOR(-(CAST(rc AS DOUBLE) / (SELECT n FROM et))
+                    * log2(CAST(rc AS DOUBLE) / (SELECT n FROM et))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS qm
+  FROM em
+)
+SELECT ROUND(CAST((SELECT SUM(qm) FROM uterms) AS DOUBLE) / 1000000000.0, 6)
+         AS marginal_entropy_bits,
+       ROUND(CAST((SELECT SUM(qterm) FROM terms) AS DOUBLE) / 1000000000.0, 6)
+         AS entropy_rate_bits,
+       ROUND(1.0 - (CAST((SELECT SUM(qterm) FROM terms) AS DOUBLE)
+                    / CAST((SELECT SUM(qm) FROM uterms) AS DOUBLE)), 6)
+         AS predictability_gain
+""",
+)
+def events_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy rate of the user event-type process: H(next|current) from
+    the empirical transition matrix vs the marginal entropy H(next) — the
+    gap is how much knowing the current event buys a predictor (the
+    information-theoretic ceiling for events_next_event_eval). Terms
+    nano-quantize before the sums; transitions come from one LEAD pass."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    er = ev0.select(
+        "user_id", "event_id", "event_type", ts_us_expr(ev0).alias("ts_us")
+    ).select(
+        F.col("event_type").alias("cur"), F.lead("event_type").over(wu).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    ec = er.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    em = ec.groupBy("cur").agg(F.sum("c").alias("rc"))
+    et = ec.agg(F.sum("c").alias("n"))
+    terms = (
+        ec.join(F.broadcast(em), "cur")
+        .crossJoin(F.broadcast(et))
+        .select(
+            F.floor(
+                -(F.col("c").cast("double") / F.col("n"))
+                * F.log2(F.col("c").cast("double") / F.col("rc"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qterm")
+        )
+        .agg(F.sum("qterm").alias("sq"))
+    )
+    uterms = (
+        em.crossJoin(F.broadcast(et))
+        .select(
+            F.floor(
+                -(F.col("rc").cast("double") / F.col("n"))
+                * F.log2(F.col("rc").cast("double") / F.col("n"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qm")
+        )
+        .agg(F.sum("qm").alias("sm"))
+    )
+    return (
+        terms.crossJoin(F.broadcast(uterms))
+        .select(
+            r6(F.col("sm").cast("double") / 1e9).alias("marginal_entropy_bits"),
+            r6(F.col("sq").cast("double") / 1e9).alias("entropy_rate_bits"),
+            r6(
+                1.0 - F.col("sq").cast("double") / F.col("sm").cast("double")
+            ).alias("predictability_gain"),
+        )
+    )
+
+
+@q(
+    "rel_sql_interface",
+    """
+SELECT n.n_name AS nation,
+       COUNT(DISTINCT c.c_custkey) AS n_customers,
+       CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 100.0 AS total_revenue
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name
+ORDER BY nation
+""",
+)
+def rel_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front door: tables registered as temp views and the query
+    expressed as a plain ANSI string through spark.sql() — proving the
+    engine's surface is not DataFrame-only (the oracle twin IS the same
+    SQL, modulo epoch literals). Catalyst sees the identical plan either
+    way; the dimension joins broadcast."""
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(
+        """
+        SELECT n.n_name AS nation,
+               COUNT(DISTINCT c.c_custkey) AS n_customers,
+               CAST(SUM(CAST(FLOOR(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 100.0 AS total_revenue
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+        ORDER BY nation
+        """
+    )

@@ -8184,3 +8184,88 @@ def rel_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY nation
         """
     )
+
+
+@q(
+    "emb_dim_profile",
+    """
+WITH dq AS (
+  SELECT list_transform(embedding,
+           x -> CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)) AS qv
+  FROM embeddings
+),
+didx AS (SELECT unnest(range(1, 65)) AS p),
+dm AS (
+  SELECT i.p - 1 AS dim, COUNT(*) AS n,
+         SUM(qv[i.p]) AS s1,
+         SUM(CAST(qv[i.p] AS HUGEINT) * qv[i.p]) AS s2
+  FROM dq, didx i GROUP BY 1
+),
+dv AS (
+  SELECT dim,
+         CAST(FLOOR((CAST(s2 AS DOUBLE) / n
+                     - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                    + 0.5) AS BIGINT) AS qvar
+  FROM dm
+),
+ds AS (
+  SELECT SUM(qvar) AS sv, SUM(CAST(qvar AS HUGEINT) * qvar) AS sv2,
+         COUNT(*) AS nd,
+         MAX(qvar) AS mx
+  FROM dv
+),
+dt AS (
+  SELECT dim FROM dv ORDER BY qvar DESC, dim LIMIT 1
+)
+SELECT CAST(nd AS INTEGER) AS n_dims,
+       ROUND(CAST(sv AS DOUBLE) * sv / CAST(sv2 AS DOUBLE), 6) AS effective_dims,
+       CAST((SELECT dim FROM dt) AS INTEGER) AS top_var_dim,
+       ROUND(CAST(sv AS DOUBLE) / nd / 1000000000000.0, 6) AS mean_var
+FROM ds
+""",
+)
+def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding dimension health: per-dim variances (exact integer
+    moments, quantized to whole micro² units), the participation ratio
+    (Σv)²/Σv² as the EFFECTIVE dimensionality (64 dims all alike → 64;
+    one dominant dim → 1 — the anisotropy/collapse detector), the
+    dominant dimension and the mean variance. One explode + two tiny
+    aggregates."""
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
+    dq = emb.select(
+        F.posexplode(
+            F.transform(
+                "embedding",
+                lambda x: F.floor(x.cast("double") * 1e6 + F.lit(0.5)).cast("long"),
+            )
+        ).alias("dim", "qx")
+    )
+    dec = "decimal(38,0)"
+    dm = dq.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("s1"),
+        F.sum(F.col("qx").cast(dec) * F.col("qx")).alias("s2"),
+    )
+    var = F.col("s2").cast("double") / F.col("n") - (
+        F.col("s1").cast("double") / F.col("n")
+    ) * (F.col("s1").cast("double") / F.col("n"))
+    dv = dm.select("dim", F.floor(var + F.lit(0.5)).cast("long").alias("qvar"))
+    ds = dv.agg(
+        F.sum("qvar").alias("sv"),
+        F.sum(F.col("qvar").cast(dec) * F.col("qvar")).alias("sv2"),
+        F.count(F.lit(1)).alias("nd"),
+    )
+    dt = dv.orderBy(F.col("qvar").desc(), F.col("dim")).limit(1).select(
+        F.col("dim").cast("int").alias("top_var_dim")
+    )
+    return (
+        ds.crossJoin(F.broadcast(dt))
+        .select(
+            F.col("nd").cast("int").alias("n_dims"),
+            r6(
+                F.col("sv").cast("double") * F.col("sv") / F.col("sv2").cast("double")
+            ).alias("effective_dims"),
+            "top_var_dim",
+            r6(F.col("sv").cast("double") / F.col("nd") / 1e12).alias("mean_var"),
+        )
+    )

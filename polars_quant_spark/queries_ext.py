@@ -5517,3 +5517,104 @@ def bars_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         rho(1) * rho(1) / (n - 1.0),
     )
     return s.select("symbol", r6(q).alias("lb_q5")).orderBy("symbol")
+
+
+@q(
+    "bars_lead_lag",
+    BARS_CTE
+    + """,
+llp AS (
+  SELECT t,
+         CAST(FLOOR((MAX(CASE WHEN symbol = 'click' THEN close END)
+                     / LAG(MAX(CASE WHEN symbol = 'click' THEN close END)) OVER (ORDER BY t)
+                     - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS ra,
+         CAST(FLOOR((MAX(CASE WHEN symbol = 'view' THEN close END)
+                     / LAG(MAX(CASE WHEN symbol = 'view' THEN close END)) OVER (ORDER BY t)
+                     - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS rb
+  FROM bars WHERE symbol IN ('click', 'view') GROUP BY t
+  HAVING COUNT(DISTINCT symbol) = 2
+),
+lll AS (
+  SELECT k.k AS lag,
+         ra,
+         CASE WHEN k.k >= 0 THEN LAG(rb, k.k) OVER (PARTITION BY k.k ORDER BY t)
+              ELSE LEAD(rb, -k.k) OVER (PARTITION BY k.k ORDER BY t) END AS rbl
+  FROM llp CROSS JOIN (SELECT unnest([-3, -2, -1, 0, 1, 2, 3]) AS k) k
+  WHERE ra IS NOT NULL AND rb IS NOT NULL
+),
+lls AS (
+  SELECT lag, COUNT(*) AS n, SUM(ra) AS sa, SUM(rbl) AS sb,
+         SUM(CAST(ra AS HUGEINT) * rbl) AS sab,
+         SUM(CAST(ra AS HUGEINT) * ra) AS saa,
+         SUM(CAST(rbl AS HUGEINT) * rbl) AS sbb
+  FROM lll WHERE rbl IS NOT NULL GROUP BY lag
+)
+SELECT CAST(lag AS INTEGER) AS lag,
+       ROUND(CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+         CAST(n * sab - sa * sb AS DOUBLE)
+         / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))
+       END, 6) AS xcorr
+FROM lls
+ORDER BY lag
+""",
+)
+def bars_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lead–lag cross-correlogram of the (click, view) return pair at lags
+    −3..+3: corr(ra_t, rb_{t−k}) — an asymmetric profile means one asset's
+    moves anticipate the other's (the price-discovery / information-flow
+    map). The 7-lag fan-out is a broadcast of the lag list against the
+    day-aligned pair series; every moment is an exact integer."""
+    b = bars(spark, sf_dir).where(F.col("symbol").isin("click", "view"))
+    px = (
+        b.groupBy("t")
+        .agg(
+            F.max(F.when(F.col("symbol") == "click", F.col("close"))).alias("ca"),
+            F.max(F.when(F.col("symbol") == "view", F.col("close"))).alias("cb"),
+            F.count_distinct("symbol").alias("_ns"),
+        )
+        .where(F.col("_ns") == 2)
+    )
+    wo = Window.orderBy("t")
+
+    def qret(c):
+        return F.floor(
+            (F.col(c) / F.lag(c).over(wo) - 1.0) * 1e6 + F.lit(0.5)
+        ).cast("long")
+
+    r = px.select("t", qret("ca").alias("ra"), qret("cb").alias("rb")).where(
+        F.col("ra").isNotNull() & F.col("rb").isNotNull()
+    )
+    ks = spark.range(-3, 4).select(F.col("id").cast("int").alias("lag"))
+    ll = r.crossJoin(F.broadcast(ks))
+    wk = Window.partitionBy("lag").orderBy("t")
+    # lag()/lead() need literal offsets; expand the 7 cases explicitly
+    cases = None
+    for k in range(-3, 4):
+        v = (
+            F.lag("rb", k).over(wk)
+            if k >= 0
+            else F.lead("rb", -k).over(wk)
+        )
+        c = F.when(F.col("lag") == k, v)
+        cases = c if cases is None else cases.when(F.col("lag") == k, v)
+    lll = ll.select("lag", "ra", cases.alias("rbl")).where(F.col("rbl").isNotNull())
+    dec = "decimal(38,0)"
+    s = lll.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rbl").alias("sb"),
+        F.sum(F.col("ra").cast(dec) * F.col("rbl")).alias("sab"),
+        F.sum(F.col("ra").cast(dec) * F.col("ra")).alias("saa"),
+        F.sum(F.col("rbl").cast(dec) * F.col("rbl")).alias("sbb"),
+    )
+    n = F.col("n").cast(dec)
+    dxy = n * F.col("sab") - F.col("sa").cast(dec) * F.col("sb")
+    dxx = n * F.col("saa") - F.col("sa").cast(dec) * F.col("sa")
+    dyy = n * F.col("sbb") - F.col("sb").cast(dec) * F.col("sb")
+    xc = F.when(
+        (dxx > 0) & (dyy > 0),
+        dxy.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return s.select(F.col("lag").cast("int").alias("lag"), r6(xc).alias("xcorr")).orderBy(
+        "lag"
+    )

@@ -8269,3 +8269,93 @@ def emb_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.col("sv").cast("double") / F.col("nd") / 1e12).alias("mean_var"),
         )
     )
+
+
+@q(
+    "rel_data_profile",
+    """
+WITH src AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, o_orderpriority
+  FROM orders
+)
+SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
+       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+       CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
+       CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
+FROM src
+UNION ALL
+SELECT 'o_custkey', COUNT(*),
+       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+       CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
+FROM src
+UNION ALL
+SELECT 'o_orderstatus', COUNT(*),
+       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+       MIN(o_orderstatus), MAX(o_orderstatus)
+FROM src
+UNION ALL
+SELECT 'o_totalprice', COUNT(*),
+       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       CAST(COUNT(DISTINCT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT),
+       CAST(CAST(FLOOR(MIN(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS VARCHAR),
+       CAST(CAST(FLOOR(MAX(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+FROM src
+UNION ALL
+SELECT 'o_orderpriority', COUNT(*),
+       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+       MIN(o_orderpriority), MAX(o_orderpriority)
+FROM src
+ORDER BY column_name
+""",
+)
+def rel_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Column-level data profile of the orders table — row count, null
+    count, exact distinct cardinality, min/max rendered as strings (floats
+    via exact cents so the string forms agree across engines) — the
+    ingestion-gate profiler every warehouse runs on landing. One scan per
+    profiled column via a unioned aggregate (Catalyst shares the scan)."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col, distinct_expr=None, minmax_exprs=None):
+        de = distinct_expr if distinct_expr is not None else F.col(col)
+        mn, mx = (
+            minmax_exprs
+            if minmax_exprs is not None
+            else (F.min(col).cast("string"), F.max(col).cast("string"))
+        )
+        return o.agg(
+            F.lit(col).alias("column_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col(col).isNull(), 1).otherwise(0)).alias("n_nulls"),
+            F.count_distinct(de).cast("long").alias("n_distinct"),
+            mn.alias("min_value"),
+            mx.alias("max_value"),
+        )
+
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    parts = [
+        prof("o_orderkey"),
+        prof("o_custkey"),
+        prof("o_orderstatus"),
+        prof(
+            "o_totalprice",
+            distinct_expr=cents,
+            minmax_exprs=(
+                F.floor(F.min("o_totalprice") * 100.0 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+                F.floor(F.max("o_totalprice") * 100.0 + F.lit(0.5))
+                .cast("long")
+                .cast("string"),
+            ),
+        ),
+        prof("o_orderpriority"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("column_name")

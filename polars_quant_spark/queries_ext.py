@@ -5618,3 +5618,68 @@ def bars_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(F.col("lag").cast("int").alias("lag"), r6(xc).alias("xcorr")).orderBy(
         "lag"
     )
+
+
+@q(
+    "bars_kyle_lambda",
+    BARS_CTE
+    + """,
+kl AS (
+  SELECT symbol,
+         CAST(FLOOR((close - LAG(close) OVER o) * 100.0 + 0.5) AS BIGINT) AS dp,
+         CAST(FLOOR(volume + 0.5) AS BIGINT)
+           * CASE WHEN close > LAG(close) OVER o THEN 1
+                  WHEN close < LAG(close) OVER o THEN -1 ELSE 0 END AS sv
+  FROM bars
+  WINDOW o AS (PARTITION BY symbol ORDER BY t)
+),
+km AS (
+  SELECT symbol, COUNT(*) AS n, SUM(dp) AS sp, SUM(sv) AS ss,
+         SUM(CAST(dp AS HUGEINT) * sv) AS sps,
+         SUM(CAST(sv AS HUGEINT) * sv) AS sss
+  FROM kl WHERE dp IS NOT NULL GROUP BY symbol
+)
+SELECT symbol,
+       ROUND(CASE WHEN n * sss - ss * ss > 0 THEN
+         CAST(n * sps - sp * ss AS DOUBLE) / CAST(n * sss - ss * ss AS DOUBLE)
+         * 10000.0 END, 6) AS kyle_lambda_bp_per_unit
+FROM km
+ORDER BY symbol
+""",
+)
+def bars_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kyle's λ per symbol: the OLS slope of price change on signed volume
+    (tick-rule signed) — price impact per unit of net order flow, the
+    microstructure liquidity cost the Amihud ratio approximates. Price
+    changes in exact cents, volumes in whole units; the n·Sxy − Sx·Sy
+    form keeps every moment integer. Scaled to basis-point-cents per
+    volume unit for readability."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    dp = F.floor((F.col("close") - F.lag("close").over(o)) * 100.0 + F.lit(0.5)).cast(
+        "long"
+    )
+    sgn = (
+        F.when(F.col("close") > F.lag("close").over(o), 1)
+        .when(F.col("close") < F.lag("close").over(o), -1)
+        .otherwise(0)
+    )
+    sv = F.floor(F.col("volume") + F.lit(0.5)).cast("long") * sgn
+    kl = b.select("symbol", dp.alias("dp"), sv.alias("sv")).where(
+        F.col("dp").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    km = kl.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dp").alias("sp"),
+        F.sum("sv").alias("ss"),
+        F.sum(F.col("dp").cast(dec) * F.col("sv")).alias("sps"),
+        F.sum(F.col("sv").cast(dec) * F.col("sv")).alias("sss"),
+    )
+    n = F.col("n").cast(dec)
+    num = n * F.col("sps") - F.col("sp").cast(dec) * F.col("ss")
+    den = n * F.col("sss") - F.col("ss").cast(dec) * F.col("ss")
+    lam = F.when(den > 0, num.cast("double") / den.cast("double") * 10000.0)
+    return km.select("symbol", r6(lam).alias("kyle_lambda_bp_per_unit")).orderBy(
+        "symbol"
+    )

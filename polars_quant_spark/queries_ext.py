@@ -5683,3 +5683,88 @@ def bars_kyle_lambda(spark: SparkSession, sf_dir: str) -> DataFrame:
     return km.select("symbol", r6(lam).alias("kyle_lambda_bp_per_unit")).orderBy(
         "symbol"
     )
+
+
+@q(
+    "bt_sharpe_inference",
+    BARS_CTE
+    + """,
+sir AS (
+  SELECT symbol,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+sis AS (
+  SELECT symbol, COUNT(*) AS n, SUM(qr) AS s1,
+         SUM(CAST(qr AS HUGEINT) * qr) AS s2,
+         SUM(CAST(qr AS HUGEINT) * qr * qr) AS s3,
+         SUM(CAST(qr AS HUGEINT) * qr * qr * qr) AS s4
+  FROM sir WHERE qr IS NOT NULL GROUP BY symbol
+),
+sim2 AS (
+  SELECT symbol, n,
+         CAST(s1 AS DOUBLE) / n AS m1, CAST(s2 AS DOUBLE) / n AS e2,
+         CAST(s3 AS DOUBLE) / n AS e3, CAST(s4 AS DOUBLE) / n AS e4
+  FROM sis
+),
+sim3 AS (
+  SELECT symbol, n, m1,
+         e2 - m1 * m1 AS m2,
+         e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1 AS m3,
+         e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2 - 3.0 * m1 * m1 * m1 * m1 AS m4
+  FROM sim2
+),
+sim4 AS (
+  SELECT symbol, n,
+         CASE WHEN m2 > 0 THEN m1 / sqrt(m2) END AS sr,
+         CASE WHEN m2 > 0 THEN m3 / (m2 * sqrt(m2)) END AS g3,
+         CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END AS g4
+  FROM sim3
+)
+SELECT symbol,
+       ROUND(sr, 6) AS sharpe_per_bar,
+       ROUND(CASE WHEN n > 1 AND 1.0 - g3 * sr + (g4 - 1.0) / 4.0 * sr * sr > 0 THEN
+         sr / sqrt((1.0 - g3 * sr + (g4 - 1.0) / 4.0 * sr * sr) / (n - 1.0)) END, 6)
+         AS psr_z
+FROM sim4
+ORDER BY symbol
+""",
+)
+def bt_sharpe_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic-Sharpe inference per symbol: the per-bar Sharpe and
+    its non-normality-adjusted z-score (Lo/Bailey–López de Prado standard
+    error using skew γ₃ and kurtosis γ₄ — fat tails and asymmetry widen
+    the error bars that a naive √n test ignores). Same exact integer power
+    sums as bars_moment_stats; the inference tail is mirrored literally."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = (
+        F.floor((F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .cast("decimal(38,0)")
+    )
+    r = b.select("symbol", qr.alias("qr")).where(F.col("qr").isNotNull())
+    s = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qr").alias("s1"),
+        F.sum(F.col("qr") * F.col("qr")).alias("s2"),
+        F.sum(F.col("qr") * F.col("qr") * F.col("qr")).alias("s3"),
+        F.sum(F.col("qr") * F.col("qr") * F.col("qr") * F.col("qr")).alias("s4"),
+    )
+    n = F.col("n")
+    m1 = F.col("s1").cast("double") / n
+    e2 = F.col("s2").cast("double") / n
+    e3 = F.col("s3").cast("double") / n
+    e4 = F.col("s4").cast("double") / n
+    m2 = e2 - m1 * m1
+    m3 = e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1
+    m4 = e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2 - 3.0 * m1 * m1 * m1 * m1
+    sr = F.when(m2 > 0, m1 / F.sqrt(m2))
+    g3 = F.when(m2 > 0, m3 / (m2 * F.sqrt(m2)))
+    g4 = F.when(m2 > 0, m4 / (m2 * m2))
+    adj = 1.0 - g3 * sr + (g4 - 1.0) / 4.0 * sr * sr
+    z = F.when((n > 1) & (adj > 0), sr / F.sqrt(adj / (n - 1.0)))
+    return s.select(
+        "symbol", r6(sr).alias("sharpe_per_bar"), r6(z).alias("psr_z")
+    ).orderBy("symbol")

@@ -5768,3 +5768,80 @@ def bt_sharpe_inference(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "symbol", r6(sr).alias("sharpe_per_bar"), r6(z).alias("psr_z")
     ).orderBy("symbol")
+
+
+@q(
+    "ind_linreg_channel",
+    BARS_CTE
+    + """,
+lrc AS (
+  SELECT symbol, t,
+         CAST(FLOOR(close * 100.0 + 0.5) AS BIGINT) AS qc,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM bars
+),
+lrm AS (
+  SELECT symbol, t, qc, rn,
+         COUNT(*) OVER w AS n,
+         SUM(rn) OVER w AS sx,
+         SUM(qc) OVER w AS sy,
+         SUM(CAST(rn AS HUGEINT) * qc) OVER w AS sxy,
+         SUM(CAST(rn AS HUGEINT) * rn) OVER w AS sxx,
+         SUM(CAST(qc AS HUGEINT) * qc) OVER w AS syy
+  FROM lrc
+  WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 59 PRECEDING AND CURRENT ROW)
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN n = 60 AND n * sxx - sx * sx != 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE) / 100.0
+       END, 6) AS lr_slope_60,
+       ROUND(CASE WHEN n = 60 AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+         / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+       END, 6) AS lr_r2_60
+FROM lrm
+ORDER BY symbol, t
+""",
+)
+def ind_linreg_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 60-bar linear-regression channel: price-on-time slope
+    (price units per bar) and R² — the trend-strength pair behind
+    regression-channel overlays (R² near 1 = clean trend; slope sign =
+    direction). Prices in exact cents, bar index as regressor; all six
+    window moments are integer sums in one pass."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    lrc = b.select(
+        "symbol",
+        "t",
+        F.floor(F.col("close") * 100.0 + F.lit(0.5)).cast("long").alias("qc"),
+        F.row_number().over(o).alias("rn"),
+    )
+    w = _w().rowsBetween(-59, 0)
+    dec = "decimal(38,0)"
+    m = lrc.select(
+        "symbol",
+        "t",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("rn").over(w).alias("sx"),
+        F.sum("qc").over(w).alias("sy"),
+        F.sum(F.col("rn").cast(dec) * F.col("qc")).over(w).alias("sxy"),
+        F.sum(F.col("rn").cast(dec) * F.col("rn")).over(w).alias("sxx"),
+        F.sum(F.col("qc").cast(dec) * F.col("qc")).over(w).alias("syy"),
+    )
+    n = F.col("n").cast(dec)
+    dxy = n * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    dxx = n * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    slope = F.when(
+        (F.col("n") == 60) & (dxx != 0),
+        dxy.cast("double") / dxx.cast("double") / 100.0,
+    )
+    r2 = F.when(
+        (F.col("n") == 60) & (dxx > 0) & (dyy > 0),
+        (dxy.cast("double") * dxy.cast("double"))
+        / (dxx.cast("double") * dyy.cast("double")),
+    )
+    return m.select(
+        "symbol", "t", r6(slope).alias("lr_slope_60"), r6(r2).alias("lr_r2_60")
+    ).orderBy("symbol", "t")

@@ -8359,3 +8359,141 @@ def rel_data_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("column_name")
+
+
+@q(
+    "doc_bloom_filter",
+    f"""
+WITH bfp AS (
+  SELECT doc_id, md5(array_to_string({_TOKS}, ' ')) AS f, doc_id % 10 >= 8 AS is_batch
+  FROM documents
+),
+bpos AS (
+  SELECT f, is_batch, i.i,
+         CAST(('0x' || substring(md5(f || ':' || CAST(i.i AS VARCHAR)), 1, 8)) AS BIGINT)
+           % 65536 AS pos
+  FROM bfp CROSS JOIN (SELECT unnest(range(0, 4)) AS i) i
+),
+bloom AS (
+  SELECT pos // 64 AS word, bit_or(CASE WHEN pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(pos % 64 AS INTEGER) END) AS w
+  FROM bpos WHERE NOT is_batch GROUP BY 1
+),
+bstat AS (SELECT SUM(bit_count(w)) AS bits_set FROM bloom),
+probe AS (
+  SELECT p.f, COUNT(*) AS k_present
+  FROM (SELECT DISTINCT f, pos FROM bpos WHERE is_batch) p
+  JOIN bloom b ON b.word = p.pos // 64
+  WHERE (b.w & (CASE WHEN p.pos % 64 = 63 THEN CAST(-9223372036854775808 AS BIGINT) ELSE CAST(1 AS BIGINT) << CAST(p.pos % 64 AS INTEGER) END)) != 0
+  GROUP BY p.f
+),
+pk AS (
+  SELECT f, COUNT(DISTINCT pos) AS k_total FROM bpos WHERE is_batch GROUP BY f
+),
+truth AS (
+  SELECT DISTINCT f FROM bfp WHERE NOT is_batch
+),
+verdicts AS (
+  SELECT k.f,
+         CASE WHEN COALESCE(p.k_present, 0) = k.k_total THEN 1 ELSE 0 END AS hit,
+         CASE WHEN t.f IS NOT NULL THEN 1 ELSE 0 END AS is_true
+  FROM pk k
+  LEFT JOIN probe p ON p.f = k.f
+  LEFT JOIN truth t ON t.f = k.f
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(hit) AS BIGINT) AS n_bloom_hits,
+       CAST(SUM(is_true) AS BIGINT) AS n_true_dups,
+       CAST(SUM(CASE WHEN hit = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_false_positives,
+       ROUND(CASE WHEN COUNT(*) - SUM(is_true) > 0 THEN
+         CAST(SUM(CASE WHEN hit = 1 AND is_true = 0 THEN 1 ELSE 0 END) AS DOUBLE)
+         / (COUNT(*) - SUM(is_true)) END, 6) AS fp_rate,
+       CAST((SELECT bits_set FROM bstat) AS BIGINT) AS bits_set
+FROM verdicts
+""",
+)
+def doc_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A REAL distributed Bloom filter: the 80% corpus's fingerprints set
+    k=4 md5-derived bits in a 65536-bit array materialized as 1024 int64
+    words (bit_or aggregate — the filter itself is data), and the 20%
+    batch probes it: hits, ground-truth dups, and the MEASURED false-
+    positive rate next to the bits-set load factor. This is the cheap
+    pre-filter in front of exact dedup at ingest — a probe that misses
+    the bloom skips the expensive fingerprint join entirely. Every bit
+    position is an md5 lane, so both engines build the identical words."""
+    from polars_quant_spark.operators.sketch import hash_lane
+
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    bfp = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", text.tokens("text"))).alias("f"),
+        (F.col("doc_id") % 10 >= 8).alias("is_batch"),
+    )
+    ii = spark.range(0, 4).select(F.col("id").cast("int").alias("i"))
+    bpos = bfp.crossJoin(F.broadcast(ii)).select(
+        "f",
+        "is_batch",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("f"), F.lit(":"), F.col("i").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 65536
+        ).alias("pos"),
+    )
+    mask = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
+    bloom = (
+        bpos.where(~F.col("is_batch"))
+        .select(F.expr("pos DIV 64").alias("word"), mask.alias("m"))
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("w"))
+    )
+    bstat = bloom.agg(F.sum(F.bit_count("w")).alias("bits_set"))
+    pp = bpos.where(F.col("is_batch")).select("f", "pos").distinct()
+    probe = (
+        pp.join(F.broadcast(bloom), F.expr("pos DIV 64") == bloom.word)
+        .where((F.col("w").bitwiseAND(mask)) != 0)
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("k_present"))
+    )
+    pk = (
+        bpos.where(F.col("is_batch"))
+        .groupBy("f")
+        .agg(F.count_distinct("pos").alias("k_total"))
+    )
+    truth = bfp.where(~F.col("is_batch")).select("f").distinct().withColumn("t", F.lit(1))
+    verdicts = (
+        pk.join(probe, "f", "left")
+        .join(truth, "f", "left")
+        .select(
+            F.when(
+                F.coalesce(F.col("k_present"), F.lit(0)) == F.col("k_total"), 1
+            ).otherwise(0).alias("hit"),
+            F.when(F.col("t").isNotNull(), 1).otherwise(0).alias("is_true"),
+        )
+    )
+    fp = F.sum(F.when((F.col("hit") == 1) & (F.col("is_true") == 0), 1).otherwise(0))
+    nonmember = F.count(F.lit(1)) - F.sum("is_true")
+    return (
+        verdicts.agg(
+            F.count(F.lit(1)).cast("long").alias("n_probes"),
+            F.sum("hit").cast("long").alias("n_bloom_hits"),
+            F.sum("is_true").cast("long").alias("n_true_dups"),
+            fp.cast("long").alias("n_false_positives"),
+            r6(F.when(nonmember > 0, fp.cast("double") / nonmember)).alias("fp_rate"),
+        )
+        .crossJoin(F.broadcast(bstat))
+        .select(
+            "n_probes",
+            "n_bloom_hits",
+            "n_true_dups",
+            "n_false_positives",
+            "fp_rate",
+            F.col("bits_set").cast("long").alias("bits_set"),
+        )
+    )

@@ -5845,3 +5845,74 @@ def ind_linreg_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "symbol", "t", r6(slope).alias("lr_slope_60"), r6(r2).alias("lr_r2_60")
     ).orderBy("symbol", "t")
+
+
+@q(
+    "bars_corr_matrix",
+    BARS_CTE
+    + """,
+cmr AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+cmj AS (
+  SELECT a.symbol AS sym_a, b.symbol AS sym_b, a.qr AS ra, b.qr AS rb
+  FROM cmr a JOIN cmr b ON b.t = a.t AND b.symbol > a.symbol
+  WHERE a.qr IS NOT NULL AND b.qr IS NOT NULL
+),
+cms AS (
+  SELECT sym_a, sym_b, COUNT(*) AS n, SUM(ra) AS sa, SUM(rb) AS sb,
+         SUM(CAST(ra AS HUGEINT) * rb) AS sab,
+         SUM(CAST(ra AS HUGEINT) * ra) AS saa,
+         SUM(CAST(rb AS HUGEINT) * rb) AS sbb
+  FROM cmj GROUP BY sym_a, sym_b
+)
+SELECT sym_a, sym_b, CAST(n AS BIGINT) AS n_obs,
+       ROUND(CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+         CAST(n * sab - sa * sb AS DOUBLE)
+         / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))
+       END, 6) AS corr
+FROM cms
+ORDER BY sym_a, sym_b
+""",
+)
+def bars_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-universe return correlation matrix (upper triangle): every
+    symbol pair's Pearson correlation from exact integer moments — the
+    input to risk models and clustering. The pair join is time-aligned
+    (same t) and bounded by universe width per timestamp, not corpus
+    size; at scale it hash-partitions on t. The diagonal is omitted
+    (trivially 1)."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    a = r.select(F.col("symbol").alias("sym_a"), "t", F.col("qr").alias("ra"))
+    bb = r.select(
+        F.col("symbol").alias("sym_b"), F.col("t").alias("t2"), F.col("qr").alias("rb")
+    )
+    j = a.join(bb, (F.col("t2") == F.col("t")) & (F.col("sym_b") > F.col("sym_a")))
+    dec = "decimal(38,0)"
+    s = j.groupBy("sym_a", "sym_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra").cast(dec) * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra").cast(dec) * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb").cast(dec) * F.col("rb")).alias("sbb"),
+    )
+    n = F.col("n").cast(dec)
+    dxy = n * F.col("sab") - F.col("sa").cast(dec) * F.col("sb")
+    dxx = n * F.col("saa") - F.col("sa").cast(dec) * F.col("sa")
+    dyy = n * F.col("sbb") - F.col("sb").cast(dec) * F.col("sb")
+    corr = F.when(
+        (dxx > 0) & (dyy > 0),
+        dxy.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return s.select(
+        "sym_a", "sym_b", F.col("n").cast("long").alias("n_obs"), r6(corr).alias("corr")
+    ).orderBy("sym_a", "sym_b")

@@ -8497,3 +8497,105 @@ def doc_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bits_set").cast("long").alias("bits_set"),
         )
     )
+
+
+# HyperLogLog rank ladder: integer-threshold CASE (no log2 boundary risk)
+# and exact dyadic 2^-rank literals (so the register reduction is a sum of
+# exact doubles — order-free with no quantization needed).
+_HLL_RANK_SQL = "CASE " + " ".join(
+    f"WHEN x >= {1 << (24 - r)} THEN {r}" for r in range(1, 25)
+) + " ELSE 25 END"
+_HLL_POW_SQL = "CASE mr " + " ".join(
+    f"WHEN {r} THEN {2.0 ** -r!r}" for r in range(1, 26)
+) + " ELSE 1.0 END"
+
+
+@q(
+    "events_hll_distinct",
+    f"""
+WITH hk AS (
+  SELECT DISTINCT event_type, user_id FROM events
+),
+hh AS (
+  SELECT event_type,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 2)) AS BIGINT)
+           AS reg,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 3, 6)) AS BIGINT)
+           AS x
+  FROM hk
+),
+hr AS (
+  SELECT event_type, reg, MAX({_HLL_RANK_SQL}) AS mr
+  FROM hh GROUP BY event_type, reg
+),
+hs AS (
+  SELECT event_type,
+         SUM({_HLL_POW_SQL}) AS z,
+         COUNT(*) AS m_used
+  FROM hr GROUP BY event_type
+),
+hx AS (
+  SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct FROM hk GROUP BY event_type
+)
+SELECT hs.event_type,
+       CAST(hx.exact_distinct AS BIGINT) AS exact_distinct,
+       ROUND(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+             / (z + (256.0 - m_used) * 1.0), 6) AS hll_estimate,
+       ROUND(ABS(0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+                 / (z + (256.0 - m_used) * 1.0) - hx.exact_distinct)
+             / hx.exact_distinct, 6) AS rel_error
+FROM hs JOIN hx ON hx.event_type = hs.event_type
+ORDER BY hs.event_type
+""",
+)
+def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A from-scratch HyperLogLog (m=256, α·m²/Σ2^(−M)) next to the exact
+    distinct-user count per event type, with the realized relative error —
+    the mergeable cardinality sketch behind every streaming 'uniques'
+    counter. Engine-exactness without quantization: register ranks come
+    from an integer-threshold CASE ladder (no log2 boundary risk) and the
+    harmonic denominator sums exact dyadic doubles (2^−r literals), so the
+    reduction is order-free by construction. Empty registers contribute
+    2⁰ = 1 via the (m − used) correction."""
+    ev = load_table(spark, sf_dir, "events")
+    hk = ev.select("event_type", "user_id").distinct()
+    h = F.md5(F.col("user_id").cast("string"))
+    hh = hk.select(
+        "event_type",
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("long").alias("reg"),
+        F.conv(F.substring(h, 3, 6), 16, 10).cast("long").alias("x"),
+    )
+    rank = F.when(F.col("x") >= (1 << 23), 1)
+    for r in range(2, 25):
+        rank = rank.when(F.col("x") >= (1 << (24 - r)), r)
+    rank = rank.otherwise(25)
+    hr = hh.groupBy("event_type", "reg").agg(F.max(rank).alias("mr"))
+    pw = F.when(F.col("mr") == 1, 2.0 ** -1)
+    for r in range(2, 26):
+        pw = pw.when(F.col("mr") == r, 2.0 ** -r)
+    pw = pw.otherwise(1.0)
+    hs = hr.groupBy("event_type").agg(
+        F.sum(pw).alias("z"), F.count(F.lit(1)).alias("m_used")
+    )
+    hx = hk.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    est = (
+        0.7213
+        / (1.0 + 1.079 / 256.0)
+        * 256.0
+        * 256.0
+        / (F.col("z") + (256.0 - F.col("m_used")) * 1.0)
+    )
+    return (
+        hs.join(hx, "event_type")
+        .select(
+            "event_type",
+            F.col("exact_distinct").cast("long").alias("exact_distinct"),
+            r6(est).alias("hll_estimate"),
+            r6(F.abs(est - F.col("exact_distinct")) / F.col("exact_distinct")).alias(
+                "rel_error"
+            ),
+        )
+        .orderBy("event_type")
+    )

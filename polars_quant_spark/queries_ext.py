@@ -5916,3 +5916,77 @@ def bars_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "sym_a", "sym_b", F.col("n").cast("long").alias("n_obs"), r6(corr).alias("corr")
     ).orderBy("sym_a", "sym_b")
+
+
+@q(
+    "bars_volume_bars",
+    BARS_CTE
+    + """,
+vbc AS (
+  SELECT symbol, t, close, high, low, volume,
+         CAST(FLOOR(volume + 0.5) AS BIGINT) AS qv
+  FROM bars
+),
+vbs AS (
+  SELECT symbol, t, close, high, low, qv,
+         SUM(qv) OVER (PARTITION BY symbol ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+  FROM vbc
+),
+vbi AS (
+  SELECT symbol, t, close, high, low, qv, cumv,
+         (cumv - 1) // 50000 AS bar_id
+  FROM vbs
+)
+SELECT symbol, CAST(bar_id AS BIGINT) AS bar_id,
+       CAST(COUNT(*) AS BIGINT) AS n_ticks,
+       ROUND(arg_min(close, t), 6) AS open,
+       ROUND(MAX(high), 6) AS high,
+       ROUND(MIN(low), 6) AS low,
+       ROUND(arg_max(close, t), 6) AS close,
+       CAST(SUM(qv) AS BIGINT) AS volume,
+       ROUND(CAST(SUM(CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) * CAST(qv AS HUGEINT))
+                  AS DOUBLE) / 1000000.0 / SUM(qv), 6) AS vwap
+FROM vbi
+GROUP BY symbol, bar_id
+ORDER BY symbol, bar_id
+""",
+)
+def bars_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-clock bars: resample each symbol by CUMULATIVE VOLUME
+    (50k-unit buckets) instead of wall time — the information-driven
+    sampling that normalizes activity bursts (busy periods get more bars).
+    The bucket id is an exact integer cumsum div; OHLC come from
+    arg_min/arg_max by time and VWAP from integer price×volume sums. One
+    window pass + one aggregate per symbol."""
+    b = bars(spark, sf_dir)
+    qv = F.floor(F.col("volume") + F.lit(0.5)).cast("long")
+    wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vbs = b.select(
+        "symbol", "t", "close", "high", "low", qv.alias("qv")
+    ).select(
+        "symbol", "t", "close", "high", "low", "qv",
+        F.sum("qv").over(wc).alias("cumv"),
+    )
+    vbi = vbs.select(
+        "symbol", "t", "close", "high", "low", "qv",
+        F.expr("(cumv - 1) DIV 50000").alias("bar_id"),
+    )
+    qp = F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("long")
+    return (
+        vbi.groupBy("symbol", "bar_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ticks"),
+            r6(F.min_by("close", "t")).alias("open"),
+            r6(F.max("high")).alias("high"),
+            r6(F.min("low")).alias("low"),
+            r6(F.max_by("close", "t")).alias("close"),
+            F.sum("qv").cast("long").alias("volume"),
+            r6(
+                F.sum(qp * F.col("qv").cast("decimal(38,0)")).cast("double")
+                / 1e6
+                / F.sum("qv")
+            ).alias("vwap"),
+        )
+        .orderBy("symbol", "bar_id")
+    )

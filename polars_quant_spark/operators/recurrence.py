@@ -786,3 +786,39 @@ def zigzag(c: np.ndarray, pct: float = 0.03) -> tuple:
 
 
 KERNELS.update({"zigzag": (zigzag, 1)})
+
+
+def cusum(x: np.ndarray, drift_frac: float = 0.05) -> tuple:
+    """Two-sided CUSUM drift detector over a count/level series — integer
+    state machine. The series quantizes to micro units; the reference
+    level μ is the (floor-rounded) series mean and the drift allowance
+    k = ⌊μ·drift_frac + 0.5⌋:
+
+        S⁺ = max(0, S⁺ + x − μ − k);  S⁻ = max(0, S⁻ + μ − x − k)
+
+    Returns (S⁺, S⁻, alarm) with alarm = 1 when either side exceeds μ.
+    All integer arithmetic (float64-carried), so the recursive twin is
+    bit-identical by construction."""
+    n = x.shape[0]
+    sp_o = np.full(n, np.nan)
+    sn_o = np.full(n, np.nan)
+    al_o = np.full(n, np.nan)
+    idx = np.flatnonzero(~np.isnan(x))
+    if idx.shape[0] == 0:
+        return sp_o, sn_o, al_o
+    xq = np.floor(x[idx] * 1e6 + 0.5)
+    muq = np.floor(np.sum(xq) / xq.shape[0] + 0.5)
+    kq = np.floor(muq * drift_frac + 0.5)
+    h = muq
+    sp = 0.0
+    sn = 0.0
+    for i, j in enumerate(idx):
+        sp = max(0.0, sp + xq[i] - muq - kq)
+        sn = max(0.0, sn + muq - xq[i] - kq)
+        sp_o[j] = sp / 1e6
+        sn_o[j] = sn / 1e6
+        al_o[j] = 1.0 if (sp > h or sn > h) else 0.0
+    return sp_o, sn_o, al_o
+
+
+KERNELS.update({"cusum": (cusum, 1)})

@@ -8599,3 +8599,79 @@ def events_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+ORACLES_CUSUM = """
+WITH RECURSIVE cdaily AS MATERIALIZED (
+  SELECT epoch_us(ts) // 86400000000 AS day, CAST(COUNT(*) AS DOUBLE) AS y
+  FROM events GROUP BY 1
+),
+cbase AS MATERIALIZED (
+  SELECT day, CAST(FLOOR(y * 1000000.0 + 0.5) AS BIGINT) AS xq,
+         ROW_NUMBER() OVER (ORDER BY day) AS rn
+  FROM cdaily
+),
+cmu AS MATERIALIZED (
+  SELECT CAST(FLOOR(CAST(SUM(xq) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS muq
+  FROM cbase
+),
+ck AS MATERIALIZED (
+  SELECT muq, CAST(FLOOR(CAST(muq AS DOUBLE) * 0.05 + 0.5) AS BIGINT) AS kq FROM cmu
+),
+crec AS (
+  SELECT b.rn,
+         GREATEST(CAST(0 AS BIGINT), b.xq - k.muq - k.kq) AS sp,
+         GREATEST(CAST(0 AS BIGINT), k.muq - b.xq - k.kq) AS sn
+  FROM cbase b, ck k WHERE b.rn = 1
+  UNION ALL
+  SELECT b.rn,
+         GREATEST(CAST(0 AS BIGINT), e.sp + b.xq - k.muq - k.kq),
+         GREATEST(CAST(0 AS BIGINT), e.sn + k.muq - b.xq - k.kq)
+  FROM crec e JOIN cbase b ON b.rn = e.rn + 1 CROSS JOIN ck k
+)
+SELECT b.day,
+       ROUND(CAST(r.sp AS DOUBLE) / 1000000.0, 6) AS cusum_up,
+       ROUND(CAST(r.sn AS DOUBLE) / 1000000.0, 6) AS cusum_down,
+       CAST(CASE WHEN r.sp > (SELECT muq FROM cmu)
+                   OR r.sn > (SELECT muq FROM cmu) THEN 1 ELSE 0 END AS INTEGER)
+         AS alarm
+FROM cbase b JOIN crec r ON r.rn = b.rn
+ORDER BY b.day
+"""
+
+
+def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sided CUSUM changepoint detector on daily event volume: the
+    classic SPC drift accumulator (5%-of-mean allowance, mean threshold)
+    flagging sustained level shifts that z-score monitors miss. Integer
+    state machine (operators/recurrence.cusum) over the day-collapsed
+    series — bit-identical recursive twin, one applyInPandas pass."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    daily = (
+        ev0.select(ts_us_expr(ev0).alias("ts_us"))
+        .select(F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("double").alias("y"))
+        .select(F.lit("MKT").alias("symbol"), "day", "y")
+    )
+    out = with_recurrences(
+        daily,
+        [Rec(["c_sp", "c_sn", "c_al"], "cusum", ["y"], {"drift_frac": 0.05})],
+        partition_by="symbol",
+        order_by="day",
+    )
+    return (
+        out.select(
+            "day",
+            r6(F.col("c_sp")).alias("cusum_up"),
+            r6(F.col("c_sn")).alias("cusum_down"),
+            F.col("c_al").cast("int").alias("alarm"),
+        )
+        .orderBy("day")
+    )
+
+
+QUERIES["events_cusum"] = events_cusum
+ORACLES["events_cusum"] = ORACLES_CUSUM

@@ -8675,3 +8675,84 @@ def events_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["events_cusum"] = events_cusum
 ORACLES["events_cusum"] = ORACLES_CUSUM
+
+
+@q(
+    "ops_partition_planner",
+    """
+WITH sz AS (
+  SELECT 'documents' AS table_name, COUNT(*) AS n_rows,
+         SUM(octet_length(encode(text))) + 48 * COUNT(*) AS est_bytes
+  FROM documents
+  UNION ALL
+  SELECT 'events', COUNT(*), 64 * COUNT(*) FROM events
+  UNION ALL
+  SELECT 'lineitem', COUNT(*), 96 * COUNT(*) FROM lineitem
+),
+mult AS (SELECT unnest([1, 100, 1000]) AS sf_mult)
+SELECT s.table_name, CAST(m.sf_mult AS INTEGER) AS sf_mult,
+       CAST(s.n_rows * m.sf_mult AS BIGINT) AS est_rows,
+       ROUND(CAST(s.est_bytes AS DOUBLE) * m.sf_mult / 1073741824.0, 6) AS est_gib,
+       CAST(GREATEST((s.est_bytes * m.sf_mult + 134217727) // 134217728, 32)
+            AS BIGINT) AS shuffle_partitions,
+       CAST((s.n_rows * m.sf_mult)
+            // GREATEST((s.est_bytes * m.sf_mult + 134217727) // 134217728, 32)
+            AS BIGINT) AS rows_per_partition
+FROM sz s CROSS JOIN mult m
+ORDER BY s.table_name, sf_mult
+""",
+)
+def ops_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spill-aware sizing calculator, in-engine: measured bytes per table
+    (text payload + fixed row overhead) extrapolated to 100× and 1000×,
+    with the shuffle-partition count that keeps every partition under the
+    128 MiB target (floored at the 32-core parallelism) and the implied
+    rows/partition. This is the deployment math docs/SCALE.md prescribes
+    — `spark.sql.shuffle.partitions` and `maxPartitionBytes` derived from
+    data, not guessed. One count/sum scan per table."""
+    docs = load_table(spark, sf_dir, "documents")
+    ev = load_table(spark, sf_dir, "events")
+    li = load_table(spark, sf_dir, "lineitem")
+    sz = (
+        docs.agg(
+            F.lit("documents").alias("table_name"),
+            F.count(F.lit(1)).alias("n_rows"),
+            (F.sum(F.octet_length("text")) + 48 * F.count(F.lit(1))).alias(
+                "est_bytes"
+            ),
+        )
+        .unionByName(
+            ev.agg(
+                F.lit("events").alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (64 * F.count(F.lit(1))).alias("est_bytes"),
+            )
+        )
+        .unionByName(
+            li.agg(
+                F.lit("lineitem").alias("table_name"),
+                F.count(F.lit(1)).alias("n_rows"),
+                (96 * F.count(F.lit(1))).alias("est_bytes"),
+            )
+        )
+    )
+    mult = spark.createDataFrame([(1,), (100,), (1000,)], ["sf_mult"])
+    j = sz.crossJoin(F.broadcast(mult))
+    parts = F.greatest(
+        F.expr("(est_bytes * sf_mult + 134217727) DIV 134217728"),
+        F.lit(32).cast("long"),
+    )
+    return j.select(
+        "table_name",
+        F.col("sf_mult").cast("int").alias("sf_mult"),
+        (F.col("n_rows") * F.col("sf_mult")).cast("long").alias("est_rows"),
+        r6(F.col("est_bytes").cast("double") * F.col("sf_mult") / 1073741824.0).alias(
+            "est_gib"
+        ),
+        parts.cast("long").alias("shuffle_partitions"),
+        F.expr(
+            "(n_rows * sf_mult) DIV GREATEST((est_bytes * sf_mult + 134217727) DIV 134217728, CAST(32 AS BIGINT))"
+        )
+        .cast("long")
+        .alias("rows_per_partition"),
+    ).orderBy("table_name", "sf_mult")

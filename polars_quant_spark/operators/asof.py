@@ -50,12 +50,19 @@ def asof_join(
         )
         fill = F.last
     else:
+        # forward match as a RUNNING frame over the reversed sort — the
+        # (0, unboundedFollowing) + first-ignorenulls form makes Spark
+        # rescan the partition remainder per row (quadratic; see
+        # clean.interpolate_linear). Reversing (on DESC, _side ASC) keeps
+        # the same match: preceding rows have on' ≥ on, right rows sort
+        # before left at equal on (so equal-timestamp rights still match),
+        # and `last ignorenulls` picks the nearest following right row.
         w = (
             Window.partitionBy(*keys)
-            .orderBy(F.col(on).asc(), F.col("_side").desc())
-            .rowsBetween(0, Window.unboundedFollowing)
+            .orderBy(F.col(on).desc(), F.col("_side").asc())
+            .rowsBetween(Window.unboundedPreceding, 0)
         )
-        fill = F.first
+        fill = F.last
 
     out = unioned
     for c in payload:

@@ -154,13 +154,18 @@ def forward_fill(df: DataFrame, cols: list[str], partition_by: str, order_by: st
 
 
 def backward_fill(df: DataFrame, cols: list[str], partition_by: str, order_by: str) -> DataFrame:
+    # running frame over the DESCENDING sort, not (0, unboundedFollowing):
+    # Spark evaluates unbounded-following frames by rescanning the
+    # remainder per row (quadratic in partition length — see
+    # clean.interpolate_linear). last-ignorenulls over the reversed order
+    # is the same backward fill at O(n).
     w = (
         Window.partitionBy(partition_by)
-        .orderBy(order_by)
-        .rowsBetween(0, Window.unboundedFollowing)
+        .orderBy(F.col(order_by).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     for c in cols:
-        df = df.withColumn(c, F.first(F.col(c), ignorenulls=True).over(w))
+        df = df.withColumn(c, F.last(F.col(c), ignorenulls=True).over(w))
     return df
 
 

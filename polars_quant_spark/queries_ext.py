@@ -5990,3 +5990,153 @@ def bars_volume_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "bar_id")
     )
+
+
+@q(
+    "bars_roll_spread",
+    BARS_CTE
+    + """,
+rsd AS (
+  SELECT symbol, t,
+         CAST(FLOOR(close * 100.0 + 0.5) AS BIGINT)
+           - LAG(CAST(FLOOR(close * 100.0 + 0.5) AS BIGINT))
+             OVER (PARTITION BY symbol ORDER BY t) AS dp
+  FROM bars
+),
+rsl AS (
+  SELECT symbol, dp,
+         LAG(dp) OVER (PARTITION BY symbol ORDER BY t) AS dpl
+  FROM rsd WHERE dp IS NOT NULL
+),
+rss AS (
+  SELECT symbol, COUNT(*) AS n, SUM(dp) AS s1, SUM(dpl) AS s2,
+         SUM(CAST(dp AS HUGEINT) * dpl) AS s12
+  FROM rsl WHERE dpl IS NOT NULL GROUP BY symbol
+)
+SELECT symbol,
+       ROUND((CAST(s12 AS DOUBLE) / n
+              - (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)) / 10000.0, 6)
+         AS serial_cov,
+       ROUND(CASE WHEN CAST(s12 AS DOUBLE) / n
+                       - (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n) < 0 THEN
+         2.0 * sqrt(-(CAST(s12 AS DOUBLE) / n
+                      - (CAST(s1 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n))) / 100.0
+       END, 6) AS roll_spread
+FROM rss
+ORDER BY symbol
+""",
+)
+def bars_roll_spread(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Roll's implied bid–ask spread per symbol: 2√(−cov(Δpₜ, Δpₜ₋₁)) —
+    bounce between bid and ask induces negative serial covariance in price
+    changes, and its magnitude IS the spread (NULL when the covariance is
+    positive, i.e. no bounce signal). Price changes in exact cents; one
+    window pass, one aggregate."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qc = F.floor(F.col("close") * 100.0 + F.lit(0.5)).cast("long")
+    dp = (qc - F.lag(qc).over(o)).alias("dp")
+    rsd = b.select("symbol", "t", dp).where(F.col("dp").isNotNull())
+    rsl = rsd.select(
+        "symbol", "dp", F.lag("dp").over(o).alias("dpl")
+    ).where(F.col("dpl").isNotNull())
+    dec = "decimal(38,0)"
+    s = rsl.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dp").alias("s1"),
+        F.sum("dpl").alias("s2"),
+        F.sum(F.col("dp").cast(dec) * F.col("dpl")).alias("s12"),
+    )
+    n = F.col("n")
+    cov = F.col("s12").cast("double") / n - (F.col("s1").cast("double") / n) * (
+        F.col("s2").cast("double") / n
+    )
+    return s.select(
+        "symbol",
+        r6(cov / 10000.0).alias("serial_cov"),
+        r6(F.when(cov < 0, 2.0 * F.sqrt(-cov) / 100.0)).alias("roll_spread"),
+    ).orderBy("symbol")
+
+
+@q(
+    "events_hill_tail",
+    """
+WITH hu AS (
+  SELECT user_id, COUNT(*) AS activity FROM events GROUP BY user_id
+),
+hrk AS (
+  SELECT activity,
+         ROW_NUMBER() OVER (ORDER BY activity DESC, user_id) AS r,
+         COUNT(*) OVER () AS n
+  FROM hu
+),
+hk AS (
+  SELECT GREATEST(CAST(MAX(n) * 0.1 AS BIGINT), 5) AS k FROM hrk
+),
+htop AS (
+  SELECT r, activity FROM hrk WHERE r <= (SELECT k FROM hk) + 1
+),
+hxk AS (
+  SELECT activity AS xk FROM htop WHERE r = (SELECT k FROM hk) + 1
+),
+hsum AS (
+  SELECT SUM(CAST(FLOOR(ln(CAST(t.activity AS DOUBLE) / (SELECT xk FROM hxk))
+                        * 1000000000.0 + 0.5) AS BIGINT)) AS qs,
+         COUNT(*) AS kk
+  FROM htop t WHERE t.r <= (SELECT k FROM hk)
+)
+SELECT CAST(kk AS BIGINT) AS k_top,
+       CAST((SELECT xk FROM hxk) AS BIGINT) AS threshold_activity,
+       ROUND(CASE WHEN qs > 0 THEN
+         CAST(kk AS DOUBLE) / (CAST(qs AS DOUBLE) / 1000000000.0) END, 6)
+         AS hill_alpha
+FROM hsum
+""",
+)
+def events_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill tail-index of the user-activity distribution (top 10% order
+    statistics): α̂ = k / Σ ln(xᵢ/x₍ₖ₊₁₎) — small α = heavy Zipf tail
+    (a few power users dominate; sampling and quota designs must account
+    for it). Per-user activity collapses first; the log terms
+    nano-quantize before the sum. The heavy-tail twin of the Gini
+    concentration report."""
+    from polars_quant_spark.sources.bars import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    hu = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("activity"))
+    wr = Window.orderBy(F.col("activity").desc(), F.col("user_id"))
+    wall = Window.partitionBy()
+    hrk = hu.select(
+        "activity",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    hk = hrk.agg(
+        F.greatest((F.max("n") * 0.1).cast("long"), F.lit(5).cast("long")).alias("k")
+    )
+    htop = hrk.crossJoin(F.broadcast(hk)).where(F.col("r") <= F.col("k") + 1)
+    hxk = htop.where(F.col("r") == F.col("k") + 1).select(
+        F.col("activity").alias("xk")
+    )
+    hs = (
+        htop.where(F.col("r") <= F.col("k"))
+        .crossJoin(F.broadcast(hxk))
+        .agg(
+            F.sum(
+                F.floor(
+                    F.log(F.col("activity").cast("double") / F.col("xk")) * 1e9
+                    + F.lit(0.5)
+                ).cast("long")
+            ).alias("qs"),
+            F.count(F.lit(1)).alias("kk"),
+        )
+    )
+    return hs.crossJoin(F.broadcast(hxk)).select(
+        F.col("kk").cast("long").alias("k_top"),
+        F.col("xk").cast("long").alias("threshold_activity"),
+        r6(
+            F.when(
+                F.col("qs") > 0, F.col("kk").cast("double") / (F.col("qs").cast("double") / 1e9)
+            )
+        ).alias("hill_alpha"),
+    )

@@ -8756,3 +8756,79 @@ def ops_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("rows_per_partition"),
     ).orderBy("table_name", "sf_mult")
+
+
+@q(
+    "doc_filter_funnel",
+    f"""
+WITH ffq AS (
+  SELECT doc_id,
+         lang IN ('en', 'es', 'de', 'fr', 'zh') AS f_lang,
+         n_chars BETWEEN 64 AND 4096 AS f_len,
+         len({_TOKS}) >= 10 AS f_toks,
+         md5(array_to_string({_TOKS}, ' ')) AS fp
+  FROM documents
+),
+ffd AS (
+  SELECT fp, MIN(doc_id) AS keeper FROM ffq GROUP BY fp
+),
+ffs AS (
+  SELECT q.doc_id, q.f_lang,
+         q.f_lang AND q.f_len AS p_len,
+         q.f_lang AND q.f_len AND q.f_toks AS p_toks,
+         q.f_lang AND q.f_len AND q.f_toks AND q.doc_id = d.keeper AS p_dedup
+  FROM ffq q JOIN ffd d ON d.fp = q.fp
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+       CAST(SUM(CASE WHEN f_lang THEN 1 ELSE 0 END) AS BIGINT) AS pass_lang,
+       CAST(SUM(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS pass_length,
+       CAST(SUM(CASE WHEN p_toks THEN 1 ELSE 0 END) AS BIGINT) AS pass_min_tokens,
+       CAST(SUM(CASE WHEN p_dedup THEN 1 ELSE 0 END) AS BIGINT) AS pass_dedup,
+       ROUND(CAST(SUM(CASE WHEN p_dedup THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS final_yield
+FROM ffs
+""",
+)
+def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus filter funnel: survivors after each cleaning gate in
+    sequence — language allowlist → length band → minimum tokens → exact
+    dedup (keep the smallest doc_id per fingerprint) — and the final
+    yield. THE one-line answer to 'how much data survives cleaning', and
+    the per-stage deltas show which gate is eating the corpus. One scan +
+    one fingerprint aggregate."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tk = text.tokens("text")
+    q_ = docs.select(
+        "doc_id",
+        F.col("lang").isin("en", "es", "de", "fr", "zh").alias("f_lang"),
+        F.col("n_chars").between(64, 4096).alias("f_len"),
+        (F.size(tk) >= 10).alias("f_toks"),
+        F.md5(F.concat_ws(" ", tk)).alias("fp"),
+    )
+    d = q_.groupBy("fp").agg(F.min("doc_id").alias("keeper"))
+    s = q_.join(d, "fp").select(
+        "f_lang",
+        (F.col("f_lang") & F.col("f_len")).alias("p_len"),
+        (F.col("f_lang") & F.col("f_len") & F.col("f_toks")).alias("p_toks"),
+        (
+            F.col("f_lang")
+            & F.col("f_len")
+            & F.col("f_toks")
+            & (F.col("doc_id") == F.col("keeper"))
+        ).alias("p_dedup"),
+    )
+
+    def c(col):
+        return F.sum(F.when(F.col(col), 1).otherwise(0)).cast("long")
+
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_input"),
+        c("f_lang").alias("pass_lang"),
+        c("p_len").alias("pass_length"),
+        c("p_toks").alias("pass_min_tokens"),
+        c("p_dedup").alias("pass_dedup"),
+        r6(
+            F.sum(F.when(F.col("p_dedup"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("final_yield"),
+    )

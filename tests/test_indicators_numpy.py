@@ -262,3 +262,54 @@ def test_garch_matches_naive_loop_and_stationary_level():
     r2[100] = np.nan
     h2 = garch(r2)
     assert np.isnan(h2[100]) and not np.isnan(h2[101])
+
+
+def test_renko_invariants():
+    """Level moves only in whole bricks, tracks price within one brick,
+    and deltas sum to the net level change."""
+    import numpy as np
+
+    from polars_quant_spark.operators.recurrence import renko
+
+    rng = np.random.default_rng(5)
+    c = 100 + np.cumsum(rng.normal(0, 1.5, 300))
+    lev, dlt = renko(c, pct=0.005)
+    bk = np.floor(np.floor(c[0] * 1e6 + 0.5) * 0.005 + 0.5) / 1e6
+    qlev = np.round(lev * 1e6)
+    assert np.all(np.abs(np.diff(qlev) / round(bk * 1e6) - dlt[1:]) < 1e-9)
+    # the level never strays more than one brick from the close
+    assert np.nanmax(np.abs(lev - c)) < 2 * bk + 1e-9
+    # deltas are integers
+    assert np.all(dlt[~np.isnan(dlt)] == np.round(dlt[~np.isnan(dlt)]))
+
+
+def test_zigzag_alternates_and_respects_threshold():
+    """Pivots strictly alternate sign and consecutive pivot prices differ
+    by at least the reversal threshold."""
+    import numpy as np
+
+    from polars_quant_spark.operators.recurrence import zigzag
+
+    rng = np.random.default_rng(9)
+    c = 100 * np.exp(np.cumsum(rng.normal(0, 0.01, 1000)))
+    piv, px = zigzag(c, pct=0.03)
+    idx = np.flatnonzero(piv != 0)
+    assert len(idx) >= 2
+    signs = piv[idx]
+    assert np.all(signs[1:] * signs[:-1] == -1)  # alternate
+    for a, b in zip(idx[:-1], idx[1:]):
+        move = abs(px[b] - px[a]) / max(px[a], px[b])
+        assert move >= 0.03 - 1e-6
+
+
+def test_cusum_flat_series_never_alarms_and_shift_alarms():
+    import numpy as np
+
+    from polars_quant_spark.operators.recurrence import cusum
+
+    flat = np.full(200, 100.0)
+    sp, sn, al = cusum(flat)
+    assert np.nanmax(al) == 0 and np.nanmax(sp) == 0
+    shifted = np.concatenate([np.full(100, 100.0), np.full(100, 130.0)])
+    sp2, sn2, al2 = cusum(shifted)
+    assert np.nanmax(al2) == 1  # sustained +30% shift trips the detector

@@ -8832,3 +8832,81 @@ def doc_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1))
         ).alias("final_yield"),
     )
+
+
+@q(
+    "events_decile_migration",
+    """
+WITH dm0 AS (
+  SELECT user_id, epoch_us(ts) AS us,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM events WHERE event_type = 'purchase'
+),
+dmm AS (SELECT (MIN(us // 86400000000) + MAX(us // 86400000000) + 1) // 2 AS m FROM dm0),
+dmu AS (
+  SELECT user_id,
+         SUM(CASE WHEN us // 86400000000 < (SELECT m FROM dmm) THEN cents ELSE 0 END) AS s1,
+         SUM(CASE WHEN us // 86400000000 >= (SELECT m FROM dmm) THEN cents ELSE 0 END) AS s2
+  FROM dm0 GROUP BY user_id
+),
+dmq AS (
+  SELECT user_id,
+         NTILE(5) OVER (ORDER BY s1 DESC, user_id) AS q1,
+         NTILE(5) OVER (ORDER BY s2 DESC, user_id) AS q2
+  FROM dmu
+)
+SELECT CAST(q1 AS INTEGER) AS quintile_before, CAST(q2 AS INTEGER) AS quintile_after,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY q1), 6) AS p
+FROM dmq GROUP BY q1, q2
+ORDER BY quintile_before, quintile_after
+""",
+)
+def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer value-quintile migration matrix: each purchaser's spend
+    quintile in the first half of the period vs the second —
+    P(after | before) reveals churn out of the top tiers and upgrades into
+    them (the classic BI 'customer migration' view). Spend is exact
+    cents; NTILE ties break on user_id so both engines bucket
+    identically. One user aggregate + two rank windows."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    d0 = ev0.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        ts_us_expr(ev0).alias("us"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    ).select("user_id", F.expr("us DIV 86400000000").alias("day"), "cents")
+    mm = d0.agg(F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("m"))
+    du = (
+        d0.crossJoin(F.broadcast(mm))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), F.col("cents")).otherwise(0)).alias("s1"),
+            F.sum(F.when(F.col("day") >= F.col("m"), F.col("cents")).otherwise(0)).alias("s2"),
+        )
+    )
+    w1 = Window.orderBy(F.col("s1").desc(), F.col("user_id"))
+    w2 = Window.orderBy(F.col("s2").desc(), F.col("user_id"))
+    dq = du.select(
+        F.ntile(5).over(w1).alias("q1"), F.ntile(5).over(w2).alias("q2")
+    )
+    wq = Window.partitionBy("q1")
+    return (
+        dq.groupBy(
+            F.col("q1").cast("int").alias("quintile_before"),
+            F.col("q2").cast("int").alias("quintile_after"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .select(
+            "quintile_before",
+            "quintile_after",
+            F.col("n_users").cast("long").alias("n_users"),
+            r6(
+                F.col("n_users").cast("double")
+                / F.sum("n_users").over(Window.partitionBy("quintile_before"))
+            ).alias("p"),
+        )
+        .orderBy("quintile_before", "quintile_after")
+    )

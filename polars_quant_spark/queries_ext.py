@@ -6140,3 +6140,38 @@ def events_hill_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("hill_alpha"),
     )
+
+
+@q(
+    "ind_parkinson_20",
+    BARS_CTE
+    + f""",
+pkt AS (
+  SELECT symbol, t,
+         CAST(FLOOR(ln(high / low) * ln(high / low) * 1000000000000.0 + 0.5)
+              AS BIGINT) AS qp
+  FROM bars WHERE high > 0 AND low > 0
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(qp) OVER w = 20 THEN
+         sqrt(CAST(SUM(qp) OVER w AS DOUBLE) / 20.0 / 1000000000000.0
+              / (4.0 * {_LN2})) END, 6) AS parkinson_20
+FROM pkt
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_parkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 20-bar Parkinson volatility as an indicator column — the
+    range-based sibling of the close-to-close rolling σ, ~5× more
+    efficient per observation. Same pico-quantized log-range terms as the
+    full-sample estimator, windowed."""
+    b = bars(spark, sf_dir).where((F.col("high") > 0) & (F.col("low") > 0))
+    lhl = F.log(F.col("high") / F.col("low"))
+    qp = F.floor(lhl * lhl * 1e12 + F.lit(0.5)).cast("long")
+    src = b.select("symbol", "t", qp.alias("qp"))
+    w = _w().rowsBetween(-19, 0)
+    pk = F.when(
+        F.count("qp").over(w) == 20,
+        F.sqrt(F.sum("qp").over(w).cast("double") / 20.0 / 1e12 / (4.0 * _LN2)),
+    )
+    return src.select("symbol", "t", r6(pk).alias("parkinson_20"))

@@ -8910,3 +8910,83 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("quintile_before", "quintile_after")
     )
+
+
+@q(
+    "events_mix_shift",
+    """
+WITH ms0 AS (
+  SELECT event_type,
+         epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END AS conv
+  FROM events
+),
+msm AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS m FROM ms0),
+msp AS (
+  SELECT event_type,
+         SUM(CASE WHEN day < (SELECT m FROM msm) THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN day < (SELECT m FROM msm) THEN conv ELSE 0 END) AS c1,
+         SUM(CASE WHEN day >= (SELECT m FROM msm) THEN 1 ELSE 0 END) AS n2,
+         SUM(CASE WHEN day >= (SELECT m FROM msm) THEN conv ELSE 0 END) AS c2
+  FROM ms0 GROUP BY event_type
+),
+mst AS (SELECT SUM(n1) AS t1, SUM(n2) AS t2 FROM msp)
+SELECT event_type,
+       ROUND(CAST(n1 AS DOUBLE) / (SELECT t1 FROM mst), 6) AS share_before,
+       ROUND(CAST(n2 AS DOUBLE) / (SELECT t2 FROM mst), 6) AS share_after,
+       ROUND(CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / n1 ELSE 0.0 END, 6) AS rate_before,
+       ROUND(CASE WHEN n2 > 0 THEN CAST(c2 AS DOUBLE) / n2 ELSE 0.0 END, 6) AS rate_after,
+       ROUND((CAST(n2 AS DOUBLE) / (SELECT t2 FROM mst)
+              - CAST(n1 AS DOUBLE) / (SELECT t1 FROM mst))
+             * (CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / n1 ELSE 0.0 END), 6)
+         AS mix_effect,
+       ROUND((CASE WHEN n2 > 0 THEN CAST(c2 AS DOUBLE) / n2 ELSE 0.0 END
+              - CASE WHEN n1 > 0 THEN CAST(c1 AS DOUBLE) / n1 ELSE 0.0 END)
+             * (CAST(n2 AS DOUBLE) / (SELECT t2 FROM mst)), 6) AS rate_effect
+FROM msp
+ORDER BY event_type
+""",
+)
+def events_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift decomposition of the overall conversion change between
+    period halves: per event type, how much of the movement comes from
+    its traffic SHARE changing (mix effect, at old rates) vs its RATE
+    changing (at new shares) — the Oaxaca-style 'why did the topline
+    move' answer that bare rate deltas hide. Integer counts throughout;
+    one conditional aggregate + two scalar totals."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    m0 = ev0.select(
+        "event_type",
+        ts_us_expr(ev0).alias("ts_us"),
+        F.when(
+            (F.col("event_type") == "purchase") & (F.col("value") >= 150.0), 1
+        ).otherwise(0).alias("conv"),
+    ).select("event_type", F.expr("ts_us DIV 86400000000").alias("day"), "conv")
+    mm = m0.agg(F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("m"))
+    p = (
+        m0.crossJoin(F.broadcast(mm))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("day") < F.col("m"), F.col("conv")).otherwise(0)).alias("c1"),
+            F.sum(F.when(F.col("day") >= F.col("m"), 1).otherwise(0)).alias("n2"),
+            F.sum(F.when(F.col("day") >= F.col("m"), F.col("conv")).otherwise(0)).alias("c2"),
+        )
+    )
+    t = p.agg(F.sum("n1").alias("t1"), F.sum("n2").alias("t2"))
+    j = p.crossJoin(F.broadcast(t))
+    sb = F.col("n1").cast("double") / F.col("t1")
+    sa = F.col("n2").cast("double") / F.col("t2")
+    rb = F.when(F.col("n1") > 0, F.col("c1").cast("double") / F.col("n1")).otherwise(0.0)
+    ra = F.when(F.col("n2") > 0, F.col("c2").cast("double") / F.col("n2")).otherwise(0.0)
+    return j.select(
+        "event_type",
+        r6(sb).alias("share_before"),
+        r6(sa).alias("share_after"),
+        r6(rb).alias("rate_before"),
+        r6(ra).alias("rate_after"),
+        r6((sa - sb) * rb).alias("mix_effect"),
+        r6((ra - rb) * sa).alias("rate_effect"),
+    ).orderBy("event_type")

@@ -8990,3 +8990,79 @@ def events_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6((sa - sb) * rb).alias("mix_effect"),
         r6((ra - rb) * sa).alias("rate_effect"),
     ).orderBy("event_type")
+
+
+@q(
+    "events_lateness_profile",
+    """
+WITH lp AS (
+  SELECT event_type, epoch_us(ts) AS ts_us,
+         MAX(epoch_us(ts)) OVER (PARTITION BY event_type ORDER BY event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - epoch_us(ts) AS late_us
+  FROM events
+),
+lpr AS (
+  SELECT event_type, late_us,
+         ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY late_us) AS r,
+         COUNT(*) OVER (PARTITION BY event_type) AS n
+  FROM lp
+)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n_events,
+       CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+       MAX(CASE WHEN r = CAST(CEIL(0.50 * n) AS BIGINT) THEN late_us END) AS p50_late_us,
+       MAX(CASE WHEN r = CAST(CEIL(0.99 * n) AS BIGINT) THEN late_us END) AS p99_late_us,
+       MAX(late_us) AS max_late_us
+FROM lpr GROUP BY event_type
+ORDER BY event_type
+""",
+)
+def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-orderness profile per stream: each event's lateness behind
+    the running event-time frontier in ARRIVAL order (event_id) — exact
+    p50/p99/max in µs. This is how you SIZE a watermark instead of
+    guessing: `withWatermark(p99 + margin)` bounds state while dropping
+    ~1% of stragglers, and max tells you the cost of exactness. Integer
+    µs throughout; one frontier window + one rank pass."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    wa = Window.partitionBy("event_type").orderBy("event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    lp = ev0.select(
+        "event_type", "event_id", ts_us_expr(ev0).alias("ts_us")
+    ).select(
+        "event_type",
+        (F.max("ts_us").over(wa) - F.col("ts_us")).alias("late_us"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("late_us")
+    wn = Window.partitionBy("event_type")
+    lpr = lp.select(
+        "event_type",
+        "late_us",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pct(p):
+        return F.max(
+            F.when(
+                F.col("r") == F.ceil(F.lit(p) * F.col("n")).cast("long"),
+                F.col("late_us"),
+            )
+        )
+
+    return (
+        lpr.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n_events"),
+            F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0)).cast("long").alias(
+                "n_late"
+            ),
+            pct(0.50).alias("p50_late_us"),
+            pct(0.99).alias("p99_late_us"),
+            F.max("late_us").alias("max_late_us"),
+        )
+        .orderBy("event_type")
+    )

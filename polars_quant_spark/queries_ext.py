@@ -6175,3 +6175,74 @@ def ind_parkinson(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sqrt(F.sum("qp").over(w).cast("double") / 20.0 / 1e12 / (4.0 * _LN2)),
     )
     return src.select("symbol", "t", r6(pk).alias("parkinson_20"))
+
+
+@q(
+    "ind_breakout_efficacy",
+    BARS_CTE
+    + """,
+bke AS (
+  SELECT symbol, t, close,
+         CASE WHEN COUNT(high) OVER wp = 20
+               AND high > MAX(high) OVER wp THEN 1 ELSE 0 END AS brk,
+         CAST(FLOOR((LEAD(close, 5) OVER o / close - 1.0) * 1000000.0 + 0.5) AS BIGINT)
+           AS fwd5
+  FROM bars
+  WINDOW wp AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING),
+         o AS (PARTITION BY symbol ORDER BY t)
+)
+SELECT symbol,
+       CAST(SUM(brk) AS BIGINT) AS n_breakouts,
+       ROUND(CAST(SUM(CASE WHEN brk = 1 THEN fwd5 ELSE 0 END) AS DOUBLE)
+             / 1000000.0 / NULLIF(SUM(CASE WHEN brk = 1 THEN 1 ELSE 0 END), 0), 6)
+         AS avg_fwd5_after_break,
+       ROUND(CAST(SUM(CASE WHEN brk = 0 THEN fwd5 ELSE 0 END) AS DOUBLE)
+             / 1000000.0 / NULLIF(SUM(CASE WHEN brk = 0 THEN 1 ELSE 0 END), 0), 6)
+         AS avg_fwd5_baseline,
+       ROUND(CAST(SUM(CASE WHEN brk = 1 AND fwd5 > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN brk = 1 THEN 1 ELSE 0 END), 0), 6)
+         AS win_rate_after_break
+FROM bke WHERE fwd5 IS NOT NULL
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def ind_breakout_efficacy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Donchian-breakout efficacy: average forward 5-bar return and win
+    rate after a close above the prior 20-bar high, vs the unconditional
+    baseline — does the breakout actually carry? (The signal-validation
+    twin of cdl_efficacy, for channel breaks.) One window pass, exact
+    micro forward returns."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    wp = _w().rowsBetween(-20, -1)
+    brk = F.when(
+        (F.count("high").over(wp) == 20) & (F.col("high") > F.max("high").over(wp)), 1
+    ).otherwise(0)
+    fwd5 = F.floor(
+        (F.lead("close", 5).over(o) / F.col("close") - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    e = b.select("symbol", brk.alias("brk"), fwd5.alias("fwd5")).where(
+        F.col("fwd5").isNotNull()
+    )
+    nb = F.sum(F.when(F.col("brk") == 1, 1).otherwise(0))
+    n0 = F.sum(F.when(F.col("brk") == 0, 1).otherwise(0))
+    sb = F.sum(F.when(F.col("brk") == 1, F.col("fwd5")).otherwise(0))
+    s0 = F.sum(F.when(F.col("brk") == 0, F.col("fwd5")).otherwise(0))
+    wins = F.sum(F.when((F.col("brk") == 1) & (F.col("fwd5") > 0), 1).otherwise(0))
+    return (
+        e.groupBy("symbol")
+        .agg(
+            nb.cast("long").alias("n_breakouts"),
+            r6(sb.cast("double") / 1e6 / F.nullif(nb, F.lit(0))).alias(
+                "avg_fwd5_after_break"
+            ),
+            r6(s0.cast("double") / 1e6 / F.nullif(n0, F.lit(0))).alias(
+                "avg_fwd5_baseline"
+            ),
+            r6(wins.cast("double") / F.nullif(nb, F.lit(0))).alias(
+                "win_rate_after_break"
+            ),
+        )
+        .orderBy("symbol")
+    )

@@ -9066,3 +9066,99 @@ def events_lateness_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@q(
+    "events_power_calc",
+    """
+WITH pc0 AS (
+  SELECT user_id,
+         epoch_us(ts) // 86400000000 AS day,
+         MAX(CASE WHEN event_type = 'purchase' AND value >= 150.0 THEN 1 ELSE 0 END)
+           AS conv
+  FROM events GROUP BY 1, 2
+),
+pcs AS (
+  SELECT COUNT(*) AS n_user_days,
+         SUM(conv) AS n_conv,
+         COUNT(DISTINCT day) AS n_days
+  FROM pc0
+),
+pcr AS (
+  SELECT CAST(n_conv AS DOUBLE) / n_user_days AS p,
+         CAST(n_user_days AS DOUBLE) / n_days AS users_per_day
+  FROM pcs
+),
+lifts AS (SELECT unnest([0.02, 0.05, 0.10]) AS lift)
+SELECT ROUND(l.lift, 6) AS relative_lift,
+       ROUND(r.p, 6) AS base_rate,
+       CAST(CEIL(2.0 * (1.959963984540054 + 0.8416212335729143)
+                 * (1.959963984540054 + 0.8416212335729143)
+                 * r.p * (1.0 - r.p) / ((r.p * l.lift) * (r.p * l.lift)))
+            AS BIGINT) AS n_per_arm,
+       CAST(CEIL(2.0 * 2.0 * (1.959963984540054 + 0.8416212335729143)
+                 * (1.959963984540054 + 0.8416212335729143)
+                 * r.p * (1.0 - r.p) / ((r.p * l.lift) * (r.p * l.lift))
+                 / r.users_per_day) AS BIGINT) AS days_to_run
+FROM lifts l CROSS JOIN pcr r
+ORDER BY relative_lift
+""",
+)
+def events_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment sample-size calculator from OBSERVED traffic: per target
+    relative lift (2/5/10%), the classic two-proportion n per arm at
+    α=.05 / 80% power (z literals shared full-precision) and the days the
+    experiment must run at the measured users-per-day rate — the
+    'can we even detect this' answer before anyone ships a test.
+    Base rate and traffic come from one user-day aggregate."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    p0 = (
+        ev0.select(
+            "user_id",
+            ts_us_expr(ev0).alias("ts_us"),
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("value") >= 150.0), 1
+            ).otherwise(0).alias("c"),
+        )
+        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"), "c")
+        .groupBy("user_id", "day")
+        .agg(F.max("c").alias("conv"))
+    )
+    s = p0.agg(
+        F.count(F.lit(1)).alias("n_user_days"),
+        F.sum("conv").alias("n_conv"),
+        F.count_distinct("day").alias("n_days"),
+    )
+    r = s.select(
+        (F.col("n_conv").cast("double") / F.col("n_user_days")).alias("p"),
+        (F.col("n_user_days").cast("double") / F.col("n_days")).alias("users_per_day"),
+    )
+    lifts = spark.createDataFrame([(0.02,), (0.05,), (0.10,)], ["lift"])
+    za_zb = 1.959963984540054 + 0.8416212335729143
+    j = lifts.crossJoin(F.broadcast(r))
+    n_arm = F.ceil(
+        2.0
+        * za_zb
+        * za_zb
+        * F.col("p")
+        * (1.0 - F.col("p"))
+        / ((F.col("p") * F.col("lift")) * (F.col("p") * F.col("lift")))
+    ).cast("long")
+    days = F.ceil(
+        2.0
+        * 2.0
+        * za_zb
+        * za_zb
+        * F.col("p")
+        * (1.0 - F.col("p"))
+        / ((F.col("p") * F.col("lift")) * (F.col("p") * F.col("lift")))
+        / F.col("users_per_day")
+    ).cast("long")
+    return j.select(
+        r6(F.col("lift")).alias("relative_lift"),
+        r6(F.col("p")).alias("base_rate"),
+        n_arm.alias("n_per_arm"),
+        days.alias("days_to_run"),
+    ).orderBy("relative_lift")

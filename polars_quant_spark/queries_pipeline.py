@@ -9162,3 +9162,147 @@ def events_power_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_arm.alias("n_per_arm"),
         days.alias("days_to_run"),
     ).orderBy("relative_lift")
+
+
+@q(
+    "rel_abc_analysis",
+    """
+WITH ar AS (
+  SELECT l_partkey AS pk,
+         SUM(CAST(FLOOR(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5) AS BIGINT))
+           AS rev_cents
+  FROM lineitem GROUP BY l_partkey
+),
+ac AS (
+  SELECT pk, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, pk
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         SUM(rev_cents) OVER () AS tot
+  FROM ar
+),
+acl AS (
+  SELECT pk, rev_cents,
+         CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+              WHEN cum * 100 <= tot * 95 THEN 'B'
+              ELSE 'C' END AS cls
+  FROM ac
+)
+SELECT cls AS abc_class,
+       CAST(COUNT(*) AS BIGINT) AS n_parts,
+       ROUND(CAST(SUM(rev_cents) AS DOUBLE) / 100.0, 6) AS revenue,
+       ROUND(CAST(SUM(rev_cents) AS DOUBLE)
+             / (SELECT CAST(SUM(rev_cents) AS DOUBLE) FROM ar), 6) AS revenue_share
+FROM acl GROUP BY cls
+ORDER BY abc_class
+""",
+)
+def rel_abc_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC (Pareto) classification of parts by net revenue: A = the parts
+    covering the first 80% of cumulative revenue, B to 95%, C the tail —
+    the inventory-prioritization classic. The class boundary test is
+    INTEGER cross-multiplication (cum·100 ≤ tot·80 — no float shares near
+    the cut), so classification is exact. One aggregate + one ordered
+    cumsum over the part-level frame."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ar = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(
+            F.floor(
+                F.col("l_extendedprice") * (1.0 - F.col("l_discount")) * 100.0
+                + F.lit(0.5)
+            ).cast("long")
+        ).alias("rev_cents")
+    )
+    wc = Window.orderBy(F.col("rev_cents").desc(), F.col("pk")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    dec = "decimal(38,0)"
+    ac = ar.select(
+        "pk",
+        "rev_cents",
+        F.sum("rev_cents").over(wc).alias("cum"),
+        F.sum("rev_cents").over(wall).alias("tot"),
+    )
+    cls = (
+        F.when(F.col("cum").cast(dec) * 100 <= F.col("tot").cast(dec) * 80, "A")
+        .when(F.col("cum").cast(dec) * 100 <= F.col("tot").cast(dec) * 95, "B")
+        .otherwise("C")
+    )
+    acl = ac.select("rev_cents", cls.alias("abc_class"))
+    tot = ar.agg(F.sum("rev_cents").cast("double").alias("t"))
+    return (
+        acl.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev_cents").alias("rc"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc_class",
+            "n_parts",
+            r6(F.col("rc").cast("double") / 100.0).alias("revenue"),
+            r6(F.col("rc").cast("double") / F.col("t")).alias("revenue_share"),
+        )
+        .orderBy("abc_class")
+    )
+
+
+@q(
+    "events_srm_check",
+    """
+WITH su AS (
+  SELECT DISTINCT user_id,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS variant
+  FROM events
+),
+sc AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0,
+         SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1
+  FROM su
+)
+SELECT CAST(n0 AS BIGINT) AS n_control, CAST(n1 AS BIGINT) AS n_treatment,
+       ROUND(CAST(n1 AS DOUBLE) / (n0 + n1), 6) AS treatment_share,
+       ROUND((CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+             * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+             / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+             + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+             * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+             / (CAST(n0 + n1 AS DOUBLE) / 2.0), 6) AS srm_chi2,
+       CAST(CASE WHEN (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                      * (CAST(n0 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                      / (CAST(n0 + n1 AS DOUBLE) / 2.0)
+                      + (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                      * (CAST(n1 AS DOUBLE) - CAST(n0 + n1 AS DOUBLE) / 2.0)
+                      / (CAST(n0 + n1 AS DOUBLE) / 2.0) > 3.841 THEN 1 ELSE 0 END
+            AS INTEGER) AS srm_flag
+FROM sc
+""",
+)
+def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the 50/50 hash split: χ² of the
+    observed arm counts vs expected (flag at the 3.841 critical value) —
+    the first thing a trustworthy experimentation platform checks, since
+    a skewed split invalidates the readout before any metric is compared.
+    Counts exact; one distinct-user aggregate."""
+    from polars_quant_spark.operators.sketch import hash_lane
+
+    ev = load_table(spark, sf_dir, "events")
+    su = ev.select("user_id").distinct().select(
+        (hash_lane("user_id", 8) % 2).alias("variant")
+    )
+    sc = su.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+    )
+    n0 = F.col("n0").cast("double")
+    n1 = F.col("n1").cast("double")
+    e = (F.col("n0") + F.col("n1")).cast("double") / 2.0
+    chi2 = (n0 - e) * (n0 - e) / e + (n1 - e) * (n1 - e) / e
+    return sc.select(
+        F.col("n0").cast("long").alias("n_control"),
+        F.col("n1").cast("long").alias("n_treatment"),
+        r6(n1 / (F.col("n0") + F.col("n1"))).alias("treatment_share"),
+        r6(chi2).alias("srm_chi2"),
+        F.when(chi2 > 3.841, 1).otherwise(0).cast("int").alias("srm_flag"),
+    )

@@ -6246,3 +6246,66 @@ def ind_breakout_efficacy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@q(
+    "bars_gap_fill",
+    BARS_CTE
+    + """,
+gfd AS (
+  SELECT symbol, t, open, high, low,
+         LAG(close) OVER (PARTITION BY symbol ORDER BY t) AS pc
+  FROM bars
+),
+gfl AS (
+  SELECT symbol,
+         CASE WHEN open > pc THEN 1 WHEN open < pc THEN -1 ELSE 0 END AS gap_dir,
+         CASE WHEN open > pc AND low <= pc THEN 1
+              WHEN open < pc AND high >= pc THEN 1 ELSE 0 END AS filled
+  FROM gfd WHERE pc IS NOT NULL
+)
+SELECT symbol,
+       CAST(SUM(CASE WHEN gap_dir = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_up,
+       ROUND(CAST(SUM(CASE WHEN gap_dir = 1 THEN filled ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN gap_dir = 1 THEN 1 ELSE 0 END), 0), 6)
+         AS fill_rate_up,
+       CAST(SUM(CASE WHEN gap_dir = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps_down,
+       ROUND(CAST(SUM(CASE WHEN gap_dir = -1 THEN filled ELSE 0 END) AS DOUBLE)
+             / NULLIF(SUM(CASE WHEN gap_dir = -1 THEN 1 ELSE 0 END), 0), 6)
+         AS fill_rate_down
+FROM gfl
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bars_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-fill statistics per symbol: how often an open gap (open above/
+    below the prior close) trades back to the prior close within the same
+    bar — the fade-the-gap base rate. Pure lag + conditional counts, one
+    window pass."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    pc = F.lag("close").over(o)
+    d = b.select(
+        "symbol",
+        F.when(F.col("open") > pc, 1).when(F.col("open") < pc, -1).otherwise(0).alias("gap_dir"),
+        F.when((F.col("open") > pc) & (F.col("low") <= pc), 1)
+        .when((F.col("open") < pc) & (F.col("high") >= pc), 1)
+        .otherwise(0)
+        .alias("filled"),
+        pc.alias("pc"),
+    ).where(F.col("pc").isNotNull())
+    up = F.sum(F.when(F.col("gap_dir") == 1, 1).otherwise(0))
+    upf = F.sum(F.when(F.col("gap_dir") == 1, F.col("filled")).otherwise(0))
+    dn = F.sum(F.when(F.col("gap_dir") == -1, 1).otherwise(0))
+    dnf = F.sum(F.when(F.col("gap_dir") == -1, F.col("filled")).otherwise(0))
+    return (
+        d.groupBy("symbol")
+        .agg(
+            up.cast("long").alias("n_gaps_up"),
+            r6(upf.cast("double") / F.nullif(up, F.lit(0))).alias("fill_rate_up"),
+            dn.cast("long").alias("n_gaps_down"),
+            r6(dnf.cast("double") / F.nullif(dn, F.lit(0))).alias("fill_rate_down"),
+        )
+        .orderBy("symbol")
+    )

@@ -6309,3 +6309,63 @@ def bars_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@q(
+    "bars_weekday_effect",
+    BARS_CTE
+    + """,
+wde AS (
+  SELECT symbol, ts_us // 86400000000 AS day,
+         arg_max(close, ts_us) AS c
+  FROM bars GROUP BY 1, 2
+),
+wdr AS (
+  SELECT CAST((day + 4) % 7 AS INTEGER) AS dow,
+         CAST(FLOOR((c / LAG(c) OVER (PARTITION BY symbol ORDER BY day) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM wde
+)
+SELECT dow AS weekday,
+       CAST(COUNT(qr) AS BIGINT) AS n_obs,
+       ROUND(CAST(SUM(qr) AS DOUBLE) / 1000000.0 / COUNT(qr), 6) AS avg_daily_ret,
+       ROUND(CAST(SUM(CASE WHEN qr > 0 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(qr), 6) AS up_share
+FROM wdr WHERE qr IS NOT NULL
+GROUP BY dow
+ORDER BY weekday
+""",
+)
+def bars_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-anomaly screen: average daily close-to-close return and
+    up-day share by weekday across the universe (the Monday-effect /
+    turn-of-week check). Daily closes come from arg_max by time; returns
+    micro-quantize; weekday is integer epoch-day arithmetic (no timezone
+    functions to disagree on)."""
+    b = bars(spark, sf_dir)
+    wde = (
+        b.select("symbol", F.expr("ts_us DIV 86400000000").alias("day"), "close", "ts_us")
+        .groupBy("symbol", "day")
+        .agg(F.max_by("close", "ts_us").alias("c"))
+    )
+    wd = Window.partitionBy("symbol").orderBy("day")
+    wdr = wde.select(
+        F.expr("CAST((day + 4) % 7 AS INT)").alias("weekday"),
+        F.floor((F.col("c") / F.lag("c").over(wd) - 1.0) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qr"),
+    ).where(F.col("qr").isNotNull())
+    return (
+        wdr.groupBy("weekday")
+        .agg(
+            F.count("qr").cast("long").alias("n_obs"),
+            r6(F.sum("qr").cast("double") / 1e6 / F.count("qr")).alias(
+                "avg_daily_ret"
+            ),
+            r6(
+                F.sum(F.when(F.col("qr") > 0, 1).otherwise(0)).cast("double")
+                / F.count("qr")
+            ).alias("up_share"),
+        )
+        .orderBy("weekday")
+    )

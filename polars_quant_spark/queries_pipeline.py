@@ -9306,3 +9306,53 @@ def events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(chi2).alias("srm_chi2"),
         F.when(chi2 > 3.841, 1).otherwise(0).cast("int").alias("srm_flag"),
     )
+
+
+@q(
+    "emb_hubness",
+    _EMB_SCORED.replace(
+        "SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 10",
+        "SELECT vec_id AS query_id, embedding AS qv FROM embeddings "
+        "ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 100",
+    )
+    + """,
+hub AS (
+  SELECT vec_id, COUNT(*) AS k_occurrences
+  FROM ranked WHERE rank <= 10 AND vec_id != query_id
+  GROUP BY vec_id
+)
+SELECT vec_id, CAST(k_occurrences AS BIGINT) AS k_occurrences,
+       ROUND(CAST(k_occurrences AS DOUBLE) / 100.0, 6) AS occupancy
+FROM hub
+ORDER BY k_occurrences DESC, vec_id
+LIMIT 20
+""",
+)
+def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hubness audit: the corpus vectors that appear most often in OTHER
+    points' top-10 neighbor lists (over the fixed 100-query md5 sample) —
+    the high-dimensional pathology where a few 'hub' points dominate every
+    neighborhood and silently bias kNN labels and retrieval. High
+    occupancy here says: normalize/center the space (see emb_dim_profile's
+    anisotropy) before trusting neighbors. Same bounded q×n scan shape as
+    the other embedding evals."""
+    emb = widen(load_table(spark, sf_dir, "embeddings"))
+    queries = (
+        emb.orderBy(F.md5(F.col("vec_id").cast("string")), F.col("vec_id"))
+        .limit(100)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+    top = similarity.cosine_topk(emb, queries, k=10).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    return (
+        top.groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("k_occurrences"))
+        .select(
+            "vec_id",
+            F.col("k_occurrences").cast("long").alias("k_occurrences"),
+            r6(F.col("k_occurrences").cast("double") / 100.0).alias("occupancy"),
+        )
+        .orderBy(F.col("k_occurrences").desc(), F.col("vec_id"))
+        .limit(20)
+    )

@@ -9356,3 +9356,103 @@ def emb_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("k_occurrences").desc(), F.col("vec_id"))
         .limit(20)
     )
+
+
+@q(
+    "events_kaplan_meier",
+    """
+WITH km0 AS (
+  SELECT user_id,
+         MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) AS span,
+         MAX(epoch_us(ts) // 86400000000) AS last_day
+  FROM events GROUP BY user_id
+),
+kmx AS (SELECT MAX(last_day) AS gmax FROM km0),
+kmu AS (
+  SELECT span,
+         CASE WHEN (SELECT gmax FROM kmx) - last_day < 7 THEN 1 ELSE 0 END AS censored
+  FROM km0
+),
+kmt AS (
+  SELECT span,
+         SUM(1 - censored) AS d,
+         SUM(censored) AS c
+  FROM kmu GROUP BY span
+),
+kmr AS (
+  SELECT span, d, c,
+         SUM(d + c) OVER (ORDER BY span DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM kmt
+),
+kms AS (
+  SELECT span, d, c, n_risk,
+         SUM(CASE WHEN d > 0 THEN
+           CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000000.0 + 0.5)
+                AS BIGINT) ELSE 0 END)
+           OVER (ORDER BY span ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qln
+  FROM kmr WHERE d > 0 AND n_risk > d
+)
+SELECT CAST(span AS BIGINT) AS churn_day,
+       CAST(n_risk AS BIGINT) AS n_at_risk,
+       CAST(d AS BIGINT) AS n_churned,
+       CAST(c AS BIGINT) AS n_censored,
+       ROUND(exp(CAST(qln AS DOUBLE) / 1000000000.0), 6) AS survival
+FROM kms
+ORDER BY churn_day
+""",
+)
+def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan–Meier survival with CENSORING: users whose last event is
+    within 7 days of the data horizon are censored (still alive — they
+    leave the risk set without counting as churn), which the naive
+    survival curve gets wrong at the tail. The at-risk counts are a
+    reverse cumsum over the lifespan distribution; the product estimator
+    runs as exp(Σ ln(1−d/n)) with nano-quantized log terms so the ordered
+    prefix sums agree bit-for-bit. Distribution-collapsed: nothing past
+    the first aggregate is bigger than the distinct-lifespan set."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    km0 = (
+        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
+        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("user_id")
+        .agg(
+            (F.max("day") - F.min("day")).alias("span"),
+            F.max("day").alias("last_day"),
+        )
+    )
+    gmax = km0.agg(F.max("last_day").alias("gmax"))
+    kmu = km0.crossJoin(F.broadcast(gmax)).select(
+        "span",
+        F.when(F.col("gmax") - F.col("last_day") < 7, 1).otherwise(0).alias("censored"),
+    )
+    kmt = kmu.groupBy("span").agg(
+        F.sum(1 - F.col("censored")).alias("d"), F.sum("censored").alias("c")
+    )
+    wrev = Window.orderBy(F.col("span").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    kmr = kmt.select(
+        "span", "d", "c", F.sum(F.col("d") + F.col("c")).over(wrev).alias("n_risk")
+    ).where((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+    wfwd = Window.orderBy("span").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    qterm = F.when(
+        F.col("d") > 0,
+        F.floor(
+            F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")) * 1e9 + F.lit(0.5)
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    kms = kmr.select(
+        "span", "d", "c", "n_risk", F.sum(qterm).over(wfwd).alias("qln")
+    )
+    return kms.select(
+        F.col("span").cast("long").alias("churn_day"),
+        F.col("n_risk").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_churned"),
+        F.col("c").cast("long").alias("n_censored"),
+        r6(F.exp(F.col("qln").cast("double") / 1e9)).alias("survival"),
+    ).orderBy("churn_day")

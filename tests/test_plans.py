@@ -536,3 +536,31 @@ def test_round2_wave2_plan_hygiene(spark, sf_dir):
     for name in ("bars_runs_test", "doc_readability", "doc_tokenizer_fertility"):
         p = plan_str(QUERIES[name](spark, sf_dir))
         assert "Join" not in p, name
+
+
+def test_round2_wave3_plan_hygiene(spark, sf_dir):
+    """Third wave: sketches, survival, migration, microstructure —
+    bounded plans (scalar broadcasts only), no cartesians."""
+    from polars_quant_spark.plans.inspect import plan_str
+
+    for name in (
+        "events_hll_distinct",
+        "doc_bloom_filter",
+        "events_kaplan_meier",
+        "events_decile_migration",
+        "events_power_calc",
+        "events_mix_shift",
+        "rel_abc_analysis",
+        "events_lateness_profile",
+        "emb_hubness",
+        "emb_dim_profile",
+        "bars_volume_bars",
+        "events_cusum",
+        "ops_partition_planner",
+    ):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in p, name
+    for name in ("bars_roll_spread", "bars_gap_fill", "bars_weekday_effect",
+                 "ind_parkinson_20", "ind_breakout_efficacy", "bars_kyle_lambda"):
+        p = plan_str(QUERIES[name](spark, sf_dir))
+        assert "Join" not in p, name

@@ -6369,3 +6369,102 @@ def bars_weekday_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("weekday")
     )
+
+
+@q(
+    "factor_turnover",
+    BARS_CTE
+    + """,
+ftm AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close, 10) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS mom
+  FROM bars
+),
+ftr AS (
+  SELECT symbol, t,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY mom DESC, symbol) AS rk,
+         COUNT(*) OVER (PARTITION BY t) AS n
+  FROM ftm WHERE mom IS NOT NULL
+),
+ftp AS (
+  SELECT a.t, a.n,
+         SUM(CAST(a.rk - b.rk AS HUGEINT) * (a.rk - b.rk)) AS d2,
+         COUNT(*) AS np
+  FROM ftr a JOIN ftr b ON b.symbol = a.symbol AND b.t = a.t - 1 AND b.n = a.n
+  GROUP BY a.t, a.n
+),
+fts AS (
+  SELECT CAST(FLOOR((1.0 - 6.0 * CAST(d2 AS DOUBLE)
+                     / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) * n - 1.0)))
+                    * 1000000.0 + 0.5) AS BIGINT) AS qrho
+  FROM ftp WHERE np = n AND n > 1
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_periods,
+       ROUND(CAST(SUM(qrho) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS avg_rank_autocorr,
+       ROUND(1.0 - CAST(SUM(qrho) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS avg_turnover
+FROM fts
+""",
+)
+def factor_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Factor turnover of the 10-bar momentum signal: average Spearman
+    autocorrelation of the cross-sectional ranks between consecutive bars
+    (1 − 6Σd²/n(n²−1) — exact integers until the final ratio) and its
+    complement, the turnover a rebalancing strategy pays. Low
+    autocorrelation = the signal churns and transaction costs eat the IC.
+    Complements the factor IC kit with the cost axis."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    mom = F.floor(
+        (F.col("close") / F.lag("close", 10).over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    m = b.select("symbol", "t", mom.alias("mom")).where(F.col("mom").isNotNull())
+    wt = Window.partitionBy("t").orderBy(F.col("mom").desc(), F.col("symbol"))
+    wn = Window.partitionBy("t")
+    r = m.select(
+        "symbol",
+        "t",
+        F.row_number().over(wt).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    a = r.select("symbol", "t", "rk", "n")
+    bb = r.select(
+        F.col("symbol").alias("s2"),
+        F.col("t").alias("t2"),
+        F.col("rk").alias("rk2"),
+        F.col("n").alias("n2"),
+    )
+    dec = "decimal(38,0)"
+    p = (
+        a.join(
+            bb,
+            (F.col("s2") == F.col("symbol"))
+            & (F.col("t2") == F.col("t") - 1)
+            & (F.col("n2") == F.col("n")),
+        )
+        .groupBy("t", "n")
+        .agg(
+            F.sum(
+                (F.col("rk") - F.col("rk2")).cast(dec) * (F.col("rk") - F.col("rk2"))
+            ).alias("d2"),
+            F.count(F.lit(1)).alias("np"),
+        )
+        .where((F.col("np") == F.col("n")) & (F.col("n") > 1))
+    )
+    nn = F.col("n").cast("double")
+    qrho = F.floor(
+        (1.0 - 6.0 * F.col("d2").cast("double") / (nn * (nn * F.col("n") - 1.0))) * 1e6
+        + F.lit(0.5)
+    ).cast("long")
+    s = p.select(qrho.alias("qrho"))
+    return s.agg(
+        F.count(F.lit(1)).cast("long").alias("n_periods"),
+        r6(F.sum("qrho").cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "avg_rank_autocorr"
+        ),
+        r6(1.0 - F.sum("qrho").cast("double") / 1e6 / F.count(F.lit(1))).alias(
+            "avg_turnover"
+        ),
+    )

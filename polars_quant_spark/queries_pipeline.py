@@ -9456,3 +9456,136 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c").cast("long").alias("n_censored"),
         r6(F.exp(F.col("qln").cast("double") / 1e9)).alias("survival"),
     ).orderBy("churn_day")
+
+
+# ---------------------------------------------------------------------------
+# Bass diffusion fit: y_t = a + b·N_{t-1} + c·N²_{t-1} solved by Cramer's
+# rule. The 3×3 determinant expression is GENERATED once (det3) and
+# rendered into both engines' expression trees with identical association,
+# from moments that are exact integers.
+# ---------------------------------------------------------------------------
+
+
+def _det3(m):
+    """((a1,a2,a3),(b1,b2,b3),(c1,c2,c3)) -> det string/Column (same code
+    works for str operands via format and for Columns via operators)."""
+    (a1, a2, a3), (b1, b2, b3), (c1, c2, c3) = m
+    if isinstance(a1, str):
+        return (
+            f"({a1} * ({b2} * {c3} - {b3} * {c2}) "
+            f"- {a2} * ({b1} * {c3} - {b3} * {c1}) "
+            f"+ {a3} * ({b1} * {c2} - {b2} * {c1}))"
+        )
+    return a1 * (b2 * c3 - b3 * c2) - a2 * (b1 * c3 - b3 * c1) + a3 * (
+        b1 * c2 - b2 * c1
+    )
+
+
+def _bass_sql() -> str:
+    n, s1, s2, s3, s4 = "dn", "ds1", "ds2", "ds3", "ds4"
+    sy, sy1, sy2 = "dsy", "dsy1", "dsy2"
+    det = _det3(((n, s1, s2), (s1, s2, s3), (s2, s3, s4)))
+    det_a = _det3(((sy, s1, s2), (sy1, s2, s3), (sy2, s3, s4)))
+    det_b = _det3(((n, sy, s2), (s1, sy1, s3), (s2, sy2, s4)))
+    det_c = _det3(((n, s1, sy), (s1, s2, sy1), (s2, s3, sy2)))
+    return f"""
+WITH bd0 AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) AS d0 FROM events GROUP BY user_id
+),
+bda AS (
+  SELECT d0 AS day, COUNT(*) AS adopters FROM bd0 GROUP BY d0
+),
+bdc AS (
+  SELECT day, adopters,
+         SUM(adopters) OVER (ORDER BY day
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS np
+  FROM bda
+),
+bdm AS (
+  SELECT COUNT(*) AS n, SUM(np) AS s1,
+         SUM(CAST(np AS HUGEINT) * np) AS s2,
+         SUM(CAST(np AS HUGEINT) * np * np) AS s3,
+         SUM(CAST(np AS HUGEINT) * np * np * np) AS s4,
+         SUM(adopters) AS sy,
+         SUM(CAST(adopters AS HUGEINT) * np) AS sy1,
+         SUM(CAST(adopters AS HUGEINT) * np * np) AS sy2,
+         MAX(np) + MAX(adopters) AS mcap
+  FROM bdc WHERE np IS NOT NULL
+),
+bdd AS (
+  SELECT CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS ds1,
+         CAST(s2 AS DOUBLE) AS ds2, CAST(s3 AS DOUBLE) AS ds3,
+         CAST(s4 AS DOUBLE) AS ds4, CAST(sy AS DOUBLE) AS dsy,
+         CAST(sy1 AS DOUBLE) AS dsy1, CAST(sy2 AS DOUBLE) AS dsy2,
+         CAST(mcap AS DOUBLE) AS m, n
+  FROM bdm
+)
+SELECT CAST(n AS BIGINT) AS n_days,
+       CAST(m AS BIGINT) AS m_users,
+       ROUND(CASE WHEN {det} != 0 THEN ({det_a}) / ({det}) / m END, 6) AS bass_p,
+       ROUND(CASE WHEN {det} != 0 THEN -(({det_c}) / ({det})) * m END, 6) AS bass_q
+FROM bdd
+"""
+
+
+@q("events_bass_diffusion", _bass_sql())
+def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bass diffusion-model fit of user adoption: daily new adopters
+    regressed on a + b·N + c·N² (N = installed base), solved by Cramer's
+    rule — p = a/M is the innovation (external) force, q = −c·M the
+    imitation (viral) force; q ≫ p means growth is word-of-mouth-driven.
+    All moments are exact integers; the 3×3 determinants are ONE shared
+    generated expression rendered into both engines. Day-collapsed, so
+    the regression frame is calendar-sized at any SF."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    d0 = (
+        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
+        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("user_id")
+        .agg(F.min("day").alias("d0"))
+    )
+    bda = d0.groupBy(F.col("d0").alias("day")).agg(
+        F.count(F.lit(1)).alias("adopters")
+    )
+    wc = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    bdc = bda.select(
+        "day", "adopters", F.sum("adopters").over(wc).alias("np")
+    ).where(F.col("np").isNotNull())
+    dec = "decimal(38,0)"
+    npd = F.col("np").cast(dec)
+    ad = F.col("adopters").cast(dec)
+    m = bdc.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("np").alias("s1"),
+        F.sum(npd * F.col("np")).alias("s2"),
+        F.sum(npd * F.col("np") * F.col("np")).alias("s3"),
+        F.sum(npd * F.col("np") * F.col("np") * F.col("np")).alias("s4"),
+        F.sum("adopters").alias("sy"),
+        F.sum(ad * F.col("np")).alias("sy1"),
+        F.sum(ad * F.col("np") * F.col("np")).alias("sy2"),
+        (F.max("np") + F.max("adopters")).alias("mcap"),
+    )
+    dd = m.select(
+        F.col("n").cast("double").alias("dn"),
+        F.col("s1").cast("double").alias("ds1"),
+        F.col("s2").cast("double").alias("ds2"),
+        F.col("s3").cast("double").alias("ds3"),
+        F.col("s4").cast("double").alias("ds4"),
+        F.col("sy").cast("double").alias("dsy"),
+        F.col("sy1").cast("double").alias("dsy1"),
+        F.col("sy2").cast("double").alias("dsy2"),
+        F.col("mcap").cast("double").alias("m"),
+        F.col("n"),
+    )
+    c = F.col
+    det = _det3(((c("dn"), c("ds1"), c("ds2")), (c("ds1"), c("ds2"), c("ds3")), (c("ds2"), c("ds3"), c("ds4"))))
+    det_a = _det3(((c("dsy"), c("ds1"), c("ds2")), (c("dsy1"), c("ds2"), c("ds3")), (c("dsy2"), c("ds3"), c("ds4"))))
+    det_c = _det3(((c("dn"), c("ds1"), c("dsy")), (c("ds1"), c("ds2"), c("dsy1")), (c("ds2"), c("ds3"), c("dsy2"))))
+    return dd.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.col("m").cast("long").alias("m_users"),
+        r6(F.when(det != 0, det_a / det / F.col("m"))).alias("bass_p"),
+        r6(F.when(det != 0, -(det_c / det) * F.col("m"))).alias("bass_q"),
+    )

@@ -6468,3 +6468,73 @@ def factor_turnover(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_turnover"
         ),
     )
+
+
+@q(
+    "bars_vpin",
+    BARS_CTE
+    + """,
+vpb AS (
+  SELECT symbol, t, close, volume,
+         CAST(FLOOR(volume + 0.5) AS BIGINT) AS qv,
+         CASE WHEN close > LAG(close) OVER (PARTITION BY symbol ORDER BY t) THEN 1
+              WHEN close < LAG(close) OVER (PARTITION BY symbol ORDER BY t) THEN -1
+              ELSE 0 END AS sgn
+  FROM bars
+),
+vpc AS (
+  SELECT symbol, t, qv, sgn,
+         SUM(qv) OVER (PARTITION BY symbol ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumv
+  FROM vpb
+),
+vpk AS (
+  SELECT symbol, (cumv - 1) // 50000 AS bucket, qv, sgn FROM vpc
+),
+vpg AS (
+  SELECT symbol, bucket,
+         SUM(qv) AS vol,
+         ABS(SUM(sgn * qv)) AS imb
+  FROM vpk GROUP BY symbol, bucket
+)
+SELECT symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_buckets,
+       ROUND(CAST(SUM(imb) AS DOUBLE) / SUM(vol), 6) AS vpin
+FROM vpg
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bars_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VPIN (volume-synchronized probability of informed trading) per
+    symbol: tick-rule-signed volume imbalance per 50k-unit volume bucket,
+    averaged as Σ|imbalance|/Σvolume — the flow-toxicity gauge that
+    spiked before the flash crash. Builds on the volume-clock bucketing
+    (bars_volume_bars); every quantity is an exact integer until the
+    final ratio."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    sgn = (
+        F.when(F.col("close") > F.lag("close").over(o), 1)
+        .when(F.col("close") < F.lag("close").over(o), -1)
+        .otherwise(0)
+    )
+    qv = F.floor(F.col("volume") + F.lit(0.5)).cast("long")
+    wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    vpc = b.select("symbol", "t", qv.alias("qv"), sgn.alias("sgn")).select(
+        "symbol", "t", "qv", "sgn", F.sum("qv").over(wc).alias("cumv")
+    )
+    vpk = vpc.select(
+        "symbol", F.expr("(cumv - 1) DIV 50000").alias("bucket"), "qv", "sgn"
+    )
+    vpg = vpk.groupBy("symbol", "bucket").agg(
+        F.sum("qv").alias("vol"), F.abs(F.sum(F.col("sgn") * F.col("qv"))).alias("imb")
+    )
+    return (
+        vpg.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_buckets"),
+            r6(F.sum("imb").cast("double") / F.sum("vol")).alias("vpin"),
+        )
+        .orderBy("symbol")
+    )

@@ -9589,3 +9589,68 @@ def events_bass_diffusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.when(det != 0, det_a / det / F.col("m"))).alias("bass_p"),
         r6(F.when(det != 0, -(det_c / det) * F.col("m"))).alias("bass_q"),
     )
+
+
+@q(
+    "doc_format_profile",
+    """
+WITH fpf AS (
+  SELECT source,
+         CASE WHEN len(regexp_extract_all(text, '[{};]')) >= 6 THEN 1 ELSE 0 END AS is_codeish,
+         CASE WHEN len(regexp_extract_all(text, '</?[a-z]+>')) >= 2 THEN 1 ELSE 0 END AS is_htmlish,
+         CASE WHEN len(regexp_extract_all(text, '"[a-z_]+"\\s*:')) >= 2 THEN 1 ELSE 0 END AS is_jsonish
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(is_codeish) AS DOUBLE) / COUNT(*), 6) AS codeish_share,
+       ROUND(CAST(SUM(is_htmlish) AS DOUBLE) / COUNT(*), 6) AS htmlish_share,
+       ROUND(CAST(SUM(is_jsonish) AS DOUBLE) / COUNT(*), 6) AS jsonish_share,
+       ROUND(CAST(SUM(CASE WHEN is_codeish = 0 AND is_htmlish = 0 AND is_jsonish = 0
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS prose_share
+FROM fpf GROUP BY source
+ORDER BY source
+""",
+)
+def doc_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Format composition per source: regex heuristics for code-ish
+    (braces/semicolons), HTML-ish (tags) and JSON-ish (quoted keys)
+    content vs plain prose — the mix a tokenizer/filter stack must be
+    tuned for, and the first thing to check when a source's loss curve
+    looks wrong. Pure projection + one aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def flag(pat, k):
+        return F.when(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), 0)) >= k, 1
+        ).otherwise(0)
+
+    f = docs.select(
+        "source",
+        flag(r"[{};]", 6).alias("is_codeish"),
+        flag(r"</?[a-z]+>", 2).alias("is_htmlish"),
+        flag(r'"[a-z_]+"\s*:', 2).alias("is_jsonish"),
+    )
+    prose = F.when(
+        (F.col("is_codeish") == 0)
+        & (F.col("is_htmlish") == 0)
+        & (F.col("is_jsonish") == 0),
+        1,
+    ).otherwise(0)
+    return (
+        f.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            r6(F.sum("is_codeish").cast("double") / F.count(F.lit(1))).alias(
+                "codeish_share"
+            ),
+            r6(F.sum("is_htmlish").cast("double") / F.count(F.lit(1))).alias(
+                "htmlish_share"
+            ),
+            r6(F.sum("is_jsonish").cast("double") / F.count(F.lit(1))).alias(
+                "jsonish_share"
+            ),
+            r6(F.sum(prose).cast("double") / F.count(F.lit(1))).alias("prose_share"),
+        )
+        .orderBy("source")
+    )

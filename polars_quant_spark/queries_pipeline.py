@@ -9654,3 +9654,92 @@ def doc_format_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "doc_keyphrases",
+    f"""
+WITH kpt AS (
+  SELECT doc_id, {_TOKS} AS tk FROM documents
+),
+kpb AS (
+  SELECT doc_id, a || ' ' || b AS phrase FROM (
+    SELECT doc_id, tk[u] AS a, tk[u + 1] AS b
+    FROM (SELECT doc_id, tk, UNNEST(range(1, len(tk))) AS u FROM kpt)
+  )
+),
+kptf AS (
+  SELECT doc_id, phrase, COUNT(*) AS tf FROM kpb GROUP BY doc_id, phrase
+),
+kpdf AS (
+  SELECT phrase, COUNT(*) AS df FROM kptf GROUP BY phrase
+),
+kpn AS (SELECT COUNT(*) AS n FROM kpt),
+kps AS (
+  SELECT t.doc_id, t.phrase,
+         CAST(FLOOR(t.tf * ln(CAST((SELECT n FROM kpn) AS DOUBLE) / d.df)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qscore
+  FROM kptf t JOIN kpdf d ON d.phrase = t.phrase
+),
+kpr AS (
+  SELECT doc_id, phrase, qscore,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY qscore DESC, phrase) AS r
+  FROM kps
+)
+SELECT doc_id, phrase AS keyphrase,
+       ROUND(CAST(qscore AS DOUBLE) / 1000000.0, 6) AS tfidf
+FROM kpr WHERE r = 1
+ORDER BY doc_id
+""",
+)
+def doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyphrase extraction: each document's top bigram by tf·idf
+    (ties to the lexicographically first phrase) — the cheap summarizer /
+    index-card generator. Scores micro-quantize before the per-doc argmax
+    so ranking is engine-identical. Two count aggregates + one idf join —
+    the standard distributed tf-idf shape."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    toks = docs.select("doc_id", text.tokens("text").alias("tk"))
+    kpb = (
+        toks.select(
+            "doc_id", F.posexplode("tk").alias("i", "a"), F.col("tk")
+        )
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("a"), F.lit(" "), F.try_element_at(F.col("tk"), F.col("i") + F.lit(2))
+            ).alias("phrase"),
+            F.try_element_at(F.col("tk"), F.col("i") + F.lit(2)).alias("_b"),
+        )
+        .where(F.col("_b").isNotNull())
+        .drop("_b")
+    )
+    tf = kpb.groupBy("doc_id", "phrase").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("phrase").agg(F.count(F.lit(1)).alias("df"))
+    n = toks.agg(F.count(F.lit(1)).alias("n"))
+    s = (
+        tf.join(df_, "phrase")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "phrase",
+            F.floor(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")) * 1e6
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qscore"),
+        )
+    )
+    wr = Window.partitionBy("doc_id").orderBy(F.col("qscore").desc(), F.col("phrase"))
+    return (
+        s.select("doc_id", "phrase", "qscore", F.row_number().over(wr).alias("r"))
+        .where(F.col("r") == 1)
+        .select(
+            "doc_id",
+            F.col("phrase").alias("keyphrase"),
+            r6(F.col("qscore").cast("double") / 1e6).alias("tfidf"),
+        )
+        .orderBy("doc_id")
+    )

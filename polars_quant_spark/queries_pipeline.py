@@ -9743,3 +9743,89 @@ def doc_keyphrases(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@q(
+    "events_forecast_anomaly",
+    ORACLES_HOLT.replace(
+        """SELECT b.day, CAST(b.y AS BIGINT) AS n_events,
+       ROUND(r.l, 6) AS holt_level,
+       ROUND(r.t, 6) AS holt_trend,
+       ROUND(LAG(r.l) OVER (ORDER BY b.rn) + LAG(r.t) OVER (ORDER BY b.rn), 6)
+         AS holt_forecast
+FROM base b JOIN rec r ON b.rn = r.rn
+ORDER BY b.day""",
+        """, fa AS (
+  SELECT b.day, b.y,
+         CAST(FLOOR(b.y * 1000000.0 + 0.5) AS BIGINT)
+           - CAST(FLOOR((LAG(r.l) OVER (ORDER BY b.rn)
+                         + LAG(r.t) OVER (ORDER BY b.rn)) * 1000000.0 + 0.5) AS BIGINT)
+           AS qres
+  FROM base b JOIN rec r ON b.rn = r.rn
+),
+far AS (
+  SELECT day, y, qres, ABS(qres) AS aq FROM fa WHERE qres IS NOT NULL
+),
+fam AS (
+  SELECT MAX(CASE WHEN rr = CAST(CEIL(0.5 * nn) AS BIGINT) THEN aq END) AS mad
+  FROM (SELECT aq, ROW_NUMBER() OVER (ORDER BY aq) AS rr, COUNT(*) OVER () AS nn FROM far)
+)
+SELECT f.day, CAST(f.y AS BIGINT) AS n_events,
+       ROUND(CAST(f.qres AS DOUBLE) / 1000000.0, 6) AS residual,
+       CAST(CASE WHEN (SELECT mad FROM fam) > 0
+                  AND CAST(f.aq AS DOUBLE) > 3.0 * 1.4826 * (SELECT mad FROM fam)
+            THEN 1 ELSE 0 END AS INTEGER) AS anomaly
+FROM far f
+ORDER BY f.day""",
+    ),
+)
+def events_forecast_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-residual anomaly flags: each day's gap between actual
+    volume and the Holt one-step forecast, fenced at 3·1.4826·MAD of the
+    residuals — the model-based monitor that catches level-shift days a
+    plain z-score normalizes away. Residuals micro-quantize; the MAD is
+    the exact rank-select over the residual distribution."""
+    holt_df = QUERIES["events_holt_daily"](spark, sf_dir)
+    fa = holt_df.select(
+        "day",
+        F.col("n_events").alias("y"),
+        (
+            F.floor(F.col("n_events").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+            - F.floor(F.col("holt_forecast") * 1e6 + F.lit(0.5)).cast("long")
+        ).alias("qres"),
+    ).where(F.col("qres").isNotNull())
+    far = fa.select("day", "y", "qres", F.abs(F.col("qres")).alias("aq"))
+    wr = Window.orderBy("aq")
+    wall = Window.partitionBy()
+    fam = (
+        far.select(
+            "aq",
+            F.row_number().over(wr).alias("rr"),
+            F.count(F.lit(1)).over(wall).alias("nn"),
+        )
+        .agg(
+            F.max(
+                F.when(
+                    F.col("rr") == F.ceil(F.lit(0.5) * F.col("nn")).cast("long"),
+                    F.col("aq"),
+                )
+            ).alias("mad")
+        )
+    )
+    return (
+        far.crossJoin(F.broadcast(fam))
+        .select(
+            "day",
+            F.col("y").cast("long").alias("n_events"),
+            r6(F.col("qres").cast("double") / 1e6).alias("residual"),
+            F.when(
+                (F.col("mad") > 0)
+                & (F.col("aq").cast("double") > 3.0 * 1.4826 * F.col("mad")),
+                1,
+            )
+            .otherwise(0)
+            .cast("int")
+            .alias("anomaly"),
+        )
+        .orderBy("day")
+    )

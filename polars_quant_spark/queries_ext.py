@@ -6538,3 +6538,78 @@ def bars_vpin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@q(
+    "bars_relative_strength",
+    BARS_CTE
+    + """,
+rsq AS (
+  SELECT symbol, t,
+         CAST(FLOOR(ln(close / LAG(close) OVER (PARTITION BY symbol ORDER BY t))
+                    * 1000000.0 + 0.5) AS BIGINT) AS qlr
+  FROM bars WHERE close > 0
+),
+rsc AS (
+  SELECT symbol, t, qlr,
+         SUM(qlr) OVER (PARTITION BY symbol ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM rsq WHERE qlr IS NOT NULL
+),
+rsm AS (
+  SELECT t, CAST(FLOOR(CAST(SUM(cum) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS mcum,
+         COUNT(*) AS ns
+  FROM rsc GROUP BY t
+),
+rsj AS (
+  SELECT c.symbol, c.t, c.cum - m.mcum AS rs
+  FROM rsc c JOIN rsm m ON m.t = c.t AND m.ns > 1
+),
+rsl AS (
+  SELECT symbol, t, rs,
+         ROW_NUMBER() OVER (PARTITION BY t ORDER BY rs DESC, symbol) AS rnk
+  FROM rsj
+)
+SELECT symbol, t,
+       ROUND(CAST(rs AS DOUBLE) / 1000000.0, 6) AS rs_line,
+       CAST(rnk AS INTEGER) AS rs_rank
+FROM rsl
+ORDER BY symbol, t
+""",
+)
+def bars_relative_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-strength line and rank per symbol: cumulative log return
+    minus the cross-sectional mean cumulative log return (the IBD-style
+    'is it beating the market' line), plus the per-bar RS rank — the
+    rotation signal. Exact integer cum sums; the market line is the
+    per-t mean of those integers. One symbol window + one t-collapse —
+    the same two-exchange shape as the breadth queries."""
+    b = bars(spark, sf_dir).where(F.col("close") > 0)
+    o = _w()
+    qlr = F.floor(
+        F.log(F.col("close") / F.lag("close").over(o)) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rsc = b.select("symbol", "t", qlr.alias("qlr")).where(
+        F.col("qlr").isNotNull()
+    ).select("symbol", "t", F.sum("qlr").over(wc).alias("cum"))
+    rsm = rsc.groupBy("t").agg(
+        F.floor(F.sum("cum").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+        .cast("long")
+        .alias("mcum"),
+        F.count(F.lit(1)).alias("ns"),
+    ).where(F.col("ns") > 1)
+    rsj = rsc.join(F.broadcast(rsm), "t").select(
+        "symbol", "t", (F.col("cum") - F.col("mcum")).alias("rs")
+    )
+    wr = Window.partitionBy("t").orderBy(F.col("rs").desc(), F.col("symbol"))
+    return (
+        rsj.select("symbol", "t", "rs", F.row_number().over(wr).alias("rnk"))
+        .select(
+            "symbol",
+            "t",
+            r6(F.col("rs").cast("double") / 1e6).alias("rs_line"),
+            F.col("rnk").cast("int").alias("rs_rank"),
+        )
+        .orderBy("symbol", "t")
+    )

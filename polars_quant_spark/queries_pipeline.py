@@ -9829,3 +9829,100 @@ def events_forecast_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@q(
+    "events_burstiness",
+    """
+WITH bg AS (
+  SELECT event_type, epoch_us(ts) AS us, event_id AS eid,
+         epoch_us(ts) - LAG(epoch_us(ts))
+           OVER (PARTITION BY event_type ORDER BY ts, event_id) AS gap
+  FROM events
+),
+bgl AS (
+  SELECT event_type, gap,
+         LAG(gap) OVER (PARTITION BY event_type ORDER BY us, eid) AS gapl
+  FROM bg WHERE gap IS NOT NULL
+),
+bgs AS (
+  SELECT event_type, COUNT(gap) AS n, SUM(gap) AS s1,
+         SUM(CAST(gap AS HUGEINT) * gap) AS s2,
+         SUM(CASE WHEN gapl IS NOT NULL THEN CAST(gap AS HUGEINT) * gapl END) AS s12,
+         SUM(CASE WHEN gapl IS NOT NULL THEN gap END) AS sa,
+         SUM(CASE WHEN gapl IS NOT NULL THEN gapl END) AS sb,
+         SUM(CASE WHEN gapl IS NOT NULL THEN CAST(gap AS HUGEINT) * gap END) AS saa,
+         SUM(CASE WHEN gapl IS NOT NULL THEN CAST(gapl AS HUGEINT) * gapl END) AS sbb,
+         SUM(CASE WHEN gapl IS NOT NULL THEN 1 ELSE 0 END) AS n2
+  FROM bgl GROUP BY event_type
+)
+SELECT event_type,
+       ROUND((sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              - CAST(s1 AS DOUBLE) / n)
+             / (sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                + CAST(s1 AS DOUBLE) / n), 6) AS burstiness,
+       ROUND(CASE WHEN n2 * saa - sa * sa > 0 AND n2 * sbb - sb * sb > 0 THEN
+         CAST(n2 * s12 - sa * sb AS DOUBLE)
+         / sqrt(CAST(n2 * saa - sa * sa AS DOUBLE) * CAST(n2 * sbb - sb * sb AS DOUBLE))
+       END, 6) AS memory_coef
+FROM bgs
+ORDER BY event_type
+""",
+)
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Goh–Barabási burstiness B = (σ−μ)/(σ+μ) of interarrival gaps per
+    stream (−1 = clockwork, 0 = Poisson, →1 = bursty) and the memory
+    coefficient (correlation of consecutive gaps) — together they place
+    each stream on the human-dynamics map and say whether rate limits
+    should smooth or batch. Exact integer gap moments throughout.
+
+    Consecutive gaps pair in ARRIVAL order (ts, event_id) — the memory
+    coefficient is only meaningful over the time sequence."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+    bg = ev0.select(
+        "event_type", "event_id", ts_us_expr(ev0).alias("ts_us")
+    ).select(
+        "event_type",
+        "ts_us",
+        "event_id",
+        (F.col("ts_us") - F.lag("ts_us").over(wo)).alias("gap"),
+    ).where(F.col("gap").isNotNull())
+    bgl = bg.select(
+        "event_type",
+        "gap",
+        F.lag("gap").over(
+            Window.partitionBy("event_type").orderBy("ts_us", "event_id")
+        ).alias("gapl"),
+    )
+    dec = "decimal(38,0)"
+    has = F.col("gapl").isNotNull()
+    s = bgl.groupBy("event_type").agg(
+        F.count("gap").alias("n"),
+        F.sum("gap").alias("s1"),
+        F.sum(F.col("gap").cast(dec) * F.col("gap")).alias("s2"),
+        F.sum(F.when(has, F.col("gap").cast(dec) * F.col("gapl"))).alias("s12"),
+        F.sum(F.when(has, F.col("gap"))).alias("sa"),
+        F.sum(F.when(has, F.col("gapl"))).alias("sb"),
+        F.sum(F.when(has, F.col("gap").cast(dec) * F.col("gap"))).alias("saa"),
+        F.sum(F.when(has, F.col("gapl").cast(dec) * F.col("gapl"))).alias("sbb"),
+        F.sum(F.when(has, 1).otherwise(0)).alias("n2"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    sd = F.sqrt(F.col("s2").cast("double") / n - mu * mu)
+    n2 = F.col("n2").cast(dec)
+    dxy = n2 * F.col("s12") - F.col("sa").cast(dec) * F.col("sb")
+    dxx = n2 * F.col("saa") - F.col("sa").cast(dec) * F.col("sa")
+    dyy = n2 * F.col("sbb") - F.col("sb").cast(dec) * F.col("sb")
+    mem = F.when(
+        (dxx > 0) & (dyy > 0),
+        dxy.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return s.select(
+        "event_type",
+        r6((sd - mu) / (sd + mu)).alias("burstiness"),
+        r6(mem).alias("memory_coef"),
+    ).orderBy("event_type")

@@ -9926,3 +9926,81 @@ def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6((sd - mu) / (sd + mu)).alias("burstiness"),
         r6(mem).alias("memory_coef"),
     ).orderBy("event_type")
+
+
+@q(
+    "events_cohort_ltv",
+    """
+WITH cl0 AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END AS cents
+  FROM events
+),
+clc AS (
+  SELECT user_id, MIN(day) // 7 AS cohort_week FROM cl0 GROUP BY user_id
+),
+clj AS (
+  SELECT c.cohort_week,
+         (e.day // 7) - c.cohort_week AS age_weeks,
+         e.cents
+  FROM cl0 e JOIN clc c ON c.user_id = e.user_id
+),
+cla AS (
+  SELECT cohort_week, age_weeks, SUM(cents) AS rev
+  FROM clj WHERE age_weeks BETWEEN 0 AND 7 GROUP BY cohort_week, age_weeks
+),
+cln AS (SELECT cohort_week, COUNT(*) AS n_users FROM clc GROUP BY cohort_week)
+SELECT a.cohort_week, CAST(n.n_users AS BIGINT) AS n_users,
+       CAST(a.age_weeks AS BIGINT) AS age_weeks,
+       ROUND(CAST(SUM(a.rev) OVER (PARTITION BY a.cohort_week ORDER BY a.age_weeks
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS DOUBLE) / 100.0 / n.n_users, 6) AS cum_ltv_per_user
+FROM cla a JOIN cln n ON n.cohort_week = a.cohort_week
+ORDER BY a.cohort_week, age_weeks
+""",
+)
+def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV curves: cumulative purchase revenue per user by weekly
+    acquisition cohort and cohort age — the money twin of the retention
+    triangle (do newer cohorts monetize faster?). Revenue in exact cents,
+    cumulated along each cohort's age axis. One join against the
+    user→cohort map (co-partitioned on user at scale)."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    c0 = ev0.select(
+        "user_id",
+        ts_us_expr(ev0).alias("ts_us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("cents"),
+    ).select("user_id", F.expr("ts_us DIV 86400000000").alias("day"), "cents")
+    clc = c0.groupBy("user_id").agg(F.expr("MIN(day) DIV 7").alias("cohort_week"))
+    clj = c0.join(clc, "user_id").select(
+        "cohort_week",
+        (F.expr("day DIV 7") - F.col("cohort_week")).alias("age_weeks"),
+        "cents",
+    )
+    cla = (
+        clj.where(F.col("age_weeks").between(0, 7))
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.sum("cents").alias("rev"))
+    )
+    cln = clc.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
+    wc = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        cla.join(F.broadcast(cln), "cohort_week")
+        .select(
+            "cohort_week",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("age_weeks").cast("long").alias("age_weeks"),
+            r6(
+                F.sum("rev").over(wc).cast("double") / 100.0 / F.col("n_users")
+            ).alias("cum_ltv_per_user"),
+        )
+        .orderBy("cohort_week", "age_weeks")
+    )

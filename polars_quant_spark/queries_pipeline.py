@@ -10004,3 +10004,85 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_week", "age_weeks")
     )
+
+
+@q(
+    "doc_contrastive_triplets",
+    _SH_CTES
+    + """,
+ctp AS (
+  SELECT c.id_a AS anchor, c.id_b AS positive
+  FROM cand c
+  JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa._id = c.id_a
+  JOIN sizes sb ON sb._id = c.id_b
+  WHERE CAST(i._inter AS DOUBLE) / (sa._n + sb._n - i._inter) >= 0.5
+),
+ctn AS (
+  SELECT t.anchor, t.positive,
+         CAST(('0x' || substring(md5(CAST(t.anchor AS VARCHAR) || ':'
+                                     || CAST(t.positive AS VARCHAR)), 1, 8)) AS BIGINT)
+           % (SELECT COUNT(*) FROM documents) AS neg0
+  FROM ctp t
+),
+ctf AS (
+  SELECT anchor, positive,
+         CASE WHEN neg0 = anchor OR neg0 = positive
+              THEN (neg0 + 1) % (SELECT COUNT(*) FROM documents)
+              ELSE neg0 END AS negative
+  FROM ctn
+)
+SELECT anchor, positive, negative
+FROM ctf
+ORDER BY anchor, positive
+""",
+)
+def doc_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training triplets mined from the corpus: anchors paired
+    with verified near-duplicates (LSH candidates with true Jaccard ≥ 0.5)
+    as positives, and an md5-derived pseudo-random document as the
+    negative (collision-bumped off the pair) — the export that turns the
+    dedup index into embedding-model training data. Fully deterministic,
+    so shards regenerate identically under retries."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.5).select(
+        F.col("id_a").alias("anchor"), F.col("id_b").alias("positive")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    from polars_quant_spark.operators.sketch import hash_lane
+
+    withn = pairs.crossJoin(F.broadcast(n))
+    neg0 = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("anchor").cast("string"),
+                        F.lit(":"),
+                        F.col("positive").cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n")
+    )
+    ctf = withn.select(
+        "anchor",
+        "positive",
+        neg0.alias("neg0"),
+        "n",
+    ).select(
+        "anchor",
+        "positive",
+        F.when(
+            (F.col("neg0") == F.col("anchor")) | (F.col("neg0") == F.col("positive")),
+            (F.col("neg0") + 1) % F.col("n"),
+        )
+        .otherwise(F.col("neg0"))
+        .alias("negative"),
+    )
+    return ctf.orderBy("anchor", "positive")

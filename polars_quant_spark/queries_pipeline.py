@@ -10049,8 +10049,6 @@ def doc_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id_a").alias("anchor"), F.col("id_b").alias("positive")
     )
     n = docs.agg(F.count(F.lit(1)).alias("n"))
-    from polars_quant_spark.operators.sketch import hash_lane
-
     withn = pairs.crossJoin(F.broadcast(n))
     neg0 = (
         F.conv(

@@ -10084,3 +10084,30 @@ def doc_contrastive_triplets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("negative"),
     )
     return ctf.orderBy("anchor", "positive")
+
+
+@q(
+    "doc_hard_negatives",
+    _SH_CTES
+    + """
+SELECT c.id_a, c.id_b,
+       ROUND(CAST(COALESCE(i._inter, 0) AS DOUBLE)
+             / (sa._n + sb._n - COALESCE(i._inter, 0)), 6) AS jaccard
+FROM cand c
+LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+JOIN sizes sa ON sa._id = c.id_a
+JOIN sizes sb ON sb._id = c.id_b
+WHERE CAST(COALESCE(i._inter, 0) AS DOUBLE)
+      / (sa._n + sb._n - COALESCE(i._inter, 0)) < 0.2
+ORDER BY c.id_a, c.id_b
+""",
+)
+def doc_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining: document pairs that COLLIDE in the LSH bands
+    (so they look alike to the sketch) but whose true Jaccard is < 0.2 —
+    exactly the confusable-but-different pairs a contrastive model learns
+    the most from (random negatives are too easy). Free by-product of the
+    dedup verification join: same candidates, inverted threshold."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.0)
+    return pairs.where(F.col("jaccard") < 0.2).orderBy("id_a", "id_b")

@@ -10111,3 +10111,95 @@ def doc_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = widen(load_table(spark, sf_dir, "documents"))
     pairs = dedup.minhash_dedup_pairs(docs, threshold=0.0)
     return pairs.where(F.col("jaccard") < 0.2).orderBy("id_a", "id_b")
+
+
+@q(
+    "events_cuped",
+    """
+WITH cu0 AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+         CASE WHEN event_type = 'purchase'
+              THEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END AS cents
+  FROM events
+),
+cum2 AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS m FROM cu0),
+cuu AS (
+  SELECT user_id,
+         SUM(CASE WHEN day < (SELECT m FROM cum2) THEN cents ELSE 0 END) AS pre,
+         SUM(CASE WHEN day >= (SELECT m FROM cum2) THEN cents ELSE 0 END) AS post
+  FROM cu0 GROUP BY user_id
+),
+cus AS (
+  SELECT COUNT(*) AS n, SUM(pre) AS sx, SUM(post) AS sy,
+         SUM(CAST(pre AS HUGEINT) * post) AS sxy,
+         SUM(CAST(pre AS HUGEINT) * pre) AS sxx,
+         SUM(CAST(post AS HUGEINT) * post) AS syy
+  FROM cuu
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6)
+         AS theta,
+       ROUND((CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+             / (CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE)),
+             6) AS variance_reduction,
+       ROUND(sqrt(1.0
+                  - (CAST(n * sxy - sx * sy AS DOUBLE) * CAST(n * sxy - sx * sy AS DOUBLE))
+                    / (CAST(n * sxx - sx * sx AS DOUBLE)
+                       * CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS relative_ci_width
+FROM cus
+WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+""",
+)
+def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED readout: θ = cov(post, pre)/var(pre) for per-user spend with
+    the pre-period as covariate, the variance reduction ρ² it buys, and
+    the resulting relative CI width √(1−ρ²) — the modern experimentation
+    trick that can halve test duration using only data you already have
+    (pair with events_power_calc: divide its n by 1/(1−ρ²)). Exact
+    integer moments; one user aggregate."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    c0 = ev0.select(
+        "user_id",
+        ts_us_expr(ev0).alias("ts_us"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
+        ).otherwise(F.lit(0).cast("long")).alias("cents"),
+    ).select("user_id", F.expr("ts_us DIV 86400000000").alias("day"), "cents")
+    m = c0.agg(F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("m"))
+    u = (
+        c0.crossJoin(F.broadcast(m))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), F.col("cents")).otherwise(0)).alias("pre"),
+            F.sum(F.when(F.col("day") >= F.col("m"), F.col("cents")).otherwise(0)).alias("post"),
+        )
+    )
+    dec = "decimal(38,0)"
+    s = u.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pre").alias("sx"),
+        F.sum("post").alias("sy"),
+        F.sum(F.col("pre").cast(dec) * F.col("post")).alias("sxy"),
+        F.sum(F.col("pre").cast(dec) * F.col("pre")).alias("sxx"),
+        F.sum(F.col("post").cast(dec) * F.col("post")).alias("syy"),
+    )
+    n = F.col("n").cast(dec)
+    dxy = n * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    dxx = n * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    rho2 = (dxy.cast("double") * dxy.cast("double")) / (
+        dxx.cast("double") * dyy.cast("double")
+    )
+    return (
+        s.where((dxx > 0) & (dyy > 0))
+        .select(
+            F.col("n").cast("long").alias("n_users"),
+            r6(dxy.cast("double") / dxx.cast("double")).alias("theta"),
+            r6(rho2).alias("variance_reduction"),
+            r6(F.sqrt(1.0 - rho2)).alias("relative_ci_width"),
+        )
+    )

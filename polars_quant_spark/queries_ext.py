@@ -6613,3 +6613,61 @@ def bars_relative_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol", "t")
     )
+
+
+@q(
+    "bars_capacity",
+    BARS_CTE
+    + """,
+cpd AS (
+  SELECT symbol, ts_us // 86400000000 AS day,
+         SUM(CAST(FLOOR(volume + 0.5) AS BIGINT)) AS dvol,
+         SUM(CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT)
+             * CAST(FLOOR(volume + 0.5) AS HUGEINT)) AS dnotional
+  FROM bars GROUP BY 1, 2
+)
+SELECT symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(dvol) AS DOUBLE) / COUNT(*), 6) AS adv_units,
+       ROUND(CAST(SUM(dnotional) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         AS adv_notional,
+       ROUND(CAST(SUM(dnotional) AS DOUBLE) / 1000000.0 / COUNT(*) * 0.05, 6)
+         AS capacity_5pct
+FROM cpd
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bars_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strategy capacity per symbol: average daily volume, average daily
+    notional (Σ price×volume, exact integer micro-cents), and the
+    deployable notional at the standard 5%-of-ADV participation cap —
+    the number that says whether a signal is tradable at size. Pairs
+    with bars_position_sizing (how much you WANT) by bounding how much
+    the market lets you have."""
+    b = bars(spark, sf_dir)
+    qv = F.floor(F.col("volume") + F.lit(0.5)).cast("long")
+    qp = F.floor(F.col("close") * 1e6 + F.lit(0.5)).cast("long")
+    d = (
+        b.select(
+            "symbol",
+            F.expr("ts_us DIV 86400000000").alias("day"),
+            qv.alias("qv"),
+            (qp * qv.cast("decimal(38,0)")).alias("qn"),
+        )
+        .groupBy("symbol", "day")
+        .agg(F.sum("qv").alias("dvol"), F.sum("qn").alias("dnotional"))
+    )
+    n = F.count(F.lit(1))
+    return (
+        d.groupBy("symbol")
+        .agg(
+            n.cast("long").alias("n_days"),
+            r6(F.sum("dvol").cast("double") / n).alias("adv_units"),
+            r6(F.sum("dnotional").cast("double") / 1e6 / n).alias("adv_notional"),
+            r6(F.sum("dnotional").cast("double") / 1e6 / n * 0.05).alias(
+                "capacity_5pct"
+            ),
+        )
+        .orderBy("symbol")
+    )

@@ -10203,3 +10203,79 @@ def events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             r6(F.sqrt(1.0 - rho2)).alias("relative_ci_width"),
         )
     )
+
+
+@q(
+    "events_alert_episodes",
+    """
+WITH ae0 AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour,
+         COUNT(*) AS n,
+         SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errs
+  FROM events GROUP BY 1
+),
+aef AS (
+  SELECT hour,
+         CASE WHEN CAST(errs AS DOUBLE) / n > 0.10 THEN 1 ELSE 0 END AS alarm
+  FROM ae0
+),
+aer AS (
+  SELECT hour, alarm,
+         CASE WHEN alarm = 1 AND COALESCE(LAG(alarm) OVER (ORDER BY hour), 0) = 0
+              THEN 1 ELSE 0 END AS new_ep
+  FROM aef
+)
+SELECT CAST(SUM(alarm) AS BIGINT) AS alert_hours,
+       CAST(SUM(new_ep) AS BIGINT) AS n_episodes,
+       ROUND(CAST(SUM(alarm) AS DOUBLE) / NULLIF(SUM(new_ep), 0), 6)
+         AS avg_episode_hours,
+       ROUND(CAST(SUM(new_ep) AS DOUBLE) / NULLIF(SUM(alarm), 0), 6)
+         AS flappiness
+FROM aer
+""",
+)
+def events_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alert-episode anatomy: hourly error-rate alarms (>10%) grouped into
+    consecutive episodes — episode count, average duration, and
+    flappiness (episodes per alert-hour; 1.0 = every alert is an isolated
+    blip, the page-fatigue signature that argues for the multi-window
+    SLO condition in events_slo_burn). One hourly rollup + one lag."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    h = (
+        ev0.select(ts_us_expr(ev0).alias("ts_us"), "event_type")
+        .select(
+            F.expr("ts_us DIV 3600000000").alias("hour"),
+            F.when(F.col("event_type") == "error", 1).otherwise(0).alias("e"),
+        )
+        .groupBy("hour")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("e").alias("errs"))
+    )
+    aef = h.select(
+        "hour",
+        F.when(F.col("errs").cast("double") / F.col("n") > 0.10, 1)
+        .otherwise(0)
+        .alias("alarm"),
+    )
+    wo = Window.orderBy("hour")
+    aer = aef.select(
+        "alarm",
+        F.when(
+            (F.col("alarm") == 1)
+            & (F.coalesce(F.lag("alarm").over(wo), F.lit(0)) == 0),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_ep"),
+    )
+    return aer.agg(
+        F.sum("alarm").cast("long").alias("alert_hours"),
+        F.sum("new_ep").cast("long").alias("n_episodes"),
+        r6(
+            F.sum("alarm").cast("double") / F.nullif(F.sum("new_ep"), F.lit(0))
+        ).alias("avg_episode_hours"),
+        r6(
+            F.sum("new_ep").cast("double") / F.nullif(F.sum("alarm"), F.lit(0))
+        ).alias("flappiness"),
+    )

@@ -10279,3 +10279,124 @@ def events_alert_episodes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("new_ep").cast("double") / F.nullif(F.sum("alarm"), F.lit(0))
         ).alias("flappiness"),
     )
+
+
+@q(
+    "events_weibull_churn",
+    """
+WITH wm0 AS (
+  SELECT user_id,
+         MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) AS span,
+         MAX(epoch_us(ts) // 86400000000) AS last_day
+  FROM events GROUP BY user_id
+),
+wmx AS (SELECT MAX(last_day) AS gmax FROM wm0),
+wmu AS (
+  SELECT span,
+         CASE WHEN (SELECT gmax FROM wmx) - last_day < 7 THEN 1 ELSE 0 END AS censored
+  FROM wm0
+),
+wmt AS (
+  SELECT span, SUM(1 - censored) AS d, SUM(censored) AS c FROM wmu GROUP BY span
+),
+wmr AS (
+  SELECT span, d,
+         SUM(d + c) OVER (ORDER BY span DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+  FROM wmt
+),
+wms AS (
+  SELECT span,
+         SUM(CASE WHEN d > 0 THEN
+           CAST(FLOOR(ln(1.0 - CAST(d AS DOUBLE) / n_risk) * 1000000000.0 + 0.5)
+                AS BIGINT) ELSE 0 END)
+           OVER (ORDER BY span ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS qln
+  FROM wmr WHERE d > 0 AND n_risk > d
+),
+wmp AS (
+  SELECT CAST(FLOOR(ln(CAST(span AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT) AS qx,
+         CAST(FLOOR(ln(-(CAST(qln AS DOUBLE) / 1000000000.0)) * 1000000000.0 + 0.5)
+              AS BIGINT) AS qy
+  FROM wms WHERE span >= 1 AND qln < 0
+),
+wmm AS (
+  SELECT COUNT(*) AS n, SUM(qx) AS sx, SUM(qy) AS sy,
+         SUM(CAST(qx AS HUGEINT) * qy) AS sxy,
+         SUM(CAST(qx AS HUGEINT) * qx) AS sxx
+  FROM wmp
+)
+SELECT CAST(n AS BIGINT) AS n_points,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+       END, 6) AS weibull_shape,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 THEN
+         exp(-((CAST(sy AS DOUBLE) / 1000000000.0 / n
+                - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / 1000000000.0 / n))
+               / (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))))
+       END, 6) AS weibull_scale_days
+FROM wmm
+""",
+)
+def events_weibull_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weibull fit of the churn process: regress ln(−ln S(t)) on ln t over
+    the censored Kaplan–Meier curve — shape β (<1 = churn risk front-
+    loaded and decaying, the usual SaaS pattern; >1 = wear-out) and the
+    characteristic life scale in days. The KM log-survival prefix sums
+    stay in quantized integers, so even the ln(−ln S) regression inputs
+    are identical doubles in both engines."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    w0 = (
+        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
+        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("user_id")
+        .agg((F.max("day") - F.min("day")).alias("span"), F.max("day").alias("last_day"))
+    )
+    gmax = w0.agg(F.max("last_day").alias("gmax"))
+    wu = w0.crossJoin(F.broadcast(gmax)).select(
+        "span",
+        F.when(F.col("gmax") - F.col("last_day") < 7, 1).otherwise(0).alias("censored"),
+    )
+    wt = wu.groupBy("span").agg(
+        F.sum(1 - F.col("censored")).alias("d"), F.sum("censored").alias("c")
+    )
+    wrev = Window.orderBy(F.col("span").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wr = wt.select(
+        "span", "d", F.sum(F.col("d") + F.col("c")).over(wrev).alias("n_risk")
+    ).where((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
+    wfwd = Window.orderBy("span").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    qterm = F.floor(
+        F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")) * 1e9 + F.lit(0.5)
+    ).cast("long")
+    ws = wr.select("span", F.sum(qterm).over(wfwd).alias("qln"))
+    wp = ws.where((F.col("span") >= 1) & (F.col("qln") < 0)).select(
+        F.floor(F.log(F.col("span").cast("double")) * 1e9 + F.lit(0.5)).cast("long").alias("qx"),
+        F.floor(
+            F.log(-(F.col("qln").cast("double") / 1e9)) * 1e9 + F.lit(0.5)
+        ).cast("long").alias("qy"),
+    )
+    dec = "decimal(38,0)"
+    m = wp.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qx").alias("sx"),
+        F.sum("qy").alias("sy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qy")).alias("sxy"),
+        F.sum(F.col("qx").cast(dec) * F.col("qx")).alias("sxx"),
+    )
+    n = F.col("n").cast(dec)
+    num = n * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    den = n * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    intercept = (
+        F.col("sy").cast("double") / 1e9 / F.col("n")
+        - slope * (F.col("sx").cast("double") / 1e9 / F.col("n"))
+    )
+    return m.select(
+        F.col("n").cast("long").alias("n_points"),
+        r6(F.when(den > 0, slope)).alias("weibull_shape"),
+        r6(F.when(den > 0, F.exp(-(intercept / slope)))).alias("weibull_scale_days"),
+    )

@@ -6671,3 +6671,71 @@ def bars_capacity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@q(
+    "rel_price_dispersion",
+    """
+WITH pdu AS (
+  SELECT l_partkey AS pk,
+         CAST(FLOOR(l_extendedprice / l_quantity * 100.0 + 0.5) AS BIGINT) AS unit_cents
+  FROM lineitem WHERE l_quantity > 0
+),
+pds AS (
+  SELECT pk, COUNT(*) AS n, SUM(unit_cents) AS s1,
+         SUM(CAST(unit_cents AS HUGEINT) * unit_cents) AS s2,
+         MIN(unit_cents) AS mn, MAX(unit_cents) AS mx
+  FROM pdu GROUP BY pk HAVING COUNT(*) >= 3
+)
+SELECT pk AS partkey, CAST(n AS BIGINT) AS n_sales,
+       ROUND(CAST(s1 AS DOUBLE) / 100.0 / n, 6) AS mean_unit_price,
+       ROUND(CASE WHEN CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+                   AND s1 > 0 THEN
+         sqrt(CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+         / (CAST(s1 AS DOUBLE) / n) END, 6) AS cv,
+       ROUND(CAST(mx - mn AS DOUBLE) / 100.0, 6) AS price_range
+FROM pds
+ORDER BY cv DESC NULLS LAST, partkey
+LIMIT 25
+""",
+)
+def rel_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Law-of-one-price audit: the 25 parts with the highest unit-price
+    coefficient of variation across their sales (≥3 observations) —
+    dispersion that persists after quantity normalization signals pricing
+    leakage or data errors. Unit prices in exact cents; one aggregate +
+    top-k."""
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
+    pdu = li.select(
+        F.col("l_partkey").alias("pk"),
+        F.floor(F.col("l_extendedprice") / F.col("l_quantity") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("unit_cents"),
+    )
+    dec = "decimal(38,0)"
+    s = (
+        pdu.groupBy("pk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("unit_cents").alias("s1"),
+            F.sum(F.col("unit_cents").cast(dec) * F.col("unit_cents")).alias("s2"),
+            F.min("unit_cents").alias("mn"),
+            F.max("unit_cents").alias("mx"),
+        )
+        .where(F.col("n") >= 3)
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mu * mu
+    cv = F.when((var > 0) & (F.col("s1") > 0), F.sqrt(var) / mu)
+    return (
+        s.select(
+            F.col("pk").alias("partkey"),
+            n.cast("long").alias("n_sales"),
+            r6(F.col("s1").cast("double") / 100.0 / n).alias("mean_unit_price"),
+            r6(cv).alias("cv"),
+            r6((F.col("mx") - F.col("mn")).cast("double") / 100.0).alias("price_range"),
+        )
+        .orderBy(F.col("cv").desc_nulls_last(), F.col("partkey"))
+        .limit(25)
+    )

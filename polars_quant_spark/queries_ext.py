@@ -6705,6 +6705,8 @@ def rel_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
     dispersion that persists after quantity normalization signals pricing
     leakage or data errors. Unit prices in exact cents; one aggregate +
     top-k."""
+    from polars_quant_spark.sources.bars import load_table
+
     li = load_table(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 0)
     pdu = li.select(
         F.col("l_partkey").alias("pk"),

@@ -10400,3 +10400,68 @@ def events_weibull_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.when(den > 0, slope)).alias("weibull_shape"),
         r6(F.when(den > 0, F.exp(-(intercept / slope)))).alias("weibull_scale_days"),
     )
+
+
+@q(
+    "doc_temperature_mix",
+    """
+WITH tm0 AS (
+  SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+),
+tmt AS (SELECT SUM(n) AS t FROM tm0),
+tmk AS (SELECT unnest([0.5, 0.7, 1.0]) AS tau),
+tmw AS (
+  SELECT s.source, k.tau, s.n,
+         CAST(FLOOR(exp(ln(CAST(s.n AS DOUBLE) / (SELECT t FROM tmt)) / k.tau)
+                    * 1000000000.0 + 0.5) AS BIGINT) AS qw
+  FROM tm0 s CROSS JOIN tmk k
+),
+tms AS (
+  SELECT tau, SUM(qw) AS sw FROM tmw GROUP BY tau
+)
+SELECT w.source, ROUND(w.tau, 6) AS tau,
+       ROUND(CAST(w.n AS DOUBLE) / (SELECT t FROM tmt), 6) AS natural_share,
+       ROUND(CAST(w.qw AS DOUBLE) / s.sw, 6) AS sampling_share
+FROM tmw w JOIN tms s ON s.tau = w.tau
+ORDER BY w.source, tau
+""",
+)
+def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled corpus mixing: per source, the natural share and
+    the sampling share under p ∝ share^(1/τ) for τ ∈ {0.5, 0.7, 1.0} —
+    the standard knob that up-samples small sources (τ<1) without the
+    head drowning the tail. Weights nano-quantize before the per-τ
+    normalizer, so shares agree exactly. Source-cardinality-sized frames
+    throughout."""
+    docs = load_table(spark, sf_dir, "documents")
+    t0 = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    tt = t0.agg(F.sum("n").alias("t"))
+    taus = spark.createDataFrame([(0.5,), (0.7,), (1.0,)], ["tau"])
+    w = (
+        t0.crossJoin(F.broadcast(taus))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "source",
+            "tau",
+            "n",
+            "t",
+            F.floor(
+                F.exp(F.log(F.col("n").cast("double") / F.col("t")) / F.col("tau"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qw"),
+        )
+    )
+    s = w.groupBy("tau").agg(F.sum("qw").alias("sw"))
+    return (
+        w.join(F.broadcast(s), "tau")
+        .select(
+            "source",
+            r6(F.col("tau")).alias("tau"),
+            r6(F.col("n").cast("double") / F.col("t")).alias("natural_share"),
+            r6(F.col("qw").cast("double") / F.col("sw")).alias("sampling_share"),
+        )
+        .orderBy("source", "tau")
+    )

@@ -10465,3 +10465,93 @@ def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "tau")
     )
+
+
+@q(
+    "emb_cluster_stability",
+    f"""
+WITH {_kmeans_ctes(8, 2)},
+ariB AS (
+  SELECT vec_id, bucket AS b FROM (
+    SELECT e.vec_id, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DOT.format(a='e.embedding', b='c.cvec')}
+                      * (1.0 / sqrt({_SQN.format(a='c.cvec')})) DESC, c.cid) AS rnk
+    FROM embeddings e CROSS JOIN cent2 c
+  ) s WHERE rnk = 1
+),
+ariA AS (SELECT vec_id, bucket AS a FROM asn1),
+ariC AS (
+  SELECT x.a, y.b, COUNT(*) AS nij
+  FROM ariA x JOIN ariB y ON y.vec_id = x.vec_id
+  GROUP BY x.a, y.b
+),
+ariRow AS (SELECT a, SUM(nij) AS ai FROM ariC GROUP BY a),
+ariCol AS (SELECT b, SUM(nij) AS bj FROM ariC GROUP BY b),
+ariS AS (
+  SELECT (SELECT SUM(CAST(nij AS HUGEINT) * (nij - 1) / 2) FROM ariC) AS sij,
+         (SELECT SUM(CAST(ai AS HUGEINT) * (ai - 1) / 2) FROM ariRow) AS sa,
+         (SELECT SUM(CAST(bj AS HUGEINT) * (bj - 1) / 2) FROM ariCol) AS sb,
+         (SELECT SUM(nij) FROM ariC) AS n
+)
+SELECT CAST(n AS BIGINT) AS n_vectors,
+       ROUND((CAST(sij AS DOUBLE)
+              - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                / (CAST(n AS DOUBLE) * (n - 1) / 2.0))
+             / ((CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE)) / 2.0
+                - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE)
+                  / (CAST(n AS DOUBLE) * (n - 1) / 2.0)), 6) AS adjusted_rand
+FROM ariS
+""",
+)
+def emb_cluster_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering stability: Adjusted Rand Index between the md5-seed
+    assignment (round 0) and the Lloyd's-trained assignment (round 2) —
+    near 1 means training barely moved the partition (seeds were already
+    representative), near 0 means the trained structure is genuinely
+    different and the training rounds were earning their cost. All pair
+    counts are exact integer combinatorics; only the final ratio is a
+    double."""
+    from polars_quant_spark.operators.similarity import (
+        _assign_literal,
+        hash_centroids,
+        kmeans_centroids,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    seeds = sorted(
+        (r[0], [float(x) for x in r[1]])
+        for r in hash_centroids(emb, 8).select("centroid_id", "centroid").collect()
+    )
+    trained = kmeans_centroids(emb, 8, rounds=2)
+    a = _assign_literal(emb, seeds, "embedding").select(
+        "vec_id", F.col("bucket").alias("a")
+    )
+    b = _assign_literal(emb, trained, "embedding").select(
+        F.col("vec_id").alias("v2"), F.col("bucket").alias("b")
+    )
+    c = (
+        a.join(b, a.vec_id == F.col("v2"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("nij"))
+    )
+    dec = "decimal(38,0)"
+
+    def comb2(col):
+        return F.sum(F.col(col).cast(dec) * (F.col(col) - 1) / 2)
+
+    rows = c.groupBy("a").agg(F.sum("nij").alias("ai"))
+    cols = c.groupBy("b").agg(F.sum("nij").alias("bj"))
+    sij = c.agg(comb2("nij").alias("sij"), F.sum("nij").alias("n"))
+    sa = rows.agg(comb2("ai").alias("sa"))
+    sb = cols.agg(comb2("bj").alias("sb"))
+    j = sij.crossJoin(F.broadcast(sa)).crossJoin(F.broadcast(sb))
+    nd = F.col("n").cast("double")
+    half = nd * (F.col("n") - 1) / 2.0
+    e = F.col("sa").cast("double") * F.col("sb").cast("double") / half
+    ari = (F.col("sij").cast("double") - e) / (
+        (F.col("sa").cast("double") + F.col("sb").cast("double")) / 2.0 - e
+    )
+    return j.select(
+        F.col("n").cast("long").alias("n_vectors"), r6(ari).alias("adjusted_rand")
+    )

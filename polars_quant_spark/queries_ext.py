@@ -6741,3 +6741,75 @@ def rel_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cv").desc_nulls_last(), F.col("partkey"))
         .limit(25)
     )
+
+
+@q(
+    "rel_duplicate_orders",
+    """
+WITH dob AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+         epoch_us(o_orderdate) // 86400000000 AS day
+  FROM orders
+),
+dop AS (
+  SELECT a.o_orderkey AS order_a, b.o_orderkey AS order_b,
+         a.o_custkey AS custkey,
+         ROUND(CAST(a.cents AS DOUBLE) / 100.0, 6) AS amount,
+         b.day - a.day AS day_gap
+  FROM dob a JOIN dob b
+    ON b.o_custkey = a.o_custkey AND b.cents = a.cents
+   AND b.o_orderkey > a.o_orderkey
+   AND b.day - a.day BETWEEN 0 AND 7
+)
+SELECT order_a, order_b, custkey, amount, CAST(day_gap AS BIGINT) AS day_gap
+FROM dop
+ORDER BY order_a, order_b
+""",
+)
+def rel_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Double-charge / duplicate-order detection: pairs of orders from the
+    same customer with the IDENTICAL amount within 7 days — the record-
+    linkage blocking pattern (join only within (customer, exact-cents)
+    blocks, never all-pairs; the 7-day band bounds each block's fan-out).
+    The billing-audit staple."""
+    from polars_quant_spark.sources.bars import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    dob = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        F.expr(
+            "unix_micros(to_utc_timestamp(o_orderdate, 'UTC')) DIV 86400000000"
+        ).alias("day"),
+    )
+    a = dob.select(
+        F.col("o_orderkey").alias("order_a"),
+        F.col("o_custkey").alias("custkey"),
+        "cents",
+        F.col("day").alias("day_a"),
+    )
+    b = dob.select(
+        F.col("o_orderkey").alias("order_b"),
+        F.col("o_custkey").alias("ck2"),
+        F.col("cents").alias("c2"),
+        F.col("day").alias("day_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("ck2") == F.col("custkey"))
+            & (F.col("c2") == F.col("cents"))
+            & (F.col("order_b") > F.col("order_a"))
+            & ((F.col("day_b") - F.col("day_a")).between(0, 7)),
+        )
+        .select(
+            "order_a",
+            "order_b",
+            "custkey",
+            r6(F.col("cents").cast("double") / 100.0).alias("amount"),
+            (F.col("day_b") - F.col("day_a")).cast("long").alias("day_gap"),
+        )
+        .orderBy("order_a", "order_b")
+    )

@@ -10555,3 +10555,105 @@ def emb_cluster_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.select(
         F.col("n").cast("long").alias("n_vectors"), r6(ari).alias("adjusted_rand")
     )
+
+
+@q(
+    "doc_lsh_curve",
+    _SH_CTES
+    + """,
+lcs AS MATERIALIZED (
+  SELECT doc_id FROM documents
+  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 100
+),
+lce AS MATERIALIZED (
+  SELECT _id, _sh FROM ex WHERE _id IN (SELECT doc_id FROM lcs)
+),
+lcz AS (SELECT _id, COUNT(*) AS n FROM lce GROUP BY _id),
+lci AS (
+  SELECT a._id AS ia, b._id AS ib, COUNT(*) AS shared
+  FROM lce a JOIN lce b ON b._sh = a._sh AND b._id > a._id
+  GROUP BY 1, 2
+),
+lcj AS (
+  SELECT i.ia, i.ib,
+         CAST(i.shared AS DOUBLE) / (sa.n + sb.n - i.shared) AS jac
+  FROM lci i JOIN lcz sa ON sa._id = i.ia JOIN lcz sb ON sb._id = i.ib
+),
+lcc AS (
+  SELECT j.ia, j.ib, j.jac,
+         CASE WHEN c.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_cand
+  FROM lcj j LEFT JOIN cand c ON c.id_a = j.ia AND c.id_b = j.ib
+),
+lcb AS (
+  SELECT LEAST(CAST(FLOOR(jac * 10.0) AS INTEGER), 9) AS decile,
+         COUNT(*) AS n_pairs,
+         SUM(is_cand) AS n_cand
+  FROM lcc GROUP BY 1
+)
+SELECT decile,
+       CAST(n_pairs AS BIGINT) AS n_pairs,
+       ROUND(CAST(n_cand AS DOUBLE) / n_pairs, 6) AS empirical_p,
+       ROUND(1.0 - pow(1.0 - pow((decile + 0.5) / 10.0, 4.0), 4.0), 6)
+         AS theoretical_p
+FROM lcb
+ORDER BY decile
+""",
+)
+def doc_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH S-curve calibration: for the 100-doc sample's overlapping
+    pairs, the EMPIRICAL probability of becoming a band candidate per
+    true-Jaccard decile next to the theory 1−(1−j^r)^b for (r=4, b=4) —
+    the picture that tells you whether the band layout matches the dup
+    threshold you actually care about. Same bounded-sample budget as
+    doc_lsh_recall; pow() runs on the identical midpoint literals in
+    both engines."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    ss = (
+        docs.orderBy(F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+        .limit(100)
+        .select("doc_id")
+    )
+    ex = dedup.exploded_shingles(docs, "text", "doc_id")
+    sex = ex.join(F.broadcast(ss), ex._id == ss.doc_id).select("_id", "_sh")
+    sz = sex.groupBy("_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sex.select(F.col("_id").alias("ia"), "_sh")
+    b = sex.select(F.col("_id").alias("ib"), F.col("_sh").alias("_sh2"))
+    inter = (
+        a.join(b, (F.col("_sh") == F.col("_sh2")) & (F.col("ib") > F.col("ia")))
+        .groupBy("ia", "ib")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jac = (
+        inter.join(sz.select(F.col("_id").alias("ia"), F.col("n").alias("na")), "ia")
+        .join(sz.select(F.col("_id").alias("ib"), F.col("n").alias("nb")), "ib")
+        .select(
+            "ia",
+            "ib",
+            (
+                F.col("shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("shared"))
+            ).alias("jac"),
+        )
+    )
+    sig = dedup.minhash_signatures(docs)
+    cand = dedup._lsh_candidates_from_sig(sig, 16, 4).select(
+        F.col("id_a").alias("ca"), F.col("id_b").alias("cb"), F.lit(1).alias("is_c")
+    )
+    cc = jac.join(
+        cand, (F.col("ca") == F.col("ia")) & (F.col("cb") == F.col("ib")), "left"
+    ).select(
+        "jac", F.coalesce(F.col("is_c"), F.lit(0)).alias("is_cand")
+    )
+    dcl = F.least(F.floor(F.col("jac") * 10.0).cast("int"), F.lit(9))
+    lb = cc.groupBy(dcl.alias("decile")).agg(
+        F.count(F.lit(1)).alias("n_pairs"), F.sum("is_cand").alias("n_cand")
+    )
+    theo = 1.0 - F.pow(
+        1.0 - F.pow((F.col("decile") + 0.5) / 10.0, 4.0), 4.0
+    )
+    return lb.select(
+        "decile",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        r6(F.col("n_cand").cast("double") / F.col("n_pairs")).alias("empirical_p"),
+        r6(theo).alias("theoretical_p"),
+    ).orderBy("decile")

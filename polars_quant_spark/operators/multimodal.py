@@ -262,3 +262,53 @@ def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             F.sequence(F.lit(0), F.col("duration_ms") - 1, F.lit(every_ms))
         ).alias("frame_ts_ms"),
     )
+
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("n_bytes", LongType()),
+        StructField("payload", BinaryType()),
+    ]
+)
+
+
+def _resize_ppm(payload: bytes, tw: int, th: int) -> bytes:
+    """REAL nearest-neighbor resize of a P6 image: decode, sample source
+    pixel (x·w div tw, y·h div th), re-encode P6 with the original
+    comment line preserved. Pure numpy — no image libraries."""
+    parts = payload.split(b"\n", 4)
+    comment = parts[1]
+    w, h = (int(v) for v in parts[2].split())
+    px = np.frombuffer(parts[4], dtype=np.uint8)[: w * h * 3].reshape(h, w, 3)
+    ys = (np.arange(th) * h) // th
+    xs = (np.arange(tw) * w) // tw
+    out = px[np.ix_(ys, xs)]
+    return b"P6\n" + comment + b"\n%d %d\n255\n" % (tw, th) + out.tobytes()
+
+
+def resize_images(media: DataFrame, tw: int = 16, th: int = 16) -> DataFrame:
+    """Distributed image resize: Arrow-batched mapInPandas over the binary
+    payload column — the canonical shape for media preprocessing at scale
+    (constant memory per task, no driver round-trip, codec work stays in
+    the Python worker). Only P6 images are resized; other kinds pass
+    through the filter."""
+    import pandas as pd
+
+    src = media.where(F.col("kind") == "image").select("media_id", "payload")
+
+    def run(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rp = _resize_ppm(bytes(payload), tw, th)
+                out.append((int(mid), tw, th, len(rp), bytearray(rp)))
+            yield pd.DataFrame(
+                out, columns=["media_id", "width", "height", "n_bytes", "payload"]
+            )
+
+    return src.mapInPandas(run, RESIZE_SCHEMA)

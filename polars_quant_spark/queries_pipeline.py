@@ -10657,3 +10657,94 @@ def doc_lsh_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("n_cand").cast("double") / F.col("n_pairs")).alias("empirical_p"),
         r6(theo).alias("theoretical_p"),
     ).orderBy("decile")
+
+
+@q(
+    "media_resize",
+    """
+WITH mri AS (
+  SELECT i FROM (SELECT unnest(range(0, 64)) AS i) WHERE i % 3 = 0
+),
+mrd AS (
+  SELECT i, 64 + (i % 8) * 16 AS w, 64 + (i % 5) * 16 AS h FROM mri
+),
+mrg AS (SELECT unnest(range(0, 16)) AS t),
+mrp AS (
+  SELECT m.i, m.w, m.h,
+         (xt.t * m.w) // 16 AS xs, (yt.t * m.h) // 16 AS ys
+  FROM mrd m, mrg xt, mrg yt
+),
+mra AS (
+  SELECT i, w, h,
+         SUM((xs * 255) // (w - 1)) AS sr,
+         SUM((ys * 255) // (h - 1)) AS sg,
+         SUM(((xs + ys + i) % 16) * 17) AS sb
+  FROM mrp GROUP BY i, w, h
+)
+SELECT i AS media_id,
+       CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
+       CAST(794 + length(CAST(i AS VARCHAR)) AS BIGINT) AS n_bytes,
+       ROUND(CAST(sr AS DOUBLE) / 256.0 / 255.0, 6) AS mean_r,
+       ROUND(CAST(sg AS DOUBLE) / 256.0 / 255.0, 6) AS mean_g,
+       ROUND(CAST(sb AS DOUBLE) / 256.0 / 255.0, 6) AS mean_b
+FROM mra
+ORDER BY media_id
+""",
+)
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image resize verified end-to-end: the synthetic P6 corpus is
+    nearest-neighbor-resized to 16×16 in an Arrow mapInPandas stage
+    (decode → index-sample → re-encode), then the RESIZED bytes are
+    decoded again and their per-channel means hash-checked against the
+    closed form of the generator sampled at the resize coordinates — so
+    the whole decode→resize→encode→decode round-trip must be exact, not
+    just the plumbing. (The compressed-codec path stays a documented
+    stub; this is the real-decoder branch.)"""
+    from polars_quant_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 64)
+    resized = mm.resize_images(media, 16, 16)
+
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, width int, height int, n_bytes long, "
+        "mean_r double, mean_g double, mean_b double"
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                f = mm.decode_ppm(bytes(row["payload"]))
+                rows.append(
+                    (
+                        int(row["media_id"]),
+                        int(row["width"]),
+                        int(row["height"]),
+                        int(row["n_bytes"]),
+                        f[2],
+                        f[3],
+                        f[4],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "width", "height", "n_bytes",
+                    "mean_r", "mean_g", "mean_b",
+                ],
+            )
+
+    dec = resized.mapInPandas(verify, out_schema)
+    return dec.select(
+        "media_id",
+        "width",
+        "height",
+        "n_bytes",
+        r6(F.col("mean_r")).alias("mean_r"),
+        r6(F.col("mean_g")).alias("mean_g"),
+        r6(F.col("mean_b")).alias("mean_b"),
+    ).orderBy("media_id")

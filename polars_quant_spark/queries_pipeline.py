@@ -10748,3 +10748,51 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("mean_g")).alias("mean_g"),
         r6(F.col("mean_b")).alias("mean_b"),
     ).orderBy("media_id")
+
+
+@q(
+    "media_audio_decimate",
+    """
+WITH adc AS (
+  SELECT i, 8000 * ((i % 30 + 1) * 100) // 1000 AS n,
+         220.0 + 55.0 * (i % 8) AS freq
+  FROM (SELECT unnest(range(0, 64)) AS i) WHERE i % 3 = 1
+),
+ads AS (
+  SELECT c.i, c.n, s.k,
+         CAST(TRUNC(0.5 * sin(2.0 * pi() * c.freq * (s.k / 8000.0)) * 32767.0)
+              AS BIGINT) AS v
+  FROM adc c, LATERAL (SELECT unnest(range(0, c.n, 4)) AS k) s
+),
+ada AS (
+  SELECT i, COUNT(*) AS n_frames, SUM(v * v) AS sum_sq FROM ads GROUP BY i
+)
+SELECT i AS media_id, CAST(2000 AS INTEGER) AS rate,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(sum_sq AS BIGINT) AS sum_sq,
+       ROUND(sqrt(CAST(sum_sq AS DOUBLE) / n_frames) / 32768.0, 6) AS rms
+FROM ada
+ORDER BY media_id
+""",
+)
+def media_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio resample verified end-to-end: the synthetic PCM WAV
+    corpus decimates 4× in an Arrow mapInPandas stage (decode → frame
+    pick → re-encode at 2 kHz), and the decimated frames' exact int16
+    energy (Σ sample², an integer) is hash-checked against the oracle
+    regenerating the same truncated sine samples at the decimated
+    positions — codec round-trip AND sample arithmetic both proven. The
+    audio sibling of media_resize."""
+    from polars_quant_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media(spark, 64)
+    dec = mm.decimate_audio(media, 4)
+    return dec.select(
+        "media_id",
+        "rate",
+        "n_frames",
+        "sum_sq",
+        r6(
+            F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames")) / 32768.0
+        ).alias("rms"),
+    ).orderBy("media_id")

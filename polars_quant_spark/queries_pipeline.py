@@ -10796,3 +10796,106 @@ def media_audio_decimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.col("sum_sq").cast("double") / F.col("n_frames")) / 32768.0
         ).alias("rms"),
     ).orderBy("media_id")
+
+
+@q(
+    "events_growth_accounting",
+    """
+WITH ga0 AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day FROM events
+),
+gaf AS (SELECT user_id, MIN(day) AS first_day FROM ga0 GROUP BY user_id),
+gat AS (
+  SELECT a.day, a.user_id,
+         CASE WHEN f.first_day = a.day THEN 1 ELSE 0 END AS is_new,
+         CASE WHEN y.user_id IS NOT NULL THEN 1 ELSE 0 END AS was_active_yday
+  FROM ga0 a
+  JOIN gaf f ON f.user_id = a.user_id
+  LEFT JOIN ga0 y ON y.user_id = a.user_id AND y.day = a.day - 1
+),
+gac AS (
+  SELECT day,
+         SUM(is_new) AS new_users,
+         SUM(CASE WHEN is_new = 0 AND was_active_yday = 1 THEN 1 ELSE 0 END) AS retained,
+         SUM(CASE WHEN is_new = 0 AND was_active_yday = 0 THEN 1 ELSE 0 END) AS resurrected,
+         COUNT(*) AS dau
+  FROM gat GROUP BY day
+),
+gach AS (
+  SELECT a.day, COUNT(*) AS churned
+  FROM ga0 a LEFT JOIN ga0 t ON t.user_id = a.user_id AND t.day = a.day + 1
+  WHERE t.user_id IS NULL
+  GROUP BY a.day
+)
+SELECT c.day, CAST(c.dau AS BIGINT) AS dau,
+       CAST(c.new_users AS BIGINT) AS new_users,
+       CAST(c.retained AS BIGINT) AS retained,
+       CAST(c.resurrected AS BIGINT) AS resurrected,
+       CAST(COALESCE(h.churned, 0) AS BIGINT) AS churning_today
+FROM gac c LEFT JOIN gach h ON h.day = c.day
+ORDER BY c.day
+""",
+)
+def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting: DAU decomposed into new / retained /
+    resurrected, plus how many of today's actives will not return
+    tomorrow (churning) — the four flows that explain every DAU move
+    (growth = new + resurrected − churned). The user-day frame is built
+    once; yesterday/tomorrow lookups are self-equi-joins on (user, day±1),
+    co-partitioned on user at scale."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    g0 = (
+        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
+        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
+        .distinct()
+    )
+    gf = g0.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    y = g0.select(F.col("user_id").alias("u2"), F.col("day").alias("d2"))
+    gat = (
+        g0.join(gf, "user_id")
+        .join(
+            y,
+            (F.col("u2") == F.col("user_id")) & (F.col("d2") == F.col("day") - 1),
+            "left",
+        )
+        .select(
+            "day",
+            F.when(F.col("first_day") == F.col("day"), 1).otherwise(0).alias("is_new"),
+            F.when(F.col("u2").isNotNull(), 1).otherwise(0).alias("yday"),
+        )
+    )
+    gac = gat.groupBy("day").agg(
+        F.sum("is_new").alias("new_users"),
+        F.sum(F.when((F.col("is_new") == 0) & (F.col("yday") == 1), 1).otherwise(0)).alias(
+            "retained"
+        ),
+        F.sum(F.when((F.col("is_new") == 0) & (F.col("yday") == 0), 1).otherwise(0)).alias(
+            "resurrected"
+        ),
+        F.count(F.lit(1)).alias("dau"),
+    )
+    t = g0.select(F.col("user_id").alias("u3"), F.col("day").alias("d3"))
+    gach = (
+        g0.join(
+            t,
+            (F.col("u3") == F.col("user_id")) & (F.col("d3") == F.col("day") + 1),
+            "left",
+        )
+        .where(F.col("u3").isNull())
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("churned"))
+    )
+    return (
+        gac.join(gach, "day", "left")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("new_users").cast("long").alias("new_users"),
+            F.col("retained").cast("long").alias("retained"),
+            F.col("resurrected").cast("long").alias("resurrected"),
+            F.coalesce(F.col("churned"), F.lit(0)).cast("long").alias("churning_today"),
+        )
+        .orderBy("day")
+    )

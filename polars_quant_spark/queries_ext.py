@@ -6813,3 +6813,36 @@ def rel_duplicate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("order_a", "order_b")
     )
+
+
+@q(
+    "bars_underwater",
+    BARS_CTE
+    + """,
+uw AS (
+  SELECT symbol, t, close,
+         MAX(close) OVER (PARTITION BY symbol ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM bars
+)
+SELECT symbol, t,
+       ROUND(close / peak - 1.0, 6) AS underwater,
+       ROUND(peak, 6) AS peak
+FROM uw
+ORDER BY symbol, t
+""",
+)
+def bars_underwater(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The underwater curve: every bar's drawdown from the running peak
+    (0 at new highs, negative below) plus the peak itself — the series
+    behind the drawdown-episode and Ulcer summaries, exposed directly for
+    charting/monitoring. One running-max window."""
+    b = bars(spark, sf_dir)
+    wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peak = F.max("close").over(wc)
+    return b.select(
+        "symbol",
+        "t",
+        r6(F.col("close") / peak - 1.0).alias("underwater"),
+        r6(peak).alias("peak"),
+    ).orderBy("symbol", "t")

@@ -10899,3 +10899,66 @@ def events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@q(
+    "doc_source_similarity",
+    _SH_CTES
+    + """,
+ssj AS (
+  SELECT c.id_a, c.id_b,
+         CAST(FLOOR(CAST(COALESCE(i._inter, 0) AS DOUBLE)
+                    / (sa._n + sb._n - COALESCE(i._inter, 0))
+                    * 1000000.0 + 0.5) AS BIGINT) AS qjac
+  FROM cand c
+  LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+  JOIN sizes sa ON sa._id = c.id_a
+  JOIN sizes sb ON sb._id = c.id_b
+),
+ssp AS (
+  SELECT LEAST(da.source, db.source) AS source_a,
+         GREATEST(da.source, db.source) AS source_b,
+         j.qjac
+  FROM ssj j
+  JOIN documents da ON da.doc_id = j.id_a
+  JOIN documents db ON db.doc_id = j.id_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_candidate_pairs,
+       ROUND(CAST(SUM(qjac) AS DOUBLE) / 1000000.0 / COUNT(*), 6) AS avg_jaccard,
+       CAST(SUM(CASE WHEN qjac >= 500000 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups
+FROM ssp GROUP BY source_a, source_b
+ORDER BY source_a, source_b
+""",
+)
+def doc_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-source similarity matrix: for every source pair, the LSH
+    candidate volume, average verified Jaccard (micro-quantized) and the
+    ≥0.5 dup count — which feeds overlap-aware mixing weights and tells
+    you which crawls are re-scraping each other. Reuses the shared
+    signature/verify machinery; two dimension joins back to doc metadata."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=0.0)
+    meta = docs.select("doc_id", "source")
+    j = (
+        pairs.join(meta.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(meta.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .select(
+            F.least(F.col("sa"), F.col("sb")).alias("source_a"),
+            F.greatest(F.col("sa"), F.col("sb")).alias("source_b"),
+            F.floor(F.col("jaccard") * 1e6 + F.lit(0.5)).cast("long").alias("qjac"),
+        )
+    )
+    return (
+        j.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            r6(F.sum("qjac").cast("double") / 1e6 / F.count(F.lit(1))).alias(
+                "avg_jaccard"
+            ),
+            F.sum(F.when(F.col("qjac") >= 500000, 1).otherwise(0))
+            .cast("long")
+            .alias("n_dups"),
+        )
+        .orderBy("source_a", "source_b")
+    )

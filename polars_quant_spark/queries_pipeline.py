@@ -10962,3 +10962,104 @@ def doc_source_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+@q(
+    "events_ab_mannwhitney",
+    """
+WITH abv AS (
+  SELECT CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS variant,
+         CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) AS c
+  FROM events WHERE event_type = 'purchase'
+),
+abg AS (
+  SELECT c, SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS c1, COUNT(*) AS ct
+  FROM abv GROUP BY c
+),
+abr AS (
+  SELECT c, c1, ct,
+         COALESCE(SUM(ct) OVER (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND 1 PRECEDING), 0) AS pre
+  FROM abg
+),
+abs2 AS (
+  SELECT SUM(c1 * (2 * pre + ct + 1)) AS r2_1,
+         SUM(CAST(ct AS HUGEINT) * ct * ct - ct) AS tie3
+  FROM abr
+),
+abn AS (
+  SELECT SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n1,
+         SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n0
+  FROM abv
+)
+SELECT CAST(n1 AS BIGINT) AS n_treatment, CAST(n0 AS BIGINT) AS n_control,
+       ROUND((CAST((SELECT r2_1 FROM abs2) AS DOUBLE) / 2.0
+              - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+             / (CAST(n1 AS DOUBLE) * n0), 6) AS auc_treatment_gt_control,
+       ROUND(((CAST((SELECT r2_1 FROM abs2) AS DOUBLE) / 2.0
+               - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+              - CAST(n1 AS DOUBLE) * n0 / 2.0)
+             / sqrt(CAST(n1 AS DOUBLE) * n0 / 12.0
+                    * ((n1 + n0 + 1.0)
+                       - CAST((SELECT tie3 FROM abs2) AS DOUBLE)
+                         / (CAST(n1 + n0 AS DOUBLE) * (n1 + n0 - 1.0)))), 6) AS z
+FROM abn
+""",
+)
+def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric A/B readout on the EXPERIMENT ARMS: Mann–Whitney AUC
+    (P(treatment purchase > control purchase)) and tie-corrected z over
+    the hash-split variants — the robust companion to events_ab_test's
+    mean-based z when revenue is skewed (it always is). Same doubled-
+    mid-rank integer machinery as events_mannwhitney, applied to the
+    assignment that events_srm_check validates."""
+    from polars_quant_spark.operators.sketch import hash_lane
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type") == "purchase"
+    )
+    v = ev.select(
+        (hash_lane("user_id", 8) % 2).alias("variant"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    g = v.groupBy("c").agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("c1"),
+        F.count(F.lit(1)).alias("ct"),
+    )
+    wp = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    r = g.select(
+        "c", "c1", "ct", F.coalesce(F.sum("ct").over(wp), F.lit(0)).alias("pre")
+    )
+    dec = "decimal(38,0)"
+    s2 = r.agg(
+        F.sum(F.col("c1") * (2 * F.col("pre") + F.col("ct") + 1)).alias("r2_1"),
+        F.sum(F.col("ct").cast(dec) * F.col("ct") * F.col("ct") - F.col("ct")).alias(
+            "tie3"
+        ),
+    )
+    n = v.agg(
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0)).alias("n0"),
+    )
+    j = n.crossJoin(F.broadcast(s2))
+    n1 = F.col("n1")
+    n0 = F.col("n0")
+    u = F.col("r2_1").cast("double") / 2.0 - n1.cast("double") * (n1 + 1) / 2.0
+    auc = u / (n1.cast("double") * n0)
+    sig = F.sqrt(
+        n1.cast("double")
+        * n0
+        / 12.0
+        * (
+            (n1 + n0 + 1.0)
+            - F.col("tie3").cast("double") / ((n1 + n0).cast("double") * (n1 + n0 - 1.0))
+        )
+    )
+    z = (u - n1.cast("double") * n0 / 2.0) / sig
+    return j.select(
+        n1.cast("long").alias("n_treatment"),
+        n0.cast("long").alias("n_control"),
+        r6(auc).alias("auc_treatment_gt_control"),
+        r6(z).alias("z"),
+    )

@@ -6846,3 +6846,44 @@ def bars_underwater(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.col("close") / peak - 1.0).alias("underwater"),
         r6(peak).alias("peak"),
     ).orderBy("symbol", "t")
+
+
+@q(
+    "ind_efficiency_ratio",
+    BARS_CTE
+    + """,
+erq AS (
+  SELECT symbol, t,
+         CAST(FLOOR(close * 100.0 + 0.5) AS BIGINT) AS qc,
+         ABS(CAST(FLOOR(close * 100.0 + 0.5) AS BIGINT)
+             - LAG(CAST(FLOOR(close * 100.0 + 0.5) AS BIGINT))
+               OVER (PARTITION BY symbol ORDER BY t)) AS adp
+  FROM bars
+)
+SELECT symbol, t,
+       ROUND(CASE WHEN COUNT(adp) OVER w = 10 AND SUM(adp) OVER w > 0 THEN
+         CAST(ABS(qc - LAG(qc, 10) OVER (PARTITION BY symbol ORDER BY t)) AS DOUBLE)
+         / SUM(adp) OVER w END, 6) AS er_10
+FROM erq
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
+""",
+)
+def ind_efficiency_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaufman efficiency ratio (10): |net 10-bar move| over the sum of
+    absolute bar moves — 1 = perfect trend, →0 = churn. The regime input
+    KAMA uses internally, exposed as its own column (and a cheap
+    trendiness filter before paying for heavier indicators). Exact cent
+    arithmetic; one window pass."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qc = F.floor(F.col("close") * 100.0 + F.lit(0.5)).cast("long")
+    adp = F.abs(qc - F.lag(qc).over(o))
+    src = b.select("symbol", "t", qc.alias("qc"), adp.alias("adp"))
+    w = _w().rowsBetween(-9, 0)
+    ok = (F.count("adp").over(w) == 10) & (F.sum("adp").over(w) > 0)
+    er = F.when(
+        ok,
+        F.abs(F.col("qc") - F.lag("qc", 10).over(o)).cast("double")
+        / F.sum("adp").over(w),
+    )
+    return src.select("symbol", "t", r6(er).alias("er_10"))

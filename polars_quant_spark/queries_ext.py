@@ -6887,3 +6887,79 @@ def ind_efficiency_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         / F.sum("adp").over(w),
     )
     return src.select("symbol", "t", r6(er).alias("er_10"))
+
+
+@q(
+    "rel_revenue_bridge",
+    """
+WITH rb0 AS (
+  SELECT l_returnflag AS grp,
+         epoch_us(l_shipdate) // 86400000000 AS day,
+         CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS qty,
+         CAST(FLOOR(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM lineitem WHERE l_shipdate IS NOT NULL
+),
+rbm AS (SELECT (MIN(day) + MAX(day) + 1) // 2 AS m FROM rb0),
+rba AS (
+  SELECT grp,
+         SUM(CASE WHEN day < (SELECT m FROM rbm) THEN qty ELSE 0 END) AS q1,
+         SUM(CASE WHEN day < (SELECT m FROM rbm) THEN cents ELSE 0 END) AS r1,
+         SUM(CASE WHEN day >= (SELECT m FROM rbm) THEN qty ELSE 0 END) AS q2,
+         SUM(CASE WHEN day >= (SELECT m FROM rbm) THEN cents ELSE 0 END) AS r2
+  FROM rb0 GROUP BY grp
+)
+SELECT grp AS returnflag,
+       ROUND(CAST(r1 AS DOUBLE) / 100.0, 6) AS revenue_before,
+       ROUND(CAST(r2 AS DOUBLE) / 100.0, 6) AS revenue_after,
+       ROUND(CASE WHEN q1 > 0 THEN
+         (CAST(q2 AS DOUBLE) - q1) * (CAST(r1 AS DOUBLE) / q1) / 100.0 END, 6)
+         AS volume_effect,
+       ROUND(CASE WHEN q1 > 0 AND q2 > 0 THEN
+         (CAST(r2 AS DOUBLE) / q2 - CAST(r1 AS DOUBLE) / q1) * q2 / 100.0 END, 6)
+         AS price_effect
+FROM rba
+ORDER BY returnflag
+""",
+)
+def rel_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue bridge (waterfall) between period halves per return flag:
+    ΔRevenue decomposed into the volume effect (Δqty at old unit price)
+    and the price effect (Δunit-price at new qty) — the finance-review
+    'why did revenue move' decomposition (volume + price sums exactly to
+    the delta). Exact integer quantity/cents sums; one conditional
+    aggregate."""
+    from polars_quant_spark.sources.bars import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_shipdate").isNotNull())
+    r0 = li.select(
+        F.col("l_returnflag").alias("grp"),
+        F.expr(
+            "unix_micros(to_utc_timestamp(l_shipdate, 'UTC')) DIV 86400000000"
+        ).alias("day"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    m = r0.agg(F.expr("(MIN(day) + MAX(day) + 1) DIV 2").alias("m"))
+    a = (
+        r0.crossJoin(F.broadcast(m))
+        .groupBy("grp")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("m"), F.col("qty")).otherwise(0)).alias("q1"),
+            F.sum(F.when(F.col("day") < F.col("m"), F.col("cents")).otherwise(0)).alias("r1"),
+            F.sum(F.when(F.col("day") >= F.col("m"), F.col("qty")).otherwise(0)).alias("q2"),
+            F.sum(F.when(F.col("day") >= F.col("m"), F.col("cents")).otherwise(0)).alias("r2"),
+        )
+    )
+    q1 = F.col("q1")
+    q2 = F.col("q2")
+    r1 = F.col("r1").cast("double")
+    r2 = F.col("r2").cast("double")
+    vol = F.when(q1 > 0, (q2.cast("double") - q1) * (r1 / q1) / 100.0)
+    pr = F.when((q1 > 0) & (q2 > 0), (r2 / q2 - r1 / q1) * q2 / 100.0)
+    return a.select(
+        F.col("grp").alias("returnflag"),
+        r6(r1 / 100.0).alias("revenue_before"),
+        r6(r2 / 100.0).alias("revenue_after"),
+        r6(vol).alias("volume_effect"),
+        r6(pr).alias("price_effect"),
+    ).orderBy("returnflag")

@@ -11063,3 +11063,60 @@ def events_ab_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(auc).alias("auc_treatment_gt_control"),
         r6(z).alias("z"),
     )
+
+
+@q(
+    "emb_norm_profile",
+    """
+WITH nq AS (
+  SELECT vec_id,
+         SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+             * CAST(FLOOR(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS HUGEINT)) AS qss
+  FROM (SELECT vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY vec_id
+),
+nn AS (
+  SELECT vec_id, sqrt(CAST(qss AS DOUBLE) / 1000000000000.0) AS nrm FROM nq
+),
+nb AS (
+  SELECT LEAST(CAST(FLOOR(nrm * 4.0) AS INTEGER), 11) AS bin, nrm FROM nn
+)
+SELECT bin,
+       ROUND(bin / 4.0, 6) AS bin_lo,
+       CAST(COUNT(*) AS BIGINT) AS n_vectors,
+       ROUND(MIN(nrm), 6) AS min_norm,
+       ROUND(MAX(nrm), 6) AS max_norm
+FROM nb GROUP BY bin
+ORDER BY bin
+""",
+)
+def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vector-norm histogram (quarter-unit bins): the 10-second QA that
+    says whether the store is L2-normalized (one tight bin at 1.0) or
+    raw — cosine vs dot-product retrieval give different answers on
+    unnormalized stores, so this decides which scorer is valid. Squared
+    norms are exact integer micro² sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qx = F.floor(F.col("x").cast("double") * 1e6 + F.lit(0.5)).cast("long")
+    nq = (
+        emb.select("vec_id", F.explode("embedding").alias("x"))
+        .select("vec_id", qx.alias("qx"))
+        .groupBy("vec_id")
+        .agg(F.sum(F.col("qx").cast("decimal(38,0)") * F.col("qx")).alias("qss"))
+    )
+    nrm = F.sqrt(F.col("qss").cast("double") / 1e12)
+    nb = nq.select(
+        F.least(F.floor(nrm * 4.0).cast("int"), F.lit(11)).alias("bin"),
+        nrm.alias("nrm"),
+    )
+    return (
+        nb.groupBy("bin")
+        .agg(
+            r6(F.col("bin") / 4.0).alias("bin_lo"),
+            F.count(F.lit(1)).cast("long").alias("n_vectors"),
+            r6(F.min("nrm")).alias("min_norm"),
+            r6(F.max("nrm")).alias("max_norm"),
+        )
+        .select("bin", "bin_lo", "n_vectors", "min_norm", "max_norm")
+        .orderBy("bin")
+    )

@@ -11120,3 +11120,64 @@ def emb_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("bin", "bin_lo", "n_vectors", "min_norm", "max_norm")
         .orderBy("bin")
     )
+
+
+@q(
+    "doc_dup_quality_report",
+    f"""
+WITH dqf AS (
+  SELECT doc_id,
+         md5(array_to_string({_TOKS}, ' ')) AS fp,
+         len({_TOKS}) AS n_toks,
+         n_chars
+  FROM documents
+),
+dqd AS (
+  SELECT fp, COUNT(*) AS copies FROM dqf GROUP BY fp
+),
+dqj AS (
+  SELECT f.doc_id, f.n_toks, f.n_chars,
+         CASE WHEN d.copies > 1 THEN 1 ELSE 0 END AS is_dup
+  FROM dqf f JOIN dqd d ON d.fp = f.fp
+)
+SELECT CAST(is_dup AS INTEGER) AS is_duplicate,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(SUM(n_toks) AS DOUBLE) / COUNT(*), 6) AS avg_tokens,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS avg_chars,
+       ROUND(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_toks), 6) AS chars_per_token
+FROM dqj GROUP BY is_dup
+ORDER BY is_duplicate
+""",
+)
+def doc_dup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Are duplicates different? Quality profile of exact-dup documents vs
+    uniques (token/char means, chars-per-token) — the check that tells
+    you whether dedup is silently skewing the corpus toward long-form
+    originals or just removing boilerplate. One fingerprint aggregate +
+    a join-back."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    tk = text.tokens("text")
+    f = docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", tk)).alias("fp"),
+        F.size(tk).alias("n_toks"),
+        "n_chars",
+    )
+    d = f.groupBy("fp").agg(F.count(F.lit(1)).alias("copies"))
+    j = f.join(d, "fp").select(
+        F.when(F.col("copies") > 1, 1).otherwise(0).alias("is_duplicate"),
+        "n_toks",
+        "n_chars",
+    )
+    return (
+        j.groupBy("is_duplicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            r6(F.sum("n_toks").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            r6(F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            r6(F.sum("n_chars").cast("double") / F.sum("n_toks")).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("is_duplicate")
+    )

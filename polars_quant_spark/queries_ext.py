@@ -6963,3 +6963,69 @@ def rel_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(vol).alias("volume_effect"),
         r6(pr).alias("price_effect"),
     ).orderBy("returnflag")
+
+
+@q(
+    "rel_customer_concentration",
+    """
+WITH cc0 AS (
+  SELECT o_custkey,
+         SUM(CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev
+  FROM orders GROUP BY o_custkey
+),
+ccr AS (
+  SELECT rev,
+         ROW_NUMBER() OVER (ORDER BY rev DESC, o_custkey) AS r,
+         SUM(rev) OVER () AS tot,
+         COUNT(*) OVER () AS n
+  FROM cc0
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_customers,
+       ROUND(CAST(SUM(CASE WHEN r <= 10 THEN rev ELSE 0 END) AS DOUBLE)
+             / MAX(tot), 6) AS top10_share,
+       ROUND(CAST(SUM(CASE WHEN r * 100 <= n THEN rev ELSE 0 END) AS DOUBLE)
+             / MAX(tot), 6) AS top1pct_share,
+       ROUND(CAST(SUM(CAST(rev AS HUGEINT) * rev) AS DOUBLE)
+             / (CAST(MAX(tot) AS DOUBLE) * MAX(tot)), 6) AS hhi
+FROM ccr
+""",
+)
+def rel_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer revenue concentration: top-10 and top-1% revenue shares
+    plus the customer HHI — the key-account-risk companion to the
+    supplier HHI (losing one whale shouldn't sink the book). Exact cents;
+    the top-1% cut is the integer cross-multiplication r·100 ≤ n."""
+    from polars_quant_spark.sources.bars import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c0 = o.groupBy("o_custkey").agg(
+        F.sum(
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+        ).alias("rev")
+    )
+    wr = Window.orderBy(F.col("rev").desc(), F.col("o_custkey"))
+    wall = Window.partitionBy()
+    r = c0.select(
+        "rev",
+        F.row_number().over(wr).alias("r"),
+        F.sum("rev").over(wall).alias("tot"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    dec = "decimal(38,0)"
+    return r.agg(
+        F.max("n").cast("long").alias("n_customers"),
+        r6(
+            F.sum(F.when(F.col("r") <= 10, F.col("rev")).otherwise(0)).cast("double")
+            / F.max("tot")
+        ).alias("top10_share"),
+        r6(
+            F.sum(
+                F.when(F.col("r") * 100 <= F.col("n"), F.col("rev")).otherwise(0)
+            ).cast("double")
+            / F.max("tot")
+        ).alias("top1pct_share"),
+        r6(
+            F.sum(F.col("rev").cast(dec) * F.col("rev")).cast("double")
+            / (F.max("tot").cast("double") * F.max("tot"))
+        ).alias("hhi"),
+    )

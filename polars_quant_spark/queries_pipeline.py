@@ -11181,3 +11181,84 @@ def doc_dup_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("is_duplicate")
     )
+
+
+@q(
+    "events_error_cascade",
+    """
+WITH ec0 AS (
+  SELECT user_id,
+         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err,
+         LEAD(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_err,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           - epoch_us(ts) AS gap_us
+  FROM events
+),
+ecs AS (
+  SELECT COUNT(*) AS n,
+         SUM(next_err) AS base_err,
+         SUM(CASE WHEN is_err = 1 THEN 1 ELSE 0 END) AS after_err_n,
+         SUM(CASE WHEN is_err = 1 THEN next_err ELSE 0 END) AS after_err_err,
+         SUM(CASE WHEN is_err = 1 AND gap_us <= 300000000 THEN 1 ELSE 0 END) AS fast_n,
+         SUM(CASE WHEN is_err = 1 AND gap_us <= 300000000 THEN next_err ELSE 0 END)
+           AS fast_err
+  FROM ec0 WHERE next_err IS NOT NULL
+)
+SELECT ROUND(CAST(base_err AS DOUBLE) / n, 6) AS p_err_base,
+       ROUND(CAST(after_err_err AS DOUBLE) / NULLIF(after_err_n, 0), 6)
+         AS p_err_after_err,
+       ROUND((CAST(after_err_err AS DOUBLE) / NULLIF(after_err_n, 0))
+             / (CAST(base_err AS DOUBLE) / n), 6) AS cascade_lift,
+       ROUND(CAST(fast_err AS DOUBLE) / NULLIF(fast_n, 0), 6)
+         AS p_err_within_5min
+FROM ecs
+""",
+)
+def events_error_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-cascade analysis: P(next event is an error | previous was an
+    error) vs the base error rate — lift ≫ 1 means failures beget
+    failures (retry storms / corrupted sessions) and argues for circuit
+    breakers; the ≤5-min conditional isolates the immediate cascade.
+    One LEAD pass over the user-partitioned log."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    e0 = ev0.select(
+        "user_id", "event_id", "event_type", ts_us_expr(ev0).alias("ts_us")
+    ).select(
+        is_err.alias("is_err"),
+        F.lead(is_err).over(wu).alias("next_err"),
+        (F.lead("ts_us").over(wu) - F.col("ts_us")).alias("gap_us"),
+    ).where(F.col("next_err").isNotNull())
+    s = e0.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("next_err").alias("base_err"),
+        F.sum(F.when(F.col("is_err") == 1, 1).otherwise(0)).alias("after_err_n"),
+        F.sum(F.when(F.col("is_err") == 1, F.col("next_err")).otherwise(0)).alias(
+            "after_err_err"
+        ),
+        F.sum(
+            F.when((F.col("is_err") == 1) & (F.col("gap_us") <= 300000000), 1).otherwise(0)
+        ).alias("fast_n"),
+        F.sum(
+            F.when(
+                (F.col("is_err") == 1) & (F.col("gap_us") <= 300000000),
+                F.col("next_err"),
+            ).otherwise(0)
+        ).alias("fast_err"),
+    )
+    base = F.col("base_err").cast("double") / F.col("n")
+    after = F.col("after_err_err").cast("double") / F.nullif(
+        F.col("after_err_n"), F.lit(0)
+    )
+    return s.select(
+        r6(base).alias("p_err_base"),
+        r6(after).alias("p_err_after_err"),
+        r6(after / base).alias("cascade_lift"),
+        r6(
+            F.col("fast_err").cast("double") / F.nullif(F.col("fast_n"), F.lit(0))
+        ).alias("p_err_within_5min"),
+    )

@@ -11262,3 +11262,90 @@ def events_error_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("fast_err").cast("double") / F.nullif(F.col("fast_n"), F.lit(0))
         ).alias("p_err_within_5min"),
     )
+
+
+@q(
+    "events_bounce_rate",
+    """
+WITH bs0 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN us_prev IS NULL OR us_ - us_prev > 1800000000 THEN 1 ELSE 0 END AS new_s
+  FROM (
+    SELECT user_id, event_type, epoch_us(ts) AS us_,
+           LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS us_prev,
+           ts, event_id
+    FROM events
+  )
+),
+bs1 AS (
+  SELECT user_id, event_type, new_s,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM bs0
+),
+bs2 AS (
+  SELECT user_id, sid,
+         MIN(CASE WHEN new_s = 1 THEN event_type END) AS entry_type,
+         COUNT(*) AS n_events
+  FROM bs1 GROUP BY user_id, sid
+)
+SELECT entry_type,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounces,
+       ROUND(CAST(SUM(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS bounce_rate,
+       ROUND(CAST(SUM(n_events) AS DOUBLE) / COUNT(*), 6) AS avg_session_depth
+FROM bs2 GROUP BY entry_type
+ORDER BY entry_type
+""",
+)
+def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session ENTRY event: 30-min-gap sessionization, then
+    the share of single-event sessions per landing type and the average
+    session depth — which entry points hook users vs dead-end
+    immediately. Same sessionization contract as the concurrency sweep."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    b0 = ev0.select(
+        "user_id", "event_id", "event_type", ts_us_expr(ev0).alias("ts_us")
+    ).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(wu).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wu) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    b1 = b0.select(
+        "user_id", "event_type", "new_s", F.sum("new_s").over(wc).alias("sid")
+    )
+    b2 = b1.groupBy("user_id", "sid").agg(
+        F.min(F.when(F.col("new_s") == 1, F.col("event_type"))).alias("entry_type"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return (
+        b2.groupBy("entry_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_bounces"),
+            r6(
+                F.sum(F.when(F.col("n_events") == 1, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("bounce_rate"),
+            r6(F.sum("n_events").cast("double") / F.count(F.lit(1))).alias(
+                "avg_session_depth"
+            ),
+        )
+        .orderBy("entry_type")
+    )

@@ -7029,3 +7029,108 @@ def rel_customer_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("tot").cast("double") * F.max("tot"))
         ).alias("hhi"),
     )
+
+
+@q(
+    "bt_recovery_times",
+    BARS_CTE
+    + """,
+rcu AS (
+  SELECT symbol, t, close,
+         MAX(close) OVER (PARTITION BY symbol ORDER BY t
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+  FROM bars
+),
+rcf AS (
+  SELECT symbol, t,
+         CASE WHEN close < peak THEN 1 ELSE 0 END AS under,
+         CASE WHEN close < peak
+               AND COALESCE(LAG(CASE WHEN close < peak THEN 1 ELSE 0 END)
+                            OVER (PARTITION BY symbol ORDER BY t), 0) = 0
+              THEN 1 ELSE 0 END AS new_ep
+  FROM rcu
+),
+rce AS (
+  SELECT symbol, t, under,
+         SUM(new_ep) OVER (PARTITION BY symbol ORDER BY t
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ep
+  FROM rcf
+),
+rcl AS (
+  SELECT symbol, ep, COUNT(*) AS dur,
+         MAX(t) AS last_t
+  FROM rce WHERE under = 1 GROUP BY symbol, ep
+),
+rcmx AS (SELECT symbol, MAX(t) AS tmax FROM rce GROUP BY symbol),
+rcc AS (
+  SELECT l.symbol, l.dur,
+         CASE WHEN l.last_t < m.tmax THEN 1 ELSE 0 END AS recovered
+  FROM rcl l JOIN rcmx m ON m.symbol = l.symbol
+),
+rcr AS (
+  SELECT symbol, dur,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY dur) AS r,
+         COUNT(*) OVER (PARTITION BY symbol) AS n
+  FROM rcc WHERE recovered = 1
+)
+SELECT symbol, CAST(MAX(n) AS BIGINT) AS n_recovered_episodes,
+       MAX(CASE WHEN r = CAST(CEIL(0.50 * n) AS BIGINT) THEN dur END) AS p50_bars,
+       MAX(CASE WHEN r = CAST(CEIL(0.90 * n) AS BIGINT) THEN dur END) AS p90_bars,
+       MAX(dur) AS max_bars
+FROM rcr GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bt_recovery_times(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drawdown recovery-time distribution per symbol: exact p50/p90/max
+    duration (in bars) of COMPLETED underwater episodes — the 'how long
+    until a new high' number investors actually feel (episodes still open
+    at the data edge are excluded, the same censoring discipline as the
+    Kaplan–Meier query). Run-id segmentation + rank percentiles, all on
+    the shared symbol partitioning."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    peak = F.max("close").over(wc)
+    u = b.select("symbol", "t", F.when(F.col("close") < peak, 1).otherwise(0).alias("under"))
+    new_ep = F.when(
+        (F.col("under") == 1)
+        & (F.coalesce(F.lag("under").over(o), F.lit(0)) == 0),
+        1,
+    ).otherwise(0)
+    e = u.select("symbol", "t", "under", new_ep.alias("new_ep")).select(
+        "symbol", "t", "under", F.sum("new_ep").over(wc).alias("ep")
+    )
+    le = (
+        e.where(F.col("under") == 1)
+        .groupBy("symbol", "ep")
+        .agg(F.count(F.lit(1)).alias("dur"), F.max("t").alias("last_t"))
+    )
+    mx = e.groupBy("symbol").agg(F.max("t").alias("tmax"))
+    cc = le.join(F.broadcast(mx), "symbol").where(F.col("last_t") < F.col("tmax"))
+    wr = Window.partitionBy("symbol").orderBy("dur")
+    wn = Window.partitionBy("symbol")
+    r = cc.select(
+        "symbol",
+        "dur",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+
+    def pct(p):
+        return F.max(
+            F.when(
+                F.col("r") == F.ceil(F.lit(p) * F.col("n")).cast("long"), F.col("dur")
+            )
+        )
+
+    return (
+        r.groupBy("symbol")
+        .agg(
+            F.max("n").cast("long").alias("n_recovered_episodes"),
+            pct(0.50).alias("p50_bars"),
+            pct(0.90).alias("p90_bars"),
+            F.max("dur").alias("max_bars"),
+        )
+        .orderBy("symbol")
+    )

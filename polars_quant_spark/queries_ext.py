@@ -7134,3 +7134,87 @@ def bt_recovery_times(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@q(
+    "bars_tail_dependence",
+    BARS_CTE
+    + """,
+tdp AS (
+  SELECT t,
+         CAST(FLOOR((MAX(CASE WHEN symbol = 'click' THEN close END)
+                     / LAG(MAX(CASE WHEN symbol = 'click' THEN close END)) OVER (ORDER BY t)
+                     - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS ra,
+         CAST(FLOOR((MAX(CASE WHEN symbol = 'view' THEN close END)
+                     / LAG(MAX(CASE WHEN symbol = 'view' THEN close END)) OVER (ORDER BY t)
+                     - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS rb
+  FROM bars WHERE symbol IN ('click', 'view') GROUP BY t
+  HAVING COUNT(DISTINCT symbol) = 2
+),
+tdr AS (
+  SELECT ra, rb,
+         ROW_NUMBER() OVER (ORDER BY ra, t_rn) AS rka,
+         ROW_NUMBER() OVER (ORDER BY rb, t_rn) AS rkb,
+         COUNT(*) OVER () AS n
+  FROM (SELECT ra, rb, ROW_NUMBER() OVER (ORDER BY ra) AS t_rn FROM tdp
+        WHERE ra IS NOT NULL AND rb IS NOT NULL)
+)
+SELECT CAST(MAX(n) AS BIGINT) AS n_obs,
+       CAST(SUM(CASE WHEN rka * 10 <= n AND rkb * 10 <= n THEN 1 ELSE 0 END) AS BIGINT)
+         AS joint_crashes,
+       ROUND(CAST(SUM(CASE WHEN rka * 10 <= n AND rkb * 10 <= n THEN 1 ELSE 0 END)
+                  AS DOUBLE) / (MAX(n) / 10.0), 6) AS lower_tail_dep,
+       ROUND(CAST(SUM(CASE WHEN rka * 10 > n * 9 AND rkb * 10 > n * 9 THEN 1 ELSE 0 END)
+                  AS DOUBLE) / (MAX(n) / 10.0), 6) AS upper_tail_dep
+FROM tdr
+""",
+)
+def bars_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Empirical tail dependence for the (click, view) pair: the share of
+    each asset's bottom-decile days on which the OTHER is also in its
+    bottom decile (and the upper-tail mirror) — the crash-together
+    coefficient that linear correlation hides (λ → 1 means
+    diversification dies exactly when needed). Decile cuts are integer
+    cross-multiplied ranks (deterministic tie-break) — no float
+    quantiles."""
+    b = bars(spark, sf_dir).where(F.col("symbol").isin("click", "view"))
+    px = (
+        b.groupBy("t")
+        .agg(
+            F.max(F.when(F.col("symbol") == "click", F.col("close"))).alias("ca"),
+            F.max(F.when(F.col("symbol") == "view", F.col("close"))).alias("cb"),
+            F.count_distinct("symbol").alias("_ns"),
+        )
+        .where(F.col("_ns") == 2)
+    )
+    wo = Window.orderBy("t")
+
+    def qret(c):
+        return F.floor(
+            (F.col(c) / F.lag(c).over(wo) - 1.0) * 1e6 + F.lit(0.5)
+        ).cast("long")
+
+    r = px.select("t", qret("ca").alias("ra"), qret("cb").alias("rb")).where(
+        F.col("ra").isNotNull() & F.col("rb").isNotNull()
+    )
+    base = r.select("ra", "rb", F.row_number().over(Window.orderBy("ra")).alias("t_rn"))
+    wall = Window.partitionBy()
+    t = base.select(
+        F.row_number().over(Window.orderBy("ra", "t_rn")).alias("rka"),
+        F.row_number().over(Window.orderBy("rb", "t_rn")).alias("rkb"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+    lo = F.sum(
+        F.when((F.col("rka") * 10 <= F.col("n")) & (F.col("rkb") * 10 <= F.col("n")), 1).otherwise(0)
+    )
+    hi = F.sum(
+        F.when(
+            (F.col("rka") * 10 > F.col("n") * 9) & (F.col("rkb") * 10 > F.col("n") * 9), 1
+        ).otherwise(0)
+    )
+    return t.agg(
+        F.max("n").cast("long").alias("n_obs"),
+        lo.cast("long").alias("joint_crashes"),
+        r6(lo.cast("double") / (F.max("n") / 10.0)).alias("lower_tail_dep"),
+        r6(hi.cast("double") / (F.max("n") / 10.0)).alias("upper_tail_dep"),
+    )

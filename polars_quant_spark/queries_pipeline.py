@@ -11349,3 +11349,52 @@ def events_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("entry_type")
     )
+
+
+@q(
+    "events_round_amounts",
+    """
+WITH rar AS (
+  SELECT event_type,
+         CASE WHEN CAST(FLOOR(value * 100.0 + 0.5) AS BIGINT) % 100 = 0
+              THEN 1 ELSE 0 END AS is_round
+  FROM events WHERE value > 0
+),
+ras AS (
+  SELECT event_type, COUNT(*) AS n, SUM(is_round) AS r FROM rar GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_values,
+       CAST(r AS BIGINT) AS n_round,
+       ROUND(CAST(r AS DOUBLE) / n, 6) AS round_share,
+       ROUND((CAST(r AS DOUBLE) / n - 0.01)
+             / sqrt(0.01 * 0.99 / n), 6) AS excess_z
+FROM ras
+ORDER BY event_type
+""",
+)
+def events_round_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-amount excess: the share of whole-dollar values per event
+    type vs the 1% uniform-cents expectation, as a z-score — the human-
+    entered / synthetic-amount fingerprint that complements the Benford
+    first-digit screen (fraudsters fake leading digits; lazy fixtures and
+    manual entries fake trailing zeros). Exact cents; one aggregate."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value") > 0)
+    r = ev.select(
+        "event_type",
+        F.when(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long") % 100 == 0, 1
+        )
+        .otherwise(0)
+        .alias("is_round"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("is_round").alias("r")
+    )
+    share = F.col("r").cast("double") / F.col("n")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_values"),
+        F.col("r").cast("long").alias("n_round"),
+        r6(share).alias("round_share"),
+        r6((share - 0.01) / F.sqrt(0.01 * 0.99 / F.col("n"))).alias("excess_z"),
+    ).orderBy("event_type")

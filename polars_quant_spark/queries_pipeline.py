@@ -11398,3 +11398,88 @@ def events_round_amounts(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(share).alias("round_share"),
         r6((share - 0.01) / F.sqrt(0.01 * 0.99 / F.col("n"))).alias("excess_z"),
     ).orderBy("event_type")
+
+
+@q(
+    "doc_source_kl",
+    f"""
+WITH klt AS (
+  SELECT source, u AS tok
+  FROM (SELECT source, UNNEST({_TOKS}) AS u FROM documents)
+),
+klc AS (
+  SELECT source, tok, COUNT(*) AS c FROM klt GROUP BY source, tok
+),
+kln AS (SELECT source, SUM(c) AS n FROM klc GROUP BY source),
+klv AS (SELECT COUNT(DISTINCT tok) AS v FROM klc),
+klp AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         SUM(CAST(FLOOR(
+           (CAST(COALESCE(ca.c, 0) + 1 AS DOUBLE) / (na.n + (SELECT v FROM klv)))
+           * ln((CAST(COALESCE(ca.c, 0) + 1 AS DOUBLE) / (na.n + (SELECT v FROM klv)))
+                / (CAST(COALESCE(cb.c, 0) + 1 AS DOUBLE) / (nb.n + (SELECT v FROM klv))))
+           * 1000000000.0 + 0.5) AS BIGINT)) AS qkl
+  FROM (SELECT DISTINCT source FROM klc) a
+  JOIN (SELECT DISTINCT source FROM klc) b ON b.source != a.source
+  JOIN (SELECT DISTINCT tok FROM klc) t ON TRUE
+  LEFT JOIN klc ca ON ca.source = a.source AND ca.tok = t.tok
+  LEFT JOIN klc cb ON cb.source = b.source AND cb.tok = t.tok
+  JOIN kln na ON na.source = a.source
+  JOIN kln nb ON nb.source = b.source
+  GROUP BY a.source, b.source
+)
+SELECT source_a, source_b,
+       ROUND(CAST(qkl AS DOUBLE) / 1000000000.0, 6) AS kl_divergence
+FROM klp
+ORDER BY source_a, source_b
+""",
+)
+def doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram KL divergence between every source pair (add-1 smoothed,
+    shared vocabulary): the DISTRIBUTIONAL distance that the Jaccard
+    similarity matrix (surface overlap) misses — two crawls can share few
+    exact documents yet speak the same language, or vice versa. Per-token
+    terms nano-quantize before the per-pair sums. The vocab×pair fan-out
+    is vocabulary-sized, not corpus-sized."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    klt = docs.select("source", F.explode(text.tokens("text")).alias("tok"))
+    klc = klt.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    kln = klc.groupBy("source").agg(F.sum("c").alias("n"))
+    klv = klc.agg(F.count_distinct("tok").alias("v"))
+    srcs = klc.select("source").distinct()
+    toks = klc.select("tok").distinct()
+    pairs = srcs.alias("a").join(
+        srcs.alias("b").withColumnRenamed("source", "source_b"),
+        F.col("source") != F.col("source_b"),
+    ).withColumnRenamed("source", "source_a")
+    grid = pairs.crossJoin(toks)
+    ca = klc.select(
+        F.col("source").alias("source_a"), F.col("tok").alias("ta"), F.col("c").alias("c_a")
+    )
+    cb = klc.select(
+        F.col("source").alias("source_b"), F.col("tok").alias("tb"), F.col("c").alias("c_b")
+    )
+    na = kln.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    nb = kln.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    j = (
+        grid.join(ca, (ca.source_a == grid.source_a) & (F.col("ta") == F.col("tok")), "left")
+        .drop(ca.source_a)
+        .join(cb, (cb.source_b == grid.source_b) & (F.col("tb") == F.col("tok")), "left")
+        .drop(cb.source_b)
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .crossJoin(F.broadcast(klv))
+    )
+    pa = (F.coalesce(F.col("c_a"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_a") + F.col("v")
+    )
+    pb = (F.coalesce(F.col("c_b"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_b") + F.col("v")
+    )
+    qterm = F.floor(pa * F.log(pa / pb) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        j.select("source_a", "source_b", qterm.alias("qkl"))
+        .groupBy("source_a", "source_b")
+        .agg(r6(F.sum("qkl").cast("double") / 1e9).alias("kl_divergence"))
+        .orderBy("source_a", "source_b")
+    )

@@ -11483,3 +11483,63 @@ def doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(r6(F.sum("qkl").cast("double") / 1e9).alias("kl_divergence"))
         .orderBy("source_a", "source_b")
     )
+
+
+@q(
+    "events_circular_clock",
+    """
+WITH cc0 AS (
+  SELECT event_type,
+         (epoch_us(ts) % 86400000000) / 86400000000.0 * 2.0 * pi() AS theta
+  FROM events
+),
+ccs AS (
+  SELECT event_type, COUNT(*) AS n,
+         SUM(CAST(FLOOR(cos(theta) * 1000000000.0 + 0.5) AS BIGINT)) AS qc,
+         SUM(CAST(FLOOR(sin(theta) * 1000000000.0 + 0.5) AS BIGINT)) AS qs
+  FROM cc0 GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_events,
+       ROUND(((atan2(CAST(qs AS DOUBLE), CAST(qc AS DOUBLE)) + 2.0 * pi())
+              % (2.0 * pi())) / (2.0 * pi()) * 24.0, 6) AS mean_hour,
+       ROUND(sqrt(CAST(qc AS DOUBLE) * qc + CAST(qs AS DOUBLE) * qs)
+             / 1000000000.0 / n, 6) AS concentration
+FROM ccs
+ORDER BY event_type
+""",
+)
+def events_circular_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Circular activity clock per stream: the MEAN TIME-OF-DAY computed
+    the right way (unit vectors on the 24 h circle — a naive average of
+    23:00 and 01:00 says noon; the circular mean says midnight) plus the
+    resultant length R (1 = all activity at one instant, 0 = uniform
+    around the clock). Per-event cos/sin nano-quantize before the sums."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+    import math
+
+    ev0 = load_table(spark, sf_dir, "events")
+    theta = (
+        (ts_us_expr(ev0) % 86400000000) / 86400000000.0 * 2.0 * math.pi
+    )
+    c0 = ev0.select("event_type", theta.alias("theta"))
+    qc = F.floor(F.cos(F.col("theta")) * 1e9 + F.lit(0.5)).cast("long")
+    qs = F.floor(F.sin(F.col("theta")) * 1e9 + F.lit(0.5)).cast("long")
+    s = c0.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum(qc).alias("qc"), F.sum(qs).alias("qs")
+    )
+    ang = (
+        F.atan2(F.col("qs").cast("double"), F.col("qc").cast("double")) + 2.0 * math.pi
+    ) % (2.0 * math.pi)
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_events"),
+        r6(ang / (2.0 * math.pi) * 24.0).alias("mean_hour"),
+        r6(
+            F.sqrt(
+                F.col("qc").cast("double") * F.col("qc")
+                + F.col("qs").cast("double") * F.col("qs")
+            )
+            / 1e9
+            / F.col("n")
+        ).alias("concentration"),
+    ).orderBy("event_type")

@@ -7218,3 +7218,97 @@ def bars_tail_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(lo.cast("double") / (F.max("n") / 10.0)).alias("lower_tail_dep"),
         r6(hi.cast("double") / (F.max("n") / 10.0)).alias("upper_tail_dep"),
     )
+
+
+# Kupiec proof-of-failure test constants: the VaR threshold is "worst
+# return of the PRIOR 60 bars", whose exceedance probability under
+# exchangeability is exactly 1/61.
+_KP_P = repr(1.0 / 61.0)
+_KP_1P = repr(1.0 - 1.0 / 61.0)
+
+
+@q(
+    "bars_var_backtest",
+    BARS_CTE
+    + f""",
+vbr AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+vbm AS (
+  SELECT symbol, t, qr,
+         MIN(qr) OVER (PARTITION BY symbol ORDER BY t
+                       ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS var_q,
+         COUNT(qr) OVER (PARTITION BY symbol ORDER BY t
+                         ROWS BETWEEN 60 PRECEDING AND 1 PRECEDING) AS nw
+  FROM vbr WHERE qr IS NOT NULL
+),
+vbs AS (
+  SELECT symbol, COUNT(*) AS n,
+         SUM(CASE WHEN qr < var_q THEN 1 ELSE 0 END) AS x
+  FROM vbm WHERE nw = 60 GROUP BY symbol
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_obs, CAST(x AS BIGINT) AS n_exceedances,
+       ROUND(CAST(x AS DOUBLE) / n, 6) AS exceed_rate,
+       ROUND({_KP_P}, 6) AS expected_rate,
+       ROUND(CASE WHEN x > 0 AND x < n THEN
+         -2.0 * ((n - x) * ln({_KP_1P}) + x * ln({_KP_P})
+                 - ((n - x) * ln(1.0 - CAST(x AS DOUBLE) / n)
+                    + x * ln(CAST(x AS DOUBLE) / n))) END, 6) AS kupiec_lr
+FROM vbs
+ORDER BY symbol
+""",
+)
+def bars_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VaR exceedance backtest: the threshold is the worst return of the
+    PRIOR 60 bars (a historical-simulation VaR whose exceedance
+    probability is EXACTLY 1/61 under exchangeability — no estimation
+    error in the null), and Kupiec's proportion-of-failures LR tests
+    whether the realized breach count is consistent (χ²₁; >3.84 rejects
+    the model). Exact integer window mins and counts; constants as
+    shared repr literals."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    wp = _w().rowsBetween(-60, -1)
+    m = r.select(
+        "symbol",
+        "qr",
+        F.min("qr").over(wp).alias("var_q"),
+        F.count("qr").over(wp).alias("nw"),
+    ).where(F.col("nw") == 60)
+    s = m.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("qr") < F.col("var_q"), 1).otherwise(0)).alias("x"),
+    )
+    n = F.col("n")
+    x = F.col("x")
+    p = float(_KP_P)
+    p1 = float(_KP_1P)
+    import math as _math
+
+    lnp = _math.log(p)
+    ln1p = _math.log(p1)
+    xr = x.cast("double") / n
+    lr = F.when(
+        (x > 0) & (x < n),
+        -2.0
+        * (
+            (n - x) * ln1p
+            + x * lnp
+            - ((n - x) * F.log(1.0 - xr) + x * F.log(xr))
+        ),
+    )
+    return s.select(
+        "symbol",
+        n.cast("long").alias("n_obs"),
+        x.cast("long").alias("n_exceedances"),
+        r6(xr).alias("exceed_rate"),
+        r6(F.lit(p)).alias("expected_rate"),
+        r6(lr).alias("kupiec_lr"),
+    ).orderBy("symbol")

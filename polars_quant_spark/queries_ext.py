@@ -7312,3 +7312,64 @@ def bars_var_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.lit(p)).alias("expected_rate"),
         r6(lr).alias("kupiec_lr"),
     ).orderBy("symbol")
+
+
+# Klinger-style volume force oscillator: EMA34 − EMA55 of tick-signed
+# volume force (simplified trend rule: sign of typical-price change).
+ORACLES_KVO = (
+    recursive_with(
+        """
+kvf AS MATERIALIZED (
+  SELECT symbol, t,
+         CAST(FLOOR(volume + 0.5) AS BIGINT)
+           * CASE WHEN (high + low + close)
+                       > LAG(high + low + close) OVER (PARTITION BY symbol ORDER BY t)
+                  THEN 1
+                  WHEN (high + low + close)
+                       < LAG(high + low + close) OVER (PARTITION BY symbol ORDER BY t)
+                  THEN -1 ELSE 0 END AS vf
+  FROM bars
+)""",
+        ema_ctes("kv34", "kvf", "vf", 34),
+        ema_ctes("kv55", "kvf", "vf", 55),
+    )
+    + """
+SELECT a.symbol, a.t, ROUND(a.kv34 - b.kv55, 6) AS kvo
+FROM kv34 a JOIN kv55 b ON b.symbol = a.symbol AND b.t = a.t
+WHERE a.kv34 IS NOT NULL AND b.kv55 IS NOT NULL
+ORDER BY a.symbol, a.t
+"""
+)
+
+
+def ind_klinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Klinger-style volume oscillator: EMA34 − EMA55 of trend-signed
+    volume force (typical-price direction × volume) — volume pressure
+    with the long/short EMA pair run in ONE recurrence pass. Same
+    chained-EMA contract as MACD/ADOSC."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    tp = F.col("high") + F.col("low") + F.col("close")
+    sgn = (
+        F.when(tp > F.lag(tp).over(o), 1)
+        .when(tp < F.lag(tp).over(o), -1)
+        .otherwise(0)
+    )
+    vf = (F.floor(F.col("volume") + F.lit(0.5)).cast("long") * sgn).cast("double")
+    src = b.select("symbol", "t", vf.alias("vf"))
+    out = with_recurrences(
+        src,
+        [
+            Rec("kv34", "ema", ["vf"], {"p": 34}),
+            Rec("kv55", "ema", ["vf"], {"p": 55}),
+        ],
+    )
+    return (
+        out.where(F.col("kv34").isNotNull() & F.col("kv55").isNotNull())
+        .select("symbol", "t", r6(F.col("kv34") - F.col("kv55")).alias("kvo"))
+        .orderBy("symbol", "t")
+    )
+
+
+QUERIES["ind_klinger"] = ind_klinger
+ORACLES["ind_klinger"] = ORACLES_KVO

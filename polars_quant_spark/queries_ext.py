@@ -7373,3 +7373,100 @@ def ind_klinger(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES["ind_klinger"] = ind_klinger
 ORACLES["ind_klinger"] = ORACLES_KVO
+
+
+@q(
+    "bars_arch_test",
+    BARS_CTE
+    + """,
+atr2 AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+ats AS (
+  SELECT symbol,
+         CAST(qr AS HUGEINT) * qr AS s2,
+         LAG(CAST(qr AS HUGEINT) * qr) OVER (PARTITION BY symbol ORDER BY t) AS s2l
+  FROM atr2 WHERE qr IS NOT NULL
+),
+atm AS (
+  SELECT symbol, COUNT(*) AS n,
+         SUM(s2) AS sy, SUM(s2l) AS sx,
+         SUM(s2 * s2l) AS sxy,
+         SUM(s2l * s2l) AS sxx,
+         SUM(s2 * s2) AS syy
+  FROM ats WHERE s2l IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_obs,
+       ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+         (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+         / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                 - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                   - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+       END, 6) AS rho_sq,
+       ROUND(CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) > 0
+                   AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) > 0 THEN
+         CAST(n AS DOUBLE)
+         * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+         * ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+            / sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                   * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+       END, 6) AS arch_lm
+FROM atm
+ORDER BY symbol
+""",
+)
+def bars_arch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engle's ARCH-LM test (1 lag) per symbol: the autocorrelation of
+    SQUARED returns and the n·R² statistic (χ²₁; >3.84 = volatility
+    clusters, so a GARCH filter like ind_garch_vol is warranted — this is
+    the test that justifies that model). Squared micro returns are exact
+    HUGEINT/decimal products; the ρ and LM tails are mirrored literally."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    dec = "decimal(38,0)"
+    r = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    s2 = (F.col("qr").cast(dec) * F.col("qr")).alias("s2")
+    a = r.select("symbol", "t", s2).select(
+        "symbol", "s2", F.lag("s2").over(o).alias("s2l")
+    ).where(F.col("s2l").isNotNull())
+    m = a.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("s2").alias("sy"),
+        F.sum("s2l").alias("sx"),
+        F.sum(F.col("s2") * F.col("s2l")).alias("sxy"),
+        F.sum(F.col("s2l") * F.col("s2l")).alias("sxx"),
+        F.sum(F.col("s2") * F.col("s2")).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    dxy = nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    dxx = nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    dyy = nd * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy").cast("double")
+    ok = (dxx > 0) & (dyy > 0)
+    rho = dxy / F.sqrt(dxx * dyy)
+    return m.select(
+        "symbol",
+        F.col("n").cast("long").alias("n_obs"),
+        r6(F.when(ok, rho)).alias("rho_sq"),
+        r6(F.when(ok, nd * rho * rho)).alias("arch_lm"),
+    ).orderBy("symbol")

@@ -11543,3 +11543,89 @@ def events_circular_clock(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("n")
         ).alias("concentration"),
     ).orderBy("event_type")
+
+
+@q(
+    "events_ab_retention",
+    """
+WITH art AS (
+  SELECT user_id,
+         CAST(('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 2
+           AS variant,
+         MAX(epoch_us(ts) // 86400000000) - MIN(epoch_us(ts) // 86400000000) AS span
+  FROM events GROUP BY 1, 2
+),
+ars AS (
+  SELECT variant, COUNT(*) AS n,
+         SUM(CASE WHEN span >= 7 THEN 1 ELSE 0 END) AS kept
+  FROM art GROUP BY variant
+),
+arx AS (
+  SELECT SUM(CASE WHEN variant = 0 THEN n END) AS n0,
+         SUM(CASE WHEN variant = 0 THEN kept END) AS k0,
+         SUM(CASE WHEN variant = 1 THEN n END) AS n1,
+         SUM(CASE WHEN variant = 1 THEN kept END) AS k1
+  FROM ars
+)
+SELECT CAST(s.variant AS INTEGER) AS variant,
+       CAST(s.n AS BIGINT) AS n_users,
+       ROUND(CAST(s.kept AS DOUBLE) / s.n, 6) AS day7_retention,
+       ROUND(CASE WHEN x.k0 + x.k1 > 0 AND x.k0 + x.k1 < x.n0 + x.n1 THEN
+         (CAST(x.k1 AS DOUBLE) / x.n1 - CAST(x.k0 AS DOUBLE) / x.n0)
+         / sqrt((CAST(x.k0 + x.k1 AS DOUBLE) / (x.n0 + x.n1))
+                * (1.0 - CAST(x.k0 + x.k1 AS DOUBLE) / (x.n0 + x.n1))
+                * (1.0 / x.n0 + 1.0 / x.n1)) END, 6) AS retention_z
+FROM ars s CROSS JOIN arx x
+ORDER BY variant
+""",
+)
+def events_ab_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B on RETENTION: day-7 retention (lifespan ≥ 7 days) per hash
+    arm with the pooled two-proportion z — because experiments that win
+    on conversion and silently lose on retention are the expensive kind.
+    Completes the experiment readout set (means, ranks, SRM, CUPED,
+    power, retention)."""
+    from polars_quant_spark.operators.sketch import hash_lane
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    art = (
+        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
+        .select(
+            "user_id",
+            (hash_lane("user_id", 8) % 2).alias("variant"),
+            F.expr("ts_us DIV 86400000000").alias("day"),
+        )
+        .groupBy("user_id", "variant")
+        .agg((F.max("day") - F.min("day")).alias("span"))
+    )
+    s = art.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("span") >= 7, 1).otherwise(0)).alias("kept"),
+    )
+    x = s.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("kept"))).alias("k0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("kept"))).alias("k1"),
+    )
+    ph = (F.col("k0") + F.col("k1")).cast("double") / (F.col("n0") + F.col("n1"))
+    z = F.when(
+        (F.col("k0") + F.col("k1") > 0)
+        & (F.col("k0") + F.col("k1") < F.col("n0") + F.col("n1")),
+        (
+            F.col("k1").cast("double") / F.col("n1")
+            - F.col("k0").cast("double") / F.col("n0")
+        )
+        / F.sqrt(ph * (1.0 - ph) * (1.0 / F.col("n0") + 1.0 / F.col("n1"))),
+    )
+    return (
+        s.crossJoin(F.broadcast(x))
+        .select(
+            F.col("variant").cast("int").alias("variant"),
+            F.col("n").cast("long").alias("n_users"),
+            r6(F.col("kept").cast("double") / F.col("n")).alias("day7_retention"),
+            r6(z).alias("retention_z"),
+        )
+        .orderBy("variant")
+    )

@@ -11629,3 +11629,85 @@ def events_ab_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+@q(
+    "doc_quality_ensemble",
+    f"""
+WITH qe0 AS (
+  SELECT doc_id,
+         len({_TOKS}) AS toks,
+         n_chars,
+         GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+         CASE WHEN len({_TOKS}) > 0 THEN
+           CAST(len(list_distinct({_TOKS})) AS DOUBLE) / len({_TOKS}) ELSE 0.0 END AS ttr
+  FROM documents
+),
+qe1 AS (
+  SELECT doc_id,
+         CASE WHEN toks < 10 THEN 1 ELSE 0 END AS r_too_short,
+         CASE WHEN n_chars > 4096 THEN 1 ELSE 0 END AS r_too_long,
+         CASE WHEN ttr < 0.3 THEN 1 ELSE 0 END AS r_repetitive,
+         CASE WHEN CAST(toks AS DOUBLE) / sents > 80.0 THEN 1 ELSE 0 END AS r_run_on
+  FROM qe0
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(r_too_short) AS BIGINT) AS rej_too_short,
+       CAST(SUM(r_too_long) AS BIGINT) AS rej_too_long,
+       CAST(SUM(r_repetitive) AS BIGINT) AS rej_repetitive,
+       CAST(SUM(r_run_on) AS BIGINT) AS rej_run_on,
+       CAST(SUM(CASE WHEN r_too_short + r_too_long + r_repetitive + r_run_on = 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       ROUND(CAST(SUM(CASE WHEN r_too_short + r_too_long + r_repetitive + r_run_on = 0
+                      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate
+FROM qe1
+""",
+)
+def doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-rule ensemble with per-rule attribution: four cheap vetoes
+    (too short, too long, repetitive by type-token ratio, run-on
+    sentences) and the final keep rate — unlike doc_filter_funnel's
+    sequential gates, each rule's rejection count is INDEPENDENT, which
+    is what you need to tune thresholds (a rule that rejects 40% alone
+    is mistuned even if the funnel hides it). One projection + one
+    aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = text.tokens("text")
+    q0 = docs.select(
+        F.size(tk).alias("toks"),
+        "n_chars",
+        F.greatest(
+            F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), 0)), F.lit(1)
+        ).alias("sents"),
+        F.when(
+            F.size(tk) > 0,
+            F.size(F.array_distinct(tk)).cast("double") / F.size(tk),
+        )
+        .otherwise(0.0)
+        .alias("ttr"),
+    )
+    q1 = q0.select(
+        F.when(F.col("toks") < 10, 1).otherwise(0).alias("r_too_short"),
+        F.when(F.col("n_chars") > 4096, 1).otherwise(0).alias("r_too_long"),
+        F.when(F.col("ttr") < 0.3, 1).otherwise(0).alias("r_repetitive"),
+        F.when(F.col("toks").cast("double") / F.col("sents") > 80.0, 1)
+        .otherwise(0)
+        .alias("r_run_on"),
+    )
+    allr = (
+        F.col("r_too_short")
+        + F.col("r_too_long")
+        + F.col("r_repetitive")
+        + F.col("r_run_on")
+    )
+    return q1.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("r_too_short").cast("long").alias("rej_too_short"),
+        F.sum("r_too_long").cast("long").alias("rej_too_long"),
+        F.sum("r_repetitive").cast("long").alias("rej_repetitive"),
+        F.sum("r_run_on").cast("long").alias("rej_run_on"),
+        F.sum(F.when(allr == 0, 1).otherwise(0)).cast("long").alias("n_kept"),
+        r6(
+            F.sum(F.when(allr == 0, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
+        ).alias("keep_rate"),
+    )

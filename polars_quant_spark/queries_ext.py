@@ -7470,3 +7470,71 @@ def bars_arch_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         r6(F.when(ok, rho)).alias("rho_sq"),
         r6(F.when(ok, nd * rho * rho)).alias("arch_lm"),
     ).orderBy("symbol")
+
+
+@q(
+    "bars_leverage_effect",
+    BARS_CTE
+    + """,
+lvr AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+lvp AS (
+  SELECT symbol, qr,
+         ABS(LEAD(qr) OVER (PARTITION BY symbol ORDER BY t)) AS nav
+  FROM lvr WHERE qr IS NOT NULL
+),
+lvm AS (
+  SELECT symbol, COUNT(*) AS n, SUM(qr) AS sx, SUM(nav) AS sy,
+         SUM(CAST(qr AS HUGEINT) * nav) AS sxy,
+         SUM(CAST(qr AS HUGEINT) * qr) AS sxx,
+         SUM(CAST(nav AS HUGEINT) * nav) AS syy
+  FROM lvp WHERE nav IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_obs,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+       END, 6) AS leverage_corr
+FROM lvm
+ORDER BY symbol
+""",
+)
+def bars_leverage_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leverage effect per symbol: correlation of today's signed return
+    with TOMORROW'S absolute return — reliably negative in equities (down
+    moves raise future volatility more than up moves), the asymmetry an
+    EGARCH would model and plain GARCH can't. Exact integer moments; one
+    window pass."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    p = r.select(
+        "symbol", "qr", F.abs(F.lead("qr").over(o)).alias("nav")
+    ).where(F.col("nav").isNotNull())
+    dec = "decimal(38,0)"
+    m = p.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("qr").alias("sx"),
+        F.sum("nav").alias("sy"),
+        F.sum(F.col("qr").cast(dec) * F.col("nav")).alias("sxy"),
+        F.sum(F.col("qr").cast(dec) * F.col("qr")).alias("sxx"),
+        F.sum(F.col("nav").cast(dec) * F.col("nav")).alias("syy"),
+    )
+    n = F.col("n").cast(dec)
+    dxy = n * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    dxx = n * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    corr = F.when(
+        (dxx > 0) & (dyy > 0),
+        dxy.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return m.select(
+        "symbol", F.col("n").cast("long").alias("n_obs"), r6(corr).alias("leverage_corr")
+    ).orderBy("symbol")

@@ -11711,3 +11711,52 @@ def doc_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(allr == 0, 1).otherwise(0)).cast("double") / F.count(F.lit(1))
         ).alias("keep_rate"),
     )
+
+
+@q(
+    "doc_capitalized_terms",
+    """
+WITH cpt AS (
+  SELECT doc_id, u AS term
+  FROM (SELECT doc_id,
+               UNNEST(regexp_extract_all(text, '\\b[A-Z][a-z]{2,}')) AS u
+        FROM documents)
+),
+cpc AS (
+  SELECT term, COUNT(*) AS mentions, COUNT(DISTINCT doc_id) AS doc_freq
+  FROM cpt GROUP BY term
+)
+SELECT term, CAST(mentions AS BIGINT) AS mentions,
+       CAST(doc_freq AS BIGINT) AS doc_freq
+FROM cpc
+ORDER BY mentions DESC, term
+LIMIT 20
+""",
+)
+def doc_capitalized_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NER-lite: the top capitalized mid-sentence tokens (≥3 letters) by
+    mention count with document frequency — the zero-model entity
+    inventory that tells you what a corpus is ABOUT before any tagger
+    runs (and whether PII-ish proper nouns concentrate in a source).
+    Bypasses the lowercasing tokenizer on purpose; one regex explode +
+    one count."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(r"\b[A-Z][a-z]{2,}"), 0)
+        ).alias("term"),
+    )
+    c = t.groupBy("term").agg(
+        F.count(F.lit(1)).alias("mentions"),
+        F.count_distinct("doc_id").alias("doc_freq"),
+    )
+    return (
+        c.select(
+            "term",
+            F.col("mentions").cast("long").alias("mentions"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+        )
+        .orderBy(F.col("mentions").desc(), F.col("term"))
+        .limit(20)
+    )

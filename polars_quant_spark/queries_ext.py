@@ -7538,3 +7538,109 @@ def bars_leverage_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "symbol", F.col("n").cast("long").alias("n_obs"), r6(corr).alias("leverage_corr")
     ).orderBy("symbol")
+
+
+@q(
+    "bars_stress_correlation",
+    BARS_CTE
+    + """,
+scr AS (
+  SELECT symbol, t,
+         CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                    * 1000000.0 + 0.5) AS BIGINT) AS qr
+  FROM bars
+),
+scm AS (
+  SELECT t, CAST(FLOOR(CAST(SUM(qr) AS DOUBLE) / COUNT(qr) + 0.5) AS BIGINT) AS qm
+  FROM scr WHERE qr IS NOT NULL GROUP BY t
+),
+scd AS (
+  SELECT t, qm, ROW_NUMBER() OVER (ORDER BY qm, t) AS rk, COUNT(*) OVER () AS n
+  FROM scm
+),
+scp AS (
+  SELECT a.t,
+         MAX(CASE WHEN a.symbol = 'click' THEN a.qr END) AS ra,
+         MAX(CASE WHEN a.symbol = 'view' THEN a.qr END) AS rb,
+         MAX(CASE WHEN d.rk * 10 <= d.n THEN 1 ELSE 0 END) AS stress
+  FROM scr a JOIN scd d ON d.t = a.t
+  WHERE a.symbol IN ('click', 'view') AND a.qr IS NOT NULL
+  GROUP BY a.t HAVING COUNT(DISTINCT a.symbol) = 2
+),
+scs AS (
+  SELECT stress, COUNT(*) AS n, SUM(ra) AS sa, SUM(rb) AS sb,
+         SUM(CAST(ra AS HUGEINT) * rb) AS sab,
+         SUM(CAST(ra AS HUGEINT) * ra) AS saa,
+         SUM(CAST(rb AS HUGEINT) * rb) AS sbb
+  FROM scp GROUP BY stress
+)
+SELECT CAST(stress AS INTEGER) AS market_stress,
+       CAST(n AS BIGINT) AS n_obs,
+       ROUND(CASE WHEN n * saa - sa * sa > 0 AND n * sbb - sb * sb > 0 THEN
+         CAST(n * sab - sa * sb AS DOUBLE)
+         / sqrt(CAST(n * saa - sa * sa AS DOUBLE) * CAST(n * sbb - sb * sb AS DOUBLE))
+       END, 6) AS pair_corr
+FROM scs
+ORDER BY market_stress
+""",
+)
+def bars_stress_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stress-conditional correlation: the (click, view) pair correlation
+    on the market's worst-decile bars vs all other bars — the
+    'correlations go to one in a crash' diagnostic that the full-sample
+    matrix averages away (pairs with bars_tail_dependence: that counts
+    joint crashes, this measures co-movement strength within them).
+    Stress days come from exact integer ranks of the cross-sectional
+    mean return."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    qr = F.floor(
+        (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+    ).cast("long")
+    r = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
+    m = r.groupBy("t").agg(
+        F.floor(F.sum("qr").cast("double") / F.count("qr") + F.lit(0.5))
+        .cast("long")
+        .alias("qm")
+    )
+    d = m.select(
+        "t",
+        F.row_number().over(Window.orderBy("qm", "t")).alias("rk"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    p = (
+        r.where(F.col("symbol").isin("click", "view"))
+        .join(F.broadcast(d), "t")
+        .groupBy("t")
+        .agg(
+            F.max(F.when(F.col("symbol") == "click", F.col("qr"))).alias("ra"),
+            F.max(F.when(F.col("symbol") == "view", F.col("qr"))).alias("rb"),
+            F.max(
+                F.when(F.col("rk") * 10 <= F.col("n"), 1).otherwise(0)
+            ).alias("stress"),
+            F.count_distinct("symbol").alias("_ns"),
+        )
+        .where(F.col("_ns") == 2)
+    )
+    dec = "decimal(38,0)"
+    s = p.groupBy("stress").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ra").alias("sa"),
+        F.sum("rb").alias("sb"),
+        F.sum(F.col("ra").cast(dec) * F.col("rb")).alias("sab"),
+        F.sum(F.col("ra").cast(dec) * F.col("ra")).alias("saa"),
+        F.sum(F.col("rb").cast(dec) * F.col("rb")).alias("sbb"),
+    )
+    n = F.col("n").cast(dec)
+    dxy = n * F.col("sab") - F.col("sa").cast(dec) * F.col("sb")
+    dxx = n * F.col("saa") - F.col("sa").cast(dec) * F.col("sa")
+    dyy = n * F.col("sbb") - F.col("sb").cast(dec) * F.col("sb")
+    corr = F.when(
+        (dxx > 0) & (dyy > 0),
+        dxy.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return s.select(
+        F.col("stress").cast("int").alias("market_stress"),
+        F.col("n").cast("long").alias("n_obs"),
+        r6(corr).alias("pair_corr"),
+    ).orderBy("market_stress")

@@ -11760,3 +11760,65 @@ def doc_capitalized_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("mentions").desc(), F.col("term"))
         .limit(20)
     )
+
+
+@q(
+    "events_dau_seasonal_index",
+    """
+WITH dsu AS (
+  SELECT epoch_us(ts) // 86400000000 AS day, COUNT(DISTINCT user_id) AS dau
+  FROM events GROUP BY 1
+),
+dsw AS (
+  SELECT day, dau, CAST((day + 4) % 7 AS INTEGER) AS dow FROM dsu
+),
+dsm AS (
+  SELECT dow,
+         CAST(FLOOR(CAST(SUM(dau) AS DOUBLE) / COUNT(*) * 1000000.0 + 0.5) AS BIGINT)
+           AS qmean
+  FROM dsw GROUP BY dow
+)
+SELECT w.day, CAST(w.dau AS BIGINT) AS dau, w.dow AS weekday,
+       ROUND(CAST(m.qmean AS DOUBLE) / 1000000.0, 6) AS weekday_mean,
+       ROUND(CAST(w.dau AS DOUBLE) / (CAST(m.qmean AS DOUBLE) / 1000000.0), 6)
+         AS seasonal_index
+FROM dsw w JOIN dsm m ON m.dow = w.dow
+ORDER BY w.day
+""",
+)
+def events_dau_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted DAU: each day's active users as a ratio to that
+    WEEKDAY'S average — the index that separates 'it's just Saturday'
+    from a real engagement move (an unadjusted DAU chart re-discovers
+    the weekly cycle every Monday). Weekday means micro-quantize so the
+    ratio is identical in both engines."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    dsu = (
+        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
+        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("dau"))
+    )
+    dsw = dsu.select(
+        "day", "dau", F.expr("CAST((day + 4) % 7 AS INT)").alias("dow")
+    )
+    dsm = dsw.groupBy("dow").agg(
+        F.floor(F.sum("dau").cast("double") / F.count(F.lit(1)) * 1e6 + F.lit(0.5))
+        .cast("long")
+        .alias("qmean")
+    )
+    return (
+        dsw.join(F.broadcast(dsm), "dow")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("dow").alias("weekday"),
+            r6(F.col("qmean").cast("double") / 1e6).alias("weekday_mean"),
+            r6(
+                F.col("dau").cast("double") / (F.col("qmean").cast("double") / 1e6)
+            ).alias("seasonal_index"),
+        )
+        .orderBy("day")
+    )

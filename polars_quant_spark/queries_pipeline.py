@@ -11822,3 +11822,88 @@ def events_dau_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+@q(
+    "events_depth_conversion",
+    """
+WITH dc0 AS (
+  SELECT user_id, event_type, epoch_us(ts) AS us,
+         CASE WHEN LAG(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   IS NULL
+               OR epoch_us(ts) - LAG(epoch_us(ts))
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+dc1 AS (
+  SELECT user_id, event_type,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM dc0
+),
+dc2 AS (
+  SELECT user_id, sid, COUNT(*) AS depth,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS converted
+  FROM dc1 GROUP BY user_id, sid
+),
+dc3 AS (
+  SELECT LEAST(CAST(depth AS INTEGER), 10) AS depth_bucket, converted FROM dc2
+)
+SELECT depth_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_sessions,
+       ROUND(CAST(SUM(converted) AS DOUBLE) / COUNT(*), 6) AS conversion_rate
+FROM dc3 GROUP BY depth_bucket
+ORDER BY depth_bucket
+""",
+)
+def events_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-conversion curve: purchase rate by session depth
+    (events per session, capped at 10+) — the shape that justifies (or
+    debunks) engagement-maximizing product work: monotone-rising means
+    depth drives conversion; flat means it's selection. Same 30-min
+    sessionization contract as the bounce/concurrency queries."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    d0 = ev0.select(
+        "user_id", "event_id", "event_type", ts_us_expr(ev0).alias("ts_us")
+    ).select(
+        "user_id",
+        "event_type",
+        "ts_us",
+        F.when(
+            F.lag("ts_us").over(wu).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(wu) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    wc = Window.partitionBy("user_id").orderBy("ts_us").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    d1 = d0.select(
+        "user_id", "event_type", F.sum("new_s").over(wc).alias("sid")
+    )
+    d2 = d1.groupBy("user_id", "sid").agg(
+        F.count(F.lit(1)).alias("depth"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "converted"
+        ),
+    )
+    d3 = d2.select(
+        F.least(F.col("depth").cast("int"), F.lit(10)).alias("depth_bucket"),
+        "converted",
+    )
+    return (
+        d3.groupBy("depth_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            r6(F.sum("converted").cast("double") / F.count(F.lit(1))).alias(
+                "conversion_rate"
+            ),
+        )
+        .orderBy("depth_bucket")
+    )

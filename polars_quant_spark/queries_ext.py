@@ -7644,3 +7644,105 @@ def bars_stress_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_obs"),
         r6(corr).alias("pair_corr"),
     ).orderBy("market_stress")
+
+
+@q(
+    "rel_replenishment_cycle",
+    """
+WITH rpg AS (
+  SELECT o_custkey,
+         epoch_us(o_orderdate) // 86400000000
+           - LAG(epoch_us(o_orderdate) // 86400000000)
+             OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS gap_days
+  FROM orders
+),
+rpc AS (
+  SELECT o_custkey, COUNT(gap_days) AS n, SUM(gap_days) AS s1,
+         SUM(CAST(gap_days AS HUGEINT) * gap_days) AS s2
+  FROM rpg WHERE gap_days IS NOT NULL GROUP BY o_custkey HAVING COUNT(gap_days) >= 2
+),
+rpm AS (
+  SELECT o_custkey, CAST(FLOOR(CAST(s1 AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)
+           AS qmean,
+         CASE WHEN CAST(s2 AS DOUBLE) / n - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+               AND s1 > 0 THEN
+           CASE WHEN sqrt(CAST(s2 AS DOUBLE) / n
+                          - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+                     / (CAST(s1 AS DOUBLE) / n) < 0.5 THEN 1 ELSE 0 END
+           ELSE 0 END AS regular
+  FROM rpc
+),
+rpr AS (
+  SELECT qmean, ROW_NUMBER() OVER (ORDER BY qmean) AS r, COUNT(*) OVER () AS n
+  FROM rpm
+)
+SELECT CAST((SELECT COUNT(*) FROM rpm) AS BIGINT) AS n_repeat_customers,
+       ROUND(CAST((SELECT MAX(CASE WHEN r = CAST(CEIL(0.5 * n) AS BIGINT)
+                                   THEN qmean END) FROM rpr) AS DOUBLE)
+             / 1000000.0, 6) AS median_cycle_days,
+       ROUND(CAST((SELECT SUM(regular) FROM rpm) AS DOUBLE)
+             / (SELECT COUNT(*) FROM rpm), 6) AS regular_cadence_share
+""",
+)
+def rel_replenishment_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Replenishment cadence: the median per-customer mean inter-order gap
+    (the reorder cycle that sets inventory and win-back timing) and the
+    share of customers with REGULAR cadence (gap CV < 0.5 — the
+    subscription-like segment). Per-customer gap moments are exact
+    integers; the median is the usual rank-select over micro-quantized
+    means."""
+    from polars_quant_spark.sources.bars import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.expr(
+        "unix_micros(to_utc_timestamp(o_orderdate, 'UTC')) DIV 86400000000"
+    )
+    wg = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    g = o.select(
+        "o_custkey", (day - F.lag(day).over(wg)).alias("gap_days")
+    ).where(F.col("gap_days").isNotNull())
+    dec = "decimal(38,0)"
+    c = (
+        g.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("gap_days").alias("s1"),
+            F.sum(F.col("gap_days").cast(dec) * F.col("gap_days")).alias("s2"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    var = F.col("s2").cast("double") / n - mu * mu
+    m = c.select(
+        F.floor(mu * 1e6 + F.lit(0.5)).cast("long").alias("qmean"),
+        F.when(
+            (var > 0) & (F.col("s1") > 0),
+            F.when(F.sqrt(var) / mu < 0.5, 1).otherwise(0),
+        )
+        .otherwise(0)
+        .alias("regular"),
+    )
+    wr = Window.orderBy("qmean")
+    wall = Window.partitionBy()
+    r = m.select(
+        "qmean",
+        "regular",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("nn"),
+    )
+    return r.agg(
+        F.count(F.lit(1)).cast("long").alias("n_repeat_customers"),
+        r6(
+            F.max(
+                F.when(
+                    F.col("r") == F.ceil(F.lit(0.5) * F.col("nn")).cast("long"),
+                    F.col("qmean"),
+                )
+            ).cast("double")
+            / 1e6
+        ).alias("median_cycle_days"),
+        r6(F.sum("regular").cast("double") / F.count(F.lit(1))).alias(
+            "regular_cadence_share"
+        ),
+    )

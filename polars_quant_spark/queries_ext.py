@@ -7746,3 +7746,46 @@ def rel_replenishment_cycle(spark: SparkSession, sf_dir: str) -> DataFrame:
             "regular_cadence_share"
         ),
     )
+
+
+@q(
+    "ind_nr7_wr7",
+    BARS_CTE
+    + """,
+nrq AS (
+  SELECT symbol, t,
+         CAST(FLOOR((high - low) * 1000000.0 + 0.5) AS BIGINT) AS qrange
+  FROM bars
+)
+SELECT symbol, t,
+       ROUND(CAST(qrange AS DOUBLE) / 1000000.0, 6) AS bar_range,
+       CAST(CASE WHEN COUNT(qrange) OVER w = 7
+                  AND qrange < MIN(qrange) OVER wp THEN 1 ELSE 0 END AS INTEGER) AS nr7,
+       CAST(CASE WHEN COUNT(qrange) OVER w = 7
+                  AND qrange > MAX(qrange) OVER wp THEN 1 ELSE 0 END AS INTEGER) AS wr7
+FROM nrq
+WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wp AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)
+ORDER BY symbol, t
+""",
+)
+def ind_nr7_wr7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NR7 / WR7 flags: the bar whose range is strictly the narrowest
+    (coiling — breakout setup) or widest (climax) of the trailing seven —
+    Crabel's classic volatility-cycle markers. Ranges micro-quantize so
+    the strict comparisons are exact; two frames on one window pass."""
+    b = bars(spark, sf_dir)
+    qrange = F.floor((F.col("high") - F.col("low")) * 1e6 + F.lit(0.5)).cast("long")
+    src = b.select("symbol", "t", qrange.alias("qrange"))
+    w = _w().rowsBetween(-6, 0)
+    wp = _w().rowsBetween(-6, -1)
+    full = F.count("qrange").over(w) == 7
+    nr7 = F.when(full & (F.col("qrange") < F.min("qrange").over(wp)), 1).otherwise(0)
+    wr7 = F.when(full & (F.col("qrange") > F.max("qrange").over(wp)), 1).otherwise(0)
+    return src.select(
+        "symbol",
+        "t",
+        r6(F.col("qrange").cast("double") / 1e6).alias("bar_range"),
+        nr7.cast("int").alias("nr7"),
+        wr7.cast("int").alias("wr7"),
+    ).orderBy("symbol", "t")

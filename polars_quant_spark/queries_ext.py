@@ -7789,3 +7789,78 @@ def ind_nr7_wr7(spark: SparkSession, sf_dir: str) -> DataFrame:
         nr7.cast("int").alias("nr7"),
         wr7.cast("int").alias("wr7"),
     ).orderBy("symbol", "t")
+
+
+@q(
+    "bars_extreme_timing",
+    BARS_CTE
+    + """,
+etd AS (
+  SELECT symbol, ts_us // 86400000000 AS day,
+         arg_max(ts_us % 86400000000, high * 4096 + (ts_us % 4096) / 4096.0) AS hi_tod,
+         arg_min(ts_us % 86400000000, low * 4096 + (ts_us % 4096) / 4096.0) AS lo_tod,
+         COUNT(*) AS n_bars
+  FROM bars GROUP BY 1, 2 HAVING COUNT(*) >= 6
+)
+SELECT symbol,
+       CAST(COUNT(*) AS BIGINT) AS n_days,
+       ROUND(CAST(SUM(CASE WHEN hi_tod * 3 < 86400000000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS high_in_first_third,
+       ROUND(CAST(SUM(CASE WHEN hi_tod * 3 >= 2 * 86400000000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS high_in_last_third,
+       ROUND(CAST(SUM(CASE WHEN lo_tod * 3 < 86400000000 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS low_in_first_third
+FROM etd
+GROUP BY symbol
+ORDER BY symbol
+""",
+)
+def bars_extreme_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intraday extreme timing: on what fraction of days does the HIGH
+    print in the first vs last third of the session (and the low in the
+    first) — the open-drive vs late-day-ramp fingerprint that intraday
+    execution schedules key off. Daily extremes pick by a composite
+    (price·4096 + time tie-break) so both engines choose the same bar on
+    equal prices."""
+    b = bars(spark, sf_dir)
+    tod = F.col("ts_us") % 86400000000
+    hikey = F.col("high") * 4096 + (F.col("ts_us") % 4096) / 4096.0
+    lokey = F.col("low") * 4096 + (F.col("ts_us") % 4096) / 4096.0
+    d = (
+        b.select(
+            "symbol",
+            F.expr("ts_us DIV 86400000000").alias("day"),
+            tod.alias("tod"),
+            hikey.alias("hk"),
+            lokey.alias("lk"),
+        )
+        .groupBy("symbol", "day")
+        .agg(
+            F.max_by("tod", "hk").alias("hi_tod"),
+            F.min_by("tod", "lk").alias("lo_tod"),
+            F.count(F.lit(1)).alias("n_bars"),
+        )
+        .where(F.col("n_bars") >= 6)
+    )
+    third = 86400000000
+    return (
+        d.groupBy("symbol")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            r6(
+                F.sum(F.when(F.col("hi_tod") * 3 < third, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("high_in_first_third"),
+            r6(
+                F.sum(F.when(F.col("hi_tod") * 3 >= 2 * third, 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count(F.lit(1))
+            ).alias("high_in_last_third"),
+            r6(
+                F.sum(F.when(F.col("lo_tod") * 3 < third, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("low_in_first_third"),
+        )
+        .orderBy("symbol")
+    )

@@ -11907,3 +11907,39 @@ def events_depth_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("depth_bucket")
     )
+
+
+@q(
+    "doc_corpus_manifest",
+    f"""
+WITH mfp AS (
+  SELECT source, md5(array_to_string({_TOKS}, ' ')) AS fp FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       md5(string_agg(fp, ',' ORDER BY fp)) AS corpus_digest
+FROM mfp GROUP BY source
+ORDER BY source
+""",
+)
+def doc_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed corpus manifest: per source, the md5 of the
+    SORTED per-document fingerprints — a dataset version hash that is
+    invariant to storage order and partitioning, so two pipelines (or two
+    days of the same pipeline) can prove corpus equality by comparing one
+    row. The order-by inside the aggregation makes it deterministic at
+    any parallelism."""
+    docs = widen(load_table(spark, sf_dir, "documents"))
+    fp = docs.select(
+        "source", F.md5(F.concat_ws(" ", text.tokens("text"))).alias("fp")
+    )
+    return (
+        fp.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.md5(
+                F.concat_ws(",", F.sort_array(F.collect_list("fp")))
+            ).alias("corpus_digest"),
+        )
+        .orderBy("source")
+    )

@@ -11943,3 +11943,101 @@ def doc_corpus_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@q(
+    "events_activation_lag",
+    """
+WITH als AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS t_signup FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+alp AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS t_first_purchase
+  FROM events e JOIN als s ON s.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= s.t_signup
+  GROUP BY e.user_id
+),
+alj AS (
+  SELECT s.user_id,
+         CASE WHEN p.t_first_purchase IS NOT NULL
+              THEN (p.t_first_purchase - s.t_signup) // 86400000000 END AS lag_days
+  FROM als s LEFT JOIN alp p ON p.user_id = s.user_id
+),
+alr AS (
+  SELECT lag_days, ROW_NUMBER() OVER (ORDER BY lag_days) AS r,
+         COUNT(*) OVER () AS n
+  FROM alj WHERE lag_days IS NOT NULL
+)
+SELECT CAST((SELECT COUNT(*) FROM alj) AS BIGINT) AS n_signups,
+       CAST((SELECT COUNT(*) FROM alr) AS BIGINT) AS n_activated,
+       ROUND(CAST((SELECT COUNT(*) FROM alr) AS DOUBLE)
+             / (SELECT COUNT(*) FROM alj), 6) AS activation_rate,
+       CAST((SELECT MAX(CASE WHEN r = CAST(CEIL(0.5 * n) AS BIGINT)
+                             THEN lag_days END) FROM alr) AS BIGINT) AS p50_lag_days,
+       CAST((SELECT MAX(CASE WHEN r = CAST(CEIL(0.9 * n) AS BIGINT)
+                             THEN lag_days END) FROM alr) AS BIGINT) AS p90_lag_days
+""",
+)
+def events_activation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Activation lag: for signed-up users, the share who ever purchase
+    (after signup) and the exact p50/p90 days from signup to FIRST
+    purchase — the onboarding number growth teams optimize (distinct from
+    the within-session funnel: this is the multi-day journey). Two
+    conditional-min aggregates + one rank pass over the lag
+    distribution."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    e = ev0.select("user_id", "event_type", ts_us_expr(ev0).alias("us"))
+    s = e.where(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("us").alias("t_signup")
+    )
+    p = (
+        e.where(F.col("event_type") == "purchase")
+        .join(s, "user_id")
+        .where(F.col("us") >= F.col("t_signup"))
+        .groupBy("user_id")
+        .agg(F.min("us").alias("t_first_purchase"))
+    )
+    j = s.join(p, "user_id", "left").select(
+        F.when(
+            F.col("t_first_purchase").isNotNull(),
+            F.expr("(t_first_purchase - t_signup) DIV 86400000000"),
+        ).alias("lag_days")
+    )
+    act = j.where(F.col("lag_days").isNotNull())
+    wr = Window.orderBy("lag_days")
+    wall = Window.partitionBy()
+    r = act.select(
+        "lag_days",
+        F.row_number().over(wr).alias("r"),
+        F.count(F.lit(1)).over(wall).alias("n"),
+    )
+
+    def pct(pp):
+        return F.max(
+            F.when(
+                F.col("r") == F.ceil(F.lit(pp) * F.col("n")).cast("long"),
+                F.col("lag_days"),
+            )
+        )
+
+    tot = j.agg(F.count(F.lit(1)).alias("n_signups"))
+    agg = r.agg(
+        F.count(F.lit(1)).alias("n_activated"),
+        pct(0.5).cast("long").alias("p50_lag_days"),
+        pct(0.9).cast("long").alias("p90_lag_days"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(agg))
+        .select(
+            F.col("n_signups").cast("long").alias("n_signups"),
+            F.col("n_activated").cast("long").alias("n_activated"),
+            r6(
+                F.col("n_activated").cast("double") / F.col("n_signups")
+            ).alias("activation_rate"),
+            "p50_lag_days",
+            "p90_lag_days",
+        )
+    )

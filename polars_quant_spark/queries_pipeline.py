@@ -12041,3 +12041,48 @@ def events_activation_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p90_lag_days",
         )
     )
+
+
+@q(
+    "events_acquisition_trend",
+    """
+WITH aqw AS (
+  SELECT user_id, MIN(epoch_us(ts) // 86400000000) // 7 AS cohort_week
+  FROM events GROUP BY user_id
+),
+aqc AS (
+  SELECT cohort_week, COUNT(*) AS new_users FROM aqw GROUP BY cohort_week
+)
+SELECT cohort_week, CAST(new_users AS BIGINT) AS new_users,
+       ROUND(CASE WHEN LAG(new_users) OVER (ORDER BY cohort_week) > 0 THEN
+         CAST(new_users AS DOUBLE)
+         / LAG(new_users) OVER (ORDER BY cohort_week) - 1.0 END, 6) AS wow_growth
+FROM aqc
+ORDER BY cohort_week
+""",
+)
+def events_acquisition_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition momentum: new users per weekly cohort with
+    week-over-week growth — the top of the growth-accounting stack
+    (events_growth_accounting decomposes actives; this tracks the inflow
+    that feeds it). One first-seen aggregate + one lag."""
+    from polars_quant_spark.sources.bars import ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    w0 = (
+        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
+        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
+        .groupBy("user_id")
+        .agg(F.expr("MIN(day) DIV 7").alias("cohort_week"))
+    )
+    c = w0.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("new_users"))
+    wo = Window.orderBy("cohort_week")
+    growth = F.when(
+        F.lag("new_users").over(wo) > 0,
+        F.col("new_users").cast("double") / F.lag("new_users").over(wo) - 1.0,
+    )
+    return c.select(
+        "cohort_week",
+        F.col("new_users").cast("long").alias("new_users"),
+        r6(growth).alias("wow_growth"),
+    ).orderBy("cohort_week")

@@ -7864,3 +7864,71 @@ def bars_extreme_timing(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("symbol")
     )
+
+
+@q(
+    "bars_volume_volatility",
+    BARS_CTE
+    + """,
+vvr AS (
+  SELECT symbol, t,
+         ABS(CAST(FLOOR((close / LAG(close) OVER (PARTITION BY symbol ORDER BY t) - 1.0)
+                        * 1000000.0 + 0.5) AS BIGINT)) AS aq,
+         CAST(FLOOR(volume + 0.5) AS BIGINT) AS qv
+  FROM bars
+),
+vvm AS (
+  SELECT symbol, COUNT(*) AS n, SUM(aq) AS sx, SUM(qv) AS sy,
+         SUM(CAST(aq AS HUGEINT) * qv) AS sxy,
+         SUM(CAST(aq AS HUGEINT) * aq) AS sxx,
+         SUM(CAST(qv AS HUGEINT) * qv) AS syy
+  FROM vvr WHERE aq IS NOT NULL GROUP BY symbol
+)
+SELECT symbol, CAST(n AS BIGINT) AS n_obs,
+       ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0 THEN
+         CAST(n * sxy - sx * sy AS DOUBLE)
+         / sqrt(CAST(n * sxx - sx * sx AS DOUBLE) * CAST(n * syy - sy * sy AS DOUBLE))
+       END, 6) AS vol_volume_corr
+FROM vvm
+ORDER BY symbol
+""",
+)
+def bars_volume_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume–volatility correlation per symbol (|return| vs volume) — the
+    mixture-of-distributions stylized fact: positive means big moves ride
+    on big volume (information), near zero means volume is noise here —
+    the sanity check behind every volume-confirmation trading rule and
+    the Amihud/Kyle impact measures. Exact integer moments."""
+    b = bars(spark, sf_dir)
+    o = _w()
+    aq = F.abs(
+        F.floor(
+            (F.col("close") / F.lag("close").over(o) - 1.0) * 1e6 + F.lit(0.5)
+        ).cast("long")
+    )
+    qv = F.floor(F.col("volume") + F.lit(0.5)).cast("long")
+    r = b.select("symbol", aq.alias("aq"), qv.alias("qv")).where(
+        F.col("aq").isNotNull()
+    )
+    dec = "decimal(38,0)"
+    m = r.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("aq").alias("sx"),
+        F.sum("qv").alias("sy"),
+        F.sum(F.col("aq").cast(dec) * F.col("qv")).alias("sxy"),
+        F.sum(F.col("aq").cast(dec) * F.col("aq")).alias("sxx"),
+        F.sum(F.col("qv").cast(dec) * F.col("qv")).alias("syy"),
+    )
+    n = F.col("n").cast(dec)
+    dxy = n * F.col("sxy") - F.col("sx").cast(dec) * F.col("sy")
+    dxx = n * F.col("sxx") - F.col("sx").cast(dec) * F.col("sx")
+    dyy = n * F.col("syy") - F.col("sy").cast(dec) * F.col("sy")
+    corr = F.when(
+        (dxx > 0) & (dyy > 0),
+        dxy.cast("double") / F.sqrt(dxx.cast("double") * dyy.cast("double")),
+    )
+    return m.select(
+        "symbol",
+        F.col("n").cast("long").alias("n_obs"),
+        r6(corr).alias("vol_volume_corr"),
+    ).orderBy("symbol")

@@ -142,11 +142,11 @@ FEATURE_SCHEMA = StructType(
 )
 
 
-def decode_ppm(payload: bytes) -> list[float]:
-    """REAL decoder for binary PPM (P6): header parse (whitespace +
-    ``#`` comments per the netpbm spec) + numpy pixel statistics.
-    Features: [w, h, mean_r, mean_g, mean_b, std, min, max] with pixel
-    values normalized by maxval."""
+def _ppm_header(payload: bytes) -> tuple[int, int, int, int]:
+    """Tokenizing P6 header parse per the netpbm spec: arbitrary whitespace
+    between tokens, ``#`` comments anywhere a token may start, any header
+    layout (one-line ``w h maxval``, no comment, many comments). Returns
+    (w, h, maxval, pixel_data_offset)."""
     if not payload.startswith(b"P6"):
         raise ValueError("not a P6 PPM")
     pos, fields = 2, []
@@ -163,6 +163,15 @@ def decode_ppm(payload: bytes) -> list[float]:
         fields.append(int(payload[start:pos]))
     pos += 1  # single whitespace after maxval
     w, h, maxval = fields
+    return w, h, maxval, pos
+
+
+def decode_ppm(payload: bytes) -> list[float]:
+    """REAL decoder for binary PPM (P6): spec-compliant header parse
+    (_ppm_header) + numpy pixel statistics. Features: [w, h, mean_r,
+    mean_g, mean_b, std, min, max] with pixel values normalized by
+    maxval."""
+    w, h, maxval, pos = _ppm_header(payload)
     px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
     px = px.reshape(h, w, 3).astype(np.float64) / maxval
     return [
@@ -276,17 +285,18 @@ RESIZE_SCHEMA = StructType(
 
 
 def _resize_ppm(payload: bytes, tw: int, th: int) -> bytes:
-    """REAL nearest-neighbor resize of a P6 image: decode, sample source
-    pixel (x·w div tw, y·h div th), re-encode P6 with the original
-    comment line preserved. Pure numpy — no image libraries."""
-    parts = payload.split(b"\n", 4)
-    comment = parts[1]
-    w, h = (int(v) for v in parts[2].split())
-    px = np.frombuffer(parts[4], dtype=np.uint8)[: w * h * 3].reshape(h, w, 3)
+    """REAL nearest-neighbor resize of a P6 image: decode via the
+    spec-compliant header parser (_ppm_header — accepts any valid P6
+    header layout, not just the synthetic generator's), sample source
+    pixel (x·w div tw, y·h div th), re-encode as a canonical comment-free
+    P6 preserving maxval. Pure numpy — no image libraries."""
+    w, h, maxval, pos = _ppm_header(payload)
+    px = np.frombuffer(payload, dtype=np.uint8, count=w * h * 3, offset=pos)
+    px = px.reshape(h, w, 3)
     ys = (np.arange(th) * h) // th
     xs = (np.arange(tw) * w) // tw
     out = px[np.ix_(ys, xs)]
-    return b"P6\n" + comment + b"\n%d %d\n255\n" % (tw, th) + out.tobytes()
+    return b"P6\n%d %d\n%d\n" % (tw, th, maxval) + out.tobytes()
 
 
 def resize_images(media: DataFrame, tw: int = 16, th: int = 16) -> DataFrame:

@@ -535,34 +535,7 @@ def embedding_gram(
     association-free, so the result hash-matches the DuckDB twin
     bit-for-bit — same discipline as the relational micro-unit sums, lifted
     to a matrix. One mapInArrow pass + one tiny groupBy((i,j)) merge."""
-    import numpy as np
-    import pyarrow as pa
-
-    def part(batches):
-        G = None
-        for rb in batches:
-            n = rb.num_rows
-            if not n:
-                continue
-            flat = rb.column(0).flatten().to_numpy(zero_copy_only=False)
-            X = flat.astype("float64").reshape(n, -1)
-            Q = np.floor(X * 1e6 + 0.5).astype("int64")
-            g = Q.T @ Q
-            G = g if G is None else G + g
-        if G is None:
-            return
-        d = G.shape[0]
-        iu, ju = np.triu_indices(d)
-        yield pa.RecordBatch.from_arrays(
-            [
-                pa.array(iu.astype("int32")),
-                pa.array(ju.astype("int32")),
-                pa.array(G[iu, ju]),
-            ],
-            names=["i", "j", "s"],
-        )
-
-    partials = df.select(vec_col).mapInArrow(part, "i int, j int, s long")
+    partials = df.select(vec_col).mapInArrow(_gram_partials, "i int, j int, s long")
     return partials.groupBy("i", "j").agg(
         round6(
             F.sum(F.col("s").cast("decimal(38,0)")).cast("double")
@@ -571,32 +544,24 @@ def embedding_gram(
     )
 
 
-def embedding_gram_raw(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """``embedding_gram``'s exact integer form: (i, j, s) upper-triangle
-    rows with s = Σ qᵢ·qⱼ as DECIMAL(38,0) (micro²-unit sums, unrounded).
-    The building block for exact distributed linear algebra — power
-    iteration, whitening — where downstream math must start from the
-    association-free integers, not the rounded doubles. Same mapInArrow
-    int64-matmul kernel as ``embedding_gram``."""
+def _gram_partials(batches):
+    """Per-partition exact int64 Gram accumulation with an overflow guard.
+
+    Quantized components q = ⌊x·1e6 + 0.5⌋ multiply to entries bounded by
+    M² per row (M = max|q| seen). Exactness requires every intermediate to
+    stay inside int64, so the kernel (a) chunks each batch's matmul so one
+    chunk's QᵀQ entry is ≤ 2⁶², and (b) flushes the running accumulator as
+    a partial RecordBatch before an add could cross 2⁶³ — the DECIMAL(38,0)
+    merge downstream then absorbs any number of partials exactly. A single
+    component with |x| ≥ ~3037 (M² ≥ 2⁶²) cannot be chunked row-wise and
+    raises rather than silently wrapping."""
     import numpy as np
     import pyarrow as pa
 
-    def part(batches):
-        G = None
-        for rb in batches:
-            n = rb.num_rows
-            if not n:
-                continue
-            flat = rb.column(0).flatten().to_numpy(zero_copy_only=False)
-            X = flat.astype("float64").reshape(n, -1)
-            Q = np.floor(X * 1e6 + 0.5).astype("int64")
-            g = Q.T @ Q
-            G = g if G is None else G + g
-        if G is None:
-            return
+    def flush(G):
         d = G.shape[0]
         iu, ju = np.triu_indices(d)
-        yield pa.RecordBatch.from_arrays(
+        return pa.RecordBatch.from_arrays(
             [
                 pa.array(iu.astype("int32")),
                 pa.array(ju.astype("int32")),
@@ -605,7 +570,43 @@ def embedding_gram_raw(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
             names=["i", "j", "s"],
         )
 
-    partials = df.select(vec_col).mapInArrow(part, "i int, j int, s long")
+    LIM = np.int64(2) ** 62
+    G = None
+    for rb in batches:
+        n = rb.num_rows
+        if not n:
+            continue
+        flat = rb.column(0).flatten().to_numpy(zero_copy_only=False)
+        X = flat.astype("float64").reshape(n, -1)
+        Q = np.floor(X * 1e6 + 0.5).astype("int64")
+        m2 = float(np.abs(Q).max()) ** 2
+        step = n if m2 == 0 else int(float(LIM) // m2)
+        if step < 1:
+            raise ValueError(
+                "embedding component exceeds the exact-gram bound "
+                "(|x| >= ~3037; max|q|^2 >= 2^62)"
+            )
+        for s0 in range(0, n, step):
+            q = Q[s0 : s0 + step]
+            g = q.T @ q  # |entry| <= step * m2 <= 2^62 — exact
+            if G is not None:
+                if int(np.abs(G).max()) + int(np.abs(g).max()) >= 2**63:
+                    yield flush(G)
+                    G = None
+            G = g if G is None else G + g
+    if G is not None:
+        yield flush(G)
+
+
+def embedding_gram_raw(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """``embedding_gram``'s exact integer form: (i, j, s) upper-triangle
+    rows with s = Σ qᵢ·qⱼ as DECIMAL(38,0) (micro²-unit sums, unrounded).
+    The building block for exact distributed linear algebra — power
+    iteration, whitening — where downstream math must start from the
+    association-free integers, not the rounded doubles. Same mapInArrow
+    int64-matmul kernel as ``embedding_gram`` (chunked + overflow-guarded,
+    see ``_gram_partials``)."""
+    partials = df.select(vec_col).mapInArrow(_gram_partials, "i int, j int, s long")
     return partials.groupBy("i", "j").agg(
         F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
     )

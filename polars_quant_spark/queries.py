@@ -44,6 +44,106 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+# ---------------------------------------------------------------------------
+# REGISTRATION ORDER — driver capture window.
+#
+# The correctness driver verifies exactly the first 50 entries of QUERIES in
+# registration order (CORRECTNESS_r{N}.json). Registration above is grouped
+# by module, so an append-only ordering would spend all 50 slots on the
+# indicator/CDL families and leave the backtest, dedup/ANN, factor, selector,
+# loader, streaming, and semi/anti/rollup families with no driver-verified
+# row (this is exactly what happened in rounds 1-2). Rebuild both dicts with
+# a curated front-50 — one representative per SURVEY.md §2 family — so every
+# family gets a driver-verified entry; everything else follows in its
+# original order and is still covered by the full 374-query harness
+# (tests/run_harness.py) and pytest.
+#
+# tests/test_registration_order.py asserts the family coverage of this
+# window, so a future append can't silently push a family back out.
+# ---------------------------------------------------------------------------
+
+PRIORITY_50: list[str] = [
+    # scan/sink + relational core (agg, join/top-k, star, semi, anti, rollup)
+    "bars_view",
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_region_revenue",
+    "rel_q4_priority_semi",
+    "rel_q22_inactive_anti",
+    "rel_rollup_revenue",
+    "agg_events_daily",
+    # scalar/window function families
+    "price_transforms",
+    "vol_ad_obv",
+    "ind_sma_20",
+    "ind_rsi_14",
+    "ind_macd",
+    "ind_ht_family",
+    "cdl_all_patterns",
+    # temporal joins
+    "asof_bars_marks",
+    "range_bars_windows",
+    "interval_overlap_bars",
+    # backtesting (§2.6)
+    "bt_vectorized_curve",
+    "bt_metrics",
+    "bt_margin_curve",
+    "bt_param_sweep",
+    "bt_walk_forward",
+    # document dedup / text pipeline
+    "doc_exact_dedup",
+    "doc_minhash_pairs",
+    "doc_dedup_components",
+    "doc_simhash",
+    "doc_ngram_jaccard",
+    "doc_text_stats",
+    # embeddings / ANN
+    "emb_cosine_topk",
+    "emb_ivf_topk",
+    "emb_ivf_recall",
+    "emb_near_dupes",
+    # factor kit (§2.8)
+    "factor_ic",
+    "factor_rank_ic",
+    "factor_fama_macbeth",
+    # selector / loader (§2.2, §2.1)
+    "sel_screen_topk",
+    "loader_grid_fill",
+    "loader_wide_pivot",
+    # streaming (batch-mode oracles of the streaming ops)
+    "stream_ema_stateful",
+    "stream_tumbling_batch",
+    "stream_cdc_compact",
+    # linear / clean (§2.8)
+    "ols_lineitem",
+    "clean_winsor_zscore",
+    # pipeline extensions: multimodal, sketches, events, market, text, ops
+    "media_features",
+    "sketch_kmv_users",
+    "events_funnel",
+    "mkt_breadth",
+    "text_token_freq",
+    "ops_partition_planner",
+]
+
+
+def reorder_registration() -> None:
+    """Re-entrant: move every already-registered PRIORITY_50 query to the
+    front, preserving relative order elsewhere. Lenient about
+    not-yet-registered names because a sibling query module can be the
+    import entry point (it imports this module before finishing its own
+    registrations); each sibling calls this again at the end of its body,
+    so whichever module finishes last leaves the order complete.
+    tests/test_registration_order.py asserts the final order strictly."""
+    front = [k for k in PRIORITY_50 if k in QUERIES]
+    order = front + [k for k in QUERIES if k not in set(front)]
+    for d in (QUERIES, ORACLES):
+        items = [(k, d[k]) for k in order if k in d]
+        d.clear()
+        d.update(items)
+
+
+
 def q(name: str, sql: str | None):
     def deco(fn):
         QUERIES[name] = fn
@@ -1193,98 +1293,4 @@ def rel_q22_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# REGISTRATION ORDER — driver capture window.
-#
-# The correctness driver verifies exactly the first 50 entries of QUERIES in
-# registration order (CORRECTNESS_r{N}.json). Registration above is grouped
-# by module, so an append-only ordering would spend all 50 slots on the
-# indicator/CDL families and leave the backtest, dedup/ANN, factor, selector,
-# loader, streaming, and semi/anti/rollup families with no driver-verified
-# row (this is exactly what happened in rounds 1-2). Rebuild both dicts with
-# a curated front-50 — one representative per SURVEY.md §2 family — so every
-# family gets a driver-verified entry; everything else follows in its
-# original order and is still covered by the full 374-query harness
-# (tests/run_harness.py) and pytest.
-#
-# tests/test_registration_order.py asserts the family coverage of this
-# window, so a future append can't silently push a family back out.
-# ---------------------------------------------------------------------------
-
-PRIORITY_50: list[str] = [
-    # scan/sink + relational core (agg, join/top-k, star, semi, anti, rollup)
-    "bars_view",
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
-    "rel_q5_region_revenue",
-    "rel_q4_priority_semi",
-    "rel_q22_inactive_anti",
-    "rel_rollup_revenue",
-    "agg_events_daily",
-    # scalar/window function families
-    "price_transforms",
-    "vol_ad_obv",
-    "ind_sma_20",
-    "ind_rsi_14",
-    "ind_macd",
-    "ind_ht_family",
-    "cdl_all_patterns",
-    # temporal joins
-    "asof_bars_marks",
-    "range_bars_windows",
-    "interval_overlap_bars",
-    # backtesting (§2.6)
-    "bt_vectorized_curve",
-    "bt_metrics",
-    "bt_margin_curve",
-    "bt_param_sweep",
-    "bt_walk_forward",
-    # document dedup / text pipeline
-    "doc_exact_dedup",
-    "doc_minhash_pairs",
-    "doc_dedup_components",
-    "doc_simhash",
-    "doc_ngram_jaccard",
-    "doc_text_stats",
-    # embeddings / ANN
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_ivf_recall",
-    "emb_near_dupes",
-    # factor kit (§2.8)
-    "factor_ic",
-    "factor_rank_ic",
-    "factor_fama_macbeth",
-    # selector / loader (§2.2, §2.1)
-    "sel_screen_topk",
-    "loader_grid_fill",
-    "loader_wide_pivot",
-    # streaming (batch-mode oracles of the streaming ops)
-    "stream_ema_stateful",
-    "stream_tumbling_batch",
-    "stream_cdc_compact",
-    # linear / clean (§2.8)
-    "ols_lineitem",
-    "clean_winsor_zscore",
-    # pipeline extensions: multimodal, sketches, events, market, text, ops
-    "media_features",
-    "sketch_kmv_users",
-    "events_funnel",
-    "mkt_breadth",
-    "text_token_freq",
-    "ops_partition_planner",
-]
-
-
-def _reorder_registration() -> None:
-    missing = [k for k in PRIORITY_50 if k not in QUERIES]
-    if missing:  # fail loudly at import, not silently at judge time
-        raise KeyError(f"PRIORITY_50 names unregistered queries: {missing}")
-    order = PRIORITY_50 + [k for k in QUERIES if k not in set(PRIORITY_50)]
-    for d in (QUERIES, ORACLES):
-        items = [(k, d[k]) for k in order if k in d]
-        d.clear()
-        d.update(items)
-
-
-_reorder_registration()
+reorder_registration()

@@ -1227,6 +1227,77 @@ _LOADER_GAP = (
     "AS BIGINT) % 5 != 0"
 )
 
+_LOADER_FIXTURES: dict[str, str] = {}
+
+
+def _loader_gap_col() -> F.Column:
+    """Spark twin of _LOADER_GAP: drop every 5th (symbol, ts) row by md5."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.col("symbol"), F.col("ts_us").cast("string"))), 1, 4
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 5
+        != 0
+    )
+
+
+def _asset_folder_fixture(spark: SparkSession, sf_dir: str) -> str:
+    """Materialize the reference's folder-of-assets input (one
+    ``{symbol}.parquet`` per asset, gapped rows, no symbol column) for the
+    loader queries — shared by loader_grid_fill / loader_wide_pivot and
+    memoized per SF.
+
+    The write is fully distributed: ``repartition("symbol")`` puts each
+    asset in one task, ``partitionBy("symbol")`` splits the files by value,
+    and only O(symbols) directory renames run on the driver. No row ever
+    passes through the driver (the round-2 version round-tripped the table
+    through toPandas inside each declared query body)."""
+    import os
+    import shutil
+    import tempfile
+
+    key = sf_dir.rstrip("/")
+    folder = _LOADER_FIXTURES.get(key)
+    if folder and os.path.isdir(folder) and os.listdir(folder):
+        return folder
+    base = os.path.join(
+        tempfile.gettempdir(), "pqs_assets_" + os.path.basename(key)
+    )
+    staging = base + "_staging"
+    shutil.rmtree(base, ignore_errors=True)
+    shutil.rmtree(staging, ignore_errors=True)
+    (
+        bars(spark, sf_dir)
+        .select("symbol", "ts_us", "close", "volume")
+        .where(_loader_gap_col())
+        .repartition("symbol")
+        .sortWithinPartitions("symbol", "ts_us")
+        .write.mode("overwrite")
+        .partitionBy("symbol")
+        .parquet(staging)
+    )
+    os.makedirs(base, exist_ok=True)
+    for d in os.listdir(staging):
+        if not d.startswith("symbol="):
+            continue
+        sym = d.split("=", 1)[1]
+        parts = [
+            f for f in os.listdir(os.path.join(staging, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(parts) == 1, f"expected one file per asset, got {parts}"
+        os.rename(
+            os.path.join(staging, d, parts[0]),
+            os.path.join(base, f"{sym}.parquet"),
+        )
+    shutil.rmtree(staging)
+    _LOADER_FIXTURES[key] = base
+    return base
+
 
 @q(
     "loader_grid_fill",
@@ -1259,34 +1330,11 @@ def loader_grid_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's folder-of-assets input, backtest/sequential.py:7-93), then
     folder-scanned, symbol-tagged from file stems, aligned on the full
     date×symbol grid, forward-filled per symbol and zero-filled at the
-    leading edge. The file materialization is driver-side test plumbing —
-    the operator under test is the loader's grid/fill plan."""
-    import os
-    import tempfile
-
-    b = bars(spark, sf_dir).select("symbol", "ts_us", "close", "volume")
-    gap = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("symbol"), F.col("ts_us").cast("string"))), 1, 4
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 5
-        != 0
-    )
-    pdf = b.where(gap).toPandas()
-    folder = os.path.join(
-        tempfile.gettempdir(), "pqs_loader_" + os.path.basename(sf_dir.rstrip("/"))
-    )
-    os.makedirs(folder, exist_ok=True)
-    for old in os.listdir(folder):
-        os.remove(os.path.join(folder, old))
-    for sym, g in pdf.groupby("symbol"):
-        g.drop(columns=["symbol"]).sort_values("ts_us").to_parquet(
-            os.path.join(folder, f"{sym}.parquet"), index=False
-        )
+    leading edge. Fixture files are built once per SF by a distributed
+    partitioned write (_asset_folder_fixture) — the operator under test is
+    the loader's grid/fill plan; no declared-query row passes through the
+    driver."""
+    folder = _asset_folder_fixture(spark, sf_dir)
     from polars_quant_spark.sources.loader import prepare_sequential_data
 
     out = prepare_sequential_data(
@@ -1326,35 +1374,11 @@ FROM obs GROUP BY ts_us
 def loader_wide_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """§2.1 ``load``: the reference's wide {{symbol}}_{{field}} frame
     (README.md:90-161), built by pivoting the folder-of-assets long layout.
-    Same gapped per-asset files as loader_grid_fill; missing (date, symbol)
-    cells stay NULL in both engines. The twin hard-codes the five driver
-    symbols as conditional aggregates — which is exactly what a pivot is."""
-    import os
-    import tempfile
-
-    b = bars(spark, sf_dir).select("symbol", "ts_us", "close", "volume")
-    gap = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("symbol"), F.col("ts_us").cast("string"))), 1, 4
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 5
-        != 0
-    )
-    pdf = b.where(gap).toPandas()
-    folder = os.path.join(
-        tempfile.gettempdir(), "pqs_loadw_" + os.path.basename(sf_dir.rstrip("/"))
-    )
-    os.makedirs(folder, exist_ok=True)
-    for old in os.listdir(folder):
-        os.remove(os.path.join(folder, old))
-    for sym, g in pdf.groupby("symbol"):
-        g.drop(columns=["symbol"]).sort_values("ts_us").to_parquet(
-            os.path.join(folder, f"{sym}.parquet"), index=False
-        )
+    Shares loader_grid_fill's distributed per-asset fixture; missing
+    (date, symbol) cells stay NULL in both engines. The twin hard-codes the
+    five driver symbols as conditional aggregates — which is exactly what a
+    pivot is."""
+    folder = _asset_folder_fixture(spark, sf_dir)
     from polars_quant_spark.sources.loader import load
 
     wide = load(spark, folder, date_col="ts_us", fields=["close", "volume"])
@@ -7932,3 +7956,10 @@ def bars_volume_volatility(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_obs"),
         r6(corr).alias("vol_volume_corr"),
     ).orderBy("symbol")
+
+
+# Keep the driver's 50-slot capture window intact regardless of which query
+# module was the import entry point (see queries.reorder_registration).
+from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402
+
+_ro()

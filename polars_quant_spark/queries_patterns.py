@@ -388,3 +388,10 @@ WHERE f.fwd_m IS NOT NULL
 GROUP BY 1, 2
 ORDER BY pattern, signal
 """)
+
+
+# Keep the driver's 50-slot capture window intact regardless of which query
+# module was the import entry point (see queries.reorder_registration).
+from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402
+
+_ro()

@@ -5390,13 +5390,14 @@ ORACLES["events_holt_daily"] = ORACLES_HOLT
     "stream_cdc_compact",
     """
 WITH e AS (
-  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, event_id FROM events
+  SELECT user_id, epoch_us(ts) AS ts_us, event_type, value, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY epoch_us(ts) DESC, event_id DESC) AS rk
+  FROM events
 )
-SELECT user_id,
-       arg_max(ts_us, ts_us * 4096 + event_id % 4096) AS last_ts_us,
-       arg_max(event_type, ts_us * 4096 + event_id % 4096) AS last_event_type,
-       arg_max(value, ts_us * 4096 + event_id % 4096) AS last_value
-FROM e GROUP BY user_id
+SELECT user_id, ts_us AS last_ts_us, event_type AS last_event_type,
+       value AS last_value
+FROM e WHERE rk = 1
 ORDER BY user_id
 """,
 )
@@ -5404,11 +5405,13 @@ def stream_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC latest-wins compaction (REAL readStream + per-key state,
     availableNow drain): the event stream upserts into a current-state
     table keyed by user — the lakehouse SCD-1 primitive. Per-key state is
-    one (rank, ts, type, value) tuple; ordering uses the same
-    us·4096 + id%4096 composite as the twin's arg_max, so stream and
-    batch agree row-for-row. The trailing groupBy collapses the per-batch
-    running winners to the final row per key (idempotent when the drain
-    is a single batch)."""
+    one (ts, event_id, type, value) tuple; ordering is the lexicographic
+    max of the FULL (ts_us, event_id) pair — the same
+    ORDER BY ts_us DESC, event_id DESC the twin uses — so stream and
+    batch agree row-for-row with no packed-rank collisions. The trailing
+    groupBy collapses the per-batch running winners to the final row per
+    key on that same composite (idempotent when the drain is a single
+    batch)."""
     from polars_quant_spark.streaming.stateful import streaming_latest_compact
     from polars_quant_spark.streaming.windows import read_events_stream
 
@@ -5436,7 +5439,7 @@ def stream_cdc_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by(
                 F.struct("last_ts_us", "last_event_type", "last_value"),
-                F.col("last_ts_us"),
+                F.struct("last_ts_us", "last_event_id"),
             ).alias("s")
         )
         .select("user_id", "s.last_ts_us", "s.last_event_type", "s.last_value")
@@ -10683,7 +10686,7 @@ mra AS (
 )
 SELECT i AS media_id,
        CAST(16 AS INTEGER) AS width, CAST(16 AS INTEGER) AS height,
-       CAST(794 + length(CAST(i AS VARCHAR)) AS BIGINT) AS n_bytes,
+       CAST(781 AS BIGINT) AS n_bytes,
        ROUND(CAST(sr AS DOUBLE) / 256.0 / 255.0, 6) AS mean_r,
        ROUND(CAST(sg AS DOUBLE) / 256.0 / 255.0, 6) AS mean_g,
        ROUND(CAST(sb AS DOUBLE) / 256.0 / 255.0, 6) AS mean_b
@@ -12086,3 +12089,10 @@ def events_acquisition_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("new_users").cast("long").alias("new_users"),
         r6(growth).alias("wow_growth"),
     ).orderBy("cohort_week")
+
+
+# Keep the driver's 50-slot capture window intact regardless of which query
+# module was the import entry point (see queries.reorder_registration).
+from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402
+
+_ro()

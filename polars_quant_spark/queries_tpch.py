@@ -1226,3 +1226,10 @@ def rel_customer_ltv_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# Keep the driver's 50-slot capture window intact regardless of which query
+# module was the import entry point (see queries.reorder_registration).
+from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402
+
+_ro()

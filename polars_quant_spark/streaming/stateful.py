@@ -333,16 +333,21 @@ CDC_OUT = StructType(
     [
         StructField("user_id", LongType()),
         StructField("last_ts_us", LongType()),
+        StructField("last_event_id", LongType()),
         StructField("last_event_type", StringType()),
         StructField("last_value", DoubleType()),
     ]
 )
 
-# state: (composite arrival rank, ts_us, event_type, value) of the winner
+# state: (ts_us, event_id, event_type, value) of the winner — the FULL
+# (ts_us, event_id) pair orders lexicographically, so ties on ts_us are
+# broken deterministically by event_id with no packed-composite collisions
+# (the r2 us*4096 + id%4096 rank collided when two events shared ts_us and
+# event_ids equal mod 4096).
 CDC_STATE = StructType(
     [
-        StructField("rank", LongType()),
         StructField("ts_us", LongType()),
+        StructField("event_id", LongType()),
         StructField("event_type", StringType()),
         StructField("value", DoubleType()),
     ]
@@ -350,6 +355,8 @@ CDC_STATE = StructType(
 
 
 def _latest_fn():
+    import numpy as np
+
     def fn(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
@@ -358,25 +365,25 @@ def _latest_fn():
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            r = (
-                pdf["ts_us"].to_numpy(dtype="int64") * 4096
-                + pdf["event_id"].to_numpy(dtype="int64") % 4096
-            )
-            i = int(r.argmax())
+            ts = pdf["ts_us"].to_numpy(dtype="int64")
+            eid = pdf["event_id"].to_numpy(dtype="int64")
+            # lexsort: last key is primary → max ts_us, ties by max event_id
+            i = int(np.lexsort((eid, ts))[-1])
             cand = (
-                int(r[i]),
-                int(pdf["ts_us"].iloc[i]),
+                int(ts[i]),
+                int(eid[i]),
                 str(pdf["event_type"].iloc[i]),
                 float(pdf["value"].iloc[i]),
             )
-            if best is None or cand[0] > best[0]:
+            if best is None or cand[:2] > best[:2]:
                 best = cand
         state.update(best)
         yield pd.DataFrame(
             [
                 {
                     "user_id": uid,
-                    "last_ts_us": best[1],
+                    "last_ts_us": best[0],
+                    "last_event_id": best[1],
                     "last_event_type": best[2],
                     "last_value": best[3],
                 }
@@ -389,11 +396,13 @@ def _latest_fn():
 def streaming_latest_compact(events: DataFrame) -> DataFrame:
     """CDC latest-wins compaction: the change stream folds to ONE current
     row per key — the lakehouse upsert/SCD-1 primitive. State per key is a
-    single (rank, ts, type, value) tuple; each batch reduces vectorized to
-    its per-key argmax (by the same us·4096 + id%4096 composite the SQL
-    twin's arg_max uses, so ordering is engine-identical), then merges
-    with state. Emits the post-merge current row each batch: with an
-    availableNow drain the sink's last row per key IS the compacted table.
+    single (ts, event_id, type, value) tuple; each batch reduces
+    vectorized to its per-key lexicographic max on the FULL
+    (ts_us, event_id) pair (np.lexsort — the same ORDER BY ts_us DESC,
+    event_id DESC the SQL twin uses, so ordering is engine-identical and
+    collision-free), then merges with state. Emits the post-merge current
+    row each batch: with an availableNow drain the sink's last row per
+    key IS the compacted table.
 
     Input must carry (user_id, event_id, ts_us, event_type, value)."""
     return events.groupBy("user_id").applyInPandasWithState(

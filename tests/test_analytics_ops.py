@@ -278,6 +278,25 @@ class TestAsofMultimodal:
         assert f[2:5] == [0.5, 0.5, 0.0]  # channel means
         assert f[6] == 0.0 and f[7] == 1.0  # min / max
 
+    def test_resize_ppm_header_layouts(self):
+        # _resize_ppm must accept any spec-valid P6 header, not just the
+        # synthetic generator's one-comment layout (ADVICE r2).
+        px = bytes([0, 0, 0, 255, 255, 0, 10, 20, 30, 40, 50, 60])
+        variants = [
+            b"P6\n2 2\n255\n" + px,  # no comment
+            b"P6 2 2 255\n" + px,  # one-line header
+            b"P6\n# a\n# b\n2\n# c\n2\n255\n" + px,  # many comments
+            b"P6\n# w h maxval\n2 2 255\n" + px,  # comment + one-line
+        ]
+        outs = {multimodal._resize_ppm(v, 2, 2) for v in variants}
+        assert len(outs) == 1  # identical pixels → identical canonical bytes
+        out = outs.pop()
+        assert out.startswith(b"P6\n2 2\n255\n")
+        assert multimodal.decode_ppm(out)[:2] == [2.0, 2.0]
+        # 1×1 downsample picks the top-left pixel
+        tiny = multimodal._resize_ppm(variants[0], 1, 1)
+        assert tiny == b"P6\n1 1\n255\n" + bytes([0, 0, 0])
+
     def test_wav_decoder_exact(self):
         payload = multimodal._make_wav(3, ms=500, rate=8000)
         f = multimodal.decode_wav(payload)

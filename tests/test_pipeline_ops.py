@@ -737,3 +737,26 @@ def test_containment_catches_short_doc_inside_long(spark):
     assert len(rows) == 1 and rows[0]["containment"] >= 0.99
     jac = dedup.minhash_dedup_pairs(df, threshold=0.6, bands=8, num_hashes=16)
     assert jac.count() == 0  # symmetric jaccard misses the same pair
+
+
+def test_gram_overflow_guard_large_magnitudes(spark):
+    # |x| = 2000 → q = 2e9, q² = 4e18 > 2⁶² — forces per-row chunking and
+    # accumulator flushes; the DECIMAL merge must still be exact (ADVICE r2).
+    rows = [(i, [2000.0, -2000.0, 1500.0]) for i in range(7)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {
+        (r["i"], r["j"]): int(r["s"])
+        for r in similarity.embedding_gram_raw(df, "embedding").collect()
+    }
+    q = [2_000_000_000, -2_000_000_000, 1_500_000_000]
+    for i in range(3):
+        for j in range(i, 3):
+            assert out[(i, j)] == 7 * q[i] * q[j]  # > 2⁶³: exact via partials
+
+
+def test_gram_overflow_guard_rejects_unchunkable(spark):
+    df = spark.createDataFrame(
+        [(0, [4000.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(Exception, match="exact-gram bound"):
+        similarity.embedding_gram_raw(df, "embedding").collect()

@@ -355,22 +355,105 @@ def _assign_literal(
             V = np.ascontiguousarray(
                 flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, -1)
             )
-            best = np.full(n, -np.inf)
-            bucket = np.full(n, consts[0][0], dtype=np.int32)
-            for (cid, cvec), inv in zip(consts, inv_norms):
-                acc = V[:, 0] * cvec[0]
-                for d in range(1, len(cvec)):
-                    acc += V[:, d] * cvec[d]
-                score = acc * inv
-                m = score > best
-                best[m] = score[m]
-                bucket[m] = cid
+            bucket, best = _score_buckets(V, consts, inv_norms)
             yield pa.record_batch(
                 batch.columns + [pa.array(bucket), pa.array(best)],
                 names=list(batch.schema.names) + ["bucket", "bucket_score"],
             )
 
     return df.mapInArrow(part, out_schema)
+
+
+def _score_buckets(V, consts, inv_norms):
+    """Shared nearest-centroid scoring kernel (rows × centroids): the exact
+    IEEE sequence documented in ``ivf_assign`` — ordered multiply-add over
+    dims, one multiply by 1/‖c‖, strict ``>`` update over ascending cids so
+    ties break to the smallest centroid_id. Used by both the assignment
+    pass and the fused training-stats pass so their buckets are bit-equal."""
+    import numpy as np
+
+    n = V.shape[0]
+    best = np.full(n, -np.inf)
+    bucket = np.full(n, consts[0][0], dtype=np.int32)
+    for (cid, cvec), inv in zip(consts, inv_norms):
+        acc = V[:, 0] * cvec[0]
+        for d in range(1, len(cvec)):
+            acc += V[:, d] * cvec[d]
+        score = acc * inv
+        m = score > best
+        best[m] = score[m]
+        bucket[m] = cid
+    return bucket, best
+
+
+def train_sample(df: DataFrame, id_col: str = "vec_id", mod: int = 4) -> DataFrame:
+    """Deterministic md5-prefix training sample: keep rows whose
+    ``md5(id)`` 32-bit prefix ≡ 0 (mod ``mod``) — ~1/mod of the corpus,
+    stable across runs/engines/partitionings. This is the bounded-work
+    input for centroid training at 100 TB: Lloyd's on a uniform sample
+    loses little recall while the full corpus is touched only by the
+    one-shot assignment pass. ``mod <= 1`` disables sampling."""
+    if mod <= 1:
+        return df
+    pref = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    return df.where(pref % mod == 0)
+
+
+def _train_stats(
+    df: DataFrame, cents: list[tuple[int, list[float]]], vec_col: str
+) -> DataFrame:
+    """One fused Lloyd's-round pass: nearest-centroid bucketing AND
+    per-(bucket, dim) integer-millionth sums inside a single mapInArrow
+    kernel. Emits k·d partial rows per Arrow batch — the shuffle that
+    follows moves O(k·d·batches) stat rows, never the n·d exploded corpus
+    (the r2 version posexploded every vector per round). Per-batch int64
+    partials are exact: |Σq| ≤ batch_rows·max|q| ≪ 2⁶³ for Arrow's 10k-row
+    batches and any sane embedding magnitude (guarded by chunking below);
+    the DECIMAL(38,0) merge then absorbs partials exactly, so trained
+    centroids stay bit-identical to the unrolled SQL twin."""
+    import numpy as np
+    import pyarrow as pa
+
+    consts = [(int(cid), [float(x) for x in cvec]) for cid, cvec in cents]
+    inv_norms = [
+        1.0 / math.sqrt(sum(float(x) * float(x) for x in cvec)) for _, cvec in consts
+    ]
+    LIM = float(2**62)
+
+    def part(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            flat = batch.column(0).flatten()
+            V = np.ascontiguousarray(
+                flat.to_numpy(zero_copy_only=False).astype(np.float64).reshape(n, -1)
+            )
+            bucket, _ = _score_buckets(V, consts, inv_norms)
+            Q = np.floor(V * 1e6 + 0.5).astype("int64")
+            mq = float(np.abs(Q).max()) or 1.0
+            step = max(1, int(LIM / mq))  # rows whose sum stays ≤ 2⁶²
+            for s0 in range(0, n, step):
+                q, b = Q[s0 : s0 + step], bucket[s0 : s0 + step]
+                cids = np.unique(b)
+                d = q.shape[1]
+                sums = np.stack([q[b == c].sum(axis=0) for c in cids])
+                cnts = np.array([int((b == c).sum()) for c in cids])
+                yield pa.record_batch(
+                    [
+                        pa.array(np.repeat(cids, d).astype("int32")),
+                        pa.array(np.tile(np.arange(d, dtype="int32"), len(cids))),
+                        pa.array(sums.reshape(-1)),
+                        pa.array(np.repeat(cnts, d).astype("int64")),
+                    ],
+                    names=["bucket", "dim", "s", "n"],
+                )
+
+    return df.select(vec_col).mapInArrow(
+        part, "bucket int, dim int, s long, n long"
+    )
 
 
 def hash_centroids(df: DataFrame, n: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
@@ -391,54 +474,66 @@ def kmeans_centroids(
     rounds: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    train_sample_mod: int = 4,
 ) -> list[tuple[int, list[float]]]:
-    """Lloyd's k-means, `rounds` iterations from the md5-ranked seeds.
+    """Lloyd's k-means on a deterministic md5-prefix sample (~1/mod of the
+    corpus, see ``train_sample``), `rounds` iterations from the md5-ranked
+    seeds of that same sample.
 
-    Each round is one zero-shuffle literal assignment (``_assign_literal``)
-    plus one (bucket, dim) aggregation: dims are quantized to integer
-    millionths (FLOOR(x·1e6+0.5), summed as DECIMAL(38,0) so the sum is
-    exact and association-free at any scale), and the mean is computed
-    driver-side as (float(sum)/1e6)/count — the same double sequence the
-    DuckDB twin emits, so trained centroids are bit-identical across
-    engines. Empty buckets keep their previous centroid. Returns the
-    collected [(cid, centroid)] list (n·d doubles — driver-tiny); wrap in
-    ``centroids_df`` for a DataFrame.
+    Scale design: training never touches the full corpus — each round is
+    ONE fused mapInArrow pass over the sample (``_train_stats``: bucket
+    argmax + per-(bucket, dim) integer-millionth partial sums in the same
+    kernel) followed by a k·d-row DECIMAL(38,0) merge. No posexplode, no
+    n·d-row shuffle (the r2 version shuffled every vector component per
+    round); the full corpus is touched only by the caller's one-shot
+    assignment. The sample is persisted across rounds so multi-round
+    training re-reads cached partitions, not the source scan.
 
-    At 100 TB, train on a deterministic sample (e.g. md5(id) prefix) —
-    Lloyd's on a sample loses little recall; the full-corpus pass stays in
-    the one-shot bucket assignment."""
-    init = hash_centroids(df, n, id_col, vec_col)
-    cents = sorted(
-        (r[0], [float(x) for x in r[1]])
-        for r in init.select("centroid_id", "centroid").collect()
+    Exactness: dims quantize to integer millionths, sum association-free,
+    and the mean is (float(sum)/1e6)/count — the same double sequence the
+    unrolled DuckDB CTE twin emits, so trained centroids are bit-identical
+    across engines. Empty buckets keep their previous centroid. Returns
+    the collected [(cid, centroid)] list (n·d doubles — driver-tiny);
+    wrap in ``centroids_df`` for a DataFrame."""
+    train = train_sample(widen(df), id_col, train_sample_mod).select(
+        id_col, vec_col
     )
-    dim = len(cents[0][1])
-    for _ in range(rounds):
-        assigned = _assign_literal(df, cents, vec_col)
-        stats = (
-            assigned.select("bucket", F.posexplode(F.col(vec_col)).alias("dim", "_x"))
-            .groupBy("bucket", "dim")
-            .agg(
-                F.sum(
-                    F.floor(F.col("_x").cast("double") * F.lit(1000000.0) + F.lit(0.5))
-                    .cast("decimal(38,0)")
-                ).alias("_s"),
-                F.count(F.lit(1)).alias("_n"),
-            )
-            .collect()
+    if rounds > 1:
+        train = train.persist()
+    try:
+        init = hash_centroids(train, n, id_col, vec_col)
+        cents = sorted(
+            (r[0], [float(x) for x in r[1]])
+            for r in init.select("centroid_id", "centroid").collect()
         )
-        by_bucket: dict[int, dict[int, float]] = {}
-        for row in stats:
-            by_bucket.setdefault(row["bucket"], {})[row["dim"]] = (
-                float(row["_s"]) / 1000000.0
-            ) / float(row["_n"])
-        cents = [
-            (
-                cid,
-                [by_bucket[cid][d] for d in range(dim)] if cid in by_bucket else prev,
+        dim = len(cents[0][1])
+        for _ in range(rounds):
+            stats = (
+                _train_stats(train, cents, vec_col)
+                .groupBy("bucket", "dim")
+                .agg(
+                    F.sum(F.col("s").cast("decimal(38,0)")).alias("_s"),
+                    F.sum("n").alias("_n"),
+                )
+                .collect()
             )
-            for cid, prev in cents
-        ]
+            by_bucket: dict[int, dict[int, float]] = {}
+            for row in stats:
+                by_bucket.setdefault(row["bucket"], {})[row["dim"]] = (
+                    float(row["_s"]) / 1000000.0
+                ) / float(row["_n"])
+            cents = [
+                (
+                    cid,
+                    [by_bucket[cid][d] for d in range(dim)]
+                    if cid in by_bucket
+                    else prev,
+                )
+                for cid, prev in cents
+            ]
+    finally:
+        if rounds > 1:
+            train.unpersist()
     return cents
 
 
@@ -470,14 +565,19 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     train_rounds: int = 0,
+    train_sample_mod: int = 4,
 ) -> DataFrame:
     """IVF-bucketed approximate top-k: corpus bucketed once by nearest
     centroid; each query scans only its `nprobe` nearest buckets.
     ``train_rounds`` > 0 refines the md5-seeded centroids with that many
-    Lloyd's iterations (better-balanced buckets → better recall@k)."""
+    Lloyd's iterations over the deterministic 1/``train_sample_mod``
+    training sample (better-balanced buckets → better recall@k; training
+    cost stays bounded at any corpus size)."""
     corpus = widen(corpus)
     if train_rounds > 0:
-        cl = kmeans_centroids(corpus, n_centroids, train_rounds, id_col, vec_col)
+        cl = kmeans_centroids(
+            corpus, n_centroids, train_rounds, id_col, vec_col, train_sample_mod
+        )
         cents = centroids_df(corpus.sparkSession, cl)
     else:
         cents = hash_centroids(corpus, n_centroids, id_col, vec_col)

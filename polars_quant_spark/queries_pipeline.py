@@ -1177,17 +1177,25 @@ def doc_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_near_dupes(docs, max_hamming=6)
 
 
-def _kmeans_ctes(n: int, rounds: int) -> str:
-    """Unrolled Lloyd's-iteration CTE chain: cent0 (md5-ranked seeds) →
-    asn{r} (argmax by dot·(1/‖c‖), ties to smallest cid) → stats{r}
-    (per-(bucket, dim) exact integer-millionth sums) → cent{r} (means,
-    empty buckets keep the previous centroid). Emits the identical double
-    sequence as similarity.kmeans_centroids, so trained centroids are
-    bit-equal across engines."""
+def _kmeans_ctes(n: int, rounds: int, sample_mod: int = 4) -> str:
+    """Unrolled Lloyd's-iteration CTE chain: trainset (deterministic
+    md5-prefix sample, the twin of similarity.train_sample) → cent0
+    (md5-ranked seeds FROM the sample) → asn{r} (argmax by dot·(1/‖c‖),
+    ties to smallest cid, over the sample) → stats{r} (per-(bucket, dim)
+    exact integer-millionth sums) → cent{r} (means, empty buckets keep the
+    previous centroid). Emits the identical double sequence as
+    similarity.kmeans_centroids, so trained centroids are bit-equal across
+    engines. Training reads ONLY the sample on both sides; full-corpus
+    assignment belongs to the consumer query."""
     parts = [
-        f"""cent_pick AS (
+        f"""trainset AS MATERIALIZED (
+  SELECT vec_id, embedding FROM embeddings
+  WHERE CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        % {sample_mod} = 0
+),
+cent_pick AS (
   SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
-  FROM embeddings ORDER BY h LIMIT {n}
+  FROM trainset ORDER BY h LIMIT {n}
 ),
 cent0 AS MATERIALIZED (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INTEGER) - 1 AS cid,
@@ -1205,7 +1213,7 @@ asn{r} AS (
            ROW_NUMBER() OVER (PARTITION BY e.vec_id
              ORDER BY {_DOT.format(a='e.embedding', b='c.cvec')}
                       * (1.0 / sqrt({_SQN.format(a='c.cvec')})) DESC, c.cid) AS rnk
-    FROM embeddings e CROSS JOIN {prev} c
+    FROM trainset e CROSS JOIN {prev} c
   ) s WHERE rnk = 1
 ),
 stats{r} AS MATERIALIZED (
@@ -10483,7 +10491,17 @@ ariB AS (
     FROM embeddings e CROSS JOIN cent2 c
   ) s WHERE rnk = 1
 ),
-ariA AS (SELECT vec_id, bucket AS a FROM asn1),
+ariA AS (
+  -- FULL-corpus assignment against the seeds (asn1 covers only the
+  -- training sample now that Lloyd's trains on trainset)
+  SELECT vec_id, bucket AS a FROM (
+    SELECT e.vec_id, c.cid AS bucket,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY {_DOT.format(a='e.embedding', b='c.cvec')}
+                      * (1.0 / sqrt({_SQN.format(a='c.cvec')})) DESC, c.cid) AS rnk
+    FROM embeddings e CROSS JOIN cent0 c
+  ) s WHERE rnk = 1
+),
 ariC AS (
   SELECT x.a, y.b, COUNT(*) AS nij
   FROM ariA x JOIN ariB y ON y.vec_id = x.vec_id
@@ -10521,10 +10539,16 @@ def emb_cluster_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmeans_centroids,
     )
 
+    from polars_quant_spark.operators.similarity import train_sample
+
     emb = load_table(spark, sf_dir, "embeddings")
+    # seeds come from the SAME training sample kmeans_centroids uses, so
+    # the ARI compares round-0 vs round-2 of the identical training run
     seeds = sorted(
         (r[0], [float(x) for x in r[1]])
-        for r in hash_centroids(emb, 8).select("centroid_id", "centroid").collect()
+        for r in hash_centroids(train_sample(emb), 8)
+        .select("centroid_id", "centroid")
+        .collect()
     )
     trained = kmeans_centroids(emb, 8, rounds=2)
     a = _assign_literal(emb, seeds, "embedding").select(

@@ -564,3 +564,27 @@ def test_round2_wave3_plan_hygiene(spark, sf_dir):
                  "ind_parkinson_20", "ind_breakout_efficacy", "bars_kyle_lambda"):
         p = plan_str(QUERIES[name](spark, sf_dir))
         assert "Join" not in p, name
+
+
+def test_kmeans_training_has_no_posexplode_and_samples(spark, sf_dir):
+    """Lloyd's training must never explode the corpus: the per-round stats
+    come from one fused mapInArrow pass over the md5-prefix SAMPLE, so the
+    plan has no Generate (posexplode) node, exactly one exchange (the k·d
+    partial merge), and a sample filter between scan and kernel
+    (VERDICT r2 'what's wrong' #1)."""
+    from polars_quant_spark.operators import similarity as sim
+    from polars_quant_spark.plans.inspect import n_exchanges, plan_str
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    train = sim.train_sample(emb)
+    cents = [(i, [float(i == d) for d in range(64)]) for i in range(4)]
+    stats = (
+        sim._train_stats(train, cents, "embedding")
+        .groupBy("bucket", "dim")
+        .agg(F.sum(F.col("s").cast("decimal(38,0)")).alias("s"), F.sum("n").alias("n"))
+    )
+    p = plan_str(stats)
+    assert "Generate" not in p  # no posexplode of the corpus
+    assert n_exchanges(stats) == 1  # only the k·d-row partial merge
+    # the sample predicate sits under the kernel, before any shuffle
+    assert "md5" in p and "Filter" in p

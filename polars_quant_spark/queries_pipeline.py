@@ -436,13 +436,18 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
 """,
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared exact-ANN corpus scan — the Arrow-kernel form
+    (cosine_topk_arrow), which replays the Column path's IEEE sequence
+    vectorized per batch; the interpreted-HOF expression form
+    (cosine_topk) is its bit-exact twin and remains the recall oracle's
+    exact side."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.orderBy("vec_id")
         .limit(10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return similarity.cosine_topk(emb, queries, k=10)
+    return similarity.cosine_topk_arrow(emb, queries, k=10)
 
 
 # int8 embedding quantization: the declared query emits per-vector digests

@@ -760,3 +760,16 @@ def test_gram_overflow_guard_rejects_unchunkable(spark):
     )
     with pytest.raises(Exception, match="exact-gram bound"):
         similarity.embedding_gram_raw(df, "embedding").collect()
+
+
+def test_cosine_topk_arrow_bit_exact_vs_expression(spark):
+    rng = np.random.default_rng(17)
+    rows = [(i, rng.normal(size=16).tolist()) for i in range(300)]
+    rows.append((300, [0.0] * 16))  # zero vector exercises the 0-guard
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.limit(7).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    a = sorted(map(tuple, similarity.cosine_topk(df, qs, k=9).collect()))
+    b = sorted(map(tuple, similarity.cosine_topk_arrow(df, qs, k=9).collect()))
+    assert a == b  # bit-exact, including rounded sims and tie-broken ranks

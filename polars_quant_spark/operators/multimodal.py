@@ -8,13 +8,17 @@ Decode status, per format:
 
 * **PPM (P6) images — REAL decoder** (`decode_ppm`): pure-numpy parse of
   the uncompressed format, per-channel statistics as features.
+* **PNG images — REAL codec** (`decode_png` / `_png_encode`): stdlib
+  ``zlib`` + numpy chunk parser with full scanline unfiltering
+  (None/Sub/Up/Average/Paeth), 8-bit gray/RGB/RGBA — a genuinely
+  compressed format decoded end-to-end without image libraries.
 * **WAV (PCM) audio — REAL decoder** (`decode_wav`): stdlib ``wave`` +
   numpy; duration/RMS/peak/zero-crossing features.
-* Compressed formats (JPEG/PNG/MP3/MP4) — STUB (`_decode_stub`): the
-  codecs need PIL/libsndfile/pyav, none bundled in this container; a
-  deterministic md5-derived feature vector stands in so the pipeline stays
-  testable and oracle-checkable. The dispatch (`_decode`) sniffs magic
-  bytes, so dropping real codecs in later changes nothing upstream.
+* JPEG/MP3/MP4 — STUB (`_decode_stub`): those codecs need
+  PIL/libsndfile/pyav, none bundled in this container; a deterministic
+  md5-derived feature vector stands in so the pipeline stays testable and
+  oracle-checkable. The dispatch (`_decode`) sniffs magic bytes, so
+  dropping real codecs in later changes nothing upstream.
 """
 
 from __future__ import annotations
@@ -23,6 +27,7 @@ import hashlib
 import io
 import struct
 import wave
+import zlib
 from collections.abc import Iterator
 
 import numpy as np
@@ -108,6 +113,25 @@ def synthetic_media(spark, n: int = 64) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def synthetic_media_png(spark, n: int = 48) -> DataFrame:
+    """Deterministic PNG corpus: the same gradient + id-keyed stripe
+    pattern as ``_make_ppm`` (closed-form, so a SQL twin can reproduce
+    every pixel) encoded through the REAL PNG encoder — the corpus that
+    proves the compressed-format path end-to-end: encode → chunk stream →
+    zlib → decode → unfilter must all be exact for the channel sums to
+    match the closed form."""
+    rows = []
+    for i in range(n):
+        w, h = 64 + (i % 8) * 16, 64 + (i % 5) * 16
+        y, x = np.mgrid[0:h, 0:w]
+        r = (x * 255 // max(w - 1, 1)).astype(np.uint8)
+        g = (y * 255 // max(h - 1, 1)).astype(np.uint8)
+        b = (((x + y + i) % 16) * 17).astype(np.uint8)
+        payload = _png_encode(np.stack([r, g, b], axis=-1))
+        rows.append((i, "image", "image/png", bytearray(payload), w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def media_from_documents(docs: DataFrame, text: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Adapt the documents table into the media schema (payload = UTF-8
     bytes of the text). Gives the binary-column pipeline a corpus that
@@ -186,6 +210,131 @@ def decode_ppm(payload: bytes) -> list[float]:
     ]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _png_encode(px: "np.ndarray") -> bytes:
+    """REAL PNG encoder (stdlib zlib, no image libraries): 8-bit
+    grayscale/RGB/RGBA from an (h, w[, ch]) uint8 array, filter 0 per
+    scanline, one IDAT. Deterministic bytes for a given array (fixed zlib
+    level), so synthetic corpora are reproducible."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    h, w, ch = px.shape
+    ctype = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = b"".join(b"\x00" + px[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_pixels(payload: bytes) -> "np.ndarray":
+    """REAL PNG decoder (stdlib zlib + numpy, no image libraries): parses
+    the chunk stream, inflates IDAT, and undoes all five scanline filters
+    (None/Sub/Up/Average/Paeth per the PNG spec). Supports 8-bit depth,
+    color types 0/2/4/6, no interlace — the formats a training corpus
+    actually carries; anything else raises rather than mis-decoding.
+    Sub unfilters as a per-byte-lane cumulative sum (vectorized); the
+    sequential Average/Paeth filters fall back to a per-pixel loop."""
+    if not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(payload):
+        (ln,) = struct.unpack(">I", payload[pos : pos + 4])
+        tag = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat.append(data)
+        elif tag == b"IEND":
+            break
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT")
+    w, h, depth, ctype, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
+        raise ValueError(f"unsupported PNG (depth={depth}, interlace={interlace})")
+    if ctype not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    ch = _PNG_CHANNELS[ctype]
+    stride = w * ch
+    raw = zlib.decompress(b"".join(idat))
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG scanline payload size mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int32)
+    p = 0
+    for y in range(h):
+        ft = raw[p]
+        line = np.frombuffer(raw, np.uint8, stride, p + 1).astype(np.int32)
+        p += stride + 1
+        if ft == 0:
+            cur = line
+        elif ft == 1:  # Sub: per-lane cumulative sum mod 256
+            cur = line.copy()
+            for lane in range(ch):
+                cur[lane::ch] = np.cumsum(cur[lane::ch]) & 255
+        elif ft == 2:  # Up
+            cur = (line + prev) & 255
+        elif ft in (3, 4):  # Average / Paeth: sequential per the spec
+            cur = np.zeros(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                if ft == 3:
+                    cur[i] = (int(line[i]) + ((a + b) >> 1)) & 255
+                else:
+                    c = int(prev[i - ch]) if i >= ch else 0
+                    pp = a + b - c
+                    pa, pb, pc = abs(pp - a), abs(pp - b), abs(pp - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    cur[i] = (int(line[i]) + pred) & 255
+        else:
+            raise ValueError(f"bad PNG filter type {ft}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out.reshape(h, w, ch)
+
+
+def decode_png(payload: bytes) -> list[float]:
+    """PNG featurizer with the same 8-dim layout as ``decode_ppm``:
+    [w, h, mean_r, mean_g, mean_b, std, min, max], pixels normalized to
+    [0, 1]. Grayscale replicates its channel; alpha is dropped."""
+    px = _png_pixels(payload).astype(np.float64) / 255.0
+    h, w, ch = px.shape
+    if ch == 1:
+        rgb = np.repeat(px, 3, axis=2)
+    elif ch == 2:  # gray + alpha
+        rgb = np.repeat(px[:, :, :1], 3, axis=2)
+    else:
+        rgb = px[:, :, :3]
+    return [
+        float(w),
+        float(h),
+        float(rgb[:, :, 0].mean()),
+        float(rgb[:, :, 1].mean()),
+        float(rgb[:, :, 2].mean()),
+        float(rgb.std()),
+        float(rgb.min()),
+        float(rgb.max()),
+    ]
+
+
 def decode_wav(payload: bytes) -> list[float]:
     """REAL decoder for PCM WAV via the stdlib ``wave`` module.
     Features: [channels, rate/48000, duration_s, rms, peak, zcr, mean,
@@ -226,10 +375,12 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 
 def _decode(payload: bytes, kind: str) -> list[float]:
-    """Magic-byte dispatch: real decoders for uncompressed formats, the
+    """Magic-byte dispatch: real decoders for PPM, PNG and WAV, the
     documented stub otherwise."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
+    if payload.startswith(_PNG_SIG):
+        return decode_png(payload)
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     return _decode_stub(payload, kind)

@@ -12120,6 +12120,85 @@ def events_acquisition_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("cohort_week")
 
 
+@q(
+    "media_png_features",
+    """
+WITH pgi AS (SELECT unnest(range(0, 48)) AS i),
+pgd AS (SELECT i, 64 + (i % 8) * 16 AS w, 64 + (i % 5) * 16 AS h FROM pgi),
+pgx AS (
+  SELECT m.i, m.w, m.h, x.x
+  FROM pgd m, (SELECT unnest(range(0, 256)) AS x) x WHERE x.x < m.w
+),
+pgy AS (
+  SELECT m.i, m.w, m.h, y.y
+  FROM pgd m, (SELECT unnest(range(0, 256)) AS y) y WHERE y.y < m.h
+),
+psr AS (SELECT i, SUM((x * 255) // (w - 1)) AS sx FROM pgx GROUP BY i),
+psg AS (SELECT i, SUM((y * 255) // (h - 1)) AS sy FROM pgy GROUP BY i),
+psb AS (
+  SELECT gx.i, SUM(((gx.x + gy.y + gx.i) % 16) * 17) AS sxy
+  FROM pgx gx JOIN pgy gy ON gy.i = gx.i
+  GROUP BY gx.i
+)
+SELECT d.i AS media_id,
+       CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+       CAST(psr.sx * d.h AS BIGINT) AS sum_r,
+       CAST(psg.sy * d.w AS BIGINT) AS sum_g,
+       CAST(psb.sxy AS BIGINT) AS sum_b
+FROM pgd d
+JOIN psr ON psr.i = d.i JOIN psg ON psg.i = d.i JOIN psb ON psb.i = d.i
+ORDER BY media_id
+""",
+)
+def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL compressed-format decode verified end-to-end: the synthetic
+    gradient corpus is encoded through the pure-Python PNG encoder
+    (stdlib zlib, filter-0 scanlines), shipped as opaque binary payloads,
+    and decoded back in an Arrow mapInPandas stage (chunk parse → inflate
+    → unfilter). The declared output is the per-channel INTEGER pixel sums
+    — exact in both engines — against the closed form of the generator, so
+    a single wrong byte anywhere in the encode→compress→decode→unfilter
+    chain breaks the hash. (JPEG/MP3/MP4 remain the documented stub.)"""
+    from polars_quant_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media_png(spark, 48)
+
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long"
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                px = mm._png_pixels(bytes(row["payload"])).astype("int64")
+                rows.append(
+                    (
+                        int(row["media_id"]),
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px[:, :, 0].sum()),
+                        int(px[:, :, 1].sum()),
+                        int(px[:, :, 2].sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return (
+        media.repartition(8, "media_id")
+        .mapInPandas(verify, out_schema)
+        .orderBy("media_id")
+    )
+
+
 # Keep the driver's 50-slot capture window intact regardless of which query
 # module was the import entry point (see queries.reorder_registration).
 from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402

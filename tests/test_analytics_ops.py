@@ -568,3 +568,95 @@ def test_interpolate_linear_single_exchange(spark):
     import re
 
     assert len(re.findall(r"\(\d+\) Exchange", buf.getvalue())) == 1
+
+
+class TestPngCodec:
+    def test_round_trip_exact(self):
+        rng = np.random.default_rng(5)
+        for shape in [(7, 9, 3), (16, 16, 4), (5, 3, 1)]:
+            px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+            out = multimodal._png_pixels(multimodal._png_encode(px))
+            assert (out == px).all()
+
+    def test_unfilters_all_filter_types(self):
+        # hand-build a PNG whose scanlines use filters 0..4 and check the
+        # decoder inverts each against a straight-forward reference filterer
+        import struct
+        import zlib
+
+        rng = np.random.default_rng(11)
+        w, h, ch = 6, 5, 3
+        px = rng.integers(0, 256, size=(h, w * ch), dtype=np.int32)
+
+        def filt(y, ft):
+            prev = px[y - 1] if y > 0 else np.zeros(w * ch, dtype=np.int32)
+            cur = px[y]
+            out = np.zeros(w * ch, dtype=np.int32)
+            for i in range(w * ch):
+                a = int(cur[i - ch]) if i >= ch else 0
+                b = int(prev[i])
+                c = int(prev[i - ch]) if i >= ch else 0
+                if ft == 0:
+                    out[i] = cur[i]
+                elif ft == 1:
+                    out[i] = cur[i] - a
+                elif ft == 2:
+                    out[i] = cur[i] - b
+                elif ft == 3:
+                    out[i] = cur[i] - ((a + b) >> 1)
+                else:
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                    out[i] = cur[i] - pred
+            return (out & 255).astype(np.uint8)
+
+        raw = b"".join(
+            bytes([y % 5]) + filt(y, y % 5).tobytes() for y in range(h)
+        )
+
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data))
+                + tag
+                + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+            )
+
+        payload = (
+            multimodal._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+        out = multimodal._png_pixels(payload)
+        assert (out.reshape(h, w * ch) == px.astype(np.uint8)).all()
+
+    def test_decode_png_features_and_dispatch(self):
+        px = np.zeros((4, 4, 3), dtype=np.uint8)
+        px[:, :, 0] = 255  # pure red
+        payload = multimodal._png_encode(px)
+        f = multimodal.decode_png(payload)
+        assert f[:5] == [4.0, 4.0, 1.0, 0.0, 0.0]
+        assert multimodal._decode(payload, "image") == f  # magic dispatch
+
+    def test_rejects_unsupported(self):
+        import struct
+        import zlib as _z
+
+        with pytest.raises(ValueError, match="not a PNG"):
+            multimodal._png_pixels(b"nope")
+        # 16-bit depth rejected rather than mis-decoded
+        def chunk(tag, data):
+            return (
+                struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", _z.crc32(tag + data) & 0xFFFFFFFF)
+            )
+        bad = (
+            multimodal._PNG_SIG
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0))
+            + chunk(b"IDAT", _z.compress(b"\x00" * 26))
+            + chunk(b"IEND", b"")
+        )
+        with pytest.raises(ValueError, match="unsupported"):
+            multimodal._png_pixels(bad)

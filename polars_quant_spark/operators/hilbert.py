@@ -9,7 +9,16 @@ adj = 0.075·period + 0.54, I/Q mixing, period clamped to
 for the first 31 rows (cycle.rs:66-68) and the whole series is null when
 n < 32 (cycle.rs:16-18). MAMA (overlap.rs:156-177 entry; helper missing from
 the snapshot) shares the pipeline with a phase-rate-of-change adaptive alpha;
-the algorithm is preserved in the dead-code python/polars_quant/cycle.py:32-91.
+the algorithm follows the published Ehlers recurrence (documented
+divergence: no reference kernel exists in the snapshot to pin it to).
+
+Round-3 parity fix: the state machine is now a line-for-line transcription
+of cycle.rs (atan of the im/re RATIO — not atan2; full loop body from bar 6;
+zero-seeded smoother; re-clamp every bar; raw vs adjusted phase split;
+trendline = plain 4-bar price average; output from bar 31). An independent
+ring-buffer implementation of the same contract lives in
+tests/mesa_reference.py and is asserted bit-exact in
+tests/test_mesa_reference_parity.py.
 
 Spark-side: inherently sequential per symbol → these kernels run inside the
 recurrence runner's single applyInPandas pass (KERNELS registry below extends
@@ -17,6 +26,8 @@ operators.recurrence.KERNELS on import).
 """
 
 from __future__ import annotations
+
+import math
 
 import numpy as np
 
@@ -33,10 +44,29 @@ def _hilbert_fir(x: np.ndarray, i: int, adj: float) -> float:
 
 
 def _mesa_state(v: np.ndarray) -> dict[str, np.ndarray]:
-    """Run the shared MESA state machine over a dense price array.
+    """Run the shared MESA state machine over a dense price array —
+    an exact transcription of the reference's per-bar recurrence
+    (cycle.rs:20-68, identical preamble in all six HT_ kernels):
 
-    Returns per-bar arrays: period (smoothed dominant cycle), smooth (4-bar
-    WMA), detrender, i1, q1, i2, q2, re, im, smooth_period, phase.
+    * smooth = 4-bar WMA, ZERO for the first 3 bars (calc_smooth,
+      cycle.rs:462-470 — no price fallback);
+    * one loop from bar 6 with the FULL body every bar (detrender, q1,
+      i1 = detrender delayed 3, ji/jq, 0.2/0.8-EMA'd I2/Q2, homodyne
+      re/im) — ring-buffer zeros map to array zeros;
+    * prev_period is 6.0 only at bar 6, afterwards the running smoothed
+      period (which starts 0.0 and is re-clamped every bar even when
+      im/re are zero — cycle.rs:58-64);
+    * period = 2π / ATAN(im/re) — the reference uses the principal atan
+      of the RATIO, not atan2 (cycle.rs:59; round-2 of this repo used
+      atan2, caught by the independent contract test
+      tests/test_mesa_reference_parity.py);
+    * phase (HT_DCPHASE form, cycle.rs:131-143): atan(q1/i1) in degrees
+      (0 when i1 == 0), +90°, +180° when i1 < 0, −360° when > 315°;
+      ``raw_phase`` is the same atan WITHOUT the adjustments — HT_SINE
+      feeds sin() from that raw value (cycle.rs:295-302).
+
+    Returns per-bar arrays: period, speriod, phase (adjusted),
+    raw_phase, i1, q1, smooth.
     """
     n = v.shape[0]
     smooth = np.zeros(n)
@@ -47,59 +77,50 @@ def _mesa_state(v: np.ndarray) -> dict[str, np.ndarray]:
     q2 = np.zeros(n)
     re = np.zeros(n)
     im = np.zeros(n)
-    period = np.full(n, 6.0)
+    period_arr = np.zeros(n)
     speriod = np.zeros(n)
     phase = np.zeros(n)
+    raw_phase = np.zeros(n)
 
-    for i in range(n):
-        if i >= 3:
-            smooth[i] = (4.0 * v[i] + 3.0 * v[i - 1] + 2.0 * v[i - 2] + v[i - 3]) / 10.0
-        else:
-            smooth[i] = v[i]
-        if i < 6:
-            continue
-        adj = 0.075 * period[i - 1] + 0.54
+    for i in range(3, n):
+        smooth[i] = (4.0 * v[i] + 3.0 * v[i - 1] + 2.0 * v[i - 2] + v[i - 3]) * 0.1
+
+    period = 0.0
+    sper = 0.0
+    for i in range(6, n):
+        prev_p = period if i > 6 else 6.0
+        adj = 0.075 * prev_p + 0.54
         det[i] = _hilbert_fir(smooth, i, adj)
-        if i < 9:
-            continue
-        # quadrature (FIR over detrender) and in-phase (detrender delayed 3)
         q1[i] = _hilbert_fir(det, i, adj)
         i1[i] = det[i - 3]
-        # advance phase by 90°
         ji = _hilbert_fir(i1, i, adj)
         jq = _hilbert_fir(q1, i, adj)
-        i2[i] = i1[i] - jq
-        q2[i] = q1[i] + ji
-        # smooth the I/Q components
-        i2[i] = 0.2 * i2[i] + 0.8 * i2[i - 1]
-        q2[i] = 0.2 * q2[i] + 0.8 * q2[i - 1]
-        # homodyne discriminator
-        re_raw = i2[i] * i2[i - 1] + q2[i] * q2[i - 1]
-        im_raw = i2[i] * q2[i - 1] - q2[i] * i2[i - 1]
-        re[i] = 0.2 * re_raw + 0.8 * re[i - 1]
-        im[i] = 0.2 * im_raw + 0.8 * im[i - 1]
-        p = period[i - 1]
+        i2[i] = 0.2 * (i1[i] - jq) + 0.8 * i2[i - 1]
+        q2[i] = 0.2 * (q1[i] + ji) + 0.8 * q2[i - 1]
+        re[i] = 0.2 * (i2[i] * i2[i - 1] + q2[i] * q2[i - 1]) + 0.8 * re[i - 1]
+        im[i] = 0.2 * (i2[i] * q2[i - 1] - q2[i] * i2[i - 1]) + 0.8 * im[i - 1]
         if im[i] != 0.0 and re[i] != 0.0:
-            p = 2.0 * np.pi / np.arctan2(im[i], re[i]) if np.arctan2(im[i], re[i]) != 0 else p
-        # clamp to [0.67·prev, 1.5·prev] ∩ [6, 50] (cycle.rs:50-56)
-        p = min(p, 1.5 * period[i - 1])
-        p = max(p, 0.67 * period[i - 1])
-        p = min(max(p, 6.0), 50.0)
-        period[i] = 0.2 * p + 0.8 * period[i - 1]
-        speriod[i] = 0.33 * period[i] + 0.67 * speriod[i - 1]
-        # dominant cycle phase from I1/Q1 (cycle.rs HT_DCPHASE shape)
-        if i1[i] != 0.0:
-            phase[i] = np.degrees(np.arctan(q1[i] / i1[i]))
-        phase[i] += 90.0
+            period = 2.0 * np.pi / math.atan(im[i] / re[i])
+        period = min(max(period, 0.67 * prev_p), 1.5 * prev_p)
+        period = min(max(period, 6.0), 50.0)
+        period = 0.2 * period + 0.8 * prev_p
+        sper = 0.33 * period + 0.67 * sper
+        period_arr[i] = period
+        speriod[i] = sper
+        raw = math.degrees(math.atan(q1[i] / i1[i])) if i1[i] != 0.0 else 0.0
+        raw_phase[i] = raw
+        ph = raw + 90.0
         if i1[i] < 0.0:
-            phase[i] += 180.0
-        if phase[i] > 315.0:
-            phase[i] -= 360.0
+            ph += 180.0
+        if ph > 315.0:
+            ph -= 360.0
+        phase[i] = ph
 
     return {
-        "period": period,
+        "period": period_arr,
         "speriod": speriod,
         "phase": phase,
+        "raw_phase": raw_phase,
         "i1": i1,
         "q1": q1,
         "smooth": smooth,
@@ -107,8 +128,11 @@ def _mesa_state(v: np.ndarray) -> dict[str, np.ndarray]:
 
 
 def _warm_mask(n: int) -> np.ndarray:
+    # the reference emits from bar index 31: first 31 rows null
+    # (cycle.rs:66-68), while series shorter than 32 rows are all-null
+    # (cycle.rs:16-18) — WARMUP is the length floor, WARMUP-1 the mask
     out = np.zeros(n, dtype=bool)
-    out[:WARMUP] = True
+    out[: WARMUP - 1] = True
     return out
 
 
@@ -165,16 +189,20 @@ def ht_phasor(x: np.ndarray):
 
 
 def ht_sine(x: np.ndarray):
-    """(sine, leadsine) = sin(phase), sin(phase+45°) (cycle.rs:235-307)."""
+    """(sine, leadsine) = sin(dc_phase), sin(dc_phase+45°) where dc_phase
+    is the RAW atan(q1/i1) in degrees, without HT_DCPHASE's +90/+180/315
+    adjustments (cycle.rs:295-302)."""
 
     def dense(v):
         n = v.shape[0]
         if n < WARMUP:
             return np.full(n, np.nan), np.full(n, np.nan)
         st = _mesa_state(v)
-        ph = np.radians(st["phase"])
-        s = np.sin(ph)
-        lead = np.sin(ph + np.pi / 4.0)
+        deg = st["raw_phase"]
+        s = np.sin(np.radians(deg))
+        # the reference adds the 45° lead in DEGREES before converting
+        # (cycle.rs:301) — radians(d)+π/4 differs in the last ulp
+        lead = np.sin(np.radians(deg + 45.0))
         m = _warm_mask(n)
         s[m] = np.nan
         lead[m] = np.nan
@@ -190,47 +218,33 @@ def ht_sine(x: np.ndarray):
     return s_out, l_out
 
 
+def _trendline4(v: np.ndarray) -> np.ndarray:
+    """The reference's trendline: the plain average of the last 4 raw
+    prices (cycle.rs:365-369 — NOT the Ehlers cycle-period average; the
+    reference simplified it, and parity means matching what it ships).
+    Bars 0-2 get partial zeros exactly like the Rust ring (warmup masks
+    them anyway)."""
+    n = v.shape[0]
+    tl = np.zeros(n)
+    for j in range(4):
+        tl[j:] += v[: n - j] if j else v
+    return tl * 0.25
+
+
 @_with_state
 def ht_trendline(v, st):
-    """Instantaneous trendline: average of price over the dominant cycle
-    period, 4-bar smoothed (cycle.rs:309-374)."""
-    n = v.shape[0]
-    itrend = np.zeros(n)
-    out = np.zeros(n)
-    dcp = st["speriod"]
-    for i in range(n):
-        p = int(dcp[i] + 0.5)
-        if p < 1:
-            p = 1
-        lo = max(0, i - p + 1)
-        itrend[i] = v[lo : i + 1].sum() / (i + 1 - lo)
-        if i >= 3:
-            out[i] = (4.0 * itrend[i] + 3.0 * itrend[i - 1] + 2.0 * itrend[i - 2] + itrend[i - 3]) / 10.0
-        else:
-            out[i] = itrend[i]
-    return out
+    """Instantaneous trendline = 4-bar average of price (cycle.rs:309-374;
+    output gated to bars ≥ 31 like every HT_ kernel)."""
+    return _trendline4(v)
 
 
 @_with_state
 def ht_trendmode(v, st):
-    """1 when |price − trendline| > 1%·trendline else 0 (cycle.rs:376-448)."""
-    n = v.shape[0]
-    itrend = np.zeros(n)
-    tl = np.zeros(n)
-    dcp = st["speriod"]
-    for i in range(n):
-        p = int(dcp[i] + 0.5)
-        if p < 1:
-            p = 1
-        lo = max(0, i - p + 1)
-        itrend[i] = v[lo : i + 1].sum() / (i + 1 - lo)
-        if i >= 3:
-            tl[i] = (4.0 * itrend[i] + 3.0 * itrend[i - 1] + 2.0 * itrend[i - 2] + itrend[i - 3]) / 10.0
-        else:
-            tl[i] = itrend[i]
+    """1 when |price − trendline| > 1%·trendline else 0, trendline signed
+    as in the reference (cycle.rs:434-443)."""
+    tl = _trendline4(v)
     with np.errstate(invalid="ignore", divide="ignore"):
-        mode = np.where(np.abs(v - tl) > 0.01 * np.abs(tl), 1.0, 0.0)
-    return mode
+        return np.where(np.abs(v - tl) > 0.01 * tl, 1.0, 0.0)
 
 
 def mama(x: np.ndarray, fastlimit: float = 0.5, slowlimit: float = 0.05):

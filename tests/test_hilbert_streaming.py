@@ -25,7 +25,8 @@ def wave():
 def test_ht_dcperiod_locks_cycle(wave):
     out = hilbert.ht_dcperiod(wave)
     tail = out[100:]
-    assert np.isnan(out[:32]).all()
+    assert np.isnan(out[:31]).all()  # 31-bar warmup (cycle.rs:66-68)
+    assert not np.isnan(out[31])
     assert 10.0 < np.nanmean(tail) < 35.0  # locked in the right region
 
 
@@ -84,7 +85,7 @@ def test_ht_family_spark(spark):
         ],
     )
     rows = out.where(F.col("dcp").isNotNull()).count()
-    assert rows == N - 32
+    assert rows == N - 31  # output starts at bar index 31
 
 
 def test_streaming_tumbling_counts(spark, sf_dir):

@@ -7,8 +7,11 @@ and the numpy kernels run directly per symbol on the driver — then written
 as parquet that the oracle SQL reads back verbatim. This pins the full Spark
 pipeline (shuffle, per-group ordering, NaN→NULL normalization, rounding) to
 a driver-side recomputation; the kernels themselves are validated separately
-by the property tests in tests/test_hilbert_streaming.py (cycle lock,
-amplitude bounds, warm-up contract).
+against an INDEPENDENT ring-buffer transcription of the reference contract
+(tests/mesa_reference.py, asserted bit-exact in
+tests/test_mesa_reference_parity.py) plus the property tests in
+tests/test_hilbert_streaming.py (cycle lock, amplitude bounds, warm-up
+contract) — so the golden file is no longer the only algorithm evidence.
 
 Usage: python tools/make_golden.py [sf_dir]   (default /root/testdata/sf0.01)
 """

@@ -59,7 +59,12 @@ def _relayout_cache(spark, sf_dir: str, splits: int = 16, min_rows: int = 50_000
     )
     marker = os.path.join(base, "_BUILT")
     if os.path.exists(marker):
-        return base
+        src_mtime = max(
+            os.path.getmtime(os.path.join(sf_dir, t + ".parquet")) for t in _TABLES
+        )
+        if os.path.getmtime(marker) > src_mtime:
+            return base
+        # source tables regenerated since the cache was built — rebuild
     shutil.rmtree(base, ignore_errors=True)
     os.makedirs(base, exist_ok=True)
     for t in _TABLES:

@@ -23,6 +23,7 @@ results agree after the engine-wide 6-dp rounding — asserted in pytest.
 from __future__ import annotations
 
 import math
+import os
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -222,6 +223,33 @@ def cosine_topk_arrow(
         .where(F.col("rank") <= k)
         .select("query_id", "vec_id", "cos_sim", "rank")
     )
+
+
+def cosine_topk_auto(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    arrow_threshold_bytes: int = 8 << 20,
+) -> DataFrame:
+    """Size-dispatching front door for the exact corpus scan: tiny corpora
+    (estimated from the scan's input-file sizes) run the pure-Column
+    expression path — no Python worker spin-up, lowest latency — while
+    anything bigger runs the Arrow batch kernel (``cosine_topk_arrow``,
+    the 100 TB path). Both forms are bit-identical, so the dispatch only
+    moves the work, never the answer. Falls back to the Arrow kernel when
+    the input size can't be estimated (non-file sources)."""
+    try:
+        total = sum(
+            os.path.getsize(f[7:] if f.startswith("file:") else f)
+            for f in corpus.inputFiles()
+        )
+    except Exception:
+        total = arrow_threshold_bytes + 1
+    impl = cosine_topk if total <= arrow_threshold_bytes else cosine_topk_arrow
+    return impl(corpus, queries, k, id_col, vec_col, query_id_col)
 
 
 def cosine_topk_np(

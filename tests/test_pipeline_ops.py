@@ -773,3 +773,16 @@ def test_cosine_topk_arrow_bit_exact_vs_expression(spark):
     a = sorted(map(tuple, similarity.cosine_topk(df, qs, k=9).collect()))
     b = sorted(map(tuple, similarity.cosine_topk_arrow(df, qs, k=9).collect()))
     assert a == b  # bit-exact, including rounded sims and tie-broken ranks
+
+
+def test_cosine_topk_auto_dispatches_and_matches(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.orderBy("vec_id").limit(4).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    # tiny threshold forces the Arrow path; huge forces the expression path
+    lo = similarity.cosine_topk_auto(emb, qs, k=5, arrow_threshold_bytes=1)
+    hi = similarity.cosine_topk_auto(emb, qs, k=5, arrow_threshold_bytes=1 << 40)
+    a = sorted(map(tuple, lo.collect()))
+    b = sorted(map(tuple, hi.collect()))
+    assert a == b and len(a) == 20  # dispatch moves the work, not the answer

@@ -257,7 +257,12 @@ def mama(x: np.ndarray, fastlimit: float = 0.5, slowlimit: float = 0.05):
         if n < WARMUP:
             return np.full(n, np.nan), np.full(n, np.nan)
         st = _mesa_state(v)
-        phase = st["phase"]
+        # the published Ehlers MAMA rate-of-change uses the RAW
+        # atan(Q1/I1) phase (no +90°/quadrant adjustments) — the same
+        # phase HT_SINE consumes; the reference's calc_mama helper is
+        # absent from the snapshot, so the published formula is the
+        # contract (documented divergence).
+        phase = st["raw_phase"]
         m_out = np.zeros(n)
         f_out = np.zeros(n)
         m_out[0] = v[0]

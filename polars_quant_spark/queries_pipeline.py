@@ -12121,6 +12121,48 @@ def events_acquisition_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "ops_bucketed_sma",
+    BARS_CTE
+    + """
+SELECT symbol, t, sma_20 FROM (
+  SELECT symbol, t, ROUND(AVG(close) OVER (PARTITION BY symbol ORDER BY t
+           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW), 6) AS sma_20
+  FROM bars
+) WHERE t > 19
+""",
+)
+def ops_bucketed_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-bar-store path, value-verified end-to-end: bars are
+    written through write_bucketed_bars (bucketBy(symbol) + sortBy, the
+    100 TB deployment shape that deletes the per-symbol exchange —
+    plan-asserted zero-exchange in test_plans.py::test_bucketed_bars_no_
+    exchange), read back from the catalog, and an SMA(20) window runs over
+    the bucketed scan. The oracle is the PLAIN bars window — so the whole
+    write→catalog→bucketed-scan→window detour must be value-identical to
+    never having left the DataFrame."""
+    from pyspark.sql import Window
+
+    from polars_quant_spark.sources.bars import (
+        read_bucketed_bars,
+        write_bucketed_bars,
+    )
+
+    tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    table = f"bars_bucketed_{tag}"
+    write_bucketed_bars(bars(spark, sf_dir), table, buckets=8)
+    b = read_bucketed_bars(spark, table)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("t")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    return (
+        b.select("symbol", "t", r6(F.avg("close").over(w)).alias("sma_20"))
+        .where(F.col("t") > 19)
+    )
+
+
+@q(
     "media_png_features",
     """
 WITH pgi AS (SELECT unnest(range(0, 48)) AS i),

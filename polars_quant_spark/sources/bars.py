@@ -163,7 +163,22 @@ def write_bucketed_bars(
     distribution requirement — the indicator pipeline's one exchange
     disappears entirely, and the in-bucket sort removes the window sort too
     (asserted in tests/test_plans.py::test_bucketed_bars_no_exchange).
-    Bucketing requires a catalog table (saveAsTable), not a bare path."""
+    Bucketing requires a catalog table (saveAsTable), not a bare path.
+    Idempotent across sessions: drops any existing table AND clears a
+    stale warehouse directory left by a previous metastore (a fresh Derby
+    catalog does not know about old locations and refuses to reuse
+    them)."""
+    import os
+    import shutil
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    if warehouse.startswith("file:"):
+        warehouse = warehouse[5:]
+    stale = os.path.join(warehouse, table.lower())
+    if os.path.isdir(stale):
+        shutil.rmtree(stale, ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(buckets, "symbol")

@@ -2,15 +2,37 @@
 named screens composing to a Column conjunction, plus sort/top-k.
 
 Each screen is a predicate over an indicator-enriched bar frame; screens are
-pure Column expressions so Catalyst can fold and push them."""
+pure Column expressions so Catalyst can fold and push them.
+
+The moving-average-relative screens (price vs MA, volume surge/shrink)
+compare cross-multiplied INTEGER micro-unit sums instead of raw doubles
+against a windowed AVG: ``x > m·avg_p(x)`` becomes
+``den·p·q(x) > num·Σ_p(q(x))`` with ``m = num/den`` and
+``q(x) = FLOOR(x·1e6 + 0.5)``. Windowed float AVGs are
+associativity-sensitive (bounded-frame recompute vs segment-tree can differ
+in the last ulp), so a bar sitting exactly on its MA could flip in or out of
+the screen between engines/runs; integer sums make the screen deterministic
+everywhere at a 1e-6 quantization the screen semantics don't care about."""
 
 from __future__ import annotations
+
+from fractions import Fraction
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_quant_spark.functions import momentum as mo
 from polars_quant_spark.functions import overlap as ov
+
+
+def _q6(x: Column) -> Column:
+    """Micro-unit quantization: FLOOR(x·1e6 + 0.5) as long."""
+    return F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+
+
+def _ratio(mult: float) -> tuple[int, int]:
+    fr = Fraction(mult).limit_denominator(1000000)
+    return fr.numerator, fr.denominator
 
 
 class Selector:
@@ -34,12 +56,24 @@ class Selector:
         self._conds.append(F.col(price).between(lo, hi))
         return self
 
+    def _ma_cmp(self, col: str, p: int, mult: float, above: bool) -> Column:
+        """x >/< mult·avg_p(x), as exact integers: den·p·q(x) >/< num·Σq(x),
+        NULL-gated until the frame holds p values (matches overlap.sma)."""
+        w = self._w.rowsBetween(-(p - 1), 0)
+        num, den = _ratio(mult)
+        qx = _q6(F.col(col))
+        lhs = qx * F.lit(den * p)
+        rhs = F.sum(qx).over(w) * F.lit(num)
+        return F.when(
+            F.count(F.col(col)).over(w) == p, (lhs > rhs) if above else (lhs < rhs)
+        )
+
     def price_above_ma(self, p: int = 20, price: str = "close") -> "Selector":
-        self._conds.append(F.col(price) > ov.sma(price, p, self._w))
+        self._conds.append(self._ma_cmp(price, p, 1.0, above=True))
         return self
 
     def price_below_ma(self, p: int = 20, price: str = "close") -> "Selector":
-        self._conds.append(F.col(price) < ov.sma(price, p, self._w))
+        self._conds.append(self._ma_cmp(price, p, 1.0, above=False))
         return self
 
     def returns_above(self, r: float, p: int = 1, price: str = "close") -> "Selector":
@@ -47,7 +81,7 @@ class Selector:
         return self
 
     def volume_surge(self, mult: float = 1.5, p: int = 20, vol: str = "volume") -> "Selector":
-        self._conds.append(F.col(vol) > mult * ov.sma(vol, p, self._w))
+        self._conds.append(self._ma_cmp(vol, p, mult, above=True))
         return self
 
     def volatility_below(self, v: float, p: int = 20, price: str = "close") -> "Selector":
@@ -107,7 +141,7 @@ class Selector:
         return self
 
     def volume_shrink(self, mult: float = 0.5, p: int = 5, vol: str = "volume") -> "Selector":
-        self._conds.append(F.col(vol) < mult * ov.sma(vol, p, self._w))
+        self._conds.append(self._ma_cmp(vol, p, mult, above=False))
         return self
 
     def consecutive_down(self, n: int = 3, price: str = "close") -> "Selector":

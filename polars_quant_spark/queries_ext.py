@@ -3780,8 +3780,10 @@ per AS (
          CASE WHEN close > LAG(close) OVER o THEN 1
               WHEN close < LAG(close) OVER o THEN -1 ELSE 0 END AS chg,
          CASE WHEN COUNT(close) OVER w = 50
-              THEN CASE WHEN close > AVG(close) OVER w THEN 1 ELSE 0 END END AS above50
-  FROM bars
+              THEN CASE WHEN qclose * 50 > SUM(qclose) OVER w THEN 1 ELSE 0 END END AS above50
+  FROM (SELECT symbol, t, close,
+               CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) AS qclose
+        FROM bars)
   WINDOW o AS (PARTITION BY symbol ORDER BY t),
          w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
 )
@@ -3801,7 +3803,14 @@ def mkt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     across the whole universe and the share of symbols trading above their
     own 50-bar SMA. One per-symbol window pass (partitioned by symbol),
     then a cross-sectional groupBy(t) — the one unavoidable reshuffle,
-    since breadth pivots the partitioning axis from symbol to time."""
+    since breadth pivots the partitioning axis from symbol to time.
+
+    The above-SMA test is integer-exact on BOTH engines: close quantizes
+    to micro-units and the comparison is qclose·50 > Σ(qclose) over the
+    window. A raw `close > AVG(close)` is associativity-sensitive (Spark's
+    bounded-frame recompute vs DuckDB's segment-tree can differ in the last
+    ulp), so a bar sitting exactly on its SMA could flip sides between
+    engines — the r3 driver hash fail. Integer sums can't drift."""
     b = bars(spark, sf_dir)
     o = _w()
     w = _w().rowsBetween(-49, 0)
@@ -3810,9 +3819,10 @@ def mkt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("close") < F.lag("close").over(o), -1)
         .otherwise(0)
     )
+    qclose = F.floor(F.col("close") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     above50 = F.when(
         F.count("close").over(w) == 50,
-        F.when(F.col("close") > F.avg("close").over(w), 1).otherwise(0),
+        F.when(qclose * F.lit(50) > F.sum(qclose).over(w), 1).otherwise(0),
     )
     per = b.select("symbol", "t", chg.alias("chg"), above50.alias("above50"))
     return (
@@ -4761,15 +4771,17 @@ def rel_fulfillment_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
     + """,
 mm AS (
   SELECT symbol, t, close, high, low,
-         CASE WHEN COUNT(close) OVER w5 = 5 THEN AVG(close) OVER w5 END AS s5,
-         CASE WHEN COUNT(close) OVER w20 = 20 THEN AVG(close) OVER w20 END AS s20
-  FROM bars
+         CASE WHEN COUNT(close) OVER w5 = 5 THEN SUM(qclose) OVER w5 END AS s5,
+         CASE WHEN COUNT(close) OVER w20 = 20 THEN SUM(qclose) OVER w20 END AS s20
+  FROM (SELECT symbol, t, close, high, low,
+               CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) AS qclose
+        FROM bars)
   WINDOW w5 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
          w20 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
 ),
 st AS (
   SELECT symbol, t, close, high, low,
-         CASE WHEN s5 IS NOT NULL AND s20 IS NOT NULL AND s5 > s20 THEN 1 ELSE 0 END AS long_sig
+         CASE WHEN s5 IS NOT NULL AND s20 IS NOT NULL AND s5 * 4 > s20 THEN 1 ELSE 0 END AS long_sig
   FROM mm
 ),
 flg AS (
@@ -4815,16 +4827,21 @@ def bt_trade_excursions(spark: SparkSession, sf_dir: str) -> DataFrame:
     holding time — the stop/target calibration numbers. Trades are
     long-signal runs (the same conditional-cumsum run-id as the streak
     machinery); entry/exit are arg_min/arg_max by time; every excursion
-    micro-quantizes before the per-symbol mean."""
+    micro-quantizes before the per-symbol mean. The long signal compares
+    cross-multiplied INTEGER sums (avg5 > avg20 ⟺ 4·Σ₅(qclose) >
+    Σ₂₀(qclose)) so an SMA tie can't flip between engines."""
     b = bars(spark, sf_dir)
     w5 = _w().rowsBetween(-4, 0)
     w20 = _w().rowsBetween(-19, 0)
     o = _w()
-    s5 = F.when(F.count("close").over(w5) == 5, F.avg("close").over(w5))
-    s20 = F.when(F.count("close").over(w20) == 20, F.avg("close").over(w20))
+    qc = F.floor(F.col("close") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    s5 = F.when(F.count("close").over(w5) == 5, F.sum(qc).over(w5))
+    s20 = F.when(F.count("close").over(w20) == 20, F.sum(qc).over(w20))
     st = b.select(
         "symbol", "t", "close", "high", "low",
-        F.when(s5.isNotNull() & s20.isNotNull() & (s5 > s20), 1).otherwise(0).alias("long_sig"),
+        F.when(s5.isNotNull() & s20.isNotNull() & (s5 * F.lit(4) > s20), 1)
+        .otherwise(0)
+        .alias("long_sig"),
     )
     wc = _w().rowsBetween(Window.unboundedPreceding, Window.currentRow)
     new_run = F.when(

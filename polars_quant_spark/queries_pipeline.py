@@ -10,7 +10,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_backtest
-from polars_quant_spark.functions import overlap as ov
 from polars_quant_spark.functions._util import round6 as r6
 from polars_quant_spark.functions._util import widen
 from polars_quant_spark.operators import dedup, similarity, text
@@ -539,12 +538,17 @@ pairs AS (
   JOIN base na ON na.vec_id = a.vec_id
   JOIN base nb ON nb.vec_id = b.vec_id
 )
-SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.9
+SELECT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= 0.4
 """,
 )
 def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked embedding near-dups. Threshold 0.4 here (operator default is
+    0.9): the driver's synthetic embeddings are near-orthogonal random
+    vectors — no pair reaches 0.5 at sf0.01 — so the production threshold
+    made the driver hash vacuous (0 rows proves nothing). 0.4 keeps the
+    same blocked plan and yields a content-bearing top-similarity tail."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dupes(emb, threshold=0.9, n_blocks=8)
+    return similarity.embedding_near_dupes(emb, threshold=0.4, n_blocks=8)
 
 
 # ---------------------------------------------------------------------------
@@ -555,14 +559,16 @@ def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SIG_CTE = """
 sig AS MATERIALIZED (
   SELECT symbol, t, close,
-         COALESCE(s5 > s20 AND LAG(s5) OVER o <= LAG(s20) OVER o, FALSE) AS buy,
-         COALESCE(s5 < s20 AND LAG(s5) OVER o >= LAG(s20) OVER o, FALSE) AS sell,
+         COALESCE(s5 * 4 > s20 AND LAG(s5) OVER o * 4 <= LAG(s20) OVER o, FALSE) AS buy,
+         COALESCE(s5 * 4 < s20 AND LAG(s5) OVER o * 4 >= LAG(s20) OVER o, FALSE) AS sell,
          ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
   FROM (
     SELECT symbol, t, close,
-           CASE WHEN COUNT(close) OVER w5 = 5 THEN AVG(close) OVER w5 END AS s5,
-           CASE WHEN COUNT(close) OVER w20 = 20 THEN AVG(close) OVER w20 END AS s20
-    FROM bars
+           CASE WHEN COUNT(close) OVER w5 = 5 THEN SUM(qclose) OVER w5 END AS s5,
+           CASE WHEN COUNT(close) OVER w20 = 20 THEN SUM(qclose) OVER w20 END AS s20
+    FROM (SELECT symbol, t, close,
+                 CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) AS qclose
+          FROM bars)
     WINDOW w5 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
            w20 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
   ) s
@@ -595,11 +601,22 @@ curve AS MATERIALIZED (
 
 
 def _bt_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/20 SMA crossover signals on INTEGER-quantized sums: avg5 > avg20 ⟺
+    4·Σ₅(qclose) > Σ₂₀(qclose) (cross-multiplied integer sums), so a bar
+    whose SMAs tie to the last ulp can't flip the signal between engines —
+    raw windowed AVGs are associativity-sensitive (the r3 mkt_breadth hash
+    class). The oracle twin (_SIG_CTE) does the identical integer compare."""
     b = bars(spark, sf_dir)
     w = Window.partitionBy("symbol").orderBy("t")
-    b = b.withColumn("s5", ov.sma("close", 5, w)).withColumn("s20", ov.sma("close", 20, w))
-    cross_up = (F.col("s5") > F.col("s20")) & (F.lag("s5").over(w) <= F.lag("s20").over(w))
-    cross_dn = (F.col("s5") < F.col("s20")) & (F.lag("s5").over(w) >= F.lag("s20").over(w))
+    qc = F.floor(F.col("close") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    w5, w20 = w.rowsBetween(-4, 0), w.rowsBetween(-19, 0)
+    b = b.withColumn(
+        "s5", F.when(F.count("close").over(w5) == 5, F.sum(qc).over(w5))
+    ).withColumn("s20", F.when(F.count("close").over(w20) == 20, F.sum(qc).over(w20)))
+    s5x4 = F.col("s5") * F.lit(4)
+    p5x4, p20 = F.lag("s5").over(w) * F.lit(4), F.lag("s20").over(w)
+    cross_up = (s5x4 > F.col("s20")) & (p5x4 <= p20)
+    cross_dn = (s5x4 < F.col("s20")) & (p5x4 >= p20)
     return b.withColumn("buy", F.coalesce(cross_up, F.lit(False))).withColumn(
         "sell", F.coalesce(cross_dn, F.lit(False))
     )
@@ -973,23 +990,30 @@ def clean_winsor_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     BARS_CTE
     + """
 , scr AS (
-  SELECT symbol, t, close, volume,
-         CASE WHEN COUNT(close) OVER w20 = 20 THEN AVG(close) OVER w20 END AS sma20,
-         CASE WHEN COUNT(volume) OVER w20 = 20 THEN AVG(volume) OVER w20 END AS vma20
-  FROM bars
+  SELECT symbol, t, close, qclose, qvol,
+         CASE WHEN COUNT(close) OVER w20 = 20 THEN SUM(qclose) OVER w20 END AS sc20,
+         CASE WHEN COUNT(volume) OVER w20 = 20 THEN SUM(qvol) OVER w20 END AS sv20
+  FROM (SELECT symbol, t, close, volume,
+               CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) AS qclose,
+               CAST(FLOOR(volume * 1000000.0 + 0.5) AS BIGINT) AS qvol
+        FROM bars)
   WINDOW w20 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
 )
 SELECT symbol, t, ROUND(close, 6) AS close
 FROM scr
-WHERE close > sma20 AND volume > 1.5 * vma20
+WHERE qclose * 20 > sc20 AND qvol * 20 * 5 > 6 * sv20
 ORDER BY close DESC, symbol, t
 LIMIT 20
 """,
 )
 def sel_screen_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Selector screens → global top-k (README.md:683-799)."""
+    """Selector screens → global top-k (README.md:683-799). The 1.2× volume
+    surge (vs the README's 1.5× example) keeps the screen non-vacuous at
+    sf0.01 so the driver hash carries content; both screens compare
+    cross-multiplied integer micro-unit sums (1.2 = 6/5) — see Selector's
+    module docstring for why raw-double-vs-AVG compares are banned."""
     b = bars(spark, sf_dir)
-    sel = Selector(b).price_above_ma(20).volume_surge(1.5, 20)
+    sel = Selector(b).price_above_ma(20).volume_surge(1.2, 20)
     return sel.top(20, by="close").select("symbol", "t", r6(F.col("close")).alias("close"))
 
 
@@ -1013,6 +1037,9 @@ enr AS (
          CASE WHEN COUNT(close) OVER w5 = 5 THEN AVG(close) OVER w5 END AS ma_5,
          CASE WHEN COUNT(close) OVER w10 = 10 THEN AVG(close) OVER w10 END AS ma_10,
          CASE WHEN COUNT(close) OVER w20c = 20 THEN AVG(close) OVER w20c END AS ma_20,
+         CASE WHEN COUNT(close) OVER w20c = 20
+              THEN SUM(CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT)) OVER w20c
+         END AS qsum_20,
          volume / AVG(volume) OVER w5 AS volume_ratio,
          100.0 * (high - low) / close AS amplitude,
          ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t DESC) AS rnd
@@ -1030,7 +1057,7 @@ SELECT symbol, ROUND(close, 6) AS price, ROUND(open, 6) AS open,
        ROUND(ma_20, 6) AS ma_20, ROUND(volume_ratio, 6) AS volume_ratio,
        ROUND(amplitude, 6) AS amplitude
 FROM enr
-WHERE rnd = 1 AND close > ma_20
+WHERE rnd = 1 AND CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) * 20 > qsum_20
 """,
 )
 def sel_info(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -877,6 +877,44 @@ FROM bars b ASOF LEFT JOIN marks m
 )
 
 
+def _asof_fwd_tol_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with a tolerance bound: each bar matches the
+    EARLIEST mark at-or-after it (marks every 11th bar), and matches
+    farther than 5 bars away are nulled — the other half of asof_join's
+    contract (asof_bars_marks covers backward/no-tolerance). Exercises the
+    reversed-sort forward window and the tolerance payload-nulling."""
+    from polars_quant_spark.operators.asof import asof_join
+
+    b = bars(spark, sf_dir).select("symbol", "t", "close")
+    marks = b.where(F.col("t") % 11 == 0).select(
+        "symbol", "t", F.col("close").alias("mark")
+    )
+    out = asof_join(b, marks, on="t", by="symbol", direction="forward", tolerance=5)
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("close")).alias("close"),
+        r6(F.col("r_mark")).alias("r_mark"),
+        F.col("r_t").cast("int").alias("r_t"),
+    )
+
+
+QUERIES["asof_tolerance_nearest"] = _asof_fwd_tol_query
+ORACLES["asof_tolerance_nearest"] = (
+    BARS_CTE
+    + """
+, marks AS (
+  SELECT symbol, t, close AS mark FROM bars WHERE t % 11 = 0
+)
+SELECT b.symbol, b.t, ROUND(b.close, 6) AS close,
+       CASE WHEN m.t - b.t <= 5 THEN ROUND(m.mark, 6) END AS r_mark,
+       CASE WHEN m.t - b.t <= 5 THEN m.t END AS r_t
+FROM bars b ASOF LEFT JOIN marks m
+  ON b.symbol = m.symbol AND b.t <= m.t
+"""
+)
+
+
 # ---------------------------------------------------------------------------
 # Range join — point-in-interval, via the binned equi-join plan
 # (operators/asof.py:binned_range_join): intervals explode into the coarse
@@ -1054,6 +1092,53 @@ ORACLES["range_bars_windows"] = (
 SELECT b.symbol, b.t, w.lo AS win_lo, ROUND(b.close, 6) AS close
 FROM bars b JOIN wins w
   ON b.symbol = w.symbol AND b.t >= w.lo AND b.t < w.hi
+"""
+)
+
+
+def _range_point_events_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-interval via the BROADCAST-NL range_join (the small-interval-
+    set fast path; range_bars_windows covers the binned equi-join for when
+    both sides are big), aggregated per window: bar count and exact
+    micro-unit close sum inside each [lo, lo+30) interval."""
+    from polars_quant_spark.operators.asof import range_join
+    from polars_quant_spark.queries import micros, units
+
+    b = bars(spark, sf_dir).select("symbol", "t", "close")
+    # a fresh scan for the interval side: deriving both join inputs from one
+    # frame trips Spark's ambiguous-self-join detection in the NL condition
+    wins = (
+        bars(spark, sf_dir)
+        .where(F.col("t") % 41 == 0)
+        .select("symbol", F.col("t").alias("lo"), (F.col("t") + 30).alias("hi"))
+    )
+    joined = range_join(b, wins, "t", "lo", "hi", by="symbol").select(
+        b["symbol"].alias("symbol"), "lo", "close"
+    )
+    return (
+        joined.groupBy("symbol", "lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_bars"),
+            r6(units(F.sum(micros(F.col("close"))))).alias("close_sum"),
+        )
+        .orderBy("symbol", "lo")
+    )
+
+
+QUERIES["range_point_events"] = _range_point_events_query
+ORACLES["range_point_events"] = (
+    BARS_CTE
+    + """
+, wins AS (
+  SELECT symbol, t AS lo, t + 30 AS hi FROM bars WHERE t % 41 = 0
+)
+SELECT b.symbol, w.lo, COUNT(*) AS n_bars,
+       ROUND(CAST(SUM(CAST(FLOOR(b.close * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / 1000000.0, 6) AS close_sum
+FROM bars b JOIN wins w
+  ON b.symbol = w.symbol AND b.t >= w.lo AND b.t < w.hi
+GROUP BY b.symbol, w.lo
+ORDER BY b.symbol, w.lo
 """
 )
 

@@ -13,6 +13,7 @@ from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_ba
 from polars_quant_spark.functions._util import round6 as r6
 from polars_quant_spark.functions._util import widen
 from polars_quant_spark.operators import dedup, similarity, text
+from polars_quant_spark.oracle import floor_rounds as _fr_seq
 from polars_quant_spark.oracle import recursive_with
 from polars_quant_spark.queries import ORACLES, QUERIES, merge_micros, micros, q, units
 from polars_quant_spark.sources.bars import BARS_CTE, bars, load_table
@@ -774,6 +775,105 @@ FROM mg_curve
 )
 
 
+# ---------------------------------------------------------------------------
+# sequential (event-driven) backtester — driver row for §2.6's event loop.
+# A deterministic rule strategy (no user callback logic beyond reading the
+# precomputed signal columns) replays through SequentialBacktester's REAL
+# OrderContext → ExecutionEngine → Portfolio path (backtest/sequential.py,
+# re-deriving reference sequential.rs:48-205 semantics), and the resulting
+# per-bar equity curve is hash-checked against a recursive-CTE twin that
+# replicates the engine's fill arithmetic operation-for-operation:
+#   buy  (staged on every buy signal, qty 10): admitted iff
+#        notional + fee <= cash, fee = max(3e-4·notional, 5.0);
+#        cash -= (notional + fee), pos += 10
+#   sell (staged on every sell signal, qty 10): admitted iff pos >= 10;
+#        cash += (notional - fee), pos -= 10
+# The strategy trades ONE asset (MIN(symbol)) so the portfolio state is a
+# scalar recursion over that symbol's bars; equity at every other bar is the
+# latest target-bar state as-of (t, symbol) lexicographic order — exactly
+# what the engine's last_prices/mark-to-market produces in its
+# orderBy(t, symbol) loop.
+# ---------------------------------------------------------------------------
+
+
+def _seq_transition(src: str) -> str:
+    """One bar of the sequential engine over `src`, which must expose
+    (rn, t, close, buy, sell, c0, p0). Arithmetic order matches
+    Portfolio.apply_fill exactly: cash -= (notional + fee) as ONE
+    subtraction of the sum, cash += (notional - fee) likewise."""
+    return """
+  SELECT rn, t, close,
+         CASE WHEN buy AND nt + fee <= c0 THEN c0 - (nt + fee)
+              WHEN sell AND p0 >= 10.0 THEN c0 + (nt - fee)
+              ELSE c0 END AS cash,
+         CASE WHEN buy AND nt + fee <= c0 THEN p0 + 10.0
+              WHEN sell AND p0 >= 10.0 THEN p0 - 10.0
+              ELSE p0 END AS pos
+  FROM (
+    SELECT *, GREATEST(0.0003 * nt, 5.0) AS fee
+    FROM (SELECT *, 10.0 * close AS nt FROM {src} z0) z1
+  ) z2""".format(src=src)
+
+
+_SEQ_CTES = (
+    _SIG_CTE
+    + f"""
+tgt AS (SELECT MIN(symbol) AS s FROM bars),
+tsig AS MATERIALIZED (
+  SELECT g.rn, g.t, g.close, g.buy, g.sell
+  FROM sig g JOIN tgt ON g.symbol = tgt.s
+),
+seq_fold AS (
+{_seq_transition("(SELECT rn, t, close, buy, sell, 100000.0 AS c0, 0.0 AS p0 FROM tsig WHERE rn = 1)")}
+  UNION ALL
+{_seq_transition("(SELECT s.rn, s.t, s.close, s.buy, s.sell, f.cash AS c0, f.pos AS p0 FROM seq_fold f JOIN tsig s ON s.rn = f.rn + 1)")}
+),
+seq_state AS MATERIALIZED (SELECT rn, t, close, cash, pos FROM seq_fold),
+seq_mark AS MATERIALIZED (
+  SELECT b.symbol, b.t, MAX(f.rn) AS mrn
+  FROM sig b CROSS JOIN tgt
+  LEFT JOIN seq_state f
+    ON f.t < b.t OR (f.t = b.t AND tgt.s <= b.symbol)
+  GROUP BY b.symbol, b.t
+)"""
+)
+
+
+def _bt_sequential_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.backtest.sequential import SequentialBacktester
+
+    sig = _bt_signals(spark, sf_dir).select("symbol", "t", "close", "buy", "sell")
+    tgt = sig.agg(F.min("symbol")).first()[0]
+
+    def strat(ctx, bar):
+        if bar["symbol"] == tgt:
+            if bar["buy"]:
+                ctx.buy(tgt, 10.0, bar["close"])
+            elif bar["sell"]:
+                ctx.sell(tgt, 10.0, bar["close"])
+
+    bt = SequentialBacktester(sig, initial_capital=100_000.0, date_col="t")
+    _positions, equity, _metrics = bt.run(strat)
+    return equity.select(
+        F.col("date").cast("int").alias("t"),
+        r6(F.col("cash")).alias("cash"),
+        r6(F.col("equity")).alias("equity"),
+    )
+
+
+QUERIES["bt_sequential_curve"] = _bt_sequential_query
+ORACLES["bt_sequential_curve"] = _fr_seq(
+    recursive_with(_SEQ_CTES)
+    + """
+SELECT m.t,
+       ROUND(COALESCE(st.cash, 100000.0), 6) AS cash,
+       ROUND(COALESCE(st.cash + st.pos * st.close, 100000.0), 6) AS equity
+FROM seq_mark m LEFT JOIN seq_state st ON st.rn = m.mrn
+ORDER BY m.t, m.symbol
+"""
+)
+
+
 QUERIES["bt_metrics"] = _bt_metrics_query
 ORACLES["bt_metrics"] = (
     recursive_with(_BT_SIG)
@@ -982,6 +1082,55 @@ def clean_winsor_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         r6(F.col("winsorized")).alias("winsorized"),
         r6(F.col("zscore")).alias("zscore"),
+    )
+
+
+_MAD_SCALE = repr(3.0 * 1.4826)  # the exact double clean.winsorize computes
+
+
+@q(
+    "clean_mad_neutralize",
+    f"""
+WITH med AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+         QUANTILE_CONT(l_extendedprice, 0.5) OVER (PARTITION BY l_returnflag) AS medv
+  FROM lineitem
+),
+ad AS (
+  SELECT *, ABS(l_extendedprice - medv) AS adv FROM med
+),
+madt AS (
+  SELECT *, QUANTILE_CONT(adv, 0.5) OVER (PARTITION BY l_returnflag) AS madv FROM ad
+),
+w AS (
+  SELECT l_orderkey, l_linenumber, l_returnflag,
+         GREATEST(LEAST(l_extendedprice, medv + {_MAD_SCALE} * madv),
+                  medv - {_MAD_SCALE} * madv) AS wz
+  FROM madt
+)
+SELECT l_orderkey, l_linenumber,
+       ROUND(wz, 6) AS winsor_mad,
+       ROUND(wz - AVG(wz) OVER (PARTITION BY l_returnflag), 6) AS neutral
+FROM w
+""",
+)
+def clean_mad_neutralize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The other half of the `clean` kit (clean_winsor_zscore covers
+    percentile winsorize + z-score): robust MAD clamping (median ±
+    3·1.4826·MAD, two exact-percentile passes) followed by group-mean
+    neutralization (industry demean). Both stats attach via broadcast joins
+    of tiny per-group frames — no window over the fact table."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = cl.winsorize(
+        li, "l_extendedprice", "mad", n_sigma=3.0,
+        group_by=["l_returnflag"], out="winsor_mad",
+    )
+    out = cl.neutralize(out, "winsor_mad", industry_col="l_returnflag", out="neutral")
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        r6(F.col("winsor_mad")).alias("winsor_mad"),
+        r6(F.col("neutral")).alias("neutral"),
     )
 
 

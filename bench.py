@@ -70,7 +70,12 @@ def _relayout_cache(spark, sf_dir: str, splits: int = 16, min_rows: int = 50_000
     for t in _TABLES:
         src = os.path.join(sf_dir, t + ".parquet")
         dst = os.path.join(base, t + ".parquet")
-        df = spark.read.parquet(src)
+        # load_table, not a raw read: it sets the UTC/nanosAsLong confs
+        # BEFORE the scan, so a TIMESTAMP(NANOS) events file relays
+        # correctly regardless of which query ran first (r3 ADVICE — a raw
+        # read of NANOS parquet throws unless an earlier load_table on this
+        # session happened to have set the legacy flag already).
+        df = load_table(spark, sf_dir, t)
         if df.count() >= min_rows:
             df.repartition(splits).write.mode("overwrite").parquet(dst)
         else:
@@ -165,7 +170,7 @@ def bench_dedup(spark, sf_dir):
 def bench_ann(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
-    return similarity.cosine_topk_arrow(emb, queries, k=10)
+    return similarity.cosine_topk_auto(emb, queries, k=10)
 
 
 def bench_text(spark, sf_dir):

@@ -21,16 +21,29 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_quant_spark.backtest.vectorized import BacktestParams, vectorized_backtest
-from polars_quant_spark.functions import overlap as ov
 
 
 def _cross_signals(df: DataFrame, fast: int, slow: int) -> DataFrame:
+    """MA-crossover flags in INTEGER micro-units: _f/_s are windowed SUMs of
+    quantized closes (NULL through warm-up, like SMA), and the mean
+    comparison _f/fast vs _s/slow is cross-multiplied to _f·slow vs
+    _s·fast — exact in any accumulation order, so the discrete buy/sell
+    flags can't flip on a last-ulp AVG difference between Spark's bounded
+    -frame recompute and the oracle's segment tree (the mkt_breadth r3
+    class; same rewrite as the r4 signal-family fix)."""
     w = Window.partitionBy("symbol").orderBy("t")
-    b = df.withColumn("_f", ov.sma("close", fast, w)).withColumn(
-        "_s", ov.sma("close", slow, w)
+    qclose = F.floor(F.col("close") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    wf = w.rowsBetween(-(fast - 1), 0)
+    ws = w.rowsBetween(-(slow - 1), 0)
+    b = df.withColumn(
+        "_f", F.when(F.count("close").over(wf) == fast, F.sum(qclose).over(wf))
+    ).withColumn(
+        "_s", F.when(F.count("close").over(ws) == slow, F.sum(qclose).over(ws))
     )
-    up = (F.col("_f") > F.col("_s")) & (F.lag("_f").over(w) <= F.lag("_s").over(w))
-    dn = (F.col("_f") < F.col("_s")) & (F.lag("_f").over(w) >= F.lag("_s").over(w))
+    f_x, s_x = F.col("_f") * slow, F.col("_s") * fast
+    fl_x, sl_x = F.lag("_f").over(w) * slow, F.lag("_s").over(w) * fast
+    up = (f_x > s_x) & (fl_x <= sl_x)
+    dn = (f_x < s_x) & (fl_x >= sl_x)
     return b.withColumn("buy", F.coalesce(up, F.lit(False))).withColumn(
         "sell", F.coalesce(dn, F.lit(False))
     )

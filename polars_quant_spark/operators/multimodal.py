@@ -14,11 +14,17 @@ Decode status, per format:
   compressed format decoded end-to-end without image libraries.
 * **WAV (PCM) audio — REAL decoder** (`decode_wav`): stdlib ``wave`` +
   numpy; duration/RMS/peak/zero-crossing features.
-* JPEG/MP3/MP4 — STUB (`_decode_stub`): those codecs need
-  PIL/libsndfile/pyav, none bundled in this container; a deterministic
-  md5-derived feature vector stands in so the pipeline stays testable and
-  oracle-checkable. The dispatch (`_decode`) sniffs magic bytes, so
-  dropping real codecs in later changes nothing upstream.
+* **JPEG images — REAL baseline codec** (`decode_jpeg` / `_jpeg_encode` /
+  `_jpeg_pixels`): pure-numpy ITU-T T.81 sequential DCT — Annex K Huffman
+  tables, zigzag + DC-DPCM + run/size entropy coding with byte stuffing on
+  the encode side; marker/DQT/DHT parse, Huffman decode, dequantize, 8×8
+  IDCT and YCbCr→RGB on the decode side (1×1 sampling; progressive /
+  subsampled streams raise).
+* MP3/MP4 — STUB (`_decode_stub`): those codecs need libsndfile/pyav,
+  neither bundled in this container; a deterministic md5-derived feature
+  vector stands in so the pipeline stays testable and oracle-checkable.
+  The dispatch (`_decode`) sniffs magic bytes, so dropping real codecs in
+  later changes nothing upstream.
 """
 
 from __future__ import annotations
@@ -363,11 +369,392 @@ def decode_wav(payload: bytes) -> list[float]:
     ]
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 sequential DCT) — pure numpy + stdlib, no image
+# libraries. Encoder: grayscale, 1×1 sampling, one DQT/DHT pair (the public
+# Annex K luminance tables), standard zigzag + DC-DPCM + run/size Huffman
+# entropy coding with 0xFF byte stuffing. Decoder: any baseline stream with
+# 1×1 sampling, 1 or 3 components (YCbCr→RGB on 3), Huffman tables read
+# from the file's own DHT segments. Progressive/subsampled/restart-interval
+# streams raise rather than mis-decode.
+# ---------------------------------------------------------------------------
+
+_JPEG_SOI = b"\xff\xd8"
+
+# Annex K Table K.1 (luminance quantization), zigzag order applied at write.
+_JPEG_QTBL_STD = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int32,
+)
+
+# Annex K Tables K.3/K.5: (BITS counts per code length 1..16, HUFFVAL).
+_JPEG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPEG_DC_VALS = list(range(12))
+_JPEG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPEG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _jpeg_zigzag() -> np.ndarray:
+    """The 8×8 zigzag scan order, derived (diagonal walk) instead of typed."""
+    order = sorted(
+        ((x, y) for y in range(8) for x in range(8)),
+        key=lambda p: (p[0] + p[1], p[1] if (p[0] + p[1]) % 2 else p[0]),
+    )
+    idx = np.empty(64, dtype=np.int64)
+    for k, (x, y) in enumerate(order):
+        idx[k] = y * 8 + x
+    return idx
+
+
+_ZIGZAG = _jpeg_zigzag()
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman code assignment per T.81 Annex C:
+    value → (code, length)."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _dct_mat() -> np.ndarray:
+    n = np.arange(8)
+    c = np.cos((2 * n[None, :] + 1) * n[:, None] * np.pi / 16)
+    c *= np.sqrt(2.0 / 8.0)
+    c[0] = np.sqrt(1.0 / 8.0)
+    return c
+
+
+_DCT = _dct_mat()
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            self.nbits -= 8
+            byte = (self.acc >> self.nbits) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # pad with 1-bits per the spec
+        return bytes(self.buf)
+
+
+def _jpeg_category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _jpeg_encode(px: "np.ndarray", qtable: "np.ndarray | None" = None) -> bytes:
+    """Baseline grayscale JPEG encoder. ``qtable=None`` writes a FLAT
+    all-ones quantization table: with 8×8-block-constant inputs the DCT is
+    DC-only and integer, so encode→decode is BIT-EXACT — the property the
+    ``media_jpeg_features`` oracle hashes against a closed form. Pass
+    ``_JPEG_QTBL_STD`` for a normal lossy encode (tolerance-tested)."""
+    if px.ndim != 2 or px.dtype != np.uint8:
+        raise ValueError("grayscale uint8 (h, w) expected")
+    q = np.ones((8, 8), dtype=np.int32) if qtable is None else qtable.astype(np.int32)
+    h, w = px.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    img = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64)
+
+    dc_codes = _huff_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _huff_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    bw = _BitWriter()
+    prev_dc = 0
+    for by in range(0, ph, 8):
+        for bx in range(0, pw, 8):
+            blk = img[by : by + 8, bx : bx + 8] - 128.0
+            coef = _DCT @ blk @ _DCT.T
+            qz = np.round(coef / q).astype(np.int64)
+            zz = qz.reshape(-1)[_ZIGZAG]
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            cat = _jpeg_category(diff)
+            bw.put(*dc_codes[cat])
+            if cat:
+                bw.put(diff if diff > 0 else diff + (1 << cat) - 1, cat)
+            run = 0
+            last_nz = int(np.flatnonzero(zz[1:]).max()) + 1 if np.any(zz[1:]) else 0
+            for k in range(1, last_nz + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run >= 16:
+                    bw.put(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                cat = _jpeg_category(v)
+                bw.put(*ac_codes[(run << 4) | cat])
+                bw.put(v if v > 0 else v + (1 << cat) - 1, cat)
+                run = 0
+            if last_nz < 63:
+                bw.put(*ac_codes[0x00])  # EOB
+    scan = bw.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    dqt = seg(0xDB, b"\x00" + bytes(int(x) for x in q.reshape(-1)[_ZIGZAG]))
+    sof = seg(0xC0, struct.pack(">BHHB", 8, h, w, 1) + struct.pack(">BBB", 1, 0x11, 0))
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+        + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS),
+    )
+    sos = seg(0xDA, struct.pack(">B", 1) + struct.pack(">BB", 1, 0x00) + b"\x00\x3f\x00")
+    return _JPEG_SOI + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.nbits = 0
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG scan data exhausted")
+            self.acc = self.data[self.pos]
+            self.pos += 1
+            self.nbits = 8
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decode(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | br.bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def _jpeg_pixels(payload: bytes) -> "np.ndarray":
+    """Baseline JPEG decoder (pure numpy): marker parse, DHT/DQT from the
+    stream, Huffman + DC-DPCM entropy decode, dequantize, 8×8 IDCT,
+    level shift; YCbCr→RGB for 3-component streams. Only 1×1 sampling, no
+    progressive (SOF2), no restart intervals — raises on anything else."""
+    if not payload.startswith(_JPEG_SOI):
+        raise ValueError("not a JPEG")
+    pos = 2
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    comps: list[tuple[int, int]] = []  # (id, qtable)
+    h = w = 0
+    scan_comps: list[tuple[int, int, int]] = []  # (comp idx, dc table, ac table)
+    scan_start = -1
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("bad JPEG marker stream")
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            break
+        (ln,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + ln]
+        pos += 2 + ln
+        if marker == 0xDB:
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZIGZAG] = np.frombuffer(body[b + 1 : b + 65], np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                b += 65
+        elif marker in (0xC0, 0xC1):
+            _, h, w, nc = struct.unpack(">BHHB", body[:6])
+            for c in range(nc):
+                cid, samp, tq = body[6 + 3 * c : 9 + 3 * c]
+                if samp != 0x11:
+                    raise ValueError("chroma subsampling unsupported")
+                comps.append((cid, tq))
+        elif marker == 0xC2:
+            raise ValueError("progressive JPEG unsupported")
+        elif marker == 0xC4:
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = list(body[b + 1 : b + 17])
+                nv = sum(bits)
+                vals = list(body[b + 17 : b + 17 + nv])
+                inv = {
+                    (length, code): val
+                    for val, (code, length) in _huff_codes(bits, vals).items()
+                }
+                huff[(tc, th)] = inv
+                b += 17 + nv
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:
+            ns = body[0]
+            for c in range(ns):
+                cid, tabs = body[1 + 2 * c], body[2 + 2 * c]
+                idx = next(i for i, (x, _) in enumerate(comps) if x == cid)
+                scan_comps.append((idx, tabs >> 4, tabs & 0x0F))
+            scan_start = pos
+            break
+    if scan_start < 0 or not comps:
+        raise ValueError("JPEG missing SOF/SOS")
+    # unstuff the entropy-coded segment (0xFF00 → 0xFF), stop at a marker
+    raw = bytearray()
+    p = scan_start
+    while p < len(payload):
+        b = payload[p]
+        if b == 0xFF:
+            nxt = payload[p + 1] if p + 1 < len(payload) else 0xD9
+            if nxt == 0x00:
+                raw.append(0xFF)
+                p += 2
+                continue
+            break
+        raw.append(b)
+        p += 1
+    br = _BitReader(bytes(raw))
+    bw_, bh_ = (w + 7) // 8, (h + 7) // 8
+    planes = [np.zeros((bh_ * 8, bw_ * 8), dtype=np.float64) for _ in comps]
+    prev_dc = [0] * len(comps)
+    for my in range(bh_):
+        for mx in range(bw_):
+            for ci, dct_id, act_id in scan_comps:
+                dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
+                zz = np.zeros(64, dtype=np.int64)
+                cat = _huff_decode(br, dc_tab)
+                diff = _extend(br.bits(cat), cat) if cat else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = _huff_decode(br, ac_tab)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    k += sym >> 4
+                    cat = sym & 0x0F
+                    if k > 63:
+                        raise ValueError("JPEG AC index overflow")
+                    zz[k] = _extend(br.bits(cat), cat)
+                    k += 1
+                coef = np.zeros(64, dtype=np.float64)
+                coef[_ZIGZAG] = zz * qt[comps[ci][1]].reshape(-1)[_ZIGZAG]
+                blk = _DCT.T @ coef.reshape(8, 8) @ _DCT + 128.0
+                planes[ci][my * 8 : my * 8 + 8, mx * 8 : mx * 8 + 8] = blk
+    planes = [pl[:h, :w] for pl in planes]
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:, :, None]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(np.round(np.stack([r, g, b], axis=-1)), 0, 255).astype(np.uint8)
+
+
+def decode_jpeg(payload: bytes) -> list[float]:
+    """JPEG featurizer with the same 8-dim layout as ``decode_ppm`` /
+    ``decode_png``: [w, h, mean_r, mean_g, mean_b, std, min, max] over
+    [0, 1]-normalized pixels; grayscale replicates its channel."""
+    px = _jpeg_pixels(payload).astype(np.float64) / 255.0
+    h, w, ch = px.shape
+    rgb = np.repeat(px, 3, axis=2) if ch == 1 else px[:, :, :3]
+    return [
+        float(w),
+        float(h),
+        float(rgb[:, :, 0].mean()),
+        float(rgb[:, :, 1].mean()),
+        float(rgb[:, :, 2].mean()),
+        float(rgb.std()),
+        float(rgb.min()),
+        float(rgb.max()),
+    ]
+
+
+def _make_jpeg_blocks(i: int) -> "np.ndarray":
+    """Closed-form 8×8-block-constant grayscale image: block (bx, by) of
+    image i has every pixel equal to (17·bx + 29·by + 13·i) % 251 — the
+    form a SQL twin reproduces exactly (see media_jpeg_features)."""
+    wb, hb = 8 + 2 * (i % 4), 8 + 2 * (i % 3)
+    by, bx = np.mgrid[0:hb, 0:wb]
+    blocks = ((17 * bx + 29 * by + 13 * i) % 251).astype(np.uint8)
+    return np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+
+
+def synthetic_media_jpeg(spark, n: int = 32) -> DataFrame:
+    """Deterministic JPEG corpus: block-constant grayscale images encoded
+    through the REAL baseline encoder with a FLAT quant table, so the
+    Huffman + DCT round trip is bit-exact and the integer pixel sums have
+    a closed form the oracle can compute."""
+    rows = []
+    for i in range(n):
+        img = _make_jpeg_blocks(i)
+        h, w = img.shape
+        payload = _jpeg_encode(img)
+        rows.append((i, "image", "image/jpeg", bytearray(payload), w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """STUB for compressed formats (JPEG/PNG/MP3/MP4 — codecs not bundled
-    in this container; a production deployment drops PIL/libsndfile/pyav
-    into `_decode`'s dispatch). Deterministic md5-derived 8-dim feature
-    keeps the pipeline testable end-to-end."""
+    """STUB for the remaining compressed formats (MP3/MP4 — codecs not
+    bundled in this container; a production deployment drops
+    libsndfile/pyav into `_decode`'s dispatch). Deterministic md5-derived
+    8-dim feature keeps the pipeline testable end-to-end."""
     if not payload:
         raise NotImplementedError("empty payload; real decoder not bundled")
     h = hashlib.md5(payload).digest()
@@ -375,12 +762,14 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 
 def _decode(payload: bytes, kind: str) -> list[float]:
-    """Magic-byte dispatch: real decoders for PPM, PNG and WAV, the
-    documented stub otherwise."""
+    """Magic-byte dispatch: real decoders for PPM, PNG, JPEG and WAV, the
+    documented stub otherwise (MP3/MP4)."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_SIG):
         return decode_png(payload)
+    if payload.startswith(_JPEG_SOI):
+        return decode_jpeg(payload)
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return decode_wav(payload)
     return _decode_stub(payload, kind)

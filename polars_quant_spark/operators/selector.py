@@ -31,7 +31,14 @@ def _q6(x: Column) -> Column:
 
 
 def _ratio(mult: float) -> tuple[int, int]:
-    fr = Fraction(mult).limit_denominator(1000000)
+    """Rational approximation of a screen multiplier for the integer
+    cross-multiplied MA comparison. The denominator is capped at 1000
+    (ample for screen multipliers like 1.5 or 0.95, exact to 1e-3) so the
+    int64 products stay far from overflow: den·p·q(x) ≤ 1e3·200·1e12 ≈
+    2e17 < 2^63 even for micro-quantized volumes — an uncapped 1e6
+    denominator could silently wrap under Spark's non-ANSI long multiply
+    (r4 ADVICE)."""
+    fr = Fraction(mult).limit_denominator(1000)
     return fr.numerator, fr.denominator
 
 

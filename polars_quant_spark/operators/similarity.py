@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import math
 import os
+import urllib.parse
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -243,7 +244,9 @@ def cosine_topk_auto(
     the input size can't be estimated (non-file sources)."""
     try:
         total = sum(
-            os.path.getsize(f[7:] if f.startswith("file:") else f)
+            os.path.getsize(
+                urllib.parse.urlparse(f).path if f.startswith("file:") else f
+            )
             for f in corpus.inputFiles()
         )
     except Exception:

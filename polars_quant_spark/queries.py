@@ -62,68 +62,73 @@ ORACLES: dict[str, str] = {}
 # window, so a future append can't silently push a family back out.
 # ---------------------------------------------------------------------------
 
+# ROUND-5 ROTATION (VERDICT r4 #2): rounds 3-4 froze the window on the same
+# 50 queries, so driver-verified coverage stalled at 89 distinct names while
+# the registry grew to 382. This window keeps only (a) the red `mkt_breadth`
+# plus its two new split diagnostic twins — it must stay until driver-green —
+# and (b) the four queries whose family has no never-driver-verified member
+# (price_/interval_/ols_/text_ are single-query families); every other slot
+# goes to a query the driver has NEVER hash-verified (diffed against
+# CORRECTNESS_r01-r04 key sets), led by the remaining 17 TPC-H shapes so all
+# 22 are driver-verified across rounds, and `bt_sequential_curve` (the §2.6
+# event-loop oracle). Family coverage is still one-per-family —
+# tests/test_registration_order.py enforces it. History: r03∪r04 = 50 names,
+# r01∪…∪r04 = 89; this rotation pushes the union past 130.
 PRIORITY_50: list[str] = [
-    # scan/sink + relational core (agg, join/top-k, star, semi, anti, rollup)
-    "bars_view",
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
-    "rel_q5_region_revenue",
-    "rel_q4_priority_semi",
-    "rel_q22_inactive_anti",
-    "rel_rollup_revenue",
-    "agg_events_daily",
-    # scalar/window function families
-    "price_transforms",
-    "vol_ad_obv",
-    "ind_sma_20",
-    "ind_rsi_14",
-    "ind_macd",
-    "ind_ht_family",
-    "cdl_all_patterns",
-    # temporal joins
-    "asof_bars_marks",
-    "range_bars_windows",
-    "interval_overlap_bars",
-    # backtesting (§2.6)
-    "bt_vectorized_curve",
-    "bt_metrics",
-    "bt_margin_curve",
-    "bt_param_sweep",
-    "bt_walk_forward",
-    # document dedup / text pipeline
-    "doc_exact_dedup",
-    "doc_minhash_pairs",
-    "doc_dedup_components",
-    "doc_simhash",
-    "doc_ngram_jaccard",
-    "doc_text_stats",
-    # embeddings / ANN
-    "emb_cosine_topk",
-    "emb_ivf_topk",
-    "emb_ivf_recall",
-    "emb_near_dupes",
-    # factor kit (§2.8)
-    "factor_ic",
-    "factor_rank_ic",
-    "factor_fama_macbeth",
-    # selector / loader (§2.2, §2.1)
-    "sel_screen_topk",
-    "loader_grid_fill",
-    "loader_wide_pivot",
-    # streaming (batch-mode oracles of the streaming ops)
-    "stream_ema_stateful",
-    "stream_tumbling_batch",
-    "stream_cdc_compact",
-    # linear / clean (§2.8)
-    "ols_lineitem",
-    "clean_winsor_zscore",
-    # pipeline extensions: multimodal, sketches, events, market, text, ops
-    "media_features",
-    "sketch_kmv_users",
-    "events_funnel",
+    # mkt_breadth: the two-round-old red row + split diagnostic twins
     "mkt_breadth",
+    "mkt_breadth_ints",
+    "mkt_breadth_ratio",
+    # the remaining 17 TPC-H shapes (q1/q3/q4/q5/q22 are r3/r4-green)
+    "rel_q2_min_cost_supplier",
+    "rel_q6_forecast_revenue",
+    "rel_q7_nation_volume",
+    "rel_q8_market_share",
+    "rel_q9_profit",
+    "rel_q10_returned_items",
+    "rel_q11_important_parts",
+    "rel_q12_priority_counts",
+    "rel_q13_custdist",
+    "rel_q14_promo_share",
+    "rel_q15_top_supplier",
+    "rel_q16_supplier_counts",
+    "rel_q17_small_qty_revenue",
+    "rel_q18_large_orders",
+    "rel_q19_disjunctive_revenue",
+    "rel_q20_excess_shippers",
+    "rel_q21_sole_returner",
+    # single-query families (no unseen member exists — carryover pins)
+    "price_transforms",
+    "interval_overlap_bars",
+    "ols_lineitem",
     "text_token_freq",
-    "ops_partition_planner",
+    # never-driver-verified representatives, one-per-family minimum
+    "bars_vwap",
+    "agg_incremental_merge",
+    "vol_cmf_20",
+    "ind_supertrend",
+    "cdl_efficacy",
+    "asof_tolerance_nearest",
+    "range_point_events",
+    "bt_sequential_curve",
+    "bt_stop_curve",
+    "doc_winnow",
+    "doc_bpe_merges",
+    "doc_span_dedup",
+    "doc_contamination",
+    "emb_quantize",
+    "emb_pq_recall",
+    "factor_quantile_sorts",
+    "factor_event_study",
+    "sel_info",
+    "loader_interpolate",
+    "stream_ohlcv_bars",
+    "stream_session_batch",
+    "clean_mad_neutralize",
+    "media_jpeg_features",
+    "sketch_stratified_docs",
+    "events_cohort_retention",
+    "ops_bucketed_sma",
 ]
 
 

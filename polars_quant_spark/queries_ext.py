@@ -1800,14 +1800,17 @@ def loader_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_anomaly_zscore",
     """
 WITH e AS (
-  SELECT event_type, event_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS value
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS value,
+         CAST(FLOOR(value * 10000.0 + 0.5) AS BIGINT) AS qv
   FROM events
 ),
 z AS (
-  SELECT event_type, event_id, value,
+  SELECT event_type, event_id, value, qv,
          COUNT(*) OVER w AS n,
          AVG(value) OVER w AS mu,
-         STDDEV_POP(value) OVER w AS sd
+         STDDEV_POP(value) OVER w AS sd,
+         SUM(qv) OVER w AS s,
+         SUM(qv * qv) OVER w AS ss
   FROM e
   WINDOW w AS (PARTITION BY event_type ORDER BY ts_us, event_id
                ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
@@ -1815,15 +1818,23 @@ z AS (
 SELECT event_type, event_id, ROUND(value, 6) AS value,
        ROUND((value - mu) / sd, 6) AS z
 FROM z
-WHERE n = 50 AND sd > 0 AND ABS((value - mu) / sd) > 3.0
+WHERE n = 50 AND 50 * ss - s * s > 0
+  AND (50 * qv - s) * (50 * qv - s) > 9 * (50 * ss - s * s)
 """,
 )
 def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling z-score anomaly detection over the event stream (monitoring
     primitive): value vs its trailing-50 mean/σ per event type, flagging
     |z| > 3. One exchange on event_type; mean and population σ come out of
-    the same window pass. The σ>0 guard keeps constant-window divisions
-    out of both engines."""
+    the same window pass.
+
+    The DISCRETE row-selection test runs in integer arithmetic (round-5
+    alias-audit fix): with qv = value quantized to 1e-4 units, s = Σqv and
+    ss = Σqv² over the window, |z| > 3 ⟺ (n·qv − s)² > 9·(n·ss − s²) and
+    σ > 0 ⟺ n·ss − s² > 0 — exact in any accumulation order, so row
+    membership can't flip on a last-ulp STDDEV difference between engines.
+    (value ≤ ~560 in the driver data keeps every term under 1e18; the
+    displayed z stays the float FLOOR-rounded continuous measure.)"""
     from polars_quant_spark.sources.bars import load_table, ts_us_expr
 
     ev = load_table(spark, sf_dir, "events")
@@ -1832,6 +1843,9 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         ts_us_expr(ev).alias("ts_us"),
         F.col("value").cast("double").alias("value"),
+        F.floor(F.col("value") * F.lit(10000.0) + F.lit(0.5))
+        .cast("long")
+        .alias("qv"),
     )
     w = (
         Window.partitionBy("event_type")
@@ -1841,20 +1855,24 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.count(F.lit(1)).over(w)
     mu = F.avg("value").over(w)
     sd = F.stddev_pop("value").over(w)
-    z = (F.col("value") - mu) / sd
+    s = F.sum("qv").over(w)
+    ss = F.sum(F.col("qv") * F.col("qv")).over(w)
+    e2 = e.select(
+        "event_type",
+        "event_id",
+        "value",
+        "qv",
+        n.alias("_n"),
+        mu.alias("_mu"),
+        sd.alias("_sd"),
+        s.alias("_s"),
+        ss.alias("_ss"),
+    )
+    var_num = F.lit(50) * F.col("_ss") - F.col("_s") * F.col("_s")
+    dev = F.lit(50) * F.col("qv") - F.col("_s")
     return (
-        e.select(
-            "event_type",
-            "event_id",
-            "value",
-            n.alias("_n"),
-            mu.alias("_mu"),
-            sd.alias("_sd"),
-        )
-        .where(
-            (F.col("_n") == 50)
-            & (F.col("_sd") > 0)
-            & (F.abs((F.col("value") - F.col("_mu")) / F.col("_sd")) > 3.0)
+        e2.where(
+            (F.col("_n") == 50) & (var_num > 0) & (dev * dev > F.lit(9) * var_num)
         )
         .select(
             "event_type",
@@ -3856,10 +3874,7 @@ def ind_fractals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "mkt_breadth",
-    BARS_CTE
-    + """,
+_BREADTH_PER_CTE = """,
 per AS (
   SELECT symbol, t,
          CASE WHEN close > LAG(close) OVER o THEN 1
@@ -3872,30 +3887,23 @@ per AS (
   WINDOW o AS (PARTITION BY symbol ORDER BY t),
          w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 49 PRECEDING AND CURRENT ROW)
 )
-SELECT t,
-       SUM(CASE WHEN chg = 1 THEN 1 ELSE 0 END) AS advancing,
-       SUM(CASE WHEN chg = -1 THEN 1 ELSE 0 END) AS declining,
-       SUM(chg) AS net_advances,
-       ROUND(CASE WHEN COUNT(above50) > 0
-             THEN CAST(SUM(above50) AS DOUBLE) / COUNT(above50) END, 6) AS pct_above_sma50
-FROM per
-GROUP BY t
-ORDER BY t
-""",
-)
-def mkt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Market-breadth series: per bar timestamp, the advance/decline counts
-    across the whole universe and the share of symbols trading above their
-    own 50-bar SMA. One per-symbol window pass (partitioned by symbol),
-    then a cross-sectional groupBy(t) — the one unavoidable reshuffle,
-    since breadth pivots the partitioning axis from symbol to time.
+"""
 
-    The above-SMA test is integer-exact on BOTH engines: close quantizes
-    to micro-units and the comparison is qclose·50 > Σ(qclose) over the
-    window. A raw `close > AVG(close)` is associativity-sensitive (Spark's
+
+def _breadth_per(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared per-(symbol, t) breadth inputs: the advance/decline sign of the
+    close-to-close change and the integer above-50-bar-SMA flag. One
+    symbol-partitioned window pass; every downstream breadth query is a
+    cross-sectional groupBy(t) over this frame — the one unavoidable
+    reshuffle, since breadth pivots the partitioning axis from symbol to
+    time.
+
+    The above-SMA test is integer-exact on BOTH engines: close quantizes to
+    micro-units and the comparison is qclose·50 > Σ(qclose) over the window.
+    A raw `close > AVG(close)` is associativity-sensitive (Spark's
     bounded-frame recompute vs DuckDB's segment-tree can differ in the last
     ulp), so a bar sitting exactly on its SMA could flip sides between
-    engines — the r3 driver hash fail. Integer sums can't drift."""
+    engines. Integer sums can't drift."""
     b = bars(spark, sf_dir)
     o = _w()
     w = _w().rowsBetween(-49, 0)
@@ -3909,13 +3917,103 @@ def mkt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("close").over(w) == 50,
         F.when(qclose * F.lit(50) > F.sum(qclose).over(w), 1).otherwise(0),
     )
-    per = b.select("symbol", "t", chg.alias("chg"), above50.alias("above50"))
+    return b.select("symbol", "t", chg.alias("chg"), above50.alias("above50"))
+
+
+@q(
+    "mkt_breadth",
+    BARS_CTE
+    + _BREADTH_PER_CTE
+    + """
+SELECT t,
+       SUM(CASE WHEN chg = 1 THEN 1 ELSE 0 END) AS advancing,
+       SUM(CASE WHEN chg = -1 THEN 1 ELSE 0 END) AS declining,
+       SUM(chg) AS net_advances,
+       CAST(SUM(above50) AS BIGINT) AS above_sma50_cnt,
+       CAST(COUNT(above50) AS BIGINT) AS breadth_cnt
+FROM per
+GROUP BY t
+ORDER BY t
+""",
+)
+def mkt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-breadth series: per bar timestamp, the advance/decline counts
+    across the whole universe plus the above-own-50-bar-SMA numerator and
+    denominator. The hashed surface is ENTIRELY integer (BIGINT counts):
+    the r3/r4 driver hash fails on this query survived an integer-exact
+    above-SMA rewrite, so per VERDICT r4 the rounded double ratio itself is
+    evicted from the hash; `mkt_breadth_ratio` keeps the convenience ratio
+    as a separate driver-window twin that localizes any residual float
+    divergence."""
+    per = _breadth_per(spark, sf_dir)
     return (
         per.groupBy("t")
         .agg(
             F.sum(F.when(F.col("chg") == 1, 1).otherwise(0)).alias("advancing"),
             F.sum(F.when(F.col("chg") == -1, 1).otherwise(0)).alias("declining"),
             F.sum("chg").alias("net_advances"),
+            F.sum("above50").cast("long").alias("above_sma50_cnt"),
+            F.count("above50").cast("long").alias("breadth_cnt"),
+        )
+        .orderBy("t")
+    )
+
+
+@q(
+    "mkt_breadth_ints",
+    BARS_CTE
+    + _BREADTH_PER_CTE
+    + """
+SELECT t,
+       SUM(CASE WHEN chg = 1 THEN 1 ELSE 0 END) AS advancing,
+       SUM(CASE WHEN chg = -1 THEN 1 ELSE 0 END) AS declining,
+       SUM(chg) AS net_advances
+FROM per
+GROUP BY t
+ORDER BY t
+""",
+)
+def mkt_breadth_ints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin (VERDICT r4 #1b): the advance/decline integer columns
+    of `mkt_breadth` ONLY. Paired with `mkt_breadth_ratio` in the driver
+    window so a CORRECTNESS hash fail localizes to either the integer
+    aggregation or the float ratio — not the union of both."""
+    per = _breadth_per(spark, sf_dir)
+    return (
+        per.groupBy("t")
+        .agg(
+            F.sum(F.when(F.col("chg") == 1, 1).otherwise(0)).alias("advancing"),
+            F.sum(F.when(F.col("chg") == -1, 1).otherwise(0)).alias("declining"),
+            F.sum("chg").alias("net_advances"),
+        )
+        .orderBy("t")
+    )
+
+
+@q(
+    "mkt_breadth_ratio",
+    BARS_CTE
+    + _BREADTH_PER_CTE
+    + """
+SELECT t,
+       ROUND(CASE WHEN COUNT(above50) > 0
+             THEN CAST(SUM(above50) AS DOUBLE) / COUNT(above50) END, 6) AS pct_above_sma50
+FROM per
+GROUP BY t
+ORDER BY t
+""",
+)
+def mkt_breadth_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diagnostic twin (VERDICT r4 #1b): ONLY the rounded pct-above-SMA50
+    ratio — the single float column evicted from `mkt_breadth`'s hashed
+    surface. Numerator and denominator are small exact integers (≤ universe
+    size), so k/n then ROUND(·, 6) has no association-order freedom; if this
+    twin alone goes red on the driver, the divergence is in double division
+    /ROUND semantics, not in the breadth arithmetic."""
+    per = _breadth_per(spark, sf_dir)
+    return (
+        per.groupBy("t")
+        .agg(
             r6(
                 F.when(
                     F.count("above50") > 0,

@@ -436,18 +436,19 @@ SELECT query_id, vec_id, cos_sim, rank FROM ranked WHERE rank <= 10
 """,
 )
 def emb_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Declared exact-ANN corpus scan — the Arrow-kernel form
-    (cosine_topk_arrow), which replays the Column path's IEEE sequence
-    vectorized per batch; the interpreted-HOF expression form
-    (cosine_topk) is its bit-exact twin and remains the recall oracle's
-    exact side."""
+    """Declared exact-ANN corpus scan, through the size dispatcher
+    (cosine_topk_auto): tiny file-backed corpora run the pure-Column
+    expression form (no Python worker spin-up), larger ones the Arrow
+    batch kernel (cosine_topk_arrow), which replays the Column path's
+    IEEE sequence vectorized per batch — the two forms are bit-identical,
+    so the oracle hash is dispatch-invariant."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = (
         emb.orderBy("vec_id")
         .limit(10)
         .select(F.col("vec_id").alias("query_id"), "embedding")
     )
-    return similarity.cosine_topk_arrow(emb, queries, k=10)
+    return similarity.cosine_topk_auto(emb, queries, k=10)
 
 
 # int8 embedding quantization: the declared query emits per-vector digests
@@ -3334,18 +3335,27 @@ _SWEEP_GRID = [(5, 20), (10, 30), (8, 40), (20, 60)]
 
 
 def _sweep_cte(fast: int, slow: int) -> str:
+    # Crossover test in INTEGER micro-units (round-5 alias-audit fix): the
+    # fast/slow "MAs" sf/ss are windowed SUMs of quantized closes, and
+    # sf/fast > ss/slow is cross-multiplied to sf·slow > ss·fast — exact in
+    # any accumulation order on both engines. Raw AVG(close) aliases were
+    # the same last-ulp tie class the r4 signal-family fix killed.
     tag = f"_{fast}_{slow}"
     return f"""
 sig{tag} AS MATERIALIZED (
   SELECT symbol, t, close,
-         COALESCE(sf > ss AND LAG(sf) OVER o{tag} <= LAG(ss) OVER o{tag}, FALSE) AS buy,
-         COALESCE(sf < ss AND LAG(sf) OVER o{tag} >= LAG(ss) OVER o{tag}, FALSE) AS sell,
+         COALESCE(sf * {slow} > ss * {fast}
+                  AND LAG(sf) OVER o{tag} * {slow} <= LAG(ss) OVER o{tag} * {fast}, FALSE) AS buy,
+         COALESCE(sf * {slow} < ss * {fast}
+                  AND LAG(sf) OVER o{tag} * {slow} >= LAG(ss) OVER o{tag} * {fast}, FALSE) AS sell,
          ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
   FROM (
     SELECT symbol, t, close,
-           CASE WHEN COUNT(close) OVER wf{tag} = {fast} THEN AVG(close) OVER wf{tag} END AS sf,
-           CASE WHEN COUNT(close) OVER ws{tag} = {slow} THEN AVG(close) OVER ws{tag} END AS ss
-    FROM bars
+           CASE WHEN COUNT(close) OVER wf{tag} = {fast} THEN SUM(qclose) OVER wf{tag} END AS sf,
+           CASE WHEN COUNT(close) OVER ws{tag} = {slow} THEN SUM(qclose) OVER ws{tag} END AS ss
+    FROM (SELECT symbol, t, close,
+                 CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) AS qclose
+          FROM bars)
     WINDOW wf{tag} AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN {fast - 1} PRECEDING AND CURRENT ROW),
            ws{tag} AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN {slow - 1} PRECEDING AND CURRENT ROW)
   ) s
@@ -5966,16 +5976,18 @@ def emb_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     BARS_CTE
     + """,
 prp AS (
-  SELECT t, close,
-         CASE WHEN COUNT(close) OVER pw20 = 20 THEN AVG(close) OVER pw20 END AS s20,
+  SELECT t, qclose,
+         CASE WHEN COUNT(qclose) OVER pw20 = 20 THEN SUM(qclose) OVER pw20 END AS s20,
          CAST(FLOOR((close / LAG(close) OVER po - 1.0) * 1000000.0 + 0.5) AS BIGINT) AS qr
-  FROM bars WHERE symbol = 'click'
+  FROM (SELECT t, close,
+               CAST(FLOOR(close * 1000000.0 + 0.5) AS BIGINT) AS qclose
+        FROM bars WHERE symbol = 'click')
   WINDOW pw20 AS (ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
          po AS (ORDER BY t)
 ),
 sretp AS (
   SELECT t,
-         CASE WHEN LAG(CASE WHEN s20 IS NOT NULL AND close > s20 THEN 1 ELSE 0 END)
+         CASE WHEN LAG(CASE WHEN s20 IS NOT NULL AND qclose * 20 > s20 THEN 1 ELSE 0 END)
                    OVER (ORDER BY t) = 1
               THEN qr ELSE 0 END AS sr
   FROM prp WHERE qr IS NOT NULL
@@ -6028,17 +6040,22 @@ def bt_permutation_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = bars(spark, sf_dir).where(F.col("symbol") == "click")
     po = Window.orderBy("t")
     pw20 = Window.orderBy("t").rowsBetween(-19, 0)
+    # trend filter in integer micro-units: qclose·20 > Σ(qclose) over the
+    # 20-bar window — exact in any accumulation order (alias-audit class)
+    qclose = F.floor(F.col("close") * F.lit(1000000.0) + F.lit(0.5)).cast("long")
     pr = b.select(
         "t",
-        "close",
-        F.when(F.count("close").over(pw20) == 20, F.avg("close").over(pw20)).alias(
+        qclose.alias("qclose"),
+        F.when(F.count(qclose).over(pw20) == 20, F.sum(qclose).over(pw20)).alias(
             "s20"
         ),
         F.floor((F.col("close") / F.lag("close").over(po) - 1.0) * 1e6 + F.lit(0.5))
         .cast("long")
         .alias("qr"),
     ).where(F.col("qr").isNotNull())
-    pos = F.when(F.col("s20").isNotNull() & (F.col("close") > F.col("s20")), 1).otherwise(0)
+    pos = F.when(
+        F.col("s20").isNotNull() & (F.col("qclose") * 20 > F.col("s20")), 1
+    ).otherwise(0)
     sret = pr.select(
         "t",
         F.when(F.lag(pos).over(po) == 1, F.col("qr")).otherwise(F.lit(0).cast("long")).alias("sr"),
@@ -12408,6 +12425,72 @@ def media_png_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame(
                 rows,
                 columns=["media_id", "width", "height", "sum_r", "sum_g", "sum_b"],
+            )
+
+    return (
+        media.repartition(8, "media_id")
+        .mapInPandas(verify, out_schema)
+        .orderBy("media_id")
+    )
+
+
+@q(
+    "media_jpeg_features",
+    """
+WITH ji AS (SELECT unnest(range(0, 32)) AS i),
+jdm AS (SELECT i, 8 + 2 * (i % 4) AS wb, 8 + 2 * (i % 3) AS hb FROM ji),
+jbl AS (
+  SELECT d.i, d.wb, d.hb, gx.x AS bx, gy.y AS by
+  FROM jdm d,
+       (SELECT unnest(range(0, 16)) AS x) gx,
+       (SELECT unnest(range(0, 16)) AS y) gy
+  WHERE gx.x < d.wb AND gy.y < d.hb
+)
+SELECT i AS media_id,
+       CAST(MAX(wb) * 8 AS INTEGER) AS width,
+       CAST(MAX(hb) * 8 AS INTEGER) AS height,
+       CAST(SUM(64 * ((17 * bx + 29 * by + 13 * i) % 251)) AS BIGINT) AS sum_gray
+FROM jbl
+GROUP BY i
+ORDER BY media_id
+""",
+)
+def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode verified end-to-end (round-5, closes the
+    r3 #6 gap): block-constant grayscale images are entropy-coded through
+    the pure-numpy T.81 encoder (flat quant table → the DCT path carries
+    only integer DC terms, making the round trip bit-exact), shipped as
+    opaque binary payloads, and decoded back in an Arrow mapInPandas stage
+    (marker parse → Huffman/DPCM decode → dequantize → IDCT). The declared
+    output is the INTEGER pixel sum per image against the closed form of
+    the block generator — one wrong bit anywhere in the Huffman tables,
+    zigzag, byte (un)stuffing or IDCT breaks the hash. (MP3/MP4 remain the
+    documented stub.)"""
+    from polars_quant_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media_jpeg(spark, 32)
+
+    import pandas as pd
+
+    out_schema = "media_id long, width int, height int, sum_gray long"
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                px = mm._jpeg_pixels(bytes(row["payload"])).astype("int64")
+                rows.append(
+                    (
+                        int(row["media_id"]),
+                        int(px.shape[1]),
+                        int(px.shape[0]),
+                        int(px.sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "width", "height", "sum_gray"]
             )
 
     return (

@@ -170,15 +170,36 @@ def write_bucketed_bars(
     them)."""
     import os
     import shutil
+    import urllib.parse
 
     spark = df.sparkSession
+    # Resolve the table's ACTUAL storage location from the catalog before
+    # dropping — rmtree-by-derived-name could hit the wrong directory for
+    # a table whose location was customized (r3 ADVICE). The derived
+    # warehouse path is only used for the true stale-dir case (old files
+    # left by a PREVIOUS metastore that the fresh catalog can't see).
+    loc = None
+    try:
+        if spark.catalog.tableExists(table):
+            for row in spark.sql(f"DESCRIBE FORMATTED {table}").collect():
+                if (row.col_name or "").strip() == "Location":
+                    loc = (row.data_type or "").strip()
+                    break
+    except Exception:
+        loc = None
     spark.sql(f"DROP TABLE IF EXISTS {table}")
     warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     if warehouse.startswith("file:"):
-        warehouse = warehouse[5:]
-    stale = os.path.join(warehouse, table.lower())
-    if os.path.isdir(stale):
-        shutil.rmtree(stale, ignore_errors=True)
+        warehouse = urllib.parse.urlparse(warehouse).path
+    if loc and loc.startswith("file:"):
+        stale = urllib.parse.urlparse(loc).path
+    else:
+        stale = os.path.join(warehouse, table.lower())
+    # safety: never delete outside the warehouse directory
+    wh = os.path.realpath(warehouse)
+    st = os.path.realpath(stale)
+    if os.path.isdir(st) and (st == wh or st.startswith(wh + os.sep)) and st != wh:
+        shutil.rmtree(st, ignore_errors=True)
     (
         df.write.mode("overwrite")
         .bucketBy(buckets, "symbol")

@@ -660,3 +660,54 @@ class TestPngCodec:
         )
         with pytest.raises(ValueError, match="unsupported"):
             multimodal._png_pixels(bad)
+
+
+class TestJpegCodec:
+    def test_block_constant_round_trip_bit_exact(self):
+        # flat quant table + 8×8-block-constant input → DC-only integer DCT
+        # → the encode→Huffman→decode→IDCT loop must reproduce every pixel
+        # (the property media_jpeg_features hashes against its closed form)
+        for i in (0, 3, 7, 11):
+            img = multimodal._make_jpeg_blocks(i)
+            out = multimodal._jpeg_pixels(multimodal._jpeg_encode(img))
+            assert out.shape == (*img.shape, 1)
+            assert (out[:, :, 0] == img).all()
+
+    def test_odd_dimensions_pad_and_crop(self):
+        img = multimodal._make_jpeg_blocks(2)[:50, :70]  # non-multiple of 8
+        out = multimodal._jpeg_pixels(multimodal._jpeg_encode(img))
+        assert out.shape == (50, 70, 1)
+        assert (out[:, :, 0] == img).all()
+
+    def test_lossy_std_table_bounded_error(self):
+        # the standard Annex K table exercises the AC run/size + ZRL path;
+        # baseline JPEG at this quality stays within a small pixel error
+        rng = np.random.default_rng(7)
+        grad = np.add.outer(np.arange(64) * 2, np.arange(96)) % 256
+        img = np.clip(grad + rng.integers(0, 8, (64, 96)), 0, 255).astype(np.uint8)
+        enc = multimodal._jpeg_encode(img, multimodal._JPEG_QTBL_STD)
+        dec = multimodal._jpeg_pixels(enc)[:, :, 0].astype(int)
+        err = np.abs(dec - img.astype(int))
+        assert err.max() <= 32 and err.mean() < 4
+
+    def test_features_and_dispatch(self):
+        img = np.full((16, 16), 255, dtype=np.uint8)
+        payload = multimodal._jpeg_encode(img)
+        f = multimodal.decode_jpeg(payload)
+        assert f[:2] == [16.0, 16.0]
+        assert all(abs(v - 1.0) < 1e-9 for v in f[2:5])  # pure white
+        assert multimodal._decode(payload, "image") == f  # magic dispatch
+
+    def test_rejects_unsupported(self):
+        with pytest.raises(ValueError, match="not a JPEG"):
+            multimodal._jpeg_pixels(b"nope")
+        # progressive (SOF2) rejected rather than mis-decoded
+        import struct as _s
+
+        prog = (
+            multimodal._JPEG_SOI
+            + _s.pack(">BBH", 0xFF, 0xC2, 8)
+            + b"\x08\x00\x08\x00\x08\x01"
+        )
+        with pytest.raises(ValueError, match="progressive"):
+            multimodal._jpeg_pixels(prog)

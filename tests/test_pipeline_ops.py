@@ -783,6 +783,31 @@ def test_cosine_topk_auto_dispatches_and_matches(spark, sf_dir):
     # tiny threshold forces the Arrow path; huge forces the expression path
     lo = similarity.cosine_topk_auto(emb, qs, k=5, arrow_threshold_bytes=1)
     hi = similarity.cosine_topk_auto(emb, qs, k=5, arrow_threshold_bytes=1 << 40)
+    # The branch choice must be visible in the plan, not just the values:
+    # r3/r4's `f[7:]` URI mangling made getsize throw, so the except-arm
+    # routed EVERYTHING to Arrow and a values-only assertion still passed.
+    lo_plan = lo._jdf.queryExecution().analyzed().toString()
+    hi_plan = hi._jdf.queryExecution().analyzed().toString()
+    assert "mapInArrow" in lo_plan or "MapInArrow" in lo_plan
+    assert "mapInArrow" not in hi_plan and "MapInArrow" not in hi_plan
     a = sorted(map(tuple, lo.collect()))
     b = sorted(map(tuple, hi.collect()))
     assert a == b and len(a) == 20  # dispatch moves the work, not the answer
+
+
+def test_cosine_topk_auto_small_corpus_picks_expression_path(spark, sf_dir):
+    """With the DEFAULT threshold, the sf0.001 embeddings file (~190 KB) must
+    route to the pure-Column expression path — i.e. the file-size estimate
+    succeeds on `file:` URIs (regression for the `f[7:]` mangling that made
+    the low-latency branch dead code)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assert emb.inputFiles() and all(
+        f.startswith("file:") for f in emb.inputFiles()
+    )  # precondition: the URI-parsing arm is the one exercised
+    qs = emb.orderBy("vec_id").limit(2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = similarity.cosine_topk_auto(emb, qs, k=3)
+    plan = out._jdf.queryExecution().analyzed().toString()
+    assert "mapInArrow" not in plan and "MapInArrow" not in plan
+    assert out.count() == 6

@@ -180,3 +180,61 @@ def with_chunked_windows(
         *[fn(w).alias(name) for name, fn in builders.items()],
     )
     return out.where(~F.col("_halo")).drop("_halo")
+
+
+# Rows-per-key threshold below which the plain per-key window wins: the halo
+# plan pays one explode + a higher-cardinality shuffle, worth it only once a
+# single key's history is long enough that one task per key is the
+# bottleneck. The skewed-symbol smoke (tools/skew_smoke.py, results in
+# docs/SCALE.md) measured the crossover on local[32] between ~6e4 (even
+# 5-symbol histories: chunked ≈ plain) and ~2.5e5 rows in one key (one
+# symbol holding 50% of an 8× corpus: chunked clearly ahead); 100_000 sits
+# between the two measured regimes. On a 1000-executor cluster the same
+# logic holds per core: chunk when max(rows-per-key) ≫ rows-per-task you
+# can afford serially.
+AUTO_CHUNK_THRESHOLD = 100_000
+
+
+def auto_chunk_windows(
+    df: DataFrame,
+    builders: dict[str, Callable[[WindowSpec], Column]],
+    lookback: int,
+    chunk: int = 8192,
+    by: str | list[str] = "symbol",
+    order: str = "t",
+    threshold: int = AUTO_CHUNK_THRESHOLD,
+    max_rows_per_key: int | None = None,
+) -> DataFrame:
+    """Size-dispatching front door for bounded-lookback window chains:
+    evaluate ``builders`` over the PLAIN per-key window when every key's
+    history is short (the halo explode + block shuffle would be pure
+    overhead) and over halo chunks (``with_chunked_windows``) when any
+    key's history exceeds ``threshold`` rows — the few-keys/long-history
+    regime where one task per key becomes the 100 TB bottleneck.
+
+    ``max_rows_per_key``: pass the known per-key row bound (table stats,
+    a prior count, the loader's grid size) to keep dispatch plan-time-only;
+    when None, one lightweight count-by-key job measures it (aggregates
+    push down to the scan — cheap relative to the window chain being
+    planned, and cacheable by the caller).
+
+    Both paths are bit-identical (the chunked operator's exactness
+    contract), so the dispatch only moves the work, never the answer."""
+    if max_rows_per_key is None:
+        keys = [by] if isinstance(by, str) else list(by)
+        row = (
+            df.groupBy(*keys)
+            .count()
+            .agg(F.max("count").alias("m"))
+            .first()
+        )
+        max_rows_per_key = int(row["m"]) if row and row["m"] is not None else 0
+    if max_rows_per_key <= threshold:
+        keys = [by] if isinstance(by, str) else list(by)
+        w = Window.partitionBy(*keys).orderBy(order)
+        return df.select(
+            "*", *[fn(w).alias(name) for name, fn in builders.items()]
+        )
+    return with_chunked_windows(
+        df, builders, lookback=lookback, chunk=chunk, by=by, order=order
+    )

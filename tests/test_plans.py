@@ -314,6 +314,40 @@ def test_chunked_windows_forces_block_exchange(spark, sf_dir):
     assert "_ck" in p  # window keyed by the block column
 
 
+def test_auto_chunk_windows_dispatch(spark, sf_dir):
+    """auto_chunk_windows must be a PLAN-LEVEL dispatch: short per-key
+    histories get the plain window (no halo explode, no block column),
+    long ones get the chunked plan (block exchange + _ck window). Both
+    paths are bit-identical, so only the plan shape distinguishes them."""
+    from polars_quant_spark.functions import overlap as ov
+    from polars_quant_spark.operators.chunked import auto_chunk_windows
+
+    b = bars(spark, sf_dir)
+    builders = {"s": lambda w: ov.sma("close", 20, w)}
+    plain = plan(
+        auto_chunk_windows(b, builders, lookback=19, max_rows_per_key=10_000)
+    )
+    assert "_ck" not in plain and "Generate" not in plain  # no explode
+    chunked = plan(
+        auto_chunk_windows(
+            b, builders, lookback=19, chunk=512, max_rows_per_key=10_000_000
+        )
+    )
+    assert "_ck" in chunked
+    # measured-dispatch arm: tiny test data is always below the default
+    # threshold, so the count-by-key probe must pick the plain window
+    measured = plan(auto_chunk_windows(b, builders, lookback=19))
+    assert "_ck" not in measured
+    # dispatch moves the work, not the answer
+    a = auto_chunk_windows(b, builders, lookback=19, max_rows_per_key=10_000)
+    c = auto_chunk_windows(
+        b, builders, lookback=19, chunk=512, max_rows_per_key=10_000_000
+    )
+    sa = sorted(map(tuple, a.select("symbol", "t", "s").collect()))
+    sc = sorted(map(tuple, c.select("symbol", "t", "s").collect()))
+    assert sa == sc
+
+
 def test_token_budget_broadcasts_bins(spark, sf_dir):
     """The bins frame (≤ one row per distinct 6-dp quality) must broadcast;
     no global single-partition sort of the docs frame."""

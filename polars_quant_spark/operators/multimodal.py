@@ -750,6 +750,156 @@ def synthetic_media_jpeg(spark, n: int = 32) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# MP4 / ISO-BMFF container layer — pure stdlib struct walking, no codec.
+# What a 100 TB video pipeline actually does inside Spark is DEMUX: walk the
+# box tree, pull duration/timescale/track geometry, size the sample data,
+# and fan frames out to decode stages (frame_sample_plan). The codec payload
+# itself stays opaque (the MP3/MP4 BITSTREAM stub below).
+# ---------------------------------------------------------------------------
+
+_MP4_CONTAINERS = frozenset(
+    [b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts", b"udta", b"mvex"]
+)
+
+
+def _mp4_box(tag: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", len(body) + 8) + tag + body
+
+
+def _make_mp4(i: int) -> bytes:
+    """Deterministic REAL ISO-BMFF container: ftyp + moov(mvhd + 1-2 traks
+    with id-keyed geometry) + an md5-filled mdat. Every field below has a
+    closed form in ``i`` so the media_mp4_features oracle can recompute it
+    without parsing bytes."""
+    timescale = 1000
+    duration = (i % 30 + 1) * 100  # ms, since timescale is 1000
+    w, h = 160 + (i % 4) * 80, 120 + (i % 3) * 60
+    n_tracks = 1 + (i % 2)
+    mvhd = _mp4_box(
+        b"mvhd",
+        struct.pack(">IIIII", 0, 0, 0, timescale, duration)
+        + struct.pack(">I", 0x00010000)  # rate 1.0
+        + struct.pack(">H", 0x0100)  # volume 1.0
+        + b"\x00" * 10
+        + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24
+        + struct.pack(">I", n_tracks + 1),
+    )
+    traks = []
+    for tk in range(n_tracks):
+        tkhd = _mp4_box(
+            b"tkhd",
+            struct.pack(">IIIII", 0x00000007, 0, 0, tk + 1, 0)
+            + struct.pack(">I", duration)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 0, 0, 0, 0)
+            + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            + struct.pack(">II", w << 16, h << 16),  # 16.16 fixed point
+        )
+        traks.append(_mp4_box(b"trak", tkhd))
+    moov = _mp4_box(b"moov", mvhd + b"".join(traks))
+    ftyp = _mp4_box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isommp41")
+    seed = hashlib.md5(f"mp4-{i}".encode()).digest()
+    mdat = _mp4_box(b"mdat", (seed * 64)[: 256 + (i % 7) * 64])
+    return ftyp + moov + mdat
+
+
+def _mp4_walk(data: bytes, start: int, end: int, depth: int, out: dict) -> None:
+    pos = start
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", data[pos : pos + 4])
+        tag = data[pos + 4 : pos + 8]
+        body_off = pos + 8
+        if size == 1:  # 64-bit largesize
+            (size,) = struct.unpack(">Q", data[pos + 8 : pos + 16])
+            body_off = pos + 16
+        elif size == 0:  # box extends to end of file
+            size = end - pos
+        if size < 8 or pos + size > end:
+            raise ValueError("malformed MP4 box")
+        out["n_boxes"] += 1
+        out["max_depth"] = max(out["max_depth"], depth)
+        if tag in _MP4_CONTAINERS:
+            _mp4_walk(data, body_off, pos + size, depth + 1, out)
+        elif tag == b"mvhd":
+            ver = data[body_off]
+            if ver == 1:
+                ts, dur = struct.unpack(">IQ", data[body_off + 20 : body_off + 32])
+            else:
+                ts, dur = struct.unpack(">II", data[body_off + 12 : body_off + 20])
+            out["timescale"], out["duration"] = ts, dur
+        elif tag == b"tkhd":
+            out["n_tracks"] += 1
+            ver = data[body_off]
+            geo = body_off + (88 if ver == 1 else 76)
+            tw, th = struct.unpack(">II", data[geo : geo + 8])
+            out["max_w"] = max(out["max_w"], tw >> 16)
+            out["max_h"] = max(out["max_h"], th >> 16)
+        elif tag == b"mdat":
+            out["mdat_bytes"] += pos + size - body_off
+        pos += size
+
+
+def parse_mp4(payload: bytes) -> dict:
+    """REAL ISO-BMFF box walk (pure struct, no codec): returns the demux
+    metadata a video pipeline partitions on — movie timescale/duration,
+    track count and max geometry, sample-data bytes, box census. Raises on
+    non-BMFF input or malformed box sizes rather than mis-parsing."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise ValueError("not an ISO-BMFF (MP4) container")
+    out = {
+        "timescale": 0,
+        "duration": 0,
+        "n_tracks": 0,
+        "max_w": 0,
+        "max_h": 0,
+        "mdat_bytes": 0,
+        "n_boxes": 0,
+        "max_depth": 0,
+    }
+    _mp4_walk(payload, 0, len(payload), 1, out)
+    return out
+
+
+def decode_mp4(payload: bytes) -> list[float]:
+    """MP4 featurizer (container layer only): [duration_s, n_tracks, w, h,
+    mdat_kb, n_boxes, depth, timescale/1e3]. The codec bitstream inside
+    mdat stays opaque — decoding it is the one remaining documented stub."""
+    m = parse_mp4(payload)
+    dur = m["duration"] / m["timescale"] if m["timescale"] else 0.0
+    return [
+        float(dur),
+        float(m["n_tracks"]),
+        float(m["max_w"]),
+        float(m["max_h"]),
+        m["mdat_bytes"] / 1024.0,
+        float(m["n_boxes"]),
+        float(m["max_depth"]),
+        m["timescale"] / 1000.0,
+    ]
+
+
+def synthetic_media_mp4(spark, n: int = 24) -> DataFrame:
+    """Deterministic MP4 corpus: REAL ISO-BMFF containers with id-keyed
+    closed-form metadata (see _make_mp4) around opaque mdat filler."""
+    rows = []
+    for i in range(n):
+        payload = _make_mp4(i)
+        rows.append(
+            (
+                i,
+                "video",
+                "video/mp4",
+                bytearray(payload),
+                160 + (i % 4) * 80,
+                120 + (i % 3) * 60,
+                (i % 30 + 1) * 100,
+            )
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
     """STUB for the remaining compressed formats (MP3/MP4 — codecs not
     bundled in this container; a production deployment drops
@@ -763,7 +913,8 @@ def _decode_stub(payload: bytes, kind: str) -> list[float]:
 
 def _decode(payload: bytes, kind: str) -> list[float]:
     """Magic-byte dispatch: real decoders for PPM, PNG, JPEG and WAV, the
-    documented stub otherwise (MP3/MP4)."""
+    real container parser for MP4 (metadata layer), the documented stub
+    otherwise (MP3, and codec bitstreams inside MP4)."""
     if payload.startswith(b"P6"):
         return decode_ppm(payload)
     if payload.startswith(_PNG_SIG):
@@ -772,6 +923,8 @@ def _decode(payload: bytes, kind: str) -> list[float]:
         return decode_jpeg(payload)
     if payload.startswith(b"RIFF") and payload[8:12] == b"WAVE":
         return decode_wav(payload)
+    if len(payload) >= 12 and payload[4:8] == b"ftyp":
+        return decode_mp4(payload)
     return _decode_stub(payload, kind)
 
 

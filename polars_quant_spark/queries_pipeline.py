@@ -12500,6 +12500,87 @@ def media_jpeg_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "media_mp4_features",
+    """
+WITH mi AS (SELECT unnest(range(0, 24)) AS i)
+SELECT i AS media_id,
+       CAST((i % 30 + 1) * 100 AS BIGINT) AS duration_ms,
+       CAST(1000 AS INTEGER) AS timescale,
+       CAST(1 + (i % 2) AS INTEGER) AS n_tracks,
+       CAST(160 + (i % 4) * 80 AS INTEGER) AS width,
+       CAST(120 + (i % 3) * 60 AS INTEGER) AS height,
+       CAST(256 + (i % 7) * 64 AS BIGINT) AS mdat_bytes,
+       CAST(4 + 2 * (1 + (i % 2)) AS INTEGER) AS n_boxes,
+       CAST(3 AS INTEGER) AS max_depth
+FROM mi
+ORDER BY media_id
+""",
+)
+def media_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL ISO-BMFF (MP4) container demux verified end-to-end (round 5):
+    id-keyed MP4 files are assembled box-by-box (ftyp + moov/mvhd/trak/tkhd
+    + mdat — every field closed-form in the id), shipped as opaque binary,
+    and re-parsed in an Arrow mapInPandas stage by the recursive box walker
+    (64-bit largesize and to-EOF boxes handled, version-1 headers read).
+    The declared output is the INTEGER demux metadata — movie duration and
+    timescale, track count, max track geometry out of 16.16 fixed point,
+    sample-data bytes, box census — against the generator's closed form.
+    This is the container layer a video pipeline partitions on; the codec
+    bitstream inside mdat stays the documented stub (MP3 likewise)."""
+    from polars_quant_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media_mp4(spark, 24)
+
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, duration_ms long, timescale int, n_tracks int, "
+        "width int, height int, mdat_bytes long, n_boxes int, max_depth int"
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                m = mm.parse_mp4(bytes(row["payload"]))
+                rows.append(
+                    (
+                        int(row["media_id"]),
+                        int(m["duration"]),
+                        int(m["timescale"]),
+                        int(m["n_tracks"]),
+                        int(m["max_w"]),
+                        int(m["max_h"]),
+                        int(m["mdat_bytes"]),
+                        int(m["n_boxes"]),
+                        int(m["max_depth"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "duration_ms",
+                    "timescale",
+                    "n_tracks",
+                    "width",
+                    "height",
+                    "mdat_bytes",
+                    "n_boxes",
+                    "max_depth",
+                ],
+            )
+
+    return (
+        media.repartition(4, "media_id")
+        .mapInPandas(verify, out_schema)
+        .orderBy("media_id")
+    )
+
+
 # Keep the driver's 50-slot capture window intact regardless of which query
 # module was the import entry point (see queries.reorder_registration).
 from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402

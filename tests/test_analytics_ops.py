@@ -711,3 +711,53 @@ class TestJpegCodec:
         )
         with pytest.raises(ValueError, match="progressive"):
             multimodal._jpeg_pixels(prog)
+
+
+class TestMp4Container:
+    def test_box_walk_recovers_generator_fields(self):
+        for i in (0, 1, 6, 13):
+            m = multimodal.parse_mp4(multimodal._make_mp4(i))
+            assert m["timescale"] == 1000
+            assert m["duration"] == (i % 30 + 1) * 100
+            assert m["n_tracks"] == 1 + (i % 2)
+            assert m["max_w"] == 160 + (i % 4) * 80
+            assert m["max_h"] == 120 + (i % 3) * 60
+            assert m["mdat_bytes"] == 256 + (i % 7) * 64
+            assert m["n_boxes"] == 4 + 2 * m["n_tracks"]
+            assert m["max_depth"] == 3
+
+    def test_largesize_and_version1_headers(self):
+        import struct as _s
+
+        # 64-bit largesize mdat + version-1 mvhd must parse identically
+        ts, dur = 90_000, 450_000
+        mvhd_v1 = multimodal._mp4_box(
+            b"mvhd",
+            b"\x01\x00\x00\x00" + _s.pack(">QQIQ", 0, 0, ts, dur) + b"\x00" * 80,
+        )
+        moov = multimodal._mp4_box(b"moov", mvhd_v1)
+        body = b"x" * 32
+        large_mdat = (
+            _s.pack(">I", 1) + b"mdat" + _s.pack(">Q", 16 + len(body)) + body
+        )
+        ftyp = multimodal._mp4_box(b"ftyp", b"isom" + _s.pack(">I", 512))
+        m = multimodal.parse_mp4(ftyp + moov + large_mdat)
+        assert (m["timescale"], m["duration"]) == (ts, dur)
+        assert m["mdat_bytes"] == len(body)
+
+    def test_features_and_dispatch(self):
+        p = multimodal._make_mp4(5)
+        f = multimodal.decode_mp4(p)
+        assert f[0] == (5 % 30 + 1) * 100 / 1000.0  # duration seconds
+        assert multimodal._decode(p, "video") == f  # ftyp dispatch
+
+    def test_rejects_non_bmff_and_malformed(self):
+        with pytest.raises(ValueError, match="not an ISO-BMFF"):
+            multimodal.parse_mp4(b"garbage that is not mp4")
+        import struct as _s
+
+        # truncated box (declared size past EOF) must raise, not mis-parse
+        bad = multimodal._mp4_box(b"ftyp", b"isom" + _s.pack(">I", 512))
+        bad += _s.pack(">I", 4096) + b"moov" + b"\x00" * 8
+        with pytest.raises(ValueError, match="malformed"):
+            multimodal.parse_mp4(bad)

@@ -900,11 +900,125 @@ def synthetic_media_mp4(spark, n: int = 24) -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# MP3 (MPEG-1 Layer III) frame-header layer — pure struct walking, no codec.
+# Same philosophy as the MP4 box walker: the pipeline-relevant metadata
+# (frame census, sample count, bitrate/samplerate, ID3 envelope) comes from
+# real header parsing; the Huffman/IMDCT audio decode stays the stub.
+# ---------------------------------------------------------------------------
+
+# MPEG-1 Layer III bitrate table (kbps) indexed by the 4-bit header field.
+_MP3_BITRATES = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_RATES = [44100, 48000, 32000]
+_MP3_SAMPLES_PER_FRAME = 1152
+
+
+def _make_mp3(i: int) -> bytes:
+    """Deterministic REAL MPEG-1 Layer III frame stream: id-keyed bitrate /
+    samplerate / frame count, valid sync headers, zero audio payload, an
+    ID3v2 envelope (syncsafe size) on odd ids. Every field closed-form in
+    ``i`` for the media_mp3_features oracle."""
+    br_idx = [5, 9, 11, 13][i % 4]  # 64 / 128 / 192 / 256 kbps
+    sr_idx = i % 3
+    n_frames = 10 + (i % 5) * 5
+    kbps, sr = _MP3_BITRATES[br_idx], _MP3_RATES[sr_idx]
+    frame_len = 144_000 * kbps // sr  # padding bit 0
+    hdr = bytes(
+        [0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 0x00]
+    )  # MPEG1, Layer III, no CRC, no padding, stereo
+    frame = hdr + b"\x00" * (frame_len - 4)
+    out = b""
+    if i % 2:
+        tag_body = hashlib.md5(f"id3-{i}".encode()).digest() * (2 + i % 3)
+        sz = len(tag_body)
+        syncsafe = bytes(
+            [(sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F]
+        )
+        out += b"ID3\x04\x00\x00" + syncsafe + tag_body
+    return out + frame * n_frames
+
+
+def parse_mp3(payload: bytes) -> dict:
+    """REAL MPEG-1 Layer III frame walk (pure struct, no codec): skips an
+    ID3v2 envelope (syncsafe size), then steps frame headers — sync
+    validation, bitrate/samplerate table lookup, padding-aware frame
+    lengths — and returns the census a pipeline partitions on: frame and
+    sample counts, bitrate/samplerate, stream and tag bytes. Raises on
+    broken sync or reserved table indices rather than mis-parsing."""
+    pos, id3_bytes = 0, 0
+    if payload[:3] == b"ID3" and len(payload) >= 10:
+        sz = (
+            (payload[6] << 21) | (payload[7] << 14) | (payload[8] << 7) | payload[9]
+        )
+        id3_bytes = 10 + sz
+        pos = id3_bytes
+    n_frames = 0
+    kbps = sr = 0
+    stream_bytes = 0
+    while pos + 4 <= len(payload):
+        b0, b1, b2 = payload[pos], payload[pos + 1], payload[pos + 2]
+        if b0 != 0xFF or (b1 & 0xE0) != 0xE0:
+            raise ValueError("broken MP3 frame sync")
+        if (b1 & 0x18) != 0x18 or (b1 & 0x06) != 0x02:
+            raise ValueError("only MPEG-1 Layer III supported")
+        br_idx, sr_idx, padding = b2 >> 4, (b2 >> 2) & 0x03, (b2 >> 1) & 0x01
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise ValueError("free-format/reserved MP3 header")
+        kbps, sr = _MP3_BITRATES[br_idx], _MP3_RATES[sr_idx]
+        frame_len = 144_000 * kbps // sr + padding
+        if pos + frame_len > len(payload):
+            raise ValueError("truncated MP3 frame")
+        n_frames += 1
+        stream_bytes += frame_len
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MP3 frames")
+    return {
+        "n_frames": n_frames,
+        "total_samples": n_frames * _MP3_SAMPLES_PER_FRAME,
+        "bitrate_kbps": kbps,
+        "samplerate": sr,
+        "stream_bytes": stream_bytes,
+        "id3_bytes": id3_bytes,
+    }
+
+
+def decode_mp3(payload: bytes) -> list[float]:
+    """MP3 featurizer (frame-header layer only): [duration_s, n_frames,
+    bitrate_kbps, samplerate/48000, stream_kb, id3_bytes, samples/1e6,
+    frames_per_s]. The Huffman/IMDCT audio decode inside the frames is
+    the one remaining documented stub."""
+    m = parse_mp3(payload)
+    dur = m["total_samples"] / m["samplerate"]
+    return [
+        float(dur),
+        float(m["n_frames"]),
+        float(m["bitrate_kbps"]),
+        m["samplerate"] / 48000.0,
+        m["stream_bytes"] / 1024.0,
+        float(m["id3_bytes"]),
+        m["total_samples"] / 1e6,
+        m["n_frames"] / dur if dur else 0.0,
+    ]
+
+
+def synthetic_media_mp3(spark, n: int = 24) -> DataFrame:
+    """Deterministic MP3 corpus: REAL frame streams with id-keyed
+    closed-form metadata (see _make_mp3)."""
+    rows = []
+    for i in range(n):
+        payload = _make_mp3(i)
+        sr = _MP3_RATES[i % 3]
+        dur_ms = int((10 + (i % 5) * 5) * _MP3_SAMPLES_PER_FRAME * 1000 / sr)
+        rows.append((i, "audio", "audio/mpeg", bytearray(payload), None, None, dur_ms))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
 def _decode_stub(payload: bytes, kind: str) -> list[float]:
-    """STUB for the remaining compressed formats (MP3/MP4 — codecs not
-    bundled in this container; a production deployment drops
-    libsndfile/pyav into `_decode`'s dispatch). Deterministic md5-derived
-    8-dim feature keeps the pipeline testable end-to-end."""
+    """STUB for codec bitstreams only (MP3 audio frames / MP4 mdat tracks —
+    the container/frame METADATA layers above are real; the entropy-coded
+    signal decode needs libsndfile/pyav, neither bundled). Deterministic
+    md5-derived 8-dim feature keeps the pipeline testable end-to-end."""
     if not payload:
         raise NotImplementedError("empty payload; real decoder not bundled")
     h = hashlib.md5(payload).digest()
@@ -925,6 +1039,10 @@ def _decode(payload: bytes, kind: str) -> list[float]:
         return decode_wav(payload)
     if len(payload) >= 12 and payload[4:8] == b"ftyp":
         return decode_mp4(payload)
+    if payload[:3] == b"ID3" or (
+        len(payload) >= 3 and payload[0] == 0xFF and (payload[1] & 0xFE) == 0xFA
+    ):
+        return decode_mp3(payload)
     return _decode_stub(payload, kind)
 
 

@@ -12581,6 +12581,86 @@ def media_mp4_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "media_mp3_features",
+    """
+WITH ai AS (SELECT unnest(range(0, 24)) AS i),
+ad AS (
+  SELECT i,
+         CASE i % 4 WHEN 0 THEN 64 WHEN 1 THEN 128 WHEN 2 THEN 192 ELSE 256 END AS kbps,
+         CASE i % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+         10 + (i % 5) * 5 AS n_frames
+  FROM ai
+)
+SELECT i AS media_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(n_frames * 1152 AS BIGINT) AS total_samples,
+       CAST(kbps AS INTEGER) AS bitrate_kbps,
+       CAST(sr AS INTEGER) AS samplerate,
+       CAST(n_frames * (144000 * kbps // sr) AS BIGINT) AS stream_bytes,
+       CAST(CASE WHEN i % 2 = 1 THEN 10 + 16 * (2 + i % 3) ELSE 0 END AS INTEGER) AS id3_bytes
+FROM ad
+ORDER BY media_id
+""",
+)
+def media_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III frame walk verified end-to-end (round 5): the
+    id-keyed frame streams (valid sync headers, table-driven frame
+    lengths, ID3v2 syncsafe envelopes on odd ids) are re-parsed in an
+    Arrow mapInPandas stage and the INTEGER frame census — frame/sample
+    counts, bitrate/samplerate lookups, stream and tag byte totals — is
+    hashed against the generator's closed form. One wrong bit in the sync
+    mask, bitrate table, syncsafe arithmetic or frame-length formula
+    breaks the hash. (The audio Huffman/IMDCT decode stays the stub.)"""
+    from polars_quant_spark.operators import multimodal as mm
+
+    media = mm.synthetic_media_mp3(spark, 24)
+
+    import pandas as pd
+
+    out_schema = (
+        "media_id long, n_frames int, total_samples long, bitrate_kbps int, "
+        "samplerate int, stream_bytes long, id3_bytes int"
+    )
+
+    def verify(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            rows = []
+            for _, row in pdf.iterrows():
+                m = mm.parse_mp3(bytes(row["payload"]))
+                rows.append(
+                    (
+                        int(row["media_id"]),
+                        int(m["n_frames"]),
+                        int(m["total_samples"]),
+                        int(m["bitrate_kbps"]),
+                        int(m["samplerate"]),
+                        int(m["stream_bytes"]),
+                        int(m["id3_bytes"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "total_samples",
+                    "bitrate_kbps",
+                    "samplerate",
+                    "stream_bytes",
+                    "id3_bytes",
+                ],
+            )
+
+    return (
+        media.repartition(4, "media_id")
+        .mapInPandas(verify, out_schema)
+        .orderBy("media_id")
+    )
+
+
 # Keep the driver's 50-slot capture window intact regardless of which query
 # module was the import entry point (see queries.reorder_registration).
 from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402

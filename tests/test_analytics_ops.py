@@ -761,3 +761,43 @@ class TestMp4Container:
         bad += _s.pack(">I", 4096) + b"moov" + b"\x00" * 8
         with pytest.raises(ValueError, match="malformed"):
             multimodal.parse_mp4(bad)
+
+
+class TestMp3Frames:
+    def test_frame_walk_recovers_generator_fields(self):
+        for i in (0, 1, 7, 14, 23):
+            m = multimodal.parse_mp3(multimodal._make_mp3(i))
+            kbps = [64, 128, 192, 256][i % 4]
+            sr = [44100, 48000, 32000][i % 3]
+            nf = 10 + (i % 5) * 5
+            assert (m["bitrate_kbps"], m["samplerate"], m["n_frames"]) == (
+                kbps,
+                sr,
+                nf,
+            )
+            assert m["total_samples"] == nf * 1152
+            assert m["stream_bytes"] == nf * (144_000 * kbps // sr)
+            assert m["id3_bytes"] == (10 + 16 * (2 + i % 3) if i % 2 else 0)
+
+    def test_padding_bit_lengthens_frame(self):
+        # hand-build one padded frame: length formula must add the byte
+        hdr = bytes([0xFF, 0xFB, (9 << 4) | (0 << 2) | (1 << 1), 0x00])
+        flen = 144_000 * 128 // 44100 + 1
+        m = multimodal.parse_mp3(hdr + b"\x00" * (flen - 4))
+        assert m["n_frames"] == 1 and m["stream_bytes"] == flen
+
+    def test_features_and_dispatch(self):
+        p = multimodal._make_mp3(4)
+        f = multimodal.decode_mp3(p)
+        assert multimodal._decode(p, "audio") == f  # sync-byte dispatch
+        # odd id → ID3 envelope → the ID3 dispatch arm
+        p2 = multimodal._make_mp3(5)
+        assert multimodal._decode(p2, "audio") == multimodal.decode_mp3(p2)
+
+    def test_rejects_broken_streams(self):
+        with pytest.raises(ValueError, match="no MP3 frames"):
+            multimodal.parse_mp3(b"ID3\x04\x00\x00\x00\x00\x00\x00")
+        with pytest.raises(ValueError, match="truncated"):
+            multimodal.parse_mp3(bytes([0xFF, 0xFB, 9 << 4, 0]) + b"\x00" * 10)
+        with pytest.raises(ValueError, match="free-format"):
+            multimodal.parse_mp3(bytes([0xFF, 0xFB, 0xF0, 0]) + b"\x00" * 100)

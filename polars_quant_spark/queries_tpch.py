@@ -113,7 +113,7 @@ FROM (
   JOIN region ON n1.n_regionkey = r_regionkey
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation n2 ON s_nationkey = n2.n_nationkey
-  WHERE r_name = 'REGION_0'
+  WHERE r_name = 'ASIA'
     AND p_type = 'ECONOMY'
     AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
     AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
@@ -138,7 +138,7 @@ def rel_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
     )
     na = load_table(spark, sf_dir, "nation")
-    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "REGION_0")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
     cu = (
         load_table(spark, sf_dir, "customer")
         .join(F.broadcast(na), F.col("c_nationkey") == F.col("n_nationkey"))
@@ -178,7 +178,7 @@ WITH pv AS (
 )
 SELECT l_partkey, CAST(value_m AS DOUBLE) / 1000000.0 AS part_value
 FROM pv
-WHERE CAST(value_m AS DOUBLE) > 0.001 * (SELECT CAST(SUM(value_m) AS DOUBLE) FROM pv)
+WHERE value_m * (SELECT COUNT(*) FROM pv) > (SELECT SUM(value_m) FROM pv)
 ORDER BY part_value DESC, l_partkey
 LIMIT 50
 """,
@@ -189,17 +189,26 @@ def rel_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the driver schema; lineitem revenue per part stands in for
     ps_supplycost·ps_availqty. Same shape: agg → global scalar → filter.)
 
-    Plan: ONE shuffle builds the per-part values; the global total is a
-    second tiny agg over those partials, broadcast back as a 1-row join —
-    the per-part frame is never re-scanned from parquet (Spark reuses the
-    shuffle output across both consumers) and never re-shuffled. Top-k is
-    TakeOrderedAndProject."""
+    The cut is above-AVERAGE value (value·n > Σvalue, cross-multiplied
+    INTEGER micro-units — exact on both engines, and scale-free: TPC-H's
+    fixed 0.0001·SF fraction goes vacuous when every one of ~2000·SF parts
+    holds ~1/n of an evenly-spread synthetic total, which is exactly what
+    happened to the old 0.001 cut at sf0.01 — a 0-row driver window entry).
+
+    Plan: ONE shuffle builds the per-part values; the global (total, n)
+    scalar is a second tiny agg over those partials, broadcast back as a
+    1-row join — the per-part frame is never re-scanned from parquet
+    (Spark reuses the shuffle output across both consumers) and never
+    re-shuffled. Top-k is TakeOrderedAndProject."""
     li = load_table(spark, sf_dir, "lineitem")
     pv = li.groupBy("l_partkey").agg(F.sum(_rev_micros()).alias("_vm"))
-    total = pv.agg(merge_micros(F.col("_vm")).alias("_tot"))
+    total = pv.agg(
+        merge_micros(F.col("_vm")).alias("_tot"),
+        F.count(F.lit(1)).alias("_n"),
+    )
     return (
         pv.join(F.broadcast(total))
-        .where(F.col("_vm").cast("double") > 0.001 * F.col("_tot").cast("double"))
+        .where(F.col("_vm").cast("decimal(38,0)") * F.col("_n") > F.col("_tot"))
         .select("l_partkey", units(F.col("_vm")).alias("part_value"))
         .orderBy(F.col("part_value").desc(), F.col("l_partkey"))
         .limit(50)
@@ -616,7 +625,7 @@ FROM (
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   JOIN orders ON o_orderkey = l_orderkey
-  WHERE p_name LIKE '%5%'
+  WHERE p_name LIKE '%red%'
 ) profit
 GROUP BY nation, o_year
 ORDER BY nation, o_year DESC
@@ -633,7 +642,7 @@ def rel_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
     measures — quantized to micro-units BEFORE the group sums, so the
     nation×year totals are association-free integers on both engines."""
     li = load_table(spark, sf_dir, "lineitem")
-    pa = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%5%")).select(
+    pa = load_table(spark, sf_dir, "part").where(F.col("p_name").like("%red%")).select(
         "p_partkey", "p_retailprice"
     )
     su = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
@@ -777,7 +786,7 @@ cand AS (
   JOIN supplier ON s_suppkey = l_suppkey
   JOIN nation ON s_nationkey = n_nationkey
   JOIN region ON n_regionkey = r_regionkey
-  WHERE p_size = 9 AND p_type = 'SMALL' AND r_name = 'REGION_1'
+  WHERE p_size = 9 AND p_type = 'SMALL' AND r_name = 'EUROPE'
 ),
 best AS (
   SELECT p_partkey, MIN(struct_pack(a := s_acctbal, b := s_suppkey)) AS m
@@ -811,7 +820,7 @@ def rel_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("p_partkey", "p_brand")
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
-    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "REGION_1")
+    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
     cand = (
         ps.join(pa, ps.l_partkey == pa.p_partkey)
         .join(su, ps.l_suppkey == su.s_suppkey)

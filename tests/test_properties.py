@@ -153,3 +153,100 @@ def test_chunking_covers_every_token_property(spark, n_tokens, size, stride_frac
         assert r["tok_end"] - r["tok_start"] <= size
         covered.update(range(r["tok_start"], r["tok_end"]))
     assert covered == set(range(n_tokens))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 codec layers: random-input roundtrip invariants (no Spark)
+# ---------------------------------------------------------------------------
+
+
+@given(
+    st.integers(1, 6),
+    st.integers(1, 6),
+    st.integers(0, 10_000),
+)
+@settings(max_examples=30, deadline=None)
+def test_jpeg_block_constant_roundtrip_any_grid(wb, hb, seed):
+    """ANY block-constant grayscale image survives the flat-table JPEG
+    encode→decode bit-exactly — not just the id-keyed generator grid. This
+    is the load-bearing invariant behind the media_jpeg_features oracle."""
+    from polars_quant_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    blocks = rng.integers(0, 256, size=(hb, wb)).astype(np.uint8)
+    img = np.kron(blocks, np.ones((8, 8), dtype=np.uint8))
+    out = mm._jpeg_pixels(mm._jpeg_encode(img))
+    assert (out[:, :, 0] == img).all()
+
+
+@given(
+    st.integers(8, 48),
+    st.integers(8, 48),
+    st.integers(0, 10_000),
+)
+@settings(max_examples=20, deadline=None)
+def test_jpeg_lossy_error_bounded_on_random_images(h, w, seed):
+    """Arbitrary uint8 images through the standard Annex K table stay
+    within baseline-JPEG error bounds (exercises AC run/size, ZRL, byte
+    stuffing on random high-entropy data)."""
+    from polars_quant_spark.operators import multimodal as mm
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    dec = mm._jpeg_pixels(mm._jpeg_encode(img, mm._JPEG_QTBL_STD))[:, :, 0]
+    # random noise is the worst case for JPEG; bound is loose but real —
+    # a Huffman/zigzag/stuffing bug produces garbage far beyond it
+    assert np.abs(dec.astype(int) - img.astype(int)).mean() < 40
+
+
+@given(st.integers(0, 1_000_000))
+@settings(max_examples=50, deadline=None)
+def test_mp4_box_walk_total_bytes_accounted(i):
+    """The box walker's census is consistent: every byte of the container
+    belongs to a counted top-level box, and the parsed metadata matches
+    the generator for arbitrary ids (not just the oracle's 24)."""
+    from polars_quant_spark.operators import multimodal as mm
+
+    p = mm._make_mp4(i)
+    m = mm.parse_mp4(p)
+    assert m["duration"] == (i % 30 + 1) * 100
+    assert m["n_tracks"] == 1 + (i % 2)
+    assert m["mdat_bytes"] == 256 + (i % 7) * 64
+    assert m["n_boxes"] == 4 + 2 * m["n_tracks"]
+
+
+@given(st.integers(0, 1_000_000))
+@settings(max_examples=50, deadline=None)
+def test_mp3_frame_walk_arbitrary_ids(i):
+    from polars_quant_spark.operators import multimodal as mm
+
+    m = mm.parse_mp3(mm._make_mp3(i))
+    kbps = [64, 128, 192, 256][i % 4]
+    sr = [44100, 48000, 32000][i % 3]
+    assert m["n_frames"] == 10 + (i % 5) * 5
+    assert m["stream_bytes"] == m["n_frames"] * (144_000 * kbps // sr)
+    assert m["samplerate"] == sr
+
+
+@given(
+    st.integers(1, 14),
+    st.integers(0, 2),
+    st.integers(1, 8),
+    st.booleans(),
+)
+@settings(max_examples=60, deadline=None)
+def test_mp3_any_valid_header_combo(br_idx, sr_idx, n_frames, padding):
+    """Every (bitrate, samplerate, padding) combination the MPEG-1 L3
+    header can express walks cleanly with the table-driven frame length."""
+    from polars_quant_spark.operators import multimodal as mm
+
+    kbps = mm._MP3_BITRATES[br_idx]
+    sr = mm._MP3_RATES[sr_idx]
+    pad = 1 if padding else 0
+    flen = 144_000 * kbps // sr + pad
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2) | (pad << 1), 0x00])
+    stream = (hdr + b"\x00" * (flen - 4)) * n_frames
+    m = mm.parse_mp3(stream)
+    assert m["n_frames"] == n_frames
+    assert m["stream_bytes"] == n_frames * flen
+    assert (m["bitrate_kbps"], m["samplerate"]) == (kbps, sr)

@@ -1193,19 +1193,21 @@ def _ma_dispatch_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES["ind_ma_dispatch"] = _ma_dispatch_query
+# TRIMA leg as a windowed triangular dot product (same form as the
+# ind_trima_10 oracle) — the previous correlated per-row subquery was
+# O(rows²) per symbol on DuckDB and stalled the sf0.1 informational sweep
+# for tens of minutes on this one query (sf0.01 gate unaffected).
+from polars_quant_spark.queries import _TRIMA10_W as _DISPATCH_TRIMA_W  # noqa: E402
+
 ORACLES["ind_ma_dispatch"] = (
     recursive_with(ema_ctes("dma", "bars", "close", 10))
-    + """
+    + f"""
 SELECT b.symbol, b.t,
   ROUND(CASE WHEN COUNT(b.close) OVER w10 = 10 THEN AVG(b.close) OVER w10 END, 6) AS ma_sma,
   ROUND(e.dma, 6) AS ma_ema,
   ROUND(CASE WHEN COUNT(b.close) OVER w10 = 10 THEN
-    (SELECT SUM(w * v) / SUM(w) FROM (
-       SELECT CASE WHEN r <= 5 THEN r ELSE 10 - r + 1 END AS w, v
-       FROM (SELECT ROW_NUMBER() OVER (ORDER BY t2) AS r, v FROM (
-         SELECT b2.t AS t2, b2.close AS v FROM bars b2
-         WHERE b2.symbol = b.symbol AND b2.t <= b.t ORDER BY b2.t DESC LIMIT 10) q) q2
-    ) q3) END, 6) AS ma_trima
+    list_dot_product(list(b.close) OVER w10,
+                     {[float(x) for x in _DISPATCH_TRIMA_W]}) / 30.0 END, 6) AS ma_trima
 FROM bars b LEFT JOIN dma e ON b.symbol = e.symbol AND b.t = e.t
 WINDOW w10 AS (PARTITION BY b.symbol ORDER BY b.t ROWS BETWEEN 9 PRECEDING AND CURRENT ROW)
 """

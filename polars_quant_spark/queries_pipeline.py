@@ -4757,13 +4757,19 @@ scored AS (
          sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS ne
   FROM embeddings e CROSS JOIN q
 ),
-sem AS (
+sem_all AS (
   SELECT vec_id,
          ROW_NUMBER() OVER (
            ORDER BY FLOOR((CASE WHEN nq * ne > 0 THEN dp / (nq * ne) ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 DESC,
                     vec_id) AS r_sem
   FROM scored
 ),
+-- the Spark side fuses the semantic TOP-500 list (cosine_topk k=500), not
+-- a full-corpus ranking: docs beyond 500 contribute 0 through the
+-- COALESCE, exactly like list-based RRF in a real retrieval stack. The
+-- unrestricted ranking diverged at sf0.1 when a rank-938 doc crossed into
+-- the fused top-20 (latent at sf0.01, caught by the round-5 sf0.1 sweep).
+sem AS (SELECT vec_id, r_sem FROM sem_all WHERE r_sem <= 500),
 fused AS (
   SELECT COALESCE(k.doc_id, s.vec_id) AS doc_id, k.r_kw, s.r_sem
   FROM kw_r k FULL JOIN sem s ON s.vec_id = k.doc_id

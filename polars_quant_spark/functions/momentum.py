@@ -235,3 +235,41 @@ def stochf(
     df = df.withColumn(f"{prefix}_fastk", guarded(fastk, c, fastk_period, w))
     df = df.withColumn(f"{prefix}_fastd", sma(f"{prefix}_fastk", fastd_period, w))
     return df
+
+
+def stochrsi(
+    df: DataFrame,
+    close: str = "close",
+    timeperiod: int = 14,
+    fastk_period: int = 5,
+    fastd_period: int = 3,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    prefix: str = "stochrsi",
+) -> DataFrame:
+    """Stochastic RSI (reference python/polars_quant/talib/momentum.py:197-205):
+    STOCHF's fastK/fastD applied to RSI(timeperiod) instead of price —
+    fastK = 100·(RSI − LLV(RSI)) / (HHV(RSI) − LLV(RSI)), fastD =
+    SMA(fastK, fastd_period). MA type fixed to SMA (matype=0, the reference
+    default). DataFrame-level because the RSI leg is a Wilder recurrence
+    (batched applyInPandas, one pass per key) and the stochastic legs
+    window over that derived column; the windows all share the per-key
+    exchange the recurrence already established."""
+    from polars_quant_spark.functions.overlap import sma
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    rsi_col = f"{prefix}_rsi"
+    df = with_recurrences(
+        df,
+        [Rec(rsi_col, "rsi", [close], {"p": timeperiod})],
+        partition_by=partition_by,
+        order_by=order_by,
+    )
+    r = dcol(rsi_col)
+    frame = trailing(w, fastk_period)
+    hhv, llv = F.max(r).over(frame), F.min(r).over(frame)
+    fastk = F.when(hhv == llv, F.lit(0.0)).otherwise(100.0 * (r - llv) / (hhv - llv))
+    df = df.withColumn(f"{prefix}_fastk", guarded(fastk, r, fastk_period, w))
+    df = df.withColumn(f"{prefix}_fastd", sma(f"{prefix}_fastk", fastd_period, w))
+    return df.drop(rsi_col)

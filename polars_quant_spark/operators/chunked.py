@@ -218,16 +218,46 @@ def auto_chunk_windows(
     push down to the scan — cheap relative to the window chain being
     planned, and cacheable by the caller).
 
+    PRECONDITION (shared with ``with_chunked_windows``): ``order`` must be
+    the dense 1-based position within each key (pos = order - 1). The plain
+    arm tolerates any orderable column, the chunked arm does NOT — a sparse
+    or offset order mis-assigns chunk ids and silently corrupts
+    chunk-boundary rows, turning a data-size increase into a correctness
+    flip (ADVICE r5). When this function has to measure (no
+    ``max_rows_per_key`` given) it validates density in the same pass and
+    raises; when the caller supplies the bound, the caller owns the
+    contract.
+
     Both paths are bit-identical (the chunked operator's exactness
-    contract), so the dispatch only moves the work, never the answer."""
+    contract) given the dense-order contract, so the dispatch only moves
+    the work, never the answer."""
     if max_rows_per_key is None:
         keys = [by] if isinstance(by, str) else list(by)
         row = (
             df.groupBy(*keys)
-            .count()
-            .agg(F.max("count").alias("m"))
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                F.max(F.col(order).cast("long")).alias("_mx"),
+                F.min(F.col(order).cast("long")).alias("_mn"),
+            )
+            .agg(
+                F.max("_n").alias("m"),
+                F.max(
+                    F.when(
+                        (F.col("_mx") != F.col("_n")) | (F.col("_mn") != 1), 1
+                    ).otherwise(0)
+                ).alias("sparse"),
+            )
             .first()
         )
+        if row and row["sparse"]:
+            raise ValueError(
+                f"auto_chunk_windows: order column {order!r} is not the "
+                "dense 1-based per-key position (min 1, max = rows-per-key)"
+                " — the chunked arm would corrupt chunk-boundary rows; "
+                "renumber with row_number() or pass max_rows_per_key "
+                "explicitly to take ownership of the contract"
+            )
         max_rows_per_key = int(row["m"]) if row and row["m"] is not None else 0
     if max_rows_per_key <= threshold:
         keys = [by] if isinstance(by, str) else list(by)

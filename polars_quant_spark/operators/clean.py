@@ -154,11 +154,25 @@ def neutralize(
             work = _with_stats(
                 work,
                 keys,
-                [F.sum("_q").alias("_qs"), F.count("_q").alias("_qn")],
+                [
+                    # Σq in decimal(38,0): a long sum of 1e12-µunit values
+                    # overflows past ~9e6 rows per group (ADVICE r5).
+                    F.sum(F.col("_q").cast("decimal(38,0)")).alias("_qs"),
+                    F.count("_q").alias("_qn"),
+                ],
             )
+            # q·n in decimal(38,0): with q ≈ 1e11-1e12 micro-units
+            # (l_extendedprice) and group counts ≥ 1e7 at SF ≥ 10, an int64
+            # product crosses 2^63 and non-ANSI Spark wraps silently —
+            # corrupting the demean exactly at the scales this path targets
+            # (ADVICE r5). Same widening merge_micros already uses.
+            dec = "decimal(38,0)"
             work = work.withColumn(
                 "_demeaned",
-                (F.col("_q") * F.col("_qn") - F.col("_qs")).cast("double")
+                (
+                    F.col("_q").cast(dec) * F.col("_qn").cast(dec)
+                    - F.col("_qs").cast(dec)
+                ).cast("double")
                 / (F.col("_qn").cast("double") * F.lit(1_000_000.0)),
             ).drop("_q", "_qs", "_qn")
         else:

@@ -971,6 +971,11 @@ def parse_mp3(payload: bytes) -> dict:
         n_frames += 1
         stream_bytes += frame_len
         pos += frame_len
+    if pos != len(payload):
+        # 1-3 trailing bytes would otherwise slip past the `pos + 4 <= len`
+        # loop guard — honor the documented raises-rather-than-mis-parses
+        # contract (and the stream_bytes census) exactly (ADVICE r5).
+        raise ValueError("trailing junk after last MP3 frame")
     if n_frames == 0:
         raise ValueError("no MP3 frames")
     return {

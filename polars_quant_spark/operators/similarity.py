@@ -243,9 +243,14 @@ def cosine_topk_auto(
     moves the work, never the answer. Falls back to the Arrow kernel when
     the input size can't be estimated (non-file sources)."""
     try:
+        # unquote: inputFiles URIs percent-encode specials (space -> %20);
+        # without decoding, getsize throws and the except arm silently
+        # routes small corpora to the Arrow path (ADVICE r5).
         total = sum(
             os.path.getsize(
-                urllib.parse.urlparse(f).path if f.startswith("file:") else f
+                urllib.parse.unquote(urllib.parse.urlparse(f).path)
+                if f.startswith("file:")
+                else f
             )
             for f in corpus.inputFiles()
         )

@@ -62,73 +62,73 @@ ORACLES: dict[str, str] = {}
 # window, so a future append can't silently push a family back out.
 # ---------------------------------------------------------------------------
 
-# ROUND-5 ROTATION (VERDICT r4 #2): rounds 3-4 froze the window on the same
-# 50 queries, so driver-verified coverage stalled at 89 distinct names while
-# the registry grew to 382. This window keeps only (a) the red `mkt_breadth`
-# plus its two new split diagnostic twins — it must stay until driver-green —
-# and (b) the four queries whose family has no never-driver-verified member
-# (price_/interval_/ols_/text_ are single-query families); every other slot
-# goes to a query the driver has NEVER hash-verified (diffed against
-# CORRECTNESS_r01-r04 key sets), led by the remaining 17 TPC-H shapes so all
-# 22 are driver-verified across rounds, and `bt_sequential_curve` (the §2.6
-# event-loop oracle). Family coverage is still one-per-family —
-# tests/test_registration_order.py enforces it. History: r03∪r04 = 50 names,
-# r01∪…∪r04 = 89; this rotation pushes the union past 130.
+# ROUND-6 ROTATION (VERDICT r5 #1+#3): the r5 red rows were all one defect —
+# DuckDB types bare SUM(int) as HUGEINT, pandas renders it float64, and the
+# driver's dtype-sensitive hash splits 2017 from 2017.0. Every integer-SUM
+# oracle output is now CAST(... AS BIGINT) (13 queries: the 4 r5-red rows
+# plus 9 latent HUGEINT oracles found by planning all 385 oracles —
+# tests/test_oracle_types.py gates the class statically). Per rotation rule
+# (a) red-until-green, all 13 are PINNED this round for driver confirmation.
+# Rule (b) keeps one green carryover per family whose members are all
+# driver-verified already (no unseen member exists). Every other slot goes
+# to a query the driver has NEVER hash-verified (diffed against
+# CORRECTNESS_r01-r05 key sets). History: r3∪r4∪r5 = 134 driver-seen /
+# 130 green; this rotation pushes the union past 160.
 PRIORITY_50: list[str] = [
-    # mkt_breadth: the two-round-old red row + split diagnostic twins
+    # (a) the 13 dtype-fixed oracles — red-until-green pins
     "mkt_breadth",
     "mkt_breadth_ints",
-    "mkt_breadth_ratio",
-    # the remaining 17 TPC-H shapes (q1/q3/q4/q5/q22 are r3/r4-green)
-    "rel_q2_min_cost_supplier",
-    "rel_q6_forecast_revenue",
-    "rel_q7_nation_volume",
-    "rel_q8_market_share",
-    "rel_q9_profit",
-    "rel_q10_returned_items",
-    "rel_q11_important_parts",
     "rel_q12_priority_counts",
-    "rel_q13_custdist",
-    "rel_q14_promo_share",
-    "rel_q15_top_supplier",
-    "rel_q16_supplier_counts",
-    "rel_q17_small_qty_revenue",
-    "rel_q18_large_orders",
-    "rel_q19_disjunctive_revenue",
-    "rel_q20_excess_shippers",
-    "rel_q21_sole_returner",
-    # single-query families (no unseen member exists — carryover pins)
-    "price_transforms",
-    "interval_overlap_bars",
-    "ols_lineitem",
-    "text_token_freq",
-    # never-driver-verified representatives, one-per-family minimum
-    "bars_vwap",
+    "doc_bpe_merges",
+    "bars_volume_profile",
+    "events_props_json",
+    "stream_source_quota",
+    "doc_source_report",
+    "doc_dedup_savings",
+    "events_session_features",
+    "events_activity_gini",
+    "events_ab_test",
+    "rel_data_profile",
+    # (b) saturated families (every member already driver-verified) —
+    # one green carryover each so the family keeps a window row
     "agg_incremental_merge",
-    "vol_cmf_20",
-    "ind_supertrend",
+    "price_transforms",
     "cdl_efficacy",
     "asof_tolerance_nearest",
     "range_point_events",
-    "bt_sequential_curve",
-    "bt_stop_curve",
-    "doc_winnow",
-    "doc_bpe_merges",
-    "doc_span_dedup",
-    "doc_contamination",
-    "emb_quantize",
-    "emb_pq_recall",
-    "factor_quantile_sorts",
-    "factor_event_study",
+    "interval_overlap_bars",
     "sel_info",
     "loader_interpolate",
-    "stream_ohlcv_bars",
-    "stream_session_batch",
+    "ols_lineitem",
     "clean_mad_neutralize",
-    "media_jpeg_features",
-    "sketch_stratified_docs",
-    "events_cohort_retention",
-    "ops_bucketed_sma",
+    "text_token_freq",
+    # (c) never-driver-verified queries (26 slots)
+    "vol_efi_13",
+    "vol_eom_14",
+    "mkt_mcclellan",
+    "factor_turnover",
+    "sketch_sample_quantiles",
+    "media_png_features",
+    "media_mp4_features",
+    "media_mp3_features",
+    "emb_gram",
+    "emb_knn_classify",
+    "emb_pca_power",
+    "emb_hubness",
+    "bt_trade_excursions",
+    "bt_sharpe_inference",
+    "bt_rebalance_curve",
+    "bt_bootstrap_bands",
+    "stream_anomaly_zscore",
+    "ind_ma_dispatch",
+    "ind_macdext",
+    "ind_macdfix",
+    "ind_keltner",
+    "ind_donchian_20",
+    "ind_ichimoku",
+    "ind_vortex_14",
+    "rel_salted_nation_rollup",
+    "rel_topk_per_group",
 ]
 
 

@@ -287,17 +287,10 @@ def ind_stochf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _stochrsi_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """STOCHF applied to RSI(14) (momentum.py:197-205)."""
-    b = bars(spark, sf_dir)
-    b = with_recurrences(b, [Rec("rsi", "rsi", ["close"], {"p": 14})])
-    w = _w()
-    frame = w.rowsBetween(-4, 0)
-    hh = F.max("rsi").over(frame)
-    ll = F.min("rsi").over(frame)
-    fastk = F.when(F.count("rsi").over(frame) == 5,
-                   F.when(hh == ll, F.lit(0.0)).otherwise(100.0 * (F.col("rsi") - ll) / (hh - ll)))
-    b = b.withColumn("srsi_fastk", fastk)
-    b = b.withColumn("srsi_fastd", ov.sma("srsi_fastk", 3, w))
+    """STOCHF applied to RSI(14) via the library function
+    (functions/momentum.py::stochrsi, mirroring the reference wrapper at
+    python/polars_quant/talib/momentum.py:197-205)."""
+    b = mo.stochrsi(bars(spark, sf_dir), "close", 14, 5, 3, "symbol", "t", "srsi")
     return b.select(
         "symbol",
         "t",
@@ -3214,7 +3207,7 @@ bounds AS (
 )
 SELECT b.symbol,
        CAST(LEAST(9, CAST(FLOOR((b.close - o.lo) * 10.0 / GREATEST(o.hi - o.lo, 1e-12)) AS BIGINT)) AS INTEGER) AS price_bin,
-       SUM(CAST(FLOOR(b.volume * 1000000.0 + 0.5) AS BIGINT)) AS vol_m,
+       CAST(SUM(CAST(FLOOR(b.volume * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS vol_m,
        COUNT(*) AS n_bars
 FROM bars b JOIN bounds o ON o.symbol = b.symbol
 GROUP BY 1, 2
@@ -3928,9 +3921,9 @@ def _breadth_per(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _BREADTH_PER_CTE
     + """
 SELECT t,
-       SUM(CASE WHEN chg = 1 THEN 1 ELSE 0 END) AS advancing,
-       SUM(CASE WHEN chg = -1 THEN 1 ELSE 0 END) AS declining,
-       SUM(chg) AS net_advances,
+       CAST(SUM(CASE WHEN chg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS advancing,
+       CAST(SUM(CASE WHEN chg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS declining,
+       CAST(SUM(chg) AS BIGINT) AS net_advances,
        CAST(SUM(above50) AS BIGINT) AS above_sma50_cnt,
        CAST(COUNT(above50) AS BIGINT) AS breadth_cnt
 FROM per
@@ -3946,7 +3939,14 @@ def mkt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     above-SMA rewrite, so per VERDICT r4 the rounded double ratio itself is
     evicted from the hash; `mkt_breadth_ratio` keeps the convenience ratio
     as a separate driver-window twin that localizes any residual float
-    divergence."""
+    divergence.
+
+    ROOT CAUSE (VERDICT r5 #1): the residual red was never the values —
+    DuckDB types bare SUM(int) as HUGEINT, which pandas renders float64
+    (2017.0 vs Spark's int64 2017), so the driver's dtype-sensitive value
+    hash diverged while rows/schema matched. Every integer-SUM oracle output
+    column is now CAST(... AS BIGINT); tests/test_oracle_types.py gates the
+    whole 385-oracle surface against HUGEINT/DECIMAL outputs statically."""
     per = _breadth_per(spark, sf_dir)
     return (
         per.groupBy("t")
@@ -3967,9 +3967,9 @@ def mkt_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
     + _BREADTH_PER_CTE
     + """
 SELECT t,
-       SUM(CASE WHEN chg = 1 THEN 1 ELSE 0 END) AS advancing,
-       SUM(CASE WHEN chg = -1 THEN 1 ELSE 0 END) AS declining,
-       SUM(chg) AS net_advances
+       CAST(SUM(CASE WHEN chg = 1 THEN 1 ELSE 0 END) AS BIGINT) AS advancing,
+       CAST(SUM(CASE WHEN chg = -1 THEN 1 ELSE 0 END) AS BIGINT) AS declining,
+       CAST(SUM(chg) AS BIGINT) AS net_advances
 FROM per
 GROUP BY t
 ORDER BY t

@@ -2006,7 +2006,7 @@ SELECT event_type,
        CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k,
-       SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS n_high
+       CAST(SUM(CASE WHEN CAST(json_extract(props, '$.k') AS BIGINT) > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high
 FROM events
 GROUP BY event_type
 """,
@@ -2968,7 +2968,7 @@ vocab{r} AS (
 )"""
             )
     sel = "\nUNION ALL\n".join(
-        f"SELECT {r} AS round, a AS pair_a, b AS pair_b, a || b AS merged, cnt FROM best{r}"
+        f"SELECT {r} AS round, a AS pair_a, b AS pair_b, a || b AS merged, CAST(cnt AS BIGINT) AS cnt FROM best{r}"
         for r in range(1, rounds + 1)
     )
     parts.append("\n" + sel)
@@ -2999,7 +2999,8 @@ r AS (
          SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum_tokens
   FROM n
 )
-SELECT source, doc_id, n_tokens, cum_tokens FROM r WHERE cum_tokens <= 20000
+SELECT source, doc_id, n_tokens, CAST(cum_tokens AS BIGINT) AS cum_tokens
+FROM r WHERE cum_tokens <= 20000
 """,
 )
 def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3652,7 +3653,7 @@ j AS (
 keep AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM j GROUP BY fingerprint)
 SELECT source,
        COUNT(*) AS n_docs,
-       SUM(n_tokens) AS sum_tokens,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
        ROUND(CAST(SUM(CAST(FLOOR(quality * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
              / 1000000.0 / COUNT(*), 6) AS avg_quality,
        ROUND(CAST(SUM(CASE WHEN lang_pred = 'en' THEN 1 ELSE 0 END) AS DOUBLE)
@@ -4378,8 +4379,8 @@ WITH s AS (
 ),
 keep AS (SELECT fingerprint, MIN(doc_id) AS keep_id FROM s GROUP BY fingerprint)
 SELECT source,
-       SUM(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END) AS tokens_saved,
-       SUM(n_tokens) AS tokens_total,
+       CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END) AS BIGINT) AS tokens_saved,
+       CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
        ROUND(CAST(SUM(CASE WHEN doc_id <> keep_id THEN n_tokens ELSE 0 END) AS DOUBLE)
              / SUM(n_tokens), 6) AS saved_frac
 FROM s JOIN keep USING (fingerprint)
@@ -4903,7 +4904,7 @@ per_sess AS (
 )
 SELECT user_id,
        COUNT(*) AS n_sessions,
-       SUM(n_events) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
        ROUND(quantile_cont(dur_s, 0.5), 6) AS p50_session_s,
        ROUND(CAST(SUM(CAST(FLOOR(dur_s * 1000000.0 + 0.5) AS BIGINT)) AS DOUBLE)
              / 1000000.0 / COUNT(*), 6) AS avg_session_s
@@ -5146,7 +5147,7 @@ ranked AS (
   SELECT n, ROW_NUMBER() OVER (ORDER BY n, user_id) AS rk FROM per_user
 ),
 tot AS (SELECT COUNT(*) AS nu, SUM(n) AS ne FROM per_user)
-SELECT t.nu AS n_users, t.ne AS n_events,
+SELECT t.nu AS n_users, CAST(t.ne AS BIGINT) AS n_events,
        ROUND((2.0 * SUM(CAST(r.rk AS DOUBLE) * r.n) / (t.nu * t.ne))
              - (CAST(t.nu AS DOUBLE) + 1.0) / t.nu, 6) AS gini
 FROM ranked r CROSS JOIN tot t
@@ -5208,7 +5209,7 @@ s AS (
   FROM v
 )
 SELECT CAST(v.variant AS INTEGER) AS variant,
-       v.n_users, v.n_conv AS n_converted,
+       v.n_users, CAST(v.n_conv AS BIGINT) AS n_converted,
        ROUND(CAST(v.n_conv AS DOUBLE) / v.n_users, 6) AS conv_rate,
        ROUND(CAST(v.rev AS DOUBLE) / 100.0 / v.n_users, 6) AS rev_per_user,
        ROUND(CASE WHEN s.c0 + s.c1 > 0 AND s.c0 + s.c1 < s.n0 + s.n1 THEN
@@ -8509,33 +8510,33 @@ WITH src AS (
   FROM orders
 )
 SELECT 'o_orderkey' AS column_name, COUNT(*) AS n_rows,
-       SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+       CAST(SUM(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
        CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
        CAST(MIN(o_orderkey) AS VARCHAR) AS min_value,
        CAST(MAX(o_orderkey) AS VARCHAR) AS max_value
 FROM src
 UNION ALL
 SELECT 'o_custkey', COUNT(*),
-       SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
        CAST(MIN(o_custkey) AS VARCHAR), CAST(MAX(o_custkey) AS VARCHAR)
 FROM src
 UNION ALL
 SELECT 'o_orderstatus', COUNT(*),
-       SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
        MIN(o_orderstatus), MAX(o_orderstatus)
 FROM src
 UNION ALL
 SELECT 'o_totalprice', COUNT(*),
-       SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(COUNT(DISTINCT CAST(FLOOR(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT),
        CAST(CAST(FLOOR(MIN(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS VARCHAR),
        CAST(CAST(FLOOR(MAX(o_totalprice) * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
 FROM src
 UNION ALL
 SELECT 'o_orderpriority', COUNT(*),
-       SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+       CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
        CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
        MIN(o_orderpriority), MAX(o_orderpriority)
 FROM src

@@ -48,6 +48,44 @@ def _norm_cell(v):
     return v
 
 
+def _kind_class(dtype) -> str:
+    """Collapse a pandas dtype into the class the driver's value hash
+    distinguishes: integral vs float vs bool vs everything-else. Nullable
+    pandas extension ints report kind 'i'/'u' too."""
+    k = getattr(dtype, "kind", "O")
+    if k in ("i", "u"):
+        return "int"
+    if k == "f":
+        return "float"
+    if k == "b":
+        return "bool"
+    return "other"
+
+
+def dtype_mismatches(sp, du, name: str = "") -> list[str]:
+    """Driver-faithful dtype check (VERDICT r5 #2): the driver's value hash
+    distinguishes int64 2017 from float64 2017.0, while Python `==` does
+    not — the blind spot that hid the DuckDB SUM(int)->HUGEINT->float64
+    oracle defect for three rounds. Fail when one side types a column
+    integral and the other floats it (both-sides-float is fine: Spark's
+    toPandas floats nullable ints exactly like DuckDB's .df())."""
+    errors = []
+    for c in sp.columns:
+        if c not in du.columns:
+            continue
+        sk, dk = _kind_class(sp[c].dtype), _kind_class(du[c].dtype)
+        if {sk, dk} == {"int", "float"}:
+            # A numeric-kind split is only driver-visible when neither side
+            # has nulls (with nulls pandas floats the int side anyway).
+            if not sp[c].isna().any() and not du[c].isna().any():
+                errors.append(
+                    f"{name}: column {c!r} dtype class differs: "
+                    f"spark={sp[c].dtype} duck={du[c].dtype} "
+                    "(driver hash distinguishes 5 from 5.0)"
+                )
+    return errors
+
+
 def compare(spark_df, con, sql: str, name: str = "") -> list[str]:
     """Returns list of mismatch descriptions (empty = pass)."""
     errors = []
@@ -57,6 +95,7 @@ def compare(spark_df, con, sql: str, name: str = "") -> list[str]:
     du_cols = sorted(du.columns)
     if sp_cols != du_cols:
         return [f"{name}: columns differ: spark={sp_cols} duck={du_cols}"]
+    errors.extend(dtype_mismatches(sp, du, name))
     if len(sp) != len(du):
         errors.append(f"{name}: row count spark={len(sp)} duck={len(du)}")
         return errors

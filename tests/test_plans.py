@@ -346,6 +346,12 @@ def test_auto_chunk_windows_dispatch(spark, sf_dir):
     sa = sorted(map(tuple, a.select("symbol", "t", "s").collect()))
     sc = sorted(map(tuple, c.select("symbol", "t", "s").collect()))
     assert sa == sc
+    # dense-order contract (ADVICE r5): the measured arm must REFUSE a
+    # sparse order column instead of letting a data-size increase flip the
+    # dispatch onto the chunked arm and corrupt chunk-boundary rows
+    sparse = b.withColumn("t", F.col("t") * 2)
+    with pytest.raises(ValueError, match="dense 1-based"):
+        auto_chunk_windows(sparse, builders, lookback=19)
 
 
 def test_token_budget_broadcasts_bins(spark, sf_dir):

@@ -250,3 +250,17 @@ def test_mp3_any_valid_header_combo(br_idx, sr_idx, n_frames, padding):
     assert m["n_frames"] == n_frames
     assert m["stream_bytes"] == n_frames * flen
     assert (m["bitrate_kbps"], m["samplerate"]) == (kbps, sr)
+
+
+@given(st.integers(1, 3))
+@settings(max_examples=6, deadline=None)
+def test_mp3_trailing_junk_raises(n_junk):
+    """1-3 trailing bytes after the last frame slip under the `pos + 4 <=
+    len` loop guard; the raises-rather-than-mis-parses contract demands a
+    ValueError, not a silently short stream_bytes census (ADVICE r5)."""
+    import pytest
+
+    from polars_quant_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError, match="trailing junk"):
+        mm.parse_mp3(mm._make_mp3(7) + b"\x00" * n_junk)

@@ -42,37 +42,27 @@ REQUIRED_FAMILIES = [
 ]
 
 # Specific shapes that must be driver-verified, not just family-covered.
-# Round-5 rotation (VERDICT r4 #2): the window swapped to never-driver-
-# verified queries; the pins below are the rotation's non-negotiables —
-# the red mkt_breadth row plus its split diagnostic twins, the §2.6
-# event-loop oracle, and the 17 TPC-H shapes that complete driver
-# verification of all 22 across rounds.
+# Round-6 rotation (VERDICT r5 #1+#3): the 13 queries whose oracles emitted
+# DuckDB HUGEINT output columns (pandas float64 vs Spark int64 — the root
+# cause of every r3-r5 red row) are pinned red-until-green so the BIGINT
+# cast fix gets driver confirmation. The r5 TPC-H pins all went green
+# (except q12, which is in the dtype set) and rotated out.
 REQUIRED_QUERIES = [
-    "mkt_breadth",  # red in r3+r4 — stays in the window until driver-green
-    "mkt_breadth_ints",  # diagnostic twin: integer columns only
-    "mkt_breadth_ratio",  # diagnostic twin: the float ratio only
-    "bt_sequential_curve",  # §2.6 event-loop oracle (never driver-verified)
-] + [
-    f"rel_q{n}_{suffix}"
-    for n, suffix in [
-        (2, "min_cost_supplier"),
-        (6, "forecast_revenue"),
-        (7, "nation_volume"),
-        (8, "market_share"),
-        (9, "profit"),
-        (10, "returned_items"),
-        (11, "important_parts"),
-        (12, "priority_counts"),
-        (13, "custdist"),
-        (14, "promo_share"),
-        (15, "top_supplier"),
-        (16, "supplier_counts"),
-        (17, "small_qty_revenue"),
-        (18, "large_orders"),
-        (19, "disjunctive_revenue"),
-        (20, "excess_shippers"),
-        (21, "sole_returner"),
-    ]
+    # the 4 r5 driver-red rows
+    "mkt_breadth",
+    "mkt_breadth_ints",
+    "rel_q12_priority_counts",
+    "doc_bpe_merges",
+    # the 9 latent HUGEINT oracles fixed in the same commit
+    "bars_volume_profile",
+    "events_props_json",
+    "stream_source_quota",
+    "doc_source_report",
+    "doc_dedup_savings",
+    "events_session_features",
+    "events_activity_gini",
+    "events_ab_test",
+    "rel_data_profile",
 ]
 
 

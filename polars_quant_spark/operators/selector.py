@@ -65,12 +65,20 @@ class Selector:
 
     def _ma_cmp(self, col: str, p: int, mult: float, above: bool) -> Column:
         """x >/< mult·avg_p(x), as exact integers: den·p·q(x) >/< num·Σq(x),
-        NULL-gated until the frame holds p values (matches overlap.sma)."""
+        NULL-gated until the frame holds p values (matches overlap.sma).
+
+        The cross-multiply runs in decimal(38,0): with micro-quantized
+        VOLUMES q can reach 1e15, and q·den·p crosses 2^63 around
+        p·den ≥ 1e4 — Spark's non-ANSI long multiply would wrap silently
+        and corrupt the predicate (r5 advisory). Decimal keeps the
+        comparison exact at any screen magnitude; it is predicate-only,
+        so no hashed output column changes type."""
         w = self._w.rowsBetween(-(p - 1), 0)
         num, den = _ratio(mult)
+        dec = "decimal(38,0)"
         qx = _q6(F.col(col))
-        lhs = qx * F.lit(den * p)
-        rhs = F.sum(qx).over(w) * F.lit(num)
+        lhs = qx.cast(dec) * F.lit(den * p).cast(dec)
+        rhs = F.sum(qx.cast(dec)).over(w) * F.lit(num).cast(dec)
         return F.when(
             F.count(F.col(col)).over(w) == p, (lhs > rhs) if above else (lhs < rhs)
         )

@@ -137,6 +137,37 @@ class TestSelectorStrategy:
         rows = sel.filter().collect()
         assert len(rows) == 1 and rows[0]["t"] == 101  # the engineered spike
 
+    def test_selector_ma_cmp_no_int64_wrap(self, spark):
+        """Billion-scale volumes quantize to q ≈ 1e15 micro-units; the old
+        int64 cross-multiply q·den·p wrapped past 2^63 for den·p ≥ ~1e4
+        and silently corrupted the predicate (r5 advisory). The decimal
+        comparison must match an exact-integer Python oracle."""
+        n = 60
+        vols = np.where(np.arange(n) == 50, 9.0e9, 3.0e9)  # q ≈ 9e15 spike
+        df = spark.createDataFrame(
+            pd.DataFrame(
+                {
+                    "symbol": ["X"] * n,
+                    "t": np.arange(1, n + 1),
+                    "close": np.full(n, 100.0),
+                    "high": np.full(n, 101.0),
+                    "low": np.full(n, 99.0),
+                    "volume": vols,
+                }
+            )
+        )
+        # volume_surge(mult=1.999, p=30): den=1000 -> den*p = 3e4, so
+        # q*den*p ≈ 2.7e20 >> 2^63 — guaranteed wrap territory on int64
+        rows = Selector(df).volume_surge(1.999, 30).filter().collect()
+        q = [int(np.floor(v * 1e6 + 0.5)) for v in vols]
+        expect = [
+            t
+            for t in range(30, n + 1)  # frames holding exactly 30 values
+            if q[t - 1] * 1000 * 30 > sum(q[t - 30 : t]) * 1999
+        ]
+        assert sorted(r["t"] for r in rows) == expect
+        assert expect == [51]  # only the engineered spike fires
+
     def test_selector_topk(self, trend):
         top = Selector(trend).price_above_ma(10).top(3, by="close").collect()
         assert len(top) == 3

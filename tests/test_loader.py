@@ -158,3 +158,30 @@ def test_load_table_conf_order_independent(spark, sf_dir):
     load_table(spark, sf_dir, "events")
     after_events = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong")
     assert after_lineitem == after_events == "true"
+
+
+def test_nanos_parquet_reads_as_exact_us(spark, tmp_path):
+    """Round-1 driver data shipped events.ts as TIMESTAMP(NANOS). Under the
+    always-on nanosAsLong conf that physical type reads as int64 ns, and
+    ts_us_expr must hand back exact epoch-µs through its bigint branch —
+    the path no current driver dataset exercises (round 2+ is MICROS), so
+    pin it here against a pyarrow-written NANOS file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from polars_quant_spark.sources.bars import load_table, ts_us_expr
+
+    ns = [1_700_000_000_123_456_789, 1_700_000_001_000_000_000]
+    tbl = pa.table(
+        {
+            "ts": pa.array(ns, type=pa.timestamp("ns")),
+            "event_id": pa.array([1, 2], type=pa.int64()),
+        }
+    )
+    d = tmp_path / "nanos_sf"
+    d.mkdir()
+    pq.write_table(tbl, d / "events.parquet", store_schema=False)
+    ev = load_table(spark, str(d), "events")
+    assert dict(ev.dtypes)["ts"] == "bigint"  # NANOS -> int64 ns
+    got = [r["us"] for r in ev.select(ts_us_expr(ev).alias("us")).collect()]
+    assert got == [n // 1000 for n in ns]

@@ -78,6 +78,25 @@ def test_dtype_mismatch_detector_catches_hugeint():
     assert not dtype_mismatches(sp_null, du_null, "nullable")
 
 
+def test_nan_asymmetry_detector():
+    """The harness's NaN gate: a column where one engine emits float NaN
+    and the other NULL must fail (the value comparison maps both to None,
+    so only this check sees it); symmetric NaNs and plain NULLs pass."""
+    import numpy as np
+    import pandas as pd
+
+    from tests.harness import nan_asymmetries
+
+    sp = pd.DataFrame({"r": [1.0, np.nan]})
+    # a bare [1.0, None] list would coerce to float64/NaN — force the
+    # object column a NULL-producing engine actually hands back
+    du_null = pd.DataFrame({"r": pd.Series([1.0, None], dtype=object)})
+    assert nan_asymmetries(sp, du_null, "q")
+
+    du_nan = pd.DataFrame({"r": [1.0, np.nan]})
+    assert not nan_asymmetries(sp, du_nan, "q")
+
+
 def test_fixed_hugeint_queries_dtype_faithful(spark):
     """End-to-end dtype-faithful run of the 13 queries whose oracles were
     HUGEINT-red (4 driver-red in r5 + 9 latent): both value AND dtype-class

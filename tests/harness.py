@@ -104,19 +104,25 @@ def dtype_mismatches(sp, du, name: str = "") -> list[str]:
     integral and the other floats it (both-sides-float is fine: Spark's
     toPandas floats nullable ints exactly like DuckDB's .df())."""
     errors = []
+    numericish = {"int", "float", "bool"}
     for c in sp.columns:
         if c not in du.columns:
             continue
         sk, dk = _kind_class(sp[c].dtype), _kind_class(du[c].dtype)
-        if {sk, dk} == {"int", "float"}:
-            # A numeric-kind split is only driver-visible when neither side
-            # has nulls (with nulls pandas floats the int side anyway).
-            if not sp[c].isna().any() and not du[c].isna().any():
-                errors.append(
-                    f"{name}: column {c!r} dtype class differs: "
-                    f"spark={sp[c].dtype} duck={du[c].dtype} "
-                    "(driver hash distinguishes 5 from 5.0)"
-                )
+        if sk != dk and sk in numericish and dk in numericish:
+            # int/float splits are only driver-visible when neither side
+            # has nulls (with nulls pandas floats the int side anyway);
+            # bool-vs-numeric splits (True == 1 to Python, not to a
+            # dtype-sensitive hash) are visible regardless.
+            if {sk, dk} == {"int", "float"} and (
+                sp[c].isna().any() or du[c].isna().any()
+            ):
+                continue
+            errors.append(
+                f"{name}: column {c!r} dtype class differs: "
+                f"spark={sp[c].dtype} duck={du[c].dtype} "
+                "(driver hash distinguishes 5 from 5.0 and True from 1)"
+            )
     return errors
 
 

@@ -77,6 +77,13 @@ def test_dtype_mismatch_detector_catches_hugeint():
     du_null = pd.DataFrame({"x": pd.array([1, None], dtype="Int64")})
     assert not dtype_mismatches(sp_null, du_null, "nullable")
 
+    # bool-vs-int: Python True == 1, so only the dtype gate sees it.
+    sp_bool = pd.DataFrame({"f": pd.array([True, False], dtype="bool")})
+    du_int = pd.DataFrame({"f": pd.array([1, 0], dtype="int64")})
+    assert dtype_mismatches(sp_bool, du_int, "boolsplit")
+    du_bool = pd.DataFrame({"f": pd.array([True, False], dtype="bool")})
+    assert not dtype_mismatches(sp_bool, du_bool, "boolsplit")
+
 
 def test_nan_asymmetry_detector():
     """The harness's NaN gate: a column where one engine emits float NaN

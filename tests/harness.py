@@ -51,7 +51,14 @@ def _norm_cell(v):
 def _kind_class(dtype) -> str:
     """Collapse a pandas dtype into the class the driver's value hash
     distinguishes: integral vs float vs bool vs everything-else. Nullable
-    pandas extension ints report kind 'i'/'u' too."""
+    pandas extension ints report kind 'i'/'u' too.
+
+    Width is deliberately IGNORED: a census of all 385 queries found 15
+    integer-width splits (int64 vs int32, even int32 vs int8 in
+    doc_simhash_pairs), several of them driver-hash-green across rounds
+    (bars_vwap, interval_overlap_bars r5; doc_simhash_pairs r3) — the
+    driver distinguishes kind class, not width, so flagging widths would
+    be pure false alarms."""
     k = getattr(dtype, "kind", "O")
     if k in ("i", "u"):
         return "int"

@@ -4,8 +4,9 @@ from polars_quant_spark.functions import (
     pattern,
     price,
     returns,
+    trend,
     volatility,
     volume,
 )
 
-__all__ = ["momentum", "overlap", "pattern", "price", "returns", "volatility", "volume"]
+__all__ = ["momentum", "overlap", "pattern", "price", "returns", "trend", "volatility", "volume"]

@@ -1,0 +1,186 @@
+"""Trend / channel indicators beyond the reference's TA-Lib set.
+
+These four were query-local compositions in ``queries_ext.py`` through
+round 6 (each driver-green as `ind_donchian_20`, `ind_keltner`,
+`ind_ichimoku`, `ind_vortex_14`); promoted here so package users get
+them as first-class entry points, the same way ``momentum.stochrsi``
+was promoted in round 5. Each function ADDS columns (unrounded — the
+oracle queries apply their own 6-dp rounding) and leaves every input
+column in place; plan shape is identical to the query-local form, so
+the promotion moves code, not the answer.
+
+No reference kernel exists for these (they extend the surface of
+/root/reference/src/talib/); semantics follow the standard published
+definitions (Keltner 1960 / Chester Keltner channels as popularized
+with EMA+ATR, Donchian 1970s channel, Hosoda's Ichimoku Kinko Hyo,
+Botes & Siepman's Vortex indicator, TASC 2010-01).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from polars_quant_spark.functions._util import dcol
+
+
+def donchian(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    p: int = 20,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    prefix: str = "dc",
+) -> DataFrame:
+    """Donchian channel: rolling ``p``-bar high/low envelope + midline.
+
+    Adds ``{prefix}_upper`` / ``{prefix}_lower`` / ``{prefix}_mid``
+    (NULL until a full ``p``-bar window exists). Pure expression-layer
+    windows — all three share one per-key exchange."""
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy(order_by)
+        .rowsBetween(-(p - 1), 0)
+    )
+    h, l = dcol(high), dcol(low)
+    full = F.count(h).over(w) == p
+    up, lo = F.max(h).over(w), F.min(l).over(w)
+    return df.select(
+        "*",
+        F.when(full, up).alias(f"{prefix}_upper"),
+        F.when(full, lo).alias(f"{prefix}_lower"),
+        F.when(full, (up + lo) / 2.0).alias(f"{prefix}_mid"),
+    )
+
+
+def keltner(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    ema_period: int = 20,
+    atr_period: int = 10,
+    mult: float = 2.0,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    prefix: str = "kc",
+) -> DataFrame:
+    """Keltner channels: EMA(``ema_period``) midline ± ``mult``·ATR
+    (``atr_period``).
+
+    Adds ``{prefix}_mid`` / ``{prefix}_upper`` / ``{prefix}_lower``
+    (NULL while either recurrence is warming up). Both kernels run in
+    ONE batched ``applyInPandas`` pass — adding the second recurrence
+    costs numpy time, not a second shuffle."""
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    mid_c, atr_c = f"_{prefix}_ema", f"_{prefix}_atr"
+    out = with_recurrences(
+        df,
+        [
+            Rec(mid_c, "ema", [close], {"p": ema_period}),
+            Rec(atr_c, "atr", [high, low, close], {"p": atr_period}),
+        ],
+        partition_by=partition_by,
+        order_by=order_by,
+    )
+    m, a = F.col(mid_c), F.col(atr_c)
+    return out.select(
+        *df.columns,
+        m.alias(f"{prefix}_mid"),
+        (m + mult * a).alias(f"{prefix}_upper"),
+        (m - mult * a).alias(f"{prefix}_lower"),
+    )
+
+
+def ichimoku(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    tenkan_period: int = 9,
+    kijun_period: int = 26,
+    senkou_b_period: int = 52,
+    shift: int = 26,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+) -> DataFrame:
+    """Ichimoku cloud: tenkan/kijun midlines, senkou A/B projected
+    ``shift`` bars forward (expressed as LAG so every output sits on its
+    display bar — no future rows materialized), chikou as the
+    ``shift``-bar LEAD of close.
+
+    Adds ``tenkan`` / ``kijun`` / ``senkou_a`` / ``senkou_b`` /
+    ``chikou``. Pure rolling-extrema windows + shifts over ONE per-key
+    exchange."""
+    h, l, c = dcol(high), dcol(low), dcol(close)
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+
+    def mid(n: int):
+        w = o.rowsBetween(-(n - 1), 0)
+        return F.when(
+            F.count(h).over(w) == n,
+            (F.max(h).over(w) + F.min(l).over(w)) / 2.0,
+        )
+
+    lines = df.select(
+        "*",
+        mid(tenkan_period).alias("tenkan"),
+        mid(kijun_period).alias("kijun"),
+        mid(senkou_b_period).alias("_sb_raw"),
+    )
+    return lines.select(
+        *df.columns,
+        "tenkan",
+        "kijun",
+        F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, shift)
+        .over(o)
+        .alias("senkou_a"),
+        F.lag("_sb_raw", shift).over(o).alias("senkou_b"),
+        F.lead(c, shift).over(o).alias("chikou"),
+    )
+
+
+def vortex(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    p: int = 14,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    prefix: str = "vi",
+) -> DataFrame:
+    """Vortex indicator VI+/VI− over ``p`` bars: rolling vortex movements
+    over rolling true range.
+
+    Adds ``{prefix}_plus`` / ``{prefix}_minus`` (NULL until a full
+    ``p``-bar window of movements exists, or when the TR sum is 0).
+    NOTE: the first bar of each key is DROPPED — vortex movement needs a
+    prior bar, and the rolling counts must see only defined movements
+    for the warm-up gate to be exact. The rolling double sums share one
+    per-key exchange."""
+    h, l, c = dcol(high), dcol(low), dcol(close)
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+    vm = df.select(
+        "*",
+        F.abs(h - F.lag(l).over(o)).alias("_vm_plus"),
+        F.abs(l - F.lag(h).over(o)).alias("_vm_minus"),
+        F.greatest(
+            h - l,
+            F.abs(h - F.lag(c).over(o)),
+            F.abs(l - F.lag(c).over(o)),
+        ).alias("_tr"),
+    ).where(F.col("_vm_plus").isNotNull())
+    w = o.rowsBetween(-(p - 1), 0)
+    full = (F.count("_tr").over(w) == p) & (F.sum("_tr").over(w) > 0)
+    return vm.select(
+        *df.columns,
+        F.when(full, F.sum("_vm_plus").over(w) / F.sum("_tr").over(w)).alias(
+            f"{prefix}_plus"
+        ),
+        F.when(full, F.sum("_vm_minus").over(w) / F.sum("_tr").over(w)).alias(
+            f"{prefix}_minus"
+        ),
+    )

@@ -226,7 +226,20 @@ def auto_chunk_windows(
     flip (ADVICE r5). When this function has to measure (no
     ``max_rows_per_key`` given) it validates density in the same pass and
     raises; when the caller supplies the bound, the caller owns the
-    contract.
+    contract. A non-castable order column (e.g. string) is treated as
+    sparse, not silently passed (ADVICE r6: NULL from the long cast must
+    fail the gate, not fall through ``otherwise(0)``).
+
+    BREAKING CHANGE (round 6): the measured path raises for ANY non-dense
+    order column — even when the data is small enough that dispatch would
+    have picked the plain arm, which does tolerate arbitrary orderable
+    columns (e.g. epoch timestamps). This is deliberate: accepting a
+    sparse order at small sizes means a later data-size increase flips the
+    dispatch to the chunked arm and SILENTLY corrupts results, which is
+    strictly worse than an eager error. Callers with a valid sparse order
+    have two escape hatches (both named in the error message): renumber
+    with ``row_number()`` over the same sort, or pass ``max_rows_per_key``
+    to take ownership of the contract and skip the measuring pass.
 
     Both paths are bit-identical (the chunked operator's exactness
     contract) given the dense-order contract, so the dispatch only moves
@@ -237,14 +250,17 @@ def auto_chunk_windows(
             df.groupBy(*keys)
             .agg(
                 F.count(F.lit(1)).alias("_n"),
-                F.max(F.col(order).cast("long")).alias("_mx"),
-                F.min(F.col(order).cast("long")).alias("_mn"),
+                F.max(F.col(order).try_cast("long")).alias("_mx"),
+                F.min(F.col(order).try_cast("long")).alias("_mn"),
             )
             .agg(
                 F.max("_n").alias("m"),
                 F.max(
                     F.when(
-                        (F.col("_mx") != F.col("_n")) | (F.col("_mn") != 1), 1
+                        F.col("_mx").isNull()
+                        | (F.col("_mx") != F.col("_n"))
+                        | (F.col("_mn") != 1),
+                        1,
                     ).otherwise(0)
                 ).alias("sparse"),
             )

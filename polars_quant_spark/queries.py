@@ -62,74 +62,88 @@ ORACLES: dict[str, str] = {}
 # window, so a future append can't silently push a family back out.
 # ---------------------------------------------------------------------------
 
-# ROUND-6 ROTATION (VERDICT r5 #1+#3): the r5 red rows were all one defect —
-# DuckDB types bare SUM(int) as HUGEINT, pandas renders it float64, and the
-# driver's dtype-sensitive hash splits 2017 from 2017.0. Every integer-SUM
-# oracle output is now CAST(... AS BIGINT) (13 queries: the 4 r5-red rows
-# plus 9 latent HUGEINT oracles found by planning all 385 oracles —
-# tests/test_oracle_types.py gates the class statically). Per rotation rule
-# (a) red-until-green, all 13 are PINNED this round for driver confirmation.
-# Rule (b) keeps one green carryover per family whose members are all
-# driver-verified already (no unseen member exists). Every other slot goes
-# to a query the driver has NEVER hash-verified (diffed against
-# CORRECTNESS_r01-r05 key sets). History: r3∪r4∪r5 = 134 driver-seen /
-# 130 green; this rotation pushes the union past 160.
-PRIORITY_50: list[str] = [
-    # (a) the 13 dtype-fixed oracles — red-until-green pins
-    "mkt_breadth",
-    "mkt_breadth_ints",
-    "rel_q12_priority_counts",
-    "doc_bpe_merges",
-    "bars_volume_profile",
-    "events_props_json",
-    "stream_source_quota",
-    "doc_source_report",
-    "doc_dedup_savings",
-    "events_session_features",
-    "events_activity_gini",
-    "events_ab_test",
-    "rel_data_profile",
-    # (b) saturated families (every member already driver-verified) —
-    # one green carryover each so the family keeps a window row
-    "agg_incremental_merge",
-    "price_transforms",
-    "cdl_efficacy",
-    "asof_tolerance_nearest",
-    "range_point_events",
-    "interval_overlap_bars",
-    "sel_info",
-    "loader_interpolate",
-    "ols_lineitem",
-    "clean_mad_neutralize",
-    "text_token_freq",
-    # (c) never-driver-verified queries (26 slots)
-    "vol_efi_13",
-    "vol_eom_14",
-    "mkt_mcclellan",
-    "factor_turnover",
-    "sketch_sample_quantiles",
-    "media_png_features",
-    "media_mp4_features",
-    "media_mp3_features",
-    "emb_gram",
-    "emb_knn_classify",
-    "emb_pca_power",
-    "emb_hubness",
-    "bt_trade_excursions",
-    "bt_sharpe_inference",
-    "bt_rebalance_curve",
-    "bt_bootstrap_bands",
-    "stream_anomaly_zscore",
-    "ind_ma_dispatch",
-    "ind_macdext",
-    "ind_macdfix",
-    "ind_keltner",
-    "ind_donchian_20",
-    "ind_ichimoku",
-    "ind_vortex_14",
-    "rel_salted_nation_rollup",
-    "rel_topk_per_group",
+# ROUND-7 ROTATION (VERDICT r6 #1): round 6 was the first fully-green
+# driver round (50/50) AND the first with zero latent reds anywhere, so this
+# window has ZERO rule-(a) pins. Rule (b) keeps one green carryover per
+# saturated family (every member already driver-verified — no unseen member
+# exists); each saturated prefix in the window-coverage invariant gets one
+# canary slot (15 — ops_ is outside the invariant and rides the full
+# harness this round). The other 35 slots all go to queries the driver has
+# NEVER hash-verified (diffed against the CORRECTNESS_r01-r06 key sets —
+# union 169/385, all ever-green), front-loading the extension-indicator
+# cluster the verdict called out. Target: union ≥ 204 after this round.
+# The machine-readable ledger lives at docs/coverage_ledger.json
+# (tests/test_coverage_ledger.py audits both the ledger and this window's
+# slot spend: every PRIORITY_CARRYOVERS entry must be ledger-green, every
+# other slot must be ledger-NEVER-verified).
+PRIORITY_CARRYOVERS: list[str] = [
+    # (b) saturated-family green carryovers — one per saturated prefix
+    # (every member already driver-verified; the canary keeps the family
+    # exercised each round per the window-coverage invariant in
+    # tests/test_registration_order.py)
+    "cdl_all_patterns",       # cdl (all 61 patterns in one hash)
+    "vol_ad_obv",             # vol
+    "mkt_mcclellan",          # mkt
+    "factor_fama_macbeth",    # factor
+    "loader_grid_fill",       # loader
+    "sel_screen_topk",        # sel
+    "sketch_kmv_users",       # sketch
+    "asof_bars_marks",        # asof
+    "range_bars_windows",     # range
+    "interval_overlap_bars",  # interval
+    "clean_winsor_zscore",    # clean
+    "agg_events_daily",       # agg (ops_ rides the full harness this round)
+    "price_transforms",       # price
+    "ols_lineitem",           # ols
+    "text_token_freq",        # text
 ]
+
+PRIORITY_FRESH: list[str] = [
+    # (c) never-driver-verified — the extension-indicator cluster first
+    "ind_kst",
+    "ind_tsi",
+    "ind_coppock",
+    "ind_mass_index",
+    "ind_klinger",
+    "ind_zigzag",
+    "ind_renko",
+    "ind_garch_vol",
+    "ind_choppiness_14",
+    "ind_awesome_osc",
+    "ind_dpo_20",
+    "ind_elder_ray",
+    # backtest extensions
+    "bt_riskparity_curve",
+    "bt_trailing_curve",
+    "bt_permutation_pvalue",
+    # bars analytics
+    "bars_rolling_beta",
+    "bars_drawdown_episodes",
+    "bars_range_vol",
+    "bars_moment_stats",
+    "bars_sortino",
+    # relational
+    "rel_window_family",
+    "rel_cube_revenue",
+    "rel_unpivot_measures",
+    "rel_price_percentiles",
+    "rel_market_basket",
+    # documents / LLM pipeline
+    "doc_oov_stats",
+    "doc_packing",
+    "doc_chunking",
+    "doc_bm25",
+    "doc_pii_scrub",
+    # events
+    "events_funnel_latency",
+    "events_hll_distinct",
+    # streaming / embeddings / media
+    "stream_sliding_batch",
+    "emb_dim_profile",
+    "media_frame_plan",
+]
+
+PRIORITY_50: list[str] = PRIORITY_CARRYOVERS + PRIORITY_FRESH
 
 
 def reorder_registration() -> None:

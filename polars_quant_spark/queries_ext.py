@@ -2428,25 +2428,21 @@ WHERE m.kmid IS NOT NULL AND a.katr IS NOT NULL
 
 def ind_keltner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keltner channels (EMA(20) ± 2·ATR(10)) — a named indicator beyond
-    the reference's TA-Lib set, composed from two recurrence kernels in
-    ONE applyInPandas pass (adding kernels costs numpy time, not
-    shuffles)."""
+    the reference's TA-Lib set, routed through the library entry point
+    ``functions.trend.keltner`` (two recurrence kernels in ONE
+    applyInPandas pass; adding kernels costs numpy time, not shuffles)."""
+    from polars_quant_spark.functions.trend import keltner
+
     b = bars(spark, sf_dir)
-    out = with_recurrences(
-        b,
-        [
-            Rec("kmid", "ema", ["close"], {"p": 20}),
-            Rec("katr", "atr", ["high", "low", "close"], {"p": 10}),
-        ],
-    )
+    out = keltner(b, ema_period=20, atr_period=10, mult=2.0)
     return (
-        out.where(F.col("kmid").isNotNull() & F.col("katr").isNotNull())
+        out.where(F.col("kc_mid").isNotNull() & F.col("kc_upper").isNotNull())
         .select(
             "symbol",
             "t",
-            r6(F.col("kmid")).alias("kc_mid"),
-            r6(F.col("kmid") + 2.0 * F.col("katr")).alias("kc_upper"),
-            r6(F.col("kmid") - 2.0 * F.col("katr")).alias("kc_lower"),
+            r6(F.col("kc_mid")).alias("kc_mid"),
+            r6(F.col("kc_upper")).alias("kc_upper"),
+            r6(F.col("kc_lower")).alias("kc_lower"),
         )
     )
 
@@ -2470,19 +2466,19 @@ WINDOW w AS {_win(20)}
 )
 def ind_donchian(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Donchian channel (20): rolling high/low envelope + midline — the
-    breakout-system staple, pure expression-layer windows (one exchange
-    shared with every other indicator on the same spec)."""
+    breakout-system staple, routed through the library entry point
+    ``functions.trend.donchian`` (pure expression-layer windows, one
+    exchange shared with every other indicator on the same spec)."""
+    from polars_quant_spark.functions.trend import donchian
+
     b = bars(spark, sf_dir)
-    w = _w().rowsBetween(-19, 0)
-    full = F.count("high").over(w) == 20
-    up = F.max("high").over(w)
-    lo = F.min("low").over(w)
-    return b.select(
+    out = donchian(b, p=20)
+    return out.select(
         "symbol",
         "t",
-        r6(F.when(full, up)).alias("dc_upper"),
-        r6(F.when(full, lo)).alias("dc_lower"),
-        r6(F.when(full, (up + lo) / 2.0)).alias("dc_mid"),
+        r6(F.col("dc_upper")).alias("dc_upper"),
+        r6(F.col("dc_lower")).alias("dc_lower"),
+        r6(F.col("dc_mid")).alias("dc_mid"),
     )
 
 
@@ -2591,29 +2587,21 @@ def ind_ichimoku(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ichimoku cloud: tenkan(9)/kijun(26) midlines, senkou A/B projected
     26 bars forward (expressed as LAG so every output sits on its display
     bar — no future rows materialized), chikou as the 26-bar LEAD of
-    close. Pure rolling-extrema windows + shifts over ONE exchange."""
+    close. Routed through the library entry point
+    ``functions.trend.ichimoku`` (pure rolling-extrema windows + shifts
+    over ONE exchange)."""
+    from polars_quant_spark.functions.trend import ichimoku
+
     b = bars(spark, sf_dir)
-
-    def mid(n: int):
-        w = _w().rowsBetween(-(n - 1), 0)
-        return F.when(
-            F.count("high").over(w) == n,
-            (F.max("high").over(w) + F.min("low").over(w)) / 2.0,
-        )
-
-    o = _w()
-    lines = b.select(
-        "symbol", "t", "close",
-        mid(9).alias("tenkan"), mid(26).alias("kijun"), mid(52).alias("sb_raw"),
-    )
-    return lines.select(
+    out = ichimoku(b)
+    return out.select(
         "symbol",
         "t",
         r6(F.col("tenkan")).alias("tenkan"),
         r6(F.col("kijun")).alias("kijun"),
-        r6(F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, 26).over(o)).alias("senkou_a"),
-        r6(F.lag("sb_raw", 26).over(o)).alias("senkou_b"),
-        r6(F.lead("close", 26).over(o)).alias("chikou"),
+        r6(F.col("senkou_a")).alias("senkou_a"),
+        r6(F.col("senkou_b")).alias("senkou_b"),
+        r6(F.col("chikou")).alias("chikou"),
     )
 
 
@@ -2640,28 +2628,18 @@ WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 13 PRECEDING AND CURREN
 )
 def ind_vortex(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Vortex indicator VI+/VI− (14): rolling vortex movements over rolling
-    true range — trend-change detection from pure window sums (the rolling
-    double sums share one exchange; warm-up gated on a full window)."""
+    true range — trend-change detection, routed through the library entry
+    point ``functions.trend.vortex`` (pure window sums; the rolling double
+    sums share one exchange; warm-up gated on a full window)."""
+    from polars_quant_spark.functions.trend import vortex
+
     b = bars(spark, sf_dir)
-    o = _w()
-    vm = b.select(
+    out = vortex(b, p=14)
+    return out.select(
         "symbol",
         "t",
-        F.abs(F.col("high") - F.lag("low").over(o)).alias("vm_plus"),
-        F.abs(F.col("low") - F.lag("high").over(o)).alias("vm_minus"),
-        F.greatest(
-            F.col("high") - F.col("low"),
-            F.abs(F.col("high") - F.lag("close").over(o)),
-            F.abs(F.col("low") - F.lag("close").over(o)),
-        ).alias("tr"),
-    ).where(F.col("vm_plus").isNotNull())
-    w = _w().rowsBetween(-13, 0)
-    full = (F.count("tr").over(w) == 14) & (F.sum("tr").over(w) > 0)
-    return vm.select(
-        "symbol",
-        "t",
-        r6(F.when(full, F.sum("vm_plus").over(w) / F.sum("tr").over(w))).alias("vi_plus"),
-        r6(F.when(full, F.sum("vm_minus").over(w) / F.sum("tr").over(w))).alias("vi_minus"),
+        r6(F.col("vi_plus")).alias("vi_plus"),
+        r6(F.col("vi_minus")).alias("vi_minus"),
     )
 
 

@@ -1,0 +1,104 @@
+"""Machine audit of the driver-coverage rotation protocol (VERDICT r6 #2).
+
+Through round 6 the driver-verified union (which queries have ever been
+hash-verified by the round driver, and when) lived only in prose and in
+ad-hoc diffs of the CORRECTNESS_r*.json artifacts. These tests make the
+protocol self-auditing:
+
+1. the committed ledger (docs/coverage_ledger.json) must equal what the
+   artifacts actually say (regenerate with tools/make_coverage_ledger.py);
+2. every registered query has a ledger row (so coverage gaps are
+   enumerable, not inferred);
+3. the current PRIORITY window spends no slot on an already-verified query
+   beyond the declared rule-(b) carryovers — the failure mode that stalled
+   coverage in rounds 3-4;
+4. rule (a): any query whose LATEST driver row is red must be pinned in the
+   window until it goes green.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from polars_quant_spark.queries import (
+    PRIORITY_50,
+    PRIORITY_CARRYOVERS,
+    PRIORITY_FRESH,
+    QUERIES,
+)
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+LEDGER_PATH = os.path.join(ROOT, "docs", "coverage_ledger.json")
+
+
+def _ledger() -> dict[str, dict]:
+    with open(LEDGER_PATH) as f:
+        return json.load(f)
+
+
+def test_ledger_matches_artifacts():
+    """The committed ledger must be exactly what the CORRECTNESS artifacts
+    derive — a stale or hand-edited ledger fails here, not in a judge's
+    re-derivation."""
+    import sys
+
+    sys.path.insert(0, ROOT)
+    from tools.make_coverage_ledger import build_ledger
+
+    assert _ledger() == build_ledger(ROOT)
+
+
+def test_every_registered_query_has_a_ledger_row():
+    ledger = _ledger()
+    missing = [k for k in QUERIES if k not in ledger]
+    assert not missing, f"queries absent from the coverage ledger: {missing}"
+
+
+def test_window_structure():
+    assert PRIORITY_50 == PRIORITY_CARRYOVERS + PRIORITY_FRESH
+    assert len(PRIORITY_50) == len(set(PRIORITY_50)) == 50
+
+
+def test_carryovers_are_ledger_green():
+    """Rule (b): a carryover slot exists to re-exercise an ALREADY-verified
+    family, so every carryover must have a green ledger history."""
+    ledger = _ledger()
+    not_green = [
+        k for k in PRIORITY_CARRYOVERS if ledger[k]["first_green"] is None
+    ]
+    assert not not_green, f"carryover slots never driver-verified: {not_green}"
+
+
+def test_fresh_slots_are_never_driver_verified():
+    """The coverage-growth invariant: outside carryovers (and rule-(a)
+    pins, which are by definition ledger-seen-but-red), every window slot
+    must be spent on a query the driver has NEVER verified. Re-spending a
+    slot on a union member is what stalled coverage in rounds 3-4."""
+    ledger = _ledger()
+    wasted = [
+        k
+        for k in PRIORITY_FRESH
+        if ledger[k]["first_green"] is not None
+        # rule-(a) pins: seen but latest-red queries MUST hold a slot
+        and ledger[k]["last_green"] is not False
+    ]
+    assert not wasted, (
+        f"window slots re-spent on already-green queries: {wasted} — "
+        "either move them to PRIORITY_CARRYOVERS (rule b) or swap in "
+        "never-verified queries (regenerate the ledger first if a new "
+        "CORRECTNESS artifact just landed)"
+    )
+
+
+def test_latest_red_queries_are_pinned():
+    """Rule (a): a red row holds its slot until the driver confirms the
+    fix. Round 7 starts with zero reds; this guards every future round."""
+    ledger = _ledger()
+    reds = [
+        k
+        for k, v in ledger.items()
+        if v["last_seen"] is not None and v["last_green"] is False
+    ]
+    unpinned = [k for k in reds if k not in PRIORITY_50]
+    assert not unpinned, f"latest-red queries missing from the window: {unpinned}"

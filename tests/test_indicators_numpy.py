@@ -313,3 +313,115 @@ def test_cusum_flat_series_never_alarms_and_shift_alarms():
     shifted = np.concatenate([np.full(100, 100.0), np.full(100, 130.0)])
     sp2, sn2, al2 = cusum(shifted)
     assert np.nanmax(al2) == 1  # sustained +30% shift trips the detector
+
+
+# --- functions.trend (round-7 promotions: donchian/keltner/ichimoku/vortex,
+# previously query-local in queries_ext.py, all driver-green in r6) ---------
+
+
+def test_trend_donchian_matches_pandas(ohlcv):
+    from polars_quant_spark.functions import trend as tr
+
+    df, pdf = ohlcv
+    out = tr.donchian(df, p=20)
+    assert set(df.columns) <= set(out.columns)
+    up = _collect(out, "dc_upper")
+    lo = _collect(out, "dc_lower")
+    mid = _collect(out, "dc_mid")
+    want_up = pdf["high"].rolling(20).max().to_numpy()
+    want_lo = pdf["low"].rolling(20).min().to_numpy()
+    np.testing.assert_allclose(up, want_up, rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(lo, want_lo, rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(
+        mid, (want_up + want_lo) / 2.0, rtol=1e-12, equal_nan=True
+    )
+
+
+def test_trend_keltner_band_identities(ohlcv):
+    """mid is the EMA(20) recurrence output; bands sit symmetrically at
+    ±mult·ATR(10) around it (checked via the band-vs-mid identity, which
+    pins both the composition and the NULL-propagation contract)."""
+    from polars_quant_spark.functions import trend as tr
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    df, _ = ohlcv
+    out = tr.keltner(df, mult=2.0)
+    assert set(df.columns) <= set(out.columns)
+    mid = _collect(out, "kc_mid")
+    up = _collect(out, "kc_upper")
+    lo = _collect(out, "kc_lower")
+    ref = with_recurrences(
+        df,
+        [
+            Rec("ema20", "ema", ["close"], {"p": 20}),
+            Rec("atr10", "atr", ["high", "low", "close"], {"p": 10}),
+        ],
+    )
+    ema = _collect(ref, "ema20")
+    atr = _collect(ref, "atr10")
+    np.testing.assert_allclose(mid, ema, rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(up, ema + 2.0 * atr, rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(lo, ema - 2.0 * atr, rtol=1e-12, equal_nan=True)
+    # upper/lower are NULL exactly while either recurrence warms up
+    assert np.isnan(up[: 9]).all() and not np.isnan(up[25:]).any()
+
+
+def test_trend_ichimoku_matches_pandas(ohlcv):
+    from polars_quant_spark.functions import trend as tr
+
+    df, pdf = ohlcv
+    out = tr.ichimoku(df)
+    assert set(df.columns) <= set(out.columns)
+    mid = lambda n: (
+        pdf["high"].rolling(n).max() + pdf["low"].rolling(n).min()
+    ) / 2.0
+    tenkan, kijun, sb = mid(9), mid(26), mid(52)
+    np.testing.assert_allclose(
+        _collect(out, "tenkan"), tenkan.to_numpy(), rtol=1e-12, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        _collect(out, "kijun"), kijun.to_numpy(), rtol=1e-12, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        _collect(out, "senkou_a"),
+        ((tenkan + kijun) / 2.0).shift(26).to_numpy(),
+        rtol=1e-12,
+        equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        _collect(out, "senkou_b"), sb.shift(26).to_numpy(), rtol=1e-12, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        _collect(out, "chikou"),
+        pdf["close"].shift(-26).to_numpy(),
+        rtol=1e-12,
+        equal_nan=True,
+    )
+
+
+def test_trend_vortex_matches_pandas(ohlcv):
+    from polars_quant_spark.functions import trend as tr
+
+    df, pdf = ohlcv
+    out = tr.vortex(df, p=14)
+    assert set(df.columns) <= set(out.columns)
+    # first bar per key is dropped (no prior close for the movements)
+    assert out.count() == len(pdf) - 1
+    vm_p = (pdf["high"] - pdf["low"].shift()).abs()
+    vm_m = (pdf["low"] - pdf["high"].shift()).abs()
+    trng = np.maximum.reduce(
+        [
+            (pdf["high"] - pdf["low"]).to_numpy(),
+            (pdf["high"] - pdf["close"].shift()).abs().to_numpy(),
+            (pdf["low"] - pdf["close"].shift()).abs().to_numpy(),
+        ]
+    )
+    sub = pd.DataFrame({"vp": vm_p[1:], "vm": vm_m[1:], "tr": trng[1:]})
+    want_p = (sub["vp"].rolling(14).sum() / sub["tr"].rolling(14).sum()).to_numpy()
+    want_m = (sub["vm"].rolling(14).sum() / sub["tr"].rolling(14).sum()).to_numpy()
+    np.testing.assert_allclose(
+        _collect(out, "vi_plus"), want_p, rtol=1e-9, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        _collect(out, "vi_minus"), want_m, rtol=1e-9, equal_nan=True
+    )

@@ -352,6 +352,13 @@ def test_auto_chunk_windows_dispatch(spark, sf_dir):
     sparse = b.withColumn("t", F.col("t") * 2)
     with pytest.raises(ValueError, match="dense 1-based"):
         auto_chunk_windows(sparse, builders, lookback=19)
+    # ADVICE r6: a NON-NUMERIC order column casts to NULL in the probe;
+    # NULL comparisons must count as sparse (fail), not slip through the
+    # when()'s otherwise(0) and silently pass the exact misuse the gate
+    # exists to catch
+    stringy = b.withColumn("t", F.concat(F.lit("t-"), F.col("t")))
+    with pytest.raises(ValueError, match="dense 1-based"):
+        auto_chunk_windows(stringy, builders, lookback=19)
 
 
 def test_token_budget_broadcasts_bins(spark, sf_dir):

@@ -41,29 +41,13 @@ REQUIRED_FAMILIES = [
     "text_",
 ]
 
-# Specific shapes that must be driver-verified, not just family-covered.
-# Round-6 rotation (VERDICT r5 #1+#3): the 13 queries whose oracles emitted
-# DuckDB HUGEINT output columns (pandas float64 vs Spark int64 — the root
-# cause of every r3-r5 red row) are pinned red-until-green so the BIGINT
-# cast fix gets driver confirmation. The r5 TPC-H pins all went green
-# (except q12, which is in the dtype set) and rotated out.
-REQUIRED_QUERIES = [
-    # the 4 r5 driver-red rows
-    "mkt_breadth",
-    "mkt_breadth_ints",
-    "rel_q12_priority_counts",
-    "doc_bpe_merges",
-    # the 9 latent HUGEINT oracles fixed in the same commit
-    "bars_volume_profile",
-    "events_props_json",
-    "stream_source_quota",
-    "doc_source_report",
-    "doc_dedup_savings",
-    "events_session_features",
-    "events_activity_gini",
-    "events_ab_test",
-    "rel_data_profile",
-]
+# Specific shapes that must be driver-verified, not just family-covered —
+# rotation rule (a): every driver-RED query stays pinned until it goes
+# green. Round 6 was 50/50 green (all 13 HUGEINT pins confirmed fixed), so
+# the round-7 window carries ZERO pins; the slot spend is instead audited
+# against docs/coverage_ledger.json by tests/test_coverage_ledger.py
+# (every non-carryover slot must be never-driver-verified).
+REQUIRED_QUERIES: list[str] = []
 
 
 def test_priority_list_is_window_sized():

@@ -28,6 +28,7 @@ from polars_quant_spark.functions import (
     volatility,
     pattern,
     returns,
+    trend,
 )
 from polars_quant_spark.operators import recurrence
 from polars_quant_spark.operators import hilbert
@@ -62,6 +63,7 @@ __all__ = [
     "volume",
     "volatility",
     "pattern",
+    "trend",
     "returns",
     # operators
     "recurrence",

@@ -22,7 +22,12 @@ Replication is adversarial where it matters:
 
 Usage::
 
-    python tools/scale_smoke.py [N] [--rebuild]   # default N=8
+    python tools/scale_smoke.py [N] [--rebuild] [--subset=a,b,c]  # default N=8
+
+``--subset`` restricts the timed queries (the replica build still covers
+every table) — used for the round-7 64× run, where the full 22-entry
+sweep would be wall-clock-prohibitive but the top-5 heavy pipelines are
+the scale evidence that matters (VERDICT r6 #5).
 
 Writes replicated parquet under ``.scratch/scale{N}x/`` (gitignored,
 reused unless --rebuild) and prints one JSON line with per-query
@@ -194,7 +199,10 @@ def main() -> None:
         "hurst": QUERIES["bars_hurst"],
     }
 
-    subset = [
+    subset_arg = next(
+        (a.split("=", 1)[1] for a in sys.argv if a.startswith("--subset=")), None
+    )
+    subset = subset_arg.split(",") if subset_arg else [
         "q1",
         "q5",
         "indicators_expr",

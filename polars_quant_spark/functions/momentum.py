@@ -273,3 +273,238 @@ def stochrsi(
     df = df.withColumn(f"{prefix}_fastk", guarded(fastk, r, fastk_period, w))
     df = df.withColumn(f"{prefix}_fastd", sma(f"{prefix}_fastk", fastd_period, w))
     return df.drop(rsi_col)
+
+
+# --- round-7 promotions: query-local compositions from queries_ext.py made
+# first-class library entry points (same pattern as the stochrsi promotion
+# in round 5 and the trend-channel promotions earlier this round). Each adds
+# columns unrounded — the oracle queries apply their own 6-dp rounding — and
+# keeps the plan shape of the query-local form (one per-key exchange). None
+# exist in the reference's TA-Lib set; formulas follow the standard
+# published definitions. ----------------------------------------------------
+
+
+def kst(
+    df: DataFrame,
+    close: str = "close",
+    roc_periods: tuple[int, int, int, int] = (10, 15, 20, 30),
+    sma_periods: tuple[int, int, int, int] = (10, 10, 10, 15),
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "kst",
+) -> DataFrame:
+    """Pring's Know-Sure-Thing: 1·2·3·4-weighted sum of SMA-smoothed ROCs.
+    Adds ``out`` (NULL until every smoothing window is full). Four lags +
+    the smoothing frames all share one per-key exchange."""
+    c = dcol(close)
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+
+    def roc_(n: int) -> Column:
+        return 100.0 * (c / F.lag(c, n).over(o) - 1.0)
+
+    rocs = df.select(
+        "*", *[roc_(n).alias(f"_kst_r{i}") for i, n in enumerate(roc_periods, 1)]
+    )
+    frames = [trailing(o, p) for p in sma_periods]
+    full = (F.count("_kst_r1").over(frames[0]) == sma_periods[0]) & (
+        F.count("_kst_r4").over(frames[3]) == sma_periods[3]
+    )
+    val = sum(
+        (i + 1.0) * F.avg(f"_kst_r{i + 1}").over(frames[i]) for i in range(4)
+    )
+    return rocs.select(*df.columns, F.when(full, val).alias(out))
+
+
+def coppock(
+    df: DataFrame,
+    close: str = "close",
+    roc_long: int = 14,
+    roc_short: int = 11,
+    wma_period: int = 10,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "coppock",
+) -> DataFrame:
+    """Coppock curve: WMA of ROC(long)+ROC(short). Adds ``out``. NOTE: rows
+    whose long ROC is undefined (the first ``roc_long`` bars per key) are
+    DROPPED — the WMA warm-up gate must count only defined ROC sums."""
+    from polars_quant_spark.functions.overlap import wma
+
+    c = dcol(close)
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+    rsum = 100.0 * (c / F.lag(c, roc_long).over(o) - 1.0) + 100.0 * (
+        c / F.lag(c, roc_short).over(o) - 1.0
+    )
+    src = df.select("*", rsum.alias("_cop_rsum")).where(
+        F.col("_cop_rsum").isNotNull()
+    )
+    return src.select(*df.columns, wma("_cop_rsum", wma_period, o).alias(out))
+
+
+def awesome_osc(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    fast: int = 5,
+    slow: int = 34,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "ao",
+) -> DataFrame:
+    """Awesome Oscillator: SMA(fast) − SMA(slow) of the bar midpoint.
+    Adds ``out`` (NULL until the slow window is full). Two frames, one
+    exchange."""
+    mid = (dcol(high) + dcol(low)) / 2.0
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+    wf, ws = trailing(o, fast), trailing(o, slow)
+    return df.select(
+        "*",
+        F.when(
+            F.count(F.lit(1)).over(ws) == slow,
+            F.avg(mid).over(wf) - F.avg(mid).over(ws),
+        ).alias(out),
+    )
+
+
+def dpo(
+    df: DataFrame,
+    close: str = "close",
+    p: int = 20,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "dpo",
+) -> DataFrame:
+    """Detrended Price Oscillator: price p/2+1 bars back minus the current
+    SMA(p) — strips the trend to expose the cycle. Adds ``out``."""
+    c = dcol(close)
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+    w = trailing(o, p)
+    return df.select(
+        "*",
+        F.when(
+            F.count(c).over(w) == p,
+            F.lag(c, p // 2 + 1).over(o) - F.avg(c).over(w),
+        ).alias(out),
+    )
+
+
+def qstick(
+    df: DataFrame,
+    open: str = "open",  # noqa: A002 - TA-Lib-style field name
+    close: str = "close",
+    p: int = 10,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "qstick",
+) -> DataFrame:
+    """Qstick: SMA(p) of the candle body (close − open) — net buying
+    pressure from bar anatomy. Adds ``out``."""
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+    w = trailing(o, p)
+    return df.select(
+        "*",
+        F.when(
+            F.count(F.lit(1)).over(w) == p,
+            F.avg(dcol(close) - dcol(open)).over(w),
+        ).alias(out),
+    )
+
+
+def rvi(
+    df: DataFrame,
+    open: str = "open",  # noqa: A002
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    p: int = 10,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "rvi",
+) -> DataFrame:
+    """Relative Vigor Index: symmetric-weighted (1,2,2,1)/6 close−open
+    conviction over the same-weighted range, both window-summed over ``p``
+    bars. Adds ``out``. NOTE: the first 3 bars per key are DROPPED (the
+    symmetric weighting needs 3 lags, and the warm-up count must see only
+    defined values)."""
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+
+    def symw(c: Column) -> Column:
+        return (
+            c + 2.0 * F.lag(c, 1).over(o) + 2.0 * F.lag(c, 2).over(o) + F.lag(c, 3).over(o)
+        ) / 6.0
+
+    src = df.select(
+        "*",
+        symw(dcol(close) - dcol(open)).alias("_rvi_nv"),
+        symw(dcol(high) - dcol(low)).alias("_rvi_dv"),
+    ).where(F.col("_rvi_nv").isNotNull() & F.col("_rvi_dv").isNotNull())
+    w = trailing(o, p)
+    ok = (F.count("_rvi_nv").over(w) == p) & (F.sum("_rvi_dv").over(w) != 0)
+    return src.select(
+        *df.columns,
+        F.when(ok, F.sum("_rvi_nv").over(w) / F.sum("_rvi_dv").over(w)).alias(out),
+    )
+
+
+def choppiness(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    p: int = 14,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "chop",
+) -> DataFrame:
+    """Choppiness index: 100·log10(ΣTR / range) / log10(p) over ``p`` bars
+    — the trendiness/congestion gauge. Adds ``out`` (NULL until a full
+    window of true ranges exists or when the range/TR sum degenerates)."""
+    h, l, c = dcol(high), dcol(low), dcol(close)
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+    tr = F.greatest(h - l, F.abs(h - F.lag(c).over(o)), F.abs(l - F.lag(c).over(o)))
+    src = df.select("*", tr.alias("_chop_tr"))
+    w = trailing(o, p)
+    rng_ = F.max(h).over(w) - F.min(l).over(w)
+    s = F.sum("_chop_tr").over(w)
+    ok = (F.count("_chop_tr").over(w) == p) & (rng_ > 0) & (s > 0)
+    val = F.lit(100.0) * F.log10(s / rng_) / F.log10(F.lit(float(p)))
+    return src.select(*df.columns, F.when(ok, val).alias(out))
+
+
+def tsi(
+    df: DataFrame,
+    close: str = "close",
+    long_period: int = 25,
+    short_period: int = 13,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "tsi",
+) -> DataFrame:
+    """True Strength Index: 100 · EMA(long, EMA(short, Δclose)) /
+    EMA(long, EMA(short, |Δclose|)) — FOUR chained recurrences in one
+    batched applyInPandas pass. Adds ``out`` (NULL while any chain warms
+    up or the denominator is 0). NOTE: the first bar per key is DROPPED
+    (momentum needs a prior close, and the recurrence warm-up must count
+    only defined momenta)."""
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    o = Window.partitionBy(partition_by).orderBy(order_by)
+    m = dcol(close) - F.lag(dcol(close)).over(o)
+    src = df.select("*", m.alias("_tsi_m"), F.abs(m).alias("_tsi_am")).where(
+        F.col("_tsi_m").isNotNull()
+    )
+    rec = with_recurrences(
+        src,
+        [
+            Rec("_t1a", "ema", ["_tsi_m"], {"p": short_period}),
+            Rec("_t2a", "ema", ["_t1a"], {"p": long_period}),
+            Rec("_t1b", "ema", ["_tsi_am"], {"p": short_period}),
+            Rec("_t2b", "ema", ["_t1b"], {"p": long_period}),
+        ],
+        partition_by=partition_by,
+        order_by=order_by,
+    )
+    return rec.select(
+        *df.columns,
+        F.when(F.col("_t2b") != 0, 100.0 * F.col("_t2a") / F.col("_t2b")).alias(out),
+    )

@@ -184,3 +184,78 @@ def vortex(
             f"{prefix}_minus"
         ),
     )
+
+
+def mass_index(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    ema_period: int = 9,
+    sum_period: int = 25,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    out: str = "mass",
+) -> DataFrame:
+    """Mass index: rolling ``sum_period``-bar sum of
+    EMA(range)/EMA(EMA(range)) — the range-expansion (reversal-bulge)
+    detector. CHAINED recurrences: the second EMA consumes the first's
+    output column inside the same batched applyInPandas pass. Adds
+    ``out`` (NULL until the rolling sum window is full). NOTE: rows where
+    either EMA is still warming up (or the double EMA is 0) are DROPPED —
+    the rolling count must see only defined ratios."""
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    rec = with_recurrences(
+        df.select("*", (dcol(high) - dcol(low)).alias("_mi_hl")),
+        [
+            Rec("_mi_m1", "ema", ["_mi_hl"], {"p": ema_period}),
+            Rec("_mi_m2", "ema", ["_mi_m1"], {"p": ema_period}),
+        ],
+        partition_by=partition_by,
+        order_by=order_by,
+    )
+    ratio = rec.where(
+        F.col("_mi_m1").isNotNull()
+        & F.col("_mi_m2").isNotNull()
+        & (F.col("_mi_m2") != 0)
+    ).select(*df.columns, (F.col("_mi_m1") / F.col("_mi_m2")).alias("_mi_r"))
+    w = (
+        Window.partitionBy(partition_by)
+        .orderBy(order_by)
+        .rowsBetween(-(sum_period - 1), 0)
+    )
+    return ratio.select(
+        *df.columns,
+        F.when(
+            F.count(F.lit(1)).over(w) == sum_period, F.sum("_mi_r").over(w)
+        ).alias(out),
+    )
+
+
+def elder_ray(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    p: int = 13,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    prefix: str = "",
+) -> DataFrame:
+    """Elder Ray: bull power (high − EMA(p)) and bear power (low − EMA(p))
+    — who controls the bar relative to consensus value. Adds
+    ``{prefix}bull_power`` / ``{prefix}bear_power`` (NULL while the EMA
+    warms up)."""
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    rec = with_recurrences(
+        df,
+        [Rec("_er_ema", "ema", [close], {"p": p})],
+        partition_by=partition_by,
+        order_by=order_by,
+    )
+    return rec.select(
+        *df.columns,
+        (dcol(high) - F.col("_er_ema")).alias(f"{prefix}bull_power"),
+        (dcol(low) - F.col("_er_ema")).alias(f"{prefix}bear_power"),
+    )

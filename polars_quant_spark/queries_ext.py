@@ -2792,28 +2792,14 @@ QUALIFY COUNT(tr) OVER w = 14 AND MAX(high) OVER w > MIN(low) OVER w AND SUM(tr)
 )
 def ind_choppiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Choppiness index (14): 100·log10(ΣTR / range) / log10(14) — the
-    trendiness/congestion gauge, pure window sums + extrema."""
+    trendiness/congestion gauge, routed through the library entry point
+    ``functions.momentum.choppiness`` (pure window sums + extrema)."""
+    from polars_quant_spark.functions.momentum import choppiness
+
     b = bars(spark, sf_dir)
-    o = _w()
-    tr = F.greatest(
-        F.col("high") - F.col("low"),
-        F.abs(F.col("high") - F.lag("close").over(o)),
-        F.abs(F.col("low") - F.lag("close").over(o)),
-    )
-    src = b.select("symbol", "t", "high", "low", tr.alias("tr"))
-    w = _w().rowsBetween(-13, 0)
-    rng_ = F.max("high").over(w) - F.min("low").over(w)
-    s = F.sum("tr").over(w)
-    ok = (F.count("tr").over(w) == 14) & (rng_ > 0) & (s > 0)
-    return (
-        src.select(
-            "symbol",
-            "t",
-            ok.alias("_ok"),
-            (F.lit(100.0) * F.log10(s / rng_) / F.log10(F.lit(14.0))).alias("_c"),
-        )
-        .where(F.col("_ok"))
-        .select("symbol", "t", r6(F.col("_c")).alias("chop_14"))
+    out = choppiness(b, p=14)
+    return out.where(F.col("chop").isNotNull()).select(
+        "symbol", "t", r6(F.col("chop")).alias("chop_14")
     )
 
 
@@ -2844,31 +2830,16 @@ SELECT symbol, t, mass_25 FROM (
 
 def ind_mass_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mass index (9, 25): range-expansion detector — rolling sum of the
-    single/double EMA ratio of the bar range. Demonstrates CHAINED
-    recurrences: the second EMA consumes the first's output column in the
-    same batched pass."""
+    single/double EMA ratio of the bar range, routed through the library
+    entry point ``functions.trend.mass_index`` (CHAINED recurrences: the
+    second EMA consumes the first's output column in the same batched
+    pass)."""
+    from polars_quant_spark.functions.trend import mass_index
+
     b = bars(spark, sf_dir)
-    src = b.select("symbol", "t", (F.col("high") - F.col("low")).alias("hl"))
-    out = with_recurrences(
-        src,
-        [
-            Rec("m1", "ema", ["hl"], {"p": 9}),
-            Rec("m2", "ema", ["m1"], {"p": 9}),
-        ],
-    )
-    ratio = out.where(
-        F.col("m1").isNotNull() & F.col("m2").isNotNull() & (F.col("m2") != 0)
-    ).select("symbol", "t", (F.col("m1") / F.col("m2")).alias("_r"))
-    w = _w().rowsBetween(-24, 0)
-    return (
-        ratio.select(
-            "symbol",
-            "t",
-            r6(F.when(F.count(F.lit(1)).over(w) == 25, F.sum("_r").over(w))).alias(
-                "mass_25"
-            ),
-        )
-        .where(F.col("mass_25").isNotNull())
+    out = mass_index(b, ema_period=9, sum_period=25)
+    return out.where(F.col("mass").isNotNull()).select(
+        "symbol", "t", r6(F.col("mass")).alias("mass_25")
     )
 
 
@@ -2889,21 +2860,14 @@ WINDOW w5 AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 4 PRECEDING AND CURREN
 """,
 )
 def ind_awesome_osc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Awesome Oscillator: SMA5 − SMA34 of the bar midpoint — two frames,
-    one exchange."""
+    """Awesome Oscillator: SMA5 − SMA34 of the bar midpoint — routed
+    through the library entry point ``functions.momentum.awesome_osc``
+    (two frames, one exchange)."""
+    from polars_quant_spark.functions.momentum import awesome_osc
+
     b = bars(spark, sf_dir)
-    mid = (F.col("high") + F.col("low")) / 2.0
-    w5 = _w().rowsBetween(-4, 0)
-    w34 = _w().rowsBetween(-33, 0)
-    return b.select(
-        "symbol",
-        "t",
-        r6(
-            F.when(
-                F.count(F.lit(1)).over(w34) == 34,
-                F.avg(mid).over(w5) - F.avg(mid).over(w34),
-            )
-        ).alias("ao"),
+    return awesome_osc(b, fast=5, slow=34).select(
+        "symbol", "t", r6(F.col("ao")).alias("ao")
     )
 
 
@@ -2931,26 +2895,13 @@ WINDOW wa AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURREN
 )
 def ind_kst(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pring's Know-Sure-Thing: the 1·2·3·4-weighted sum of smoothed ROCs
-    (10/15/20/30 lookbacks, SMA 10/10/10/15) — four lags + two frames,
-    still one exchange."""
+    (10/15/20/30 lookbacks, SMA 10/10/10/15) — routed through the library
+    entry point ``functions.momentum.kst`` (four lags + two frames, still
+    one exchange)."""
+    from polars_quant_spark.functions.momentum import kst
+
     b = bars(spark, sf_dir)
-    o = _w()
-    def roc(n):
-        return 100.0 * (F.col("close") / F.lag("close", n).over(o) - 1.0)
-    rocs = b.select(
-        "symbol", "t",
-        roc(10).alias("r1"), roc(15).alias("r2"), roc(20).alias("r3"), roc(30).alias("r4"),
-    )
-    wa = _w().rowsBetween(-9, 0)
-    wc = _w().rowsBetween(-14, 0)
-    full = (F.count("r1").over(wa) == 10) & (F.count("r4").over(wc) == 15)
-    kst = (
-        F.avg("r1").over(wa)
-        + 2.0 * F.avg("r2").over(wa)
-        + 3.0 * F.avg("r3").over(wa)
-        + 4.0 * F.avg("r4").over(wc)
-    )
-    return rocs.select("symbol", "t", r6(F.when(full, kst)).alias("kst"))
+    return kst(b).select("symbol", "t", r6(F.col("kst")).alias("kst"))
 
 
 # True Strength Index: 100 · EMA25(EMA13(Δclose)) / EMA25(EMA13(|Δclose|))
@@ -2981,28 +2932,15 @@ WHERE a.t2a IS NOT NULL AND b.t2b IS NOT NULL AND b.t2b != 0
 
 def ind_tsi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True Strength Index (13, 25): double-smoothed momentum over
-    double-smoothed absolute momentum — FOUR chained recurrences in one
-    applyInPandas pass."""
+    double-smoothed absolute momentum — routed through the library entry
+    point ``functions.momentum.tsi`` (FOUR chained recurrences in one
+    applyInPandas pass)."""
+    from polars_quant_spark.functions.momentum import tsi
+
     b = bars(spark, sf_dir)
-    w = _w()
-    m = F.col("close") - F.lag("close").over(w)
-    src = b.select("symbol", "t", m.alias("m"), F.abs(m).alias("am")).where(
-        F.col("m").isNotNull()
-    )
-    out = with_recurrences(
-        src,
-        [
-            Rec("t1a", "ema", ["m"], {"p": 13}),
-            Rec("t2a", "ema", ["t1a"], {"p": 25}),
-            Rec("t1b", "ema", ["am"], {"p": 13}),
-            Rec("t2b", "ema", ["t1b"], {"p": 25}),
-        ],
-    )
-    return (
-        out.where(
-            F.col("t2a").isNotNull() & F.col("t2b").isNotNull() & (F.col("t2b") != 0)
-        )
-        .select("symbol", "t", r6(100.0 * F.col("t2a") / F.col("t2b")).alias("tsi"))
+    out = tsi(b, long_period=25, short_period=13)
+    return out.where(F.col("tsi").isNotNull()).select(
+        "symbol", "t", r6(F.col("tsi")).alias("tsi")
     )
 
 
@@ -3091,21 +3029,12 @@ WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 19 PRECEDING AND CURREN
 )
 def ind_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Detrended Price Oscillator (20): price n/2+1 bars back minus the
-    current SMA — strips the trend to expose the cycle. One lag + one
-    frame, one exchange."""
+    current SMA — routed through the library entry point
+    ``functions.momentum.dpo`` (one lag + one frame, one exchange)."""
+    from polars_quant_spark.functions.momentum import dpo
+
     b = bars(spark, sf_dir)
-    o = _w()
-    w = _w().rowsBetween(-19, 0)
-    return b.select(
-        "symbol",
-        "t",
-        r6(
-            F.when(
-                F.count("close").over(w) == 20,
-                F.lag("close", 11).over(o) - F.avg("close").over(w),
-            )
-        ).alias("dpo_20"),
-    )
+    return dpo(b, p=20).select("symbol", "t", r6(F.col("dpo")).alias("dpo_20"))
 
 
 @q(
@@ -3161,18 +3090,13 @@ WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT
 )
 def ind_qstick(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Qstick (10): SMA of the candle body (close−open) — net buying
-    pressure from the bar anatomy the pattern DSL already models."""
+    pressure from the bar anatomy the pattern DSL already models; routed
+    through the library entry point ``functions.momentum.qstick``."""
+    from polars_quant_spark.functions.momentum import qstick
+
     b = bars(spark, sf_dir)
-    w = _w().rowsBetween(-9, 0)
-    return b.select(
-        "symbol",
-        "t",
-        r6(
-            F.when(
-                F.count(F.lit(1)).over(w) == 10,
-                F.avg(F.col("close") - F.col("open")).over(w),
-            )
-        ).alias("qstick_10"),
+    return qstick(b, p=10).select(
+        "symbol", "t", r6(F.col("qstick")).alias("qstick_10")
     )
 
 
@@ -3234,14 +3158,17 @@ WHERE e.eray IS NOT NULL
 
 def ind_elder_ray(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Elder Ray (13): bull power (high − EMA) and bear power (low − EMA)
-    — who controls the bar relative to consensus value."""
+    — who controls the bar relative to consensus value; routed through the
+    library entry point ``functions.trend.elder_ray``."""
+    from polars_quant_spark.functions.trend import elder_ray
+
     b = bars(spark, sf_dir)
-    out = with_recurrences(b, [Rec("eray", "ema", ["close"], {"p": 13})])
-    return out.where(F.col("eray").isNotNull()).select(
+    out = elder_ray(b, p=13)
+    return out.where(F.col("bull_power").isNotNull()).select(
         "symbol",
         "t",
-        r6(F.col("high") - F.col("eray")).alias("bull_power"),
-        r6(F.col("low") - F.col("eray")).alias("bear_power"),
+        r6(F.col("bull_power")).alias("bull_power"),
+        r6(F.col("bear_power")).alias("bear_power"),
     )
 
 
@@ -3270,16 +3197,15 @@ WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT
 )
 def ind_coppock(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coppock curve: WMA(10) of ROC(14)+ROC(11) — the long-turn momentum
-    gauge, riding the same linear-weight dot product contract as
-    ind_wma_10 over a derived column."""
+    gauge, routed through the library entry point
+    ``functions.momentum.coppock`` (same linear-weight dot product
+    contract as ind_wma_10 over a derived column)."""
+    from polars_quant_spark.functions.momentum import coppock
+
     b = bars(spark, sf_dir)
-    o = _w()
-    rsum = (
-        100.0 * (F.col("close") / F.lag("close", 14).over(o) - 1.0)
-        + 100.0 * (F.col("close") / F.lag("close", 11).over(o) - 1.0)
+    return coppock(b, roc_long=14, roc_short=11, wma_period=10).select(
+        "symbol", "t", r6(F.col("coppock")).alias("coppock")
     )
-    src = b.select("symbol", "t", rsum.alias("rsum")).where(F.col("rsum").isNotNull())
-    return src.select("symbol", "t", r6(ov.wma("rsum", 10, _w())).alias("coppock"))
 
 
 @q(
@@ -3353,29 +3279,12 @@ WINDOW w AS (PARTITION BY symbol ORDER BY t ROWS BETWEEN 9 PRECEDING AND CURRENT
 )
 def ind_rvi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relative Vigor Index (10): symmetric-weighted close-open conviction
-    over the symmetric-weighted range, window-summed — closes near highs
-    in uptrends, near lows in downtrends."""
+    over the symmetric-weighted range, window-summed — routed through the
+    library entry point ``functions.momentum.rvi``."""
+    from polars_quant_spark.functions.momentum import rvi
+
     b = bars(spark, sf_dir)
-    o = _w()
-
-    def symw(c):
-        return (
-            c + 2.0 * F.lag(c, 1).over(o) + 2.0 * F.lag(c, 2).over(o) + F.lag(c, 3).over(o)
-        ) / 6.0
-
-    src = b.select(
-        "symbol",
-        "t",
-        symw(F.col("close") - F.col("open")).alias("nv"),
-        symw(F.col("high") - F.col("low")).alias("dv"),
-    ).where(F.col("nv").isNotNull() & F.col("dv").isNotNull())
-    w = _w().rowsBetween(-9, 0)
-    ok = (F.count("nv").over(w) == 10) & (F.sum("dv").over(w) != 0)
-    return src.select(
-        "symbol",
-        "t",
-        r6(F.when(ok, F.sum("nv").over(w) / F.sum("dv").over(w))).alias("rvi_10"),
-    )
+    return rvi(b, p=10).select("symbol", "t", r6(F.col("rvi")).alias("rvi_10"))
 
 
 @q(

@@ -425,3 +425,167 @@ def test_trend_vortex_matches_pandas(ohlcv):
     np.testing.assert_allclose(
         _collect(out, "vi_minus"), want_m, rtol=1e-9, equal_nan=True
     )
+
+
+# --- round-7 promotions, batch 2: kst/coppock/awesome_osc/dpo/qstick/rvi/
+# choppiness/tsi + trend.mass_index/elder_ray (query-local through r6,
+# all in the r7 driver window) -----------------------------------------------
+
+
+def test_momentum_kst_matches_pandas(ohlcv):
+    df, pdf = ohlcv
+    out = mo.kst(df)
+    assert set(df.columns) <= set(out.columns)
+    c = pdf["close"]
+    rocs = [100.0 * (c / c.shift(n) - 1.0) for n in (10, 15, 20, 30)]
+    smas = [r.rolling(p).mean() for r, p in zip(rocs, (10, 10, 10, 15))]
+    want = smas[0] + 2 * smas[1] + 3 * smas[2] + 4 * smas[3]
+    np.testing.assert_allclose(
+        _collect(out, "kst"), want.to_numpy(), rtol=1e-9, equal_nan=True
+    )
+
+
+def test_momentum_coppock_matches_pandas(ohlcv):
+    df, pdf = ohlcv
+    out = mo.coppock(df)
+    c = pdf["close"]
+    rsum = 100.0 * (c / c.shift(14) - 1.0) + 100.0 * (c / c.shift(11) - 1.0)
+    sub = rsum.dropna().reset_index(drop=True)
+    wts = np.arange(1, 11)
+    want = sub.rolling(10).apply(lambda x: np.dot(x, wts) / 55.0, raw=True)
+    np.testing.assert_allclose(
+        _collect(out, "coppock"), want.to_numpy(), rtol=1e-9, equal_nan=True
+    )
+
+
+def test_momentum_awesome_dpo_qstick_match_pandas(ohlcv):
+    df, pdf = ohlcv
+    mid = (pdf["high"] + pdf["low"]) / 2.0
+    want_ao = mid.rolling(5).mean() - mid.rolling(34).mean()
+    np.testing.assert_allclose(
+        _collect(mo.awesome_osc(df), "ao"),
+        want_ao.to_numpy(),
+        rtol=1e-9,
+        equal_nan=True,
+    )
+    want_dpo = pdf["close"].shift(11) - pdf["close"].rolling(20).mean()
+    np.testing.assert_allclose(
+        _collect(mo.dpo(df, p=20), "dpo"),
+        want_dpo.to_numpy(),
+        rtol=1e-9,
+        equal_nan=True,
+    )
+    want_q = (pdf["close"] - pdf["open"]).rolling(10).mean()
+    np.testing.assert_allclose(
+        _collect(mo.qstick(df, p=10), "qstick"),
+        want_q.to_numpy(),
+        rtol=1e-9,
+        equal_nan=True,
+    )
+
+
+def test_momentum_rvi_matches_pandas(ohlcv):
+    df, pdf = ohlcv
+    out = mo.rvi(df, p=10)
+    assert out.count() == len(pdf) - 3  # symmetric weighting drops 3 rows
+
+    def symw(s):
+        return (s + 2 * s.shift(1) + 2 * s.shift(2) + s.shift(3)) / 6.0
+
+    nv = symw(pdf["close"] - pdf["open"]).iloc[3:].reset_index(drop=True)
+    dv = symw(pdf["high"] - pdf["low"]).iloc[3:].reset_index(drop=True)
+    want = nv.rolling(10).sum() / dv.rolling(10).sum()
+    np.testing.assert_allclose(
+        _collect(out, "rvi"), want.to_numpy(), rtol=1e-9, equal_nan=True
+    )
+
+
+def test_momentum_choppiness_matches_pandas(ohlcv):
+    df, pdf = ohlcv
+    out = mo.choppiness(df, p=14)
+    pc = pdf["close"].shift()
+    # F.greatest / SQL GREATEST skip NULLs, so the first bar's TR is
+    # high-low, not NaN — np.fmax mirrors that
+    tr = np.fmax.reduce(
+        [
+            (pdf["high"] - pdf["low"]).to_numpy(),
+            (pdf["high"] - pc).abs().to_numpy(),
+            (pdf["low"] - pc).abs().to_numpy(),
+        ]
+    )
+    s = pd.Series(tr).rolling(14).sum()
+    rng = pdf["high"].rolling(14).max() - pdf["low"].rolling(14).min()
+    want = 100.0 * np.log10(s / rng) / np.log10(14.0)
+    np.testing.assert_allclose(
+        _collect(out, "chop"), want.to_numpy(), rtol=1e-9, equal_nan=True
+    )
+
+
+def test_momentum_tsi_composition(ohlcv):
+    """tsi == 100·EMA25(EMA13(m)) / EMA25(EMA13(|m|)) where the EMA chain
+    is the recurrence runner's own output (pins the composition + the
+    drop-first-bar and NULL contracts)."""
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    df, pdf = ohlcv
+    out = mo.tsi(df)
+    assert out.count() == len(pdf) - 1
+    w = _w()
+    m = F.col("close") - F.lag("close").over(w)
+    src = df.select("*", m.alias("m"), F.abs(m).alias("am")).where(
+        F.col("m").isNotNull()
+    )
+    ref = with_recurrences(
+        src,
+        [
+            Rec("a1", "ema", ["m"], {"p": 13}),
+            Rec("a2", "ema", ["a1"], {"p": 25}),
+            Rec("b1", "ema", ["am"], {"p": 13}),
+            Rec("b2", "ema", ["b1"], {"p": 25}),
+        ],
+    )
+    a2, b2 = _collect(ref, "a2"), _collect(ref, "b2")
+    want = np.where(b2 != 0, 100.0 * a2 / b2, np.nan)
+    np.testing.assert_allclose(
+        _collect(out, "tsi"), want, rtol=1e-12, equal_nan=True
+    )
+
+
+def test_trend_mass_index_composition(ohlcv):
+    from polars_quant_spark.functions import trend as tr
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    df, pdf = ohlcv
+    out = tr.mass_index(df)
+    ref = with_recurrences(
+        df.select("*", (F.col("high") - F.col("low")).alias("hl")),
+        [Rec("m1", "ema", ["hl"], {"p": 9}), Rec("m2", "ema", ["m1"], {"p": 9})],
+    )
+    rp = ref.orderBy("t").select("m1", "m2").toPandas()
+    ratio = (rp["m1"] / rp["m2"]).dropna().reset_index(drop=True)
+    want = ratio.rolling(25).sum()
+    np.testing.assert_allclose(
+        _collect(out, "mass"), want.to_numpy(), rtol=1e-12, equal_nan=True
+    )
+
+
+def test_trend_elder_ray_composition(ohlcv):
+    from polars_quant_spark.functions import trend as tr
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    df, pdf = ohlcv
+    out = tr.elder_ray(df, p=13)
+    ref = with_recurrences(df, [Rec("e", "ema", ["close"], {"p": 13})])
+    e = _collect(ref, "e")
+    np.testing.assert_allclose(
+        _collect(out, "bull_power"),
+        pdf["high"].to_numpy() - e,
+        rtol=1e-12,
+        equal_nan=True,
+    )
+    np.testing.assert_allclose(
+        _collect(out, "bear_power"),
+        pdf["low"].to_numpy() - e,
+        rtol=1e-12,
+        equal_nan=True,
+    )

@@ -635,3 +635,27 @@ def test_kmeans_training_has_no_posexplode_and_samples(spark, sf_dir):
     assert n_exchanges(stats) == 1  # only the k·d-row partial merge
     # the sample predicate sits under the kernel, before any shuffle
     assert "md5" in p and "Filter" in p
+
+
+def test_promoted_recurrence_compositions_stay_one_pass(spark, sf_dir):
+    """The round-7 library promotions that compose recurrence kernels
+    (keltner: EMA+ATR; tsi: four chained EMAs; mass_index: EMA-of-EMA;
+    elder_ray: one EMA) must each plan as exactly ONE FlatMapGroupsInPandas
+    — adding kernels costs numpy time inside the pass, never a second
+    Arrow round-trip or shuffle."""
+    import re
+
+    from polars_quant_spark.functions.momentum import tsi
+    from polars_quant_spark.functions.trend import elder_ray, keltner, mass_index
+
+    b = bars(spark, sf_dir)
+    for name, df in [
+        ("keltner", keltner(b)),
+        ("tsi", tsi(b)),
+        ("mass_index", mass_index(b)),
+        ("elder_ray", elder_ray(b)),
+    ]:
+        p = plan(df)
+        n = len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p))
+        assert n == 1, f"{name}: {n} applyInPandas passes (want 1)"
+        assert n_exchanges(p) <= 2, f"{name}: too many exchanges"

@@ -64,38 +64,30 @@ ORACLES: dict[str, str] = {}
 
 # ROUND-7 ROTATION (VERDICT r6 #1): round 6 was the first fully-green
 # driver round (50/50) AND the first with zero latent reds anywhere, so this
-# window has ZERO rule-(a) pins. Rule (b) keeps one green carryover per
-# saturated family (every member already driver-verified — no unseen member
-# exists); each saturated prefix in the window-coverage invariant gets one
-# canary slot (15 — ops_ is outside the invariant and rides the full
-# harness this round). The other 35 slots all go to queries the driver has
-# NEVER hash-verified (diffed against the CORRECTNESS_r01-r06 key sets —
-# union 169/385, all ever-green), front-loading the extension-indicator
-# cluster the verdict called out. Target: union ≥ 204 after this round.
-# The machine-readable ledger lives at docs/coverage_ledger.json
-# (tests/test_coverage_ledger.py audits both the ledger and this window's
-# slot spend: every PRIORITY_CARRYOVERS entry must be ledger-green, every
-# other slot must be ledger-NEVER-verified).
+# window has ZERO rule-(a) pins. Rule (b) is REVISED this round: through r6
+# every saturated family kept a standing canary slot because the driver
+# window was the ONLY regression lock once a query rotated out; the
+# golden-hash tier (golden/query_hashes_sf0.001.json + the full dtype-
+# faithful harness) now locks rotated-out queries every round, so a family
+# only claims a window slot while it still has never-driver-verified
+# members (tests/test_registration_order.py enforces exactly that, reading
+# the ledger). Five dtype-diverse canaries remain — their job is no longer
+# family census but guarding against DRIVER-hash semantic drift (the
+# r3-r5 HUGEINT class was invisible locally until a driver red exposed
+# it), so they are chosen to span output shapes: int+string pattern
+# counts, pure floats, a timestamp grid, a bigint sketch, a mixed
+# 15-column summary. The other 45 slots all go to queries the driver has
+# NEVER hash-verified (docs/coverage_ledger.json — union 169/385, all
+# ever-green), front-loading the extension-indicator cluster the verdict
+# called out. Target: union ≥ 214 after this round (verdict done-bar:
+# ≥40 first-time rows, union ≥209).
 PRIORITY_CARRYOVERS: list[str] = [
-    # (b) saturated-family green carryovers — one per saturated prefix
-    # (every member already driver-verified; the canary keeps the family
-    # exercised each round per the window-coverage invariant in
-    # tests/test_registration_order.py)
-    "cdl_all_patterns",       # cdl (all 61 patterns in one hash)
-    "vol_ad_obv",             # vol
-    "mkt_mcclellan",          # mkt
-    "factor_fama_macbeth",    # factor
-    "loader_grid_fill",       # loader
-    "sel_screen_topk",        # sel
-    "sketch_kmv_users",       # sketch
-    "asof_bars_marks",        # asof
-    "range_bars_windows",     # range
-    "interval_overlap_bars",  # interval
-    "clean_winsor_zscore",    # clean
-    "agg_events_daily",       # agg (ops_ rides the full harness this round)
-    "price_transforms",       # price
-    "ols_lineitem",           # ols
-    "text_token_freq",        # text
+    # (b) dtype-diverse green canaries (driver-hash drift guards)
+    "cdl_all_patterns",    # 61 int flags + string symbol in one hash
+    "price_transforms",    # pure float columns
+    "loader_grid_fill",    # date grid × symbols, timestamp axis
+    "sketch_kmv_users",    # bigint estimate (the r3-r5 red class shape)
+    "sel_info",            # 15-column mixed-type latest-bar summary
 ]
 
 PRIORITY_FRESH: list[str] = [
@@ -141,6 +133,17 @@ PRIORITY_FRESH: list[str] = [
     "stream_sliding_batch",
     "emb_dim_profile",
     "media_frame_plan",
+    # the 10 slots freed by retiring the per-family standing canaries
+    "ind_pivot_points",
+    "bars_hurst",
+    "bars_variance_ratio",
+    "rel_scd2_build",
+    "doc_pagerank",
+    "doc_bigram_pmi",
+    "events_kaplan_meier",
+    "events_rfm_segments",
+    "stream_enrich_batch",
+    "emb_label_centroids",
 ]
 
 PRIORITY_50: list[str] = PRIORITY_CARRYOVERS + PRIORITY_FRESH

@@ -13,7 +13,14 @@ from polars_quant_spark.queries import ORACLES, PRIORITY_50, QUERIES
 
 WINDOW = 50
 
-# Every family tag that must own at least one slot in the driver window.
+# Every family tag the window invariant tracks. Since round 7 the rule is
+# ledger-aware: a family must own a window slot while it still has
+# never-driver-verified members (coverage must keep growing family-by-
+# family); once a family is saturated (every member ever-green in
+# docs/coverage_ledger.json) its standing slot is retired — the golden-hash
+# tier plus the full harness now carry the regression lock that the
+# per-round driver canary used to provide, and the freed slots go to
+# never-verified queries (the verdict's ≥40-first-time-rows bar).
 REQUIRED_FAMILIES = [
     "bars_",
     "rel_",
@@ -59,14 +66,33 @@ def test_priority_list_leads_registration():
     assert list(QUERIES)[:WINDOW] == PRIORITY_50
 
 
-def test_window_covers_every_family():
+def test_window_covers_every_unsaturated_family():
+    """A family with never-driver-verified members must hold at least one
+    window slot (coverage keeps growing everywhere); saturated families
+    need none (golden hashes + the full harness lock them)."""
+    import json
+    import os
+
+    ledger_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "docs",
+        "coverage_ledger.json",
+    )
+    with open(ledger_path) as f:
+        ledger = json.load(f)
     window = list(QUERIES)[:WINDOW]
-    missing = [
-        fam
-        for fam in REQUIRED_FAMILIES
-        if not any(k.startswith(fam) for k in window)
-    ]
-    assert not missing, f"families pushed out of the driver window: {missing}"
+    missing = []
+    for fam in REQUIRED_FAMILIES:
+        members = [k for k in QUERIES if k.startswith(fam)]
+        unseen = [
+            k for k in members if ledger.get(k, {}).get("first_green") is None
+        ]
+        if unseen and not any(k.startswith(fam) for k in window):
+            missing.append(fam)
+    assert not missing, (
+        f"families with never-verified members but no driver-window slot: "
+        f"{missing}"
+    )
 
 
 def test_window_covers_required_shapes():

@@ -7457,29 +7457,17 @@ ORDER BY a.symbol, a.t
 
 def ind_klinger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Klinger-style volume oscillator: EMA34 − EMA55 of trend-signed
-    volume force (typical-price direction × volume) — volume pressure
-    with the long/short EMA pair run in ONE recurrence pass. Same
-    chained-EMA contract as MACD/ADOSC."""
+    volume force (typical-price direction × volume) — routed through the
+    library entry point ``functions.volume.klinger`` (the long/short EMA
+    pair runs in ONE recurrence pass; same chained-EMA contract as
+    MACD/ADOSC)."""
+    from polars_quant_spark.functions.volume import klinger
+
     b = bars(spark, sf_dir)
-    o = _w()
-    tp = F.col("high") + F.col("low") + F.col("close")
-    sgn = (
-        F.when(tp > F.lag(tp).over(o), 1)
-        .when(tp < F.lag(tp).over(o), -1)
-        .otherwise(0)
-    )
-    vf = (F.floor(F.col("volume") + F.lit(0.5)).cast("long") * sgn).cast("double")
-    src = b.select("symbol", "t", vf.alias("vf"))
-    out = with_recurrences(
-        src,
-        [
-            Rec("kv34", "ema", ["vf"], {"p": 34}),
-            Rec("kv55", "ema", ["vf"], {"p": 55}),
-        ],
-    )
+    out = klinger(b, fast=34, slow=55)
     return (
-        out.where(F.col("kv34").isNotNull() & F.col("kv55").isNotNull())
-        .select("symbol", "t", r6(F.col("kv34") - F.col("kv55")).alias("kvo"))
+        out.where(F.col("kvo").isNotNull())
+        .select("symbol", "t", r6(F.col("kvo")).alias("kvo"))
         .orderBy("symbol", "t")
     )
 

@@ -589,3 +589,28 @@ def test_trend_elder_ray_composition(ohlcv):
         rtol=1e-12,
         equal_nan=True,
     )
+
+
+def test_volume_klinger_composition(ohlcv):
+    """kvo == EMA34(vf) − EMA55(vf) where vf is the trend-signed integer
+    volume force and the EMAs are the recurrence runner's own output."""
+    from polars_quant_spark.operators.recurrence import Rec, with_recurrences
+
+    df, pdf = ohlcv
+    out = vu.klinger(df)
+    assert set(df.columns) <= set(out.columns)
+    tp = pdf["high"] + pdf["low"] + pdf["close"]
+    sgn = np.sign(tp.diff().fillna(0.0).to_numpy())
+    vf = np.floor(pdf["volume"].to_numpy() + 0.5) * sgn
+    src = df.sparkSession.createDataFrame(
+        pd.DataFrame({"symbol": pdf["symbol"], "t": pdf["t"], "vf": vf})
+    )
+    ref = with_recurrences(
+        src,
+        [Rec("f", "ema", ["vf"], {"p": 34}), Rec("s", "ema", ["vf"], {"p": 55})],
+    )
+    rp = ref.orderBy("t").select("f", "s").toPandas()
+    want = (rp["f"] - rp["s"]).to_numpy()
+    np.testing.assert_allclose(
+        _collect(out, "kvo"), want, rtol=1e-12, equal_nan=True
+    )

@@ -306,9 +306,15 @@ def kst(
         "*", *[roc_(n).alias(f"_kst_r{i}") for i, n in enumerate(roc_periods, 1)]
     )
     frames = [trailing(o, p) for p in sma_periods]
-    full = (F.count("_kst_r1").over(frames[0]) == sma_periods[0]) & (
-        F.count("_kst_r4").over(frames[3]) == sma_periods[3]
-    )
+    # every ROC leg must fill ITS OWN smoothing frame: with the default
+    # monotone lookbacks r4's count is the binding one, but non-default
+    # roc_periods (e.g. a 40-bar middle leg) would otherwise pass the gate
+    # while averaging a partially-null window (code-review r7)
+    full = F.lit(True)
+    for i in range(4):
+        full = full & (
+            F.count(f"_kst_r{i + 1}").over(frames[i]) == sma_periods[i]
+        )
     val = sum(
         (i + 1.0) * F.avg(f"_kst_r{i + 1}").over(frames[i]) for i in range(4)
     )
@@ -357,10 +363,13 @@ def awesome_osc(
     mid = (dcol(high) + dcol(low)) / 2.0
     o = Window.partitionBy(partition_by).orderBy(order_by)
     wf, ws = trailing(o, fast), trailing(o, slow)
+    # gate on non-null midpoints (the package warm-up contract: NULL until
+    # the frame holds `slow` non-null inputs), not raw row count — same
+    # thing on a null-free bars feed, stricter on a public-API input
     return df.select(
         "*",
         F.when(
-            F.count(F.lit(1)).over(ws) == slow,
+            F.count(mid).over(ws) == slow,
             F.avg(mid).over(wf) - F.avg(mid).over(ws),
         ).alias(out),
     )
@@ -401,12 +410,10 @@ def qstick(
     pressure from bar anatomy. Adds ``out``."""
     o = Window.partitionBy(partition_by).orderBy(order_by)
     w = trailing(o, p)
+    body = dcol(close) - dcol(open)
     return df.select(
         "*",
-        F.when(
-            F.count(F.lit(1)).over(w) == p,
-            F.avg(dcol(close) - dcol(open)).over(w),
-        ).alias(out),
+        F.when(F.count(body).over(w) == p, F.avg(body).over(w)).alias(out),
     )
 
 

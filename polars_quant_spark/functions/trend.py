@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_quant_spark.functions._util import dcol
+from polars_quant_spark.functions._util import dcol, trailing
 
 
 def donchian(
@@ -38,13 +38,11 @@ def donchian(
     Adds ``{prefix}_upper`` / ``{prefix}_lower`` / ``{prefix}_mid``
     (NULL until a full ``p``-bar window exists). Pure expression-layer
     windows — all three share one per-key exchange."""
-    w = (
-        Window.partitionBy(partition_by)
-        .orderBy(order_by)
-        .rowsBetween(-(p - 1), 0)
-    )
+    w = trailing(Window.partitionBy(partition_by).orderBy(order_by), p)
     h, l = dcol(high), dcol(low)
-    full = F.count(h).over(w) == p
+    # both envelope inputs must fill the frame (a NULL low would otherwise
+    # pass a high-only gate and emit an envelope from partial data)
+    full = (F.count(h).over(w) == p) & (F.count(l).over(w) == p)
     up, lo = F.max(h).over(w), F.min(l).over(w)
     return df.select(
         "*",
@@ -105,40 +103,44 @@ def ichimoku(
     shift: int = 26,
     partition_by: str = "symbol",
     order_by: str = "t",
+    prefix: str = "",
 ) -> DataFrame:
     """Ichimoku cloud: tenkan/kijun midlines, senkou A/B projected
     ``shift`` bars forward (expressed as LAG so every output sits on its
     display bar — no future rows materialized), chikou as the
     ``shift``-bar LEAD of close.
 
-    Adds ``tenkan`` / ``kijun`` / ``senkou_a`` / ``senkou_b`` /
-    ``chikou``. Pure rolling-extrema windows + shifts over ONE per-key
-    exchange."""
+    Adds ``{prefix}tenkan`` / ``{prefix}kijun`` / ``{prefix}senkou_a`` /
+    ``{prefix}senkou_b`` / ``{prefix}chikou`` — pass ``prefix`` when
+    re-applying with different periods or when the input already carries
+    these names (sibling promotions take a prefix for the same reason).
+    Pure rolling-extrema windows + shifts over ONE per-key exchange."""
     h, l, c = dcol(high), dcol(low), dcol(close)
     o = Window.partitionBy(partition_by).orderBy(order_by)
+    tk, kj = f"{prefix}tenkan", f"{prefix}kijun"
 
     def mid(n: int):
         w = o.rowsBetween(-(n - 1), 0)
         return F.when(
-            F.count(h).over(w) == n,
+            (F.count(h).over(w) == n) & (F.count(l).over(w) == n),
             (F.max(h).over(w) + F.min(l).over(w)) / 2.0,
         )
 
     lines = df.select(
         "*",
-        mid(tenkan_period).alias("tenkan"),
-        mid(kijun_period).alias("kijun"),
+        mid(tenkan_period).alias(tk),
+        mid(kijun_period).alias(kj),
         mid(senkou_b_period).alias("_sb_raw"),
     )
     return lines.select(
         *df.columns,
-        "tenkan",
-        "kijun",
-        F.lag((F.col("tenkan") + F.col("kijun")) / 2.0, shift)
+        tk,
+        kj,
+        F.lag((F.col(tk) + F.col(kj)) / 2.0, shift)
         .over(o)
-        .alias("senkou_a"),
-        F.lag("_sb_raw", shift).over(o).alias("senkou_b"),
-        F.lead(c, shift).over(o).alias("chikou"),
+        .alias(f"{prefix}senkou_a"),
+        F.lag("_sb_raw", shift).over(o).alias(f"{prefix}senkou_b"),
+        F.lead(c, shift).over(o).alias(f"{prefix}chikou"),
     )
 
 
@@ -173,7 +175,7 @@ def vortex(
             F.abs(l - F.lag(c).over(o)),
         ).alias("_tr"),
     ).where(F.col("_vm_plus").isNotNull())
-    w = o.rowsBetween(-(p - 1), 0)
+    w = trailing(o, p)
     full = (F.count("_tr").over(w) == p) & (F.sum("_tr").over(w) > 0)
     return vm.select(
         *df.columns,
@@ -219,15 +221,13 @@ def mass_index(
         & F.col("_mi_m2").isNotNull()
         & (F.col("_mi_m2") != 0)
     ).select(*df.columns, (F.col("_mi_m1") / F.col("_mi_m2")).alias("_mi_r"))
-    w = (
-        Window.partitionBy(partition_by)
-        .orderBy(order_by)
-        .rowsBetween(-(sum_period - 1), 0)
+    w = trailing(
+        Window.partitionBy(partition_by).orderBy(order_by), sum_period
     )
     return ratio.select(
         *df.columns,
         F.when(
-            F.count(F.lit(1)).over(w) == sum_period, F.sum("_mi_r").over(w)
+            F.count("_mi_r").over(w) == sum_period, F.sum("_mi_r").over(w)
         ).alias(out),
     )
 

@@ -106,7 +106,7 @@ def klinger(
     (NULL while either EMA warms up). Volume is half-up rounded to an
     integer before signing so both engines agree bit-for-bit on the
     force stream."""
-    from pyspark.sql import DataFrame, Window  # noqa: F401
+    from pyspark.sql import Window
 
     from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 

@@ -36,6 +36,24 @@ from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
 
+def _require_numeric_order(df: DataFrame, order: str, op: str) -> None:
+    """Chunk/block ids come from ``cast(order AS long)`` but the
+    within-block window sorts the RAW column — for a non-numeric order the
+    two disagree (numeric strings sort "1","10","100","11",…), corrupting
+    every window silently (code-review r7). Plan-time check, no job."""
+    from pyspark.sql.types import NumericType
+
+    dt = df.schema[order].dataType
+    if not isinstance(dt, NumericType):
+        raise ValueError(
+            f"{op}: order column {order!r} has type {dt.simpleString()}; "
+            "the halo-chunk contract needs a NUMERIC dense 1-based "
+            "position (block assignment casts to long, the window sorts "
+            "the raw column — they must agree). Renumber with "
+            "row_number()."
+        )
+
+
 def chunked_cumsum(
     df: DataFrame,
     builders: dict[str, Callable[[WindowSpec], Column]],
@@ -68,6 +86,7 @@ def chunked_cumsum(
     ``exact=True`` indicator contract)."""
     if lookback >= chunk:
         raise ValueError("chunk must exceed lookback")
+    _require_numeric_order(df, order, "chunked_cumsum")
     keys = [by] if isinstance(by, str) else list(by)
     pos = F.col(order).cast("long") - 1  # dense 1-based order contract
     ck = (pos / chunk).cast("long")
@@ -151,6 +170,7 @@ def with_chunked_windows(
     size it from the indicator periods, as `ind_chunked_expr` does."""
     if lookback >= chunk:
         raise ValueError("chunk must exceed lookback")
+    _require_numeric_order(df, order, "with_chunked_windows")
     keys = [by] if isinstance(by, str) else list(by)
     pos = F.col(order).cast("long") - 1  # dense 1-based order contract
     ck = (pos / chunk).cast("long")
@@ -245,21 +265,32 @@ def auto_chunk_windows(
     contract) given the dense-order contract, so the dispatch only moves
     the work, never the answer."""
     if max_rows_per_key is None:
+        # fail fast, before the count job: a numeric-STRING order column
+        # (e.g. "1".."20000") try_casts cleanly and would pass the density
+        # probe, then corrupt the chunked arm (numeric chunk ids, but the
+        # window sorts lexicographically) — the same contract
+        # _require_numeric_order enforces inside the operators
+        _require_numeric_order(df, order, "auto_chunk_windows")
         keys = [by] if isinstance(by, str) else list(by)
         row = (
             df.groupBy(*keys)
             .agg(
                 F.count(F.lit(1)).alias("_n"),
+                F.count_distinct(F.col(order)).alias("_nd"),
                 F.max(F.col(order).try_cast("long")).alias("_mx"),
                 F.min(F.col(order).try_cast("long")).alias("_mn"),
             )
             .agg(
                 F.max("_n").alias("m"),
                 F.max(
+                    # min==1 and max==n alone admit duplicate-plus-gap
+                    # sequences like [1,2,2,4]; requiring n distinct
+                    # values closes that (code-review r7)
                     F.when(
                         F.col("_mx").isNull()
                         | (F.col("_mx") != F.col("_n"))
-                        | (F.col("_mn") != 1),
+                        | (F.col("_mn") != 1)
+                        | (F.col("_nd") != F.col("_n")),
                         1,
                     ).otherwise(0)
                 ).alias("sparse"),

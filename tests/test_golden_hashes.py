@@ -35,12 +35,13 @@ GOLDEN_PATH = os.path.join(ROOT, "golden", "query_hashes_sf0.001.json")
 SF_DIR = "/root/testdata/sf0.001"
 
 # Always-on smoke slice: one rotated-out representative per family (these
-# have driver-green history but no window slot in round 7, i.e. exactly the
-# queries the lock exists for).
+# have driver-green history but no round-7 window slot, i.e. exactly the
+# queries the lock exists for — cdl_all_patterns/sketch_kmv_users were
+# swapped out when they became PRIORITY_CARRYOVERS canaries).
 SMOKE = [
     "rel_q1_pricing_summary",
     "ind_rsi_14",
-    "cdl_all_patterns",
+    "cdl_efficacy",
     "bt_vectorized_curve",
     "doc_minhash_pairs",
     "emb_cosine_topk",
@@ -48,7 +49,7 @@ SMOKE = [
     "bars_vwap",
     "factor_ic",
     "media_features",
-    "sketch_kmv_users",
+    "sketch_sample_quantiles",
     "vol_cmf_20",
 ]
 
@@ -73,7 +74,7 @@ def _check(names: list[str], spark) -> None:
     drifted = []
     try:
         for name in names:
-            got = fingerprint(qs[name](spark, SF_DIR).toPandas())
+            got = fingerprint(qs[name](spark, SF_DIR))
             if got != golden[name]:
                 drifted.append(
                     f"{name}: rows {golden[name]['rows']}->{got['rows']}, "

@@ -352,13 +352,26 @@ def test_auto_chunk_windows_dispatch(spark, sf_dir):
     sparse = b.withColumn("t", F.col("t") * 2)
     with pytest.raises(ValueError, match="dense 1-based"):
         auto_chunk_windows(sparse, builders, lookback=19)
-    # ADVICE r6: a NON-NUMERIC order column casts to NULL in the probe;
-    # NULL comparisons must count as sparse (fail), not slip through the
-    # when()'s otherwise(0) and silently pass the exact misuse the gate
-    # exists to catch
-    stringy = b.withColumn("t", F.concat(F.lit("t-"), F.col("t")))
-    with pytest.raises(ValueError, match="dense 1-based"):
+    # ADVICE r6 + code-review r7: non-numeric order columns must be
+    # rejected OUTRIGHT (type check, before any job) — a numeric STRING
+    # like "17" try_casts cleanly and would pass the density probe, then
+    # corrupt the chunked arm because chunk ids are numeric but the window
+    # sorts lexicographically ("1","10","100","11",…)
+    stringy = b.withColumn("t", F.col("t").cast("string"))
+    with pytest.raises(ValueError, match="NUMERIC dense 1-based"):
         auto_chunk_windows(stringy, builders, lookback=19)
+    from polars_quant_spark.operators.chunked import with_chunked_windows
+
+    with pytest.raises(ValueError, match="NUMERIC dense 1-based"):
+        with_chunked_windows(stringy, builders, lookback=19)
+    # code-review r7: duplicate-plus-gap orders (min 1, max n, count n but
+    # NOT a permutation, e.g. [1,2,2,4]) must also fail the density probe
+    dupgap = b.withColumn(
+        "t",
+        F.when(F.col("t") == 2, F.lit(3)).otherwise(F.col("t")),
+    )
+    with pytest.raises(ValueError, match="dense 1-based"):
+        auto_chunk_windows(dupgap, builders, lookback=19)
 
 
 def test_token_budget_broadcasts_bins(spark, sf_dir):

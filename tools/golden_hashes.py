@@ -63,12 +63,18 @@ def canon_cell(v) -> str:
     return f"s:{v}"
 
 
-def fingerprint(pdf) -> dict:
-    """Row-order/column-order-insensitive sha256 of a pandas result frame."""
-    cols = sorted(pdf.columns)
+def fingerprint(df) -> dict:
+    """Row-order/column-order-insensitive sha256 of a Spark DataFrame's
+    result. Collected via Arrow (``df.toArrow()``), NOT toPandas: pandas
+    renders a float column's NULLs as NaN, which would collapse the
+    NULL-vs-NaN distinction this fingerprint exists to preserve
+    (code-review r7 — Arrow's ``to_pylist`` keeps None and float('nan')
+    distinct in the same column)."""
+    tbl = df.toArrow()
+    cols = sorted(tbl.column_names)
     rows = sorted(
-        "\x1f".join(canon_cell(v) for v in row)
-        for row in pdf[cols].itertuples(index=False, name=None)
+        "\x1f".join(canon_cell(rec[c]) for c in cols)
+        for rec in tbl.to_pylist()
     )
     digest = hashlib.sha256("\n".join(rows).encode("utf-8")).hexdigest()
-    return {"rows": len(pdf), "cols": cols, "sha256": digest}
+    return {"rows": tbl.num_rows, "cols": cols, "sha256": digest}

@@ -49,7 +49,7 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            out[name] = fingerprint(fn(spark, SF_DIR).toPandas())
+            out[name] = fingerprint(fn(spark, SF_DIR))
             mark = (
                 "NEW"
                 if name not in old

@@ -46,7 +46,21 @@ def test_ledger_matches_artifacts():
     sys.path.insert(0, ROOT)
     from tools.make_coverage_ledger import build_ledger
 
-    assert _ledger() == build_ledger(ROOT)
+    derived = build_ledger(ROOT)
+    committed = _ledger()
+    if committed != derived:
+        changed = sorted(
+            k
+            for k in set(committed) | set(derived)
+            if committed.get(k) != derived.get(k)
+        )
+        raise AssertionError(
+            "docs/coverage_ledger.json is stale (expected at the start of "
+            "every round once the new CORRECTNESS_r*.json lands). "
+            f"{len(changed)} entries differ, e.g. {changed[:5]} — regenerate "
+            "with `python tools/make_coverage_ledger.py`, then rebuild "
+            "PRIORITY_CARRYOVERS/PRIORITY_FRESH for the new round."
+        )
 
 
 def test_every_registered_query_has_a_ledger_row():

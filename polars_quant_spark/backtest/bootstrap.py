@@ -124,8 +124,16 @@ def bootstrap_path_totals(
             )
         ).alias("p"),
     ).select("symbol", "path", F.col("p.idx").cast("int").alias("idx"), "p.sign")
+    # BOTH join sides scale with the data — pref has one row per return,
+    # probes has 2·P·B rows — but the probes side descends from a
+    # symbols-sized aggregate through three explodes, so Catalyst's size
+    # estimate stays tiny and the planner picks BroadcastHashJoin of what
+    # is actually the BIGGER side (caught by the 64× scale smoke: "Not
+    # enough memory to build and broadcast" at 38 M bars; at 1000
+    # executors it would OOM the driver outright). Force sort-merge: one
+    # (symbol, idx) shuffle per side, spill-safe at any scale.
     return (
-        probes.join(pref, ["symbol", "idx"])
+        probes.join(pref.hint("merge"), ["symbol", "idx"])
         .groupBy("symbol", "path")
         .agg(F.sum(F.col("sign") * F.col("pref_m")).alias("logret_m"))
     )

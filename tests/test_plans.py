@@ -672,3 +672,18 @@ def test_promoted_recurrence_compositions_stay_one_pass(spark, sf_dir):
         n = len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p))
         assert n == 1, f"{name}: {n} applyInPandas passes (want 1)"
         assert n_exchanges(p) <= 2, f"{name}: too many exchanges"
+
+
+def test_bootstrap_never_broadcasts_the_probe_fanout(spark, sf_dir):
+    """Both sides of the bootstrap's probes↔prefix join scale with the
+    data, but the probes side descends from a symbols-sized aggregate
+    through three explodes, so Catalyst's size estimate stays tiny and
+    (without the hint) the planner broadcasts what is actually the bigger
+    side — caught OOMing at the 64× scale smoke. The join must stay
+    sort-merge at every SF."""
+    from polars_quant_spark.backtest.bootstrap import bootstrap_bands
+    from polars_quant_spark.sources.bars import bars
+
+    p = plan(bootstrap_bands(bars(spark, sf_dir), paths=8, block=16))
+    assert "SortMergeJoin" in p
+    assert "BroadcastHashJoin" not in p

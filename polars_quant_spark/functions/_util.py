@@ -30,6 +30,21 @@ def dcol(x: Column | str) -> Column:
     return col(x).cast("double")
 
 
+def require_absent(df, *names: str) -> None:
+    """Raise early if an output or internal temp column an indicator entry
+    point is about to add already exists on the input (ADVICE r7): the
+    collision would otherwise surface downstream as a duplicate/ambiguous
+    column error far from the call site. Callers fix it by passing a
+    different ``out=`` / ``prefix=``."""
+    clash = [n for n in names if n in df.columns]
+    if clash:
+        raise ValueError(
+            f"output/temp column(s) {clash} already exist on the input "
+            "DataFrame; pass a different out=/prefix= to avoid duplicate "
+            "column names"
+        )
+
+
 def trailing(w: WindowSpec, p: int) -> WindowSpec:
     """Trailing row-count frame of length p: rowsBetween(-(p-1), 0)."""
     return w.rowsBetween(-(p - 1), 0)

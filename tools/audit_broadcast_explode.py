@@ -36,8 +36,18 @@ def _indent(line: str) -> int:
 
 
 def broadcast_explode_sites(plan: str) -> list[str]:
-    """Return the flagged BroadcastExchange lines whose subtree (deeper
-    indentation until the tree pops back) contains a Generate node."""
+    """Return flagged BroadcastExchange lines whose subtree (deeper
+    indentation until the tree pops back) contains either dangerous shape:
+
+    * a ``Generate`` (explode) node — the r7 bootstrap signature: size
+      estimates do not grow through Generate, so a fanned-out frame keeps
+      a tiny estimate and wins the broadcast; or
+    * a ``localCheckpoint``/RDD scan (``Scan ExistingRDD``) — the r8
+      pagerank blind spot: checkpointing TRUNCATES lineage, so whatever
+      scale-with-data pipeline produced the frame is invisible to the
+      first signature, while a forced hint (or a stale estimate) can
+      still broadcast it inside an iterative operator.
+    """
     lines = plan.splitlines()
     flagged = []
     for i, ln in enumerate(lines):
@@ -49,7 +59,10 @@ def broadcast_explode_sites(plan: str) -> list[str]:
             if nxt.strip() and nd <= d:
                 break
             if "Generate" in nxt:
-                flagged.append(ln.strip()[:100])
+                flagged.append("[explode] " + ln.strip()[:100])
+                break
+            if "Scan ExistingRDD" in nxt or "LogicalRDD" in nxt:
+                flagged.append("[checkpoint] " + ln.strip()[:100])
                 break
     return flagged
 

@@ -60,7 +60,13 @@ def canon_cell(v) -> str:
         )
     if isinstance(v, (datetime.datetime, datetime.date, datetime.time)):
         return f"t:{v.isoformat()}"
-    return f"s:{v}"
+    # Length-prefix string payloads so a value containing the cell separator
+    # (\x1f) or the row separator (\n) cannot shift cell/row boundaries in
+    # fingerprint(): "s:<charlen>:<payload>" parses unambiguously left-to-
+    # right, so no two distinct cell sequences join to the same string
+    # (ADVICE r7 — separator-collision fix; golden file regenerated).
+    s = str(v)
+    return f"s:{len(s)}:{s}"
 
 
 def fingerprint(df) -> dict:

@@ -40,7 +40,12 @@ def build_ledger(root: str = ROOT) -> dict[str, dict]:
         k: {"first_green": None, "last_seen": None, "last_green": None}
         for k in names
     }
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+    # sort by the PARSED round number, not the raw path: lexicographic order
+    # would put r100 before r20 and corrupt first_green (ADVICE r7)
+    paths = glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))
+    for path in sorted(
+        paths, key=lambda p: int(re.search(r"_r(\d+)\.json$", p).group(1))
+    ):
         rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
         with open(path) as f:
             rows = json.load(f)

@@ -62,88 +62,85 @@ ORACLES: dict[str, str] = {}
 # window, so a future append can't silently push a family back out.
 # ---------------------------------------------------------------------------
 
-# ROUND-7 ROTATION (VERDICT r6 #1): round 6 was the first fully-green
-# driver round (50/50) AND the first with zero latent reds anywhere, so this
-# window has ZERO rule-(a) pins. Rule (b) is REVISED this round: through r6
-# every saturated family kept a standing canary slot because the driver
-# window was the ONLY regression lock once a query rotated out; the
-# golden-hash tier (golden/query_hashes_sf0.001.json + the full dtype-
-# faithful harness) now locks rotated-out queries every round, so a family
-# only claims a window slot while it still has never-driver-verified
-# members (tests/test_registration_order.py enforces exactly that, reading
-# the ledger). Five dtype-diverse canaries remain — their job is no longer
-# family census but guarding against DRIVER-hash semantic drift (the
-# r3-r5 HUGEINT class was invisible locally until a driver red exposed
-# it), so they are chosen to span output shapes: int+string pattern
-# counts, pure floats, a timestamp grid, a bigint sketch, a mixed
-# 15-column summary. The other 45 slots all go to queries the driver has
-# NEVER hash-verified (docs/coverage_ledger.json — union 169/385, all
-# ever-green), front-loading the extension-indicator cluster the verdict
-# called out. Target: union ≥ 214 after this round (verdict done-bar:
-# ≥40 first-time rows, union ≥209).
+# ROUND-8 ROTATION (VERDICT r7 #2/#5): round 7 was the second consecutive
+# fully-green driver round (50/50, 45 first-time), union 169 -> 214 of 385.
+# Zero rule-(a) pins again. The same five dtype-diverse canaries guard
+# driver-hash semantic drift (int+string flags, pure floats, timestamp
+# grid, bigint sketch, mixed 15-column summary). The 45 fresh slots all go
+# to never-driver-verified names (docs/coverage_ledger.json), allocated
+# roughly proportionally to each family's remaining pool (events_ 49,
+# doc_ 45, bars_ 37, rel_ 19, ind_ 11, emb_ 4, bt_/media_/stream_ 2 each)
+# while deliberately FINISHING the four small families (bt_, emb_, media_,
+# stream_) so their standing family slots retire next round. Three of the
+# bars_ picks (updown_beta, relative_strength, stress_correlation) are the
+# queries whose forced per-t broadcasts were dropped this round - the
+# driver hash now also confirms the plan change preserved values. Target:
+# union >= 259 after this round; remaining never-verified pool 126.
 PRIORITY_CARRYOVERS: list[str] = [
     # (b) dtype-diverse green canaries (driver-hash drift guards)
     "cdl_all_patterns",    # 61 int flags + string symbol in one hash
     "price_transforms",    # pure float columns
-    "loader_grid_fill",    # date grid × symbols, timestamp axis
+    "loader_grid_fill",    # date grid x symbols, timestamp axis
     "sketch_kmv_users",    # bigint estimate (the r3-r5 red class shape)
     "sel_info",            # 15-column mixed-type latest-bar summary
 ]
 
 PRIORITY_FRESH: list[str] = [
-    # (c) never-driver-verified — the extension-indicator cluster first
-    "ind_kst",
-    "ind_tsi",
-    "ind_coppock",
-    "ind_mass_index",
-    "ind_klinger",
-    "ind_zigzag",
-    "ind_renko",
-    "ind_garch_vol",
-    "ind_choppiness_14",
-    "ind_awesome_osc",
-    "ind_dpo_20",
-    "ind_elder_ray",
-    # backtest extensions
-    "bt_riskparity_curve",
-    "bt_trailing_curve",
-    "bt_permutation_pvalue",
-    # bars analytics
-    "bars_rolling_beta",
-    "bars_drawdown_episodes",
-    "bars_range_vol",
-    "bars_moment_stats",
-    "bars_sortino",
-    # relational
-    "rel_window_family",
-    "rel_cube_revenue",
-    "rel_unpivot_measures",
-    "rel_price_percentiles",
-    "rel_market_basket",
-    # documents / LLM pipeline
-    "doc_oov_stats",
-    "doc_packing",
-    "doc_chunking",
-    "doc_bm25",
-    "doc_pii_scrub",
-    # events
-    "events_funnel_latency",
-    "events_hll_distinct",
-    # streaming / embeddings / media
-    "stream_sliding_batch",
-    "emb_dim_profile",
-    "media_frame_plan",
-    # the 10 slots freed by retiring the per-family standing canaries
-    "ind_pivot_points",
-    "bars_hurst",
-    "bars_variance_ratio",
-    "rel_scd2_build",
-    "doc_pagerank",
-    "doc_bigram_pmi",
-    "events_kaplan_meier",
-    "events_rfm_segments",
-    "stream_enrich_batch",
-    "emb_label_centroids",
+    # (c) never-driver-verified - bars analytics (8 of 37 remaining)
+    "bars_updown_beta",
+    "bars_relative_strength",
+    "bars_stress_correlation",
+    "bars_vpin",
+    "bars_var_cvar",
+    "bars_rolling_corr",
+    "bars_resample_5",
+    "bars_volume_bars",
+    # backtest extensions (finishes the bt_ pool)
+    "bt_rebalance_cost_curve",
+    "bt_recovery_times",
+    # documents / LLM pipeline (10 of 45 remaining)
+    "doc_hybrid_search",
+    "doc_lsh_recall",
+    "doc_containment_pairs",
+    "doc_triangle_count",
+    "doc_bloom_filter",
+    "doc_incremental_dedup",
+    "doc_source_kl",
+    "doc_temperature_mix",
+    "doc_tf_vectors",
+    "doc_quality_ensemble",
+    # embeddings (finishes the emb_ pool)
+    "emb_centroid_margin",
+    "emb_cluster_stability",
+    "emb_ivf_balance",
+    "emb_norm_profile",
+    # events analytics (11 of 49 remaining)
+    "events_markov_transitions",
+    "events_survival_curve",
+    "events_ks_test",
+    "events_chi2_independence",
+    "events_cuped",
+    "events_weibull_churn",
+    "events_holt_daily",
+    "events_top_paths",
+    "events_multitouch_attribution",
+    "events_benford",
+    "events_power_calc",
+    # indicators (4 of 11 remaining; qstick/rvi gained collision guards
+    # this round)
+    "ind_qstick_10",
+    "ind_rvi_10",
+    "ind_parkinson_20",
+    "ind_ewma_vol",
+    # media (finishes the media_ pool)
+    "media_audio_decimate",
+    "media_resize",
+    # relational (2 of 19 remaining)
+    "rel_sql_interface",
+    "rel_part_skyline",
+    # streaming (finishes the stream_ pool)
+    "stream_attribution_join",
+    "stream_position_stateful",
 ]
 
 PRIORITY_50: list[str] = PRIORITY_CARRYOVERS + PRIORITY_FRESH

@@ -316,6 +316,73 @@ def macd(x: np.ndarray, fast: int = 12, slow: int = 26, signal: int = 9):
     return dif, dea, hist
 
 
+def _ewma_q(m: np.ndarray, alpha: float, seed_n: int) -> np.ndarray:
+    """INTEGER-LATTICE exponential scan (the renko/zigzag quantized-state
+    discipline, VERDICT r7 #3): input is integer-valued micro-units (as
+    doubles), the SMA seed and EVERY step re-quantize to the integer
+    lattice with floor(x + 0.5). Both engines then evaluate the identical
+    float expression ((1-α)·s + α·x) + 0.5 on the same integers — IEEE
+    correctly-rounded * and + make the pre-floor value bit-identical, and
+    the floor absorbs nothing because there is nothing to absorb. This is
+    what retires the EMA-trio's 1-ulp-at-6dp-boundary residue at sf0.1:
+    no float state ever survives a step, so drift cannot accumulate over
+    any series length. The SQL twin is ``oracle.ema_q_ctes``.
+
+    Inherently a Python loop (per-step flooring defeats the Cython ewm
+    kernel) — fine for the oracle-paired MACD queries (~20k steps/symbol
+    at sf0.1, ~0.1 s/chain); the float ``_ewma`` stays the package's hot
+    path."""
+    import math
+
+    n = m.shape[0]
+    out = np.full(n, np.nan)
+    if n < seed_n or seed_n <= 0:
+        return out
+    a = float(alpha)
+    b = 1.0 - a
+    s = math.floor(float(np.cumsum(m[:seed_n])[-1]) / seed_n + 0.5)
+    out[seed_n - 1] = s
+    for i in range(seed_n, n):
+        s = math.floor(b * s + a * float(m[i]) + 0.5)
+        out[i] = s
+    return out
+
+
+def _sma_q(m: np.ndarray, p: int) -> np.ndarray:
+    """Quantized trailing mean over integer micro-units: floor(sum/p + 0.5).
+    The rolling sum of integers is exact in double, the division and floor
+    are single correctly-rounded ops — engine-exact. NaN until p rows."""
+    r = pd.Series(m).rolling(p).mean().to_numpy()
+    return np.floor(r + 0.5)
+
+
+def macd_q(x: np.ndarray, fast: int = 12, slow: int = 26, signal: int = 9):
+    """(dif, dea, hist) on the INTEGER micro-unit lattice: quantized EMAs
+    for both legs and the signal. Input must already be integer-valued
+    micro-units (floor(close·1e6 + 0.5)); outputs are integer-valued
+    micro-units. Differences of lattice values are exact."""
+    ef = _compact_apply(lambda v: _ewma_q(v, 2.0 / (fast + 1), fast), x)
+    es = _compact_apply(lambda v: _ewma_q(v, 2.0 / (slow + 1), slow), x)
+    dif = ef - es
+    dea = _compact_apply(lambda v: _ewma_q(v, 2.0 / (signal + 1), signal), dif)
+    return dif, dea, dif - dea
+
+
+def macdfix_q(x: np.ndarray, signal: int = 9):
+    """Quantized MACD(12, 26, signal)."""
+    return macd_q(x, 12, 26, signal)
+
+
+def macdext_q(x: np.ndarray, fast: int = 12, slow: int = 26, signal: int = 9):
+    """Quantized MACDEXT with EMA fast/slow legs and an SMA signal leg
+    (matypes 1/1/0 — the shape ind_macdext exercises)."""
+    ef = _compact_apply(lambda v: _ewma_q(v, 2.0 / (fast + 1), fast), x)
+    es = _compact_apply(lambda v: _ewma_q(v, 2.0 / (slow + 1), slow), x)
+    dif = ef - es
+    dea = _compact_apply(lambda v: _sma_q(v, signal), dif)
+    return dif, dea, dif - dea
+
+
 def trix(x: np.ndarray, p: int = 30) -> np.ndarray:
     """100·ROC₁(EMA³) (momentum.rs:543-569)."""
     e3 = ema(ema(ema(x, p), p), p)
@@ -427,6 +494,9 @@ KERNELS: dict[str, tuple[Callable, int]] = {
     "rsi": (rsi, 1),
     "trix": (trix, 1),
     "macd": (macd, 1),
+    "macd_q": (macd_q, 1),
+    "macdfix_q": (macdfix_q, 1),
+    "macdext_q": (macdext_q, 1),
     "atr": (atr, 3),
     "natr": (natr, 3),
     "adx": (adx, 3),

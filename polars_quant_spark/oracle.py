@@ -19,6 +19,7 @@ from polars_quant_spark.sources.bars import BARS_CTE
 __all__ = [
     "BARS_CTE",
     "ema_ctes",
+    "ema_q_ctes",
     "ewm_step",
     "recursive_with",
     "floor_rounds",
@@ -107,6 +108,45 @@ def ema_ctes(name: str, src: str, col: str, p: int, alpha: float | None = None) 
   WHERE rn = {p}
   UNION ALL
   SELECT b.symbol, b.rn, {ewm_step("e.ema", "b.x", alpha)}
+  FROM {name}_rec e JOIN {name}_base b ON b.symbol = e.symbol AND b.rn = e.rn + 1
+),
+{name} AS MATERIALIZED (
+  SELECT b.symbol, b.t, r.ema AS {name}
+  FROM {name}_base b LEFT JOIN {name}_rec r ON b.symbol = r.symbol AND b.rn = r.rn
+)"""
+
+
+def ema_q_ctes(
+    name: str, src: str, col: str, p: int, alpha: float | None = None
+) -> str:
+    """QUANTIZED twin of :func:`ema_ctes` — the integer-lattice EMA of
+    ``operators.recurrence._ewma_q`` (VERDICT r7 #3): ``col`` must already
+    hold integer-valued micro-units; the SMA seed and every recursion step
+    re-quantize with FLOOR(x + 0.5), so both engines evaluate one
+    correctly-rounded float expression per step on identical integers and
+    the state can never drift, at any series length. No skip-on-equal CASE
+    is needed (the float form's last-ulp wobble is exactly what the
+    per-step floor eliminates)."""
+    if alpha is None:
+        alpha = 2.0 / (p + 1)
+    a = repr(float(alpha))
+    b = repr(1.0 - float(alpha))
+    return f"""
+{name}_base AS MATERIALIZED (
+  SELECT symbol, t, CAST({col} AS DOUBLE) AS x,
+         ROW_NUMBER() OVER (PARTITION BY symbol ORDER BY t) AS rn
+  FROM {src} WHERE {col} IS NOT NULL
+),
+{name}_rec AS (
+  SELECT symbol, rn, ema FROM (
+    SELECT symbol, rn,
+           FLOOR(SUM(x) OVER (PARTITION BY symbol ORDER BY rn
+                        ROWS BETWEEN {p - 1} PRECEDING AND CURRENT ROW)
+                 / {p} + 0.5) AS ema
+    FROM {name}_base) s
+  WHERE rn = {p}
+  UNION ALL
+  SELECT b.symbol, b.rn, FLOOR({b} * e.ema + {a} * b.x + 0.5)
   FROM {name}_rec e JOIN {name}_base b ON b.symbol = e.symbol AND b.rn = e.rn + 1
 ),
 {name} AS MATERIALIZED (

@@ -34,6 +34,7 @@ from polars_quant_spark.operators.recurrence import Rec, with_recurrences
 from polars_quant_spark.oracle import (
     BARS_CTE,
     ema_ctes,
+    ema_q_ctes,
     ewm_step,
     floor_rounds,
     recursive_with,
@@ -1096,29 +1097,69 @@ FROM bars b LEFT JOIN atrc a ON b.symbol = a.symbol AND b.t = a.t
 """
 )
 
-QUERIES["ind_macd"] = _rec_query(
-    [Rec(["macd_dif", "macd_dea", "macd_hist"], "macd", ["close"], {"fast": 12, "slow": 26, "signal": 9})],
-    ["macd_dif", "macd_dea", "macd_hist"],
-)
+# MACD family: QUANTIZED micro-unit lattice (VERDICT r7 #3). Through round
+# 7 these three were the only queries red at sf0.1 (1-ulp FMA drift over
+# 20k-step float recurrences landing on 6-dp rounding boundaries — green at
+# the sf0.01 driver gate, accepted three rounds running). The renko/zigzag
+# integer-state discipline retires the class permanently: close is
+# quantized to integer micro-units, the SMA seed and EVERY recurrence step
+# re-quantize with floor(x + 0.5) (recurrence._ewma_q / oracle.ema_q_ctes),
+# and the outputs are exact BIGINT micro-units — no float state survives a
+# step, so drift cannot accumulate at ANY series length. The float `macd`
+# kernel remains the package's user-facing surface (bench + numpy parity
+# tests still exercise it); these oracle twins pin the engine-exact form.
+def _macd_q_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    b = bars(spark, sf_dir)
+    qb = b.select(
+        "symbol",
+        "t",
+        F.floor(F.col("close") * 1000000.0 + F.lit(0.5))
+        .cast("double")
+        .alias("_cm"),
+    )
+    out = with_recurrences(
+        qb,
+        [
+            Rec(
+                ["macd_dif_micro", "macd_dea_micro", "macd_hist_micro"],
+                "macd_q",
+                ["_cm"],
+                {"fast": 12, "slow": 26, "signal": 9},
+            )
+        ],
+    )
+    return out.select(
+        *KEY,
+        F.col("macd_dif_micro").cast("long").alias("macd_dif_micro"),
+        F.col("macd_dea_micro").cast("long").alias("macd_dea_micro"),
+        F.col("macd_hist_micro").cast("long").alias("macd_hist_micro"),
+    )
+
+
+QUERIES["ind_macd"] = _macd_q_query
 ORACLES["ind_macd"] = (
     recursive_with(
-        ema_ctes("ef", "bars", "close", 12),
-        ema_ctes("es", "bars", "close", 26),
+        """
+qbars AS MATERIALIZED (
+  SELECT symbol, t, FLOOR(close * 1000000.0 + 0.5) AS cm FROM bars
+)""",
+        ema_q_ctes("qef", "qbars", "cm", 12),
+        ema_q_ctes("qes", "qbars", "cm", 26),
         """
 dif_tbl AS MATERIALIZED (
-  SELECT ef.symbol, ef.t, ef.ef - es.es AS dif
-  FROM ef JOIN es ON ef.symbol = es.symbol AND ef.t = es.t
+  SELECT qef.symbol, qef.t, qef.qef - qes.qes AS dif
+  FROM qef JOIN qes ON qef.symbol = qes.symbol AND qef.t = qes.t
 )""",
-        ema_ctes("dea", "dif_tbl", "dif", 9),
+        ema_q_ctes("qdea", "dif_tbl", "dif", 9),
     )
     + """
 SELECT b.symbol, b.t,
-       ROUND(d.dif, 6) AS macd_dif,
-       ROUND(s.dea, 6) AS macd_dea,
-       ROUND(d.dif - s.dea, 6) AS macd_hist
+       CAST(d.dif AS BIGINT) AS macd_dif_micro,
+       CAST(s.qdea AS BIGINT) AS macd_dea_micro,
+       CAST(d.dif - s.qdea AS BIGINT) AS macd_hist_micro
 FROM bars b
 LEFT JOIN dif_tbl d ON b.symbol = d.symbol AND b.t = d.t
-LEFT JOIN dea s ON b.symbol = s.symbol AND b.t = s.t
+LEFT JOIN qdea s ON b.symbol = s.symbol AND b.t = s.t
 """
 )
 

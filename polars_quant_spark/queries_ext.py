@@ -12,7 +12,7 @@ from polars_quant_spark.functions import overlap as ov
 from polars_quant_spark.functions import pattern as pat
 from polars_quant_spark.functions._util import round6 as r6
 from polars_quant_spark.operators.recurrence import Rec, with_recurrences
-from polars_quant_spark.oracle import ema_ctes, ewm_step, recursive_with
+from polars_quant_spark.oracle import ema_ctes, ema_q_ctes, ewm_step, recursive_with
 from polars_quant_spark.sources.bars import bars
 
 from polars_quant_spark.queries import ORACLES, QUERIES, _win, _ORD, micros, q
@@ -1138,30 +1138,51 @@ ORDER BY b.symbol, w.lo
 
 # MACDFIX — the 12/26-fixed MACD with a custom signal period; every leg is
 # an SMA-seeded EMA, so the twin is pure ema_ctes composition.
+# Quantized micro-unit lattice like ind_macd (VERDICT r7 #3) — retires the
+# sf0.1 1-ulp-at-6dp-boundary residue; see queries.py::_macd_q_query.
 QUERIES["ind_macdfix"] = lambda spark, sf_dir: with_recurrences(
-    bars(spark, sf_dir),
-    [Rec(["mfix_dif", "mfix_dea", "mfix_hist"], "macdfix", ["close"], {"signal": 5})],
+    bars(spark, sf_dir).select(
+        "symbol",
+        "t",
+        F.floor(F.col("close") * 1000000.0 + F.lit(0.5))
+        .cast("double")
+        .alias("_cm"),
+    ),
+    [
+        Rec(
+            ["mfix_dif_micro", "mfix_dea_micro", "mfix_hist_micro"],
+            "macdfix_q",
+            ["_cm"],
+            {"signal": 5},
+        )
+    ],
 ).select(
     "symbol",
     "t",
-    r6(F.col("mfix_dif")).alias("mfix_dif"),
-    r6(F.col("mfix_dea")).alias("mfix_dea"),
-    r6(F.col("mfix_hist")).alias("mfix_hist"),
+    F.col("mfix_dif_micro").cast("long").alias("mfix_dif_micro"),
+    F.col("mfix_dea_micro").cast("long").alias("mfix_dea_micro"),
+    F.col("mfix_hist_micro").cast("long").alias("mfix_hist_micro"),
 )
 ORACLES["ind_macdfix"] = (
     recursive_with(
-        ema_ctes("xf", "bars", "close", 12),
-        ema_ctes("xs", "bars", "close", 26),
+        """
+fqbars AS MATERIALIZED (
+  SELECT symbol, t, FLOOR(close * 1000000.0 + 0.5) AS cm FROM bars
+)""",
+        ema_q_ctes("xf", "fqbars", "cm", 12),
+        ema_q_ctes("xs", "fqbars", "cm", 26),
         """
 fixdif AS MATERIALIZED (
   SELECT xf.symbol, xf.t, xf.xf - xs.xs AS dif
   FROM xf JOIN xs ON xf.symbol = xs.symbol AND xf.t = xs.t
 )""",
-        ema_ctes("fixdea", "fixdif", "dif", 5),
+        ema_q_ctes("fixdea", "fixdif", "dif", 5),
     )
     + """
-SELECT b.symbol, b.t, ROUND(d.dif, 6) AS mfix_dif, ROUND(s.fixdea, 6) AS mfix_dea,
-       ROUND(d.dif - s.fixdea, 6) AS mfix_hist
+SELECT b.symbol, b.t,
+       CAST(d.dif AS BIGINT) AS mfix_dif_micro,
+       CAST(s.fixdea AS BIGINT) AS mfix_dea_micro,
+       CAST(d.dif - s.fixdea AS BIGINT) AS mfix_hist_micro
 FROM bars b
 LEFT JOIN fixdif d ON b.symbol = d.symbol AND b.t = d.t
 LEFT JOIN fixdea s ON b.symbol = s.symbol AND b.t = s.t
@@ -1209,27 +1230,39 @@ WINDOW w10 AS (PARTITION BY b.symbol ORDER BY b.t ROWS BETWEEN 9 PRECEDING AND C
 
 # MACDEXT with a mixed MA-type config: EMA fast/slow legs, SMA signal leg —
 # exercises the per-leg dispatcher (momentum.py:83-88 composition).
+# Quantized micro-unit lattice like ind_macd (VERDICT r7 #3): EMA fast/slow
+# legs on the integer lattice, SMA signal leg as floor(sum/p + 0.5).
 QUERIES["ind_macdext"] = lambda spark, sf_dir: with_recurrences(
-    bars(spark, sf_dir),
+    bars(spark, sf_dir).select(
+        "symbol",
+        "t",
+        F.floor(F.col("close") * 1000000.0 + F.lit(0.5))
+        .cast("double")
+        .alias("_cm"),
+    ),
     [
         Rec(
-            ["mext_dif", "mext_dea", "mext_hist"],
-            "macdext",
-            ["close"],
-            {"fast": 12, "slow": 26, "signal": 5, "signal_matype": 0},
+            ["mext_dif_micro", "mext_dea_micro", "mext_hist_micro"],
+            "macdext_q",
+            ["_cm"],
+            {"fast": 12, "slow": 26, "signal": 5},
         )
     ],
 ).select(
     "symbol",
     "t",
-    r6(F.col("mext_dif")).alias("mext_dif"),
-    r6(F.col("mext_dea")).alias("mext_dea"),
-    r6(F.col("mext_hist")).alias("mext_hist"),
+    F.col("mext_dif_micro").cast("long").alias("mext_dif_micro"),
+    F.col("mext_dea_micro").cast("long").alias("mext_dea_micro"),
+    F.col("mext_hist_micro").cast("long").alias("mext_hist_micro"),
 )
 ORACLES["ind_macdext"] = (
     recursive_with(
-        ema_ctes("exf", "bars", "close", 12),
-        ema_ctes("exs", "bars", "close", 26),
+        """
+eqbars AS MATERIALIZED (
+  SELECT symbol, t, FLOOR(close * 1000000.0 + 0.5) AS cm FROM bars
+)""",
+        ema_q_ctes("exf", "eqbars", "cm", 12),
+        ema_q_ctes("exs", "eqbars", "cm", 26),
         """
 extdif AS MATERIALIZED (
   SELECT exf.symbol, exf.t, exf.exf - exs.exs AS dif
@@ -1237,13 +1270,17 @@ extdif AS MATERIALIZED (
 )""",
     )
     + """
-SELECT b.symbol, b.t, ROUND(d.dif, 6) AS mext_dif,
-       ROUND(CASE WHEN COUNT(d.dif) OVER w5 = 5 AND COUNT(*) OVER w5 = 5
-                  THEN AVG(d.dif) OVER w5 END, 6) AS mext_dea,
-       ROUND(d.dif - CASE WHEN COUNT(d.dif) OVER w5 = 5 AND COUNT(*) OVER w5 = 5
-                          THEN AVG(d.dif) OVER w5 END, 6) AS mext_hist
-FROM bars b LEFT JOIN extdif d ON b.symbol = d.symbol AND b.t = d.t
-WINDOW w5 AS (PARTITION BY b.symbol ORDER BY b.t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+SELECT symbol, t,
+       CAST(dif AS BIGINT) AS mext_dif_micro,
+       CAST(dea AS BIGINT) AS mext_dea_micro,
+       CAST(dif - dea AS BIGINT) AS mext_hist_micro
+FROM (
+  SELECT b.symbol, b.t, d.dif,
+         CASE WHEN COUNT(d.dif) OVER w5 = 5 AND COUNT(*) OVER w5 = 5
+              THEN FLOOR(SUM(d.dif) OVER w5 / 5 + 0.5) END AS dea
+  FROM bars b LEFT JOIN extdif d ON b.symbol = d.symbol AND b.t = d.t
+  WINDOW w5 AS (PARTITION BY b.symbol ORDER BY b.t ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+) z
 """
 )
 

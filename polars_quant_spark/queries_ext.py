@@ -1962,37 +1962,11 @@ def bars_rolling_beta(spark: SparkSession, sf_dir: str) -> DataFrame:
     window sum is an integer (association-free) and the beta ratio is one
     identical double expression on both engines. Two exchanges: the
     per-t market agg, then the per-symbol window."""
+    from polars_quant_spark.functions.riskstats import rolling_beta
+
     b = bars(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("t")
-    qr = F.floor(
-        (F.col("close") / F.lag("close").over(w) - F.lit(1.0)) * 1000000.0 + F.lit(0.5)
-    ).cast("long")
-    rr = b.select("symbol", "t", qr.alias("qr")).where(F.col("qr").isNotNull())
-    mkt = rr.groupBy("t").agg(
-        F.floor(F.sum("qr").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
-        .cast("long")
-        .alias("qm")
-    )
-    j = rr.join(mkt, "t")
-    wf = Window.partitionBy("symbol").orderBy("t").rowsBetween(-59, 0)
-    n = F.count(F.lit(1)).over(wf)
-    s_am = F.sum(F.col("qr") * F.col("qm")).over(wf)
-    s_a = F.sum("qr").over(wf)
-    s_m = F.sum("qm").over(wf)
-    s_mm = F.sum(F.col("qm") * F.col("qm")).over(wf)
-    cov = (
-        s_am.cast("double") / 1e12
-        - (s_a.cast("double") / 1e6) * (s_m.cast("double") / 1e6) / n
-    )
-    var = (
-        s_mm.cast("double") / 1e12
-        - (s_m.cast("double") / 1e6) * (s_m.cast("double") / 1e6) / n
-    )
-    return (
-        j.select("symbol", "t", n.alias("_n"), cov.alias("_c"), var.alias("_v"))
-        .where((F.col("_n") == 60) & (F.col("_v") > 0))
-        .select("symbol", "t", r6(F.col("_c") / F.col("_v")).alias("beta"))
-    )
+    out = rolling_beta(b, p=60)
+    return out.select("symbol", "t", r6(F.col("beta")).alias("beta"))
 
 
 @q(
@@ -3273,25 +3247,15 @@ def bars_sortino(spark: SparkSession, sf_dir: str) -> DataFrame:
     deviation — the Sharpe variant that only penalizes losses. Integer
     moment sums (negative returns squared in micro² units) keep both
     engines exact."""
-    b = bars(spark, sf_dir)
-    w = _w()
-    qr = F.floor(
-        (F.col("close") / F.lag("close").over(w) - 1.0) * 1000000.0 + F.lit(0.5)
-    ).cast("long")
-    r = b.select("symbol", qr.alias("qr")).where(F.col("qr").isNotNull())
-    neg2 = F.sum(F.when(F.col("qr") < 0, F.col("qr") * F.col("qr")).otherwise(0))
-    n = F.count(F.lit(1))
-    mean_ret = F.sum("qr").cast("double") / 1e6 / n
-    ddev = F.sqrt(neg2.cast("double") / 1e12 / n)
-    return (
-        r.groupBy("symbol")
-        .agg(
-            r6(mean_ret).alias("mean_ret"),
-            r6(ddev).alias("downside_dev"),
-            r6(F.when(neg2 > 0, mean_ret / ddev)).alias("sortino"),
-        )
-        .orderBy("symbol")
-    )
+    from polars_quant_spark.functions.riskstats import sortino
+
+    out = sortino(bars(spark, sf_dir))
+    return out.select(
+        "symbol",
+        r6(F.col("mean_ret")).alias("mean_ret"),
+        r6(F.col("downside_dev")).alias("downside_dev"),
+        r6(F.col("sortino")).alias("sortino"),
+    ).orderBy("symbol")
 
 
 @q(
@@ -3705,31 +3669,10 @@ def bars_variance_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     variance (≈1 random walk, >1 momentum, <1 mean reversion). Log returns
     quantize to micro units; 5-bar sums are exact integer window sums, so
     both engines agg identical integers. One window pass + one aggregate."""
-    b = bars(spark, sf_dir).where(F.col("close") > 0)
-    o = _w()
-    qlr = F.floor(F.log(F.col("close") / F.lag("close").over(o)) * 1e6 + F.lit(0.5)).cast(
-        "long"
-    )
-    r = b.select("symbol", "t", qlr.alias("qlr")).where(F.col("qlr").isNotNull())
-    w = _w().rowsBetween(-4, 0)
-    q5 = F.when(F.count("qlr").over(w) == 5, F.sum("qlr").over(w))
-    a = r.select("symbol", "qlr", q5.alias("q5"))
-    s = a.groupBy("symbol").agg(
-        F.count("qlr").alias("n1"),
-        F.sum("qlr").alias("a1"),
-        F.sum(F.col("qlr") * F.col("qlr")).alias("b1"),
-        F.count("q5").alias("n5"),
-        F.sum("q5").alias("a5"),
-        F.sum(F.col("q5") * F.col("q5")).alias("b5"),
-    )
-    v1 = F.col("b1").cast("double") / F.col("n1") - (
-        F.col("a1").cast("double") / F.col("n1")
-    ) * (F.col("a1").cast("double") / F.col("n1"))
-    v5 = F.col("b5").cast("double") / F.col("n5") - (
-        F.col("a5").cast("double") / F.col("n5")
-    ) * (F.col("a5").cast("double") / F.col("n5"))
-    ok = (F.col("n1") > 0) & (F.col("n5") > 0) & (v1 > 0)
-    return s.select("symbol", r6(F.when(ok, v5 / (5.0 * v1))).alias("vr_5")).orderBy(
+    from polars_quant_spark.functions.riskstats import variance_ratio
+
+    out = variance_ratio(bars(spark, sf_dir), q=5, out="vr_5")
+    return out.select("symbol", r6(F.col("vr_5")).alias("vr_5")).orderBy(
         "symbol"
     )
 
@@ -4333,54 +4276,12 @@ def bars_hurst(spark: SparkSession, sf_dir: str) -> DataFrame:
     One window pass (all horizons share the symbol exchange), one hash
     aggregate of exact integer moments, then the fixed-weight log-log
     slope."""
-    b = bars(spark, sf_dir).where(F.col("close") > 0)
-    o = _w()
-    qlr = F.floor(F.log(F.col("close") / F.lag("close").over(o)) * 1e6 + F.lit(0.5)).cast(
-        "long"
+    from polars_quant_spark.functions.riskstats import hurst as hurst_fn
+
+    out = hurst_fn(bars(spark, sf_dir))
+    return out.select("symbol", r6(F.col("hurst")).alias("hurst")).orderBy(
+        "symbol"
     )
-    r = b.select("symbol", "t", qlr.alias("qlr")).where(F.col("qlr").isNotNull())
-
-    def qsum(p):
-        w = _w().rowsBetween(-(p - 1), 0)
-        return F.when(F.count("qlr").over(w) == p, F.sum("qlr").over(w))
-
-    a = r.select(
-        "symbol",
-        "qlr",
-        qsum(2).alias("q2"),
-        qsum(4).alias("q4"),
-        qsum(8).alias("q8"),
-        qsum(16).alias("q16"),
-    )
-    dec = "decimal(38,0)"
-    aggs = []
-    for name in ("qlr", "q2", "q4", "q8", "q16"):
-        tag = {"qlr": "1", "q2": "2", "q4": "4", "q8": "8", "q16": "16"}[name]
-        aggs += [
-            F.count(name).alias(f"n{tag}"),
-            F.sum(name).alias(f"a{tag}"),
-            F.sum(F.col(name).cast(dec) * F.col(name)).alias(f"b{tag}"),
-        ]
-    s = a.groupBy("symbol").agg(*aggs).where(F.col("n16") > 0)
-
-    def var(tag):
-        n = F.col(f"n{tag}")
-        return F.col(f"b{tag}").cast("double") / n - (
-            F.col(f"a{tag}").cast("double") / n
-        ) * (F.col(f"a{tag}").cast("double") / n)
-
-    v1, v2, v8, v16 = var("1"), var("2"), var("8"), var("16")
-    w1, w2, w8, w16 = (float(_HW1), float(_HW2), float(_HW8), float(_HW16))
-    hurst = F.when(
-        (v1 > 0) & (v2 > 0) & (v8 > 0) & (v16 > 0),
-        0.5
-        * (
-            (F.lit(w1) * F.log(v1) + F.lit(w2) * F.log(v2))
-            + F.lit(w8) * F.log(v8)
-            + F.lit(w16) * F.log(v16)
-        ),
-    )
-    return s.select("symbol", r6(hurst).alias("hurst")).orderBy("symbol")
 
 
 @q(

@@ -197,6 +197,10 @@ def main() -> None:
         "knn_eval": QUERIES["emb_knn_classify"],
         "concurrency": QUERIES["events_peak_concurrency"],
         "hurst": QUERIES["bars_hurst"],
+        # round-8: the iterative graph op whose forced degree broadcast was
+        # removed this round (VERDICT r7 #1) — not in the default subset;
+        # run with --subset=pagerank for the before/after scale evidence
+        "pagerank": QUERIES["doc_pagerank"],
     }
 
     subset_arg = next(

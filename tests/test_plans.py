@@ -48,7 +48,12 @@ def test_q5_star_join_broadcasts(spark, sf_dir):
 def test_no_forced_broadcast_of_sf_scaled_tables():
     """Only fixed-size dims (nation 25 rows, region 5) may carry an explicit
     F.broadcast hint; customer/supplier/orders/lineitem/part grow with SF and
-    a forced hint would OOM at 100× (VERDICT r1 'what's wrong' #2)."""
+    a forced hint would OOM at 100× (VERDICT r1 'what's wrong' #2).
+
+    Scope: the TPC-H modules' allowlist discipline. Since round 8 the
+    GLOBAL net over every module is test_forced_broadcast_ratchet below
+    (docs/broadcast_ratchet.json + docs/BROADCAST_TRIAGE.md) — this test
+    stays as the stricter per-name rule for the relational surface."""
     import inspect
 
     import polars_quant_spark.queries as qmod

@@ -51,9 +51,6 @@ def test_rolling_beta_p20(spark, sf_dir, pdf):
         a, m = g["qr"].to_numpy(), g["qm"].to_numpy()
         for i in range(19, len(g)):
             qa, qb = a[i - 19 : i + 1], m[i - 19 : i + 1]
-            cov = (qa * qb).sum() / 1e12 / 1 - (qa.sum() / 1e6) * (
-                qb.sum() / 1e6
-            ) / 20
             cov = (qa * qb).sum() / 1e12 - (qa.sum() / 1e6) * (
                 qb.sum() / 1e6
             ) / 20

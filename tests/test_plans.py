@@ -743,3 +743,17 @@ def test_pagerank_loop_carries_no_forced_broadcast(spark):
         f"{len(hints)} broadcast hints in the pagerank plan (want "
         f"{iters + 1}: the one-row n_nodes scalar only)"
     )
+
+
+def test_riskstats_exchange_counts(spark, sf_dir):
+    """The round-8 promotions keep their query-local plan shapes: one
+    per-key exchange for the single-pass stats; rolling_beta adds the
+    per-t market collapse + the join back (3 total, no forced broadcast
+    anywhere — the per-t frame is AQE-decided)."""
+    from polars_quant_spark.functions import riskstats as rs
+
+    b = bars(spark, sf_dir)
+    assert n_exchanges(plan(rs.sortino(b))) == 1
+    assert n_exchanges(plan(rs.variance_ratio(b))) == 1
+    assert n_exchanges(plan(rs.hurst(b))) == 1
+    assert n_exchanges(plan(rs.rolling_beta(b))) == 3

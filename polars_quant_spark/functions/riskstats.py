@@ -18,13 +18,13 @@ method)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from polars_quant_spark.functions._util import require_absent
 
 
-def _qret(close: str, o) -> "F.Column":
+def _qret(close: str, o) -> Column:
     """Simple return quantized to integer micro-units."""
     return F.floor(
         (F.col(close) / F.lag(close).over(o) - F.lit(1.0)) * 1000000.0
@@ -32,7 +32,7 @@ def _qret(close: str, o) -> "F.Column":
     ).cast("long")
 
 
-def _qlogret(close: str, o) -> "F.Column":
+def _qlogret(close: str, o) -> Column:
     """Log return quantized to integer micro-units (caller must have
     filtered close > 0)."""
     return F.floor(

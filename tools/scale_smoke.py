@@ -201,6 +201,9 @@ def main() -> None:
         # removed this round (VERDICT r7 #1) — not in the default subset;
         # run with --subset=pagerank for the before/after scale evidence
         "pagerank": QUERIES["doc_pagerank"],
+        # round-8: a representative of the per-t cross-sectional frames
+        # whose forced broadcasts were dropped (AQE now decides)
+        "updown_beta": QUERIES["bars_updown_beta"],
     }
 
     subset_arg = next(

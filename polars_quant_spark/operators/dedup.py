@@ -172,8 +172,17 @@ def _lsh_candidates_from_sig(
     kept = banded.join(F.broadcast(big), ["band", "bucket"], "leftanti")
     a = kept.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_a"))
     b = kept.select(F.col("band"), F.col("bucket"), F.col("_id").alias("id_b"))
+    # SCALE PIN (round 8, the bootstrap discipline): every join side here
+    # descends from an EXPLODE of the corpus scan, so Catalyst's size
+    # estimate stays tiny while the true size scales with the data. Under
+    # normal execution AQE demotes the resulting broadcast from runtime
+    # sizes, but AQE-less compilations (localCheckpoint/.rdd inside the
+    # iterative graph ops, persist()'s cached plan) build the broadcast
+    # for real -- doc_pagerank OOM'd the driver at the 64x smoke exactly
+    # here. Sort-merge is also simply the right plan for these large-large
+    # joins at 100 TB; one hint per join pins it at every scale.
     return (
-        a.join(b, on=["band", "bucket"])
+        a.join(b.hint("merge"), on=["band", "bucket"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
@@ -216,9 +225,11 @@ def minhash_dedup_pairs(
     ).persist()
     sizes = sig.select("_id", "_n")
     cand = _lsh_candidates_from_sig(sig.drop("_n"), num_hashes, bands)
+    # scale pin: ex is explode-derived (tiny estimate, corpus-scaled true
+    # size) -- see the _lsh_candidates_from_sig pin for the full rationale
     inter = (
-        cand.join(ex.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
-        .join(ex.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
+        cand.join(ex.select(F.col("_id").alias("id_a"), "_sh").hint("merge"), "id_a")
+        .join(ex.select(F.col("_id").alias("id_b"), "_sh").hint("merge"), ["id_b", "_sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
@@ -232,9 +243,11 @@ def minhash_dedup_pairs(
         if threshold > 0
         else cand.join(inter, ["id_a", "id_b"], "left").na.fill({"_inter": 0})
     )
+    # sizes rides the signature agg whose child is the exploded frame --
+    # same poisoned estimate, one row per doc at true scale: pin merge
     out = (
-        base.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        base.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")).hint("merge"), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")).hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -287,18 +300,19 @@ def ngram_jaccard_pairs(
         .select("_sh")
     )
     capped = ex.join(F.broadcast(hot), "_sh", "leftanti").select("_id", "_sh")
+    # scale pin: capped is explode-derived (see _lsh_candidates_from_sig)
     inter = (
         capped.select(F.col("_id").alias("id_a"), "_sh")
-        .join(capped.select(F.col("_id").alias("id_b"), "_sh"), "_sh")
+        .join(capped.select(F.col("_id").alias("id_b"), "_sh").hint("merge"), "_sh")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
     out = (
         inter.join(
-            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a"
+            sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")).hint("merge"), "id_a"
         )
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")).hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
@@ -519,8 +533,9 @@ def simhash_near_dupes(
     a = banded.select("band", "val", F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"))
     b = banded.select("band", "val", F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    # scale pin: both sides explode-derived (see _lsh_candidates_from_sig)
     return (
-        a.join(b, ["band", "val"])
+        a.join(b.hint("merge"), ["band", "val"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
@@ -551,15 +566,17 @@ def containment_pairs(
     ).persist()
     sizes = sig.select("_id", "_n")
     cand = _lsh_candidates_from_sig(sig.drop("_n"), num_hashes, bands)
+    # scale pin: ex is explode-derived (tiny estimate, corpus-scaled true
+    # size) -- see the _lsh_candidates_from_sig pin for the full rationale
     inter = (
-        cand.join(ex.select(F.col("_id").alias("id_a"), "_sh"), "id_a")
-        .join(ex.select(F.col("_id").alias("id_b"), "_sh"), ["id_b", "_sh"])
+        cand.join(ex.select(F.col("_id").alias("id_a"), "_sh").hint("merge"), "id_a")
+        .join(ex.select(F.col("_id").alias("id_b"), "_sh").hint("merge"), ["id_b", "_sh"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
     out = (
-        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")), "id_b")
+        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")).hint("merge"), "id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")).hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",

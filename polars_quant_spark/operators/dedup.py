@@ -456,9 +456,14 @@ def simhash_df(
             F.col(f"_b{j}") > 0, F.pow(F.lit(2.0), F.lit(j)).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     hashed = sums.select("_id", acc.alias("simhash"))
+    # scale pin: hashed is one row PER DOC behind an explode-descended
+    # aggregate, so its size estimate stays tiny at any corpus size and
+    # the static planner would broadcast 10^8 rows at 100 TB (caught by
+    # test_lsh_pipelines_never_broadcast_explode_derived_sides) -- see
+    # _lsh_candidates_from_sig for the full rationale
     return (
         df.select(F.col(id_col))
-        .join(hashed.withColumnRenamed("_id", id_col), id_col, "left")
+        .join(hashed.withColumnRenamed("_id", id_col).hint("merge"), id_col, "left")
         .select(id_col, F.coalesce("simhash", F.lit(0).cast("long")).alias("simhash"))
     )
 

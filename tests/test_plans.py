@@ -757,3 +757,42 @@ def test_riskstats_exchange_counts(spark, sf_dir):
     assert n_exchanges(plan(rs.variance_ratio(b))) == 1
     assert n_exchanges(plan(rs.hurst(b))) == 1
     assert n_exchanges(plan(rs.rolling_beta(b))) == 3
+
+
+def test_lsh_pipelines_never_broadcast_explode_derived_sides(spark, sf_dir):
+    """Round-8 regression lock: the LSH/SimHash/n-gram pipelines' corpus-
+    scaled joins are merge-pinned because their explode-derived sides keep
+    a tiny size ESTIMATE at any corpus size — the static planner would
+    broadcast them, AQE rescues only AQE-full paths, and the AQE-less
+    compilations (localCheckpoint/.rdd in the iterative graph ops,
+    persist's cached plan) build the broadcast for real (doc_pagerank
+    OOM'd the driver at the 64× smoke). Uses the audit tool's signature:
+    no BroadcastExchange may sit above a Generate in these plans."""
+    from tools.audit_broadcast_explode import broadcast_explode_sites
+
+    from polars_quant_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Pinned per-pipeline triage counts. The LSH/n-gram pipelines
+    # legitimately keep EXACTLY TWO broadcast-above-explode sites: the
+    # FORCED skew-cap anti-join (big/hot — an aggregate that collapses the
+    # explode to the bounded over-cap set), duplicated across the
+    # self-join's two sides. The SimHash pipelines keep ZERO (their
+    # per-doc hash join is merge-pinned; writing this test caught it
+    # broadcasting the one-row-per-doc frame). A count above the pin means
+    # a corpus-scaled frame lost its merge pin; below means the skew cap
+    # itself changed — retriage either way.
+    for name, df, expect in [
+        ("minhash_dedup_pairs", dedup.minhash_dedup_pairs(docs, threshold=0.5), 2),
+        ("containment_pairs", dedup.containment_pairs(docs, threshold=0.5), 2),
+        ("simhash_near_dupes", dedup.simhash_near_dupes(docs), 0),
+        ("simhash_df", dedup.simhash_df(docs), 0),
+        ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs(docs, threshold=0.5), 2),
+    ]:
+        p = df._jdf.queryExecution().executedPlan().toString()
+        sites = [s for s in broadcast_explode_sites(p) if s.startswith("[explode]")]
+        assert len(sites) == expect, (
+            f"{name}: {len(sites)} broadcast-above-explode sites "
+            f"(triaged: {expect}): {sites[:3]}"
+        )
+        assert "SortMergeJoin" in p, f"{name}: expected merge-pinned joins"

@@ -418,6 +418,72 @@ def embedding_near_dupes(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """SemDeDup-style keep/drop DECISION per vector (the published
+    semantic-dedup recipe: cluster the embedding space, prune
+    near-duplicates within each cluster — Abbas et al. 2023, SemDeDup).
+    A vector is DROPPED when a LOWER-ID vector in the same IVF block sits
+    at cosine ≥ ``threshold`` — the deterministic one-pass approximation
+    of greedy cluster pruning, so the survivor set is id-ordered,
+    retry-stable, and engine-exact. Returns one row per input id:
+    (id_col, bucket, nn_lower_cos, keep) where ``nn_lower_cos`` is the
+    max 6-dp cosine to any lower-id block-mate (NULL for each block's
+    min id) and ``keep`` compares the ROUNDED cosine so both engines
+    agree at the threshold boundary.
+
+    Scale shape is ``embedding_near_dupes``'s: zero-shuffle block
+    assignment, per-block self-join (n²/b, b grows with the corpus), one
+    groupBy(id) max — no all-pairs stage anywhere."""
+    cents = hash_centroids(df, n_blocks, id_col, vec_col)
+    assigned = ivf_assign(widen(df), cents, id_col, vec_col).select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_v"),
+        norm(F.col(vec_col)).alias("_n"),
+        "bucket",
+    )
+    a = assigned.select(
+        F.col("_id").alias("_id_a"), F.col("_v").alias("_va"),
+        F.col("_n").alias("_na"), "bucket",
+    )
+    b = assigned.select(
+        F.col("_id").alias("_id_b"), F.col("_v").alias("_vb"),
+        F.col("_n").alias("_nb"), "bucket",
+    )
+    d = F.col("_na") * F.col("_nb")
+    best = (
+        a.join(b, "bucket")
+        .where(F.col("_id_a") < F.col("_id_b"))
+        .select(
+            F.col("_id_b").alias("_id"),
+            round6(
+                F.when(d > 0, dot(F.col("_va"), F.col("_vb")) / d).otherwise(
+                    F.lit(0.0)
+                )
+            ).alias("_cos"),
+        )
+        .groupBy("_id")
+        .agg(F.max("_cos").alias("nn_lower_cos"))
+    )
+    return (
+        assigned.select("_id", "bucket")
+        .join(best, "_id", "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "bucket",
+            "nn_lower_cos",
+            F.coalesce(
+                F.col("nn_lower_cos") < F.lit(float(threshold)), F.lit(True)
+            ).alias("keep"),
+        )
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: DataFrame,

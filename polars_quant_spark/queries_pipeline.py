@@ -553,6 +553,66 @@ def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.embedding_near_dupes(emb, threshold=0.4, n_blocks=8)
 
 
+@q(
+    "emb_semantic_dedup",
+    f"""
+WITH cent_pick AS (
+  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
+  FROM embeddings ORDER BY h LIMIT 8
+),
+cent AS (
+  SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INTEGER) - 1 AS cid,
+         embedding AS cvec,
+         1.0 / sqrt({{_SQN_EMB}}) AS icn
+  FROM cent_pick
+),
+base AS (
+  SELECT vec_id, embedding,
+         sqrt({{_SQN_EMB}}) AS nv
+  FROM embeddings
+),
+scored AS (
+  SELECT b.vec_id, b.embedding, c.cid,
+         {{_DOT_BC}} * c.icn AS sim
+  FROM base b CROSS JOIN cent c
+),
+assigned AS (
+  SELECT vec_id, embedding, cid AS bucket FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid) AS rnk
+    FROM scored) s
+  WHERE rnk = 1
+),
+lower_best AS (
+  SELECT b.vec_id,
+         MAX(ROUND(CASE WHEN na.nv * nb.nv > 0
+               THEN {{_DOT_AB}} / (na.nv * nb.nv)
+               ELSE 0.0 END, 6)) AS nn_lower_cos
+  FROM assigned b
+  JOIN assigned a ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  JOIN base na ON na.vec_id = a.vec_id
+  JOIN base nb ON nb.vec_id = b.vec_id
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id,
+       CAST(s.bucket AS INTEGER) AS bucket,
+       l.nn_lower_cos,
+       COALESCE(l.nn_lower_cos < 0.4, TRUE) AS keep
+FROM assigned s LEFT JOIN lower_best l ON l.vec_id = s.vec_id
+""".replace("{_SQN_EMB}", _SQN.format(a="embedding"))
+    .replace("{_DOT_BC}", _DOT.format(a="b.embedding", b="c.cvec"))
+    .replace("{_DOT_AB}", _DOT.format(a="a.embedding", b="b.embedding")),
+)
+def emb_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style keep/drop decision per vector (similarity.
+    semantic_dedup): drop any vector with a LOWER-ID same-block mate at
+    cosine ≥ τ — the deterministic one-pass pruning whose survivor set is
+    id-ordered and retry-stable. Same IVF blocking and the same 0.4
+    test-data threshold rationale as `emb_near_dupes`; the twin chains
+    identical block assignment + a within-block lower-id max."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.semantic_dedup(emb, threshold=0.4, n_blocks=8)
+
+
 # ---------------------------------------------------------------------------
 # vectorized backtest — fold as recursive CTE (zero-cost config; commission /
 # slippage arithmetic is covered by the pytest micro-scenarios)

@@ -811,3 +811,29 @@ def test_cosine_topk_auto_small_corpus_picks_expression_path(spark, sf_dir):
     plan = out._jdf.queryExecution().analyzed().toString()
     assert "mapInArrow" not in plan and "MapInArrow" not in plan
     assert out.count() == 6
+
+
+def test_semantic_dedup_keeps_lowest_id_per_dup_group(spark):
+    """SemDeDup decision semantics: an exact duplicate of a lower-id vector
+    is dropped; the lowest id of each duplicate group and all
+    non-duplicated vectors survive. Blocking cannot split exact duplicates
+    (identical vectors share a nearest centroid)."""
+    from polars_quant_spark.operators.similarity import semantic_dedup
+
+    vecs = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [1.0, 0.0, 0.0, 0.0]),   # dup of 1 -> dropped
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [0.0, 0.0, 1.0, 0.0]),
+        (5, [0.0, 2.0, 0.0, 0.0]),   # same direction as 3 -> dropped
+        (6, [0.0, 0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    out = semantic_dedup(df, threshold=0.99, n_blocks=2)
+    rows = {r["vec_id"]: r for r in out.collect()}
+    assert set(rows) == {1, 2, 3, 4, 5, 6}  # decision for EVERY input
+    assert rows[1]["keep"] and not rows[2]["keep"]
+    assert rows[3]["keep"] and not rows[5]["keep"]
+    assert rows[4]["keep"] and rows[6]["keep"]
+    assert rows[2]["nn_lower_cos"] == 1.0
+    assert rows[5]["nn_lower_cos"] == 1.0

@@ -21,7 +21,32 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from polars_quant_spark.functions._util import require_absent
+# All squared / cross-product moment sums below accumulate in
+# decimal(38,0), never plain long (ADVICE r8): a quantized return for an
+# extreme price jump is ~1e9 micro-units, so one long*long product is
+# ~1e18 — within one step of silently wrapping Int64. hurst always did
+# this; the cast is now uniform across the module.
+_DEC = "decimal(38,0)"
+
+
+def _no_collisions(outs: list[str], keys: list[str], internals: list[str]) -> None:
+    """Reject only collisions that can actually occur (ADVICE r8): these
+    functions build narrow explicit selects, so arbitrary input columns
+    never flow through — the only hazards are an output alias or a
+    hard-coded internal alias matching one of the key columns that are
+    selected alongside it."""
+    bad_out = [o for o in outs if o in keys]
+    if bad_out:
+        raise ValueError(
+            f"output column(s) {bad_out} collide with the key column(s) "
+            f"{keys}; pass a different out="
+        )
+    bad_int = [i for i in internals if i in keys]
+    if bad_int:
+        raise ValueError(
+            f"key column(s) {bad_int} collide with internal aliases this "
+            "function hard-codes; rename the partition_by/order_by column"
+        )
 
 
 def _qret(close: str, o) -> Column:
@@ -54,7 +79,9 @@ def rolling_beta(
     market variance is positive. Two exchanges: the per-``order_by``
     market collapse, then the per-key window. The per-t market frame
     carries NO broadcast hint (it grows with history — AQE decides)."""
-    require_absent(df, out, "qr", "qm", "_n", "_c", "_v")
+    _no_collisions(
+        [out], [partition_by, order_by], ["qr", "qm", "_n", "_c", "_v"]
+    )
     o = Window.partitionBy(partition_by).orderBy(order_by)
     rr = df.select(
         partition_by, order_by, _qret(close, o).alias("qr")
@@ -69,10 +96,10 @@ def rolling_beta(
         -(p - 1), 0
     )
     n = F.count(F.lit(1)).over(wf)
-    s_am = F.sum(F.col("qr") * F.col("qm")).over(wf)
+    s_am = F.sum(F.col("qr").cast(_DEC) * F.col("qm")).over(wf)
     s_a = F.sum("qr").over(wf)
     s_m = F.sum("qm").over(wf)
-    s_mm = F.sum(F.col("qm") * F.col("qm")).over(wf)
+    s_mm = F.sum(F.col("qm").cast(_DEC) * F.col("qm")).over(wf)
     cov = (
         s_am.cast("double") / 1e12
         - (s_a.cast("double") / 1e6) * (s_m.cast("double") / 1e6) / n
@@ -106,13 +133,16 @@ def sortino(
     deviation. Returns one row per key with ``mean_ret`` /
     ``downside_dev`` / ``sortino`` (unrounded; NULL sortino when there are
     no losses). Integer micro² moment sums keep the stats engine-exact."""
-    require_absent(df, "mean_ret", "downside_dev", "sortino", "qr")
+    _no_collisions(
+        ["mean_ret", "downside_dev", "sortino"], [partition_by], ["qr"]
+    )
     o = Window.partitionBy(partition_by).orderBy(order_by)
     r = df.select(partition_by, _qret(close, o).alias("qr")).where(
         F.col("qr").isNotNull()
     )
     neg2 = F.sum(
-        F.when(F.col("qr") < 0, F.col("qr") * F.col("qr")).otherwise(0)
+        F.when(F.col("qr") < 0, F.col("qr").cast(_DEC) * F.col("qr"))
+        .otherwise(F.lit(0).cast(_DEC))
     )
     n = F.count(F.lit(1))
     mean_ret = F.sum("qr").cast("double") / 1e6 / n
@@ -136,8 +166,10 @@ def variance_ratio(
     overlapping q-bar log-return sums over q× the 1-bar variance (≈1
     random walk, >1 momentum, <1 mean reversion). One row per key,
     ``out`` NULL when degenerate. One window pass + one aggregate."""
-    require_absent(
-        df, out, "qlr", "qq", "n1", "a1", "b1", "nq", "aq", "bq"
+    _no_collisions(
+        [out],
+        [partition_by, order_by],
+        ["qlr", "qq", "n1", "a1", "b1", "nq", "aq", "bq"],
     )
     b = df.where(F.col(close) > 0)
     o = Window.partitionBy(partition_by).orderBy(order_by)
@@ -152,10 +184,10 @@ def variance_ratio(
     s = a.groupBy(partition_by).agg(
         F.count("qlr").alias("n1"),
         F.sum("qlr").alias("a1"),
-        F.sum(F.col("qlr") * F.col("qlr")).alias("b1"),
+        F.sum(F.col("qlr").cast(_DEC) * F.col("qlr")).alias("b1"),
         F.count("qq").alias("nq"),
         F.sum("qq").alias("aq"),
-        F.sum(F.col("qq") * F.col("qq")).alias("bq"),
+        F.sum(F.col("qq").cast(_DEC) * F.col("qq")).alias("bq"),
     )
     v1 = F.col("b1").cast("double") / F.col("n1") - (
         F.col("a1").cast("double") / F.col("n1")
@@ -193,7 +225,9 @@ def hurst(
             0.14426950408889633,
             0.28853900817779266,
         )
-    require_absent(df, out, "qlr", "q2", "q4", "q8", "q16")
+    _no_collisions(
+        [out], [partition_by, order_by], ["qlr", "q2", "q4", "q8", "q16"]
+    )
     b = df.where(F.col(close) > 0)
     o = Window.partitionBy(partition_by).orderBy(order_by)
     r = b.select(

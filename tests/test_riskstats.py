@@ -104,6 +104,18 @@ def test_hurst_weights_sum_zero_scale_invariance(spark, sf_dir):
 
 
 def test_collision_guard(spark, sf_dir):
-    b = bars(spark, sf_dir).withColumn("beta", F.lit(0.0))
-    with pytest.raises(ValueError, match="beta"):
-        rs.rolling_beta(b)
+    """ADVICE r8: input columns that merely share a name with an output or
+    internal alias are NOT collisions — the functions build narrow explicit
+    selects, so those inputs never flow through. The only real hazards are
+    an out= matching a key column, or a key column matching a hard-coded
+    internal alias."""
+    b = bars(spark, sf_dir).withColumn("beta", F.lit(0.0)).withColumn(
+        "qr", F.lit(1)
+    )
+    assert rs.rolling_beta(b).columns == ["symbol", "t", "beta"]
+    with pytest.raises(ValueError, match="output column"):
+        rs.rolling_beta(bars(spark, sf_dir), out="t")
+    with pytest.raises(ValueError, match="internal aliases"):
+        rs.rolling_beta(
+            bars(spark, sf_dir).withColumnRenamed("t", "qm"), order_by="qm"
+        )

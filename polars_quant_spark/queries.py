@@ -63,20 +63,20 @@ ORACLES: dict[str, str] = {}
 # window, so a future append can't silently push a family back out.
 # ---------------------------------------------------------------------------
 
-# ROUND-8 ROTATION (VERDICT r7 #2/#5): round 7 was the second consecutive
-# fully-green driver round (50/50, 45 first-time), union 169 -> 214 of 385.
-# Zero rule-(a) pins again. The same five dtype-diverse canaries guard
-# driver-hash semantic drift (int+string flags, pure floats, timestamp
-# grid, bigint sketch, mixed 15-column summary). The 45 fresh slots all go
-# to never-driver-verified names (docs/coverage_ledger.json), allocated
-# roughly proportionally to each family's remaining pool (events_ 49,
-# doc_ 45, bars_ 37, rel_ 19, ind_ 11, emb_ 4, bt_/media_/stream_ 2 each)
-# while deliberately FINISHING the four small families (bt_, emb_, media_,
-# stream_) so their standing family slots retire next round. Three of the
-# bars_ picks (updown_beta, relative_strength, stress_correlation) are the
-# queries whose forced per-t broadcasts were dropped this round - the
-# driver hash now also confirms the plan change preserved values. Target:
-# union >= 259 after this round; remaining never-verified pool 126.
+# ROUND-9 ROTATION (VERDICT r8 #1): round 8 was the third consecutive
+# fully-green driver round (50/50, 45 first-time), union 214 -> 259 of 386.
+# Zero rule-(a) pins for the fourth round running. The same five
+# dtype-diverse canaries guard driver-hash semantic drift (int+string
+# flags, pure floats, timestamp grid, bigint sketch, mixed 15-column
+# summary). The 45 fresh slots all go to never-driver-verified names
+# (docs/coverage_ledger.json pool: events_ 38, doc_ 35, bars_ 29, rel_ 17,
+# ind_ 7, emb_ 1), deliberately FINISHING the ind_ and emb_ pools (their
+# standing family slots retire next round) and splitting the remaining 37
+# slots proportionally (events 12, doc 11, bars 9, rel 5). emb_semantic_
+# dedup is the round-8 addition the verdict called out — its driver row
+# lands this round. Target: union >= 304 after this round; remaining
+# never-verified pool 82 (events 26, doc 24, bars 20, rel 12) — round 10
+# at the same cadence leaves ~37 for a final round-11 sweep.
 PRIORITY_CARRYOVERS: list[str] = [
     # (b) dtype-diverse green canaries (driver-hash drift guards)
     "cdl_all_patterns",    # 61 int flags + string symbol in one hash
@@ -87,61 +87,57 @@ PRIORITY_CARRYOVERS: list[str] = [
 ]
 
 PRIORITY_FRESH: list[str] = [
-    # (c) never-driver-verified - bars analytics (8 of 37 remaining)
-    "bars_updown_beta",
-    "bars_relative_strength",
-    "bars_stress_correlation",
-    "bars_vpin",
-    "bars_var_cvar",
-    "bars_rolling_corr",
-    "bars_resample_5",
-    "bars_volume_bars",
-    # backtest extensions (finishes the bt_ pool)
-    "bt_rebalance_cost_curve",
-    "bt_recovery_times",
-    # documents / LLM pipeline (10 of 45 remaining)
-    "doc_hybrid_search",
-    "doc_lsh_recall",
-    "doc_containment_pairs",
-    "doc_triangle_count",
-    "doc_bloom_filter",
-    "doc_incremental_dedup",
-    "doc_source_kl",
-    "doc_temperature_mix",
-    "doc_tf_vectors",
-    "doc_quality_ensemble",
-    # embeddings (finishes the emb_ pool)
-    "emb_centroid_margin",
-    "emb_cluster_stability",
-    "emb_ivf_balance",
-    "emb_norm_profile",
-    # events analytics (11 of 49 remaining)
-    "events_markov_transitions",
-    "events_survival_curve",
-    "events_ks_test",
-    "events_chi2_independence",
-    "events_cuped",
-    "events_weibull_churn",
-    "events_holt_daily",
-    "events_top_paths",
-    "events_multitouch_attribution",
-    "events_benford",
-    "events_power_calc",
-    # indicators (4 of 11 remaining; qstick/rvi gained collision guards
-    # this round)
-    "ind_qstick_10",
-    "ind_rvi_10",
-    "ind_parkinson_20",
-    "ind_ewma_vol",
-    # media (finishes the media_ pool)
-    "media_audio_decimate",
-    "media_resize",
-    # relational (2 of 19 remaining)
-    "rel_sql_interface",
-    "rel_part_skyline",
-    # streaming (finishes the stream_ pool)
-    "stream_attribution_join",
-    "stream_position_stateful",
+    # (c) never-driver-verified - bars analytics (9 of 29 remaining)
+    "bars_amihud_illiq",
+    "bars_kyle_lambda",
+    "bars_roll_spread",
+    "bars_corr_matrix",
+    "bars_pairs_adf",
+    "bars_underwater",
+    "bars_var_backtest",
+    "bars_runs_test",
+    "bars_ljung_box",
+    # documents / LLM pipeline (11 of 35 remaining)
+    "doc_clean_corpus",
+    "doc_dsir_weights",
+    "doc_mixture_resample",
+    "doc_zorder_layout",
+    "doc_shuffle_shards",
+    "doc_token_budget",
+    "doc_readability",
+    "doc_repetition",
+    "doc_lsh_curve",
+    "doc_cross_source_dupes",
+    "doc_keep_best",
+    # embeddings (finishes the emb_ pool; the round-8 SemDeDup addition)
+    "emb_semantic_dedup",
+    # events analytics (12 of 38 remaining)
+    "events_cohort_ltv",
+    "events_cusum",
+    "events_anomaly_zscore",
+    "events_burstiness",
+    "events_hill_tail",
+    "events_slo_burn",
+    "events_srm_check",
+    "events_spectrum",
+    "events_theil_sen",
+    "events_value_psi",
+    "events_stickiness",
+    "events_growth_accounting",
+    # indicators (finishes the ind_ pool)
+    "ind_breakout_efficacy",
+    "ind_efficiency_ratio",
+    "ind_fractals_5",
+    "ind_linreg_channel",
+    "ind_mtf_sma",
+    "ind_nr7_wr7",
+    "ind_swing_stats",
+    # relational (5 of 17 remaining)
+    "rel_scd2_asof",
+    "rel_item_cf",
+    "rel_supplier_hhi",
+    "rel_revenue_bridge",
+    "rel_rank_family",
 ]
 
 PRIORITY_50: list[str] = PRIORITY_CARRYOVERS + PRIORITY_FRESH

@@ -209,55 +209,79 @@ def minhash_dedup_pairs(
     """Full near-dup pipeline: LSH candidates → exact Jaccard verification →
     pairs over threshold. Returns (id_a, id_b, jaccard).
 
-    Jaccard runs on the exploded shingle rows (set sizes + shared-shingle
-    counts via joins/aggregates — all codegen'd): |A∩B| from a pair-wise
-    shingle equi-join, |A∪B| = |A|+|B|−|A∩B|."""
+    Round-9 plan: ONE shuffle builds the entire per-doc state — the minhash
+    signature, the shingle-set size, AND the shingle set itself
+    (``collect_list`` over the already-distinct shingle rows) — and
+    verification is a codegen'd ``array_intersect`` over the two candidate
+    docs' shingle arrays. The r8 shape verified on the exploded shingle
+    rows instead, which re-sorted the corpus-scaled frame twice for the
+    merge-pinned joins (the pins are mandatory: AQE-less consumers —
+    pagerank/CC via localCheckpoint — otherwise static-broadcast the
+    explode-descended sides); moving the verify to doc-level arrays keeps
+    every pin while shrinking the sorted frames from one-row-per-shingle to
+    one-row-per-doc. |A∪B| = |A|+|B|−|A∩B|.
+
+    Scale note: the per-doc shingle array is bounded by document length
+    (a 1 M-token document carries a ~20 MB array row). For extreme-length
+    corpora verify on exploded rows instead (``ngram_jaccard_pairs`` keeps
+    that shape)."""
     from polars_quant_spark.functions._util import round6
 
-    # ex feeds three consumers (signatures→candidates, sizes, intersection);
-    # persist it so the tokenize/shingle/md5 work happens once. MEMORY_AND_DISK
-    # so a 100 TB corpus spills instead of OOMing; evicted lazily by the LRU.
-    ex = exploded_shingles(df, text, id_col, k).persist()
-    # shingle-set sizes ride the signature groupBy (one extra codegen'd
-    # count in the same agg) instead of a second full shuffle over ex
-    sig = minhash_signatures(
-        df, text, id_col, num_hashes, k, exploded=ex, with_count=True
-    ).persist()
-    sizes = sig.select("_id", "_n")
-    cand = _lsh_candidates_from_sig(sig.drop("_n"), num_hashes, bands)
-    # scale pin: ex is explode-derived (tiny estimate, corpus-scaled true
-    # size) -- see the _lsh_candidates_from_sig pin for the full rationale
-    inter = (
-        cand.join(ex.select(F.col("_id").alias("id_a"), "_sh").hint("merge"), "id_a")
-        .join(ex.select(F.col("_id").alias("id_b"), "_sh").hint("merge"), ["id_b", "_sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    hs = [f"h{i}" for i in range(num_hashes)]
+    state = _minhash_doc_state(df, text, id_col, num_hashes, k)
+    cand = _lsh_candidates_from_sig(state.select("_id", *hs), num_hashes, bands)
+    # scale pin: state is one row per DOC (corpus-scaled true size) and
+    # explode-descended (tiny static estimate) — merge, see
+    # _lsh_candidates_from_sig for the full rationale
+    a = state.select(
+        F.col("_id").alias("id_a"),
+        F.col("_n").alias("_na"),
+        F.col("_shs").alias("_sa"),
     )
-    # A candidate pair with zero shared shingles has jaccard 0, so for any
-    # positive threshold the pairs surviving the filter are exactly the keys
-    # of `inter` — joining `cand` back in would only re-traverse the whole
-    # LSH subtree a second time. Keep the left join for threshold <= 0,
-    # where zero-overlap candidates must still be emitted.
-    base = (
-        inter
-        if threshold > 0
-        else cand.join(inter, ["id_a", "id_b"], "left").na.fill({"_inter": 0})
+    b = state.select(
+        F.col("_id").alias("id_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_shs").alias("_sb"),
     )
-    # sizes rides the signature agg whose child is the exploded frame --
-    # same poisoned estimate, one row per doc at true scale: pin merge
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     out = (
-        base.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")).hint("merge"), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")).hint("merge"), "id_b")
+        cand.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
             round6(
-                F.col("_inter").cast("double")
-                / (F.col("_na") + F.col("_nb") - F.col("_inter"))
+                inter.cast("double")
+                / (F.col("_na") + F.col("_nb") - inter)
             ).alias("jaccard"),
         )
     )
     return out.where(F.col("jaccard") >= threshold)
+
+
+def _minhash_doc_state(
+    df: DataFrame,
+    text: str,
+    id_col: str,
+    num_hashes: int,
+    k: int,
+) -> DataFrame:
+    """One row per doc: minhash signature columns h0..h{n-1}, shingle-set
+    size ``_n``, and the shingle set ``_shs`` — all from a single groupBy
+    over the exploded shingle rows (tokenize/md5 happen exactly once, no
+    persisted copy of the exploded frame needed). Persisted MEMORY_AND_DISK:
+    ~one row per doc, spills instead of OOMing at corpus scale."""
+    ex = exploded_shingles(df, text, id_col, k)
+    lane = ex.select("_id", "_sh", _shingle_lane(F.col("_sh")).alias("_x"))
+    aggs = [
+        F.min((F.lit(MH_A[i]) * F.col("_x") + F.lit(MH_B[i])) % MH_P).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    return lane.groupBy("_id").agg(
+        *aggs,
+        F.count(F.lit(1)).alias("_n"),
+        F.collect_list("_sh").alias("_shs"),
+    ).persist()
 
 
 def ngram_jaccard_pairs(
@@ -560,33 +584,36 @@ def containment_pairs(
     """Asymmetric near-dup pairs by shingle CONTAINMENT —
     |A∩B| / min(|A|, |B|) — which catches a short document embedded in a
     longer one (quotes, wrappers, concatenations) that symmetric Jaccard
-    dilutes below threshold. Same LSH candidate generation and exploded
-    shingle verification as ``minhash_dedup_pairs``; only the final ratio
-    differs. Returns (id_a, id_b, containment) over the threshold."""
+    dilutes below threshold. Same LSH candidate generation and doc-level
+    array verification as ``minhash_dedup_pairs`` (see its round-9 plan
+    note); only the final ratio differs. Returns (id_a, id_b, containment)
+    over the threshold."""
     from polars_quant_spark.functions._util import round6
 
-    ex = exploded_shingles(df, text, id_col, k).persist()
-    sig = minhash_signatures(
-        df, text, id_col, num_hashes, k, exploded=ex, with_count=True
-    ).persist()
-    sizes = sig.select("_id", "_n")
-    cand = _lsh_candidates_from_sig(sig.drop("_n"), num_hashes, bands)
-    # scale pin: ex is explode-derived (tiny estimate, corpus-scaled true
-    # size) -- see the _lsh_candidates_from_sig pin for the full rationale
-    inter = (
-        cand.join(ex.select(F.col("_id").alias("id_a"), "_sh").hint("merge"), "id_a")
-        .join(ex.select(F.col("_id").alias("id_b"), "_sh").hint("merge"), ["id_b", "_sh"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("_inter"))
+    hs = [f"h{i}" for i in range(num_hashes)]
+    state = _minhash_doc_state(df, text, id_col, num_hashes, k)
+    cand = _lsh_candidates_from_sig(state.select("_id", *hs), num_hashes, bands)
+    # scale pin: state is one row per doc, explode-descended — merge (see
+    # _lsh_candidates_from_sig)
+    a = state.select(
+        F.col("_id").alias("id_a"),
+        F.col("_n").alias("_na"),
+        F.col("_shs").alias("_sa"),
     )
+    b = state.select(
+        F.col("_id").alias("id_b"),
+        F.col("_n").alias("_nb"),
+        F.col("_shs").alias("_sb"),
+    )
+    inter = F.size(F.array_intersect(F.col("_sa"), F.col("_sb")))
     out = (
-        inter.join(sizes.select(F.col("_id").alias("id_a"), F.col("_n").alias("_na")).hint("merge"), "id_a")
-        .join(sizes.select(F.col("_id").alias("id_b"), F.col("_n").alias("_nb")).hint("merge"), "id_b")
+        cand.join(a.hint("merge"), "id_a")
+        .join(b.hint("merge"), "id_b")
         .select(
             "id_a",
             "id_b",
             round6(
-                F.col("_inter").cast("double") / F.least(F.col("_na"), F.col("_nb"))
+                inter.cast("double") / F.least(F.col("_na"), F.col("_nb"))
             ).alias("containment"),
         )
     )

@@ -371,22 +371,49 @@ def embedding_near_dupes_exact(
     )
 
 
+def _effective_blocks(
+    df: DataFrame, n_blocks: int, target_block_rows: int | None
+) -> int:
+    """Corpus-scaled IVF block count: max(n_blocks, ⌈rows/target⌉).
+
+    The round-9 64× scale smoke proved a FIXED block count is a plan
+    defect: per-block size grows linearly with the corpus, so the
+    per-block self-join grows quadratically (emb_semantic_dedup hit
+    129.8× wall on 64× data). Scaling b with the corpus caps the expected
+    block size at ``target_block_rows``, making total pair volume linear
+    in rows. The count() is one bounded aggregate job at plan-build time
+    (the same class as kmeans' driver-side centroid collect); pass
+    ``target_block_rows=None`` to skip it and pin the block count."""
+    if target_block_rows is None:
+        return n_blocks
+    rows = df.count()
+    return max(n_blocks, -(-rows // target_block_rows))
+
+
 def embedding_near_dupes(
     df: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_blocks: int = 8,
+    target_block_rows: int | None = 256,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold),
     blocked by IVF bucket: each vector is assigned to its nearest of
     ``n_blocks`` centroids (zero-shuffle projection, see ``ivf_assign``) and
     only same-bucket pairs are scored. The self-join is per-bucket — n²/b
-    instead of n² — and b scales with the corpus, which is what survives
-    100 TB. Near-identical vectors share a nearest centroid except exactly
-    on a Voronoi boundary, so recall loss is confined to threshold-grazing
-    pairs (standard ANN-blocking trade; raise n_blocks with corpus size)."""
-    cents = hash_centroids(df, n_blocks, id_col, vec_col)
+    instead of n² — and b MUST scale with the corpus, which is what
+    survives 100 TB: with ``target_block_rows`` set (the default), the
+    block count auto-scales as max(n_blocks, ⌈rows/target⌉), so the
+    per-block pair volume stays ~target²/2 at any corpus size (the
+    round-9 64× smoke measured the fixed-b version superlinear at 129.8×
+    wall on 64× data; auto-scaled b restores linearity). Near-identical
+    vectors share a nearest centroid except exactly on a Voronoi
+    boundary, so recall loss is confined to threshold-grazing pairs
+    (standard ANN-blocking trade; more blocks = slightly lower recall)."""
+    cents = hash_centroids(
+        df, _effective_blocks(df, n_blocks, target_block_rows), id_col, vec_col
+    )
     # norm once per row before the pair fan-out (see cosine_topk); the pair
     # score is then a single interpreted dot instead of dot + two norms.
     assigned = ivf_assign(widen(df), cents, id_col, vec_col).select(
@@ -424,6 +451,7 @@ def semantic_dedup(
     vec_col: str = "embedding",
     threshold: float = 0.95,
     n_blocks: int = 8,
+    target_block_rows: int | None = 256,
 ) -> DataFrame:
     """SemDeDup-style keep/drop DECISION per vector (the published
     semantic-dedup recipe: cluster the embedding space, prune
@@ -438,9 +466,13 @@ def semantic_dedup(
     agree at the threshold boundary.
 
     Scale shape is ``embedding_near_dupes``'s: zero-shuffle block
-    assignment, per-block self-join (n²/b, b grows with the corpus), one
-    groupBy(id) max — no all-pairs stage anywhere."""
-    cents = hash_centroids(df, n_blocks, id_col, vec_col)
+    assignment, per-block self-join with the block count auto-scaled to
+    the corpus (see ``_effective_blocks`` — fixed b measured superlinear
+    at the round-9 64× smoke), one groupBy(id) max — no all-pairs stage
+    anywhere."""
+    cents = hash_centroids(
+        df, _effective_blocks(df, n_blocks, target_block_rows), id_col, vec_col
+    )
     assigned = ivf_assign(widen(df), cents, id_col, vec_col).select(
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_v"),

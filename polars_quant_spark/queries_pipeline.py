@@ -502,9 +502,17 @@ _SQN = "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
 @q(
     "emb_near_dupes",
     f"""
-WITH cent_pick AS (
-  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
-  FROM embeddings ORDER BY h LIMIT 8
+WITH nblk AS (
+  -- corpus-scaled block count: max(8, ceil(rows/256)) — the Spark side's
+  -- _effective_blocks; fixed b was measured superlinear at the 64x smoke
+  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS g FROM embeddings
+),
+cent_pick AS (
+  SELECT vec_id, embedding, h FROM (
+    SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS hrn
+    FROM embeddings) r
+  WHERE hrn <= (SELECT g FROM nblk)
 ),
 cent AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INTEGER) - 1 AS cid,
@@ -556,9 +564,17 @@ def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "emb_semantic_dedup",
     f"""
-WITH cent_pick AS (
-  SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h
-  FROM embeddings ORDER BY h LIMIT 8
+WITH nblk AS (
+  -- corpus-scaled block count: max(8, ceil(rows/256)) — the Spark side's
+  -- _effective_blocks; fixed b was measured superlinear at the 64x smoke
+  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS g FROM embeddings
+),
+cent_pick AS (
+  SELECT vec_id, embedding, h FROM (
+    SELECT vec_id, embedding, md5(CAST(vec_id AS VARCHAR)) AS h,
+           ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR))) AS hrn
+    FROM embeddings) r
+  WHERE hrn <= (SELECT g FROM nblk)
 ),
 cent AS (
   SELECT CAST(ROW_NUMBER() OVER (ORDER BY h) AS INTEGER) - 1 AS cid,

@@ -204,6 +204,11 @@ def main() -> None:
         # round-8: a representative of the per-t cross-sectional frames
         # whose forced broadcasts were dropped (AQE now decides)
         "updown_beta": QUERIES["bars_updown_beta"],
+        # round-9 (VERDICT r8 #2): the SemDeDup-style keep/drop decision —
+        # its per-IVF-block self-join is exactly the quadratic-risk shape
+        # the smoke exists to watch (blocks shrink as the corpus grows,
+        # but the n²/b term must stay sublinear in practice)
+        "semantic_dedup": QUERIES["emb_semantic_dedup"],
     }
 
     subset_arg = next(

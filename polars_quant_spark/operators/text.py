@@ -862,3 +862,122 @@ def bpe_merges(
             if r % 3 == 0:
                 vocab = vocab.localCheckpoint(eager=False)
     return merges
+
+
+def temperature_mix(
+    df,
+    group_by: str = "source",
+    taus: tuple[float, ...] = (0.5, 0.7, 1.0),
+):
+    """Temperature-scaled corpus mixing weights (round-9 promotion of the
+    driver-green `doc_temperature_mix` composition, the riskstats
+    discipline): per group, the natural share and the sampling share under
+    p ∝ share^(1/τ) for each τ — the standard knob that up-samples small
+    sources (τ<1) without the head drowning the tail. Returns one row per
+    (group_by, tau): (group_by, tau, natural_share, sampling_share), both
+    shares 6-dp rounded. Weights nano-quantize (⌊w·1e9+0.5⌋) before the
+    per-τ normalizer so shares are engine-exact in any association order.
+    Every frame here is group-cardinality-sized (sources × taus), so the
+    broadcasts are bounded by the group domain, not the corpus.
+
+    No reference kernel exists (extends /root/reference's surface);
+    semantics follow the multilingual-sampling recipe of Lample & Conneau
+    2019 §3.1."""
+    from polars_quant_spark.functions._util import round6
+
+    if group_by in ("tau", "natural_share", "sampling_share"):
+        raise ValueError(f"group_by={group_by!r} collides with an output column")
+    spark = df.sparkSession
+    t0 = df.groupBy(group_by).agg(F.count(F.lit(1)).alias("n"))
+    tt = t0.agg(F.sum("n").alias("t"))
+    tdf = spark.createDataFrame([(float(t),) for t in taus], ["tau"])
+    w = (
+        t0.crossJoin(F.broadcast(tdf))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            group_by,
+            "tau",
+            "n",
+            "t",
+            F.floor(
+                F.exp(F.log(F.col("n").cast("double") / F.col("t")) / F.col("tau"))
+                * 1e9
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("qw"),
+        )
+    )
+    s = w.groupBy("tau").agg(F.sum("qw").alias("sw"))
+    return w.join(F.broadcast(s), "tau").select(
+        group_by,
+        round6(F.col("tau")).alias("tau"),
+        round6(F.col("n").cast("double") / F.col("t")).alias("natural_share"),
+        round6(F.col("qw").cast("double") / F.col("sw")).alias("sampling_share"),
+    )
+
+
+def source_kl(
+    df,
+    group_by: str = "source",
+    text: str = "text",
+):
+    """Pairwise unigram KL divergence between groups (round-9 promotion of
+    the driver-green `doc_source_kl` composition): add-1-smoothed unigram
+    distributions over the SHARED vocabulary, KL(a‖b) for every ordered
+    group pair — the distributional distance that surface-overlap metrics
+    (Jaccard) miss. Returns (source_a, source_b, kl_divergence), 6-dp.
+    Per-token terms nano-quantize before the per-pair integer sum, so the
+    divergence is engine-exact in any association order. The pair×vocab
+    fan-out is vocabulary-sized, not corpus-sized; the group-count and
+    vocab-size frames broadcast (bounded by the group domain / distinct
+    tokens, not corpus rows)."""
+    from polars_quant_spark.functions._util import round6, widen
+
+    if group_by in ("source_a", "source_b", "kl_divergence"):
+        raise ValueError(f"group_by={group_by!r} collides with an output column")
+    docs = widen(df)
+    klt = docs.select(group_by, F.explode(tokens(text)).alias("tok"))
+    klc = klt.groupBy(group_by, "tok").agg(F.count(F.lit(1)).alias("c"))
+    kln = klc.groupBy(group_by).agg(F.sum("c").alias("n"))
+    klv = klc.agg(F.count_distinct("tok").alias("v"))
+    srcs = klc.select(group_by).distinct()
+    toks = klc.select("tok").distinct()
+    pairs = srcs.alias("a").join(
+        srcs.alias("b").withColumnRenamed(group_by, "source_b"),
+        F.col(group_by) != F.col("source_b"),
+    ).withColumnRenamed(group_by, "source_a")
+    grid = pairs.crossJoin(toks)
+    ca = klc.select(
+        F.col(group_by).alias("source_a"),
+        F.col("tok").alias("ta"),
+        F.col("c").alias("c_a"),
+    )
+    cb = klc.select(
+        F.col(group_by).alias("source_b"),
+        F.col("tok").alias("tb"),
+        F.col("c").alias("c_b"),
+    )
+    na = kln.select(F.col(group_by).alias("source_a"), F.col("n").alias("n_a"))
+    nb = kln.select(F.col(group_by).alias("source_b"), F.col("n").alias("n_b"))
+    j = (
+        grid.join(ca, (ca.source_a == grid.source_a) & (F.col("ta") == F.col("tok")), "left")
+        .drop(ca.source_a)
+        .join(cb, (cb.source_b == grid.source_b) & (F.col("tb") == F.col("tok")), "left")
+        .drop(cb.source_b)
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .crossJoin(F.broadcast(klv))
+    )
+    pa = (F.coalesce(F.col("c_a"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_a") + F.col("v")
+    )
+    pb = (F.coalesce(F.col("c_b"), F.lit(0)) + 1).cast("double") / (
+        F.col("n_b") + F.col("v")
+    )
+    qterm = F.floor(pa * F.log(pa / pb) * 1e9 + F.lit(0.5)).cast("long")
+    return (
+        j.select("source_a", "source_b", qterm.alias("qkl"))
+        .groupBy("source_a", "source_b")
+        .agg(round6(F.sum("qkl").cast("double") / 1e9).alias("kl_divergence"))
+    )

@@ -10741,39 +10741,11 @@ def doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard knob that up-samples small sources (τ<1) without the
     head drowning the tail. Weights nano-quantize before the per-τ
     normalizer, so shares agree exactly. Source-cardinality-sized frames
-    throughout."""
+    throughout. Round 9: promoted to the package entry point
+    ``operators.text.temperature_mix`` (golden SAME); this query is now
+    the thin routed twin."""
     docs = load_table(spark, sf_dir, "documents")
-    t0 = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
-    tt = t0.agg(F.sum("n").alias("t"))
-    taus = spark.createDataFrame([(0.5,), (0.7,), (1.0,)], ["tau"])
-    w = (
-        t0.crossJoin(F.broadcast(taus))
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "source",
-            "tau",
-            "n",
-            "t",
-            F.floor(
-                F.exp(F.log(F.col("n").cast("double") / F.col("t")) / F.col("tau"))
-                * 1e9
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("qw"),
-        )
-    )
-    s = w.groupBy("tau").agg(F.sum("qw").alias("sw"))
-    return (
-        w.join(F.broadcast(s), "tau")
-        .select(
-            "source",
-            r6(F.col("tau")).alias("tau"),
-            r6(F.col("n").cast("double") / F.col("t")).alias("natural_share"),
-            r6(F.col("qw").cast("double") / F.col("sw")).alias("sampling_share"),
-        )
-        .orderBy("source", "tau")
-    )
+    return text.temperature_mix(docs).orderBy("source", "tau")
 
 
 @q(
@@ -11765,49 +11737,11 @@ def doc_source_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     similarity matrix (surface overlap) misses — two crawls can share few
     exact documents yet speak the same language, or vice versa. Per-token
     terms nano-quantize before the per-pair sums. The vocab×pair fan-out
-    is vocabulary-sized, not corpus-sized."""
-    docs = widen(load_table(spark, sf_dir, "documents"))
-    klt = docs.select("source", F.explode(text.tokens("text")).alias("tok"))
-    klc = klt.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
-    kln = klc.groupBy("source").agg(F.sum("c").alias("n"))
-    klv = klc.agg(F.count_distinct("tok").alias("v"))
-    srcs = klc.select("source").distinct()
-    toks = klc.select("tok").distinct()
-    pairs = srcs.alias("a").join(
-        srcs.alias("b").withColumnRenamed("source", "source_b"),
-        F.col("source") != F.col("source_b"),
-    ).withColumnRenamed("source", "source_a")
-    grid = pairs.crossJoin(toks)
-    ca = klc.select(
-        F.col("source").alias("source_a"), F.col("tok").alias("ta"), F.col("c").alias("c_a")
-    )
-    cb = klc.select(
-        F.col("source").alias("source_b"), F.col("tok").alias("tb"), F.col("c").alias("c_b")
-    )
-    na = kln.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
-    nb = kln.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
-    j = (
-        grid.join(ca, (ca.source_a == grid.source_a) & (F.col("ta") == F.col("tok")), "left")
-        .drop(ca.source_a)
-        .join(cb, (cb.source_b == grid.source_b) & (F.col("tb") == F.col("tok")), "left")
-        .drop(cb.source_b)
-        .join(F.broadcast(na), "source_a")
-        .join(F.broadcast(nb), "source_b")
-        .crossJoin(F.broadcast(klv))
-    )
-    pa = (F.coalesce(F.col("c_a"), F.lit(0)) + 1).cast("double") / (
-        F.col("n_a") + F.col("v")
-    )
-    pb = (F.coalesce(F.col("c_b"), F.lit(0)) + 1).cast("double") / (
-        F.col("n_b") + F.col("v")
-    )
-    qterm = F.floor(pa * F.log(pa / pb) * 1e9 + F.lit(0.5)).cast("long")
-    return (
-        j.select("source_a", "source_b", qterm.alias("qkl"))
-        .groupBy("source_a", "source_b")
-        .agg(r6(F.sum("qkl").cast("double") / 1e9).alias("kl_divergence"))
-        .orderBy("source_a", "source_b")
-    )
+    is vocabulary-sized, not corpus-sized. Round 9: promoted to the
+    package entry point ``operators.text.source_kl`` (golden SAME); this
+    query is now the thin routed twin."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text.source_kl(docs).orderBy("source_a", "source_b")
 
 
 @q(

@@ -837,3 +837,35 @@ def test_semantic_dedup_keeps_lowest_id_per_dup_group(spark):
     assert rows[4]["keep"] and rows[6]["keep"]
     assert rows[2]["nn_lower_cos"] == 1.0
     assert rows[5]["nn_lower_cos"] == 1.0
+
+
+def test_effective_blocks_scales_with_corpus(spark):
+    """Round-9 scale fix: the IVF block count must grow with the corpus
+    (a FIXED count makes the per-block self-join quadratic — the 64× smoke
+    measured emb_semantic_dedup superlinear at 129.8× wall). At gate SFs
+    the auto-scaled count must stay at the n_blocks floor so oracle values
+    are unchanged."""
+    from polars_quant_spark.operators.similarity import _effective_blocks
+
+    small = spark.range(500).withColumnRenamed("id", "vec_id")
+    assert _effective_blocks(small, 8, 256) == 8          # sf0.01 shape
+    assert _effective_blocks(small, 8, None) == 8         # pinned
+    big = spark.range(128_000).withColumnRenamed("id", "vec_id")
+    assert _effective_blocks(big, 8, 256) == 500          # 64× shape
+    assert _effective_blocks(big, 8, 100_000) == 8        # floor wins
+
+
+def test_semantic_dedup_autoscaled_blocks_same_decisions(spark):
+    """The keep/drop decision is block-local, and exact/near dups share a
+    nearest centroid at any block count — so auto-scaling the block count
+    may only change `bucket` labels, never the survivor set."""
+    from polars_quant_spark.operators.similarity import semantic_dedup
+
+    vecs = [(i, [float(i % 7 == 0) + 1.0, float(i % 3), float(i % 5), 1.0])
+            for i in range(1, 61)]
+    df = spark.createDataFrame(vecs, ["vec_id", "embedding"])
+    pinned = semantic_dedup(df, threshold=0.999, target_block_rows=None)
+    scaled = semantic_dedup(df, threshold=0.999, target_block_rows=10)
+    keep_pinned = {r["vec_id"]: r["keep"] for r in pinned.collect()}
+    keep_scaled = {r["vec_id"]: r["keep"] for r in scaled.collect()}
+    assert keep_pinned == keep_scaled

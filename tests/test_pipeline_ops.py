@@ -869,3 +869,28 @@ def test_semantic_dedup_autoscaled_blocks_same_decisions(spark):
     keep_pinned = {r["vec_id"]: r["keep"] for r in pinned.collect()}
     keep_scaled = {r["vec_id"]: r["keep"] for r in scaled.collect()}
     assert keep_pinned == keep_scaled
+
+
+def test_minhash_signatures_exploded_reuse_and_count(spark):
+    """Public affordances of minhash_signatures that round 9's doc-state
+    rewrite removed the last internal consumer of: passing a pre-built
+    exploded-shingle frame must give identical signatures, and
+    with_count=True must report the distinct-shingle set size."""
+    from polars_quant_spark.operators import dedup
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "pack my box with five dozen liquor jugs")],
+        ["doc_id", "text"],
+    )
+    ex = dedup.exploded_shingles(df, "text", "doc_id", 3)
+    direct = dedup.minhash_signatures(df, num_hashes=4).collect()
+    reused = dedup.minhash_signatures(df, num_hashes=4, exploded=ex).collect()
+    key = lambda rows: sorted((r["_id"], r["h0"], r["h1"], r["h2"], r["h3"]) for r in rows)
+    assert key(direct) == key(reused)
+    counted = {
+        r["_id"]: r["_n"]
+        for r in dedup.minhash_signatures(df, num_hashes=4, with_count=True).collect()
+    }
+    sizes = {r["_id"]: r["n"] for r in ex.groupBy("_id").count().withColumnRenamed("count", "n").collect()}
+    assert counted == sizes

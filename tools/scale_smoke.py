@@ -209,6 +209,12 @@ def main() -> None:
         # the smoke exists to watch (blocks shrink as the corpus grows,
         # but the n²/b term must stay sublinear in practice)
         "semantic_dedup": QUERIES["emb_semantic_dedup"],
+        # round-9 additions: the two remaining heavy doc_* shapes without
+        # a smoke row — cross-source LSH (minhash pipeline + source
+        # anti-self filter) and the second iterative-free graph op
+        # (triangle count over the dup graph's merge-pinned joins)
+        "cross_source_dupes": QUERIES["doc_cross_source_dupes"],
+        "triangle_count": QUERIES["doc_triangle_count"],
     }
 
     subset_arg = next(

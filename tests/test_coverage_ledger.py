@@ -116,3 +116,32 @@ def test_latest_red_queries_are_pinned():
     ]
     unpinned = [k for k in reds if k not in PRIORITY_50]
     assert not unpinned, f"latest-red queries missing from the window: {unpinned}"
+
+
+def test_window_proposal_tool_satisfies_invariants():
+    """tools/propose_window.py must emit a window that would pass this
+    suite's audits verbatim: 50 unique slots, canaries ledger-green (or
+    never-yet-seen only in a hypothetical fresh repo), every red pinned,
+    every non-canary slot never-driver-verified."""
+    import sys
+
+    sys.path.insert(0, ROOT)
+    from tools.propose_window import CANARIES, WINDOW, propose
+
+    carry, fresh = propose()
+    ledger = _ledger()
+    assert carry == CANARIES
+    assert len(carry) + len(fresh) == WINDOW
+    assert len(set(carry + fresh)) == WINDOW
+    reds = {
+        k
+        for k, v in ledger.items()
+        if v["last_seen"] is not None and v["last_green"] is False
+    }
+    assert reds <= set(fresh), "latest-red queries must be pinned"
+    for k in fresh:
+        if k in reds:
+            continue
+        assert ledger[k]["first_green"] is None, (
+            f"proposal re-spends a slot on already-green {k}"
+        )

@@ -101,7 +101,7 @@ def test_golden_hash_smoke_slice(spark):
 
 @pytest.mark.skipif(
     not os.environ.get("RUN_GOLDEN_HASHES"),
-    reason="full 385-query sweep is opt-in: RUN_GOLDEN_HASHES=1 (~4 min)",
+    reason="full all-query sweep is opt-in: RUN_GOLDEN_HASHES=1 (~4 min)",
 )
 def test_golden_hash_full_sweep(spark):
     _check(list(E.queries()), spark)

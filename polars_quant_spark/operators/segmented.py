@@ -44,6 +44,10 @@ from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
 from polars_quant_spark.operators.recurrence import _ewma
 
+# Truncate the sequential-pass lineage every this-many segments; plan depth
+# at any action is bounded by this constant instead of n_segments.
+_CHECKPOINT_EVERY_SEGMENTS = 4
+
 
 def ewma_segmented(
     df: DataFrame,
@@ -130,7 +134,19 @@ def ewma_segmented(
             # context: the join's hash partitioning on the symbol key is
             # exactly the exchange the groupBy.applyInPandas needs next.
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
-        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema).persist()
+        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        # lineage truncation (round-10 advisor): pass k's plan nests pass
+        # k-1's, and persist() is lazy, so without a cut the final action
+        # analyzes O(n_segments)-deep plans — O(n_segments²) total Catalyst
+        # work, a driver blowup at thousands of segments. A periodic
+        # localCheckpoint resets plan depth to ≤ the checkpoint interval
+        # (the bpe_merges pattern, text.py:863). localCheckpoint compiles
+        # WITHOUT AQE, which is exactly why the seed join above is
+        # merge-pinned at the source rather than left to runtime demotion.
+        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
+            res = res.localCheckpoint(eager=False)
+        else:
+            res = res.persist()
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
 

@@ -372,22 +372,48 @@ def embedding_near_dupes_exact(
 
 
 def _effective_blocks(
-    df: DataFrame, n_blocks: int, target_block_rows: int | None
+    df: DataFrame,
+    n_blocks: int,
+    target_block_rows: int | None,
+    rows: int | None = None,
 ) -> int:
-    """Corpus-scaled IVF block count: max(n_blocks, ⌈rows/target⌉).
+    """Corpus-scaled IVF block count:
+    ``max(n_blocks, min(⌈rows/target⌉, ⌈√(rows·target)⌉))``.
 
-    The round-9 64× scale smoke proved a FIXED block count is a plan
-    defect: per-block size grows linearly with the corpus, so the
-    per-block self-join grows quadratically (emb_semantic_dedup hit
-    129.8× wall on 64× data). Scaling b with the corpus caps the expected
-    block size at ``target_block_rows``, making total pair volume linear
-    in rows. The count() is one bounded aggregate job at plan-build time
-    (the same class as kmeans' driver-side centroid collect); pass
-    ``target_block_rows=None`` to skip it and pin the block count."""
+    Two scale defects shaped this formula, one per regime:
+
+    * FIXED b (pre-round-9): block size grows linearly with the corpus,
+      so the per-block self-join grows quadratically (the 64× smoke
+      measured emb_semantic_dedup at 129.8× wall on 64× data). Hence b
+      must grow with rows.
+    * LINEAR b = ⌈rows/target⌉ (round-9's first fix, flagged by the
+      round-9 advisor): assignment scores every row against every
+      centroid, so n·b·d becomes O(n²·d/target) — the quadratic just
+      moved from the pair stage to the assignment stage, and the driver
+      centroid collect grew linearly with the corpus.
+
+    Taking the MIN of the linear ramp and ⌈√(rows·target)⌉ keeps the
+    exact historical block counts up to the crossover at
+    rows = target³ (16.7M rows at the default target=256 — far above
+    every gate SF and scale smoke, so goldens are unchanged), then
+    switches to √ growth: assignment cost n·b and pair volume n²/b are
+    BOTH Θ(n^1.5), and the driver collect / per-task centroid closure is
+    Θ(√(n·target)) — sublinear. Beyond ~10⁸ rows the intended path is a
+    trained, contract-bounded centroid set (``kmeans_centroids``) with
+    ``target_block_rows=None`` pinning b.
+
+    NOTE this runs one EAGER ``df.count()`` job at plan-build time when
+    ``target_block_rows`` is set — it re-executes the input's upstream
+    lineage once, so persist a derived input or pass a precomputed
+    ``rows`` to skip the job. ``target_block_rows=None`` skips the count
+    and pins the block count at ``n_blocks``."""
     if target_block_rows is None:
         return n_blocks
-    rows = df.count()
-    return max(n_blocks, -(-rows // target_block_rows))
+    if rows is None:
+        rows = df.count()
+    linear = -(-rows // target_block_rows)
+    sqrt_b = math.ceil(math.sqrt(rows * target_block_rows))
+    return max(n_blocks, min(linear, sqrt_b))
 
 
 def embedding_near_dupes(
@@ -397,22 +423,30 @@ def embedding_near_dupes(
     threshold: float = 0.95,
     n_blocks: int = 8,
     target_block_rows: int | None = 256,
+    rows: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold),
-    blocked by IVF bucket: each vector is assigned to its nearest of
-    ``n_blocks`` centroids (zero-shuffle projection, see ``ivf_assign``) and
-    only same-bucket pairs are scored. The self-join is per-bucket — n²/b
-    instead of n² — and b MUST scale with the corpus, which is what
-    survives 100 TB: with ``target_block_rows`` set (the default), the
-    block count auto-scales as max(n_blocks, ⌈rows/target⌉), so the
-    per-block pair volume stays ~target²/2 at any corpus size (the
-    round-9 64× smoke measured the fixed-b version superlinear at 129.8×
-    wall on 64× data; auto-scaled b restores linearity). Near-identical
-    vectors share a nearest centroid except exactly on a Voronoi
-    boundary, so recall loss is confined to threshold-grazing pairs
-    (standard ANN-blocking trade; more blocks = slightly lower recall)."""
+    blocked by IVF bucket: each vector is assigned to its nearest of b
+    centroids (zero-shuffle projection, see ``ivf_assign``) and only
+    same-bucket pairs are scored. The self-join is per-bucket — n²/b
+    instead of n² — and b MUST scale with the corpus: with
+    ``target_block_rows`` set (the default), the block count auto-scales
+    as max(n_blocks, min(⌈rows/target⌉, ⌈√(rows·target)⌉)) — see
+    ``_effective_blocks`` for why both the fixed-b and the linear-b
+    ramps fail at scale (pair-stage and assignment-stage quadratics
+    respectively; the √ regime keeps both at Θ(n^1.5)).
+
+    EAGER-ACTION NOTE: auto-scaling runs one ``df.count()`` job at
+    plan-build time, re-executing the input's upstream lineage once —
+    persist a derived input, or pass a precomputed ``rows``, or pin with
+    ``target_block_rows=None``.
+
+    RECALL NOTE: more blocks means slightly lower recall — a near-dup
+    pair split across a Voronoi boundary is never scored, so raising the
+    block count can flip downstream keep decisions, not just drop
+    threshold-grazing pairs (standard ANN-blocking trade)."""
     cents = hash_centroids(
-        df, _effective_blocks(df, n_blocks, target_block_rows), id_col, vec_col
+        df, _effective_blocks(df, n_blocks, target_block_rows, rows), id_col, vec_col
     )
     # norm once per row before the pair fan-out (see cosine_topk); the pair
     # score is then a single interpreted dot instead of dot + two norms.
@@ -452,6 +486,7 @@ def semantic_dedup(
     threshold: float = 0.95,
     n_blocks: int = 8,
     target_block_rows: int | None = 256,
+    rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup-style keep/drop DECISION per vector (the published
     semantic-dedup recipe: cluster the embedding space, prune
@@ -467,11 +502,15 @@ def semantic_dedup(
 
     Scale shape is ``embedding_near_dupes``'s: zero-shuffle block
     assignment, per-block self-join with the block count auto-scaled to
-    the corpus (see ``_effective_blocks`` — fixed b measured superlinear
-    at the round-9 64× smoke), one groupBy(id) max — no all-pairs stage
-    anywhere."""
+    the corpus (see ``_effective_blocks`` for the formula and both
+    scale-defect regimes it avoids), one groupBy(id) max — no all-pairs
+    stage anywhere. Shares ``embedding_near_dupes``'s eager-count note
+    (pass ``rows`` or ``target_block_rows=None`` to skip the plan-build
+    count job) and its recall caveat: raising the block count splits
+    more near-dup pairs across Voronoi boundaries, which can FLIP keep
+    decisions, not merely drop threshold-grazing pairs."""
     cents = hash_centroids(
-        df, _effective_blocks(df, n_blocks, target_block_rows), id_col, vec_col
+        df, _effective_blocks(df, n_blocks, target_block_rows, rows), id_col, vec_col
     )
     assigned = ivf_assign(widen(df), cents, id_col, vec_col).select(
         F.col(id_col).alias("_id"),
@@ -692,7 +731,13 @@ def _train_stats(
 
 def hash_centroids(df: DataFrame, n: int = 16, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
     """Deterministic pseudo-centroids: the n corpus vectors with the smallest
-    md5(id) — a training-free stand-in that keeps the IVF plumbing honest."""
+    md5(id) — a training-free stand-in that keeps the IVF plumbing honest.
+
+    The global orderBy().limit(n) is a distributed top-n (TakeOrdered);
+    only the n survivors funnel through the single-partition row_number
+    window, so the funnel is bounded by the block count — sublinear
+    Θ(√(rows·target)) under ``_effective_blocks``'s auto-scaling, n by
+    contract when pinned."""
     ranked = df.select(
         F.col(id_col), F.col(vec_col), F.md5(F.col(id_col).cast("string")).alias("_h")
     ).orderBy("_h").limit(n)

@@ -63,20 +63,18 @@ ORACLES: dict[str, str] = {}
 # window, so a future append can't silently push a family back out.
 # ---------------------------------------------------------------------------
 
-# ROUND-9 ROTATION (VERDICT r8 #1): round 8 was the third consecutive
-# fully-green driver round (50/50, 45 first-time), union 214 -> 259 of 386.
-# Zero rule-(a) pins for the fourth round running. The same five
+# ROUND-10 ROTATION (VERDICT r9 #1): round 9 was the fourth consecutive
+# fully-green driver round (50/50, 45 first-time), union 259 -> 304 of 386.
+# Zero rule-(a) pins for the fifth round running. The same five
 # dtype-diverse canaries guard driver-hash semantic drift (int+string
 # flags, pure floats, timestamp grid, bigint sketch, mixed 15-column
 # summary). The 45 fresh slots all go to never-driver-verified names
-# (docs/coverage_ledger.json pool: events_ 38, doc_ 35, bars_ 29, rel_ 17,
-# ind_ 7, emb_ 1), deliberately FINISHING the ind_ and emb_ pools (their
-# standing family slots retire next round) and splitting the remaining 37
-# slots proportionally (events 12, doc 11, bars 9, rel 5). emb_semantic_
-# dedup is the round-8 addition the verdict called out — its driver row
-# lands this round. Target: union >= 304 after this round; remaining
-# never-verified pool 82 (events 26, doc 24, bars 20, rel 12) — round 10
-# at the same cadence leaves ~37 for a final round-11 sweep.
+# (docs/coverage_ledger.json pool after r9: events_ 26, doc_ 24, bars_ 20,
+# rel_ 12 = 82), split by tools/propose_window.py's largest-remainder
+# allocation (events 14, doc 13, bars 11, rel 7). Target: union >= 349
+# after this round; the remaining 37 never-verified names are exactly a
+# final round-11 window (37 fresh + 5 canaries + 8 spare carryovers),
+# reaching full 386/386 driver saturation.
 PRIORITY_CARRYOVERS: list[str] = [
     # (b) dtype-diverse green canaries (driver-hash drift guards)
     "cdl_all_patterns",    # 61 int flags + string symbol in one hash
@@ -87,57 +85,55 @@ PRIORITY_CARRYOVERS: list[str] = [
 ]
 
 PRIORITY_FRESH: list[str] = [
-    # (c) never-driver-verified - bars analytics (9 of 29 remaining)
-    "bars_amihud_illiq",
-    "bars_kyle_lambda",
-    "bars_roll_spread",
-    "bars_corr_matrix",
-    "bars_pairs_adf",
-    "bars_underwater",
-    "bars_var_backtest",
-    "bars_runs_test",
-    "bars_ljung_box",
-    # documents / LLM pipeline (11 of 35 remaining)
-    "doc_clean_corpus",
-    "doc_dsir_weights",
-    "doc_mixture_resample",
-    "doc_zorder_layout",
-    "doc_shuffle_shards",
-    "doc_token_budget",
-    "doc_readability",
-    "doc_repetition",
-    "doc_lsh_curve",
-    "doc_cross_source_dupes",
-    "doc_keep_best",
-    # embeddings (finishes the emb_ pool; the round-8 SemDeDup addition)
-    "emb_semantic_dedup",
-    # events analytics (12 of 38 remaining)
-    "events_cohort_ltv",
-    "events_cusum",
-    "events_anomaly_zscore",
-    "events_burstiness",
-    "events_hill_tail",
-    "events_slo_burn",
-    "events_srm_check",
-    "events_spectrum",
-    "events_theil_sen",
-    "events_value_psi",
-    "events_stickiness",
-    "events_growth_accounting",
-    # indicators (finishes the ind_ pool)
-    "ind_breakout_efficacy",
-    "ind_efficiency_ratio",
-    "ind_fractals_5",
-    "ind_linreg_channel",
-    "ind_mtf_sma",
-    "ind_nr7_wr7",
-    "ind_swing_stats",
-    # relational (5 of 17 remaining)
-    "rel_scd2_asof",
-    "rel_item_cf",
-    "rel_supplier_hhi",
-    "rel_revenue_bridge",
-    "rel_rank_family",
+    # (c) never-driver-verified - bars analytics (11 of 20 remaining)
+    "bars_return_cov",
+    "bars_pairs_spread",
+    "bars_hourly_seasonality",
+    "bars_gap_report",
+    "bars_calmar_ulcer",
+    "bars_return_autocorr",
+    "bars_overnight_intraday",
+    "bars_streak_distribution",
+    "bars_position_sizing",
+    "bars_vol_regime_transitions",
+    "bars_two_asset_frontier",
+    # documents / LLM pipeline (13 of 24 remaining)
+    "doc_simhash_pairs",
+    "doc_split_assign",
+    "doc_unigram_surprisal",
+    "doc_eval_holdout",
+    "doc_length_histogram",
+    "doc_lang_confusion",
+    "doc_source_entropy",
+    "doc_ngram_novelty",
+    "doc_vocab_growth",
+    "doc_field_completeness",
+    "doc_type_token_ratio",
+    "doc_char_entropy",
+    "doc_bigram_perplexity",
+    # events analytics (14 of 26 remaining)
+    "events_signal_ic",
+    "events_staleness",
+    "events_interarrival_sla",
+    "events_k_anonymity",
+    "events_peak_concurrency",
+    "events_next_event_eval",
+    "events_velocity_flags",
+    "events_mannwhitney",
+    "events_forecast_eval",
+    "events_entropy_rate",
+    "events_decile_migration",
+    "events_mix_shift",
+    "events_lateness_profile",
+    "events_bass_diffusion",
+    # relational (7 of 12 remaining)
+    "rel_fulfillment_sla",
+    "rel_discount_elasticity",
+    "rel_price_dispersion",
+    "rel_duplicate_orders",
+    "rel_customer_concentration",
+    "rel_replenishment_cycle",
+    "rel_repeat_purchase_curve",
 ]
 
 PRIORITY_50: list[str] = PRIORITY_CARRYOVERS + PRIORITY_FRESH

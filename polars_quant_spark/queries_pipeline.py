@@ -503,9 +503,16 @@ _SQN = "list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))
     "emb_near_dupes",
     f"""
 WITH nblk AS (
-  -- corpus-scaled block count: max(8, ceil(rows/256)) — the Spark side's
-  -- _effective_blocks; fixed b was measured superlinear at the 64x smoke
-  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS g FROM embeddings
+  -- corpus-scaled block count: max(8, min(ceil(rows/256), ceil(sqrt(rows*256))))
+  -- — the Spark side's _effective_blocks. Fixed b was measured superlinear at
+  -- the 64x smoke (pair-stage quadratic); a purely LINEAR ramp moved the
+  -- quadratic into the assignment stage (round-10 advisor) — the min() keeps
+  -- historical counts below rows=256^3, then sqrt growth holds n*b and n^2/b
+  -- at Theta(n^1.5).
+  SELECT GREATEST(8, LEAST(
+           CAST(CEIL(COUNT(*) / 256.0) AS BIGINT),
+           CAST(CEIL(SQRT(COUNT(*) * 256.0)) AS BIGINT))) AS g
+  FROM embeddings
 ),
 cent_pick AS (
   SELECT vec_id, embedding, h FROM (
@@ -565,9 +572,16 @@ def emb_near_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
     "emb_semantic_dedup",
     f"""
 WITH nblk AS (
-  -- corpus-scaled block count: max(8, ceil(rows/256)) — the Spark side's
-  -- _effective_blocks; fixed b was measured superlinear at the 64x smoke
-  SELECT GREATEST(8, CAST(CEIL(COUNT(*) / 256.0) AS BIGINT)) AS g FROM embeddings
+  -- corpus-scaled block count: max(8, min(ceil(rows/256), ceil(sqrt(rows*256))))
+  -- — the Spark side's _effective_blocks. Fixed b was measured superlinear at
+  -- the 64x smoke (pair-stage quadratic); a purely LINEAR ramp moved the
+  -- quadratic into the assignment stage (round-10 advisor) — the min() keeps
+  -- historical counts below rows=256^3, then sqrt growth holds n*b and n^2/b
+  -- at Theta(n^1.5).
+  SELECT GREATEST(8, LEAST(
+           CAST(CEIL(COUNT(*) / 256.0) AS BIGINT),
+           CAST(CEIL(SQRT(COUNT(*) * 256.0)) AS BIGINT))) AS g
+  FROM embeddings
 ),
 cent_pick AS (
   SELECT vec_id, embedding, h FROM (

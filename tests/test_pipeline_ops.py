@@ -853,12 +853,22 @@ def test_effective_blocks_scales_with_corpus(spark):
     big = spark.range(128_000).withColumnRenamed("id", "vec_id")
     assert _effective_blocks(big, 8, 256) == 500          # 64× shape
     assert _effective_blocks(big, 8, 100_000) == 8        # floor wins
+    # round-10 √ regime (advisor: linear b made ASSIGNMENT quadratic):
+    # beyond rows = target³ the min() switches to ⌈√(rows·target)⌉, so
+    # both n·b and n²/b stay Θ(n^1.5). `rows` also skips the count job.
+    assert _effective_blocks(small, 8, 256, rows=16_777_216) == 65_536  # crossover
+    assert _effective_blocks(small, 8, 256, rows=100_000_000) == 160_000
+    assert _effective_blocks(small, 8, 256, rows=128_000) == 500  # pre-crossover unchanged
 
 
 def test_semantic_dedup_autoscaled_blocks_same_decisions(spark):
-    """The keep/drop decision is block-local, and exact/near dups share a
-    nearest centroid at any block count — so auto-scaling the block count
-    may only change `bucket` labels, never the survivor set."""
+    """For THIS corpus — whose near-dup groups are exact duplicates, which
+    share a nearest centroid at any block count — auto-scaling the block
+    count changes only `bucket` labels, not the survivor set. This is NOT
+    a general invariant (round-10 advisor): threshold-grazing pairs split
+    across a Voronoi boundary at higher block counts are never scored,
+    which can flip keep decisions — the recall caveat now documented on
+    semantic_dedup/embedding_near_dupes themselves."""
     from polars_quant_spark.operators.similarity import semantic_dedup
 
     vecs = [(i, [float(i % 7 == 0) + 1.0, float(i % 3), float(i % 5), 1.0])

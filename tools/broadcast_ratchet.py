@@ -91,6 +91,17 @@ class _Visitor(ast.NodeVisitor):
                 self.sites.append(
                     (self._fn_stack[-1], _base_name(fn.value))
                 )
+        # bare broadcast(target) via `from pyspark.sql.functions import
+        # broadcast` — the most idiomatic spelling was invisible to the
+        # net (round-10 advisor). Matched unconditionally on the name:
+        # a false positive from an unrelated local `broadcast` function
+        # would only ADD a site to triage, never hide one.
+        elif (
+            isinstance(fn, ast.Name) and fn.id == "broadcast" and node.args
+        ):
+            self.sites.append(
+                (self._fn_stack[-1], _base_name(node.args[0]))
+            )
         self.generic_visit(node)
 
 

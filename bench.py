@@ -276,6 +276,37 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # Ambient-load sentinels (VERDICT r9 #3): rounds 7 and 9 both showed
+    # uniform +5-25% drift across UNTOUCHED queries that every judge had to
+    # re-adjudicate as box load by hand. Two fixed-cost probes, measured
+    # under the same best-of-3 protocol AFTER the query sweep, make drift
+    # machine-checkable: compare sentinel movement round-over-round before
+    # reading any per-query delta as a regression.
+    #   noop_s      — data-independent Spark job (range-sum): scheduler +
+    #                 codegen + 32-thread CPU throughput, no I/O, no repo code.
+    #   duckdb_ref_s — fixed DuckDB aggregate over the same lineitem parquet:
+    #                 the other engine's view of the same box.
+    noop = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(2_000_000_000).selectExpr("sum(id) s").collect()
+        noop = min(noop, time.time() - t0)
+    try:
+        import duckdb
+
+        ref_sql = (
+            "SELECT l_returnflag, count(*) n, sum(l_quantity) q "
+            f"FROM '{os.path.join(SF_DIR, 'lineitem.parquet')}' "
+            "GROUP BY 1 ORDER BY 1"
+        )
+        duck = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            duckdb.sql(ref_sql).fetchall()
+            duck = min(duck, time.time() - t0)
+    except Exception:
+        duck = None
+
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     print(
         json.dumps(
@@ -285,6 +316,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf),
+                "noop_s": round(noop, 3),
+                "duckdb_ref_s": round(duck, 3) if duck is not None else None,
                 "timing": "best of 3 reps per query (steady-state)",
                 "layout": "16-way re-laid parquet cache of the driver tables (same data)",
             }

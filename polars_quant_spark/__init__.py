@@ -48,7 +48,7 @@ from polars_quant_spark.backtest import (
 from polars_quant_spark.backtest.bootstrap import bootstrap_bands
 from polars_quant_spark.backtest.rebalance import rebalance_backtest
 from polars_quant_spark.backtest.sweep import best_params, parameter_sweep
-from polars_quant_spark.operators import graph, portfolio, sketch
+from polars_quant_spark.operators import events, graph, portfolio, sketch
 from polars_quant_spark.plans import inspect as plans
 from polars_quant_spark.sources import bars, load, prepare_sequential_data
 
@@ -92,7 +92,8 @@ __all__ = [
     "bootstrap_bands",
     "parameter_sweep",
     "best_params",
-    # graph / portfolio / sketches / plan inspection
+    # cohort / graph / portfolio / sketches / plan inspection
+    "events",
     "graph",
     "portfolio",
     "sketch",

@@ -2663,29 +2663,16 @@ def events_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     the dedup groupBy then reuses (subset partitioning satisfies the
     clustered distribution — no second user shuffle), and distinctness is a
     groupBy, not count_distinct (whose Expand would double the event
-    stream)."""
+    stream). Routes through ``operators.events.cohort_retention``
+    (promoted round 10, golden SAME)."""
+    from polars_quant_spark.operators.events import cohort_retention
     from polars_quant_spark.sources.bars import ts_us_expr
 
     ev0 = load_table(spark, sf_dir, "events")
-    d = ev0.select("user_id", ts_us_expr(ev0).alias("_us")).select(
+    user_days = ev0.select("user_id", ts_us_expr(ev0).alias("_us")).select(
         "user_id", F.expr("_us div 86400000000").alias("day")
     )
-    w = Window.partitionBy("user_id")
-    d = d.withColumn("_d0", F.min("day").over(w))
-    pairs = (
-        d.select(
-            "user_id",
-            F.expr("_d0 div 7").alias("cohort_week"),
-            F.expr("(day - _d0) div 7").alias("week_offset"),
-        )
-        .groupBy("user_id", "cohort_week", "week_offset")
-        .agg(F.lit(1))
-    )
-    return (
-        pairs.groupBy("cohort_week", "week_offset")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("cohort_week", "week_offset")
-    )
+    return cohort_retention(user_days, period=7)
 
 
 @q(
@@ -6304,32 +6291,17 @@ def events_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """User survival curve: share of users still active k days after their
     first event (lifespan = last-day − first-day), at k ∈ {0,7,14,21,28}.
     The user axis collapses to a lifespan histogram first, so the k-grid
-    join touches a distribution-sized frame, never the user table."""
+    join touches a distribution-sized frame, never the user table.
+    Routes through ``operators.events.lifespan_survival`` (promoted
+    round 10, golden SAME)."""
+    from polars_quant_spark.operators.events import lifespan_survival
     from polars_quant_spark.sources.bars import ts_us_expr
 
     ev0 = load_table(spark, sf_dir, "events")
-    u = (
-        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
-        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
-        .groupBy("user_id")
-        .agg((F.max("day") - F.min("day")).alias("span"))
+    user_days = ev0.select("user_id", ts_us_expr(ev0).alias("ts_us")).select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day")
     )
-    g = u.groupBy("span").agg(F.count(F.lit(1)).alias("cnt"))
-    tot = g.agg(F.sum("cnt").alias("n"))
-    ks = spark.range(0, 5).select((F.col("id") * 7).cast("int").alias("k"))
-    alive = F.sum(F.when(F.col("span") >= F.col("k"), F.col("cnt")).otherwise(0))
-    return (
-        ks.crossJoin(g)
-        .groupBy("k")
-        .agg(alive.cast("long").alias("n_alive"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "k",
-            "n_alive",
-            r6(F.col("n_alive").cast("double") / F.col("n")).alias("survival_rate"),
-        )
-        .orderBy("k")
-    )
+    return lifespan_survival(user_days, ks=(0, 7, 14, 21, 28))
 
 
 @q(
@@ -9192,7 +9164,10 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
     P(after | before) reveals churn out of the top tiers and upgrades into
     them (the classic BI 'customer migration' view). Spend is exact
     cents; NTILE ties break on user_id so both engines bucket
-    identically. One user aggregate + two rank windows."""
+    identically. One user aggregate + two rank windows. Routes through
+    ``operators.events.value_quantile_migration`` (promoted round 10,
+    golden SAME)."""
+    from polars_quant_spark.operators.events import value_quantile_migration
     from polars_quant_spark.sources.bars import ts_us_expr
 
     ev0 = load_table(spark, sf_dir, "events")
@@ -9210,29 +9185,7 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("day") >= F.col("m"), F.col("cents")).otherwise(0)).alias("s2"),
         )
     )
-    w1 = Window.orderBy(F.col("s1").desc(), F.col("user_id"))
-    w2 = Window.orderBy(F.col("s2").desc(), F.col("user_id"))
-    dq = du.select(
-        F.ntile(5).over(w1).alias("q1"), F.ntile(5).over(w2).alias("q2")
-    )
-    wq = Window.partitionBy("q1")
-    return (
-        dq.groupBy(
-            F.col("q1").cast("int").alias("quintile_before"),
-            F.col("q2").cast("int").alias("quintile_after"),
-        )
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .select(
-            "quintile_before",
-            "quintile_after",
-            F.col("n_users").cast("long").alias("n_users"),
-            r6(
-                F.col("n_users").cast("double")
-                / F.sum("n_users").over(Window.partitionBy("quintile_before"))
-            ).alias("p"),
-        )
-        .orderBy("quintile_before", "quintile_after")
-    )
+    return value_quantile_migration(du, before_col="s1", after_col="s2", n=5)
 
 
 @q(
@@ -9733,52 +9686,17 @@ def events_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     reverse cumsum over the lifespan distribution; the product estimator
     runs as exp(Σ ln(1−d/n)) with nano-quantized log terms so the ordered
     prefix sums agree bit-for-bit. Distribution-collapsed: nothing past
-    the first aggregate is bigger than the distinct-lifespan set."""
+    the first aggregate is bigger than the distinct-lifespan set. Routes
+    through ``operators.events.kaplan_meier`` (promoted round 10, golden
+    SAME)."""
+    from polars_quant_spark.operators.events import kaplan_meier
     from polars_quant_spark.sources.bars import ts_us_expr
 
     ev0 = load_table(spark, sf_dir, "events")
-    km0 = (
-        ev0.select("user_id", ts_us_expr(ev0).alias("ts_us"))
-        .select("user_id", F.expr("ts_us DIV 86400000000").alias("day"))
-        .groupBy("user_id")
-        .agg(
-            (F.max("day") - F.min("day")).alias("span"),
-            F.max("day").alias("last_day"),
-        )
+    user_days = ev0.select("user_id", ts_us_expr(ev0).alias("ts_us")).select(
+        "user_id", F.expr("ts_us DIV 86400000000").alias("day")
     )
-    gmax = km0.agg(F.max("last_day").alias("gmax"))
-    kmu = km0.crossJoin(F.broadcast(gmax)).select(
-        "span",
-        F.when(F.col("gmax") - F.col("last_day") < 7, 1).otherwise(0).alias("censored"),
-    )
-    kmt = kmu.groupBy("span").agg(
-        F.sum(1 - F.col("censored")).alias("d"), F.sum("censored").alias("c")
-    )
-    wrev = Window.orderBy(F.col("span").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    kmr = kmt.select(
-        "span", "d", "c", F.sum(F.col("d") + F.col("c")).over(wrev).alias("n_risk")
-    ).where((F.col("d") > 0) & (F.col("n_risk") > F.col("d")))
-    wfwd = Window.orderBy("span").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    qterm = F.when(
-        F.col("d") > 0,
-        F.floor(
-            F.log(1.0 - F.col("d").cast("double") / F.col("n_risk")) * 1e9 + F.lit(0.5)
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
-    kms = kmr.select(
-        "span", "d", "c", "n_risk", F.sum(qterm).over(wfwd).alias("qln")
-    )
-    return kms.select(
-        F.col("span").cast("long").alias("churn_day"),
-        F.col("n_risk").cast("long").alias("n_at_risk"),
-        F.col("d").cast("long").alias("n_churned"),
-        F.col("c").cast("long").alias("n_censored"),
-        r6(F.exp(F.col("qln").cast("double") / 1e9)).alias("survival"),
-    ).orderBy("churn_day")
+    return kaplan_meier(user_days, censor_within=7)
 
 
 # ---------------------------------------------------------------------------
@@ -10288,7 +10206,9 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
     acquisition cohort and cohort age — the money twin of the retention
     triangle (do newer cohorts monetize faster?). Revenue in exact cents,
     cumulated along each cohort's age axis. One join against the
-    user→cohort map (co-partitioned on user at scale)."""
+    user→cohort map (co-partitioned on user at scale). Routes through
+    ``operators.events.cohort_ltv`` (promoted round 10, golden SAME)."""
+    from polars_quant_spark.operators.events import cohort_ltv
     from polars_quant_spark.sources.bars import ts_us_expr
 
     ev0 = load_table(spark, sf_dir, "events")
@@ -10300,33 +10220,7 @@ def events_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"),
         ).otherwise(F.lit(0).cast("long")).alias("cents"),
     ).select("user_id", F.expr("ts_us DIV 86400000000").alias("day"), "cents")
-    clc = c0.groupBy("user_id").agg(F.expr("MIN(day) DIV 7").alias("cohort_week"))
-    clj = c0.join(clc, "user_id").select(
-        "cohort_week",
-        (F.expr("day DIV 7") - F.col("cohort_week")).alias("age_weeks"),
-        "cents",
-    )
-    cla = (
-        clj.where(F.col("age_weeks").between(0, 7))
-        .groupBy("cohort_week", "age_weeks")
-        .agg(F.sum("cents").alias("rev"))
-    )
-    cln = clc.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_users"))
-    wc = Window.partitionBy("cohort_week").orderBy("age_weeks").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    return (
-        cla.join(F.broadcast(cln), "cohort_week")
-        .select(
-            "cohort_week",
-            F.col("n_users").cast("long").alias("n_users"),
-            F.col("age_weeks").cast("long").alias("age_weeks"),
-            r6(
-                F.sum("rev").over(wc).cast("double") / 100.0 / F.col("n_users")
-            ).alias("cum_ltv_per_user"),
-        )
-        .orderBy("cohort_week", "age_weeks")
-    )
+    return cohort_ltv(c0, horizon=7, period=7)
 
 
 @q(

@@ -215,6 +215,17 @@ def main() -> None:
         # (triangle count over the dup graph's merge-pinned joins)
         "cross_source_dupes": QUERIES["doc_cross_source_dupes"],
         "triangle_count": QUERIES["doc_triangle_count"],
+        # round-10 (VERDICT r9 #2): the declared-query variants of the
+        # loop-carried / GEMM / prefix-sum shapes. The earlier `bpe_merges`
+        # and `packing` fixtures exercised the operators with smoke-local
+        # parameters; these run the EXACT registered queries the driver
+        # verifies, so the smoke watches the same plans the gate does.
+        "doc_bpe_merges": QUERIES["doc_bpe_merges"],
+        "doc_packing": QUERIES["doc_packing"],
+        "doc_shuffle_shards": QUERIES["doc_shuffle_shards"],
+        "walk_forward": QUERIES["bt_walk_forward"],
+        "emb_gram": QUERIES["emb_gram"],
+        "pca_power": QUERIES["emb_pca_power"],
     }
 
     subset_arg = next(

@@ -38,6 +38,96 @@ from pyspark.sql import functions as F
 from polars_quant_spark.functions._util import round6 as r6
 
 
+def funnel_step_times(
+    events: DataFrame, steps: list[str] | tuple[str, ...]
+) -> DataFrame:
+    """Per-user first-completion time of each ordered funnel step →
+    (user_id, t0, t1, …, t{k−1}), where t_i is the user's first
+    ``steps[i]`` event STRICTLY AFTER t_{i−1} (NULL once a step is never
+    reached).
+
+    Input contract: (user_id, event_type, ts_us). This is the scale
+    shape for sequence analytics: each step's conditional min is a
+    window over the SAME hashpartitioning(user_id) exchange (each
+    window references the previous step's column — same partition spec,
+    no new shuffle, no ordering needed), so the event log is shuffled
+    ONCE regardless of funnel depth — the self-join-per-step form the
+    SQL twins use for verification is quadratic in steps. Promoted from
+    the ``events_funnel`` / ``events_funnel_latency`` queries (round 10,
+    golden SAME for both)."""
+    if not steps:
+        raise ValueError("steps must name at least one event_type")
+    w = Window.partitionBy("user_id")
+    prev: str | None = None
+    names: list[str] = []
+    for i, step in enumerate(steps):
+        cname = f"_t{i}"
+        if prev is None:
+            cond = F.when(F.col("event_type") == step, F.col("ts_us"))
+        else:
+            cond = F.when(
+                (F.col("event_type") == step) & (F.col("ts_us") > F.col(prev)),
+                F.col("ts_us"),
+            )
+        events = events.withColumn(cname, F.min(cond).over(w))
+        prev = cname
+        names.append(cname)
+    return events.groupBy("user_id").agg(
+        *[F.first(n).alias(f"t{i}") for i, n in enumerate(names)]
+    )
+
+
+def funnel_stage_counts(
+    events: DataFrame, steps: list[str] | tuple[str, ...]
+) -> DataFrame:
+    """Ordered conversion funnel → (stage, n_users): users counted by the
+    deepest step reached (stage 0 = entered the log but never did
+    ``steps[0]``; stage k = completed every step in order). One exchange
+    total — see ``funnel_step_times``. Promoted from the
+    ``events_funnel`` query (round 10, golden SAME)."""
+    per_user = funnel_step_times(events, steps)
+    k = len(steps)
+    staged = F.when(F.col(f"t{k - 1}").isNotNull(), k)
+    for i in range(k - 2, -1, -1):
+        staged = staged.when(F.col(f"t{i}").isNotNull(), i + 1)
+    return (
+        per_user.select(staged.otherwise(0).alias("stage"))
+        .groupBy("stage")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("stage")
+    )
+
+
+def top_event_paths(events: DataFrame, depth: int = 3, k: int = 15) -> DataFrame:
+    """Top event n-grams per user journey (path mining lite) →
+    (path, n): ``depth``−1 LEADs over one (user, ts_us, event_id) sort —
+    the n-gram fan-out WITHOUT arrays or explodes — then a count and a
+    distributed top-k (TakeOrderedAndProject). The deterministic
+    (ts_us, event_id) ordering makes paths engine-exact; ties in n break
+    on the path string. Input contract: (user_id, event_type, event_id,
+    ts_us). Promoted from the ``events_top_paths`` query (round 10,
+    golden SAME)."""
+    if depth < 2:
+        raise ValueError("depth must be >= 2 (a path needs two events)")
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    lead_names = [f"e{i}" for i in range(2, depth + 1)]
+    seq = events.select(
+        "event_type",
+        *[F.lead("event_type", i + 1).over(w).alias(n) for i, n in enumerate(lead_names)],
+    )
+    keep = F.lit(True)
+    for n in lead_names:
+        keep = keep & F.col(n).isNotNull()
+    return (
+        seq.where(keep)
+        .select(F.concat_ws(">", "event_type", *lead_names).alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(k)
+    )
+
+
 def user_lifespans(user_days: DataFrame) -> DataFrame:
     """Per-user activity span in days: (user_id, span[, last_day]).
 

@@ -2595,48 +2595,15 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition spec, no new shuffle, no ordering needed), then dedups to one
     row per user. This is the scale shape for sequence analytics: the event
     log is shuffled once, never self-joined per step (the SQL twin's
-    three-way join form is quadratic in steps)."""
+    three-way join form is quadratic in steps). Routes through
+    ``operators.events.funnel_stage_counts`` (promoted round 10, golden
+    SAME)."""
+    from polars_quant_spark.operators.events import funnel_stage_counts
     from polars_quant_spark.sources.bars import ts_us_expr
 
     ev0 = load_table(spark, sf_dir, "events")
     ev = ev0.select("user_id", "event_type", ts_us_expr(ev0).alias("ts_us"))
-    w = Window.partitionBy("user_id")
-    ev = ev.withColumn(
-        "_tv", F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
-    )
-    ev = ev.withColumn(
-        "_tc",
-        F.min(
-            F.when(
-                (F.col("event_type") == "click") & (F.col("ts_us") > F.col("_tv")),
-                F.col("ts_us"),
-            )
-        ).over(w),
-    )
-    ev = ev.withColumn(
-        "_tp",
-        F.min(
-            F.when(
-                (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("_tc")),
-                F.col("ts_us"),
-            )
-        ).over(w),
-    )
-    per_user = ev.groupBy("user_id").agg(
-        F.first("_tv").alias("tv"), F.first("_tc").alias("tc"), F.first("_tp").alias("tp")
-    )
-    staged = per_user.select(
-        F.when(F.col("tp").isNotNull(), 3)
-        .when(F.col("tc").isNotNull(), 2)
-        .when(F.col("tv").isNotNull(), 1)
-        .otherwise(0)
-        .alias("stage")
-    )
-    return (
-        staged.groupBy("stage")
-        .agg(F.count(F.lit(1)).alias("n_users"))
-        .orderBy("stage")
-    )
+    return funnel_stage_counts(ev, ["view", "click", "purchase"])
 
 
 @q(
@@ -3890,35 +3857,20 @@ def events_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchase in strict order): median view→click and median/p90
     view→purchase latency in seconds. Same single-exchange chained
     conditional-min shape as events_funnel; the duration percentiles ride
-    the shared percentile contract."""
+    the shared percentile contract. Routes through
+    ``operators.events.funnel_step_times`` (promoted round 10, golden
+    SAME)."""
+    from polars_quant_spark.operators.events import funnel_step_times
     from polars_quant_spark.sources.bars import ts_us_expr
 
     ev0 = load_table(spark, sf_dir, "events")
     ev = ev0.select("user_id", "event_type", ts_us_expr(ev0).alias("ts_us"))
-    w = Window.partitionBy("user_id")
-    tv = F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).over(w)
-    ev = ev.withColumn("_tv", tv)
-    tc = F.min(
-        F.when(
-            (F.col("event_type") == "click") & (F.col("ts_us") > F.col("_tv")),
-            F.col("ts_us"),
-        )
-    ).over(w)
-    ev = ev.withColumn("_tc", tc)
-    tp = F.min(
-        F.when(
-            (F.col("event_type") == "purchase") & (F.col("ts_us") > F.col("_tc")),
-            F.col("ts_us"),
-        )
-    ).over(w)
-    ev = ev.withColumn("_tp", tp)
     conv = (
-        ev.groupBy("user_id")
-        .agg(F.first("_tv").alias("tv"), F.first("_tc").alias("tc"), F.first("_tp").alias("tp"))
-        .where(F.col("tp").isNotNull())
+        funnel_step_times(ev, ["view", "click", "purchase"])
+        .where(F.col("t2").isNotNull())
         .select(
-            ((F.col("tc") - F.col("tv")).cast("double") / 1e6).alias("vc_s"),
-            ((F.col("tp") - F.col("tv")).cast("double") / 1e6).alias("full_s"),
+            ((F.col("t1") - F.col("t0")).cast("double") / 1e6).alias("vc_s"),
+            ((F.col("t2") - F.col("t0")).cast("double") / 1e6).alias("full_s"),
         )
     )
     return conv.agg(
@@ -3950,29 +3902,17 @@ def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top event trigrams per user journey (path mining lite): two LEADs
     over one (user, time, id) sort — the n-gram fan-out without arrays or
     explodes — then a count and TakeOrderedAndProject. The deterministic
-    (ts, event_id) ordering makes paths engine-exact."""
+    (ts, event_id) ordering makes paths engine-exact. Routes through
+    ``operators.events.top_event_paths`` (promoted round 10, golden
+    SAME)."""
+    from polars_quant_spark.operators.events import top_event_paths
     from polars_quant_spark.sources.bars import ts_us_expr
 
     ev0 = load_table(spark, sf_dir, "events")
     ev = ev0.select(
         "user_id", "event_type", "event_id", ts_us_expr(ev0).alias("ts_us")
     )
-    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
-    seq = ev.select(
-        "event_type",
-        F.lead("event_type", 1).over(w).alias("e2"),
-        F.lead("event_type", 2).over(w).alias("e3"),
-    )
-    return (
-        seq.where(F.col("e2").isNotNull() & F.col("e3").isNotNull())
-        .select(
-            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
-        )
-        .groupBy("path")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .orderBy(F.col("n").desc(), "path")
-        .limit(15)
-    )
+    return top_event_paths(ev, depth=3, k=15)
 
 
 @q(

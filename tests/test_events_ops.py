@@ -122,3 +122,64 @@ def test_user_lifespans_shape(spark):
     out = {r["user_id"]: (r["span"], r["last_day"])
            for r in user_lifespans(_user_days(spark, rows)).collect()}
     assert out == {"a": (3, 4), "b": (0, 2)}
+
+
+def _events(spark, rows):
+    return spark.createDataFrame(rows, ["user_id", "event_type", "ts_us"])
+
+
+def test_funnel_step_times_strict_ordering(spark):
+    """A click BEFORE the first view must not count as step 1 — each step
+    is the first matching event strictly after the previous step."""
+    from polars_quant_spark.operators.events import funnel_step_times
+
+    rows = [
+        ("u1", "click", 5), ("u1", "view", 10), ("u1", "click", 20),
+        ("u2", "view", 1), ("u2", "click", 2), ("u2", "buy", 3),
+    ]
+    out = {r["user_id"]: (r["t0"], r["t1"], r["t2"])
+           for r in funnel_step_times(_events(spark, rows),
+                                      ["view", "click", "buy"]).collect()}
+    assert out["u1"] == (10, 20, None)
+    assert out["u2"] == (1, 2, 3)
+
+
+def test_funnel_stage_counts_four_steps(spark):
+    """A 4-step funnel exercises the generated descending when-chain
+    beyond the 3-step shape the queries pin."""
+    from polars_quant_spark.operators.events import funnel_stage_counts
+
+    rows = [
+        ("u0", "other", 1),                                   # stage 0
+        ("u1", "a", 1),                                       # stage 1
+        ("u2", "a", 1), ("u2", "b", 2),                       # stage 2
+        ("u3", "a", 1), ("u3", "b", 2), ("u3", "c", 3),       # stage 3
+        ("u4", "a", 1), ("u4", "b", 2), ("u4", "c", 3), ("u4", "d", 4),
+    ]
+    out = {r["stage"]: r["n_users"]
+           for r in funnel_stage_counts(_events(spark, rows),
+                                        ["a", "b", "c", "d"]).collect()}
+    assert out == {0: 1, 1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_top_event_paths_bigrams_and_ties(spark):
+    from polars_quant_spark.operators.events import top_event_paths
+
+    rows = [
+        ("u1", "a", 1, 10), ("u1", "b", 2, 20), ("u1", "c", 3, 30),
+        ("u2", "a", 4, 10), ("u2", "b", 5, 20),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "event_type", "event_id", "ts_us"])
+    out = [(r["path"], r["n"]) for r in top_event_paths(df, depth=2, k=10).collect()]
+    # a>b appears twice; b>c once; tie-free ordering by (n desc, path)
+    assert out == [("a>b", 2), ("b>c", 1)]
+
+
+def test_funnel_and_paths_reject_degenerate_params(spark):
+    from polars_quant_spark.operators.events import funnel_step_times, top_event_paths
+
+    df = _events(spark, [("u", "a", 1)])
+    with pytest.raises(ValueError):
+        funnel_step_times(df, [])
+    with pytest.raises(ValueError):
+        top_event_paths(df.withColumn("event_id", df.ts_us), depth=1)

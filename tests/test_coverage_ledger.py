@@ -130,7 +130,11 @@ def test_window_proposal_tool_satisfies_invariants():
 
     carry, fresh = propose()
     ledger = _ledger()
-    assert carry == CANARIES
+    assert carry[: len(CANARIES)] == CANARIES
+    # saturation rounds pad carry with stalest-green names; every pad
+    # must be ledger-green (a rule-(b) carryover, never a wasted slot)
+    for k in carry[len(CANARIES):]:
+        assert ledger[k]["first_green"] is not None
     assert len(carry) + len(fresh) == WINDOW
     assert len(set(carry + fresh)) == WINDOW
     reds = {
@@ -145,3 +149,40 @@ def test_window_proposal_tool_satisfies_invariants():
         assert ledger[k]["first_green"] is None, (
             f"proposal re-spends a slot on already-green {k}"
         )
+
+
+def test_window_proposal_saturation_pads_to_fifty(tmp_path, monkeypatch):
+    """When the never-verified pool is smaller than the fresh budget (the
+    round-11 endgame: 37 left), the proposal must still emit EXACTLY 50
+    slots — the driver hash-verifies list(QUERIES)[:50] — padding the
+    carryovers with the STALEST ledger-green names (oldest last_seen), so
+    the spare slots buy drift re-verification instead of going dark."""
+    import json
+
+    from polars_quant_spark.queries import PRIORITY_FRESH
+    from tools import propose_window as pw
+    from tools.propose_window import CANARIES, WINDOW
+
+    ledger = _ledger()
+    sim = {k: dict(v) for k, v in ledger.items()}
+    for k in PRIORITY_FRESH:  # pretend this round's window went green
+        sim[k] = {"first_green": 10, "last_green": True, "last_seen": 10}
+    never_left = [k for k, v in sim.items() if v["first_green"] is None]
+    assert 0 < len(never_left) < WINDOW - len(CANARIES)
+
+    sim_path = tmp_path / "coverage_ledger.json"
+    sim_path.write_text(json.dumps(sim))
+    real_open = open
+    monkeypatch.setattr(
+        "builtins.open",
+        lambda p, *a, **kw: real_open(
+            sim_path if str(p).endswith("coverage_ledger.json") else p, *a, **kw
+        ),
+    )
+    carry, fresh = pw.propose()
+    assert len(carry) + len(fresh) == WINDOW
+    assert set(fresh) == set(never_left)
+    for k in carry[len(CANARIES):]:  # pads are green and stalest-first
+        assert sim[k]["first_green"] is not None
+    pad_seen = [sim[k]["last_seen"] for k in carry[len(CANARIES):]]
+    assert pad_seen == sorted(pad_seen)

@@ -73,8 +73,27 @@ def propose() -> tuple[list[str], list[str]]:
         fams.setdefault(k.split("_")[0], []).append(k)
     total = len(never)
     picks: list[str] = []
+    extra_carry: list[str] = []
     if total <= fresh_budget:
         picks = list(never)  # saturation round: take everything left
+        # The driver contract is EXACTLY 50 slots (list(QUERIES)[:50] —
+        # tests/test_registration_order.py), so leftover slots re-spend
+        # as rule-(b) carryovers on the STALEST ledger-green names
+        # (oldest last_seen round): the driver re-verifies what it has
+        # not looked at for the longest, maximizing drift coverage
+        # without violating the fresh-slots-are-never-verified invariant.
+        pad = fresh_budget - total
+        if pad:
+            greens = [
+                k
+                for k in reg
+                if k not in CANARIES
+                and k not in reds
+                and k not in never
+                and ledger.get(k, {}).get("first_green") is not None
+            ]
+            greens.sort(key=lambda k: (ledger[k]["last_seen"], reg.index(k)))
+            extra_carry = greens[:pad]
     else:
         quotas = {
             f: (len(v) * fresh_budget) / total for f, v in fams.items()
@@ -87,7 +106,7 @@ def propose() -> tuple[list[str], list[str]]:
             base[f] += 1
         for f, members in sorted(fams.items()):
             picks.extend(members[: base[f]])
-    return CANARIES, reds + picks
+    return CANARIES + extra_carry, reds + picks
 
 
 def main() -> None:

@@ -446,6 +446,24 @@ def test_funnel_windows_share_one_exchange(spark, sf_dir):
     assert n_exchanges(p) == 3
 
 
+def test_funnel_depth_never_adds_an_exchange(spark, sf_dir):
+    """The promoted operator's headline scale claim (operators/events.py::
+    funnel_step_times): each step's conditional min references the previous
+    step's column under the SAME user partitioning, so funnel DEPTH adds
+    windows but never a shuffle. A 5-step funnel must plan the same number
+    of exchanges as a 2-step one (the per-user aggregate reuses the window
+    exchange; only the source scan side pays)."""
+    from polars_quant_spark.operators.events import funnel_step_times
+    from polars_quant_spark.sources.bars import load_table, ts_us_expr
+
+    ev0 = load_table(spark, sf_dir, "events")
+    ev = ev0.select("user_id", "event_type", ts_us_expr(ev0).alias("ts_us"))
+    p2 = plan(funnel_step_times(ev, ["view", "click"]))
+    p5 = plan(funnel_step_times(ev, ["view", "click", "view", "click", "purchase"]))
+    assert p5.count(") Window") == 5
+    assert n_exchanges(p5) == n_exchanges(p2) == 1
+
+
 def test_partition_pruning_on_date_partitioned_store(spark, sf_dir, tmp_path):
     """The 100 TB layout is date-partitioned parquet; a day filter must
     prune at the PARTITION level (PartitionFilters in the scan, files from

@@ -226,6 +226,16 @@ def main() -> None:
         "walk_forward": QUERIES["bt_walk_forward"],
         "emb_gram": QUERIES["emb_gram"],
         "pca_power": QUERIES["emb_pca_power"],
+        # round-10: the promoted cohort/funnel family (operators/events.py)
+        # — every new package operator gets a scale row the round it lands.
+        # The 64x events replica extends per-user histories, so these watch
+        # the user-exchange + distribution-collapse shapes directly.
+        "funnel": QUERIES["events_funnel"],
+        "kaplan_meier": QUERIES["events_kaplan_meier"],
+        "cohort_ltv": QUERIES["events_cohort_ltv"],
+        "decile_migration": QUERIES["events_decile_migration"],
+        "top_paths": QUERIES["events_top_paths"],
+        "cohort_retention": QUERIES["events_cohort_retention"],
     }
 
     subset_arg = next(

@@ -464,6 +464,24 @@ def test_funnel_depth_never_adds_an_exchange(spark, sf_dir):
     assert n_exchanges(p5) == n_exchanges(p2) == 1
 
 
+def test_cohort_retention_single_user_shuffle(spark):
+    """operators/events.py::cohort_retention's claim: the per-user dedup
+    groupBy reuses the window-min's hashpartitioning(user_id) exchange
+    (subset partitioning satisfies the clustered distribution), so the
+    user axis is shuffled EXACTLY once — the remaining exchanges are the
+    cohort-cell rollup and the output sort, neither user-sized."""
+    from polars_quant_spark.operators.events import cohort_retention
+
+    df = spark.createDataFrame([("u", 1), ("u", 9), ("v", 2)], ["user_id", "day"])
+    p = plan(cohort_retention(df))
+    assert n_exchanges(p) == 3
+    user_exchanges = [
+        ln for ln in p.splitlines()
+        if "hashpartitioning" in ln and "user_id" in ln
+    ]
+    assert len(user_exchanges) == 1, user_exchanges
+
+
 def test_partition_pruning_on_date_partitioned_store(spark, sf_dir, tmp_path):
     """The 100 TB layout is date-partitioned parquet; a day filter must
     prune at the PARTITION level (PartitionFilters in the scan, files from

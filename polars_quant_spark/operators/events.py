@@ -152,6 +152,8 @@ def lifespan_survival(
     lifespan histogram first, so the k-grid join touches a
     distribution-sized frame, never the user table. Promoted verbatim
     from the ``events_survival_curve`` query (round 10)."""
+    if not ks:
+        raise ValueError("ks must name at least one day offset")
     spark = user_days.sparkSession
     u = user_days.groupBy("user_id").agg((F.max("day") - F.min("day")).alias("span"))
     g = u.groupBy("span").agg(F.count(F.lit(1)).alias("cnt"))

@@ -183,3 +183,10 @@ def test_funnel_and_paths_reject_degenerate_params(spark):
         funnel_step_times(df, [])
     with pytest.raises(ValueError):
         top_event_paths(df.withColumn("event_id", df.ts_us), depth=1)
+
+
+def test_lifespan_survival_rejects_empty_grid(spark):
+    from polars_quant_spark.operators.events import lifespan_survival
+
+    with pytest.raises(ValueError):
+        lifespan_survival(_user_days(spark, [("u", 1)]), ks=())

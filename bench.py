@@ -304,7 +304,11 @@ def main() -> None:
             t0 = time.time()
             duckdb.sql(ref_sql).fetchall()
             duck = min(duck, time.time() - t0)
-    except Exception:
+    except Exception as exc:  # noqa: BLE001 — sentinel must not kill the run,
+        # but its absence must be LOUD (stderr; stdout stays one JSON line):
+        # a silently-null sentinel re-opens the hand-adjudicated-drift hole
+        # it exists to close.
+        print(f"WARNING: duckdb_ref_s sentinel failed: {exc!r}", file=sys.stderr)
         duck = None
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]

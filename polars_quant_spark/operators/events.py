@@ -155,7 +155,9 @@ def lifespan_survival(
     if not ks:
         raise ValueError("ks must name at least one day offset")
     spark = user_days.sparkSession
-    u = user_days.groupBy("user_id").agg((F.max("day") - F.min("day")).alias("span"))
+    # the shared first stage; the unused last_day column is pruned by the
+    # optimizer, so this is expression-equivalent to a span-only aggregate
+    u = user_lifespans(user_days)
     g = u.groupBy("span").agg(F.count(F.lit(1)).alias("cnt"))
     tot = g.agg(F.sum("cnt").alias("n"))
     n_ks = len(ks)
@@ -245,6 +247,8 @@ def cohort_retention(user_days: DataFrame, period: int = 7) -> DataFrame:
     distinctness is a groupBy, not count_distinct (whose Expand would
     double the event stream). Promoted verbatim from the
     ``events_cohort_retention`` query (round 10)."""
+    if period < 1:
+        raise ValueError(f"period must be a positive day count, got {period}")
     w = Window.partitionBy("user_id")
     d = user_days.withColumn("_d0", F.min("day").over(w))
     pairs = (
@@ -270,9 +274,11 @@ def value_quantile_migration(
     n: int = 5,
 ) -> DataFrame:
     """Value-quantile migration matrix from two per-user value columns →
-    (quintile_before, quintile_after, n_users, p) where p = P(after |
+    (quantile_before, quantile_after, n_users, p) where p = P(after |
     before) — churn out of the top tiers and upgrades into them (the
-    classic BI 'customer migration' view).
+    classic BI 'customer migration' view). Column names are n-agnostic
+    (quartiles, deciles, … all come back as quantile_*); rename
+    downstream if a tier-specific label is wanted.
 
     NTILE ties break on user_id so bucketing is engine-deterministic.
     Input is ONE row per user (already aggregated), so the two global
@@ -287,20 +293,20 @@ def value_quantile_migration(
     )
     return (
         dq.groupBy(
-            F.col("q1").cast("int").alias("quintile_before"),
-            F.col("q2").cast("int").alias("quintile_after"),
+            F.col("q1").cast("int").alias("quantile_before"),
+            F.col("q2").cast("int").alias("quantile_after"),
         )
         .agg(F.count(F.lit(1)).alias("n_users"))
         .select(
-            "quintile_before",
-            "quintile_after",
+            "quantile_before",
+            "quantile_after",
             F.col("n_users").cast("long").alias("n_users"),
             r6(
                 F.col("n_users").cast("double")
-                / F.sum("n_users").over(Window.partitionBy("quintile_before"))
+                / F.sum("n_users").over(Window.partitionBy("quantile_before"))
             ).alias("p"),
         )
-        .orderBy("quintile_before", "quintile_after")
+        .orderBy("quantile_before", "quantile_after")
     )
 
 
@@ -318,6 +324,10 @@ def cohort_ltv(
     ``horizon`` periods. One join against the user→cohort map
     (co-partitioned on user at scale). Promoted verbatim from the
     ``events_cohort_ltv`` query (round 10)."""
+    if period < 1:
+        raise ValueError(f"period must be a positive day count, got {period}")
+    if horizon < 0:
+        raise ValueError(f"horizon must be >= 0 periods, got {horizon}")
     clc = user_day_cents.groupBy("user_id").agg(
         F.expr(f"MIN(day) DIV {period}").alias("cohort_week")
     )

@@ -9125,7 +9125,13 @@ def events_decile_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("day") >= F.col("m"), F.col("cents")).otherwise(0)).alias("s2"),
         )
     )
-    return value_quantile_migration(du, before_col="s1", after_col="s2", n=5)
+    return (
+        value_quantile_migration(du, before_col="s1", after_col="s2", n=5)
+        # the operator's names are n-agnostic (quantile_*); this query IS
+        # quintiles, and the oracle twin pins the tier-specific names
+        .withColumnRenamed("quantile_before", "quintile_before")
+        .withColumnRenamed("quantile_after", "quintile_after")
+    )
 
 
 @q(

@@ -159,15 +159,21 @@ def test_window_proposal_saturation_pads_to_fifty(tmp_path, monkeypatch):
     the spare slots buy drift re-verification instead of going dark."""
     import json
 
-    from polars_quant_spark.queries import PRIORITY_FRESH
     from tools import propose_window as pw
     from tools.propose_window import CANARIES, WINDOW
 
     ledger = _ledger()
-    sim = {k: dict(v) for k, v in ledger.items()}
-    for k in PRIORITY_FRESH:  # pretend this round's window went green
-        sim[k] = {"first_green": 10, "last_green": True, "last_seen": 10}
-    never_left = [k for k, v in sim.items() if v["first_green"] is None]
+    # Synthesize the endgame ledger instead of deriving it from the LIVE
+    # window (an earlier version marked PRIORITY_FRESH green, which goes
+    # degenerate the round the real pool empties): everything green except
+    # a fixed-size pool of 10 never-verified names.
+    sim = {
+        k: {"first_green": 1, "last_green": True, "last_seen": (i % 9) + 1}
+        for i, k in enumerate(sorted(ledger))
+    }
+    never_left = sorted(k for k in ledger if k not in CANARIES)[:10]
+    for k in never_left:
+        sim[k] = {"first_green": None, "last_green": None, "last_seen": None}
     assert 0 < len(never_left) < WINDOW - len(CANARIES)
 
     sim_path = tmp_path / "coverage_ledger.json"

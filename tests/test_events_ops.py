@@ -94,8 +94,9 @@ def test_value_quantile_migration_quartiles(spark):
     df = spark.createDataFrame(rows, ["user_id", "s1", "s2"])
     out = value_quantile_migration(df, n=4).collect()
     # s1 descending = u8..u1; s2 descending reverses it (u1 highest after):
-    # before-quartile 1 (u8,u7) lands in after-quartile 4, etc.
-    got = {(r["quintile_before"], r["quintile_after"]): r["n_users"] for r in out}
+    # before-quartile 1 (u8,u7) lands in after-quartile 4, etc. Output
+    # names are n-agnostic (quantile_*, round-10 review finding).
+    got = {(r["quantile_before"], r["quantile_after"]): r["n_users"] for r in out}
     assert got == {(1, 4): 2, (2, 3): 2, (3, 2): 2, (4, 1): 2}
     assert all(r["p"] == 1.0 for r in out)
 
@@ -190,3 +191,18 @@ def test_lifespan_survival_rejects_empty_grid(spark):
 
     with pytest.raises(ValueError):
         lifespan_survival(_user_days(spark, [("u", 1)]), ks=())
+
+
+def test_cohort_period_guards(spark):
+    """period/horizon are interpolated into SQL expressions — degenerate
+    values must raise, not emit NULL-keyed garbage (round-10 review)."""
+    from polars_quant_spark.operators.events import cohort_ltv, cohort_retention
+
+    ud = _user_days(spark, [("u", 1)])
+    with pytest.raises(ValueError):
+        cohort_retention(ud, period=0)
+    money = spark.createDataFrame([("u", 1, 5)], ["user_id", "day", "cents"])
+    with pytest.raises(ValueError):
+        cohort_ltv(money, period=-7)
+    with pytest.raises(ValueError):
+        cohort_ltv(money, horizon=-1)

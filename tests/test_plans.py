@@ -765,14 +765,16 @@ def test_broadcast_ratchet_visitor_catches_every_spelling():
 
     src = (
         "from pyspark.sql.functions import broadcast\n"
+        "from pyspark.sql.functions import broadcast as bcast\n"
         "def f(df, dim):\n"
         "    a = df.join(F.broadcast(dim), 'k')\n"
         "    b = df.join(dim.hint('broadcast'), 'k')\n"
         "    c = df.join(broadcast(dim), 'k')\n"
+        "    d = df.join(bcast(dim), 'k')\n"
     )
     v = _Visitor()
     v.visit(_ast.parse(src))
-    assert v.sites == [("f", "dim"), ("f", "dim"), ("f", "dim")]
+    assert v.sites == [("f", "dim")] * 4
 
 
 def test_pagerank_loop_carries_no_forced_broadcast(spark):

@@ -67,9 +67,13 @@ def test_segmented_many_segments_crosses_checkpoint_boundary(spark, tall_df):
     """10 segments at 250 rows: the periodic lineage cut
     (_CHECKPOINT_EVERY_SEGMENTS = 4, round-10 advisor item) fires twice
     mid-chain and must not perturb the carried fold — output stays
-    bit-equal to the single-group scan. Also pins that plan depth is
-    bounded: the final plan's nested-pass string must not grow with
-    n_segments past the checkpoint interval."""
+    bit-equal to the single-group scan. The plan assertion pins that the
+    cut actually happened: checkpoint scans (ExistingRDD) appear in the
+    physical plan and the nested applyInPandas count stays bounded
+    (measured: 61 nodes truncated vs 161 untruncated at 10 segments — a
+    silent revert to persist() would trip the <=100 bound)."""
+    from polars_quant_spark.plans.inspect import plan_str
+
     p = 20
     whole = (
         with_recurrences(tall_df, [Rec("e", "ema", ["close"], {"p": p})])
@@ -77,6 +81,9 @@ def test_segmented_many_segments_crosses_checkpoint_boundary(spark, tall_df):
         .collect()
     )
     seg_df = ewma_segmented(tall_df, "close", p, out="e", segment_rows=250)
+    plan = plan_str(seg_df)
+    assert "ExistingRDD" in plan, "lineage cut missing: no checkpoint scan"
+    assert plan.count("FlatMapGroupsInPandas") <= 100
     segd = seg_df.select("symbol", "t", "e").collect()
     w = {(r["symbol"], r["t"]): r["e"] for r in whole}
     s = {(r["symbol"], r["t"]): r["e"] for r in segd}

@@ -64,6 +64,17 @@ class _Visitor(ast.NodeVisitor):
     def __init__(self) -> None:
         self.sites: list[tuple[str, str]] = []  # (enclosing_fn, receiver)
         self._fn_stack: list[str] = ["<module>"]
+        # bare-call names that mean pyspark broadcast: the literal name
+        # plus any alias bound by `from pyspark.sql.functions import
+        # broadcast as X` (round-10 review: an alias was invisible)
+        self._broadcast_names: set[str] = {"broadcast"}
+
+    def visit_ImportFrom(self, node: ast.ImportFrom) -> None:
+        if node.module and node.module.endswith("functions"):
+            for alias in node.names:
+                if alias.name == "broadcast" and alias.asname:
+                    self._broadcast_names.add(alias.asname)
+        self.generic_visit(node)
 
     def _visit_fn(self, node) -> None:
         self._fn_stack.append(node.name)
@@ -92,12 +103,15 @@ class _Visitor(ast.NodeVisitor):
                     (self._fn_stack[-1], _base_name(fn.value))
                 )
         # bare broadcast(target) via `from pyspark.sql.functions import
-        # broadcast` — the most idiomatic spelling was invisible to the
-        # net (round-10 advisor). Matched unconditionally on the name:
-        # a false positive from an unrelated local `broadcast` function
+        # broadcast [as alias]` — the most idiomatic spelling was
+        # invisible to the net (round-10 advisor; the alias form via the
+        # round-10 review). Matched unconditionally on the bare name: a
+        # false positive from an unrelated local `broadcast` function
         # would only ADD a site to triage, never hide one.
         elif (
-            isinstance(fn, ast.Name) and fn.id == "broadcast" and node.args
+            isinstance(fn, ast.Name)
+            and fn.id in self._broadcast_names
+            and node.args
         ):
             self.sites.append(
                 (self._fn_stack[-1], _base_name(node.args[0]))

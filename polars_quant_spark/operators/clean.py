@@ -242,3 +242,53 @@ def interpolate_linear(
         .otherwise(pv + (nv - pv) * frac)
     )
     return df.withColumn(out, interp)
+
+
+def k_anonymize(
+    df: DataFrame,
+    quasi: list[str],
+    k: int = 5,
+    mode: str = "suppress",
+) -> DataFrame:
+    """k-anonymity for training-data release: every surviving combination
+    of the ``quasi`` (quasi-identifier) columns is shared by ≥ k rows, so
+    no record is re-identifiable below cohort size k.
+
+    * ``mode="suppress"`` — drop rows whose quasi-group has fewer than k
+      members (the k-anonymity standard's suppression step).
+    * ``mode="null"`` — keep every row but blank the quasi columns of
+      small groups (generalization to the top of the hierarchy), for
+      pipelines that must preserve row counts.
+
+    Both modes append ``k_group`` (the group's size) so downstream audits
+    can verify the property without recounting.
+
+    Scale: group sizes come from one groupBy on the quasi key — map-side
+    combined, one shuffle — then a SHUFFLE join back onto the facts
+    (deliberately not the `_with_stats` broadcast: quasi-identifier
+    cardinality grows with the user population, so at 100 TB the counts
+    frame is itself large; AQE picks broadcast at runtime when it does
+    turn out small and splits skewed keys when it does not)."""
+    if mode not in ("suppress", "null"):
+        raise ValueError(f"mode must be 'suppress' or 'null', got {mode!r}")
+    if not quasi:
+        raise ValueError("quasi must name at least one column")
+    counts = df.groupBy(*quasi).agg(F.count(F.lit(1)).alias("k_group"))
+    cond = None
+    for q_ in quasi:
+        c = F.col(f"_l.{q_}").eqNullSafe(F.col(f"_r.{q_}"))
+        cond = c if cond is None else (cond & c)
+    joined = df.alias("_l").join(counts.alias("_r"), cond).select(
+        *[F.col(f"_l.{c}") for c in df.columns], F.col("_r.k_group")
+    )
+    if mode == "suppress":
+        return joined.where(F.col("k_group") >= k)
+    return joined.select(
+        *[
+            F.when(F.col("k_group") >= k, F.col(c)).otherwise(F.lit(None)).alias(c)
+            if c in quasi
+            else F.col(c)
+            for c in df.columns
+        ],
+        "k_group",
+    )

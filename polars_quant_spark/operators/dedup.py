@@ -618,3 +618,86 @@ def containment_pairs(
         )
     )
     return out.where(F.col("containment") >= threshold)
+
+
+def token_edit_pairs(
+    df: DataFrame,
+    text: str = "text",
+    id_col: str = "doc_id",
+    max_dist: int | None = None,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """One-token-edit near-duplicate pairs via SymSpell-style delete-one
+    blocking — the dedup class the other detectors straddle: documents
+    differing by a single token edit (substitute / insert / delete), e.g.
+    templated boilerplate with one slot filled differently, which MinHash
+    at useful thresholds lumps with looser near-dups and exact dedup
+    misses entirely. (Reference scope: near-dup families, SURVEY §7
+    Phase 5 — same family as ``minhash_dedup_pairs``/``simhash_df``.)
+
+    Blocking: each document emits the md5 of its normalized token stream
+    plus the md5 of every delete-one variant (n_tokens + 1 keys). Any
+    pair at token-level edit distance ≤ 1 is GUARANTEED to share a key
+    (equal → full = full; substitution at i → drop-i = drop-i;
+    insert/delete → full = drop-i), so the key-join is recall-complete
+    for distance 1, and key-sharing pairs are at token-edit ≤ 2, so it
+    is also a tight candidate filter. Returns (id_a, id_b, dist) where
+    dist = CHARACTER levenshtein between the normalized token streams
+    (both engines implement levenshtein identically); pass ``max_dist``
+    to keep only pairs at or under it.
+
+    Scale: key volume is Σ(n_tokens + 1) — linear in corpus tokens — and
+    keys are fixed-width md5 hex, so the candidate shuffle never carries
+    document text. Bucket sizes are bounded by true near-dup cluster
+    sizes, not corpus size; buckets above ``max_bucket`` (degenerate
+    boilerplate, e.g. the shared empty delete-variant of 1-token docs)
+    are dropped by a broadcast anti-join — the standard skew guard,
+    applied identically in the DuckDB twin. The pair self-join is
+    merge-pinned: both sides descend from the key explode, the hazard
+    class that must never broadcast (see ``_lsh_candidates_from_sig``).
+    """
+    toks = tokens(text)
+    n = F.size(toks)
+    norm = F.concat_ws(" ", toks)
+    keys = F.array_distinct(
+        F.concat(
+            F.array(F.md5(norm)),
+            F.transform(
+                F.sequence(F.lit(0), n - 1),
+                lambda i: F.md5(F.concat_ws(" ", F.filter(toks, lambda x, j: j != i))),
+            ),
+        )
+    )
+    base = widen(df).where(n > 0)
+    # ex feeds the hot-set agg AND both join probes: persist so the
+    # tokenize/md5/explode work happens once (minhash_dedup_pairs discipline)
+    ex = base.select(F.col(id_col).alias("_id"), F.explode(keys).alias("_k")).persist()
+    hot = (
+        ex.groupBy("_k")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .where(F.col("_c") > max_bucket)
+        .select("_k")
+    )
+    capped = ex.join(F.broadcast(hot), "_k", "leftanti")
+    cand = (
+        capped.select(F.col("_id").alias("id_a"), "_k")
+        .join(capped.select(F.col("_id").alias("id_b"), "_k").hint("merge"), "_k")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    names = base.select(F.col(id_col).alias("_id"), norm.alias("_s"))
+    out = (
+        cand.join(
+            names.select(F.col("_id").alias("id_a"), F.col("_s").alias("_sa")).hint("merge"),
+            "id_a",
+        )
+        .join(
+            names.select(F.col("_id").alias("id_b"), F.col("_s").alias("_sb")).hint("merge"),
+            "id_b",
+        )
+        .select("id_a", "id_b", F.levenshtein("_sa", "_sb").alias("dist"))
+    )
+    if max_dist is not None:
+        out = out.where(F.col("dist") <= max_dist)
+    return out

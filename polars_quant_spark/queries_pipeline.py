@@ -12549,6 +12549,101 @@ def media_mp3_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# one-token-edit near-dup pairs (SymSpell-style delete-one blocking): the
+# dedup class between exact (misses them) and MinHash@0.5 (lumps them with
+# looser near-dups) — templated boilerplate with one slot changed. Blocking
+# keys are md5 of the token stream and of every delete-one variant;
+# recall-complete for token-edit ≤ 1, candidates verified/annotated with
+# character levenshtein (bit-identical in both engines).
+# ---------------------------------------------------------------------------
+
+QUERIES["doc_token_edit_pairs"] = lambda spark, sf_dir: dedup.token_edit_pairs(
+    load_table(spark, sf_dir, "documents")
+)
+ORACLES["doc_token_edit_pairs"] = f"""
+WITH tep_t AS (
+  SELECT doc_id AS id,
+         array_to_string({_TOKS}, ' ') AS s,
+         {_TOKS} AS toks
+  FROM documents
+  WHERE len({_TOKS}) > 0
+),
+tep_keys AS (
+  SELECT id, unnest(list_distinct(list_concat(
+    [md5(array_to_string(toks, ' '))],
+    list_transform(range(1, len(toks) + 1),
+      i -> md5(array_to_string(list_filter(toks, (x, j) -> j != i), ' ')))))) AS k
+  FROM tep_t
+),
+tep_capped AS (
+  SELECT id, k
+  FROM (SELECT id, k, COUNT(*) OVER (PARTITION BY k) AS c FROM tep_keys)
+  WHERE c <= 1000
+),
+tep_cand AS (
+  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+  FROM tep_capped a JOIN tep_capped b ON a.k = b.k AND a.id < b.id
+)
+SELECT c.id_a, c.id_b, CAST(levenshtein(ta.s, tb.s) AS INTEGER) AS dist
+FROM tep_cand c
+JOIN tep_t ta ON ta.id = c.id_a
+JOIN tep_t tb ON tb.id = c.id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity (privacy suppression/generalization before data release):
+# operators/clean.k_anonymize over the (event_type, user_id) quasi-key.
+# Both modes are registered — suppression (rows in cohorts < k dropped) and
+# generalization-to-null (row counts preserved, quasi columns blanked).
+# ---------------------------------------------------------------------------
+
+
+def _events_k_anon(spark: SparkSession, sf_dir: str, mode: str) -> DataFrame:
+    from polars_quant_spark.operators.clean import k_anonymize
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return k_anonymize(ev, ["event_type", "user_id"], k=10, mode=mode)
+
+
+_KANON_CTE = """
+WITH kan AS (
+  SELECT event_id, user_id, event_type, value,
+         COUNT(*) OVER (PARTITION BY event_type, user_id) AS c
+  FROM events
+)
+"""
+
+QUERIES["events_k_anonymized"] = lambda spark, sf_dir: _events_k_anon(
+    spark, sf_dir, "suppress"
+)
+ORACLES["events_k_anonymized"] = (
+    _KANON_CTE
+    + """
+SELECT event_id, user_id, event_type, value, CAST(c AS BIGINT) AS k_group
+FROM kan WHERE c >= 10
+"""
+)
+
+QUERIES["events_k_anon_nulled"] = lambda spark, sf_dir: _events_k_anon(
+    spark, sf_dir, "null"
+)
+ORACLES["events_k_anon_nulled"] = (
+    _KANON_CTE
+    + """
+SELECT event_id,
+       CASE WHEN c >= 10 THEN user_id END AS user_id,
+       CASE WHEN c >= 10 THEN event_type END AS event_type,
+       value,
+       CAST(c AS BIGINT) AS k_group
+FROM kan
+"""
+)
+
+
 # Keep the driver's 50-slot capture window intact regardless of which query
 # module was the import entry point (see queries.reorder_registration).
 from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402

@@ -904,3 +904,96 @@ def test_minhash_signatures_exploded_reuse_and_count(spark):
     }
     sizes = {r["_id"]: r["n"] for r in ex.groupBy("_id").count().withColumnRenamed("count", "n").collect()}
     assert counted == sizes
+
+
+# ---------------------------------------------------------------------------
+# token_edit_pairs (SymSpell-style delete-one blocking)
+# ---------------------------------------------------------------------------
+
+
+def test_token_edit_pairs_finds_all_edit1_classes(spark):
+    # substitution (1<->2), deletion/insertion (1<->3), exact dup (1<->5);
+    # doc 4 is unrelated and must not pair with anything.
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4, 5],
+            "text": [
+                "alpha beta gamma delta",
+                "alpha beta THETA delta",   # one token substituted
+                "alpha beta delta",          # one token deleted
+                "wholly different content here",
+                "Alpha beta gamma delta!",   # exact after normalization
+            ],
+        }
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in dedup.token_edit_pairs(spark.createDataFrame(pdf)).collect()
+    }
+    assert (1, 2) in pairs and (1, 3) in pairs and (1, 5) in pairs
+    assert pairs[(1, 5)] == 0  # normalized-identical
+    assert pairs[(1, 3)] == len("gamma ")  # char-levenshtein of the cut token
+    assert not any(4 in p for p in pairs)
+    # transitivity through the shared key: 2 and 3 both differ from 1 by one
+    # edit but are at token-edit 2 from each other — they share the drop-both
+    # key "alpha beta delta", so they surface as a (verifiable) candidate.
+    assert (2, 3) in pairs
+
+
+def test_token_edit_pairs_max_dist_filters(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c", "a b ccccccccccccccc"],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    assert dedup.token_edit_pairs(df).count() == 1
+    assert dedup.token_edit_pairs(df, max_dist=3).count() == 0
+
+
+def test_token_edit_pairs_bucket_cap_drops_degenerate_key(spark):
+    # Ten unrelated single-token docs all emit the empty delete-one variant;
+    # with the cap below the bucket size the shared-empty-key candidates
+    # vanish, with a high cap they appear (documented blocking contract).
+    pdf = pd.DataFrame({"doc_id": list(range(10)), "text": [f"tok{i}" for i in range(10)]})
+    df = spark.createDataFrame(pdf)
+    assert dedup.token_edit_pairs(df, max_bucket=5).count() == 0
+    assert dedup.token_edit_pairs(df, max_bucket=100).count() == 45
+
+
+# ---------------------------------------------------------------------------
+# k_anonymize (operators/clean.py)
+# ---------------------------------------------------------------------------
+
+
+def test_k_anonymize_suppress_and_null_modes(spark):
+    from polars_quant_spark.operators.clean import k_anonymize
+
+    pdf = pd.DataFrame(
+        {
+            "rid": range(7),
+            "city": ["a", "a", "a", "b", "b", None, None],
+            "val": [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    sup = k_anonymize(df, ["city"], k=3).collect()
+    assert sorted(r["rid"] for r in sup) == [0, 1, 2]
+    assert all(r["k_group"] == 3 for r in sup)
+
+    nulled = {r["rid"]: r for r in k_anonymize(df, ["city"], k=3, mode="null").collect()}
+    assert len(nulled) == 7  # row count preserved
+    assert nulled[0]["city"] == "a" and nulled[3]["city"] is None
+    # NULL quasi values form their own cohort (eqNullSafe join)
+    assert nulled[5]["k_group"] == 2 and nulled[5]["city"] is None
+
+
+def test_k_anonymize_rejects_bad_args(spark):
+    from polars_quant_spark.operators.clean import k_anonymize
+
+    df = spark.createDataFrame(pd.DataFrame({"a": [1], "b": [2]}))
+    with pytest.raises(ValueError):
+        k_anonymize(df, [], k=2)
+    with pytest.raises(ValueError):
+        k_anonymize(df, ["a"], k=2, mode="redact")

@@ -1047,3 +1047,135 @@ def pca_project(
         proj = dot(v, w) - F.lit(float(mu @ W[:, c]))
         cols.append(round6(proj).alias(f"pc{c}"))
     return widen(df).select(F.col(id_col), *cols)
+
+
+def rp_lsh_signatures(
+    df: DataFrame,
+    planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Random-hyperplane LSH signature (SimHash for dense vectors,
+    Charikar 2002): bit p is the sign of the vector's projection onto a
+    pseudo-random ±1 hyperplane, and the ``planes``-bit integer is the
+    vector's bucket — similar-angle vectors land in the same bucket with
+    probability 1 − θ/π per bit. Returns (_id, bucket).
+
+    Engine-shared determinism: plane weights come from the MinHash
+    universal-hash family (w(p, d) = ±1 by the parity of
+    (MH_A[p]·(d+1) + MH_B[p]) mod MH_P — pure integer arithmetic, no
+    md5 per element), and each projection term is quantized to integer
+    micro-units BEFORE summing (FLOOR(v·w·1e6 + 0.5) as BIGINT), so the
+    per-plane sum is an exact integer in any association order — a
+    float sum could flip a sign bit across engines/plans on a
+    zero-grazing projection.
+
+    Scale: one posexplode (rows × dims — the minhash-shingle cost
+    class) feeding ``planes`` codegen'd multiply-add sums in ONE
+    map-side-combined groupBy; no training pass, no centroid collect,
+    no driver state — the train-free sibling of ``ivf_topk``'s
+    bucketing."""
+    from polars_quant_spark.operators.dedup import MH_A, MH_B, MH_P
+
+    if not 0 < planes <= len(MH_A):
+        raise ValueError(f"planes must be in 1..{len(MH_A)}, got {planes}")
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.posexplode(F.col(vec_col)).alias("_d", "_v")
+    )
+
+    def w(p: int) -> Column:
+        # _d is a 32-bit position; widen before the multiply (ANSI mode
+        # faults the 32-bit overflow otherwise — MH_A · dims exceeds 2³¹)
+        h = (F.lit(MH_A[p]) * (F.col("_d").cast("long") + 1) + F.lit(MH_B[p])) % F.lit(
+            MH_P
+        )
+        return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+
+    aggs = [
+        F.sum(
+            F.floor(F.col("_v").cast("double") * w(p) * F.lit(1000000.0) + F.lit(0.5))
+        ).alias(f"_s{p}")
+        for p in range(planes)
+    ]
+    sig = ex.groupBy("_id").agg(*aggs)
+    bucket = None
+    for p in range(planes):
+        bit = F.when(F.col(f"_s{p}") >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return sig.select("_id", bucket.cast("int").alias("bucket"))
+
+
+def rp_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    planes: int = 8,
+    multiprobe: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate cosine top-k via random-hyperplane LSH buckets — the
+    TRAIN-FREE ANN scale path next to ``ivf_topk``: no k-means pass, no
+    centroid broadcast, and bucket assignment is a projection (one
+    explode + one groupBy), so ingest-side bucketing streams. Each query
+    scans its own bucket plus, with ``multiprobe``, the ``planes``
+    Hamming-distance-1 buckets (flip one sign bit) — the standard
+    multi-probe recall repair, fanning out the QUERY side only.
+
+    Scale: the corpus is hashed once and joined on the bucket key; the
+    probe frame is queries × (planes + 1) rows — small by the same
+    contract as ``contamination``'s probe set — so the planner
+    broadcasts it and the corpus never shuffles. Candidates per query
+    ≈ (planes + 1)/2^planes of the corpus; raise ``planes`` as the
+    corpus grows to hold the candidate count (b buckets come free —
+    unlike IVF there is no training cost to re-balance).
+
+    Returns (query_id, vec_id, cos_sim, rank ≤ k) — fewer than k rows
+    for a query whose probed buckets hold fewer than k vectors."""
+    corpus = widen(corpus)
+    csig = rp_lsh_signatures(corpus, planes, id_col, vec_col)
+    # scale pin: csig is one row per vector but DESCENDS from posexplode —
+    # the tiny-size-estimate hazard class; merge-pin like _minhash_doc_state
+    bucketed = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).alias("_cvec"),
+        norm(F.col(vec_col)).alias("_cn"),
+    ).join(csig.withColumnRenamed("_id", "vec_id").hint("merge"), "vec_id")
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    qsig = rp_lsh_signatures(q, planes, "query_id", "_qvec").withColumnRenamed(
+        "_id", "query_id"
+    )
+    probe_buckets = (
+        F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(planes)],
+        )
+        if multiprobe
+        else F.array(F.col("bucket"))
+    )
+    probes = q.join(qsig, "query_id").select(
+        "query_id",
+        "_qvec",
+        norm(F.col("_qvec")).alias("_qn"),
+        F.explode(probe_buckets).alias("bucket"),
+    )
+    # no forced broadcast: probes is genuinely small (query-set contract),
+    # so the planner/AQE picks the broadcast on its own — and if a caller
+    # ever feeds a corpus-sized query set, AQE shuffles instead of OOMing
+    d = F.col("_qn") * F.col("_cn")
+    scored = bucketed.join(probes, "bucket").select(
+        "query_id",
+        "vec_id",
+        round6(
+            F.when(d > 0, dot(F.col("_qvec"), F.col("_cvec")) / d).otherwise(F.lit(0.0))
+        ).alias("cos_sim"),
+    )
+    w_ = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos_sim", "rank")
+    )

@@ -111,7 +111,10 @@ PRIORITY_FRESH: list[str] = [
     "doc_type_token_ratio",
     "doc_char_entropy",
     "doc_bigram_perplexity",
-    # events analytics (14 of 26 remaining)
+    # events analytics (13 of 26 remaining; events_bass_diffusion's slot
+    # went to emb_rp_lsh_topk below — the in-round rp_lsh addition
+    # UN-saturated the emb_ family, and the window rule requires every
+    # unsaturated family to hold a slot; bass_diffusion rotates in round 11)
     "events_signal_ic",
     "events_staleness",
     "events_interarrival_sla",
@@ -125,7 +128,9 @@ PRIORITY_FRESH: list[str] = [
     "events_decile_migration",
     "events_mix_shift",
     "events_lateness_profile",
-    "events_bass_diffusion",
+    # embeddings (new this round: the train-free LSH ANN — give the new
+    # family member a driver slot the round it lands)
+    "emb_rp_lsh_topk",
     # relational (7 of 12 remaining)
     "rel_fulfillment_sla",
     "rel_discount_elasticity",

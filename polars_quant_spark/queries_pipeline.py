@@ -12644,6 +12644,137 @@ FROM kan
 )
 
 
+# ---------------------------------------------------------------------------
+# random-hyperplane LSH ANN (similarity.rp_lsh_topk): the TRAIN-FREE bucketed
+# scale path next to IVF — signatures are pure integer-quantized projections
+# (bit-exact in both engines, proven by the shared MH_A/MH_B/MH_P arithmetic),
+# multi-probe flips one sign bit per plane on the QUERY side only.
+# ---------------------------------------------------------------------------
+
+
+def _rp_sig_sql(vec: str, planes: int) -> str:
+    """DuckDB twin of similarity.rp_lsh_signatures: per-plane ±1 weights by
+    the parity of (MH_A[p]·i + MH_B[p]) mod MH_P over 1-based dim index i
+    (Spark uses 0-based pos + 1 — same values), each projection term
+    quantized FLOOR(v·w·1e6 + 0.5) AS BIGINT before the sum, bucket =
+    Σ 2^p over non-negative plane sums."""
+    from polars_quant_spark.operators.dedup import MH_A, MH_B, MH_P
+
+    bits = []
+    for p in range(planes):
+        s = (
+            f"CAST(list_sum(list_transform({vec}, (x, i) -> "
+            f"CAST(FLOOR(CAST(x AS DOUBLE) * (CASE WHEN (({MH_A[p]} * i + {MH_B[p]}) "
+            f"% {MH_P}) % 2 = 0 THEN 1.0 ELSE -1.0 END) * 1000000.0 + 0.5) "
+            f"AS BIGINT))) AS BIGINT)"
+        )
+        bits.append(f"CASE WHEN {s} >= 0 THEN {1 << p} ELSE 0 END")
+    return "(" + " + ".join(bits) + ")"
+
+
+_RP_PLANES = 6
+
+_RP_CTES = f"""
+WITH rp_q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings ORDER BY vec_id LIMIT 8
+),
+rp_csig AS (
+  SELECT vec_id, embedding, {_rp_sig_sql('embedding', _RP_PLANES)} AS bucket
+  FROM embeddings
+),
+rp_probes AS (
+  SELECT query_id, qv,
+         unnest(list_concat([bucket],
+           [{", ".join(f"xor(bucket, {1 << p})" for p in range(_RP_PLANES))}])) AS pbucket
+  FROM (SELECT query_id, qv, {_rp_sig_sql('qv', _RP_PLANES)} AS bucket FROM rp_q)
+),
+rp_ranked AS (
+  SELECT query_id, vec_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+           ORDER BY cos_sim DESC, vec_id) AS INTEGER) AS rank
+  FROM (
+    SELECT p.query_id, c.vec_id,
+           ROUND({_cos_sql('p.qv', 'c.embedding')}, 6) AS cos_sim
+    FROM rp_probes p JOIN rp_csig c ON c.bucket = p.pbucket
+  )
+)
+"""
+
+
+def _rp_queries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+    )
+
+
+def emb_rp_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe random-hyperplane LSH top-5 — every stage deterministic
+    (quantized-integer projections, rank ties broken by vec_id), so bucket
+    assignment AND search have an exact SQL twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.rp_lsh_topk(
+        emb, _rp_queries(spark, sf_dir), k=5, planes=_RP_PLANES
+    )
+
+
+QUERIES["emb_rp_lsh_topk"] = emb_rp_lsh_topk
+ORACLES["emb_rp_lsh_topk"] = (
+    _RP_CTES
+    + """
+SELECT query_id, vec_id, cos_sim, rank FROM rp_ranked WHERE rank <= 5
+"""
+)
+
+
+def emb_rp_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the train-free LSH index vs the exact scan, per query —
+    the quality gauge for picking `planes` as the corpus grows (same
+    protocol as emb_ivf_recall)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = _rp_queries(spark, sf_dir)
+    exact = similarity.cosine_topk(emb, queries, k=5).select("query_id", "vec_id")
+    approx = similarity.rp_lsh_topk(emb, queries, k=5, planes=_RP_PLANES).select(
+        F.col("query_id").alias("_qi"), F.col("vec_id").alias("_vi")
+    )
+    return (
+        exact.join(
+            approx,
+            (exact.query_id == F.col("_qi")) & (exact.vec_id == F.col("_vi")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(r6(F.count("_vi").cast("double") / F.lit(5.0)).alias("recall"))
+        .orderBy("query_id")
+    )
+
+
+QUERIES["emb_rp_lsh_recall"] = emb_rp_lsh_recall
+ORACLES["emb_rp_lsh_recall"] = (
+    _RP_CTES
+    + f""",
+rp_exact AS (
+  SELECT query_id, vec_id FROM (
+    SELECT r.query_id, e.vec_id,
+           ROW_NUMBER() OVER (PARTITION BY r.query_id
+             ORDER BY ROUND({_cos_sql('r.qv', 'e.embedding')}, 6) DESC, e.vec_id) AS rank
+    FROM rp_q r CROSS JOIN embeddings e
+  ) WHERE rank <= 5
+),
+rp_approx AS (
+  SELECT query_id, vec_id FROM rp_ranked WHERE rank <= 5
+)
+SELECT e.query_id,
+       ROUND(CAST(COUNT(a.vec_id) AS DOUBLE) / 5.0, 6) AS recall
+FROM rp_exact e
+LEFT JOIN rp_approx a ON a.query_id = e.query_id AND a.vec_id = e.vec_id
+GROUP BY e.query_id
+"""
+)
+
+
 # Keep the driver's 50-slot capture window intact regardless of which query
 # module was the import entry point (see queries.reorder_registration).
 from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402

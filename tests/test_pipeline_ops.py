@@ -997,3 +997,44 @@ def test_k_anonymize_rejects_bad_args(spark):
         k_anonymize(df, [], k=2)
     with pytest.raises(ValueError):
         k_anonymize(df, ["a"], k=2, mode="redact")
+
+
+# ---------------------------------------------------------------------------
+# rp_lsh (random-hyperplane LSH ANN, operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_rp_lsh_signature_bounds_and_validation(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    sig = similarity.rp_lsh_signatures(emb, planes=5)
+    rows = sig.collect()
+    assert rows and all(0 <= r["bucket"] < 32 for r in rows)
+    with pytest.raises(ValueError):
+        similarity.rp_lsh_signatures(emb, planes=0)
+    with pytest.raises(ValueError):
+        similarity.rp_lsh_signatures(emb, planes=65)
+
+
+def test_rp_lsh_topk_self_query_ranks_first(spark, sf_dir):
+    # A query that IS a corpus vector shares its own bucket (identical
+    # signature), so it must come back as its own rank-1 hit at cos 1.0.
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    top1 = {
+        r["query_id"]: r
+        for r in similarity.rp_lsh_topk(emb, queries, k=3, planes=6)
+        .where(F.col("rank") == 1)
+        .collect()
+    }
+    for qid, r in top1.items():
+        assert r["vec_id"] == qid and r["cos_sim"] == 1.0
+
+
+def test_rp_lsh_multiprobe_never_shrinks_candidates(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    single = similarity.rp_lsh_topk(emb, queries, k=50, planes=6, multiprobe=False)
+    multi = similarity.rp_lsh_topk(emb, queries, k=50, planes=6, multiprobe=True)
+    ns = {r["query_id"]: r["n"] for r in single.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    nm = {r["query_id"]: r["n"] for r in multi.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(nm[q] >= ns.get(q, 0) for q in nm)

@@ -848,6 +848,10 @@ def test_lsh_pipelines_never_broadcast_explode_derived_sides(spark, sf_dir):
         ("simhash_near_dupes", dedup.simhash_near_dupes(docs), 0),
         ("simhash_df", dedup.simhash_df(docs), 0),
         ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs(docs, threshold=0.5), 2),
+        # round-10: delete-one-key blocking — same shape as the shingle
+        # pipelines (key explode → forced skew-cap anti-join on both
+        # self-join sides → merge-pinned pair + name joins)
+        ("token_edit_pairs", dedup.token_edit_pairs(docs), 2),
     ]:
         p = df._jdf.queryExecution().executedPlan().toString()
         sites = [s for s in broadcast_explode_sites(p) if s.startswith("[explode]")]
@@ -856,3 +860,18 @@ def test_lsh_pipelines_never_broadcast_explode_derived_sides(spark, sf_dir):
             f"(triaged: {expect}): {sites[:3]}"
         )
         assert "SortMergeJoin" in p, f"{name}: expected merge-pinned joins"
+
+
+def test_rp_lsh_topk_plan_hygiene(spark, sf_dir):
+    """The train-free LSH path must join corpus↔probes on the bucket key
+    (equi join — never a cartesian/NL pair product), and the signature
+    frame (one row per vector but posexplode-descended, so tiny size
+    estimate) must stay merge-pinned against the corpus."""
+    from polars_quant_spark.operators import similarity
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.limit(4).select(F.col("vec_id").alias("query_id"), "embedding")
+    p = plan(similarity.rp_lsh_topk(emb, queries, k=5, planes=6))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "SortMergeJoin" in p  # the merge-pinned corpus↔signature join

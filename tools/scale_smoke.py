@@ -230,6 +230,17 @@ def main() -> None:
         # — every new package operator gets a scale row the round it lands.
         # The 64x events replica extends per-user histories, so these watch
         # the user-exchange + distribution-collapse shapes directly.
+        # round-10: one-token-edit dedup — the delete-one key explode is a
+        # Σ(n_tokens+1) blow-up whose bucket sizes must track true near-dup
+        # cluster sizes, not corpus size (the rotated-alphabet replicas keep
+        # cross-replica content disjoint, so candidate volume is the honest
+        # per-replica pair count).
+        "token_edit": QUERIES["doc_token_edit_pairs"],
+        "k_anonymize": QUERIES["events_k_anonymized"],
+        # round-10: the train-free LSH ANN — bucket-join candidate volume
+        # must track (planes+1)/2^planes of the corpus, and the signature
+        # explode (rows × dims) is the same cost class as minhash shingles
+        "rp_lsh": QUERIES["emb_rp_lsh_topk"],
         "funnel": QUERIES["events_funnel"],
         "kaplan_meier": QUERIES["events_kaplan_meier"],
         "cohort_ltv": QUERIES["events_cohort_ltv"],

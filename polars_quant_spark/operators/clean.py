@@ -261,7 +261,10 @@ def k_anonymize(
       pipelines that must preserve row counts.
 
     Both modes append ``k_group`` (the group's size) so downstream audits
-    can verify the property without recounting.
+    can verify the property without recounting. Release note: ``k_group``
+    itself reveals cohort sizes (in ``null`` mode including the
+    sub-threshold ones) — drop the column before publication if cohort
+    size is sensitive; it exists for the audit step, not the release.
 
     Scale: group sizes come from one groupBy on the quasi key — map-side
     combined, one shuffle — then a SHUFFLE join back onto the facts

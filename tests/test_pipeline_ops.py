@@ -1038,3 +1038,41 @@ def test_rp_lsh_multiprobe_never_shrinks_candidates(spark, sf_dir):
     ns = {r["query_id"]: r["n"] for r in single.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     nm = {r["query_id"]: r["n"] for r in multi.groupBy("query_id").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert all(nm[q] >= ns.get(q, 0) for q in nm)
+
+
+def test_token_edit_pairs_recall_complete_on_planted_corpus(spark):
+    # Recall-completeness claim, exercised at corpus scale in ONE job:
+    # 60 seeded base docs (12-token, distinct vocabulary per doc) each get
+    # one planted edit-1 variant — substitution, insertion, or deletion by
+    # rotation — and EVERY planted pair must be recovered exactly once.
+    import random
+
+    rng = random.Random(7)
+    rows, expected = [], set()
+    for b in range(60):
+        # no underscores: the shared tokenizer splits on non-alnum, and a
+        # token that splits in two would turn one planted edit into two
+        toks = [f"w{b}x{j}" for j in range(12)]
+        base_id = 2 * b
+        var_id = 2 * b + 1
+        v = list(toks)
+        kind = b % 3
+        pos = rng.randrange(12)
+        if kind == 0:
+            v[pos] = f"sub{b}"
+        elif kind == 1:
+            v.insert(pos, f"ins{b}")
+        else:
+            del v[pos]
+        rows.append((base_id, " ".join(toks)))
+        rows.append((var_id, " ".join(v)))
+        expected.add((base_id, var_id))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.token_edit_pairs(df).collect()
+    }
+    assert expected <= got
+    # per-doc vocabularies are disjoint, so NOTHING beyond the planted
+    # pairs may surface
+    assert got == expected

@@ -154,3 +154,97 @@ def ewma_segmented(
     for piece in pieces[1:]:
         merged = merged.unionByName(piece)
     return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+
+
+def rsi_segmented(
+    df: DataFrame,
+    x: str = "close",
+    p: int = 14,
+    out: str = "rsi",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """Wilder RSI without the one-pandas-frame-per-symbol memory bound —
+    bit-equal to ``with_recurrences(..., Rec(out, "rsi", [x], {"p": p}))``
+    on null-free input (asserted in tests/test_segmented.py).
+
+    RSI is a pure composition of two Wilder RMA scans over row-local
+    transforms: up/dn come from one LAG window (the exchange the pipeline
+    already pays), each RMA runs through ``ewma_segmented`` (α = 1/p —
+    state-carrying segments, executor memory bounded by ``segment_rows``
+    instead of the whole symbol), and the final combine replays the
+    kernel's float sequence exactly: 100·au/(au+ad), ad == 0 → 100
+    (operators/recurrence.py:163 — momentum.rs:506-541 semantics).
+
+    When to use: an exact exponential fold cannot be parallelized WITHIN
+    a symbol (every step depends on the previous), so this does not beat
+    the plain scan on wall while the symbol still fits executor memory —
+    it makes the billion-row symbol FEASIBLE (per-task memory is one
+    segment; wall is n_segments passes, each parallel across symbols).
+    For bounded-lookback chains, ``chunked.with_chunked_windows`` is the
+    wall-clock answer; this is the unbounded-memory-recurrence one
+    (the 256× sequential-history smoke in docs/SCALE.md motivated both)."""
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    d = F.col(x) - F.lag(x).over(w)
+    diffs = (
+        df.withColumn("_d", d)
+        .where(F.col("_d").isNotNull())
+        .withColumn("_up", F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0)))
+        .withColumn("_dn", F.when(F.col("_d") < 0, -F.col("_d")).otherwise(F.lit(0.0)))
+    )
+    au = ewma_segmented(
+        diffs, "_up", p, alpha=1.0 / p, out="_au",
+        partition_by=partition_by, order_by=order_by, segment_rows=segment_rows,
+    )
+    both = ewma_segmented(
+        au, "_dn", p, alpha=1.0 / p, out="_ad",
+        partition_by=partition_by, order_by=order_by, segment_rows=segment_rows,
+    )
+    rsi = F.when(F.col("_ad") == 0.0, F.lit(100.0)).otherwise(
+        F.lit(100.0) * F.col("_au") / (F.col("_au") + F.col("_ad"))
+    )
+    scored = both.select(
+        partition_by, order_by, rsi.alias(out)
+    )
+    return df.join(scored, [partition_by, order_by], "left")
+
+
+def atr_segmented(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    p: int = 14,
+    out: str = "atr",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """ATR = RMA(true range, p) without the per-symbol memory/serial bound —
+    bit-equal to ``with_recurrences(..., Rec(out, "atr", ...))`` on
+    null-free input. True range is row-local given LAG(close)
+    (GREATEST of h−l, |h−prev_c|, |l−prev_c| — the kernel's
+    np.maximum.reduce, exact for any double triple), so one window plus
+    one state-carrying RMA covers it (operators/recurrence.py:195)."""
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    pc = F.lag(close).over(w)
+    # gate on the lag BEFORE greatest: Spark's GREATEST skips NULL operands
+    # (numpy's maximum.reduce propagates NaN), so an ungated first row would
+    # degrade to h−l and poison the RMA seed instead of being dropped
+    tr = F.when(
+        pc.isNotNull(),
+        F.greatest(
+            F.col(high) - F.col(low),
+            F.abs(F.col(high) - pc),
+            F.abs(F.col(low) - pc),
+        ),
+    )
+    rows = df.withColumn("_tr", tr).where(F.col("_tr").isNotNull())
+    res = ewma_segmented(
+        rows, "_tr", p, alpha=1.0 / p, out=out,
+        partition_by=partition_by, order_by=order_by, segment_rows=segment_rows,
+    )
+    return df.join(
+        res.select(partition_by, order_by, out), [partition_by, order_by], "left"
+    )

@@ -110,7 +110,13 @@ PRIORITY_FRESH: list[str] = [
     "doc_field_completeness",
     "doc_type_token_ratio",
     "doc_char_entropy",
-    "doc_bigram_perplexity",
+    # (doc_bigram_perplexity's slot went to ind_rsi_seg_14 — the in-round
+    # segmented-recurrence addition un-saturated the ind_ family; it
+    # rotates in round 11)
+    # indicators (new this round: segmented Wilder recurrences — the
+    # segmented plan gets driver-checked against the SAME recursive-CTE
+    # oracle as the plain scan)
+    "ind_rsi_seg_14",
     # events analytics (13 of 26 remaining; events_bass_diffusion's slot
     # went to emb_rp_lsh_topk below — the in-round rp_lsh addition
     # UN-saturated the emb_ family, and the window rule requires every

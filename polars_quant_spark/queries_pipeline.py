@@ -12775,6 +12775,52 @@ GROUP BY e.query_id
 )
 
 
+# ---------------------------------------------------------------------------
+# Segmented (state-carrying) Wilder recurrences: the few-symbols/long-history
+# escape the 256× sequential smoke motivated (docs/SCALE.md). Each query is
+# BIT-EQUAL to its plain with_recurrences sibling (tests/test_segmented.py),
+# so it reuses that sibling's recursive-CTE oracle VERBATIM — the driver
+# hash-checks the segmented plan against the same SQL that verifies the
+# single-group scan. segment_rows is set low enough that the gate SFs
+# actually cross segment (and checkpoint) boundaries.
+# ---------------------------------------------------------------------------
+
+
+def _rsi_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators.segmented import rsi_segmented
+
+    b = bars(spark, sf_dir)
+    out = rsi_segmented(b, "close", 14, out="rsi_14", segment_rows=512)
+    return out.select("symbol", "t", r6(F.col("rsi_14")).alias("rsi_14"))
+
+
+QUERIES["ind_rsi_seg_14"] = _rsi_segmented_query
+ORACLES["ind_rsi_seg_14"] = ORACLES["ind_rsi_14"]
+
+
+def _atr_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators.segmented import atr_segmented
+
+    b = bars(spark, sf_dir)
+    out = atr_segmented(b, p=14, out="atr_14", segment_rows=512)
+    # NATR is row-local given ATR (kernel: np.where(c != 0, 100·a/c, 0),
+    # recurrence.py:209) — same float sequence, so the two-column
+    # ind_atr_natr_14 oracle applies verbatim
+    natr = F.when(
+        F.col("close") != 0, F.lit(100.0) * F.col("atr_14") / F.col("close")
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("atr_14")).alias("atr_14"),
+        r6(natr).alias("natr_14"),
+    )
+
+
+QUERIES["ind_atr_seg_14"] = _atr_segmented_query
+ORACLES["ind_atr_seg_14"] = ORACLES["ind_atr_natr_14"]
+
+
 # Keep the driver's 50-slot capture window intact regardless of which query
 # module was the import entry point (see queries.reorder_registration).
 from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402

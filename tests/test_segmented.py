@@ -88,3 +88,50 @@ def test_segmented_many_segments_crosses_checkpoint_boundary(spark, tall_df):
     w = {(r["symbol"], r["t"]): r["e"] for r in whole}
     s = {(r["symbol"], r["t"]): r["e"] for r in segd}
     assert w == s
+
+
+def test_rsi_segmented_bit_equal_to_single_group(spark, tall_df):
+    from polars_quant_spark.operators.segmented import rsi_segmented
+
+    whole = (
+        with_recurrences(tall_df, [Rec("r", "rsi", ["close"], {"p": 14})])
+        .select("symbol", "t", "r")
+        .collect()
+    )
+    segd = (
+        rsi_segmented(tall_df, "close", 14, out="r", segment_rows=1000)
+        .select("symbol", "t", "r")
+        .collect()
+    )
+    w = {(r["symbol"], r["t"]): r["r"] for r in whole}
+    s = {(r["symbol"], r["t"]): r["r"] for r in segd}
+    assert set(w) == set(s)
+    diff = [k for k in w if (w[k] is None) != (s[k] is None) or
+            (w[k] is not None and w[k] != s[k])]
+    assert not diff, diff[:5]
+    assert sum(v is not None for v in s.values()) > 2400  # real values, not all-null
+
+
+def test_atr_segmented_bit_equal_to_single_group(spark, tall_df):
+    from polars_quant_spark.operators.segmented import atr_segmented
+
+    hl = tall_df.withColumn("high", F.col("close") * 1.01).withColumn(
+        "low", F.col("close") * 0.99
+    )
+    whole = (
+        with_recurrences(hl, [Rec("a", "atr", ["high", "low", "close"], {"p": 14})])
+        .select("symbol", "t", "a")
+        .collect()
+    )
+    segd = (
+        atr_segmented(hl, p=14, out="a", segment_rows=1000)
+        .select("symbol", "t", "a")
+        .collect()
+    )
+    w = {(r["symbol"], r["t"]): r["a"] for r in whole}
+    s = {(r["symbol"], r["t"]): r["a"] for r in segd}
+    assert set(w) == set(s)
+    diff = [k for k in w if (w[k] is None) != (s[k] is None) or
+            (w[k] is not None and w[k] != s[k])]
+    assert not diff, diff[:5]
+    assert sum(v is not None for v in s.values()) > 2400

@@ -39,6 +39,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
+from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
@@ -146,7 +147,13 @@ def ewma_segmented(
         if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
             res = res.localCheckpoint(eager=False)
         else:
-            res = res.persist()
+            # DISK_ONLY, not the MEMORY_AND_DISK default: each piece is
+            # written once and read at most twice (the seed row for pass
+            # k+1, the final union), and ALL pieces stay pinned until that
+            # union — at 26 segments × a 25.6 M-row corpus the on-heap
+            # copies thrashed the GC (GCLocker retry storms on the 256×
+            # replica) where the spill-to-disk level streams cleanly.
+            res = res.persist(StorageLevel.DISK_ONLY)
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
 

@@ -241,6 +241,13 @@ def main() -> None:
         # must track (planes+1)/2^planes of the corpus, and the signature
         # explode (rows × dims) is the same cost class as minhash shingles
         "rp_lsh": QUERIES["emb_rp_lsh_topk"],
+        # round-10: the custom join family (events-based, content-safe on
+        # the standard replicas) — as-of's union+window single shuffle and
+        # the binned range/interval equi-joins must hold their plan shape
+        # as per-symbol history grows
+        "asof": QUERIES["asof_bars_marks"],
+        "range_join": QUERIES["range_bars_windows"],
+        "interval_join": QUERIES["interval_overlap_bars"],
         "funnel": QUERIES["events_funnel"],
         "kaplan_meier": QUERIES["events_kaplan_meier"],
         "cohort_ltv": QUERIES["events_cohort_ltv"],

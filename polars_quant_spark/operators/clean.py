@@ -276,6 +276,11 @@ def k_anonymize(
         raise ValueError(f"mode must be 'suppress' or 'null', got {mode!r}")
     if not quasi:
         raise ValueError("quasi must name at least one column")
+    if "k_group" in df.columns:
+        raise ValueError(
+            "input already has a k_group column — rename it first (k_anonymize "
+            "appends its audit column under that name)"
+        )
     counts = df.groupBy(*quasi).agg(F.count(F.lit(1)).alias("k_group"))
     cond = None
     for q_ in quasi:

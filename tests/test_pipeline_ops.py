@@ -997,6 +997,8 @@ def test_k_anonymize_rejects_bad_args(spark):
         k_anonymize(df, [], k=2)
     with pytest.raises(ValueError):
         k_anonymize(df, ["a"], k=2, mode="redact")
+    with pytest.raises(ValueError):
+        k_anonymize(df.withColumnRenamed("b", "k_group"), ["a"], k=2)
 
 
 # ---------------------------------------------------------------------------

@@ -72,6 +72,22 @@ def ewma_segmented(
     base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
         "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
     )
+    # base is read n_segments + 2 times (the max-seg action, one slice per
+    # pass, the final join); without materialization every read re-executes
+    # the full upstream lineage — harmless for a raw scan, MULTIPLICATIVE
+    # for chained segmented ops (rsi = 2 chains, adx = 4: pass k of chain c
+    # re-ran chains 1..c-1, and ind_adx_seg_14 took >20 min at sf0.01).
+    # localCheckpoint, not persist: a cache keeps the nested plan, and the
+    # COMPOSED plan text across 4 chains OOM'd the driver in Catalyst's
+    # PlanStringConcat — truncating to a leaf bounds plan size per chain.
+    # DISK_ONLY blocks for the same write-once/read-few reason as the
+    # pieces below (storageLevel kwarg is Spark 4.x; fall back if absent).
+    # AQE-less compilation is safe here: base is one window over the input,
+    # and every downstream join in this operator is merge-pinned.
+    try:
+        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    except TypeError:
+        base = base.localCheckpoint(eager=False)
     last_seg = base.agg(F.max("_seg")).collect()[0][0]
     if last_seg is None:
         return df.withColumn(out, F.lit(None).cast("double"))
@@ -254,4 +270,95 @@ def atr_segmented(
     )
     return df.join(
         res.select(partition_by, order_by, out), [partition_by, order_by], "left"
+    )
+
+
+def adx_family_segmented(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    close: str = "close",
+    p: int = 14,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """The full Wilder DMI/ADX family (±DM, ±DI, DX, ADX, ADXR) without the
+    per-symbol memory bound — bit-equal to the ``with_recurrences`` kernels
+    on null-free input (operators/recurrence.py:216-308, momentum.rs:668-727).
+
+    Composition: up/dn moves and true range are row-local LAG transforms;
+    the three Wilder RMAs (s_pdm, s_mdm, s_tr) run as ONE four-column
+    frame through three ``ewma_segmented`` chains; ±DI and DX are then
+    row-local ratios replaying the kernel's float order (including the
+    warm-row NaN mask — Spark's NULL arithmetic mirrors np.where + mask
+    only if DX is explicitly nulled while s_tr is, which this does);
+    ADX is a fourth state-carrying RMA over the dx-VALID rows (the
+    kernel compacts warm-up NaNs before seeding — filtering before the
+    scan reproduces that compaction exactly); ADXR is a LAG(p−1) average
+    over the full row grid. Adds the seven columns to ``df``.
+
+    Same scale contract as ``rsi_segmented``: memory bounded per
+    segment; wall is sequential passes — use the plain kernels while a
+    symbol fits executor memory."""
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    ph, pl, pc = F.lag(high).over(w), F.lag(low).over(w), F.lag(close).over(w)
+    up_move = F.col(high) - ph
+    dn_move = pl - F.col(low)
+    tr = F.when(
+        pc.isNotNull(),
+        F.greatest(
+            F.col(high) - F.col(low),
+            F.abs(F.col(high) - pc),
+            F.abs(F.col(low) - pc),
+        ),
+    )
+    base = (
+        df.withColumn("_pdm", F.when((up_move > dn_move) & (up_move > 0), up_move).otherwise(F.lit(0.0)))
+        .withColumn("_mdm", F.when((dn_move > up_move) & (dn_move > 0), dn_move).otherwise(F.lit(0.0)))
+        .withColumn("_tr", tr)
+        .where(F.col("_tr").isNotNull())
+    )
+    kw = dict(partition_by=partition_by, order_by=order_by, segment_rows=segment_rows)
+    sm = ewma_segmented(base, "_pdm", p, alpha=1.0 / p, out="_spdm", **kw)
+    sm = ewma_segmented(sm, "_mdm", p, alpha=1.0 / p, out="_smdm", **kw)
+    sm = ewma_segmented(sm, "_tr", p, alpha=1.0 / p, out="_str", **kw)
+    warm = F.col("_str").isNull()
+    pdi = F.when(warm, F.lit(None)).when(
+        F.col("_str") > 0, F.lit(100.0) * F.col("_spdm") / F.col("_str")
+    ).otherwise(F.lit(0.0))
+    mdi = F.when(warm, F.lit(None)).when(
+        F.col("_str") > 0, F.lit(100.0) * F.col("_smdm") / F.col("_str")
+    ).otherwise(F.lit(0.0))
+    scored = sm.withColumn("_pdi", pdi).withColumn("_mdi", mdi)
+    dsum = F.col("_pdi") + F.col("_mdi")
+    dx = F.when(warm, F.lit(None)).when(
+        dsum > 0, F.lit(100.0) * F.abs(F.col("_pdi") - F.col("_mdi")) / dsum
+    ).otherwise(F.lit(0.0))
+    scored = scored.withColumn("_dx", dx)
+    # kernel compaction: ADX's RMA seeds on the first p VALID dx values
+    adxd = ewma_segmented(
+        scored.where(F.col("_dx").isNotNull()), "_dx", p, alpha=1.0 / p,
+        out="_adx", **kw,
+    )
+    cols = [
+        ("_spdm", "plus_dm"), ("_smdm", "minus_dm"), ("_pdi", "plus_di"),
+        ("_mdi", "minus_di"), ("_dx", "dx"),
+    ]
+    out = df.join(
+        scored.select(partition_by, order_by, *[c for c, _ in cols]),
+        [partition_by, order_by],
+        "left",
+    ).join(
+        adxd.select(partition_by, order_by, "_adx"), [partition_by, order_by], "left"
+    )
+    adxr = (F.col("_adx") + F.lag("_adx", p - 1).over(w)) / F.lit(2.0)
+    return (
+        out.withColumn("_adxr", adxr)
+        .select(
+            *df.columns,
+            *[F.col(c).alias(n) for c, n in cols],
+            F.col("_adx").alias("adx"),
+            F.col("_adxr").alias("adxr"),
+        )
     )

@@ -12821,6 +12821,28 @@ QUERIES["ind_atr_seg_14"] = _atr_segmented_query
 ORACLES["ind_atr_seg_14"] = ORACLES["ind_atr_natr_14"]
 
 
+def _adx_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators.segmented import adx_family_segmented
+
+    b = bars(spark, sf_dir)
+    out = adx_family_segmented(b, p=14, segment_rows=512)
+    return out.select(
+        "symbol",
+        "t",
+        r6(F.col("plus_di")).alias("plus_di_14"),
+        r6(F.col("minus_di")).alias("minus_di_14"),
+        r6(F.col("plus_dm")).alias("plus_dm_14"),
+        r6(F.col("minus_dm")).alias("minus_dm_14"),
+        r6(F.col("dx")).alias("dx_14"),
+        r6(F.col("adx")).alias("adx_14"),
+        r6(F.col("adxr")).alias("adxr_14"),
+    )
+
+
+QUERIES["ind_adx_seg_14"] = _adx_segmented_query
+ORACLES["ind_adx_seg_14"] = ORACLES["ind_adx_family_14"]
+
+
 # Keep the driver's 50-slot capture window intact regardless of which query
 # module was the import entry point (see queries.reorder_registration).
 from polars_quant_spark.queries import reorder_registration as _ro  # noqa: E402

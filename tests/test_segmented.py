@@ -135,3 +135,39 @@ def test_atr_segmented_bit_equal_to_single_group(spark, tall_df):
             (w[k] is not None and w[k] != s[k])]
     assert not diff, diff[:5]
     assert sum(v is not None for v in s.values()) > 2400
+
+
+def test_adx_family_segmented_bit_equal_to_single_group(spark, tall_df):
+    from polars_quant_spark.operators.segmented import adx_family_segmented
+
+    hl = tall_df.withColumn("high", F.col("close") * 1.01).withColumn(
+        "low", F.col("close") * 0.99
+    )
+    specs = [
+        Rec("plus_di", "plus_di", ["high", "low", "close"], {"p": 14}),
+        Rec("minus_di", "minus_di", ["high", "low", "close"], {"p": 14}),
+        Rec("plus_dm", "plus_dm", ["high", "low"], {"p": 14}),
+        Rec("minus_dm", "minus_dm", ["high", "low"], {"p": 14}),
+        Rec("dx", "dx", ["high", "low", "close"], {"p": 14}),
+        Rec("adx", "adx", ["high", "low", "close"], {"p": 14}),
+        Rec("adxr", "adxr", ["high", "low", "close"], {"p": 14}),
+    ]
+    names = ["plus_di", "minus_di", "plus_dm", "minus_dm", "dx", "adx", "adxr"]
+    whole = (
+        with_recurrences(hl, specs).select("symbol", "t", *names).collect()
+    )
+    segd = (
+        adx_family_segmented(hl, p=14, segment_rows=1000)
+        .select("symbol", "t", *names)
+        .collect()
+    )
+    w = {(r["symbol"], r["t"]): tuple(r[n] for n in names) for r in whole}
+    s = {(r["symbol"], r["t"]): tuple(r[n] for n in names) for r in segd}
+    assert set(w) == set(s)
+    diff = []
+    for k in w:
+        for a, b, n in zip(w[k], s[k], names):
+            if (a is None) != (b is None) or (a is not None and a != b):
+                diff.append((k, n, a, b))
+    assert not diff, diff[:6]
+    assert sum(v[-2] is not None for v in s.values()) > 2300  # adx populated

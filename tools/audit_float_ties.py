@@ -125,6 +125,9 @@ ALLOW_ALIAS: dict[str, str] = {
     "ind_adx_family_14": "str := AVG(tr) OVER warm-up seed with tr ≥ 0; "
     "str > 0 is the non-negative-sum guard; pdi/mdi feed ROUND'd outputs "
     "and the Wilder recursion (recursive-CTE twin), not flags",
+    "ind_adx_seg_14": "same oracle SQL as ind_adx_family_14 verbatim "
+    "(the segmented query reuses the DMI recursive-CTE twin) — same "
+    "non-negative-sum str > 0 guard rationale",
     "bars_pairs_spread": "sd := STDDEV_POP of integer micro-unit spreads; "
     "sd > 0 flips only if all 60 window values are identical (degenerate); "
     "z is a FLOOR-rounded output, not a filter",

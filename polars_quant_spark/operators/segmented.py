@@ -362,3 +362,108 @@ def adx_family_segmented(
             F.col("_adxr").alias("adxr"),
         )
     )
+
+
+def _chained_emas(
+    df: DataFrame,
+    x: str,
+    p: int,
+    depth: int,
+    partition_by: str,
+    order_by: str,
+    segment_rows: int,
+) -> DataFrame:
+    """Run ``depth`` SMA-seeded EMA scans, each over the previous output's
+    VALID rows — the exact composition of the plain kernels, whose
+    ``_compact_apply`` re-compacts warm-up NaNs before every chained scan.
+    Adds columns _e1.._e{depth}. Viable at any depth because each chain's
+    base is lineage-truncated (the round-10 checkpoint fix — six chains
+    for T3 would otherwise nest six plans multiplicatively)."""
+    cur = df
+    src = x
+    for i in range(1, depth + 1):
+        out = f"_e{i}"
+        cur = ewma_segmented(
+            cur.where(F.col(src).isNotNull()) if i > 1 else cur,
+            src, p, out=out,
+            partition_by=partition_by, order_by=order_by,
+            segment_rows=segment_rows,
+        )
+        src = out
+    return cur
+
+
+def dema_segmented(
+    df: DataFrame,
+    x: str = "close",
+    p: int = 30,
+    out: str = "dema",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """2·EMA − EMA(EMA) without the per-symbol memory bound — bit-equal to
+    ``with_recurrences(..., Rec(out, "dema", ...))`` on null-free input
+    (operators/recurrence.py:91, overlap.rs:543-658). Two state-carrying
+    EMA chains + one row-local combine in the kernel's float order."""
+    ch = _chained_emas(df, x, p, 2, partition_by, order_by, segment_rows)
+    val = F.lit(2.0) * F.col("_e1") - F.col("_e2")
+    return df.join(
+        ch.select(partition_by, order_by, val.alias(out)),
+        [partition_by, order_by],
+        "left",
+    )
+
+
+def tema_segmented(
+    df: DataFrame,
+    x: str = "close",
+    p: int = 30,
+    out: str = "tema",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """3·E1 − 3·E2 + E3, segmented (operators/recurrence.py:98,
+    overlap.rs:1177-1311) — three chains, kernel float order."""
+    ch = _chained_emas(df, x, p, 3, partition_by, order_by, segment_rows)
+    val = F.lit(3.0) * F.col("_e1") - F.lit(3.0) * F.col("_e2") + F.col("_e3")
+    return df.join(
+        ch.select(partition_by, order_by, val.alias(out)),
+        [partition_by, order_by],
+        "left",
+    )
+
+
+def t3_segmented(
+    df: DataFrame,
+    x: str = "close",
+    p: int = 5,
+    vfactor: float = 0.7,
+    out: str = "t3",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """Tillson T3 (SIX chained SMA-seeded EMAs + GD coefficients),
+    segmented (operators/recurrence.py:106, overlap.rs:939-1175). The
+    deepest chain composition in the family — only practical because each
+    chain's base plan is checkpoint-truncated; coefficients are computed
+    in Python doubles, identical to the kernel's."""
+    v = vfactor
+    c1 = -(v ** 3)
+    c2 = 3.0 * v ** 2 + 3.0 * v ** 3
+    c3 = -6.0 * v ** 2 - 3.0 * v - 3.0 * v ** 3
+    c4 = 1.0 + 3.0 * v + v ** 3 + 3.0 * v ** 2
+    ch = _chained_emas(df, x, p, 6, partition_by, order_by, segment_rows)
+    val = (
+        F.lit(c1) * F.col("_e6")
+        + F.lit(c2) * F.col("_e5")
+        + F.lit(c3) * F.col("_e4")
+        + F.lit(c4) * F.col("_e3")
+    )
+    return df.join(
+        ch.select(partition_by, order_by, val.alias(out)),
+        [partition_by, order_by],
+        "left",
+    )

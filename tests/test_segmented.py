@@ -171,3 +171,33 @@ def test_adx_family_segmented_bit_equal_to_single_group(spark, tall_df):
                 diff.append((k, n, a, b))
     assert not diff, diff[:6]
     assert sum(v[-2] is not None for v in s.values()) > 2300  # adx populated
+
+
+@pytest.mark.parametrize(
+    "name,p,fn_name",
+    [("dema", 10, "dema_segmented"), ("tema", 10, "tema_segmented"), ("t3", 5, "t3_segmented")],
+)
+def test_ema_chain_segmented_bit_equal(spark, tall_df, name, p, fn_name):
+    """DEMA (2 chains), TEMA (3) and T3 (6) must equal the plain kernels
+    bit-for-bit — the chained-compaction composition plus the kernel's
+    combine float order, across segment and checkpoint boundaries."""
+    import polars_quant_spark.operators.segmented as seg
+
+    kw = {"p": p} if name != "t3" else {"p": p}
+    whole = (
+        with_recurrences(tall_df, [Rec("v", name, ["close"], kw)])
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    segd = (
+        getattr(seg, fn_name)(tall_df, "close", p=p, out="v", segment_rows=700)
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    w = {(r["symbol"], r["t"]): r["v"] for r in whole}
+    s = {(r["symbol"], r["t"]): r["v"] for r in segd}
+    assert set(w) == set(s)
+    diff = [k for k in w if (w[k] is None) != (s[k] is None) or
+            (w[k] is not None and w[k] != s[k])]
+    assert not diff, diff[:5]
+    assert sum(v is not None for v in s.values()) > 2300

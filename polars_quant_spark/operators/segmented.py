@@ -467,3 +467,139 @@ def t3_segmented(
         [partition_by, order_by],
         "left",
     )
+
+
+def kama_segmented(
+    df: DataFrame,
+    x: str = "close",
+    p: int = 30,
+    out: str = "kama",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """Kaufman adaptive MA without the per-symbol memory bound — bit-equal
+    to ``with_recurrences(..., Rec(out, "kama", ...))`` on null-free input
+    (operators/recurrence.py:123, overlap.rs:732-855).
+
+    KAMA is the family's hardest case: the fold is NONLINEAR
+    (data-dependent smoothing constant) and each step needs the trailing
+    p+1 raw values for the efficiency ratio — a scalar carry alone is not
+    enough. Each continuation pass therefore ships TWO things: the carried
+    accumulator k (marker-row join, as in ``ewma_segmented``) and a p-row
+    HALO of the previous segment's tail (sliced from the SAME checkpointed
+    base — no extra lineage), so every body row can rebuild its exact
+    ER window locally; halo rows are dropped from the output. The
+    continuation replays the kernel's per-step arithmetic verbatim
+    (including the chunked row-wise cumsum volatility and libm ``** 2``),
+    so the composition is bit-exact across segment boundaries.
+
+    Requires ``segment_rows ≥ p + 1`` (the kernel emits nothing for
+    n < p+1, so a p-row segment 0 would diverge from the whole-symbol
+    scan). Same scale contract as the rest of the module: executor memory
+    bounded by segment + halo; wall is n_segments sequential passes."""
+    from polars_quant_spark.operators.recurrence import kama as _kama_dense
+
+    if segment_rows < p + 1:
+        raise ValueError(f"segment_rows ({segment_rows}) must be >= p + 1 ({p + 1})")
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
+    )
+    try:
+        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    except TypeError:
+        base = base.localCheckpoint(eager=False)
+    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    if last_seg is None:
+        return df.withColumn(out, F.lit(None).cast("double"))
+
+    schema = StructType(
+        [
+            df.schema[partition_by],
+            StructField("_rn", LongType()),
+            StructField(out, DoubleType()),
+        ]
+    )
+    fast_sc, slow_sc = 2.0 / 3.0, 2.0 / 31.0
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
+        sym = pdf[partition_by].iloc[0]
+        vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
+        halo_n = int(pdf["_halo"].sum()) if "_halo" in pdf.columns else 0
+        seed = None
+        if "_seed" in pdf.columns:
+            s0 = pdf["_seed"].iloc[0]
+            if s0 is not None and not pd.isna(s0):
+                seed = float(s0)
+        if seed is None or halo_n < p:
+            # pass 0 (or the unreachable lost-seed case, see docstring):
+            # the kernel's own scan over the dense segment
+            res = _kama_dense(vals, p)
+            valid = np.where(~np.isnan(res))[0]
+            k_out = float(res[valid[-1]]) if valid.size else np.nan
+            body = pdf
+        else:
+            n = vals.shape[0]
+            nb = n - halo_n
+            adiff = np.abs(np.diff(vals))
+            vol = np.empty(nb)
+            win = np.lib.stride_tricks.sliding_window_view(adiff, p)
+            step = max(1, 4_000_000 // p)
+            for lo in range(0, nb, step):
+                hi = min(lo + step, nb)
+                vol[lo:hi] = win[lo:hi].cumsum(axis=1)[:, -1]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                er = np.where(vol > 0, np.abs(vals[p:] - vals[:-p]) / vol, 0.0)
+            k = seed
+            res = np.empty(nb)
+            for j in range(nb):
+                sc = (er[j] * (fast_sc - slow_sc) + slow_sc) ** 2
+                k = k + sc * (vals[p + j] - k)
+                res[j] = k
+            k_out = float(k) if nb else seed
+            body = pdf.iloc[halo_n:]
+        bdf = pd.DataFrame(
+            {
+                partition_by: body[partition_by],
+                "_rn": body["_rn"].astype("int64"),
+                out: res,
+            }
+        )
+        mark = pd.DataFrame({partition_by: [sym], "_rn": [-1], out: [k_out]})
+        return pd.concat([bdf, mark], ignore_index=True)
+
+    s_rows = segment_rows
+    pieces: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for k in range(int(last_seg) + 1):
+        lo = k * s_rows
+        if k == 0:
+            seg = base.where(F.col("_seg") == 0).select(
+                partition_by, "_rn", x, F.lit(0).alias("_halo")
+            )
+        else:
+            seg = base.where(
+                (F.col("_rn") > lo - p) & (F.col("_rn") <= lo + s_rows)
+            ).select(
+                partition_by, "_rn", x,
+                F.when(F.col("_rn") <= lo, 1).otherwise(0).alias("_halo"),
+            )
+        if prev is not None:
+            seeds_df = prev.where(F.col("_rn") == -1).select(
+                partition_by, F.col(out).alias("_seed")
+            )
+            seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
+        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
+            res = res.localCheckpoint(eager=False)
+        else:
+            res = res.persist(StorageLevel.DISK_ONLY)
+        pieces.append(res.where(F.col("_rn") >= 0))
+        prev = res
+
+    merged = pieces[0]
+    for piece in pieces[1:]:
+        merged = merged.unionByName(piece)
+    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")

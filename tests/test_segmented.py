@@ -201,3 +201,32 @@ def test_ema_chain_segmented_bit_equal(spark, tall_df, name, p, fn_name):
             (w[k] is not None and w[k] != s[k])]
     assert not diff, diff[:5]
     assert sum(v is not None for v in s.values()) > 2300
+
+
+def test_kama_segmented_bit_equal_and_guard(spark, tall_df):
+    """KAMA (nonlinear fold + trailing-p ER window) must equal the plain
+    kernel bit-for-bit — the state+halo continuation replays the kernel's
+    per-step arithmetic across segment AND checkpoint boundaries — and the
+    p-row-segment divergence case must be rejected up front."""
+    from polars_quant_spark.operators.segmented import kama_segmented
+
+    whole = (
+        with_recurrences(tall_df, [Rec("v", "kama", ["close"], {"p": 10})])
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    for seg_rows in (700, 137):  # 4 and 19 segments on FAT: crosses checkpoints
+        segd = (
+            kama_segmented(tall_df, "close", p=10, out="v", segment_rows=seg_rows)
+            .select("symbol", "t", "v")
+            .collect()
+        )
+        w = {(r["symbol"], r["t"]): r["v"] for r in whole}
+        s = {(r["symbol"], r["t"]): r["v"] for r in segd}
+        assert set(w) == set(s)
+        diff = [k for k in w if (w[k] is None) != (s[k] is None) or
+                (w[k] is not None and w[k] != s[k])]
+        assert not diff, (seg_rows, diff[:5])
+        assert sum(v is not None for v in s.values()) > 2400
+    with pytest.raises(ValueError):
+        kama_segmented(tall_df, "close", p=10, segment_rows=10)

@@ -528,6 +528,22 @@ def kama_segmented(
         sym = pdf[partition_by].iloc[0]
         vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
         halo_n = int(pdf["_halo"].sum()) if "_halo" in pdf.columns else 0
+        if halo_n and halo_n == len(pdf):
+            # Halo-only group (ADVICE r10, high): a symbol whose total row
+            # count lands in the halo window (lo-p, lo] of this segment
+            # boundary — uneven symbol lengths. Every row here was already
+            # emitted by the previous pass's body and no body rows remain;
+            # the dense fallback would re-emit the halo rows as NaN
+            # duplicates (halo_n < p) and the continuation path would crash
+            # sliding_window_view (halo_n == p, nb == 0). Emit nothing: no
+            # later segment slices this symbol, so no marker is needed.
+            return pd.DataFrame(
+                {
+                    partition_by: pdf[partition_by].iloc[:0],
+                    "_rn": pdf["_rn"].iloc[:0].astype("int64"),
+                    out: np.empty(0, dtype="float64"),
+                }
+            )
         seed = None
         if "_seed" in pdf.columns:
             s0 = pdf["_seed"].iloc[0]

@@ -192,3 +192,79 @@ def test_window_proposal_saturation_pads_to_fifty(tmp_path, monkeypatch):
         assert sim[k]["first_green"] is not None
     pad_seen = [sim[k]["last_seen"] for k in carry[len(CANARIES):]]
     assert pad_seen == sorted(pad_seen)
+
+
+def _simulate_ledger(monkeypatch, tmp_path, sim: dict) -> None:
+    sim_path = tmp_path / "coverage_ledger.json"
+    sim_path.write_text(json.dumps(sim))
+    real_open = open
+    monkeypatch.setattr(
+        "builtins.open",
+        lambda p, *a, **kw: real_open(
+            sim_path if str(p).endswith("coverage_ledger.json") else p, *a, **kw
+        ),
+    )
+
+
+def test_window_proposal_full_saturation(tmp_path, monkeypatch):
+    """The steady state from round 12 on: the never-verified pool is EMPTY.
+    The proposal must still emit exactly 50 slots, spending every non-canary
+    slot on the stalest ledger-green names (ascending last_seen, then
+    registration order) so each query re-proves within ~9 rounds."""
+    from tools import propose_window as pw
+    from tools.propose_window import CANARIES, WINDOW
+
+    ledger = _ledger()
+    sim = {
+        k: {"first_green": 1, "last_green": True, "last_seen": (i % 11) + 1}
+        for i, k in enumerate(sorted(ledger))
+    }
+    _simulate_ledger(monkeypatch, tmp_path, sim)
+    carry, fresh = pw.propose()
+    assert fresh == []  # nothing never-verified, nothing red
+    assert len(carry) == WINDOW
+    assert carry[: len(CANARIES)] == CANARIES
+    pads = carry[len(CANARIES):]
+    assert len(pads) == len(set(pads)) == WINDOW - len(CANARIES)
+    pad_seen = [sim[k]["last_seen"] for k in pads]
+    assert pad_seen == sorted(pad_seen)
+    # the pads are THE stalest: no non-canary green outside the pad set may
+    # be strictly staler than the newest pad
+    newest_pad = max(pad_seen)
+    outside = [
+        k for k in sim if k not in set(carry) and k not in CANARIES
+    ]
+    assert all(sim[k]["last_seen"] >= newest_pad for k in outside) or min(
+        sim[k]["last_seen"] for k in outside
+    ) == newest_pad  # ties at the boundary are allowed either side
+
+
+def test_post_saturation_staleness_bound():
+    """Once the never-verified pool is empty (round 12+ steady state), the
+    stalest-first pad rotation guarantees every rotating query re-proves
+    within ceil(n_rotating / pad_slots) rounds. Assert the live ledger
+    honors a one-round slack over that bound; inactive (skipped) while any
+    never-verified names remain, so the test cannot fire during the
+    saturation ramp."""
+    import math
+
+    import pytest
+
+    ledger = _ledger()
+    never = [k for k in QUERIES if ledger[k]["first_green"] is None]
+    if never:
+        pytest.skip(f"pool not yet saturated ({len(never)} never-verified)")
+    pad_slots = 50 - len(PRIORITY_CARRYOVERS[:5])
+    rotating = [k for k in QUERIES if k not in PRIORITY_CARRYOVERS[:5]]
+    bound = math.ceil(len(rotating) / pad_slots) + 1  # one round of slack
+    current = max(v["last_seen"] for v in ledger.values() if v["last_seen"])
+    stale = [
+        k
+        for k in rotating
+        if ledger[k]["last_seen"] is not None
+        and current - ledger[k]["last_seen"] > bound
+    ]
+    assert not stale, (
+        f"queries unverified for more than {bound} rounds: {stale[:8]} — "
+        "the stalest-first pad rotation is not being applied"
+    )

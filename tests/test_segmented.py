@@ -230,3 +230,47 @@ def test_kama_segmented_bit_equal_and_guard(spark, tall_df):
         assert sum(v is not None for v in s.values()) > 2400
     with pytest.raises(ValueError):
         kama_segmented(tall_df, "close", p=10, segment_rows=10)
+
+
+def test_kama_segmented_uneven_lengths_at_halo_boundary(spark):
+    """ADVICE r10 (high): symbols whose TOTAL row count lands inside (or
+    exactly at) a later segment boundary's halo window (lo-p, lo] used to
+    (a) duplicate their tail rows with NaN via the dense fallback when the
+    group held only halo rows (halo_n < p), and (b) crash
+    sliding_window_view when the length hit the boundary exactly
+    (halo_n == p, nb == 0). Repro shape from the advice: segment_rows=100,
+    p=10, MID=95 (inside segment-1's halo window), EDGE=100 (exactly at
+    the boundary), EDGE2=195 (inside segment-2's halo window), FAT=250
+    (drives last_seg to 2 so both later slices run)."""
+    from polars_quant_spark.operators.segmented import kama_segmented
+
+    rng = np.random.default_rng(11)
+    frames = []
+    for sym, n in [("FAT", 250), ("MID", 95), ("EDGE", 100), ("EDGE2", 195)]:
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "t": np.arange(n),
+                    "close": 100.0 + np.cumsum(rng.normal(0, 1, n)),
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    whole = (
+        with_recurrences(df, [Rec("v", "kama", ["close"], {"p": 10})])
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    segd = (
+        kama_segmented(df, "close", p=10, out="v", segment_rows=100)
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    assert len(segd) == 250 + 95 + 100 + 195  # no duplicated (symbol, t)
+    w = {(r["symbol"], r["t"]): r["v"] for r in whole}
+    s = {(r["symbol"], r["t"]): r["v"] for r in segd}
+    assert set(w) == set(s) and len(s) == len(segd)
+    diff = [k for k in w if (w[k] is None) != (s[k] is None) or
+            (w[k] is not None and w[k] != s[k])]
+    assert not diff, diff[:5]

@@ -224,7 +224,12 @@ def minhash_dedup_pairs(
     Scale note: the per-doc shingle array is bounded by document length
     (a 1 M-token document carries a ~20 MB array row). For extreme-length
     corpora verify on exploded rows instead (``ngram_jaccard_pairs`` keeps
-    that shape)."""
+    that shape).
+
+    Cache hygiene: the per-doc state frame is persisted internally and
+    feeds the returned lazy result, so the pin cannot be dropped here; in
+    a long-lived session running many corpus passes, consume the result
+    inside ``session.released(spark)`` to release it (ADVICE r10)."""
     from polars_quant_spark.functions._util import round6
 
     hs = [f"h{i}" for i in range(num_hashes)]
@@ -655,6 +660,11 @@ def token_edit_pairs(
     applied identically in the DuckDB twin. The pair self-join is
     merge-pinned: both sides descend from the key explode, the hazard
     class that must never broadcast (see ``_lsh_candidates_from_sig``).
+
+    Cache hygiene: the exploded key frame is persisted internally and
+    feeds the returned lazy result; in a long-lived session consume the
+    result inside ``session.released(spark)`` to drop the pin (ADVICE
+    r10).
     """
     toks = tokens(text)
     n = F.size(toks)

@@ -32,6 +32,11 @@ are huge.
 Constraints: ``segment_rows ≥ p`` (so the SMA seed always completes inside
 segment 0) and null-free input (compact/filter upstream; a null inside a
 continuation would shift the fold).
+
+Cache hygiene: every operator here pins its continuation pieces
+(DISK_ONLY persist / localCheckpoint) because they feed the returned lazy
+frame; the pins live for the session unless the caller consumes the
+result inside ``session.released(spark)`` (ADVICE r10).
 """
 
 from __future__ import annotations

@@ -1074,13 +1074,22 @@ def rp_lsh_signatures(
     class) feeding ``planes`` codegen'd multiply-add sums in ONE
     map-side-combined groupBy; no training pass, no centroid collect,
     no driver state — the train-free sibling of ``ivf_topk``'s
-    bucketing."""
+    bucketing.
+
+    Degenerate vectors (NULL or zero-length ``vec_col``) keep a row:
+    ``posexplode_outer`` emits one NULL element for them, the per-plane
+    micro-unit sum is then NULL, and every ``_s{p} >= 0`` bit test falls
+    through to 0 — bucket 0, matching the DuckDB twin where
+    ``list_sum`` over an empty list is NULL and the CASE maps it to 0
+    (ADVICE r10: plain ``posexplode`` silently DROPPED such vectors,
+    diverging from the oracle)."""
     from polars_quant_spark.operators.dedup import MH_A, MH_B, MH_P
 
     if not 0 < planes <= len(MH_A):
         raise ValueError(f"planes must be in 1..{len(MH_A)}, got {planes}")
     ex = df.select(
-        F.col(id_col).alias("_id"), F.posexplode(F.col(vec_col)).alias("_d", "_v")
+        F.col(id_col).alias("_id"),
+        F.posexplode_outer(F.col(vec_col)).alias("_d", "_v"),
     )
 
     def w(p: int) -> Column:

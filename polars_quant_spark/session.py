@@ -9,6 +9,8 @@ partition count that AQE can shrink.
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
+from typing import Iterator
 
 from pyspark.sql import SparkSession
 
@@ -37,3 +39,39 @@ def get_spark(app_name: str = "polars_quant_spark", shuffle_partitions: int | No
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     return builder.getOrCreate()
+
+
+@contextmanager
+def released(spark: SparkSession) -> Iterator[None]:
+    """Release every cache pin CREATED inside the block when it exits.
+
+    Several operators persist internal frames that feed the lazy result
+    they return (``dedup.minhash_dedup_pairs``/``token_edit_pairs`` pin
+    their exploded key frames; ``segmented.*`` pins each continuation
+    piece DISK_ONLY) — the pin is load-bearing while the result is being
+    computed, but the caller holds no handle to it, so in a long-lived
+    session running many corpus passes the blocks accumulate for the
+    session lifetime (ADVICE r10). Wrap the construction AND the final
+    action in ``released(spark)`` and the pins are dropped on exit::
+
+        with released(spark):
+            pairs = token_edit_pairs(docs)
+            pairs.write.parquet(out)          # fully consume inside
+
+    Implementation: snapshot the persistent-RDD id set on entry and
+    unpersist (non-blocking) every id that is new on exit. Pre-existing
+    pins are untouched, so nesting and interleaving with caller-managed
+    caches is safe. The one contract: CONSUME the result inside the
+    block — localCheckpoint pins truncate lineage, so touching a frame
+    after its pins are dropped recomputes from a plan that no longer
+    exists. (Coarser alternative: ``spark.catalog.clearCache()``, which
+    drops caller pins too.)"""
+    jsc = spark.sparkContext._jsc
+    before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+    try:
+        yield
+    finally:
+        live = jsc.getPersistentRDDs()
+        for rid in [int(i) for i in live.keySet().toArray()]:
+            if rid not in before:
+                live.get(rid).unpersist(False)

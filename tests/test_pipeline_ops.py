@@ -1017,6 +1017,22 @@ def test_rp_lsh_signature_bounds_and_validation(spark, sf_dir):
         similarity.rp_lsh_signatures(emb, planes=65)
 
 
+def test_rp_lsh_signatures_keep_degenerate_vectors(spark):
+    """ADVICE r10: an empty (or NULL) embedding must not vanish from the
+    signature frame — posexplode_outer keeps one row and the NULL
+    micro-unit sum maps every sign bit to 0 (bucket 0), matching the
+    DuckDB twin's list_sum(empty)=NULL -> CASE -> 0 behavior."""
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125]), (2, []), (3, None)],
+        "vec_id int, embedding array<double>",
+    )
+    rows = {r["_id"]: r["bucket"] for r in
+            similarity.rp_lsh_signatures(df, planes=4).collect()}
+    assert set(rows) == {1, 2, 3}
+    assert rows[2] == 0 and rows[3] == 0
+    assert 0 <= rows[1] < 16
+
+
 def test_rp_lsh_topk_self_query_ranks_first(spark, sf_dir):
     # A query that IS a corpus vector shares its own bucket (identical
     # signature), so it must come back as its own rank-1 hit at cos 1.0.

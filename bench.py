@@ -35,6 +35,14 @@ from polars_quant_spark.sources.bars import bars, load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# Clean-box reference for the noop sentinel (VERDICT r10 #5): the builder's
+# unloaded-box best-of-3 range-sum on this 32-thread container. The driver's
+# BENCH runs land on a box under unknown concurrent load; value_normalized
+# = value / (noop_s / NOOP_REF_S) mechanically backs that ambient factor out
+# (r10 adjudication: driver noop_s 0.208 vs builder 0.135 explained the
+# entire 13.2 s-vs-8.7 s total drift). Re-pin only from a quiet box.
+NOOP_REF_S = 0.135
+
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings",
@@ -321,6 +329,12 @@ def main() -> None:
                 "queries": timings,
                 "sf": float(sf),
                 "noop_s": round(noop, 3),
+                "noop_ref_s": NOOP_REF_S,
+                # ambient-corrected total: raw total divided by the CPU-side
+                # ambient factor the noop sentinel measures on THIS run
+                "value_normalized": round(
+                    sum(timings.values()) / (noop / NOOP_REF_S), 3
+                ),
                 "duckdb_ref_s": round(duck, 3) if duck is not None else None,
                 "timing": "best of 3 reps per query (steady-state)",
                 "layout": "16-way re-laid parquet cache of the driver tables (same data)",

@@ -624,3 +624,444 @@ def kama_segmented(
     for piece in pieces[1:]:
         merged = merged.unionByName(piece)
     return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+
+
+# ---------------------------------------------------------------------------
+# Parabolic SAR family (the last with_recurrences kernels without a
+# memory-bounded escape — VERDICT r10 #3)
+# ---------------------------------------------------------------------------
+
+
+class _SarParams:
+    """Step-rule constants shared by the SAR/SAREXT scans. Plain SAR is
+    SAREXT with symmetric schedules, offset 0 and unsigned output:
+    ``ep * (1.0 + 0.0)`` is ``ep * 1.0`` which IEEE-754 guarantees equals
+    ``ep`` bit-for-bit, so one scan serves both kernels verbatim."""
+
+    __slots__ = (
+        "startvalue", "offset", "init_long", "inc_long", "max_long",
+        "init_short", "inc_short", "max_short", "signed",
+    )
+
+    def __init__(self, startvalue, offset, init_long, inc_long, max_long,
+                 init_short, inc_short, max_short, signed):
+        self.startvalue = startvalue
+        self.offset = offset
+        self.init_long = init_long
+        self.inc_long = inc_long
+        self.max_long = max_long
+        self.init_short = init_short
+        self.inc_short = inc_short
+        self.max_short = max_short
+        self.signed = signed
+
+
+def _sar_scan(hh, ll, state, i0, p):
+    """Replay ``recurrence.sar``/``sarext`` iterations ``i0..n-1`` from an
+    optional carried state (operators/recurrence.py:398,639 — identical
+    per-step arithmetic and branch order). ``state`` is (long, s, ep, af)
+    at the end of the previous iteration; None means segment 0, where the
+    kernel's own trend seeding runs (startvalue sign for SAREXT, bar-1
+    range comparison otherwise) and the loop starts at i=1. Returns
+    (out, state_out); state_out is None only when n < 2 on segment 0 (the
+    kernel emits nothing there)."""
+    n = hh.shape[0]
+    out = np.full(n, np.nan)
+    if state is None:
+        if n < 2:
+            return out, None
+        if p.startvalue > 0:
+            long_, s = True, p.startvalue
+        elif p.startvalue < 0:
+            long_, s = False, -p.startvalue
+        else:
+            long_ = (hh[1] - hh[0]) >= (ll[0] - ll[1])
+            s = ll[0] if long_ else hh[0]
+        ep = hh[1] if long_ else ll[1]
+        af = p.init_long if long_ else p.init_short
+        i0 = 1
+    else:
+        long_, s, ep, af = state
+    for i in range(i0, n):
+        s = s + af * (ep - s)
+        if long_:
+            s = min(s, ll[i - 1], ll[max(i - 2, 0)])
+            if ll[i] < s:  # reverse to short
+                s = ep * (1.0 + p.offset)
+                ep = ll[i]
+                af = p.init_short
+                long_ = False
+            elif hh[i] > ep:
+                ep = hh[i]
+                af = min(af + p.inc_long, p.max_long)
+        else:
+            s = max(s, hh[i - 1], hh[max(i - 2, 0)])
+            if hh[i] > s:  # reverse to long
+                s = ep * (1.0 - p.offset)
+                ep = hh[i]
+                af = p.init_long
+                long_ = True
+            elif ll[i] < ep:
+                ep = ll[i]
+                af = min(af + p.inc_short, p.max_short)
+        out[i] = (s if long_ else -s) if p.signed else s
+    return out, (long_, s, ep, af)
+
+
+def _sar_family_segmented(
+    df: DataFrame,
+    high: str,
+    low: str,
+    p: _SarParams,
+    out: str,
+    partition_by: str,
+    order_by: str,
+    segment_rows: int,
+) -> DataFrame:
+    """Shared state+halo plumbing for ``sar_segmented``/``sarext_segmented``
+    (the ``kama_segmented`` pattern). The SAR fold is a 4-tuple state
+    machine — (long, s, ep, af) — whose clamp reads the trailing TWO bars'
+    high/low, so each continuation pass ships:
+
+    * the carried state on FOUR marker rows (_rn −1..−4 = long/s/ep/af —
+      the ewma marker generalized; pivoted back to columns by a per-symbol
+      aggregate that rides the same symbol-key exchange the next pass's
+      groupBy needs), and
+    * a 2-row halo of the previous segment's tail (sliced from the SAME
+      checkpointed base), so steps at the boundary rebuild their exact
+      ``ll[i-1], ll[i-2]`` clamp window locally; halo rows are dropped
+      from the output.
+
+    Halo-only groups (symbols whose total length lands in (lo-2, lo]) are
+    excluded the same way as kama_segmented's ADVICE-r10 fix: every such
+    row was already emitted by the previous pass. Same scale contract as
+    the module: executor memory bounded by segment + halo; wall is
+    n_segments sequential passes."""
+    if segment_rows < 2:
+        raise ValueError(f"segment_rows ({segment_rows}) must be >= 2")
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
+    )
+    try:
+        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    except TypeError:
+        base = base.localCheckpoint(eager=False)
+    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    if last_seg is None:
+        return df.withColumn(out, F.lit(None).cast("double"))
+
+    schema = StructType(
+        [
+            df.schema[partition_by],
+            StructField("_rn", LongType()),
+            StructField(out, DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
+        sym = pdf[partition_by].iloc[0]
+        halo_n = int(pdf["_halo"].sum()) if "_halo" in pdf.columns else 0
+        if halo_n and halo_n == len(pdf):
+            # halo-only group: symbol ended at/inside this boundary's halo
+            # window — previous pass emitted everything (see kama_segmented)
+            return pd.DataFrame(
+                {
+                    partition_by: pdf[partition_by].iloc[:0],
+                    "_rn": pdf["_rn"].iloc[:0].astype("int64"),
+                    out: np.empty(0, dtype="float64"),
+                }
+            )
+        hh = pdf[high].to_numpy(dtype="float64", na_value=np.nan)
+        ll = pdf[low].to_numpy(dtype="float64", na_value=np.nan)
+        state = None
+        if "_ss" in pdf.columns:
+            sv = pdf["_ss"].iloc[0]
+            if sv is not None and not pd.isna(sv):
+                state = (
+                    bool(pdf["_sl"].iloc[0]),
+                    float(sv),
+                    float(pdf["_sep"].iloc[0]),
+                    float(pdf["_saf"].iloc[0]),
+                )
+        if state is None:
+            # pass 0 (or the unreachable lost-seed case): kernel seeding
+            res, st_out = _sar_scan(hh, ll, None, 1, p)
+            body = pdf
+        else:
+            res_full, st_out = _sar_scan(hh, ll, state, halo_n, p)
+            res = res_full[halo_n:]
+            body = pdf.iloc[halo_n:]
+        bdf = pd.DataFrame(
+            {
+                partition_by: body[partition_by],
+                "_rn": body["_rn"].astype("int64"),
+                out: res,
+            }
+        )
+        lg, s, ep, af = st_out if st_out is not None else (
+            np.nan, np.nan, np.nan, np.nan
+        )
+        mark = pd.DataFrame(
+            {
+                partition_by: [sym] * 4,
+                "_rn": [-1, -2, -3, -4],
+                out: [float(lg), s, ep, af],
+            }
+        )
+        return pd.concat([bdf, mark], ignore_index=True)
+
+    s_rows = segment_rows
+    pieces: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for k in range(int(last_seg) + 1):
+        lo = k * s_rows
+        if k == 0:
+            seg = base.where(F.col("_seg") == 0).select(
+                partition_by, "_rn", high, low, F.lit(0).alias("_halo")
+            )
+        else:
+            seg = base.where(
+                (F.col("_rn") > lo - 2) & (F.col("_rn") <= lo + s_rows)
+            ).select(
+                partition_by, "_rn", high, low,
+                F.when(F.col("_rn") <= lo, 1).otherwise(0).alias("_halo"),
+            )
+        if prev is not None:
+            # pivot the 4 marker rows back to columns; the aggregate's
+            # symbol-key exchange is the one the groupBy needs anyway,
+            # and the join stays merge-pinned (AQE-less subtree — the
+            # explode-estimate hazard class, see ewma_segmented)
+            seeds_df = (
+                prev.where(F.col("_rn") < 0)
+                .groupBy(partition_by)
+                .agg(
+                    F.max(F.when(F.col("_rn") == -1, F.col(out))).alias("_sl"),
+                    F.max(F.when(F.col("_rn") == -2, F.col(out))).alias("_ss"),
+                    F.max(F.when(F.col("_rn") == -3, F.col(out))).alias("_sep"),
+                    F.max(F.when(F.col("_rn") == -4, F.col(out))).alias("_saf"),
+                )
+            )
+            seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
+        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
+            res = res.localCheckpoint(eager=False)
+        else:
+            res = res.persist(StorageLevel.DISK_ONLY)
+        pieces.append(res.where(F.col("_rn") >= 0))
+        prev = res
+
+    merged = pieces[0]
+    for piece in pieces[1:]:
+        merged = merged.unionByName(piece)
+    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+
+
+def sar_segmented(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    acceleration: float = 0.02,
+    maximum: float = 0.2,
+    out: str = "sar",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """Parabolic SAR without the per-symbol memory bound — bit-equal to
+    ``with_recurrences(..., Rec(out, "sar", [high, low], ...))`` on
+    null-free input (operators/recurrence.py:398; asserted in
+    tests/test_segmented.py across segment AND checkpoint boundaries)."""
+    p = _SarParams(
+        0.0, 0.0,
+        acceleration, acceleration, maximum,
+        acceleration, acceleration, maximum,
+        signed=False,
+    )
+    return _sar_family_segmented(
+        df, high, low, p, out, partition_by, order_by, segment_rows
+    )
+
+
+def sarext_segmented(
+    df: DataFrame,
+    high: str = "high",
+    low: str = "low",
+    startvalue: float = 0.0,
+    offsetonreverse: float = 0.0,
+    accelerationinitlong: float = 0.02,
+    accelerationlong: float = 0.02,
+    accelerationmaxlong: float = 0.2,
+    accelerationinitshort: float = 0.02,
+    accelerationshort: float = 0.02,
+    accelerationmaxshort: float = 0.2,
+    out: str = "sarext",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """Extended parabolic SAR, segmented — bit-equal to
+    ``with_recurrences(..., Rec(out, "sarext", [high, low], ...))`` on
+    null-free input (operators/recurrence.py:639). ``startvalue`` applies
+    only on segment 0, exactly as in the kernel."""
+    p = _SarParams(
+        startvalue, offsetonreverse,
+        accelerationinitlong, accelerationlong, accelerationmaxlong,
+        accelerationinitshort, accelerationshort, accelerationmaxshort,
+        signed=True,
+    )
+    return _sar_family_segmented(
+        df, high, low, p, out, partition_by, order_by, segment_rows
+    )
+
+
+# ---------------------------------------------------------------------------
+# Integer-lattice (quantized) EMA / MACD trio — closing the second r10
+# segmented non-goal (VERDICT r10 #3)
+# ---------------------------------------------------------------------------
+
+
+def ewma_q_segmented(
+    df: DataFrame,
+    x: str,
+    alpha: float,
+    seed_n: int,
+    out: str = "ema_q",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """INTEGER-LATTICE exponential scan (``recurrence._ewma_q``: every step
+    re-quantizes with floor(x + 0.5)), segmented. Bit-equal by the same
+    argument as ``ewma_segmented`` — a strict left fold resumed from its
+    carried accumulator replays identical ops — but here the argument is
+    even stronger: the carried state is an INTEGER (exact in a double up
+    to 2⁵³), so the continuation is engine- and segmentation-invariant by
+    construction. Input must be integer-valued micro-units as doubles
+    (floor(v·1e6 + 0.5)); output is integer-valued micro-units."""
+    import math
+
+    if segment_rows < seed_n:
+        raise ValueError(
+            f"segment_rows ({segment_rows}) must be >= seed_n ({seed_n})"
+        )
+    from polars_quant_spark.operators.recurrence import _ewma_q
+
+    a = float(alpha)
+    b = 1.0 - a
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
+    )
+    try:
+        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    except TypeError:
+        base = base.localCheckpoint(eager=False)
+    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    if last_seg is None:
+        return df.withColumn(out, F.lit(None).cast("double"))
+
+    schema = StructType(
+        [
+            df.schema[partition_by],
+            StructField("_rn", LongType()),
+            StructField(out, DoubleType()),
+        ]
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
+        sym = pdf[partition_by].iloc[0]
+        vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
+        s = None
+        if "_seed" in pdf.columns:
+            s0 = pdf["_seed"].iloc[0]
+            if s0 is not None and not pd.isna(s0):
+                s = float(s0)
+        if s is None:
+            res = _ewma_q(vals, a, seed_n)
+            valid = np.where(~np.isnan(res))[0]
+            s_out = float(res[valid[-1]]) if valid.size else np.nan
+        else:
+            n = vals.shape[0]
+            res = np.empty(n)
+            for i in range(n):
+                s = math.floor(b * s + a * float(vals[i]) + 0.5)
+                res[i] = s
+            s_out = float(s)
+        body = pd.DataFrame(
+            {
+                partition_by: pdf[partition_by],
+                "_rn": pdf["_rn"].astype("int64"),
+                out: res,
+            }
+        )
+        mark = pd.DataFrame({partition_by: [sym], "_rn": [-1], out: [s_out]})
+        return pd.concat([body, mark], ignore_index=True)
+
+    pieces: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for k in range(int(last_seg) + 1):
+        seg = base.where(F.col("_seg") == k).select(partition_by, "_rn", x)
+        if prev is not None:
+            seeds_df = prev.where(F.col("_rn") == -1).select(
+                partition_by, F.col(out).alias("_seed")
+            )
+            seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
+        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
+            res = res.localCheckpoint(eager=False)
+        else:
+            res = res.persist(StorageLevel.DISK_ONLY)
+        pieces.append(res.where(F.col("_rn") >= 0))
+        prev = res
+
+    merged = pieces[0]
+    for piece in pieces[1:]:
+        merged = merged.unionByName(piece)
+    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+
+
+def macd_q_segmented(
+    df: DataFrame,
+    x: str = "_cm",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    dif_out: str = "macd_dif",
+    dea_out: str = "macd_dea",
+    hist_out: str = "macd_hist",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """Quantized MACD trio without the per-symbol memory bound — bit-equal
+    to ``with_recurrences(..., Rec([...], "macd_q", [x], ...))`` on
+    null-free integer-micro-unit input (operators/recurrence.py:359;
+    asserted in tests/test_segmented.py). MACDFIX is this with the fixed
+    12/26 legs.
+
+    Composition (the ``adx_family_segmented`` discipline): two quantized
+    EMA chains over the input build ``dif``; the signal chain scans only
+    dif-VALID rows (the kernel's ``_compact_apply`` compacts the warm-up
+    NaN prefix before seeding — filtering before the scan reproduces that
+    compaction exactly, since on null-free input the invalid rows are a
+    contiguous per-symbol prefix); warm-up rows rejoin by union (no
+    shuffle beyond the scans' own symbol-key exchanges). Differences of
+    lattice integers are exact in doubles."""
+    kw = dict(
+        partition_by=partition_by, order_by=order_by, segment_rows=segment_rows
+    )
+    ch = ewma_q_segmented(df, x, 2.0 / (fast + 1), fast, out="_efq", **kw)
+    ch = ewma_q_segmented(ch, x, 2.0 / (slow + 1), slow, out="_esq", **kw)
+    ch = ch.withColumn(dif_out, F.col("_efq") - F.col("_esq"))
+    valid = ch.where(F.col(dif_out).isNotNull())
+    dea = ewma_q_segmented(valid, dif_out, 2.0 / (signal + 1), signal, out=dea_out, **kw)
+    warm = ch.where(F.col(dif_out).isNull()).withColumn(
+        dea_out, F.lit(None).cast("double")
+    )
+    full = dea.unionByName(warm)
+    return full.withColumn(hist_out, F.col(dif_out) - F.col(dea_out)).drop(
+        "_efq", "_esq"
+    )

@@ -232,6 +232,145 @@ def test_kama_segmented_bit_equal_and_guard(spark, tall_df):
         kama_segmented(tall_df, "close", p=10, segment_rows=10)
 
 
+def _bit_equal(whole, segd, col):
+    w = {(r["symbol"], r["t"]): r[col] for r in whole}
+    s = {(r["symbol"], r["t"]): r[col] for r in segd}
+    assert set(w) == set(s) and len(s) == len(segd)
+    diff = [k for k in w if (w[k] is None) != (s[k] is None) or
+            (w[k] is not None and w[k] != s[k])]
+    assert not diff, diff[:5]
+
+
+def test_sar_segmented_bit_equal_and_guard(spark, tall_df):
+    """Parabolic SAR (4-tuple reversal state machine + 2-bar clamp halo)
+    must equal the plain kernel bit-for-bit across segment AND checkpoint
+    boundaries — the last with_recurrences family without a memory-bounded
+    escape (VERDICT r10 #3)."""
+    from polars_quant_spark.operators.segmented import sar_segmented
+
+    hl = tall_df.withColumn("high", F.col("close") * 1.01).withColumn(
+        "low", F.col("close") * 0.99
+    )
+    whole = (
+        with_recurrences(hl, [Rec("v", "sar", ["high", "low"], {})])
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    for seg_rows in (700, 137):  # 4 and 19 segments: crosses checkpoints
+        segd = (
+            sar_segmented(hl, out="v", segment_rows=seg_rows)
+            .select("symbol", "t", "v")
+            .collect()
+        )
+        _bit_equal(whole, segd, "v")
+    with pytest.raises(ValueError):
+        sar_segmented(hl, segment_rows=1)
+
+
+def test_sarext_segmented_bit_equal_asymmetric(spark, tall_df):
+    """SAREXT with a signed start value, reversal offset and ASYMMETRIC
+    long/short acceleration schedules — every parameter the plain kernel
+    honors must survive segmentation bit-for-bit."""
+    from polars_quant_spark.operators.segmented import sarext_segmented
+
+    hl = tall_df.withColumn("high", F.col("close") * 1.02).withColumn(
+        "low", F.col("close") * 0.98
+    )
+    kw = {
+        "startvalue": -95.0,
+        "offsetonreverse": 0.01,
+        "accelerationinitlong": 0.02,
+        "accelerationlong": 0.03,
+        "accelerationmaxlong": 0.25,
+        "accelerationinitshort": 0.01,
+        "accelerationshort": 0.04,
+        "accelerationmaxshort": 0.15,
+    }
+    whole = (
+        with_recurrences(hl, [Rec("v", "sarext", ["high", "low"], kw)])
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    segd = (
+        sarext_segmented(hl, out="v", segment_rows=300, **kw)
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    _bit_equal(whole, segd, "v")
+
+
+def test_sar_segmented_uneven_lengths_at_halo_boundary(spark):
+    """The kama ADVICE-r10 bug class applies to the SAR halo too: symbols
+    ending exactly at (EDGE=100) or just inside (MID=99) a later segment
+    boundary's 2-row halo window must neither duplicate rows nor crash."""
+    from polars_quant_spark.operators.segmented import sar_segmented
+
+    rng = np.random.default_rng(13)
+    frames = []
+    for sym, n in [("FAT", 250), ("MID", 99), ("EDGE", 100)]:
+        close = 100.0 + np.cumsum(rng.normal(0, 1, n))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "t": np.arange(n),
+                    "high": close * 1.01,
+                    "low": close * 0.99,
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    whole = (
+        with_recurrences(df, [Rec("v", "sar", ["high", "low"], {})])
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    segd = (
+        sar_segmented(df, out="v", segment_rows=100)
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    assert len(segd) == 250 + 99 + 100
+    _bit_equal(whole, segd, "v")
+
+
+def test_macd_q_segmented_bit_equal(spark, tall_df):
+    """The quantized MACD trio (integer-lattice folds + compacted signal
+    chain) must equal Rec('macd_q') bit-for-bit across segment and
+    checkpoint boundaries — the second r10 segmented non-goal closed."""
+    from polars_quant_spark.operators.segmented import macd_q_segmented
+
+    qb = tall_df.select(
+        "symbol",
+        "t",
+        F.floor(F.col("close") * 1000000.0 + F.lit(0.5))
+        .cast("double")
+        .alias("_cm"),
+    )
+    whole = (
+        with_recurrences(
+            qb,
+            [Rec(["d", "s", "h"], "macd_q", ["_cm"],
+                 {"fast": 12, "slow": 26, "signal": 9})],
+        )
+        .select("symbol", "t", "d", "s", "h")
+        .collect()
+    )
+    for seg_rows in (700, 137):
+        segd = (
+            macd_q_segmented(
+                qb, "_cm", dif_out="d", dea_out="s", hist_out="h",
+                segment_rows=seg_rows,
+            )
+            .select("symbol", "t", "d", "s", "h")
+            .collect()
+        )
+        for col in ("d", "s", "h"):
+            _bit_equal(whole, segd, col)
+    with pytest.raises(ValueError):
+        macd_q_segmented(qb, "_cm", segment_rows=5)
+
+
 def test_kama_segmented_uneven_lengths_at_halo_boundary(spark):
     """ADVICE r10 (high): symbols whose TOTAL row count lands inside (or
     exactly at) a later segment boundary's halo window (lo-p, lo] used to

@@ -105,17 +105,23 @@ def main() -> None:
             duck_subset += d_best
         print(json.dumps(rows[-1]), flush=True)
 
-    print(
-        json.dumps(
-            {
-                "sf_dir": sf_dir,
-                "reps": reps,
-                "comparable_spark_s": round(spark_subset, 2),
-                "comparable_duckdb_s": round(duck_subset, 2),
-                "comparable_ratio": round(spark_subset / duck_subset, 2),
-            }
-        )
-    )
+    summary = {
+        "sf_dir": sf_dir,
+        "reps": reps,
+        "comparable_spark_s": round(spark_subset, 2),
+        "comparable_duckdb_s": round(duck_subset, 2),
+        "comparable_ratio": round(spark_subset / duck_subset, 2),
+    }
+    print(json.dumps(summary))
+
+    # Persist the full protocol output so BASELINE.md's parity table is
+    # regenerated from a committed artifact, not a scrollback paste
+    # (VERDICT r10 #5). Overwritten on every run; commit alongside any
+    # BASELINE.md table refresh.
+    out_path = os.path.join(REPO, "docs", "BENCH_VS_DUCKDB.json")
+    with open(out_path, "w") as fh:
+        json.dump({"summary": summary, "rows": rows}, fh, indent=1)
+    print(f"wrote {out_path}", file=sys.stderr)
 
 
 if __name__ == "__main__":

@@ -398,17 +398,33 @@ def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
 ) -> DataFrame:
     """Connected components of an undirected pair graph by min-label
-    propagation: every node's label converges to the smallest id reachable
-    from it, in at most `diameter` rounds. Near-dup clusters are tiny and
-    shallow, so this terminates in a handful of iterations; each round is
-    one join + one min-agg, and ``localCheckpoint`` truncates the lineage
-    so plans stay constant-size. Returns (node, component)."""
+    propagation with POINTER JUMPING: each round takes the min label over
+    neighbors, then (from round 2 on) follows the candidate label one hop
+    through the freshly-updated label map (label-of-label — the path-
+    compression step of hash-to-min-style CC), so label chains halve per
+    round and convergence is O(log diameter) instead of O(diameter).
+
+    Why it matters at scale (VERDICT r10 #4): near-dup clusters are
+    usually tiny and shallow, but boilerplate CHAINS (doc_i ~ doc_{i+1}
+    with sliding content) produce components whose diameter grows with
+    the corpus — plain propagation needs diameter rounds and silently
+    returned UNCONVERGED labels past ``max_iter``; with jumping, 20
+    rounds cover diameters past 2¹⁸ (asserted on a 300-link chain in
+    tests/test_analytics_ops.py). Round 1 stays a plain neighbor-min, so
+    shallow corpora converge with zero extra joins.
+
+    Correctness: labels are ids of reachable nodes, both steps only
+    lower them (``least`` with the current label), and the fixed point
+    still requires every edge's neighbor-min condition — the same fixed
+    point as plain propagation, i.e. min reachable id. Each round is
+    lineage-truncated (``localCheckpoint``) so plans stay constant-size.
+    Returns (node, component)."""
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.localCheckpoint()
     labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
-    for _ in range(max_iter):
+    for i in range(max_iter):
         nbr = sym.join(
             labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")), "v"
         )
@@ -416,6 +432,20 @@ def connected_components(
         new = labels.join(proposed, "u", "left").select(
             "u", F.least(F.coalesce("nl", "label"), F.col("label")).alias("newl"), "label"
         )
+        if i > 0:
+            # pointer jump: newl is a node id, so look up ITS fresh label
+            # and adopt it if smaller — label chains compress geometrically
+            half = new.localCheckpoint()
+            hmap = half.select(
+                F.col("u").alias("_mu"), F.col("newl").alias("_ml")
+            )
+            new = half.join(
+                hmap, half["newl"] == hmap["_mu"], "left"
+            ).select(
+                "u",
+                F.least(F.coalesce("_ml", "newl"), F.col("newl")).alias("newl"),
+                "label",
+            )
         new = new.localCheckpoint()
         if new.where(F.col("newl") < F.col("label")).limit(1).count() == 0:
             return new.select("u", F.col("label").alias("component"))

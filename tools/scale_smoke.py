@@ -245,6 +245,12 @@ def main() -> None:
         # the standard replicas) — as-of's union+window single shuffle and
         # the binned range/interval equi-joins must hold their plan shape
         # as per-symbol history grows
+        # round-11 (VERDICT r10 #4): the one real readStream drain >5 s in
+        # the census — the stream-stream interval join's state store must
+        # scale with the WATERMARK HORIZON's row volume, not the corpus;
+        # the replica's per-user histories are 64/256x longer, so this
+        # watches both the state-store footprint and the drain batch count
+        "stream_attribution": QUERIES["stream_attribution_join"],
         "asof": QUERIES["asof_bars_marks"],
         "range_join": QUERIES["range_bars_windows"],
         "interval_join": QUERIES["interval_overlap_bars"],

@@ -3058,14 +3058,23 @@ def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (source, doc_id) prefix order."""
     from polars_quant_spark.streaming.stateful import streaming_source_quota
 
+    import os as _os
+
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    _dpath = f"{sf_dir}/documents.parquet"
+    schema = spark.read.parquet(_dpath).schema
+    if _os.path.isdir(_dpath):
+        # Spark-written replica layout: stream the table directory itself
+        # (a leaf-name glob of "documents.parquet" would list nothing —
+        # see streaming/windows.py::read_events_stream)
+        stream = spark.readStream.schema(schema).format("parquet").load(_dpath)
+    else:
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "documents.parquet")
+            .load(sf_dir)
+        )
     inp = stream.select(
         "source", "doc_id", text.token_count("text").cast("long").alias("n_tokens")
     )

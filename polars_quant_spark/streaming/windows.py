@@ -40,17 +40,29 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Streaming sources require an explicit schema; a one-off batch read of the
     same path supplies the true one (footer only — no data scan)."""
+    import os
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # The file stream source requires a directory; pathGlobFilter narrows the
-    # listing to the events table (the sf dir holds all driver tables).
-    stream = (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
-        .load(sf_dir)
-    )
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    if os.path.isdir(path):
+        # Spark-written table: a DIRECTORY of part files (the scale-smoke
+        # replicas). Stream the directory itself — a pathGlobFilter of
+        # "events.parquet" matches LEAF file names, so it would list
+        # nothing here (round-11 catch: the 64x stream smoke drained an
+        # empty source and reported an absurd 0.05 ratio).
+        stream = spark.readStream.schema(schema).format("parquet").load(path)
+    else:
+        # Driver testdata: one FILE per table inside sf_dir; the file
+        # stream source requires a directory, so load sf_dir with a glob
+        # narrowing the listing to the events table.
+        stream = (
+            spark.readStream.schema(schema)
+            .format("parquet")
+            .option("pathGlobFilter", "events.parquet")
+            .load(sf_dir)
+        )
     if dict(stream.dtypes)["ts"] == "bigint":
         return stream.withColumn(
             "event_time", F.timestamp_micros(F.expr("ts div 1000"))

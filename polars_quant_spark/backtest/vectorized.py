@@ -54,35 +54,54 @@ class BacktestParams:
     trailing_stop: float | None = None
 
 
-def _fold(
+#: the fold's full carried state, in marker-row order (see
+#: ``segmented.backtest_segmented``): position, cash, running peak, entry
+#: cost, entry fill price, last valid price, trade count, win count, and
+#: the trailing-stop high-water mark. Every element is a scalar, which is
+#: what makes the fold segmentable with bit-equality.
+FoldState = tuple[
+    float, float, float, float, float, float, int, int, float
+]
+
+
+def _fold_state(
     price: np.ndarray,
     buy: np.ndarray,
     sell: np.ndarray,
     p: BacktestParams,
-) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
-    """The sequential fold of vectorized.rs:124-194. Returns per-bar
-    (position, cash, equity, drawdown) plus (n_trades, n_wins)."""
+    state: FoldState | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, FoldState]:
+    """The sequential fold of vectorized.rs:124-194, resumable: ``state``
+    is the carried accumulator tuple (None = fresh start, the kernel's own
+    seeding). Returns per-bar (position, cash, equity, drawdown) plus the
+    end-of-input state — a strict left fold, so resuming from the carried
+    state replays identical float ops in identical order (the
+    ``ewma_segmented`` exactness argument)."""
     n = price.shape[0]
     position = np.zeros(n)
     cash_arr = np.zeros(n)
     equity_arr = np.zeros(n)
     dd_arr = np.zeros(n)
 
-    pos = 0.0
-    cash = p.initial_capital
-    peak = p.initial_capital
-    entry_cost = 0.0
-    entry_px = 0.0
-    last_price = float("nan")
-    trades = 0
-    wins = 0
+    if state is None:
+        pos = 0.0
+        cash = p.initial_capital
+        peak = p.initial_capital
+        entry_cost = 0.0
+        entry_px = 0.0
+        last_price = float("nan")
+        trades = 0
+        wins = 0
+    else:
+        (pos, cash, peak, entry_cost, entry_px, last_price, trades, wins,
+         _hwm0) = state
     # multipliers precomputed ONCE so the boundary compare uses the same
     # double the SQL twin inlines (1-sl recomputed per bar could differ by
     # an ulp from a literal)
     sl_mult = None if p.stop_loss is None else 1.0 - p.stop_loss
     tp_mult = None if p.take_profit is None else 1.0 + p.take_profit
     ts_mult = None if p.trailing_stop is None else 1.0 - p.trailing_stop
-    hwm = 0.0
+    hwm = 0.0 if state is None else _hwm0
 
     for i in range(n):
         px = price[i]
@@ -134,7 +153,22 @@ def _fold(
         equity_arr[i] = eq
         dd_arr[i] = (peak - eq) / peak if peak > 0 else 0.0
 
-    return position, cash_arr, equity_arr, dd_arr, trades, wins
+    return position, cash_arr, equity_arr, dd_arr, (
+        pos, cash, peak, entry_cost, entry_px, last_price, trades, wins, hwm
+    )
+
+
+def _fold(
+    price: np.ndarray,
+    buy: np.ndarray,
+    sell: np.ndarray,
+    p: BacktestParams,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, int, int]:
+    """The original whole-symbol entry point: per-bar arrays plus the
+    final (n_trades, n_wins). Same code path as ``_fold_state`` (it IS
+    ``_fold_state`` with no carried state), so outputs are unchanged."""
+    position, cash_arr, equity_arr, dd_arr, st = _fold_state(price, buy, sell, p)
+    return position, cash_arr, equity_arr, dd_arr, st[6], st[7]
 
 
 def vectorized_backtest(

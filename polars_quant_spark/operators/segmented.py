@@ -1065,3 +1065,164 @@ def macd_q_segmented(
     return full.withColumn(hist_out, F.col(dif_out) - F.col(dea_out)).drop(
         "_efq", "_esq"
     )
+
+
+# ---------------------------------------------------------------------------
+# Vectorized backtest fold, segmented — the round-11 1024x finding
+# ---------------------------------------------------------------------------
+
+
+def backtest_segmented(
+    df: DataFrame,
+    price: str = "close",
+    buy: str = "buy",
+    sell: str = "sell",
+    params=None,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """``vectorized_backtest`` without the one-pandas-frame-per-symbol
+    memory bound — bit-equal on identical input (asserted in
+    tests/test_segmented.py, all six output columns, stops included).
+
+    Motivation (docs/SCALE.md round 11): at 1024x per-symbol history
+    (~123 M bars/symbol) the plain fold's pre-groupBy sort OOMs an 8 GB
+    heap outright and completes only at 48 GB with decade-over-decade
+    superlinearity (98 s @256x -> 1135 s @1024x, 11.5x wall for 4x data)
+    — memory pressure, not algorithm. The fold's carried state is NINE
+    scalars (``vectorized.FoldState``: position, cash, peak, entry_cost,
+    entry_px, last_price, trades, wins, hwm), so the SAR multi-marker
+    pattern applies directly: marker rows _rn -1..-9 smuggle the state
+    (in the ``position`` column), a per-symbol aggregate pivots them back
+    for the next pass, and no halo is needed (pure scalar carry).
+
+    One contract wrinkle: the plain op repeats each symbol's FINAL
+    (n_trades, n_wins) on every row. Counters are monotone nondecreasing
+    across segments, so the final value per symbol is the MAX over all
+    segment markers — one extra symbol-key aggregate + merge-pinned join,
+    the same exchange the output join pays anyway."""
+    from polars_quant_spark.backtest.vectorized import (
+        BacktestParams,
+        _fold_state,
+    )
+
+    p = params or BacktestParams()
+    if segment_rows < 1:
+        raise ValueError("segment_rows must be >= 1")
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
+    )
+    try:
+        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    except TypeError:
+        base = base.localCheckpoint(eager=False)
+    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    if last_seg is None:
+        out = df
+        for c in ("position", "cash", "equity", "drawdown"):
+            out = out.withColumn(c, F.lit(None).cast("double"))
+        for c in ("n_trades", "n_wins"):
+            out = out.withColumn(c, F.lit(None).cast("long"))
+        return out
+
+    schema = StructType(
+        [
+            df.schema[partition_by],
+            StructField("_rn", LongType()),
+            StructField("position", DoubleType()),
+            StructField("cash", DoubleType()),
+            StructField("equity", DoubleType()),
+            StructField("drawdown", DoubleType()),
+        ]
+    )
+    seed_cols = [f"_s{i}" for i in range(1, 10)]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
+        sym = pdf[partition_by].iloc[0]
+        px = pdf[price].to_numpy(dtype="float64", na_value=np.nan)
+        b = pdf[buy].astype("boolean").fillna(False).to_numpy(dtype="bool")
+        s = pdf[sell].astype("boolean").fillna(False).to_numpy(dtype="bool")
+        state = None
+        if "_s2" in pdf.columns:
+            cash0 = pdf["_s2"].iloc[0]  # cash: never NaN in a real state
+            if cash0 is not None and not pd.isna(cash0):
+                vals = [pdf[c].iloc[0] for c in seed_cols]
+                state = (
+                    float(vals[0]), float(vals[1]), float(vals[2]),
+                    float(vals[3]), float(vals[4]), float(vals[5]),
+                    int(vals[6]), int(vals[7]), float(vals[8]),
+                )
+        pos, cash, eq, dd, st = _fold_state(px, b, s, p, state)
+        bdf = pd.DataFrame(
+            {
+                partition_by: pdf[partition_by],
+                "_rn": pdf["_rn"].astype("int64"),
+                "position": pos,
+                "cash": cash,
+                "equity": eq,
+                "drawdown": dd,
+            }
+        )
+        mark = pd.DataFrame(
+            {
+                partition_by: [sym] * 9,
+                "_rn": list(range(-1, -10, -1)),
+                "position": [float(v) for v in st],
+                "cash": [np.nan] * 9,
+                "equity": [np.nan] * 9,
+                "drawdown": [np.nan] * 9,
+            }
+        )
+        return pd.concat([bdf, mark], ignore_index=True)
+
+    pieces: list[DataFrame] = []
+    marks: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for k in range(int(last_seg) + 1):
+        seg = base.where(F.col("_seg") == k).select(
+            partition_by, "_rn", price, buy, sell
+        )
+        if prev is not None:
+            seeds_df = (
+                prev.where(F.col("_rn") < 0)
+                .groupBy(partition_by)
+                .agg(
+                    *[
+                        F.max(
+                            F.when(F.col("_rn") == -i, F.col("position"))
+                        ).alias(f"_s{i}")
+                        for i in range(1, 10)
+                    ]
+                )
+            )
+            seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
+        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
+            res = res.localCheckpoint(eager=False)
+        else:
+            res = res.persist(StorageLevel.DISK_ONLY)
+        pieces.append(res.where(F.col("_rn") >= 0))
+        marks.append(res.where(F.col("_rn") < 0))
+        prev = res
+
+    merged = pieces[0]
+    for piece in pieces[1:]:
+        merged = merged.unionByName(piece)
+    allmarks = marks[0]
+    for m in marks[1:]:
+        allmarks = allmarks.unionByName(m)
+    # final per-symbol totals: trades (-7) / wins (-8) are monotone
+    # nondecreasing across segments, so max over all markers = final
+    totals = allmarks.where(F.col("_rn").isin(-7, -8)).groupBy(partition_by).agg(
+        F.max(F.when(F.col("_rn") == -7, F.col("position")))
+        .cast("long")
+        .alias("n_trades"),
+        F.max(F.when(F.col("_rn") == -8, F.col("position")))
+        .cast("long")
+        .alias("n_wins"),
+    )
+    out = base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+    return out.join(totals.hint("merge"), partition_by, "left")

@@ -5,6 +5,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from polars_quant_spark.operators.recurrence import Rec, with_recurrences
@@ -369,6 +370,52 @@ def test_macd_q_segmented_bit_equal(spark, tall_df):
             _bit_equal(whole, segd, col)
     with pytest.raises(ValueError):
         macd_q_segmented(qb, "_cm", segment_rows=5)
+
+
+def test_backtest_segmented_bit_equal(spark, tall_df):
+    """The vectorized backtest fold (9-scalar state: position/cash/peak/
+    entry/last_price/counters/hwm) must equal vectorized_backtest
+    bit-for-bit across segment and checkpoint boundaries — including the
+    per-symbol FINAL n_trades/n_wins repeated on every row, and the
+    stop/trailing exits whose state spans boundaries."""
+    from polars_quant_spark.backtest.vectorized import (
+        BacktestParams,
+        vectorized_backtest,
+    )
+    from polars_quant_spark.operators.segmented import backtest_segmented
+
+    w = Window.partitionBy("symbol").orderBy("t")
+    sig = (
+        tall_df.withColumn("_ma_f", F.avg("close").over(w.rowsBetween(-4, 0)))
+        .withColumn("_ma_s", F.avg("close").over(w.rowsBetween(-19, 0)))
+        .withColumn("buy", F.col("_ma_f") > F.col("_ma_s"))
+        .withColumn("sell", F.col("_ma_f") < F.col("_ma_s"))
+        .drop("_ma_f", "_ma_s")
+    )
+    cols = ["position", "cash", "equity", "drawdown", "n_trades", "n_wins"]
+    for p in (
+        BacktestParams(),
+        BacktestParams(stop_loss=0.02, take_profit=0.05, trailing_stop=0.03),
+    ):
+        whole = {
+            (r["symbol"], r["t"]): tuple(r[c] for c in cols)
+            for r in vectorized_backtest(sig, params=p)
+            .select("symbol", "t", *cols)
+            .collect()
+        }
+        for seg_rows in (700, 137):
+            segd = {
+                (r["symbol"], r["t"]): tuple(r[c] for c in cols)
+                for r in backtest_segmented(
+                    sig, params=p, segment_rows=seg_rows
+                )
+                .select("symbol", "t", *cols)
+                .collect()
+            }
+            assert set(whole) == set(segd)
+            diff = [k for k in whole if whole[k] != segd[k]]
+            assert not diff, (seg_rows, diff[:3],
+                              [(whole[k], segd[k]) for k in diff[:2]])
 
 
 def test_kama_segmented_uneven_lengths_at_halo_boundary(spark):

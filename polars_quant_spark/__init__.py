@@ -19,7 +19,7 @@ Design principles (see SURVEY.md §4.2, §7):
   must be declared, so every API takes partition/order columns.
 """
 
-from polars_quant_spark.session import get_spark
+from polars_quant_spark.session import get_spark, released
 from polars_quant_spark.functions import (
     price,
     overlap,
@@ -56,6 +56,7 @@ __version__ = "0.1.0"
 
 __all__ = [
     "get_spark",
+    "released",
     # indicator Column functions
     "price",
     "overlap",

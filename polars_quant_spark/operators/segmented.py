@@ -1226,3 +1226,65 @@ def backtest_segmented(
     )
     out = base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
     return out.join(totals.hint("merge"), partition_by, "left")
+
+
+def macdext_q_segmented(
+    df: DataFrame,
+    x: str = "_cm",
+    fast: int = 12,
+    slow: int = 26,
+    signal: int = 9,
+    dif_out: str = "macd_dif",
+    dea_out: str = "macd_dea",
+    hist_out: str = "macd_hist",
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    segment_rows: int = 1_000_000,
+) -> DataFrame:
+    """Quantized MACDEXT (EMA fast/slow legs + SMA signal — matypes 1/1/0,
+    the shape ``ind_macdext`` exercises), segmented. Bit-equal to
+    ``with_recurrences(..., Rec([...], "macdext_q", [x], ...))`` on
+    null-free integer-micro-unit input (operators/recurrence.py:376).
+
+    The EMA legs are the same segmented integer-lattice folds as
+    ``macd_q_segmented``. The SMA signal leg needs no segmentation at all:
+    ``_sma_q`` is a BOUNDED trailing window (``signal`` rows), which Spark's
+    window exec evaluates with spill — floor(avg + 0.5) over dif-valid rows
+    reproduces the kernel's compacted rolling mean exactly (integer sums are
+    exact in doubles, the divide and floor are single correctly-rounded
+    ops)."""
+    kw = dict(
+        partition_by=partition_by, order_by=order_by, segment_rows=segment_rows
+    )
+    ch = ewma_q_segmented(df, x, 2.0 / (fast + 1), fast, out="_efq", **kw)
+    ch = ewma_q_segmented(ch, x, 2.0 / (slow + 1), slow, out="_esq", **kw)
+    ch = ch.withColumn(dif_out, F.col("_efq") - F.col("_esq"))
+    # the kernel compacts dif's warm-up NaNs before the rolling mean, so
+    # the window must rank over dif-VALID rows only
+    wv = (
+        Window.partitionBy(partition_by)
+        .orderBy(order_by)
+        .rowsBetween(-(signal - 1), 0)
+    )
+    valid = ch.where(F.col(dif_out).isNotNull()).withColumn(
+        "_nv",
+        F.count(F.lit(1)).over(
+            Window.partitionBy(partition_by)
+            .orderBy(order_by)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    dea = valid.withColumn(
+        dea_out,
+        F.when(
+            F.col("_nv") >= signal,
+            F.floor(F.avg(dif_out).over(wv) + F.lit(0.5)),
+        ),
+    ).drop("_nv")
+    warm = ch.where(F.col(dif_out).isNull()).withColumn(
+        dea_out, F.lit(None).cast("double")
+    )
+    full = dea.unionByName(warm)
+    return full.withColumn(hist_out, F.col(dif_out) - F.col(dea_out)).drop(
+        "_efq", "_esq"
+    )

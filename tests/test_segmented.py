@@ -418,6 +418,40 @@ def test_backtest_segmented_bit_equal(spark, tall_df):
                               [(whole[k], segd[k]) for k in diff[:2]])
 
 
+def test_macdext_q_segmented_bit_equal(spark, tall_df):
+    """MACDEXT's quantized shape (EMA legs + SMA signal): the legs are
+    segmented integer folds, the SMA signal is a bounded trailing window
+    over dif-valid rows — all three outputs bit-equal to Rec('macdext_q')."""
+    from polars_quant_spark.operators.segmented import macdext_q_segmented
+
+    qb = tall_df.select(
+        "symbol",
+        "t",
+        F.floor(F.col("close") * 1000000.0 + F.lit(0.5))
+        .cast("double")
+        .alias("_cm"),
+    )
+    whole = (
+        with_recurrences(
+            qb,
+            [Rec(["d", "s", "h"], "macdext_q", ["_cm"],
+                 {"fast": 12, "slow": 26, "signal": 9})],
+        )
+        .select("symbol", "t", "d", "s", "h")
+        .collect()
+    )
+    segd = (
+        macdext_q_segmented(
+            qb, "_cm", dif_out="d", dea_out="s", hist_out="h",
+            segment_rows=700,
+        )
+        .select("symbol", "t", "d", "s", "h")
+        .collect()
+    )
+    for col in ("d", "s", "h"):
+        _bit_equal(whole, segd, col)
+
+
 def test_kama_segmented_uneven_lengths_at_halo_boundary(spark):
     """ADVICE r10 (high): symbols whose TOTAL row count lands inside (or
     exactly at) a later segment boundary's halo window (lo-p, lo] used to

@@ -875,3 +875,31 @@ def test_rp_lsh_topk_plan_hygiene(spark, sf_dir):
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
     assert "SortMergeJoin" in p  # the merge-pinned corpus↔signature join
+
+
+def test_segmented_seed_joins_are_merge_pinned_at_source():
+    """Every continuation-seed (and totals) join in operators/segmented.py
+    compiles inside a checkpoint-truncated subtree where AQE cannot demote
+    a bad static broadcast, and the joined frame descends from
+    applyInPandas (estimate-poisoned) — so each MUST carry the merge hint
+    at the source (the r8 landmine contract). Plan-level assertion is not
+    possible from outside: the per-pass joins hide behind InMemoryRelation
+    display collapse, so this pins the invariant at the source level, the
+    same net as test_forced_broadcast_ratchet."""
+    import os
+    import re
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "polars_quant_spark", "operators",
+        "segmented.py",
+    )
+    src = open(path).read()
+    # every join against a seeds/totals frame must be hint-pinned
+    # ((?!\.hint) = a bare frame reference with no hint call)
+    for m in re.finditer(r"\.join\((seeds_df|totals)(?!\.hint)", src):
+        raise AssertionError(
+            f"unpinned {m.group(1)} join at offset {m.start()} — "
+            "seed/totals joins must be .hint('merge')"
+        )
+    assert src.count('seeds_df.hint("merge")') >= 4  # ewma/kama/sar/q/backtest
+    assert 'totals.hint("merge")' in src

@@ -410,7 +410,7 @@ def connected_components(
     the corpus — plain propagation needs diameter rounds and silently
     returned UNCONVERGED labels past ``max_iter``; with jumping, 20
     rounds cover diameters past 2¹⁸ (asserted on a 300-link chain in
-    tests/test_analytics_ops.py). Round 1 stays a plain neighbor-min, so
+    tests/test_pipeline_ops.py). Round 1 stays a plain neighbor-min, so
     shallow corpora converge with zero extra joins.
 
     Correctness: labels are ids of reachable nodes, both steps only
@@ -419,12 +419,28 @@ def connected_components(
     point as plain propagation, i.e. min reachable id. Each round is
     lineage-truncated (``localCheckpoint``) so plans stay constant-size.
     Returns (node, component)."""
+    jsc = edges.sparkSession.sparkContext._jsc
+
+    def _pinned_ids() -> set[int]:
+        return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
+
     sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.localCheckpoint()
     labels = sym.select("u").distinct().select("u", F.col("u").alias("label"))
+    # Round-pin hygiene (r11 review): each round eagerly checkpoints 1-2
+    # frames; once round i's final checkpoint is materialized (the
+    # convergence count forces it), round i-1's pins are dead weight — a
+    # long-lived session calling this in a corpus loop would otherwise
+    # accumulate ~2·rounds pinned RDDs per call. Track the ids created per
+    # round and drop the previous round's after the current one lands.
+    # (sym and the final round's pins are never dropped — the returned
+    # frame reads them.)
+    keep = _pinned_ids()
+    prev_round: set[int] = set()
     for i in range(max_iter):
+        before = _pinned_ids()
         nbr = sym.join(
             labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")), "v"
         )
@@ -447,7 +463,14 @@ def connected_components(
                 "label",
             )
         new = new.localCheckpoint()
-        if new.where(F.col("newl") < F.col("label")).limit(1).count() == 0:
+        done = new.where(F.col("newl") < F.col("label")).limit(1).count() == 0
+        # this round's checkpoints are now materialized: release last round's
+        live = jsc.getPersistentRDDs()
+        for rid in prev_round - keep:
+            if live.containsKey(rid):
+                live.get(rid).unpersist(False)
+        prev_round = _pinned_ids() - before
+        if done:
             return new.select("u", F.col("label").alias("component"))
         labels = new.select("u", F.col("newl").alias("label"))
     return labels.select("u", F.col("label").alias("component"))

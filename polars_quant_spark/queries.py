@@ -66,11 +66,11 @@ ORACLES: dict[str, str] = {}
 # ROUND-11 ROTATION (VERDICT r10 #1): round 10 was the fifth consecutive
 # fully-green driver round (50/50, 45 first-time), union 304 -> 349 of 394.
 # This window rotates in the FINAL 45 never-driver-verified names
-# (docs/coverage_ledger.json pool after r10: events_ 17, doc_ 13, bars_ 9,
-# rel_ 5, emb_ 1) — exactly one 50-slot window with the five dtype-diverse
-# canaries — completing full 394/394 driver saturation. The two remaining
-# segmented twins (ind_atr_seg_14/ind_adx_seg_14, spot-verified by the r10
-# judge) fill the last two slots. From round 12 on, tools/propose_window.py
+# (docs/coverage_ledger.json pool after r10: events_ 15, doc_ 13, bars_ 9,
+# rel_ 5, ind_ 2, emb_ 1) — exactly one 50-slot window with the five
+# dtype-diverse canaries — completing full 394/394 driver saturation. The
+# ind_ pool members are the segmented twins ind_atr_seg_14/ind_adx_seg_14
+# (spot-verified by the r10 judge). From round 12 on, tools/propose_window.py
 # switches to the post-saturation staleness rotation (oldest
 # driver-verification age first) so every query re-proves within ~8 rounds.
 PRIORITY_CARRYOVERS: list[str] = [
@@ -113,7 +113,7 @@ PRIORITY_FRESH: list[str] = [
     "doc_capitalized_terms",
     "doc_corpus_manifest",
     "doc_token_edit_pairs",
-    # events analytics (final 17)
+    # events analytics (final 15)
     "events_bass_diffusion",
     "events_forecast_anomaly",
     "events_alert_episodes",

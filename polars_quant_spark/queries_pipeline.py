@@ -3058,12 +3058,12 @@ def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (source, doc_id) prefix order."""
     from polars_quant_spark.streaming.stateful import streaming_source_quota
 
-    import os as _os
+    from polars_quant_spark.streaming.windows import _is_dir
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _dpath = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(_dpath).schema
-    if _os.path.isdir(_dpath):
+    if _is_dir(spark, _dpath):
         # Spark-written replica layout: stream the table directory itself
         # (a leaf-name glob of "documents.parquet" would list nothing —
         # see streaming/windows.py::read_events_stream)

@@ -34,19 +34,30 @@ EVENTS_SCHEMA = StructType(
 )
 
 
+def _is_dir(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` is a DIRECTORY on whatever filesystem backs it —
+    the Hadoop FileSystem API, not os.path, so a Spark-written table on
+    hdfs://, s3a://, etc. is classified correctly (r11 review: an
+    os.path.isdir probe runs on the driver's LOCAL fs and silently sent
+    remote directory-layout tables down the empty-glob branch — the exact
+    silent-empty-source bug the directory branch exists to fix)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.getFileStatus(hpath).isDirectory())
+
+
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """File-source stream over the driver's events parquet with an event-time
     column derived from ts, robust to either timestamp physical type.
 
     Streaming sources require an explicit schema; a one-off batch read of the
     same path supplies the true one (footer only — no data scan)."""
-    import os
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
-    if os.path.isdir(path):
+    if _is_dir(spark, path):
         # Spark-written table: a DIRECTORY of part files (the scale-smoke
         # replicas). Stream the directory itself — a pathGlobFilter of
         # "events.parquet" matches LEAF file names, so it would list

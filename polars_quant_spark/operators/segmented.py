@@ -55,6 +55,66 @@ from polars_quant_spark.operators.recurrence import _ewma
 _CHECKPOINT_EVERY_SEGMENTS = 4
 
 
+def _segmented_base(
+    df: DataFrame, partition_by: str, order_by: str, segment_rows: int
+):
+    """Shared pass-0 scaffolding: (_rn, _seg) columns over the symbol
+    window, materialized ONCE behind a lineage cut. Returns (base,
+    last_seg); last_seg is None on empty input.
+
+    base is read n_segments + 2 times (the max-seg action, one slice per
+    pass, the final join); without materialization every read re-executes
+    the full upstream lineage — harmless for a raw scan, MULTIPLICATIVE
+    for chained segmented ops (rsi = 2 chains, adx = 4: pass k of chain c
+    re-ran chains 1..c-1, and ind_adx_seg_14 took >20 min at sf0.01).
+    localCheckpoint, not persist: a cache keeps the nested plan, and the
+    COMPOSED plan text across 4 chains OOM'd the driver in Catalyst's
+    PlanStringConcat — truncating to a leaf bounds plan size per chain.
+    DISK_ONLY blocks for the same write-once/read-few reason as the piece
+    cache (storageLevel kwarg is Spark 4.x; fall back if absent). AQE-less
+    compilation is safe here: base is one window over the input, and every
+    downstream join in this module is merge-pinned."""
+    w = Window.partitionBy(partition_by).orderBy(order_by)
+    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
+    )
+    try:
+        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
+    except TypeError:
+        base = base.localCheckpoint(eager=False)
+    return base, base.agg(F.max("_seg")).collect()[0][0]
+
+
+def _cache_piece(res: DataFrame, k: int) -> DataFrame:
+    """Shared piece-cache policy. Pass k's plan nests pass k-1's, and
+    persist() is lazy, so without a periodic cut the final action analyzes
+    O(n_segments)-deep plans — O(n_segments²) total Catalyst work, a
+    driver blowup at thousands of segments (round-10 advisor). A periodic
+    localCheckpoint resets plan depth to ≤ the checkpoint interval (the
+    bpe_merges pattern, text.py:863); it compiles WITHOUT AQE, which is
+    exactly why every seed join in this module is merge-pinned at the
+    source rather than left to runtime demotion. Between cuts: DISK_ONLY,
+    not the MEMORY_AND_DISK default — each piece is written once and read
+    at most twice (the seed row for pass k+1, the final union), and ALL
+    pieces stay pinned until that union; at 26 segments × a 25.6 M-row
+    corpus the on-heap copies thrashed the GC (GCLocker retry storms on
+    the 256× replica) where the spill-to-disk level streams cleanly."""
+    if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
+        return res.localCheckpoint(eager=False)
+    return res.persist(StorageLevel.DISK_ONLY)
+
+
+def _join_back(
+    base: DataFrame, pieces: list[DataFrame], partition_by: str
+) -> DataFrame:
+    """Shared output assembly: union the per-segment result pieces and
+    left-join them back onto the checkpointed base on (symbol, _rn)."""
+    merged = pieces[0]
+    for piece in pieces[1:]:
+        merged = merged.unionByName(piece)
+    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+
+
 def ewma_segmented(
     df: DataFrame,
     x: str,
@@ -73,27 +133,7 @@ def ewma_segmented(
         alpha = 2.0 / (p + 1)
     if segment_rows < p:
         raise ValueError(f"segment_rows ({segment_rows}) must be >= p ({p})")
-    w = Window.partitionBy(partition_by).orderBy(order_by)
-    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
-    )
-    # base is read n_segments + 2 times (the max-seg action, one slice per
-    # pass, the final join); without materialization every read re-executes
-    # the full upstream lineage — harmless for a raw scan, MULTIPLICATIVE
-    # for chained segmented ops (rsi = 2 chains, adx = 4: pass k of chain c
-    # re-ran chains 1..c-1, and ind_adx_seg_14 took >20 min at sf0.01).
-    # localCheckpoint, not persist: a cache keeps the nested plan, and the
-    # COMPOSED plan text across 4 chains OOM'd the driver in Catalyst's
-    # PlanStringConcat — truncating to a leaf bounds plan size per chain.
-    # DISK_ONLY blocks for the same write-once/read-few reason as the
-    # pieces below (storageLevel kwarg is Spark 4.x; fall back if absent).
-    # AQE-less compilation is safe here: base is one window over the input,
-    # and every downstream join in this operator is merge-pinned.
-    try:
-        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    except TypeError:
-        base = base.localCheckpoint(eager=False)
-    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
     if last_seg is None:
         return df.withColumn(out, F.lit(None).cast("double"))
 
@@ -157,31 +197,11 @@ def ewma_segmented(
             # exactly the exchange the groupBy.applyInPandas needs next.
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
         res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
-        # lineage truncation (round-10 advisor): pass k's plan nests pass
-        # k-1's, and persist() is lazy, so without a cut the final action
-        # analyzes O(n_segments)-deep plans — O(n_segments²) total Catalyst
-        # work, a driver blowup at thousands of segments. A periodic
-        # localCheckpoint resets plan depth to ≤ the checkpoint interval
-        # (the bpe_merges pattern, text.py:863). localCheckpoint compiles
-        # WITHOUT AQE, which is exactly why the seed join above is
-        # merge-pinned at the source rather than left to runtime demotion.
-        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
-            res = res.localCheckpoint(eager=False)
-        else:
-            # DISK_ONLY, not the MEMORY_AND_DISK default: each piece is
-            # written once and read at most twice (the seed row for pass
-            # k+1, the final union), and ALL pieces stay pinned until that
-            # union — at 26 segments × a 25.6 M-row corpus the on-heap
-            # copies thrashed the GC (GCLocker retry storms on the 256×
-            # replica) where the spill-to-disk level streams cleanly.
-            res = res.persist(StorageLevel.DISK_ONLY)
+        res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
 
-    merged = pieces[0]
-    for piece in pieces[1:]:
-        merged = merged.unionByName(piece)
-    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+    return _join_back(base, pieces, partition_by)
 
 
 def rsi_segmented(
@@ -507,15 +527,7 @@ def kama_segmented(
 
     if segment_rows < p + 1:
         raise ValueError(f"segment_rows ({segment_rows}) must be >= p + 1 ({p + 1})")
-    w = Window.partitionBy(partition_by).orderBy(order_by)
-    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
-    )
-    try:
-        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    except TypeError:
-        base = base.localCheckpoint(eager=False)
-    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
     if last_seg is None:
         return df.withColumn(out, F.lit(None).cast("double"))
 
@@ -613,17 +625,11 @@ def kama_segmented(
             )
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
         res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
-        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
-            res = res.localCheckpoint(eager=False)
-        else:
-            res = res.persist(StorageLevel.DISK_ONLY)
+        res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
 
-    merged = pieces[0]
-    for piece in pieces[1:]:
-        merged = merged.unionByName(piece)
-    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+    return _join_back(base, pieces, partition_by)
 
 
 # ---------------------------------------------------------------------------
@@ -739,15 +745,7 @@ def _sar_family_segmented(
     n_segments sequential passes."""
     if segment_rows < 2:
         raise ValueError(f"segment_rows ({segment_rows}) must be >= 2")
-    w = Window.partitionBy(partition_by).orderBy(order_by)
-    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
-    )
-    try:
-        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    except TypeError:
-        base = base.localCheckpoint(eager=False)
-    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
     if last_seg is None:
         return df.withColumn(out, F.lit(None).cast("double"))
 
@@ -845,17 +843,11 @@ def _sar_family_segmented(
             )
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
         res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
-        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
-            res = res.localCheckpoint(eager=False)
-        else:
-            res = res.persist(StorageLevel.DISK_ONLY)
+        res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
 
-    merged = pieces[0]
-    for piece in pieces[1:]:
-        merged = merged.unionByName(piece)
-    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+    return _join_back(base, pieces, partition_by)
 
 
 def sar_segmented(
@@ -950,15 +942,7 @@ def ewma_q_segmented(
 
     a = float(alpha)
     b = 1.0 - a
-    w = Window.partitionBy(partition_by).orderBy(order_by)
-    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
-    )
-    try:
-        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    except TypeError:
-        base = base.localCheckpoint(eager=False)
-    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
     if last_seg is None:
         return df.withColumn(out, F.lit(None).cast("double"))
 
@@ -1010,17 +994,11 @@ def ewma_q_segmented(
             )
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
         res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
-        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
-            res = res.localCheckpoint(eager=False)
-        else:
-            res = res.persist(StorageLevel.DISK_ONLY)
+        res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
 
-    merged = pieces[0]
-    for piece in pieces[1:]:
-        merged = merged.unionByName(piece)
-    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+    return _join_back(base, pieces, partition_by)
 
 
 def macd_q_segmented(
@@ -1110,15 +1088,7 @@ def backtest_segmented(
     p = params or BacktestParams()
     if segment_rows < 1:
         raise ValueError("segment_rows must be >= 1")
-    w = Window.partitionBy(partition_by).orderBy(order_by)
-    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
-    )
-    try:
-        base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
-    except TypeError:
-        base = base.localCheckpoint(eager=False)
-    last_seg = base.agg(F.max("_seg")).collect()[0][0]
+    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
     if last_seg is None:
         out = df
         for c in ("position", "cash", "equity", "drawdown"):
@@ -1200,17 +1170,11 @@ def backtest_segmented(
             )
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
         res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
-        if (k + 1) % _CHECKPOINT_EVERY_SEGMENTS == 0:
-            res = res.localCheckpoint(eager=False)
-        else:
-            res = res.persist(StorageLevel.DISK_ONLY)
+        res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         marks.append(res.where(F.col("_rn") < 0))
         prev = res
 
-    merged = pieces[0]
-    for piece in pieces[1:]:
-        merged = merged.unionByName(piece)
     allmarks = marks[0]
     for m in marks[1:]:
         allmarks = allmarks.unionByName(m)
@@ -1224,7 +1188,7 @@ def backtest_segmented(
         .cast("long")
         .alias("n_wins"),
     )
-    out = base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
+    out = _join_back(base, pieces, partition_by)
     return out.join(totals.hint("merge"), partition_by, "left")
 
 

@@ -43,6 +43,7 @@ from polars_quant_spark.backtest import (
     SequentialBacktester,
     margin_backtest,
     summary,
+    auto_backtest,
     vectorized_backtest,
 )
 from polars_quant_spark.backtest.bootstrap import bootstrap_bands
@@ -83,6 +84,7 @@ __all__ = [
     "Selector",
     "strategy",
     # backtesting
+    "auto_backtest",
     "vectorized_backtest",
     "SequentialBacktester",
     "summary",

@@ -1,4 +1,4 @@
-from polars_quant_spark.backtest.vectorized import vectorized_backtest
+from polars_quant_spark.backtest.vectorized import auto_backtest, vectorized_backtest
 from polars_quant_spark.backtest.metrics import summary
 from polars_quant_spark.backtest.margin import (
     Backtest,
@@ -14,6 +14,7 @@ from polars_quant_spark.backtest.sequential import (
 )
 
 __all__ = [
+    "auto_backtest",
     "vectorized_backtest",
     "summary",
     "Backtest",

@@ -218,3 +218,63 @@ def vectorized_backtest(
         return pdf
 
     return df.groupBy(*keys).applyInPandas(run, schema=schema)
+
+
+#: dispatch boundary for ``auto_backtest``: above this many rows in ONE
+#: key's history, the whole-symbol pandas frame (~50 B/row across inputs +
+#: the four output arrays) enters the multi-GB regime where the round-11
+#: 1024x measurement showed memory pressure turning the fold superlinear
+#: (docs/SCALE.md: 123 M-row symbols ran 249.5 s plain at 8 GB but the
+#: pre-fold sort OOM'd under the x4-combo sweep); below it the segmented
+#: passes' sequential-job overhead is pure loss (measured 3.5x wall).
+AUTO_BACKTEST_THRESHOLD = 20_000_000
+
+
+def auto_backtest(
+    df: DataFrame,
+    price: str = "close",
+    buy: str = "buy",
+    sell: str = "sell",
+    params: BacktestParams | None = None,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+    threshold: int = AUTO_BACKTEST_THRESHOLD,
+    max_rows_per_key: int | None = None,
+    segment_rows: int = 8_000_000,
+) -> DataFrame:
+    """Size-dispatching front door for the backtest fold: the plain
+    one-pandas-frame-per-symbol ``vectorized_backtest`` while every
+    symbol's history fits comfortably in executor memory, the
+    memory-bounded ``segmented.backtest_segmented`` when any symbol
+    exceeds ``threshold`` rows (the ``auto_chunk_windows`` discipline,
+    applied to the fold family the round-11 1024x measurement flagged).
+
+    ``max_rows_per_key``: pass the known per-symbol row bound (table
+    stats, the loader's grid size) to keep dispatch plan-time-only; when
+    None, one lightweight count-by-key job measures it. Unlike
+    auto_chunk_windows there is NO dense-order contract to validate:
+    both arms order by ``order_by`` with their own row_number, so any
+    orderable column is fine.
+
+    Both arms are bit-identical (tests/test_segmented.py's
+    backtest_segmented suite), so the dispatch only moves the work,
+    never the answer."""
+    if max_rows_per_key is None:
+        keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+        row = (
+            df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.max("_n").alias("m"))
+            .first()
+        )
+        max_rows_per_key = int(row["m"]) if row and row["m"] is not None else 0
+    if max_rows_per_key <= threshold:
+        return vectorized_backtest(
+            df, price, buy, sell, params, partition_by, order_by
+        )
+    from polars_quant_spark.operators.segmented import backtest_segmented
+
+    return backtest_segmented(
+        df, price, buy, sell, params, partition_by, order_by,
+        segment_rows=segment_rows,
+    )

@@ -452,6 +452,37 @@ def test_macdext_q_segmented_bit_equal(spark, tall_df):
         _bit_equal(whole, segd, col)
 
 
+def test_auto_backtest_dispatch(spark, tall_df):
+    """auto_backtest picks the plain per-symbol fold below the threshold
+    and the segmented fold above it (plan-asserted via the checkpointed
+    base only the segmented arm builds), with identical outputs — the
+    auto_chunk_windows discipline applied to the fold family."""
+    from polars_quant_spark.backtest.vectorized import auto_backtest
+    from polars_quant_spark.plans.inspect import plan_str
+
+    w = Window.partitionBy("symbol").orderBy("t")
+    sig = (
+        tall_df.withColumn("_f", F.avg("close").over(w.rowsBetween(-4, 0)))
+        .withColumn("_s", F.avg("close").over(w.rowsBetween(-19, 0)))
+        .withColumn("buy", F.col("_f") > F.col("_s"))
+        .withColumn("sell", F.col("_f") < F.col("_s"))
+        .drop("_f", "_s")
+    )
+    plain = auto_backtest(sig)  # FAT=2500 rows << default threshold
+    assert "ExistingRDD" not in plan_str(plain)
+    segd = auto_backtest(sig, threshold=1000, segment_rows=800)
+    assert "ExistingRDD" in plan_str(segd)
+    cols = ["position", "cash", "equity", "drawdown", "n_trades", "n_wins"]
+    a = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
+         for r in plain.select("symbol", "t", *cols).collect()}
+    b = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
+         for r in segd.select("symbol", "t", *cols).collect()}
+    assert a == b
+    # explicit bound skips the measuring job and dispatches plan-time-only
+    forced = auto_backtest(sig, max_rows_per_key=50_000_000)
+    assert "ExistingRDD" in plan_str(forced)
+
+
 def test_kama_segmented_uneven_lengths_at_halo_boundary(spark):
     """ADVICE r10 (high): symbols whose TOTAL row count lands inside (or
     exactly at) a later segment boundary's halo window (lo-p, lo] used to

@@ -63,16 +63,13 @@ ORACLES: dict[str, str] = {}
 # window, so a future append can't silently push a family back out.
 # ---------------------------------------------------------------------------
 
-# ROUND-11 ROTATION (VERDICT r10 #1): round 10 was the fifth consecutive
-# fully-green driver round (50/50, 45 first-time), union 304 -> 349 of 394.
-# This window rotates in the FINAL 45 never-driver-verified names
-# (docs/coverage_ledger.json pool after r10: events_ 15, doc_ 13, bars_ 9,
-# rel_ 5, ind_ 2, emb_ 1) — exactly one 50-slot window with the five
-# dtype-diverse canaries — completing full 394/394 driver saturation. The
-# ind_ pool members are the segmented twins ind_atr_seg_14/ind_adx_seg_14
-# (spot-verified by the r10 judge). From round 12 on, tools/propose_window.py
-# switches to the post-saturation staleness rotation (oldest
-# driver-verification age first) so every query re-proves within ~8 rounds.
+# ROUND-12 ROTATION (VERDICT r11 #1): round 11 completed driver saturation
+# (union 394/394, every query green at last check). This is the FIRST
+# post-saturation stalest-first window: tools/propose_window.py now ranks
+# the ledger greens by last_seen ascending and fills the 45 non-canary
+# slots with the oldest — the round-1/2 indicator/CDL/relational names
+# last driver-seen in rounds 4–6. From here every query re-proves within
+# ~8 rounds (tests/test_post_saturation_staleness_bound pins the bound).
 PRIORITY_CARRYOVERS: list[str] = [
     # (b) dtype-diverse green canaries (driver-hash drift guards)
     "cdl_all_patterns",    # 61 int flags + string symbol in one hash
@@ -80,61 +77,55 @@ PRIORITY_CARRYOVERS: list[str] = [
     "loader_grid_fill",    # date grid x symbols, timestamp axis
     "sketch_kmv_users",    # bigint estimate (the r3-r5 red class shape)
     "sel_info",            # 15-column mixed-type latest-bar summary
+    # (c) stalest-first rotation (ledger last_seen ascending)
+    "cdl_onebar2",
+    "cdl_twobar2",
+    "cdl_threebar2",
+    "cdl_multibar",
+    "ind_wma_10",
+    "ind_trima_10",
+    "ind_bbands_20",
+    "ind_midpoint_midprice_14",
+    "ind_mom_roc_10",
+    "ind_returns",
+    "ind_bop",
+    "ind_willr_14",
+    "ind_cmo_14",
+    "ind_ultosc",
+    "ind_mfi_14",
+    "ind_cci_14",
+    "ind_aroon_14",
+    "ind_stoch",
+    "vol_trange",
+    "ind_ema_20",
+    "ind_dema_10",
+    "ind_tema_10",
+    "ind_t3_5",
+    "ind_kama_10",
+    "ind_atr_natr_14",
+    "ind_trix_30",
+    "ind_adx_family_14",
+    "ind_sar",
+    "ind_stochf",
+    "ind_stochrsi",
+    "ind_apo_ppo",
+    "cdl_onebar",
+    "cdl_twobar",
+    "cdl_threebar",
+    "ind_mavp",
+    "vol_adosc",
+    "ind_sarext",
+    "ind_chunked_expr",
+    "vol_ad_obv_chunked",
+    "bars_view",
+    "rel_q1_pricing_summary",
+    "rel_q3_shipping_priority",
+    "rel_q5_region_revenue",
+    "agg_events_daily",
+    "ind_sma_20",
 ]
 
-PRIORITY_FRESH: list[str] = [
-    # (c) never-driver-verified — bars analytics (final 9)
-    "bars_lead_lag",
-    "bars_gap_fill",
-    "bars_weekday_effect",
-    "bars_capacity",
-    "bars_tail_dependence",
-    "bars_arch_test",
-    "bars_leverage_effect",
-    "bars_extreme_timing",
-    "bars_volume_volatility",
-    # relational (final 5)
-    "rel_nation_trade_balance",
-    "rel_order_size_hist",
-    "rel_customer_ltv_deciles",
-    "rel_brand_robust_stats",
-    "rel_abc_analysis",
-    # documents / LLM pipeline (final 13)
-    "doc_bigram_perplexity",
-    "doc_tokenizer_fertility",
-    "doc_weighted_sample",
-    "doc_filter_funnel",
-    "doc_format_profile",
-    "doc_keyphrases",
-    "doc_contrastive_triplets",
-    "doc_hard_negatives",
-    "doc_source_similarity",
-    "doc_dup_quality_report",
-    "doc_capitalized_terms",
-    "doc_corpus_manifest",
-    "doc_token_edit_pairs",
-    # events analytics (final 15)
-    "events_bass_diffusion",
-    "events_forecast_anomaly",
-    "events_alert_episodes",
-    "events_ab_mannwhitney",
-    "events_error_cascade",
-    "events_bounce_rate",
-    "events_round_amounts",
-    "events_circular_clock",
-    "events_ab_retention",
-    "events_dau_seasonal_index",
-    "events_depth_conversion",
-    "events_activation_lag",
-    "events_acquisition_trend",
-    "events_k_anonymized",
-    "events_k_anon_nulled",
-    # embeddings (final 1: the rp_lsh recall eval, judge-spot-verified r10)
-    "emb_rp_lsh_recall",
-    # segmented Wilder twins (judge-spot-verified r10; driver slot now)
-    "ind_atr_seg_14",
-    "ind_adx_seg_14",
-]
+PRIORITY_FRESH: list[str] = []
 
 PRIORITY_50: list[str] = PRIORITY_CARRYOVERS + PRIORITY_FRESH
 

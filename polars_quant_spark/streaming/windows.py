@@ -34,17 +34,10 @@ EVENTS_SCHEMA = StructType(
 )
 
 
-def _is_dir(spark: SparkSession, path: str) -> bool:
-    """True when ``path`` is a DIRECTORY on whatever filesystem backs it —
-    the Hadoop FileSystem API, not os.path, so a Spark-written table on
-    hdfs://, s3a://, etc. is classified correctly (r11 review: an
-    os.path.isdir probe runs on the driver's LOCAL fs and silently sent
-    remote directory-layout tables down the empty-glob branch — the exact
-    silent-empty-source bug the directory branch exists to fix)."""
-    jvm = spark._jvm
-    hpath = jvm.org.apache.hadoop.fs.Path(path)
-    fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
-    return bool(fs.getFileStatus(hpath).isDirectory())
+# Canonical implementation moved to session.is_dir (ADVICE r11: promote the
+# cross-module symbol out of underscore-private). Alias kept for local use
+# and any external caller of the old name.
+from polars_quant_spark.session import is_dir as _is_dir  # noqa: E402
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

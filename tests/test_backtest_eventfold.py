@@ -1,0 +1,138 @@
+"""Differential suite for the event-driven backtest fold (VERDICT r11 #4).
+
+``_fold_state`` (event-driven, numpy segment scans between signal events)
+must be BIT-EQUAL to ``_fold_state_loop`` (the per-bar Python loop kept as
+the executable spec of vectorized.rs:124-194) — per-bar outputs AND the
+carried FoldState, across every parameter regime: slippage/commission,
+stop-loss, take-profit, trailing stop (which gates on the per-bar hwm),
+NaN/≤0 price freezes, and resume-from-state across arbitrary cuts.
+
+Scenario arrays are seeded-numpy (not hypothesis-drawn lists — see the
+repo's hypothesis discipline): dense/sparse signal mixes at several sizes.
+"""
+
+from __future__ import annotations
+
+from math import isnan
+
+import numpy as np
+import pytest
+
+from polars_quant_spark.backtest.vectorized import (
+    BacktestParams,
+    _fold_state,
+    _fold_state_loop,
+)
+
+PARAM_GRID = [
+    BacktestParams(),
+    BacktestParams(buy_slippage=0.02, sell_slippage=0.03),
+    BacktestParams(buy_commission_rate=1e-3, sell_commission_rate=2e-3,
+                   min_commission=20.0),
+    BacktestParams(position_size=0.35),
+    BacktestParams(stop_loss=0.04),
+    BacktestParams(take_profit=0.05),
+    BacktestParams(trailing_stop=0.03),
+    BacktestParams(stop_loss=0.06, take_profit=0.04, trailing_stop=0.05,
+                   buy_slippage=0.01, sell_slippage=0.01),
+]
+
+
+def _scenario(seed: int, n: int, buy_p: float, sell_p: float,
+              bad_p: float = 0.05):
+    rng = np.random.default_rng(seed)
+    steps = rng.normal(0.0, 0.02, n)
+    price = 100.0 * np.exp(np.cumsum(steps))
+    bad = rng.random(n) < bad_p
+    kind = rng.random(n)
+    price = np.where(bad & (kind < 0.5), np.nan, price)
+    price = np.where(bad & (kind >= 0.5), rng.choice([0.0, -3.0]), price)
+    buy = rng.random(n) < buy_p
+    sell = rng.random(n) < sell_p
+    return price, buy, sell
+
+
+def _state_eq(a, b):
+    assert len(a) == len(b) == 9
+    for x, y in zip(a, b):
+        if isinstance(x, float) and isnan(x):
+            assert isinstance(y, float) and isnan(y)
+        else:
+            assert x == y, (a, b)
+
+
+def _assert_same(price, buy, sell, p, state=None):
+    want = _fold_state_loop(price, buy, sell, p, state)
+    got = _fold_state(price, buy, sell, p, state)
+    for k in range(4):
+        assert np.array_equal(want[k], got[k], equal_nan=True), (
+            k, np.flatnonzero(want[k] != got[k])[:5],
+        )
+    _state_eq(want[4], got[4])
+
+
+@pytest.mark.parametrize("p", PARAM_GRID)
+@pytest.mark.parametrize(
+    "seed,n,bp,sp",
+    [
+        (1, 500, 0.05, 0.05),
+        (2, 500, 0.4, 0.4),     # dense signals: event path ~ per-bar
+        (3, 2000, 0.005, 0.005),  # sparse: long closed-form stretches
+        (4, 40000, 0.0005, 0.0005),  # crosses _EVENT_BLOCK boundaries
+        (5, 300, 0.3, 0.0),     # buys never matched by sells
+        (6, 300, 0.0, 0.3),     # sells with no position
+    ],
+)
+def test_bit_equal_fresh(p, seed, n, bp, sp):
+    price, buy, sell = _scenario(seed, n, bp, sp)
+    _assert_same(price, buy, sell, p)
+
+
+@pytest.mark.parametrize("p", PARAM_GRID)
+def test_bit_equal_resume_chain(p):
+    """Chained segment folds (the backtest_segmented contract) must equal
+    one whole-array fold, with the event kernel on BOTH sides of the cut
+    and the carried state compared at every boundary."""
+    price, buy, sell = _scenario(7, 3000, 0.02, 0.02)
+    want_pos, want_cash, want_eq, want_dd, want_st = _fold_state_loop(
+        price, buy, sell, p
+    )
+    cuts = [0, 211, 1024, 1025, 2999, 3000]
+    st = None
+    outs = []
+    ref_st = None
+    for lo, hi in zip(cuts[:-1], cuts[1:]):
+        seg = _fold_state(price[lo:hi], buy[lo:hi], sell[lo:hi], p, st)
+        # loop-spec state at the same boundary
+        ref = _fold_state_loop(price[lo:hi], buy[lo:hi], sell[lo:hi], p, ref_st)
+        _state_eq(ref[4], seg[4])
+        outs.append(seg[:4])
+        st, ref_st = seg[4], ref[4]
+    got = [np.concatenate([o[k] for o in outs]) for k in range(4)]
+    for k, want in enumerate((want_pos, want_cash, want_eq, want_dd)):
+        assert np.array_equal(want, got[k], equal_nan=True)
+    _state_eq(want_st, st)
+
+
+def test_edges():
+    p = BacktestParams(trailing_stop=0.02, stop_loss=0.05)
+    empty = np.array([], dtype="float64")
+    eb = np.array([], dtype="bool")
+    _assert_same(empty, eb, eb, p)
+    # all-frozen array
+    n = 50
+    _assert_same(np.full(n, np.nan), np.ones(n, bool), np.ones(n, bool), p)
+    # buy on the very first bar, sell on the last, simultaneous signals
+    price = np.linspace(10, 20, n)
+    buy = np.zeros(n, bool)
+    sell = np.zeros(n, bool)
+    buy[0] = True
+    sell[-1] = True
+    buy[25] = sell[25] = True
+    _assert_same(price, buy, sell, p)
+    # buy bar whose fill can't afford min_commission -> failed purchase
+    tiny = BacktestParams(initial_capital=3.0, min_commission=5.0)
+    _assert_same(price, buy, sell, tiny)
+    # negative fill guard: price + big negative slippage
+    neg = BacktestParams(buy_slippage=-100.0)
+    _assert_same(price, buy, sell, neg)

@@ -54,13 +54,36 @@ from polars_quant_spark.operators.recurrence import _ewma
 # at any action is bounded by this constant instead of n_segments.
 _CHECKPOINT_EVERY_SEGMENTS = 4
 
+#: segment_rows="auto" sizing: ceil(max-rows-per-key / TARGET) with a FLOOR.
+#: Wall-clock is n_segments SEQUENTIAL passes, so a fixed segment_rows makes
+#: the pass count grow linearly with history length (the census outliers:
+#: 512-row demo configs ran 40 passes at sf0.1's 20.3k-bar symbols, VERDICT
+#: r11 #6). TARGET=4 bounds the pass count while still crossing ≥3 segment
+#: boundaries — and exactly one _CHECKPOINT_EVERY_SEGMENTS boundary — at any
+#: SF whose histories exceed the floor, so the driver oracle keeps proving
+#: the segmented path, not a degenerate single segment. The FLOOR keeps tiny
+#: inputs from paying sequential-pass overhead for toy segments. Memory
+#: bound: the caller picking "auto" accepts ~max_rows/4 rows per pandas
+#: group — for the memory-bounded regime (billion-row symbols) pass an
+#: explicit segment_rows instead.
+AUTO_SEGMENT_TARGET = 4
+AUTO_SEGMENT_FLOOR = 512
+
 
 def _segmented_base(
-    df: DataFrame, partition_by: str, order_by: str, segment_rows: int
+    df: DataFrame, partition_by: str, order_by: str, segment_rows: int | str
 ):
     """Shared pass-0 scaffolding: (_rn, _seg) columns over the symbol
     window, materialized ONCE behind a lineage cut. Returns (base,
-    last_seg); last_seg is None on empty input.
+    last_seg, resolved_segment_rows); last_seg is None on empty input.
+
+    ``segment_rows="auto"`` sizes segments from the data: one action reads
+    max(_rn) off the checkpointed base (the same materializing action the
+    fixed path spends on max(_seg)) and sets segment_rows =
+    max(AUTO_SEGMENT_FLOOR, ceil(max_rn / AUTO_SEGMENT_TARGET)); _seg is a
+    trivial projection over the checkpoint either way, and last_seg is
+    derived arithmetically — the action count is identical to the fixed
+    path.
 
     base is read n_segments + 2 times (the max-seg action, one slice per
     pass, the final join); without materialization every read re-executes
@@ -75,14 +98,25 @@ def _segmented_base(
     compilation is safe here: base is one window over the input, and every
     downstream join in this module is merge-pinned."""
     w = Window.partitionBy(partition_by).orderBy(order_by)
-    base = df.withColumn("_rn", F.row_number().over(w)).withColumn(
-        "_seg", ((F.col("_rn") - 1) / F.lit(segment_rows)).cast("long")
-    )
+    base = df.withColumn("_rn", F.row_number().over(w))
     try:
         base = base.localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     except TypeError:
         base = base.localCheckpoint(eager=False)
-    return base, base.agg(F.max("_seg")).collect()[0][0]
+    max_rn = base.agg(F.max("_rn")).collect()[0][0]
+    if segment_rows == "auto":
+        if max_rn is None:
+            segment_rows = AUTO_SEGMENT_FLOOR
+        else:
+            segment_rows = max(
+                AUTO_SEGMENT_FLOOR,
+                -(-int(max_rn) // AUTO_SEGMENT_TARGET),
+            )
+    base = base.withColumn(
+        "_seg", ((F.col("_rn") - 1) / F.lit(int(segment_rows))).cast("long")
+    )
+    last_seg = None if max_rn is None else (int(max_rn) - 1) // int(segment_rows)
+    return base, last_seg, int(segment_rows)
 
 
 def _cache_piece(res: DataFrame, k: int) -> DataFrame:
@@ -123,7 +157,7 @@ def ewma_segmented(
     out: str = "ema",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """SMA-seeded exponential scan, bit-equal to
     ``with_recurrences(..., Rec(out, "ema"|"rma", ...))`` on null-free input,
@@ -131,9 +165,9 @@ def ewma_segmented(
     the whole symbol. α defaults to 2/(p+1); pass 1/p for Wilder RMA."""
     if alpha is None:
         alpha = 2.0 / (p + 1)
+    base, last_seg, segment_rows = _segmented_base(df, partition_by, order_by, segment_rows)
     if segment_rows < p:
         raise ValueError(f"segment_rows ({segment_rows}) must be >= p ({p})")
-    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
     if last_seg is None:
         return df.withColumn(out, F.lit(None).cast("double"))
 
@@ -211,7 +245,7 @@ def rsi_segmented(
     out: str = "rsi",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """Wilder RSI without the one-pandas-frame-per-symbol memory bound —
     bit-equal to ``with_recurrences(..., Rec(out, "rsi", [x], {"p": p}))``
@@ -267,7 +301,7 @@ def atr_segmented(
     out: str = "atr",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """ATR = RMA(true range, p) without the per-symbol memory/serial bound —
     bit-equal to ``with_recurrences(..., Rec(out, "atr", ...))`` on
@@ -306,7 +340,7 @@ def adx_family_segmented(
     p: int = 14,
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """The full Wilder DMI/ADX family (±DM, ±DI, DX, ADX, ADXR) without the
     per-symbol memory bound — bit-equal to the ``with_recurrences`` kernels
@@ -396,7 +430,7 @@ def _chained_emas(
     depth: int,
     partition_by: str,
     order_by: str,
-    segment_rows: int,
+    segment_rows: int | str,
 ) -> DataFrame:
     """Run ``depth`` SMA-seeded EMA scans, each over the previous output's
     VALID rows — the exact composition of the plain kernels, whose
@@ -425,7 +459,7 @@ def dema_segmented(
     out: str = "dema",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """2·EMA − EMA(EMA) without the per-symbol memory bound — bit-equal to
     ``with_recurrences(..., Rec(out, "dema", ...))`` on null-free input
@@ -447,7 +481,7 @@ def tema_segmented(
     out: str = "tema",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """3·E1 − 3·E2 + E3, segmented (operators/recurrence.py:98,
     overlap.rs:1177-1311) — three chains, kernel float order."""
@@ -468,7 +502,7 @@ def t3_segmented(
     out: str = "t3",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """Tillson T3 (SIX chained SMA-seeded EMAs + GD coefficients),
     segmented (operators/recurrence.py:106, overlap.rs:939-1175). The
@@ -501,7 +535,7 @@ def kama_segmented(
     out: str = "kama",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """Kaufman adaptive MA without the per-symbol memory bound — bit-equal
     to ``with_recurrences(..., Rec(out, "kama", ...))`` on null-free input
@@ -525,9 +559,9 @@ def kama_segmented(
     bounded by segment + halo; wall is n_segments sequential passes."""
     from polars_quant_spark.operators.recurrence import kama as _kama_dense
 
+    base, last_seg, segment_rows = _segmented_base(df, partition_by, order_by, segment_rows)
     if segment_rows < p + 1:
         raise ValueError(f"segment_rows ({segment_rows}) must be >= p + 1 ({p + 1})")
-    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
     if last_seg is None:
         return df.withColumn(out, F.lit(None).cast("double"))
 
@@ -722,7 +756,7 @@ def _sar_family_segmented(
     out: str,
     partition_by: str,
     order_by: str,
-    segment_rows: int,
+    segment_rows: int | str,
 ) -> DataFrame:
     """Shared state+halo plumbing for ``sar_segmented``/``sarext_segmented``
     (the ``kama_segmented`` pattern). The SAR fold is a 4-tuple state
@@ -743,9 +777,9 @@ def _sar_family_segmented(
     row was already emitted by the previous pass. Same scale contract as
     the module: executor memory bounded by segment + halo; wall is
     n_segments sequential passes."""
+    base, last_seg, segment_rows = _segmented_base(df, partition_by, order_by, segment_rows)
     if segment_rows < 2:
         raise ValueError(f"segment_rows ({segment_rows}) must be >= 2")
-    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
     if last_seg is None:
         return df.withColumn(out, F.lit(None).cast("double"))
 
@@ -859,7 +893,7 @@ def sar_segmented(
     out: str = "sar",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """Parabolic SAR without the per-symbol memory bound — bit-equal to
     ``with_recurrences(..., Rec(out, "sar", [high, low], ...))`` on
@@ -891,7 +925,7 @@ def sarext_segmented(
     out: str = "sarext",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """Extended parabolic SAR, segmented — bit-equal to
     ``with_recurrences(..., Rec(out, "sarext", [high, low], ...))`` on
@@ -922,7 +956,7 @@ def ewma_q_segmented(
     out: str = "ema_q",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """INTEGER-LATTICE exponential scan (``recurrence._ewma_q``: every step
     re-quantizes with floor(x + 0.5)), segmented. Bit-equal by the same
@@ -934,15 +968,15 @@ def ewma_q_segmented(
     (floor(v·1e6 + 0.5)); output is integer-valued micro-units."""
     import math
 
-    if segment_rows < seed_n:
-        raise ValueError(
-            f"segment_rows ({segment_rows}) must be >= seed_n ({seed_n})"
-        )
     from polars_quant_spark.operators.recurrence import _ewma_q
 
     a = float(alpha)
     b = 1.0 - a
-    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
+    base, last_seg, segment_rows = _segmented_base(df, partition_by, order_by, segment_rows)
+    if segment_rows < seed_n:
+        raise ValueError(
+            f"segment_rows ({segment_rows}) must be >= seed_n ({seed_n})"
+        )
     if last_seg is None:
         return df.withColumn(out, F.lit(None).cast("double"))
 
@@ -1012,7 +1046,7 @@ def macd_q_segmented(
     hist_out: str = "macd_hist",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """Quantized MACD trio without the per-symbol memory bound — bit-equal
     to ``with_recurrences(..., Rec([...], "macd_q", [x], ...))`` on
@@ -1058,7 +1092,7 @@ def backtest_segmented(
     params=None,
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """``vectorized_backtest`` without the one-pandas-frame-per-symbol
     memory bound — bit-equal on identical input (asserted in
@@ -1086,9 +1120,9 @@ def backtest_segmented(
     )
 
     p = params or BacktestParams()
+    base, last_seg, segment_rows = _segmented_base(df, partition_by, order_by, segment_rows)
     if segment_rows < 1:
         raise ValueError("segment_rows must be >= 1")
-    base, last_seg = _segmented_base(df, partition_by, order_by, segment_rows)
     if last_seg is None:
         out = df
         for c in ("position", "cash", "equity", "drawdown"):
@@ -1203,7 +1237,7 @@ def macdext_q_segmented(
     hist_out: str = "macd_hist",
     partition_by: str = "symbol",
     order_by: str = "t",
-    segment_rows: int = 1_000_000,
+    segment_rows: int | str = 1_000_000,
 ) -> DataFrame:
     """Quantized MACDEXT (EMA fast/slow legs + SMA signal — matypes 1/1/0,
     the shape ``ind_macdext`` exercises), segmented. Bit-equal to

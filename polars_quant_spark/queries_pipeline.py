@@ -3058,12 +3058,12 @@ def stream_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (source, doc_id) prefix order."""
     from polars_quant_spark.streaming.stateful import streaming_source_quota
 
-    from polars_quant_spark.streaming.windows import _is_dir
+    from polars_quant_spark.session import is_dir
 
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _dpath = f"{sf_dir}/documents.parquet"
     schema = spark.read.parquet(_dpath).schema
-    if _is_dir(spark, _dpath):
+    if is_dir(spark, _dpath):
         # Spark-written replica layout: stream the table directory itself
         # (a leaf-name glob of "documents.parquet" would list nothing —
         # see streaming/windows.py::read_events_stream)
@@ -12790,8 +12790,13 @@ GROUP BY e.query_id
 # BIT-EQUAL to its plain with_recurrences sibling (tests/test_segmented.py),
 # so it reuses that sibling's recursive-CTE oracle VERBATIM — the driver
 # hash-checks the segmented plan against the same SQL that verifies the
-# single-group scan. segment_rows is set low enough that the gate SFs
-# actually cross segment (and checkpoint) boundaries.
+# single-group scan. segment_rows="auto" (VERDICT r11 #6): ceil(max-rows/4)
+# with a 512-row floor, so the gate SFs still cross segment (and, at 4
+# segments, exactly one checkpoint) boundaries while the pass count no
+# longer grows with history length — the sf0.1 census ran 40 sequential
+# passes per chain under the old fixed 512-row demo config. Forced tiny
+# segment_rows coverage lives in tests/test_segmented.py's bit-equality
+# suite.
 # ---------------------------------------------------------------------------
 
 
@@ -12799,7 +12804,7 @@ def _rsi_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_quant_spark.operators.segmented import rsi_segmented
 
     b = bars(spark, sf_dir)
-    out = rsi_segmented(b, "close", 14, out="rsi_14", segment_rows=512)
+    out = rsi_segmented(b, "close", 14, out="rsi_14", segment_rows="auto")
     return out.select("symbol", "t", r6(F.col("rsi_14")).alias("rsi_14"))
 
 
@@ -12811,7 +12816,7 @@ def _atr_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_quant_spark.operators.segmented import atr_segmented
 
     b = bars(spark, sf_dir)
-    out = atr_segmented(b, p=14, out="atr_14", segment_rows=512)
+    out = atr_segmented(b, p=14, out="atr_14", segment_rows="auto")
     # NATR is row-local given ATR (kernel: np.where(c != 0, 100·a/c, 0),
     # recurrence.py:209) — same float sequence, so the two-column
     # ind_atr_natr_14 oracle applies verbatim
@@ -12834,7 +12839,7 @@ def _adx_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from polars_quant_spark.operators.segmented import adx_family_segmented
 
     b = bars(spark, sf_dir)
-    out = adx_family_segmented(b, p=14, segment_rows=512)
+    out = adx_family_segmented(b, p=14, segment_rows="auto")
     return out.select(
         "symbol",
         "t",

@@ -525,3 +525,45 @@ def test_kama_segmented_uneven_lengths_at_halo_boundary(spark):
     diff = [k for k in w if (w[k] is None) != (s[k] is None) or
             (w[k] is not None and w[k] != s[k])]
     assert not diff, diff[:5]
+
+
+def test_auto_segment_rows_resolution(spark, tall_df):
+    """segment_rows="auto" sizes segments as max(FLOOR, ceil(max_rn/TARGET))
+    and stays bit-equal to the plain kernel (VERDICT r11 #6: the census
+    outliers came from a fixed demo segment_rows whose pass count grew
+    linearly with history)."""
+    from polars_quant_spark.operators.segmented import (
+        AUTO_SEGMENT_FLOOR,
+        AUTO_SEGMENT_TARGET,
+        _segmented_base,
+    )
+
+    base, last_seg, rows = _segmented_base(tall_df, "symbol", "t", "auto")
+    # FAT has 2500 bars: ceil(2500/4)=625 >= the 512 floor -> 4 segments
+    assert rows == max(AUTO_SEGMENT_FLOOR, -(-2500 // AUTO_SEGMENT_TARGET))
+    assert last_seg == (2500 - 1) // rows == AUTO_SEGMENT_TARGET - 1
+
+    whole = (
+        with_recurrences(tall_df, [Rec("e", "ema", ["close"], {"p": 20})])
+        .select("symbol", "t", "e")
+        .collect()
+    )
+    segd = (
+        ewma_segmented(tall_df, "close", 20, out="e", segment_rows="auto")
+        .select("symbol", "t", "e")
+        .collect()
+    )
+    w = {(r["symbol"], r["t"]): r["e"] for r in whole}
+    s = {(r["symbol"], r["t"]): r["e"] for r in segd}
+    assert w == s
+
+
+def test_auto_segment_rows_floor_validation(spark, tall_df):
+    """A period larger than the auto-resolved segment size must still be
+    rejected (validation happens AFTER resolution)."""
+    import pytest as _pytest
+
+    from polars_quant_spark.operators.segmented import ewma_segmented as es
+
+    with _pytest.raises(ValueError, match="must be >= p"):
+        es(tall_df, "close", 5000, out="e", segment_rows="auto")

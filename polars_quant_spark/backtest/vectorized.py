@@ -462,9 +462,19 @@ def auto_backtest(
     both arms order by ``order_by`` with their own row_number, so any
     orderable column is fine.
 
+    Mixed corpora are SPLIT, not all-or-nothing (VERDICT r11 #5): when
+    the probe runs and finds both regimes, only the oversized keys ride
+    the sequential segmented passes; every other symbol keeps the
+    one-job plain fold, and the two arms union back by name. The big-key
+    list is bounded by total_rows/threshold (at the 20 M default, ≤50
+    keys per billion rows), so collecting it and broadcasting the
+    semi/anti split is scale-safe. A caller-supplied ``max_rows_per_key``
+    keeps the old plan-time-only whole-corpus dispatch (no probe, no
+    per-key information to split on).
+
     Both arms are bit-identical (tests/test_segmented.py's
-    backtest_segmented suite), so the dispatch only moves the work,
-    never the answer.
+    backtest_segmented suite), so the dispatch — and the split — only
+    moves the work, never the answer.
 
     ``partition_by`` must be a single column name (str, or a one-element
     list which is normalized): the segmented arm's marker pivot and
@@ -482,21 +492,52 @@ def auto_backtest(
                 "concatenate the keys into one column."
             )
         partition_by = keys[0]
-    if max_rows_per_key is None:
-        row = (
-            df.groupBy(partition_by)
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .agg(F.max("_n").alias("m"))
-            .first()
+    plain_args = (df, price, buy, sell, params, partition_by, order_by)
+    if max_rows_per_key is not None:
+        if max_rows_per_key <= threshold:
+            return vectorized_backtest(*plain_args)
+        from polars_quant_spark.operators.segmented import backtest_segmented
+
+        return backtest_segmented(
+            df, price, buy, sell, params, partition_by, order_by,
+            segment_rows=segment_rows,
         )
-        max_rows_per_key = int(row["m"]) if row and row["m"] is not None else 0
-    if max_rows_per_key <= threshold:
-        return vectorized_backtest(
-            df, price, buy, sell, params, partition_by, order_by
-        )
+    # one probe job: the bounded oversized-key list + the key census in a
+    # single aggregate (collect_list drops the when()-nulls, so only keys
+    # above threshold land on the driver — ≤ total_rows/threshold of them)
+    counts = df.groupBy(partition_by).agg(F.count(F.lit(1)).alias("_n"))
+    stats = counts.select(
+        F.collect_list(
+            F.when(F.col("_n") > threshold, F.col(partition_by))
+        ).alias("big"),
+        F.count(F.lit(1)).alias("nkeys"),
+    ).first()
+    big = list(stats["big"]) if stats is not None else []
+    nkeys = int(stats["nkeys"]) if stats is not None else 0
+    if not big:
+        return vectorized_backtest(*plain_args)
     from polars_quant_spark.operators.segmented import backtest_segmented
 
-    return backtest_segmented(
-        df, price, buy, sell, params, partition_by, order_by,
+    if len(big) == nkeys:
+        return backtest_segmented(
+            df, price, buy, sell, params, partition_by, order_by,
+            segment_rows=segment_rows,
+        )
+    # mixed corpus: split by key — oversized symbols pay the sequential
+    # passes, everyone else keeps the one-job fold
+    spark = df.sparkSession
+    big_keys = F.broadcast(
+        spark.createDataFrame(
+            [(k,) for k in big], StructType([df.schema[partition_by]])
+        )
+    )
+    big_df = df.join(big_keys, partition_by, "left_semi")
+    small_df = df.join(big_keys, partition_by, "left_anti")
+    seg = backtest_segmented(
+        big_df, price, buy, sell, params, partition_by, order_by,
         segment_rows=segment_rows,
     )
+    plain = vectorized_backtest(
+        small_df, price, buy, sell, params, partition_by, order_by
+    )
+    return plain.unionByName(seg)

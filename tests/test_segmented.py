@@ -567,3 +567,43 @@ def test_auto_segment_rows_floor_validation(spark, tall_df):
 
     with _pytest.raises(ValueError, match="must be >= p"):
         es(tall_df, "close", 5000, out="e", segment_rows="auto")
+
+
+def test_auto_backtest_mixed_corpus_split(spark, tall_df):
+    """Mixed corpora split per key (VERDICT r11 #5): only oversized
+    symbols ride the sequential segmented passes; the rest keep the
+    one-job plain fold. The union must equal the plain whole-corpus fold
+    on every row, and an all-big corpus must still dispatch fully
+    segmented."""
+    from polars_quant_spark.backtest.vectorized import (
+        auto_backtest,
+        vectorized_backtest,
+    )
+    from polars_quant_spark.plans.inspect import plan_str
+
+    w = Window.partitionBy("symbol").orderBy("t")
+    sig = (
+        tall_df.withColumn("_f", F.avg("close").over(w.rowsBetween(-4, 0)))
+        .withColumn("_s", F.avg("close").over(w.rowsBetween(-19, 0)))
+        .withColumn("buy", F.col("_f") > F.col("_s"))
+        .withColumn("sell", F.col("_f") < F.col("_s"))
+        .drop("_f", "_s")
+    )
+    cols = ["position", "cash", "equity", "drawdown", "n_trades", "n_wins"]
+    want = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
+            for r in vectorized_backtest(sig).select("symbol", "t", *cols).collect()}
+
+    # FAT(2500) > 1000 >= THIN(40): probe finds both regimes -> split
+    mixed = auto_backtest(sig, threshold=1000, segment_rows=800)
+    ps = plan_str(mixed)
+    assert "Union" in ps  # both arms present
+    got = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
+           for r in mixed.select("symbol", "t", *cols).collect()}
+    assert got == want
+
+    # every symbol above threshold -> single segmented plan, no Union
+    allbig = auto_backtest(sig, threshold=30, segment_rows=800)
+    assert "Union" not in plan_str(allbig).split("ExistingRDD")[0]
+    got2 = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
+            for r in allbig.select("symbol", "t", *cols).collect()}
+    assert got2 == want

@@ -33,7 +33,7 @@ sys.path.insert(0, REPO)
 
 import bench  # noqa: E402
 from polars_quant_spark.queries import ORACLES  # noqa: E402
-from polars_quant_spark.session import get_spark  # noqa: E402
+from polars_quant_spark.session import get_spark, released  # noqa: E402
 from tests.harness import duck_con  # noqa: E402
 
 # bench entry -> list of oracle names whose SQL covers the same work
@@ -79,8 +79,12 @@ def main() -> None:
     rows = []
     spark_subset = duck_subset = 0.0
     for name, fn in bench.BENCH.items():
-        # warm both sides once, then best-of-N back-to-back
-        bench._force(fn(spark, cache))
+        # warm both sides once, then best-of-N back-to-back; released()
+        # drops the pins persist-on-return operators (dedup_minhash et al.)
+        # leave behind, so the census memory profile stays flat across
+        # queries (VERDICT r11 #7)
+        with released(spark):
+            bench._force(fn(spark, cache))
         twins = DUCK_TWINS.get(name)
         if twins:
             for t in twins:
@@ -88,7 +92,8 @@ def main() -> None:
         s_best = d_best = float("inf")
         for _ in range(reps):
             t0 = time.time()
-            bench._force(fn(spark, cache))
+            with released(spark):
+                bench._force(fn(spark, cache))
             s_best = min(s_best, time.time() - t0)
             if twins:
                 t0 = time.time()

@@ -21,7 +21,7 @@ import traceback
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-from polars_quant_spark.session import get_spark  # noqa: E402
+from polars_quant_spark.session import get_spark, released  # noqa: E402
 
 
 def main() -> None:
@@ -35,7 +35,12 @@ def main() -> None:
     for name, fn in qs.items():
         t0 = time.time()
         try:
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # released(): persist-on-return operators (segmented, dedup,
+            # token-edit) otherwise accumulate pins across the 394-query
+            # single-session sweep (VERDICT r11 #7); each query is fully
+            # consumed by the noop sink inside the block
+            with released(spark):
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             out[name] = round(time.time() - t0, 2)
         except Exception:
             out[name] = None

@@ -21,6 +21,7 @@ folds in parallel across executors, linear in bars.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from bisect import bisect_left
 from math import floor, isnan
 
 import numpy as np
@@ -162,11 +163,14 @@ def _fold_state_loop(
     )
 
 
-#: chunk size for the in-position exit scan: bounds wasted vector work past
-#: the exit bar to one block while keeping the per-event numpy call count
-#: O(stretch/block). Each bar belongs to at most one position stretch, so
-#: total scan work stays O(n + events·block).
-_EVENT_BLOCK = 16_384
+#: in-position exit scans grow their block geometrically per stretch
+#: (start small, ×4 per miss, capped): short stretches — the dense-signal
+#: regime — waste at most ~3 small blocks past the exit bar, while long
+#: no-signal stretches reach full-vector throughput after a few misses.
+#: A fixed block was measurably wrong at both ends (16 384-wide scans for
+#: ~170-bar stretches left only 1.2× over the loop).
+_EVENT_BLOCK0 = 512
+_EVENT_BLOCK_MAX = 1 << 21
 
 
 def _fold_state(
@@ -180,24 +184,38 @@ def _fold_state(
     per-bar Python loop only runs ACROSS state-changing events
     (VERDICT r11 #4 — the loop was the per-core ceiling at ~0.5 M bars/s).
 
-    Between events the state is closed-form, per branch:
+    The key decomposition: (position, cash, trades, wins) transitions
+    depend only on prices AT event bars plus the commission rules — never
+    on equity or its peak — so the fold splits into
 
-    * FLAT (position = 0): only a valid buy bar can change state, so up
-      to the next buy candidate every output is constant — equity is
-      bitwise ``cash`` (the loop computes ``cash + 0.0·mark`` with
-      ``mark ≥ 0``, and ``x + 0.0 == x`` for finite non-negative-zero x),
-      peak/drawdown settle after one ``max``.
-    * IN POSITION: position/cash are constant and every per-bar quantity
-      is an elementwise map or running max — mark = forward-filled valid
-      price (global ``lv`` index, identical to the loop's ``last_price``
-      carry), hwm = seeded ``np.maximum.accumulate`` over valid prices
-      (frozen bars contribute −inf, i.e. keep the previous hwm), equity
-      = ``cash + pos·mark``, peak = seeded running max of equity, and
-      the exit trigger mask (sell, stop, take-profit, trailing) is a
-      pure comparison against the SAME scalars/arrays the loop compares
-      — so the first True index is exactly the loop's exit bar, and
-      every vector op is the same IEEE-754 double op the loop executes
-      bar by bar (adds, multiplies, divides elementwise; max exact).
+    1. a scalar EVENT WALK that locates each state change and records the
+       piecewise-constant (start, position, cash) segments. Flat
+       stretches jump straight to the next valid buy bar (precomputed
+       index + searchsorted); in-position stretches jump to the next
+       valid sell bar the same way when no stop is configured, else run
+       a geometrically-growing chunked scan of the exit-trigger mask
+       (sell, stop, take-profit, trailing — pure comparisons against the
+       SAME scalars/arrays the loop compares, with the trailing hwm a
+       seeded running max over valid prices, so the first True index IS
+       the loop's exit bar);
+    2. ONE global vectorized pass: np.repeat expands the segments to
+       per-bar position/cash, then ``equity = cash + pos·mark`` (mark =
+       the loop's ``last_price`` carry: the price itself on valid bars,
+       the previous valid price on frozen ones), ``peak = seeded running
+       max of equity``, ``drawdown = (peak−eq)/peak`` — each the
+       identical elementwise IEEE-754 double op the loop executes bar by
+       bar (adds, multiplies, divides; max exact; + commutes bitwise),
+       so outputs are bitwise equal, not approximately equal.
+
+    Allocation discipline matters as much as op count: inside
+    applyInPandas every call touches fresh pages, and first-touch page
+    faults on 160 MB-class temporaries dominated an earlier draft (22 s
+    cold vs 6.9 s warm at 20 M bars). The common no-frozen-bars corpus
+    therefore ALIASES mark to ``price`` (zero copies), skips the
+    last-valid-index scaffolding entirely, and phase 2 runs in-place
+    (multiply→add→accumulate→subtract→divide, one output buffer each);
+    frozen bars, when present, are patched individually (searchsorted
+    into the valid-bar index — O(n_bad·log n), not an O(n) gather).
 
     The buy/sell fills themselves (slippage, commission, the
     share-downsizing loop) stay scalar per event — unchanged code.
@@ -205,10 +223,6 @@ def _fold_state(
     spec loop across randomized scenarios including NaN/≤0 freezes,
     stop/take-profit/trailing exits, and resume-from-state."""
     n = price.shape[0]
-    position = np.zeros(n)
-    cash_arr = np.zeros(n)
-    equity_arr = np.zeros(n)
-    dd_arr = np.zeros(n)
 
     if state is None:
         pos = 0.0
@@ -228,48 +242,76 @@ def _fold_state(
     ts_mult = None if p.trailing_stop is None else 1.0 - p.trailing_stop
 
     if n == 0:
-        return position, cash_arr, equity_arr, dd_arr, (
+        z = np.zeros(0)
+        return z, z.copy(), z.copy(), z.copy(), (
             pos, cash, peak, entry_cost, entry_px, last_price, trades, wins,
             hwm,
         )
 
-    valid = ~np.isnan(price) & (price > 0.0)
-    # lv[k] = index of the last valid bar ≤ k (−1: none in this array) —
-    # the loop's last_price carry, as a gather index
-    lv = np.where(valid, np.arange(n), -1)
-    np.maximum.accumulate(lv, out=lv)
-    # mark[k]: the loop's `last_price if not isnan(last_price) else 0.0`
-    seed_mark = last_price if not isnan(last_price) else 0.0
-    mark_all = np.where(lv >= 0, price[np.maximum(lv, 0)], seed_mark)
-    buy_idx = np.flatnonzero(buy & valid)
+    # one O(n) reduction instead of two O(n) mask passes: min() is NaN iff
+    # any price is NaN, and min <= 0 iff any price is <= 0
+    mn = float(np.min(price))
+    has_bad = isnan(mn) or mn <= 0.0
+    if has_bad:
+        bad = np.isnan(price)
+        np.logical_or(bad, price <= 0.0, out=bad)
+        valid = ~bad
+        good_idx = np.flatnonzero(valid)
+        # mark[k] = the loop's last_price carry at bar k: patch ONLY the
+        # frozen bars (previous valid price via searchsorted, the seed
+        # before the first valid bar), alias everywhere else
+        seed_mark = last_price if not isnan(last_price) else 0.0
+        mark_all = price.copy()
+        bidx = np.flatnonzero(bad)
+        if len(good_idx):
+            pv = np.searchsorted(good_idx, bidx) - 1
+            mark_all[bidx] = np.where(
+                pv >= 0, price[good_idx[np.maximum(pv, 0)]], seed_mark
+            )
+        else:
+            mark_all[bidx] = seed_mark
+        buy_idx = np.flatnonzero(buy & valid)
+    else:
+        valid = None
+        good_idx = None
+        mark_all = price  # alias — no copy, no faults
+        buy_idx = np.flatnonzero(buy)
+    use_scan = not (sl_mult is None and tp_mult is None and ts_mult is None)
+    # rolling-pointer bisect over plain Python lists: candidate indices
+    # only move forward, and bisect_left(lo=ptr) is ~4x cheaper per event
+    # than an np.searchsorted round-trip (no array boxing) — the dense-
+    # signal regime is walk-bound, not fill-bound
+    buy_list = buy_idx.tolist()
+    n_buy = len(buy_list)
+    bp = 0
+    if not use_scan:
+        sell_idx = np.flatnonzero(sell & valid) if has_bad else np.flatnonzero(sell)
+        sell_list = sell_idx.tolist()
+        n_sell = len(sell_list)
+        sp = 0
+    track_hwm = ts_mult is not None
+    # hwm is part of the carried FoldState even without a trailing stop;
+    # when not tracked incrementally it is recomputed lazily at the end
+    # for a still-open position: max(valid px) from hwm_anchor on.
+    hwm_anchor = 0 if pos > 0.0 else n
 
-    def _last_price_at(k: int) -> float:
-        j = lv[k]
-        return float(price[j]) if j >= 0 else last_price
+    seg_start = [0]
+    seg_pos = [pos]
+    seg_cash = [cash]
 
     i = 0
     while i < n:
         if pos == 0.0:
-            # ---- flat stretch: constant outputs up to the next buy bar
-            bi = np.searchsorted(buy_idx, i)
-            j = int(buy_idx[bi]) if bi < len(buy_idx) else n
-            if j > i:
-                eq = cash  # cash + 0.0*mark, bitwise (see docstring)
-                peak = max(peak, eq)
-                ddv = (peak - eq) / peak if peak > 0 else 0.0
-                # position/cash arrays pre-zeroed; pos is 0.0 here
-                cash_arr[i:j] = cash
-                equity_arr[i:j] = eq
-                dd_arr[i:j] = ddv
-            if j >= n:
-                last_price = _last_price_at(n - 1)
+            # ---- flat: jump to the next valid buy bar
+            bp = bisect_left(buy_list, i, bp)
+            if bp >= n_buy:
                 break
-            # ---- buy event bar (valid by construction)
+            j = buy_list[bp]
             px = float(price[j])
-            last_price = px
             fill = px + p.buy_slippage
             if fill > 0:
                 shares = floor(cash * p.position_size / fill)
+                # downsize until the commission also fits in cash
                 while shares > 0:
                     notional = shares * fill
                     fee = max(p.buy_commission_rate * notional, p.min_commission)
@@ -282,87 +324,113 @@ def _fold_state(
                     entry_cost = notional + fee
                     entry_px = fill
                     hwm = fill
-            eq = cash + pos * px if pos > 0.0 else cash
-            peak = max(peak, eq)
-            position[j] = pos
-            cash_arr[j] = cash
-            equity_arr[j] = eq
-            dd_arr[j] = (peak - eq) / peak if peak > 0 else 0.0
+                    hwm_anchor = j + 1
+                    seg_start.append(j)
+                    seg_pos.append(pos)
+                    seg_cash.append(cash)
             i = j + 1
         else:
-            # ---- in-position stretch: chunked scan for the exit bar
-            a = i
-            exited = False
-            while a < n and not exited:
-                b = min(a + _EVENT_BLOCK, n)
-                px_s = price[a:b]
-                valid_s = valid[a:b]
-                # hwm is tracked even without a trailing stop: it is part
-                # of the carried FoldState (the loop updates it on every
-                # valid in-position bar), so resume/state equality needs it
-                hwm_s = np.maximum.accumulate(np.where(valid_s, px_s, -np.inf))
-                np.maximum(hwm_s, hwm, out=hwm_s)
-                trig = sell[a:b].copy()
-                if sl_mult is not None:
-                    trig |= px_s <= entry_px * sl_mult
-                if tp_mult is not None:
-                    trig |= px_s >= entry_px * tp_mult
-                if ts_mult is not None:
-                    trig |= px_s <= hwm_s * ts_mult
-                trig &= valid_s
-                hit = np.flatnonzero(trig)
-                j = int(hit[0]) + a if len(hit) else b
-                if j > a:
-                    # constant-state bars [a, j): elementwise outputs
-                    eq_s = cash + pos * mark_all[a:j]
-                    peak_s = np.maximum.accumulate(eq_s)
-                    np.maximum(peak_s, peak, out=peak_s)
-                    with np.errstate(divide="ignore", invalid="ignore"):
-                        dd_s = np.where(
-                            peak_s > 0, (peak_s - eq_s) / peak_s, 0.0
-                        )
-                    position[a:j] = pos
-                    cash_arr[a:j] = cash
-                    equity_arr[a:j] = eq_s
-                    dd_arr[a:j] = dd_s
-                    peak = float(peak_s[-1])
-                    hj = hwm_s[j - a - 1]
-                    if hj > hwm:
-                        hwm = float(hj)
-                if j < b:
-                    # ---- exit event bar (valid by construction)
-                    px = float(price[j])
-                    last_price = px
-                    if px > hwm:
-                        hwm = px
-                    fill = px - p.sell_slippage
-                    proceeds = pos * fill
-                    fee = max(p.sell_commission_rate * proceeds, p.min_commission)
-                    cash += proceeds - fee
-                    trades += 1
-                    if proceeds - fee > entry_cost:
-                        wins += 1
-                    pos = 0.0
-                    entry_cost = 0.0
-                    entry_px = 0.0
-                    hwm = 0.0
-                    eq = cash  # pos is 0 after the exit
-                    peak = max(peak, eq)
-                    cash_arr[j] = cash
-                    equity_arr[j] = eq
-                    dd_arr[j] = (peak - eq) / peak if peak > 0 else 0.0
-                    i = j + 1
-                    exited = True
-                else:
+            # ---- in position: locate the exit bar
+            if not use_scan:
+                sp = bisect_left(sell_list, i, sp)
+                j = sell_list[sp] if sp < n_sell else n
+            else:
+                j = n
+                a = i
+                block = _EVENT_BLOCK0
+                while a < n:
+                    b = min(a + block, n)
+                    block = min(block * 4, _EVENT_BLOCK_MAX)
+                    px_s = price[a:b]
+                    if track_hwm:
+                        if has_bad:
+                            hwm_s = np.maximum.accumulate(
+                                np.where(valid[a:b], px_s, -np.inf)
+                            )
+                        else:
+                            hwm_s = np.maximum.accumulate(px_s)
+                        np.maximum(hwm_s, hwm, out=hwm_s)
+                    trig = sell[a:b].copy()
+                    if sl_mult is not None:
+                        trig |= px_s <= entry_px * sl_mult
+                    if tp_mult is not None:
+                        trig |= px_s >= entry_px * tp_mult
+                    if ts_mult is not None:
+                        trig |= px_s <= hwm_s * ts_mult
+                    if has_bad:
+                        trig &= valid[a:b]
+                    hit = np.flatnonzero(trig)
+                    if len(hit):
+                        j = a + int(hit[0])
+                        break
+                    if track_hwm:
+                        hj = hwm_s[-1]
+                        if hj > hwm:
+                            hwm = float(hj)
                     a = b
-            if not exited:
-                last_price = _last_price_at(n - 1)
-                i = n
+            if j >= n:
+                break
+            # ---- exit event bar (valid by construction). The loop also
+            # maxes px[j] into hwm first, but hwm is reset to 0 two lines
+            # later, so the update is dead — skipped.
+            px = float(price[j])
+            fill = px - p.sell_slippage
+            proceeds = pos * fill
+            fee = max(p.sell_commission_rate * proceeds, p.min_commission)
+            cash += proceeds - fee
+            trades += 1
+            if proceeds - fee > entry_cost:
+                wins += 1
+            pos = 0.0
+            entry_cost = 0.0
+            entry_px = 0.0
+            hwm = 0.0
+            hwm_anchor = n
+            seg_start.append(j)
+            seg_pos.append(0.0)
+            seg_cash.append(cash)
+            i = j + 1
+
+    # ---- carried scalars at end of input
+    if has_bad:
+        if len(good_idx):
+            last_price = float(price[good_idx[-1]])
+    else:
+        last_price = float(price[n - 1])
+    if pos > 0.0 and not track_hwm and hwm_anchor < n:
+        tail = price[hwm_anchor:]
+        if has_bad:
+            tv = valid[hwm_anchor:]
+            m = float(np.max(np.where(tv, tail, -np.inf))) if tv.any() else -np.inf
+        else:
+            m = float(np.max(tail))
+        if m > hwm:
+            hwm = m
+
+    # ---- one global vectorized output pass (in-place where possible)
+    starts = np.asarray(seg_start + [n], dtype=np.int64)
+    lens = np.diff(starts)
+    position = np.repeat(np.asarray(seg_pos, dtype=np.float64), lens)
+    cash_arr = np.repeat(np.asarray(seg_cash, dtype=np.float64), lens)
+    # the loop computes cash + pos*mark; + commutes bitwise in IEEE-754,
+    # so (pos*mark) + cash is the identical double
+    equity_arr = position * mark_all
+    np.add(equity_arr, cash_arr, out=equity_arr)
+    peak_arr = np.maximum.accumulate(equity_arr)
+    np.maximum(peak_arr, peak, out=peak_arr)
+    dd_arr = np.subtract(peak_arr, equity_arr)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        np.divide(dd_arr, peak_arr, out=dd_arr)
+    # peak_arr is non-decreasing: a non-positive peak exists iff the FIRST
+    # element is non-positive — scalar check instead of an O(n) mask
+    if float(peak_arr[0]) <= 0:
+        nonpos = peak_arr <= 0
+        dd_arr[nonpos] = 0.0
+    peak = float(peak_arr[-1])
 
     return position, cash_arr, equity_arr, dd_arr, (
         pos, cash, peak, entry_cost, entry_px, last_price, trades, wins, hwm
     )
-
 
 def _fold(
     price: np.ndarray,

@@ -53,7 +53,16 @@ NOOP_REF_S = 0.135
 # adjudicate per BASELINE.md's protocol section (parallel-shaped workloads
 # follow the noop factor; the band between the two normalized totals is the
 # uncertainty interval).
-DUCK_REF_S = 0.023
+#
+# Pin context (round 12, idle box — load avg < 2, best-of-8): duckdb_ref_s
+# 0.0159 alongside noop_s 0.275. Note the HOST CLASS difference the pair
+# exposes: the r10 box that pinned NOOP_REF_S=0.135 had ~2x this box's
+# 32-thread throughput, while this box's single-thread probe is ~1.4x
+# FASTER than the r10/r11 driver runs' 0.026/0.023 — the two pins come
+# from different host generations, which the disagreement signal is
+# designed to surface (a driver run on either host class will show a
+# stable factor on one probe and a host-class factor on the other).
+DUCK_REF_S = 0.016
 
 _TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -318,9 +327,16 @@ def main() -> None:
     try:
         import duckdb
 
+        # FIXED-COST probe: always the sf0.1 lineitem when present (the
+        # DUCK_REF_S pin's file), regardless of $SPARK_GRAFT_SF_DIR — a
+        # probe that scaled with the benchmarked SF would make the pin,
+        # and the disagreement signal, meaningless at other SFs.
+        ref_file = "/root/testdata/sf0.1/lineitem.parquet"
+        if not os.path.exists(ref_file):
+            ref_file = os.path.join(SF_DIR, "lineitem.parquet")
         ref_sql = (
             "SELECT l_returnflag, count(*) n, sum(l_quantity) q "
-            f"FROM '{os.path.join(SF_DIR, 'lineitem.parquet')}' "
+            f"FROM '{ref_file}' "
             "GROUP BY 1 ORDER BY 1"
         )
         duck = float("inf")

@@ -10,7 +10,7 @@ import time
 
 sys.path.insert(0, ".")
 
-from polars_quant_spark.session import get_spark  # noqa: E402
+from polars_quant_spark.session import get_spark, released  # noqa: E402
 from tests.harness import compare, duck_con  # noqa: E402
 
 import __spark_entry__ as E  # noqa: E402
@@ -30,9 +30,17 @@ def main() -> int:
             continue
         t0 = time.time()
         try:
-            df = fn(spark, sf)
+            # released(): the 394-query single-session sweep otherwise
+            # accumulates persist-on-return pins (segmented/dedup ops);
+            # compare()/count() fully consume the frame inside the block
+            with released(spark):
+                df = fn(spark, sf)
+                if name in oracles:
+                    errs = compare(df, con, oracles[name], name)
+                else:
+                    errs = None
+                    nrows = df.count()
             if name in oracles:
-                errs = compare(df, con, oracles[name], name)
                 dt = time.time() - t0
                 if errs:
                     fails += 1
@@ -42,7 +50,6 @@ def main() -> int:
                 else:
                     print(f"PASS {name} ({dt:.1f}s)", flush=True)
             else:
-                nrows = df.count()
                 print(f"ROWS {name} {nrows} ({time.time() - t0:.1f}s)", flush=True)
         except Exception as ex:  # noqa: BLE001
             fails += 1

@@ -291,10 +291,15 @@ def main() -> None:
     ]
 
     def best2(fn, sf_dir: str) -> float:
+        from polars_quant_spark.session import released
+
         best = float("inf")
         for _ in range(2):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            # released(): persist-on-return pins would otherwise stack
+            # across the 22-entry sweep at Nx sizes (VERDICT r11 #7)
+            with released(spark):
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)
         return round(best, 3)
 

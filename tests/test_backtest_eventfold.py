@@ -136,3 +136,38 @@ def test_edges():
     # negative fill guard: price + big negative slippage
     neg = BacktestParams(buy_slippage=-100.0)
     _assert_same(price, buy, sell, neg)
+
+
+def test_bit_equal_random_sweep():
+    """Broad seeded sweep: 200 random (params, scenario) combos at small n
+    — catches edge interactions the parametrized grid misses (frozen runs
+    at array edges, stop thresholds landing exactly on bars, zero-capital
+    starts, resume cuts inside positions)."""
+    rng = np.random.default_rng(99)
+    for trial in range(200):
+        n = int(rng.integers(1, 400))
+        price, buy, sell = _scenario(
+            int(rng.integers(0, 2**31)), n,
+            float(rng.uniform(0, 0.5)), float(rng.uniform(0, 0.5)),
+            bad_p=float(rng.uniform(0, 0.4)),
+        )
+        p = BacktestParams(
+            initial_capital=float(rng.choice([0.0, 3.0, 1e5])),
+            buy_slippage=float(rng.uniform(-0.5, 2.0)),
+            sell_slippage=float(rng.uniform(-0.5, 2.0)),
+            min_commission=float(rng.choice([0.0, 5.0, 500.0])),
+            position_size=float(rng.uniform(0.05, 1.0)),
+            stop_loss=None if rng.random() < 0.5 else float(rng.uniform(0.001, 0.2)),
+            take_profit=None if rng.random() < 0.5 else float(rng.uniform(0.001, 0.2)),
+            trailing_stop=None if rng.random() < 0.5 else float(rng.uniform(0.001, 0.2)),
+        )
+        _assert_same(price, buy, sell, p)
+        # resume across a random cut, event kernel both sides
+        cut = int(rng.integers(0, n + 1))
+        a = _fold_state(price[:cut], buy[:cut], sell[:cut], p)
+        b = _fold_state(price[cut:], buy[cut:], sell[cut:], p, a[4])
+        whole = _fold_state_loop(price, buy, sell, p)
+        for k in range(4):
+            got = np.concatenate([a[k], b[k]])
+            assert np.array_equal(whole[k], got, equal_nan=True), (trial, k, cut)
+        _state_eq(whole[4], b[4])

@@ -12856,6 +12856,20 @@ def _adx_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ind_adx_seg_14"] = _adx_segmented_query
 ORACLES["ind_adx_seg_14"] = ORACLES["ind_adx_family_14"]
 
+# ROUND-13 QUEUED REGISTRATIONS (VERDICT r11 #8, deferred per
+# docs/ROUND12.md §8a — registering mid-r12 would have re-emptied the
+# saturation pool the same round the staleness test first activated):
+#   ind_kama_seg_10  = kama_segmented(b, p=10, segment_rows="auto"),
+#                      oracle reuse: ORACLES["ind_kama_10"]
+#   ind_t3_seg_5     = t3_segmented(b, "close", 5, segment_rows="auto"),
+#                      oracle reuse: ORACLES["ind_t3_5"]
+#   ind_sarext_seg   = sarext_segmented(b, segment_rows="auto", <the
+#                      ind_sarext parameterization>), oracle reuse:
+#                      ORACLES["ind_sarext"]
+# Register at round-13 start BEFORE running tools/propose_window.py (it
+# places them in FRESH automatically); sync the three count-quoting docs
+# (test_docs_quote_the_registered_query_count pins them).
+
 
 # Keep the driver's 50-slot capture window intact regardless of which query
 # module was the import entry point (see queries.reorder_registration).

@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from bisect import bisect_left
-from math import floor, isnan
+from math import floor, isfinite, isnan
 
 import numpy as np
 import pandas as pd
@@ -110,7 +110,12 @@ def _fold_state_loop(
 
     for i in range(n):
         px = price[i]
-        frozen = isnan(px) or px <= 0.0
+        # non-finite prices are FROZEN bars, like NaN/non-positive ones
+        # (ADVICE r12): a +inf px previously passed the isnan/<=0 check,
+        # and pos=0 equity then evaluated 0.0*inf = NaN, after which the
+        # two kernels' peak carries diverge (Python max(peak, nan) keeps
+        # peak; np.maximum.accumulate propagates the NaN)
+        frozen = not isfinite(px) or px <= 0.0
         if not frozen:
             last_price = px
             if pos > 0.0 and px > hwm:
@@ -248,12 +253,16 @@ def _fold_state(
             hwm,
         )
 
-    # one O(n) reduction instead of two O(n) mask passes: min() is NaN iff
-    # any price is NaN, and min <= 0 iff any price is <= 0
+    # two O(n) reductions instead of three O(n) mask passes: min() is NaN
+    # iff any price is NaN, min <= 0 iff any price is <= 0, and (min
+    # being finite/positive) max() is +inf iff any price is +inf — the
+    # third frozen class (ADVICE r12), matching the loop's isfinite check
     mn = float(np.min(price))
-    has_bad = isnan(mn) or mn <= 0.0
+    has_bad = isnan(mn) or mn <= 0.0 or float(np.max(price)) == float("inf")
     if has_bad:
-        bad = np.isnan(price)
+        # ~isfinite covers NaN and ±inf in one pass (-inf also trips the
+        # <= 0 arm; +inf only this one)
+        bad = ~np.isfinite(price)
         np.logical_or(bad, price <= 0.0, out=bad)
         valid = ~bad
         good_idx = np.flatnonzero(valid)
@@ -572,40 +581,81 @@ def auto_backtest(
         )
     # one probe job: the bounded oversized-key list + the key census in a
     # single aggregate (collect_list drops the when()-nulls, so only keys
-    # above threshold land on the driver — ≤ total_rows/threshold of them)
+    # above threshold land on the driver — ≤ total_rows/threshold of them).
+    # The NULL-key group needs its own marker (ADVICE r12): when() yields
+    # null for it even when oversized, collect_list silently drops that
+    # null, and the semi/anti split below routes null-key rows to the
+    # plain arm unconditionally — so an oversized null group would ride
+    # the whole-symbol pandas path straight into the OOM regime this
+    # dispatcher exists to prevent. max(when(isNull, _n)) is NULL iff no
+    # null group exists, else that group's exact size.
     counts = df.groupBy(partition_by).agg(F.count(F.lit(1)).alias("_n"))
     stats = counts.select(
         F.collect_list(
             F.when(F.col("_n") > threshold, F.col(partition_by))
         ).alias("big"),
         F.count(F.lit(1)).alias("nkeys"),
+        F.max(
+            F.when(F.col(partition_by).isNull(), F.col("_n"))
+        ).alias("null_n"),
     ).first()
     big = list(stats["big"]) if stats is not None else []
     nkeys = int(stats["nkeys"]) if stats is not None else 0
-    if not big:
-        return vectorized_backtest(*plain_args)
+    null_n = stats["null_n"] if stats is not None else None
+    has_null = null_n is not None
+    null_big = has_null and int(null_n) > threshold
     from polars_quant_spark.operators.segmented import backtest_segmented
 
-    if len(big) == nkeys:
-        return backtest_segmented(
-            df, price, buy, sell, params, partition_by, order_by,
+    seg_null: DataFrame | None = None
+    work = df
+    if null_big:
+        # The segmented arm's seed/output joins are equi-joins on the key
+        # (segmented._join_back), which never match a NULL — run the null
+        # group alone under a synthetic constant key of its own, then
+        # restore the null. The filtered frame holds ONLY null-key rows,
+        # so the constant cannot merge two real groups.
+        key_type = df.schema[partition_by].dataType
+        nulls = df.filter(F.col(partition_by).isNull()).withColumn(
+            "_pq_nullgrp", F.lit(0).cast("long")
+        )
+        seg_null = (
+            backtest_segmented(
+                nulls, price, buy, sell, params, "_pq_nullgrp", order_by,
+                segment_rows=segment_rows,
+            )
+            .drop("_pq_nullgrp")
+            .withColumn(partition_by, F.lit(None).cast(key_type))
+        )
+        work = df.filter(F.col(partition_by).isNotNull())
+    nkeys_nonnull = nkeys - (1 if has_null else 0)
+    plain_args = (work, price, buy, sell, params, partition_by, order_by)
+    if not big:
+        out = vectorized_backtest(*plain_args)
+    elif len(big) == nkeys_nonnull and not (has_null and not null_big):
+        # every key in `work` is oversized (a small null group, which must
+        # stay on the null-safe plain arm, falls through to the split)
+        out = backtest_segmented(
+            work, price, buy, sell, params, partition_by, order_by,
             segment_rows=segment_rows,
         )
-    # mixed corpus: split by key — oversized symbols pay the sequential
-    # passes, everyone else keeps the one-job fold
-    spark = df.sparkSession
-    big_keys = F.broadcast(
-        spark.createDataFrame(
-            [(k,) for k in big], StructType([df.schema[partition_by]])
+    else:
+        # mixed corpus: split by key — oversized symbols pay the sequential
+        # passes, everyone else (including a small null group, which the
+        # anti join keeps by construction) stays on the one-job fold
+        spark = df.sparkSession
+        big_keys = F.broadcast(
+            spark.createDataFrame(
+                [(k,) for k in big], StructType([df.schema[partition_by]])
+            )
         )
-    )
-    big_df = df.join(big_keys, partition_by, "left_semi")
-    small_df = df.join(big_keys, partition_by, "left_anti")
-    seg = backtest_segmented(
-        big_df, price, buy, sell, params, partition_by, order_by,
-        segment_rows=segment_rows,
-    )
-    plain = vectorized_backtest(
-        small_df, price, buy, sell, params, partition_by, order_by
-    )
-    return plain.unionByName(seg)
+        big_df = work.join(big_keys, partition_by, "left_semi")
+        small_df = work.join(big_keys, partition_by, "left_anti")
+        seg = backtest_segmented(
+            big_df, price, buy, sell, params, partition_by, order_by,
+            segment_rows=segment_rows,
+        )
+        plain = vectorized_backtest(
+            small_df, price, buy, sell, params, partition_by, order_by
+        )
+        out = plain.unionByName(seg)
+    return out.unionByName(seg_null) if seg_null is not None else out

@@ -97,6 +97,18 @@ def _segmented_base(
     cache (storageLevel kwarg is Spark 4.x; fall back if absent). AQE-less
     compilation is safe here: base is one window over the input, and every
     downstream join in this module is merge-pinned."""
+    # Validate BEFORE any Spark job (ADVICE r12): a bad value previously
+    # surfaced as ZeroDivisionError at the _seg projection, and only after
+    # paying the checkpoint + max(_rn) action below.
+    if segment_rows != "auto":
+        if not isinstance(segment_rows, int) or isinstance(segment_rows, bool):
+            raise ValueError(
+                f"segment_rows must be an int >= 1 or 'auto'; got {segment_rows!r}"
+            )
+        if segment_rows < 1:
+            raise ValueError(
+                f"segment_rows must be >= 1; got {segment_rows}"
+            )
     w = Window.partitionBy(partition_by).orderBy(order_by)
     base = df.withColumn("_rn", F.row_number().over(w))
     try:
@@ -1121,8 +1133,6 @@ def backtest_segmented(
 
     p = params or BacktestParams()
     base, last_seg, segment_rows = _segmented_base(df, partition_by, order_by, segment_rows)
-    if segment_rows < 1:
-        raise ValueError("segment_rows must be >= 1")
     if last_seg is None:
         out = df
         for c in ("position", "cash", "equity", "drawdown"):

@@ -63,13 +63,10 @@ ORACLES: dict[str, str] = {}
 # window, so a future append can't silently push a family back out.
 # ---------------------------------------------------------------------------
 
-# ROUND-12 ROTATION (VERDICT r11 #1): round 11 completed driver saturation
-# (union 394/394, every query green at last check). This is the FIRST
-# post-saturation stalest-first window: tools/propose_window.py now ranks
-# the ledger greens by last_seen ascending and fills the 45 non-canary
-# slots with the oldest — the round-1/2 indicator/CDL/relational names
-# last driver-seen in rounds 4–6. From here every query re-proves within
-# ~8 rounds (tests/test_post_saturation_staleness_bound pins the bound).
+# ROUND-13 ROTATION (VERDICT r12 #1): second post-saturation stalest-first
+# window from tools/propose_window.py — 5 dtype canaries, 42 stalest greens
+# (ledger last_seen ascending), and the 3 round-13 FRESH registrations
+# (the r12-queued segmented kama/t3/sarext, now with direct driver rows).
 PRIORITY_CARRYOVERS: list[str] = [
     # (b) dtype-diverse green canaries (driver-hash drift guards)
     "cdl_all_patterns",    # 61 int flags + string symbol in one hash
@@ -78,54 +75,55 @@ PRIORITY_CARRYOVERS: list[str] = [
     "sketch_kmv_users",    # bigint estimate (the r3-r5 red class shape)
     "sel_info",            # 15-column mixed-type latest-bar summary
     # (c) stalest-first rotation (ledger last_seen ascending)
-    "cdl_onebar2",
-    "cdl_twobar2",
-    "cdl_threebar2",
-    "cdl_multibar",
-    "ind_wma_10",
-    "ind_trima_10",
-    "ind_bbands_20",
-    "ind_midpoint_midprice_14",
-    "ind_mom_roc_10",
-    "ind_returns",
-    "ind_bop",
-    "ind_willr_14",
-    "ind_cmo_14",
-    "ind_ultosc",
-    "ind_mfi_14",
-    "ind_cci_14",
-    "ind_aroon_14",
-    "ind_stoch",
-    "vol_trange",
-    "ind_ema_20",
-    "ind_dema_10",
-    "ind_tema_10",
-    "ind_t3_5",
-    "ind_kama_10",
-    "ind_atr_natr_14",
-    "ind_trix_30",
-    "ind_adx_family_14",
-    "ind_sar",
-    "ind_stochf",
-    "ind_stochrsi",
-    "ind_apo_ppo",
-    "cdl_onebar",
-    "cdl_twobar",
-    "cdl_threebar",
-    "ind_mavp",
-    "vol_adosc",
-    "ind_sarext",
-    "ind_chunked_expr",
-    "vol_ad_obv_chunked",
-    "bars_view",
-    "rel_q1_pricing_summary",
-    "rel_q3_shipping_priority",
-    "rel_q5_region_revenue",
-    "agg_events_daily",
-    "ind_sma_20",
+    "vol_ad_obv",
+    "ind_rsi_14",
+    "ind_macd",
+    "ind_ht_family",
+    "asof_bars_marks",
+    "range_bars_windows",
+    "loader_wide_pivot",
+    "doc_exact_dedup",
+    "doc_minhash_pairs",
+    "doc_dedup_components",
+    "doc_ngram_jaccard",
+    "doc_text_stats",
+    "emb_cosine_topk",
+    "emb_near_dupes",
+    "bt_vectorized_curve",
+    "bt_margin_curve",
+    "bt_metrics",
+    "factor_ic",
+    "factor_rank_ic",
+    "clean_winsor_zscore",
+    "sel_screen_topk",
+    "rel_rollup_revenue",
+    "factor_fama_macbeth",
+    "doc_simhash",
+    "emb_ivf_topk",
+    "stream_tumbling_batch",
+    "media_features",
+    "stream_ema_stateful",
+    "events_funnel",
+    "bt_param_sweep",
+    "bt_walk_forward",
+    "emb_ivf_recall",
+    "stream_cdc_compact",
+    "ops_partition_planner",
+    "rel_q4_priority_semi",
+    "rel_q22_inactive_anti",
+    "bars_vwap",
+    "ind_supertrend",
+    "vol_cmf_20",
+    "mkt_breadth_ratio",
+    "rel_q7_nation_volume",
+    "rel_q8_market_share",
 ]
 
-PRIORITY_FRESH: list[str] = []
+PRIORITY_FRESH: list[str] = [
+    "ind_kama_seg_10",
+    "ind_t3_seg_5",
+    "ind_sarext_seg",
+]
 
 PRIORITY_50: list[str] = PRIORITY_CARRYOVERS + PRIORITY_FRESH
 

@@ -12856,19 +12856,50 @@ def _adx_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["ind_adx_seg_14"] = _adx_segmented_query
 ORACLES["ind_adx_seg_14"] = ORACLES["ind_adx_family_14"]
 
-# ROUND-13 QUEUED REGISTRATIONS (VERDICT r11 #8, deferred per
-# docs/ROUND12.md §8a — registering mid-r12 would have re-emptied the
-# saturation pool the same round the staleness test first activated):
-#   ind_kama_seg_10  = kama_segmented(b, p=10, segment_rows="auto"),
-#                      oracle reuse: ORACLES["ind_kama_10"]
-#   ind_t3_seg_5     = t3_segmented(b, "close", 5, segment_rows="auto"),
-#                      oracle reuse: ORACLES["ind_t3_5"]
-#   ind_sarext_seg   = sarext_segmented(b, segment_rows="auto", <the
-#                      ind_sarext parameterization>), oracle reuse:
-#                      ORACLES["ind_sarext"]
-# Register at round-13 start BEFORE running tools/propose_window.py (it
-# places them in FRESH automatically); sync the three count-quoting docs
-# (test_docs_quote_the_registered_query_count pins them).
+# ROUND-13 REGISTRATIONS (queued by VERDICT r11 #8 / docs/ROUND12.md §8a,
+# executed at round-13 start per VERDICT r12 #1). Each segmented plan is
+# bit-equal to its plain with_recurrences sibling (tests/test_segmented.py
+# bit-equality suite), so each reuses that sibling's recursive-CTE oracle
+# VERBATIM — same pattern as the rsi/atr/adx trio above.
+
+
+def _kama_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators.segmented import kama_segmented
+
+    b = bars(spark, sf_dir)
+    out = kama_segmented(b, "close", 10, out="kama_10", segment_rows="auto")
+    return out.select("symbol", "t", r6(F.col("kama_10")).alias("kama_10"))
+
+
+QUERIES["ind_kama_seg_10"] = _kama_segmented_query
+ORACLES["ind_kama_seg_10"] = ORACLES["ind_kama_10"]
+
+
+def _t3_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators.segmented import t3_segmented
+
+    b = bars(spark, sf_dir)
+    out = t3_segmented(
+        b, "close", 5, vfactor=0.7, out="t3_5", segment_rows="auto"
+    )
+    return out.select("symbol", "t", r6(F.col("t3_5")).alias("t3_5"))
+
+
+QUERIES["ind_t3_seg_5"] = _t3_segmented_query
+ORACLES["ind_t3_seg_5"] = ORACLES["ind_t3_5"]
+
+
+def _sarext_segmented_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from polars_quant_spark.operators.segmented import sarext_segmented
+    from polars_quant_spark.queries_ext import _SX
+
+    b = bars(spark, sf_dir)
+    out = sarext_segmented(b, out="sarext", segment_rows="auto", **_SX)
+    return out.select("symbol", "t", r6(F.col("sarext")).alias("sarext"))
+
+
+QUERIES["ind_sarext_seg"] = _sarext_segmented_query
+ORACLES["ind_sarext_seg"] = ORACLES["ind_sarext"]
 
 
 # Keep the driver's 50-slot capture window intact regardless of which query

@@ -138,6 +138,36 @@ def test_edges():
     _assert_same(price, buy, sell, neg)
 
 
+def test_nonfinite_prices_frozen():
+    """±inf prices are FROZEN bars in both kernels (ADVICE r12): +inf used
+    to pass the isnan/<=0 check, making pos=0 equity 0.0*inf = NaN, after
+    which the loop's max(peak, nan) and the event kernel's
+    np.maximum.accumulate diverge. Now inf freezes like NaN — outputs stay
+    finite and the kernels stay bit-equal."""
+    n = 200
+    rng = np.random.default_rng(13)
+    price = 100.0 * np.exp(np.cumsum(rng.normal(0.0, 0.02, n)))
+    inf_at = rng.choice(n, 20, replace=False)
+    price[inf_at[:10]] = np.inf
+    price[inf_at[10:]] = -np.inf
+    buy = rng.random(n) < 0.2
+    sell = rng.random(n) < 0.2
+    for p in PARAM_GRID:
+        _assert_same(price, buy, sell, p)
+        got = _fold_state(price, buy, sell, p)
+        for k in range(4):
+            assert np.all(np.isfinite(got[k])), k
+    # flat (pos=0) across an inf bar: the exact NaN-equity repro
+    price2 = np.array([10.0, np.inf, 11.0, 12.0])
+    nb = np.zeros(4, bool)
+    _assert_same(price2, nb, nb, BacktestParams())
+    got = _fold_state(price2, nb, nb, BacktestParams())
+    assert np.all(np.isfinite(got[2]))  # equity has no NaN
+    # all-inf array (degenerate: everything frozen)
+    _assert_same(np.full(8, np.inf), np.ones(8, bool), np.ones(8, bool),
+                 BacktestParams(trailing_stop=0.02))
+
+
 def test_bit_equal_random_sweep():
     """Broad seeded sweep: 200 random (params, scenario) combos at small n
     — catches edge interactions the parametrized grid misses (frozen runs

@@ -569,6 +569,20 @@ def test_auto_segment_rows_floor_validation(spark, tall_df):
         es(tall_df, "close", 5000, out="e", segment_rows="auto")
 
 
+def test_segment_rows_validated_before_any_job(spark, tall_df):
+    """Invalid segment_rows raises ValueError at the TOP of
+    _segmented_base (ADVICE r12) — previously 0 surfaced as
+    ZeroDivisionError, and only after paying the checkpoint + max(_rn)
+    action."""
+    import pytest as _pytest
+
+    from polars_quant_spark.operators.segmented import ewma_segmented as es
+
+    for bad in (0, -5, 2.5, "autox", True):
+        with _pytest.raises(ValueError, match="segment_rows"):
+            es(tall_df, "close", 5, out="e", segment_rows=bad)
+
+
 def test_auto_backtest_mixed_corpus_split(spark, tall_df):
     """Mixed corpora split per key (VERDICT r11 #5): only oversized
     symbols ride the sequential segmented passes; the rest keep the
@@ -607,3 +621,57 @@ def test_auto_backtest_mixed_corpus_split(spark, tall_df):
     got2 = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
             for r in allbig.select("symbol", "t", *cols).collect()}
     assert got2 == want
+
+
+def test_auto_backtest_null_key_groups(spark, tall_df):
+    """NULL partition keys route correctly at every size (ADVICE r12):
+    the probe's collect_list(when(...)) drops the null marker, so an
+    OVERSIZED null-key group used to slip onto the whole-symbol plain
+    fold (the OOM regime), and the segmented arm's equi-join-backs would
+    have given it NULL output anyway. Now the probe measures the null
+    group explicitly; big null groups run segmented under a synthetic
+    constant key (restored to null after), small ones keep the null-safe
+    plain arm. Ground truth is vectorized_backtest, whose pure
+    groupBy().applyInPandas keeps a null group natively."""
+    from polars_quant_spark.backtest.vectorized import (
+        auto_backtest,
+        vectorized_backtest,
+    )
+
+    w = Window.partitionBy("symbol").orderBy("t")
+    sig = (
+        tall_df
+        # FAT -> null key (2500 rows, the oversized group); THIN stays
+        .withColumn(
+            "symbol",
+            F.when(F.col("symbol") == "FAT", F.lit(None)).otherwise(
+                F.col("symbol")
+            ),
+        )
+        .withColumn("_f", F.avg("close").over(w.rowsBetween(-4, 0)))
+        .withColumn("_s", F.avg("close").over(w.rowsBetween(-19, 0)))
+        .withColumn("buy", F.col("_f") > F.col("_s"))
+        .withColumn("sell", F.col("_f") < F.col("_s"))
+        .drop("_f", "_s")
+    )
+    cols = ["position", "cash", "equity", "drawdown", "n_trades", "n_wins"]
+    want = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
+            for r in vectorized_backtest(sig).select("symbol", "t", *cols).collect()}
+
+    # null group (2500) > 1000 >= THIN(40): null rides segmented, THIN plain
+    big_null = auto_backtest(sig, threshold=1000, segment_rows=800)
+    got = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
+           for r in big_null.select("symbol", "t", *cols).collect()}
+    assert got == want
+
+    # both oversized: null -> sentinel segmented, THIN -> segmented
+    got2 = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
+            for r in auto_backtest(sig, threshold=30, segment_rows=800)
+            .select("symbol", "t", *cols).collect()}
+    assert got2 == want
+
+    # small null group: stays on the plain arm (threshold above both)
+    got3 = {(r["symbol"], r["t"]): tuple(r[c] for c in cols)
+            for r in auto_backtest(sig, threshold=5000)
+            .select("symbol", "t", *cols).collect()}
+    assert got3 == want

@@ -128,6 +128,9 @@ ALLOW_ALIAS: dict[str, str] = {
     "ind_adx_seg_14": "same oracle SQL as ind_adx_family_14 verbatim "
     "(the segmented query reuses the DMI recursive-CTE twin) — same "
     "non-negative-sum str > 0 guard rationale",
+    "ind_kama_seg_10": "same oracle SQL as ind_kama_10 verbatim (the "
+    "segmented query reuses the KAMA recursive-CTE twin) — same "
+    "non-negative Σ|Δx| vol > 0 guard rationale",
     "bars_pairs_spread": "sd := STDDEV_POP of integer micro-unit spreads; "
     "sd > 0 flips only if all 60 window values are identical (degenerate); "
     "z is a FLOOR-rounded output, not a filter",

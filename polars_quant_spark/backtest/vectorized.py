@@ -503,6 +503,95 @@ def vectorized_backtest(
     return df.groupBy(*keys).applyInPandas(run, schema=schema)
 
 
+def vectorized_backtest_arrow(
+    df: DataFrame,
+    price: str = "close",
+    buy: str = "buy",
+    sell: str = "sell",
+    params: BacktestParams | None = None,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+) -> DataFrame:
+    """``vectorized_backtest`` on the ``applyInArrow`` group path (Spark
+    4.x): same contract, same kernel, same output schema — but the group
+    arrives as a ``pyarrow.Table`` instead of a pandas DataFrame.
+
+    Why (VERDICT r12 #4): at 1024× per-symbol history the pandas arm's
+    wall is ~0 kernel and almost entirely scan + Arrow + the per-group
+    pandas frame BUILD — Spark converts every Arrow batch of every
+    column to a pandas block (copy + consolidation) before ``run`` sees
+    it, and converts the returned frame back. On the Arrow path the
+    group table wraps the transferred batches zero-copy; the worker
+    extracts ONLY the three fold inputs to numpy, runs the identical
+    ``_fold`` kernel (bit-equality is by construction — same arrays,
+    same kernel), and appends the six output columns as Arrow arrays
+    wrapping the kernel's numpy outputs (again zero-copy). Passthrough
+    columns are never materialized in Python at all.
+
+    Tie caveat (same as the pandas arm): rows are sorted by
+    ``order_by`` with a stable sort, so duplicate order keys resolve in
+    arrival order — deterministic per plan, not across shuffles. Both
+    arms share this contract; bars data has unique (symbol, t)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    p = params or BacktestParams()
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    schema = StructType(
+        df.schema.fields
+        + [
+            StructField("position", DoubleType()),
+            StructField("cash", DoubleType()),
+            StructField("equity", DoubleType()),
+            StructField("drawdown", DoubleType()),
+            StructField("n_trades", LongType()),
+            StructField("n_wins", LongType()),
+        ]
+    )
+
+    def run(tbl: "pa.Table") -> "pa.Table":
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(c, "ascending") for c in order]
+        )
+        tbl = tbl.take(idx)
+        n = tbl.num_rows
+        px = (
+            tbl.column(price)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("float64", copy=False)
+        )
+        b = (
+            pc.fill_null(tbl.column(buy), False)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("bool", copy=False)
+        )
+        s = (
+            pc.fill_null(tbl.column(sell), False)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("bool", copy=False)
+        )
+        pos, cash, eq, dd, trades, wins = _fold(px, b, s, p)
+        return tbl.append_column(
+            "position", pa.array(pos, type=pa.float64())
+        ).append_column(
+            "cash", pa.array(cash, type=pa.float64())
+        ).append_column(
+            "equity", pa.array(eq, type=pa.float64())
+        ).append_column(
+            "drawdown", pa.array(dd, type=pa.float64())
+        ).append_column(
+            "n_trades", pa.array(np.full(n, trades, dtype="int64"))
+        ).append_column(
+            "n_wins", pa.array(np.full(n, wins, dtype="int64"))
+        )
+
+    return df.groupBy(*keys).applyInArrow(run, schema=schema)
+
+
 #: dispatch boundary for ``auto_backtest``: above this many rows in ONE
 #: key's history, the whole-symbol pandas frame (~50 B/row across inputs +
 #: the four output arrays) enters the multi-GB regime where the round-11

@@ -833,18 +833,22 @@ def test_lsh_pipelines_never_broadcast_explode_derived_sides(spark, sf_dir):
     from polars_quant_spark.operators import dedup
 
     docs = load_table(spark, sf_dir, "documents")
-    # Pinned per-pipeline triage counts. The LSH/n-gram pipelines
+    # Pinned per-pipeline triage counts. The n-gram/containment pipelines
     # legitimately keep EXACTLY TWO broadcast-above-explode sites: the
     # FORCED skew-cap anti-join (big/hot — an aggregate that collapses the
     # explode to the bounded over-cap set), duplicated across the
-    # self-join's two sides. The SimHash pipelines keep ZERO (their
-    # per-doc hash join is merge-pinned; writing this test caught it
-    # broadcasting the one-row-per-doc frame). A count above the pin means
-    # a corpus-scaled frame lost its merge pin; below means the skew cap
-    # itself changed — retriage either way.
+    # self-join's two sides. MinHash keeps ONE since round 13: its banded
+    # self-join was replaced by bucket-grouped pair explosion (the cap
+    # anti-join appears once, pair generation is agg+explode, no join).
+    # The SimHash pipelines keep ZERO (their per-doc hash join is
+    # merge-pinned; writing this test caught it broadcasting the
+    # one-row-per-doc frame). A count above the pin means a corpus-scaled
+    # frame lost its merge pin; below means the skew cap itself changed —
+    # retriage either way.
     for name, df, expect in [
-        ("minhash_dedup_pairs", dedup.minhash_dedup_pairs(docs, threshold=0.5), 2),
-        ("containment_pairs", dedup.containment_pairs(docs, threshold=0.5), 2),
+        ("minhash_dedup_pairs", dedup.minhash_dedup_pairs(docs, threshold=0.5), 1),
+        # containment shares minhash's candidate generation -> also 1
+        ("containment_pairs", dedup.containment_pairs(docs, threshold=0.5), 1),
         ("simhash_near_dupes", dedup.simhash_near_dupes(docs), 0),
         ("simhash_df", dedup.simhash_df(docs), 0),
         ("ngram_jaccard_pairs", dedup.ngram_jaccard_pairs(docs, threshold=0.5), 2),

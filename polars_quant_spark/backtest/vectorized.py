@@ -468,7 +468,57 @@ def vectorized_backtest(
     Returns the input rows + ``position, cash, equity, drawdown, n_trades,
     n_wins`` (the trade counters are repeated per row for downstream aggs —
     they're per-symbol scalars).
-    """
+
+    Since round 13 this DELEGATES to the ``applyInArrow`` path
+    (``vectorized_backtest_arrow``, bit-equal — pinned by
+    tests/test_backtest.py::test_vectorized_backtest_arrow_bit_equal)
+    when the runtime supports it, falling back to the applyInPandas arm
+    below (kept as the executable spec and the pre-Spark-4 path).
+
+    1024× A/B (102.4 M rows, 5 symbols, DISK-checkpointed signals; two
+    sessions with the arm order alternated to cancel warm-slot bias), on
+    the practical WIDE call shape (bars + emas + signals, 12 cols — what
+    bench_backtest and the bt_* queries pass): pandas 748.2/355.7/259.9/
+    525.8 s (mean 472) vs arrow 430.4/214.1/227.7/206.5 s (mean 270) —
+    **1.76× on the mean, 1.26× best-vs-best**, and the arrow arm is far
+    more STABLE (spread 206–430 vs 260–748): the pandas arm's multi-GB
+    per-group frame builds pressure the heap/page cache (the r12 "8 GB
+    memory ceiling" mechanism) and its own reps swing 2.9×. On a minimal
+    5-col frame the two are at parity (125.4/125.7 vs 124.4 s —
+    transfer-bound, nothing left to save). Width sensitivity is the r12
+    diagnosis confirmed: the pandas arm converts EVERY passthrough column
+    to pandas blocks per group; the Arrow arm never materializes them in
+    Python."""
+    if _ARROW_GROUP_PATH_AVAILABLE(df):
+        return vectorized_backtest_arrow(
+            df, price, buy, sell, params, partition_by, order_by
+        )
+    return vectorized_backtest_pandas(
+        df, price, buy, sell, params, partition_by, order_by
+    )
+
+
+def _ARROW_GROUP_PATH_AVAILABLE(df: DataFrame) -> bool:
+    try:
+        import pyarrow  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+    except ImportError:
+        return False
+    return hasattr(df.groupBy(), "applyInArrow")
+
+
+def vectorized_backtest_pandas(
+    df: DataFrame,
+    price: str = "close",
+    buy: str = "buy",
+    sell: str = "sell",
+    params: BacktestParams | None = None,
+    partition_by: str = "symbol",
+    order_by: str = "t",
+) -> DataFrame:
+    """The applyInPandas arm of ``vectorized_backtest`` — executable spec
+    for the Arrow path and the fallback on runtimes without
+    ``applyInArrow``."""
     p = params or BacktestParams()
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order = [order_by] if isinstance(order_by, str) else list(order_by)

@@ -77,6 +77,10 @@ def exploded_shingles(
 # prime); products stay < 2⁶² so BIGINT/long arithmetic is exact on both
 # engines. The constants are arbitrary fixed values shared with the DuckDB
 # twin via these module attributes.
+#: observability for connected_components (rounds run, jump rounds taken,
+#: converged-before-max_iter) — refreshed per call, read by scale smokes
+last_cc_stats: dict = {}
+
 MH_P = 2147483647
 MH_A = [(2654435761 * (i + 1)) % MH_P for i in range(64)]
 MH_B = [(40503 * (i + 1) + 97) % MH_P for i in range(64)]
@@ -434,8 +438,13 @@ def connected_components(
     label the plain probe called converged. Both steps only lower labels
     (``least`` with the current label). Each round is lineage-truncated
     (``localCheckpoint``) so plans stay constant-size.
-    Returns (node, component)."""
+    Returns (node, component). Each call updates the module-level
+    ``last_cc_stats`` dict ({"rounds", "jump_rounds", "converged"}) —
+    observability for the scale smokes (VERDICT r12 #5 asked for the
+    observed jump-round count at 1024×), zero cost on the plan."""
     jsc = edges.sparkSession.sparkContext._jsc
+    last_cc_stats.clear()
+    last_cc_stats.update({"rounds": 0, "jump_rounds": 0, "converged": False})
 
     def _pinned_ids() -> set[int]:
         return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
@@ -469,7 +478,9 @@ def connected_components(
         )
         new = new.localCheckpoint()
         done = new.where(F.col("newl") < F.col("label")).limit(1).count() == 0
+        last_cc_stats["rounds"] = i + 1
         if not done and i >= 2:
+            last_cc_stats["jump_rounds"] += 1
             # unconverged past the shallow regime — pointer jump: newl is a
             # node id, so look up ITS fresh label and adopt it if smaller;
             # label chains compress geometrically. Shallow graphs (done by
@@ -492,6 +503,7 @@ def connected_components(
                 live.get(rid).unpersist(False)
         prev_round = _pinned_ids() - before
         if done:
+            last_cc_stats["converged"] = True
             return new.select("u", F.col("label").alias("component"))
         labels = new.select("u", F.col("newl").alias("label"))
     return labels.select("u", F.col("label").alias("component"))

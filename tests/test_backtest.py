@@ -135,7 +135,10 @@ def test_vectorized_backtest_arrow_bit_equal(spark):
     kernel, same sorted inputs, so any divergence is a conversion bug
     (null handling, dtype, sort order). Covers NaN prices, null booleans,
     a tiny group, and the stop/trailing param regime."""
-    from polars_quant_spark.backtest.vectorized import vectorized_backtest_arrow
+    from polars_quant_spark.backtest.vectorized import (
+        vectorized_backtest_arrow,
+        vectorized_backtest_pandas,
+    )
 
     rng = np.random.default_rng(11)
     frames = []
@@ -162,7 +165,7 @@ def test_vectorized_backtest_arrow_bit_equal(spark):
     ]:
         want = {
             (r["symbol"], r["t"]): tuple(r[c] for c in cols)
-            for r in vectorized_backtest(df, params=p)
+            for r in vectorized_backtest_pandas(df, params=p)
             .select("symbol", "t", *cols)
             .collect()
         }
@@ -173,6 +176,10 @@ def test_vectorized_backtest_arrow_bit_equal(spark):
             .collect()
         }
         assert got == want
+        # the public entry point must route to the arrow path here
+        from polars_quant_spark.backtest.vectorized import _ARROW_GROUP_PATH_AVAILABLE
+
+        assert _ARROW_GROUP_PATH_AVAILABLE(df)
 
 
 class TestSequential:

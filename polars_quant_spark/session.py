@@ -38,6 +38,17 @@ def get_spark(app_name: str = "polars_quant_spark", shuffle_partitions: int | No
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    # Pre-size the heap (-Xms) for big-heap smoke runs: a fresh large-Xmx
+    # JVM growing its heap under 32 threads of agg allocation pays a
+    # one-time GC-storm tax measured at 30x on the first corpus pass
+    # (803.7 s vs 26.7 s warm at the 1024x docs scale — docs/SCALE.md
+    # "Round 13"). Cluster executors conventionally run Xms=Xmx for the
+    # same reason; opt-in locally because pre-faulting 48 GB on a small CI
+    # box would be hostile. Usage: SPARK_GRAFT_XMS=48g (normally set equal
+    # to SPARK_DRIVER_MEMORY).
+    xms = os.environ.get("SPARK_GRAFT_XMS")
+    if xms:
+        builder = builder.config("spark.driver.extraJavaOptions", f"-Xms{xms}")
     return builder.getOrCreate()
 
 

@@ -112,6 +112,36 @@ def test_connected_components_deep_chain(spark):
     assert set(labels.values()) == {0}
 
 
+def test_sliding_window_chain_fires_pointer_jumps(spark):
+    """The tools/docs_replica.py planted-chain construction, through the
+    REAL minhash pipeline (the 300-link test above feeds synthetic edges):
+    doc i = 62 digit tokens at stride 2, so exact trigram Jaccard is
+    (60−2d)/(60+2d) ≥ 0.5 iff hop distance d ≤ 10. Correlated minhash
+    misses fragment the chain into deep PATH components whose diameter
+    exceeds the plain-propagation regime — the corpus shape VERDICT r12 #5
+    asked to see exercising connected_components' jump schedule. Minhash
+    is deterministic, so the component structure and CC stats are pinned
+    exactly (measured once, stable across runs/hosts)."""
+    n = 300
+    texts = [" ".join(f"q{j}" for j in range(2 * i, 2 * i + 62)) for i in range(n)]
+    pdf = pd.DataFrame({"doc_id": range(n), "text": texts})
+    out = dedup.minhash_dedup(spark.createDataFrame(pdf), threshold=0.5)
+    comps: dict[int, list[int]] = {}
+    for r in out.collect():
+        comps.setdefault(r["keep_id"], []).append(r["doc_id"])
+    sizes = sorted((len(v) for v in comps.values()), reverse=True)
+    assert len(comps) == 10 and sizes[0] == 88
+    # every component is a contiguous id range (path topology, no leaks
+    # across a break) and every doc is accounted for exactly once
+    assert sorted(i for v in comps.values() for i in v) == list(range(n))
+    for keep, members in comps.items():
+        assert keep == min(members)
+        assert max(members) - min(members) == len(members) - 1
+    assert dedup.last_cc_stats == {
+        "rounds": 5, "jump_rounds": 2, "converged": True,
+    }
+
+
 def test_minhash_dedup_end_to_end(spark):
     base = " ".join(f"tok{i} fill{i % 5}" for i in range(30))
     pdf = pd.DataFrame(

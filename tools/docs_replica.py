@@ -20,13 +20,19 @@ Build (``.scratch/docs{N}x``, gitignored, reused unless --rebuild):
   +0.06% rows at 1024×) in a reserved id range (2·10¹⁰+i): doc i =
   tokens q{2i}..q{2i+61} (62 digit-bearing tokens, stride 2), so the
   exact trigram-shingle Jaccard between docs at distance d is
-  (60−2d)/(60+2d) — ≥ 0.5 exactly for d ≤ 10, and J₁ = 58/62 ≈ 0.935
-  keeps per-edge LSH recall at ~99.7% (16 hashes / 4 bands). The chain
-  is therefore one connected component of graph diameter ~len/10 —
-  hundreds of label-propagation hops at the default length — which is
-  the shape that forces connected_components' on-demand pointer jumps
-  (operators/dedup.py:410) to actually fire at corpus scale. Digit
-  tokens cannot collide with the pure-alpha corpus/replica shingles.
+  (60−2d)/(60+2d) — ≥ 0.5 exactly for d ≤ 10, with J₁ = 58/62 ≈ 0.935.
+  MinHash misses are CORRELATED along the chain (adjacent docs share
+  most shingles, so band minima shift at common breakpoints where pairs
+  at every distance can miss together), so the chain deterministically
+  fragments into a family of deep PATH components rather than one giant
+  one — measured standalone at the default length: 95 components,
+  largest 190 contiguous docs (≥19 edge-hop diameter), CC stats
+  6 rounds / 3 jump rounds / converged, identical to the in-corpus
+  1024× observation. That is exactly the shape that forces
+  connected_components' on-demand pointer jumps (operators/dedup.py:410)
+  to fire at corpus scale — plain propagation alone would need tens of
+  rounds. Digit tokens cannot collide with the pure-alpha corpus/replica
+  shingles.
 
 Measure (--measure): times QUERIES["doc_minhash_pairs"] and
 QUERIES["doc_dedup_components"] (count-forced) on the replica dir and on

@@ -526,23 +526,74 @@ class Rec:
         return [self.out] if isinstance(self.out, str) else list(self.out)
 
 
+def _recurrence_schema(df: DataFrame, specs: list[Rec]) -> StructType:
+    return StructType(
+        df.schema.fields
+        + [StructField(name, DoubleType()) for s in specs for name in s.out_cols]
+    )
+
+
+def _nan_to_null(out: DataFrame, specs: list[Rec]) -> DataFrame:
+    """Warm-up produces NaN in the numpy kernels; the declared semantics
+    (and the DuckDB oracles) use NULL — normalize once, shared by both
+    runner arms."""
+    from pyspark.sql import functions as F
+
+    new_cols = [name for s in specs for name in s.out_cols]
+    return out.select(
+        *[c for c in out.columns if c not in new_cols],
+        *[
+            F.when(~F.isnan(F.col(c)), F.col(c)).alias(c)
+            for c in new_cols
+        ],
+    )
+
+
+def _arrow_group_path_available(df: DataFrame) -> bool:
+    try:
+        import pyarrow  # noqa: F401
+        import pyarrow.compute  # noqa: F401
+    except ImportError:
+        return False
+    return hasattr(df.groupBy(), "applyInArrow")
+
+
 def with_recurrences(
     df: DataFrame,
     specs: list[Rec],
     partition_by: str | list[str] = "symbol",
     order_by: str | list[str] = "t",
 ) -> DataFrame:
-    """Append recurrence output columns, all computed in ONE applyInPandas
-    pass per partition (BASELINE.md internal target: batch all recurrences
-    for a symbol into a single kernel invocation)."""
+    """Append recurrence output columns, all computed in ONE grouped pass
+    per partition (BASELINE.md internal target: batch all recurrences for a
+    symbol into a single kernel invocation).
+
+    Since round 13 this DELEGATES to the ``applyInArrow`` path
+    (``with_recurrences_arrow``, bit-equal — pinned by
+    tests/test_indicators_numpy.py::test_with_recurrences_arrow_bit_equal)
+    when the runtime supports it, falling back to the applyInPandas arm
+    (``with_recurrences_pandas``, the executable spec and pre-Spark-4
+    path). Same rationale as the backtest fold's Arrow default
+    (backtest/vectorized.py): the pandas arm converts EVERY passthrough
+    column of every group to pandas blocks and back; the Arrow arm
+    extracts only the kernel inputs to numpy and appends the outputs as
+    Arrow arrays, never materializing passthrough columns in Python."""
+    if _arrow_group_path_available(df):
+        return with_recurrences_arrow(df, specs, partition_by, order_by)
+    return with_recurrences_pandas(df, specs, partition_by, order_by)
+
+
+def with_recurrences_pandas(
+    df: DataFrame,
+    specs: list[Rec],
+    partition_by: str | list[str] = "symbol",
+    order_by: str | list[str] = "t",
+) -> DataFrame:
+    """The applyInPandas arm of ``with_recurrences`` — executable spec for
+    the Arrow path and the fallback on runtimes without ``applyInArrow``."""
     keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
     order = [order_by] if isinstance(order_by, str) else list(order_by)
-    out_fields = [
-        StructField(name, DoubleType())
-        for s in specs
-        for name in s.out_cols
-    ]
-    schema = StructType(df.schema.fields + out_fields)
+    schema = _recurrence_schema(df, specs)
     spec_data = [(s.out_cols, s.kernel, s.cols, s.params) for s in specs]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -559,18 +610,64 @@ def with_recurrences(
         return pdf
 
     out = df.groupBy(*keys).applyInPandas(run, schema=schema)
-    # Warm-up produces NaN in the numpy kernels; the declared semantics (and
-    # the DuckDB oracles) use NULL — normalize once here.
-    from pyspark.sql import functions as F
+    return _nan_to_null(out, specs)
 
-    new_cols = [name for s in specs for name in s.out_cols]
-    return out.select(
-        *[c for c in out.columns if c not in new_cols],
-        *[
-            F.when(~F.isnan(F.col(c)), F.col(c)).alias(c)
-            for c in new_cols
-        ],
-    )
+
+def with_recurrences_arrow(
+    df: DataFrame,
+    specs: list[Rec],
+    partition_by: str | list[str] = "symbol",
+    order_by: str | list[str] = "t",
+) -> DataFrame:
+    """``with_recurrences`` on the ``applyInArrow`` group path (Spark 4.x):
+    same contract, same kernels, same output schema — the group arrives as
+    a ``pyarrow.Table`` (zero-copy over the transferred batches), the
+    worker casts ONLY the kernel input columns to float64 numpy (null →
+    NaN, exactly what ``pdf[c].to_numpy(dtype="float64", na_value=nan)``
+    produces on the pandas arm), runs the identical kernels, and appends
+    the outputs as Arrow float64 arrays wrapping the kernels' numpy
+    buffers. Passthrough columns (the common case: OHLCV + earlier
+    indicator columns riding along) are never materialized in Python.
+
+    A later spec may consume an earlier spec's output column — the append
+    makes it visible to ``tbl.column`` just as ``pdf[name] = res`` does on
+    the pandas arm.
+
+    Tie caveat (same as both backtest fold arms): rows sort stably by
+    ``order_by``, so duplicate order keys resolve in arrival order —
+    deterministic per plan, not across shuffles. Bar data has unique
+    (symbol, t)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    keys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    order = [order_by] if isinstance(order_by, str) else list(order_by)
+    schema = _recurrence_schema(df, specs)
+    spec_data = [(s.out_cols, s.kernel, s.cols, s.params) for s in specs]
+
+    def run(tbl: "pa.Table") -> "pa.Table":
+        idx = pc.sort_indices(tbl, sort_keys=[(c, "ascending") for c in order])
+        tbl = tbl.take(idx)
+        for out_cols, kname, cols, params in spec_data:
+            fn, _ = KERNELS[kname]
+            arrays = [
+                pc.cast(tbl.column(c), pa.float64())
+                .combine_chunks()
+                .to_numpy(zero_copy_only=False)
+                for c in cols
+            ]
+            res = fn(*arrays, **params)
+            if not isinstance(res, tuple):
+                res = (res,)
+            for name, arr in zip(out_cols, res):
+                tbl = tbl.append_column(
+                    name,
+                    pa.array(np.asarray(arr, dtype="float64"), type=pa.float64()),
+                )
+        return tbl
+
+    out = df.groupBy(*keys).applyInArrow(run, schema=schema)
+    return _nan_to_null(out, specs)
 
 
 def macdext(

@@ -651,3 +651,56 @@ def test_macd_q_lattice_and_float_parity():
     assert np.max(np.abs(dif_q[mask] / 1e6 - dif_f[mask])) < 1e-4
     assert np.max(np.abs(dea_q[mask] / 1e6 - dea_f[mask])) < 1e-4
     assert np.max(np.abs(hist_q[mask] / 1e6 - hist_f[mask])) < 2e-4
+
+
+def test_with_recurrences_arrow_bit_equal(spark):
+    """The applyInArrow runner arm must be BIT-EQUAL to the applyInPandas
+    arm — same kernels on the same float64 arrays, so any divergence is a
+    conversion bug (null handling, dtype cast, sort order). Covers NaN
+    inputs, an int-typed kernel input (volume), a multi-output kernel, a
+    spec consuming an earlier spec's output, and a tiny group."""
+    rng = np.random.default_rng(7)
+    frames = []
+    for sym, n in [("A", 3000), ("B", 1700), ("C", 7)]:
+        close = 100.0 + np.cumsum(rng.normal(0, 1, n))
+        close[rng.random(n) < 0.04] = np.nan
+        high = close * 1.01
+        low = close * 0.99
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "t": np.arange(1, n + 1),
+                    "close": close,
+                    "high": high,
+                    "low": low,
+                    # int64 column exercises the arrow cast path
+                    "volume": rng.integers(100, 1000, n),
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+    specs = [
+        rec.Rec("ema_9", "ema", ["close"], {"p": 9}),
+        rec.Rec("atr_5", "atr", ["high", "low", "close"], {"p": 5}),
+        rec.Rec(["macd_dif", "macd_dea", "macd_hist"], "macd", ["close"], {}),
+        rec.Rec("adosc", "adosc", ["high", "low", "close", "volume"], {}),
+        # consumes the first spec's output — the chained-spec contract
+        rec.Rec("ema_ema", "ema", ["ema_9"], {"p": 4}),
+    ]
+    out_cols = ["ema_9", "atr_5", "macd_dif", "macd_dea", "macd_hist", "adosc", "ema_ema"]
+    want = {
+        (r["symbol"], r["t"]): tuple(r[c] for c in out_cols)
+        for r in rec.with_recurrences_pandas(df, specs)
+        .select("symbol", "t", *out_cols)
+        .collect()
+    }
+    got = {
+        (r["symbol"], r["t"]): tuple(r[c] for c in out_cols)
+        for r in rec.with_recurrences_arrow(df, specs)
+        .select("symbol", "t", *out_cols)
+        .collect()
+    }
+    assert got == want
+    # the public entry point must route to the arrow arm on this runtime
+    assert rec._arrow_group_path_available(df)

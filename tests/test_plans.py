@@ -195,7 +195,7 @@ def test_recurrence_single_shuffle(spark, sf_dir):
     # reuse the same partitioning; at most 2 exchanges, never per-indicator
     assert n_exchanges(p) <= 2
     import re
-    assert len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p)) == 1
+    assert len(re.findall(r"\(\d+\) FlatMapGroupsIn(?:Pandas|Arrow)", p)) == 1
 
 
 def test_bucketed_bars_no_exchange(spark, sf_dir, tmp_path_factory):
@@ -694,7 +694,7 @@ def test_kmeans_training_has_no_posexplode_and_samples(spark, sf_dir):
 def test_promoted_recurrence_compositions_stay_one_pass(spark, sf_dir):
     """The round-7 library promotions that compose recurrence kernels
     (keltner: EMA+ATR; tsi: four chained EMAs; mass_index: EMA-of-EMA;
-    elder_ray: one EMA) must each plan as exactly ONE FlatMapGroupsInPandas
+    elder_ray: one EMA) must each plan as exactly ONE grouped-kernel node
     — adding kernels costs numpy time inside the pass, never a second
     Arrow round-trip or shuffle."""
     import re
@@ -710,7 +710,7 @@ def test_promoted_recurrence_compositions_stay_one_pass(spark, sf_dir):
         ("elder_ray", elder_ray(b)),
     ]:
         p = plan(df)
-        n = len(re.findall(r"\(\d+\) FlatMapGroupsInPandas", p))
+        n = len(re.findall(r"\(\d+\) FlatMapGroupsIn(?:Pandas|Arrow)", p))
         assert n == 1, f"{name}: {n} applyInPandas passes (want 1)"
         assert n_exchanges(p) <= 2, f"{name}: too many exchanges"
 

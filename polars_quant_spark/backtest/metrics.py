@@ -38,56 +38,69 @@ def summary(
     One window pass (daily returns + running peak) and one groupBy — two
     shuffles total on the symbol key, regardless of symbol count.
     """
-    w = Window.partitionBy(partition_by).orderBy(order_by)
-    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    from polars_quant_spark.functions._util import cached_build
 
-    eq = F.col(equity)
-    daily_ret = eq / F.lag(eq).over(w) - 1.0
-    peak = F.max(eq).over(cum)
+    def build():
+        w = Window.partitionBy(partition_by).orderBy(order_by)
+        cum = w.rowsBetween(Window.unboundedPreceding, 0)
 
-    enriched = bt.withColumn("_ret", daily_ret).withColumn(
-        "_dd", F.when(peak > 0, (peak - eq) / peak).otherwise(F.lit(0.0))
-    )
-    if benchmark is not None:
-        enriched = enriched.withColumn(
-            "_bret", F.col(benchmark) / F.lag(F.col(benchmark)).over(w) - 1.0
+        eq = F.col(equity)
+        daily_ret = eq / F.lag(eq).over(w) - 1.0
+        peak = F.max(eq).over(cum)
+        dd = F.when(peak > 0, (peak - eq) / peak).otherwise(F.lit(0.0))
+        bret = (
+            F.col(benchmark) / F.lag(F.col(benchmark)).over(w) - 1.0
+            if benchmark is not None
+            else None
         )
 
-    last_eq = F.max_by(eq, F.col(order_by))
-    n = F.count(F.lit(1)).cast("double")
-    total_return = last_eq / F.lit(initial_capital) - 1.0
-    annualized = F.pow(1.0 + total_return, F.lit(TRADING_DAYS) / n) - 1.0
-    vol = F.stddev_samp("_ret")
+        last_eq = F.max_by(eq, F.col(order_by))
+        n = F.count(F.lit(1)).cast("double")
+        total_return = last_eq / F.lit(initial_capital) - 1.0
+        annualized = F.pow(1.0 + total_return, F.lit(TRADING_DAYS) / n) - 1.0
+        vol = F.stddev_samp("_ret")
 
-    aggs = [
-        n.alias("n_bars"),
-        round6(total_return).alias("total_return"),
-        round6(annualized).alias("annualized_return"),
-        round6(F.max("_dd")).alias("max_drawdown"),
-        round6(vol).alias("volatility"),
-        round6(
-            F.when(vol > 0, (annualized - RISK_FREE) / (vol * F.sqrt(F.lit(TRADING_DAYS)))).otherwise(
-                F.lit(0.0)
-            )).alias("sharpe"),
-        round6(F.greatest(total_return, F.lit(0.0))).alias("max_profit"),
-        F.first("n_trades").alias("total_trades"),
-        round6(
-            F.when(
-                F.first("n_trades") > 0,
-                F.first("n_wins").cast("double") / F.first("n_trades"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("win_rate"),
-    ]
-    if benchmark is not None:
-        beta = F.covar_samp("_ret", "_bret") / F.var_samp("_bret")
-        bench_total = F.last(F.col(benchmark), ignorenulls=True) / F.first(
-            F.col(benchmark), ignorenulls=True
-        ) - 1.0
-        bench_ann = F.pow(1.0 + bench_total, F.lit(TRADING_DAYS) / n) - 1.0
-        aggs += [
-            round6(beta).alias("beta"),
-            round6(annualized - (RISK_FREE + beta * (bench_ann - RISK_FREE))).alias("alpha"),
+        aggs = [
+            n.alias("n_bars"),
+            round6(total_return).alias("total_return"),
+            round6(annualized).alias("annualized_return"),
+            round6(F.max("_dd")).alias("max_drawdown"),
+            round6(vol).alias("volatility"),
+            round6(
+                F.when(vol > 0, (annualized - RISK_FREE) / (vol * F.sqrt(F.lit(TRADING_DAYS)))).otherwise(
+                    F.lit(0.0)
+                )).alias("sharpe"),
+            round6(F.greatest(total_return, F.lit(0.0))).alias("max_profit"),
+            F.first("n_trades").alias("total_trades"),
+            round6(
+                F.when(
+                    F.first("n_trades") > 0,
+                    F.first("n_wins").cast("double") / F.first("n_trades"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("win_rate"),
         ]
+        if benchmark is not None:
+            beta = F.covar_samp("_ret", "_bret") / F.var_samp("_bret")
+            bench_total = F.last(F.col(benchmark), ignorenulls=True) / F.first(
+                F.col(benchmark), ignorenulls=True
+            ) - 1.0
+            bench_ann = F.pow(1.0 + bench_total, F.lit(TRADING_DAYS) / n) - 1.0
+            aggs += [
+                round6(beta).alias("beta"),
+                round6(annualized - (RISK_FREE + beta * (bench_ann - RISK_FREE))).alias("alpha"),
+            ]
+        return daily_ret, dd, bret, aggs
+
+    # metric Column trees are pure functions of the scalar args (~800 py4j
+    # round-trips per call otherwise) — memoized per gateway
+    daily_ret, dd, bret, aggs = cached_build(
+        ("bt_summary", initial_capital, equity, benchmark, partition_by, order_by),
+        build,
+    )
+
+    enriched = bt.withColumn("_ret", daily_ret).withColumn("_dd", dd)
+    if bret is not None:
+        enriched = enriched.withColumn("_bret", bret)
 
     return enriched.groupBy(partition_by).agg(*aggs)

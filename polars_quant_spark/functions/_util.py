@@ -106,3 +106,38 @@ def wdot(x: Column, p: int, w: WindowSpec, weights: list[float]) -> Column:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+
+
+# ---------------------------------------------------------------------------
+# Driver-side expression-tree cache (optimization round 13).
+#
+# Building Column/WindowSpec trees in classic PySpark costs one py4j
+# round-trip per operator call (~1 ms on this host class); profiling showed
+# query CONSTRUCTION at 0.3-2.5 s per bench query — comparable to the
+# queries' sf0.1 execution. Unresolved Columns are immutable, reusable
+# expression trees (functions/pattern.py has memoized its 61 pattern trees
+# this way since round 6), so hot builders memoize per py4j gateway: the
+# gateway object pins the cache generation, and a full JVM restart (new
+# gateway) invalidates every entry automatically. Nothing data-dependent is
+# ever cached — these are prepared-statement-style plan fragments, built
+# once per process and re-analyzed by Catalyst on every query that uses
+# them.
+# ---------------------------------------------------------------------------
+
+_EXPR_CACHE: dict[tuple, tuple[object, object]] = {}
+
+
+def cached_build(key: tuple, build):
+    """Return ``build()``, memoized under ``key`` for the lifetime of the
+    current py4j gateway. ``build`` must construct only session-independent
+    objects (Columns, WindowSpecs, lists/dicts thereof)."""
+    from pyspark import SparkContext
+
+    sc = SparkContext._active_spark_context
+    gw = sc._gateway if sc is not None else None
+    hit = _EXPR_CACHE.get(key)
+    if hit is not None and hit[0] is gw:
+        return hit[1]
+    val = build()
+    _EXPR_CACHE[key] = (gw, val)
+    return val

@@ -91,6 +91,20 @@ def _shingle_lane(sh: Column) -> Column:
     return F.conv(F.substring(F.md5(sh), 1, 8), 16, 10).cast("long") % MH_P
 
 
+def _mh_aggs(num_hashes: int) -> list:
+    """The h0..h{n-1} universal-hash min aggregates — pure functions of
+    num_hashes (~9 py4j round-trips each), memoized per gateway."""
+    from polars_quant_spark.functions._util import cached_build
+
+    return cached_build(
+        ("mh_aggs", num_hashes),
+        lambda: [
+            F.min((F.lit(MH_A[i]) * F.col("_x") + F.lit(MH_B[i])) % MH_P).alias(f"h{i}")
+            for i in range(num_hashes)
+        ],
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text: str = "text",
@@ -109,10 +123,7 @@ def minhash_signatures(
     consumers a second shuffle over the shingle rows)."""
     ex = exploded if exploded is not None else exploded_shingles(df, text, id_col, k)
     lane = ex.select("_id", _shingle_lane(F.col("_sh")).alias("_x"))
-    aggs = [
-        F.min((F.lit(MH_A[i]) * F.col("_x") + F.lit(MH_B[i])) % MH_P).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = list(_mh_aggs(num_hashes))
     if with_count:
         aggs.append(F.count(F.lit(1)).alias("_n"))
     return lane.groupBy("_id").agg(*aggs)
@@ -145,18 +156,24 @@ def _lsh_candidates_from_sig(
     # one explode of a literal band-struct array (plain constructors, fully
     # codegen'd) — a 4-way union would duplicate the signature aggregation
     # subtree in the plan and quadruple compile time
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"h{b * r + i}").cast("string") for i in range(r)]
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(bands)
-        ]
+    from polars_quant_spark.functions._util import cached_build
+
+    band_structs = cached_build(
+        ("mh_band_structs", num_hashes, bands),
+        lambda: F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            *[F.col(f"h{b * r + i}").cast("string") for i in range(r)],
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        ),
     )
     banded = sig.select("_id", F.explode(band_structs).alias("_bb")).select(
         "_id", F.col("_bb.band").alias("band"), F.col("_bb.bucket").alias("bucket")
@@ -291,10 +308,7 @@ def _minhash_doc_state(
     ~one row per doc, spills instead of OOMing at corpus scale."""
     ex = exploded_shingles(df, text, id_col, k)
     lane = ex.select("_id", "_sh", _shingle_lane(F.col("_sh")).alias("_x"))
-    aggs = [
-        F.min((F.lit(MH_A[i]) * F.col("_x") + F.lit(MH_B[i])) % MH_P).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    aggs = _mh_aggs(num_hashes)
     return lane.groupBy("_id").agg(
         *aggs,
         F.count(F.lit(1)).alias("_n"),

@@ -259,33 +259,44 @@ def rel_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen); per-(group, input-partition) long partials are exchanged —
     groups × partitions rows, tiny for 4 groups — and merged in DECIMAL so
     a 100 TB global sum cannot overflow int64 (see merge_micros)."""
+    from polars_quant_spark.functions._util import cached_build
+
     li = load_table(spark, sf_dir, "lineitem")
 
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
-    partials = (
-        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
-        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p"))
-        .agg(
+    def build():
+        disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        charge = disc_price * (1 + F.col("l_tax"))
+        pred = F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp")
+        partial_aggs = [
             F.sum(micros(F.col("l_quantity"))).alias("_qty"),
             F.sum(micros(F.col("l_extendedprice"))).alias("_price"),
             F.sum(micros(disc_price)).alias("_disc_price"),
             F.sum(micros(charge)).alias("_charge"),
             F.sum(micros(F.col("l_discount"))).alias("_disc"),
             F.count(F.lit(1)).alias("_n"),
-        )
+        ]
+        n = F.sum("_n")
+        merge_aggs = [
+            units(merge_micros(F.col("_qty"))).alias("sum_qty"),
+            units(merge_micros(F.col("_price"))).alias("sum_base_price"),
+            units(merge_micros(F.col("_disc_price"))).alias("sum_disc_price"),
+            units(merge_micros(F.col("_charge"))).alias("sum_charge"),
+            r6(units(merge_micros(F.col("_qty"))) / n).alias("avg_qty"),
+            r6(units(merge_micros(F.col("_price"))) / n).alias("avg_price"),
+            r6(units(merge_micros(F.col("_disc"))) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        ]
+        return pred, partial_aggs, merge_aggs
+
+    # Column trees are constants of this query (~1,100 py4j round-trips to
+    # rebuild) — memoized per gateway, same pattern as functions/pattern.py
+    pred, partial_aggs, merge_aggs = cached_build(("rel_q1",), build)
+    partials = (
+        li.where(pred)
+        .groupBy("l_returnflag", "l_linestatus", F.spark_partition_id().alias("_p"))
+        .agg(*partial_aggs)
     )
-    n = F.sum("_n")
-    return partials.groupBy("l_returnflag", "l_linestatus").agg(
-        units(merge_micros(F.col("_qty"))).alias("sum_qty"),
-        units(merge_micros(F.col("_price"))).alias("sum_base_price"),
-        units(merge_micros(F.col("_disc_price"))).alias("sum_disc_price"),
-        units(merge_micros(F.col("_charge"))).alias("sum_charge"),
-        r6(units(merge_micros(F.col("_qty"))) / n).alias("avg_qty"),
-        r6(units(merge_micros(F.col("_price"))) / n).alias("avg_price"),
-        r6(units(merge_micros(F.col("_disc"))) / n).alias("avg_disc"),
-        n.alias("count_order"),
-    )
+    return partials.groupBy("l_returnflag", "l_linestatus").agg(*merge_aggs)
 
 
 @q(
@@ -361,33 +372,49 @@ def rel_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: star join. Only the true dimensions (nation/region,
     fixed 25/5 rows) carry broadcast hints; customer/supplier scale with SF,
     so AQE/statistics pick broadcast vs shuffle at runtime."""
+    from polars_quant_spark.functions._util import cached_build
+
     cu = load_table(spark, sf_dir, "customer")
-    od = load_table(spark, sf_dir, "orders").where(
-        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
-        & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp"))
-    )
     li = load_table(spark, sf_dir, "lineitem")
     su = load_table(spark, sf_dir, "supplier")
     na = load_table(spark, sf_dir, "nation")
-    re = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
-    return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(cu, od.o_custkey == cu.c_custkey)
-        .join(
-            su,
-            (li.l_suppkey == su.s_suppkey) & (cu.c_nationkey == su.s_nationkey),
+
+    def build():
+        # TPC-H column names are table-prefixed, so name-based join
+        # predicates resolve unambiguously — and unlike DataFrame-bound
+        # attribute refs they are constants of the query, cacheable
+        return (
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1999-01-01 00:00:00").cast("timestamp")),
+            F.col("r_name") == "ASIA",
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+            F.sum(micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_rev"),
+            units(merge_micros(F.col("_rev"))).alias("revenue"),
         )
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+
+    p_od, p_re, j_od, j_cu, j_su, j_na, j_re, agg_rev, agg_merge = cached_build(
+        ("rel_q5",), build
+    )
+    od = load_table(spark, sf_dir, "orders").where(p_od)
+    re = load_table(spark, sf_dir, "region").where(p_re)
+    return (
+        li.join(od, j_od)
+        .join(cu, j_cu)
+        .join(su, j_su)
+        .join(F.broadcast(na), j_na)
+        .join(F.broadcast(re), j_re)
         # Per-nation revenue grows with SF → two-level quantized sum: long
         # partials per (nation, partition), decimal merge over the tiny
         # partials frame (see rel_q1 / merge_micros).
         .groupBy("n_name", F.spark_partition_id().alias("_p"))
-        .agg(
-            F.sum(micros(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("_rev")
-        )
+        .agg(agg_rev)
         .groupBy("n_name")
-        .agg(units(merge_micros(F.col("_rev"))).alias("revenue"))
+        .agg(agg_merge)
     )
 
 
@@ -413,25 +440,30 @@ def agg_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the heavy reduction map-side on (key, user) with long micro-unit sums;
     stage 2 touches only ~|users per key-day| rows, merging in decimal
     (overflow-safe at any SF) and counting rows = distinct users."""
+    from polars_quant_spark.functions._util import cached_build
     from polars_quant_spark.sources.bars import events_with_ts
 
     ev = events_with_ts(spark, sf_dir)
-    per_user = ev.groupBy(
-        "event_type",
-        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day"),
-        "user_id",
-    ).agg(
-        F.count(F.lit(1)).alias("_n"),
-        F.count("value").alias("_nv"),
-        F.sum(micros(F.col("value"))).alias("_sv"),
-    )
-    sum_value = units(merge_micros(F.col("_sv")))
-    return per_user.groupBy("event_type", "day").agg(
-        F.sum("_n").alias("n_events"),
-        sum_value.alias("sum_value"),
-        r6(sum_value / F.sum("_nv")).alias("avg_value"),
-        F.count("user_id").alias("n_users"),
-    )
+
+    def build():
+        day = F.date_format(F.col("ts"), "yyyy-MM-dd").alias("day")
+        stage1 = [
+            F.count(F.lit(1)).alias("_n"),
+            F.count("value").alias("_nv"),
+            F.sum(micros(F.col("value"))).alias("_sv"),
+        ]
+        sum_value = units(merge_micros(F.col("_sv")))
+        stage2 = [
+            F.sum("_n").alias("n_events"),
+            sum_value.alias("sum_value"),
+            r6(sum_value / F.sum("_nv")).alias("avg_value"),
+            F.count("user_id").alias("n_users"),
+        ]
+        return day, stage1, stage2
+
+    day, stage1, stage2 = cached_build(("agg_events_daily",), build)
+    per_user = ev.groupBy("event_type", day, "user_id").agg(*stage1)
+    return per_user.groupBy("event_type", "day").agg(*stage2)
 
 
 # ---------------------------------------------------------------------------

@@ -116,45 +116,52 @@ def bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     The symbol alias happens BEFORE the window so the bar-building shuffle
     and every downstream ``partitionBy(symbol)`` window share one exchange
     (renaming after the window defeats Spark's partitioning-reuse)."""
+    from polars_quant_spark.functions._util import cached_build
+
     ev0 = load_table(spark, sf_dir, "events")
-    ev = ev0.select(
-        F.col("event_type").alias("symbol"),
-        ts_us_expr(ev0).alias("ts_us"),
-        F.col("event_id"),
-        (F.lit(300.0) + F.col("value").cast("double") / F.lit(10.0)).alias("_px"),
-    )
-    w = Window.partitionBy("symbol").orderBy("ts_us", "event_id")
-    close = F.col("_px")
-    open_ = F.coalesce(F.lag(close).over(w), close) * (
-        F.lit(1.0) + (F.col("event_id") % 11 - 5).cast("double") / F.lit(1000.0)
-    )
-    # materialize `open` before deriving high/low: reusing the open_ tree in
-    # greatest/least would instantiate THREE separate lag window expressions
-    # (one per consumer) — same values, 3× the window-function work
-    mid = ev.select(
-        "symbol",
-        "ts_us",
-        F.row_number().over(w).alias("t"),
-        close.alias("close"),
-        open_.alias("open"),
-        F.col("event_id"),
-    )
-    return mid.select(
-        "symbol",
-        "ts_us",
-        "t",
-        "close",
-        "open",
-        (
-            F.greatest(F.col("open"), F.col("close"))
-            * (F.lit(1.0) + (F.col("event_id") % 7).cast("double") / F.lit(1000.0))
-        ).alias("high"),
-        (
-            F.least(F.col("open"), F.col("close"))
-            * (F.lit(1.0) - (F.col("event_id") % 5).cast("double") / F.lit(1000.0))
-        ).alias("low"),
-        (F.col("event_id") % 1000 + 100).cast("double").alias("volume"),
-    )
+    ts_kind = dict(ev0.dtypes)["ts"]  # the one input-dependent expression
+
+    def build():
+        ev_cols = [
+            F.col("event_type").alias("symbol"),
+            ts_us_expr(ev0).alias("ts_us"),
+            F.col("event_id"),
+            (F.lit(300.0) + F.col("value").cast("double") / F.lit(10.0)).alias("_px"),
+        ]
+        w = Window.partitionBy("symbol").orderBy("ts_us", "event_id")
+        close = F.col("_px")
+        open_ = F.coalesce(F.lag(close).over(w), close) * (
+            F.lit(1.0) + (F.col("event_id") % 11 - 5).cast("double") / F.lit(1000.0)
+        )
+        # `open` materializes before high/low derive from it: reusing the
+        # open_ tree in greatest/least would instantiate THREE separate lag
+        # window expressions (one per consumer) — same values, 3× the
+        # window-function work
+        mid_cols = [
+            F.row_number().over(w).alias("t"),
+            close.alias("close"),
+            open_.alias("open"),
+        ]
+        out_cols = [
+            (
+                F.greatest(F.col("open"), F.col("close"))
+                * (F.lit(1.0) + (F.col("event_id") % 7).cast("double") / F.lit(1000.0))
+            ).alias("high"),
+            (
+                F.least(F.col("open"), F.col("close"))
+                * (F.lit(1.0) - (F.col("event_id") % 5).cast("double") / F.lit(1000.0))
+            ).alias("low"),
+            (F.col("event_id") % 1000 + 100).cast("double").alias("volume"),
+        ]
+        return ev_cols, mid_cols, out_cols
+
+    # ~200 py4j round-trips per call otherwise, and bars() fronts every
+    # indicator/backtest query — memoized per gateway + ts physical type
+    # (ts_us_expr is the only input-dependent piece)
+    ev_cols, mid_cols, out_cols = cached_build(("bars", ts_kind), build)
+    ev = ev0.select(*ev_cols)
+    mid = ev.select("symbol", "ts_us", *mid_cols, F.col("event_id"))
+    return mid.select("symbol", "ts_us", "t", "close", "open", *out_cols)
 
 
 def write_bucketed_bars(

@@ -34,6 +34,7 @@ same way as the vectorized engine: linear in bars, symbols in parallel.
 
 from __future__ import annotations
 
+from bisect import bisect_left
 from dataclasses import dataclass
 from math import floor, isnan
 
@@ -77,7 +78,19 @@ def _fold(
     t: np.ndarray, price: np.ndarray, buy: np.ndarray, sell: np.ndarray, p: MarginParams
 ):
     """Sequential per-symbol fold. Returns per-bar state arrays plus
-    trade-event arrays aligned to exit bars (NaN/None elsewhere)."""
+    trade-event arrays aligned to exit bars (NaN/None elsewhere).
+
+    Dispatches to the event-driven kernel (``_fold_events``, optimization
+    round 13 — the per-bar Python loop was the margin path's per-core
+    ceiling at ~0.6 M bars/s); ``_fold_loop`` below is the executable
+    spec, pinned bit-equal by tests/test_margin.py's differential suite."""
+    return _fold_events(t, price, buy, sell, p)
+
+
+def _fold_loop(
+    t: np.ndarray, price: np.ndarray, buy: np.ndarray, sell: np.ndarray, p: MarginParams
+):
+    """The per-bar reference loop (executable spec for ``_fold_events``)."""
     n = price.shape[0]
     cash_a = np.zeros(n)
     qty_a = np.zeros(n)
@@ -164,6 +177,276 @@ def _fold(
         value_a[i] = qty * mark
         debt_a[i] = debt
         equity_a[i] = cash + qty * mark - debt
+
+    return (
+        cash_a, qty_a, value_a, debt_a, equity_a,
+        entry_t, entry_px, exit_qty, exit_px, pnl, pnl_pct, holding, reason,
+    )
+
+
+#: in-position exit scans grow their block geometrically per stretch
+#: (same schedule as backtest/vectorized.py's event fold)
+_EVENT_BLOCK0 = 512
+_EVENT_BLOCK_MAX = 1 << 21
+
+
+def _fold_events(
+    t: np.ndarray, price: np.ndarray, buy: np.ndarray, sell: np.ndarray, p: MarginParams
+):
+    """Event-driven margin fold: bit-identical to ``_fold_loop`` but the
+    per-bar Python loop only runs ACROSS state-changing events (the same
+    decomposition as ``vectorized._fold_state``, round 12).
+
+    What margin adds over the plain fold is per-bar interest: on every
+    valid bar with debt outstanding the loop runs ``debt *= 1 + r/252``.
+    That is a left-fold of multiplications, and
+    ``np.multiply.accumulate([d0, f, f, …])`` performs the IDENTICAL
+    multiplications in the IDENTICAL order — with frozen bars contributing
+    an exact ``×1.0`` identity (IEEE-754: x·1.0 == x) and a zero debt
+    staying exactly zero (0.0·f == 0.0), so the unconditional vectorized
+    accumulate reproduces the loop's ``if debt > 0`` guard bit-for-bit.
+    The per-bar debt series therefore fills segment-by-segment during the
+    walk, and the margin-call trigger scan compares the SAME doubles the
+    loop compares: mv = qty·px, (cash + mv − debt)/mv < threshold.
+
+    Walk structure:
+    * flat → bisect to the next valid buy bar (failed buys — zero
+      affordable lots — advance the pointer exactly like the loop);
+    * buy bar → the loop's own sizing/borrow code verbatim, then the
+      loop's same-bar margin-call check with the post-borrow debt;
+    * holding → geometrically-growing block scan of
+      ``(sell | margin_call) & valid``; the first True index is the
+      loop's exit bar, the reason is ``sell[j] ? "signal" :
+      "margin_call"`` (the loop checks sell first);
+    * exit bar → the loop's close_out verbatim (repay min(debt,
+      proceeds)).
+
+    Outputs: cash/qty are piecewise-constant (np.repeat over segments),
+    debt comes from the walk's accumulates, and value/equity are the
+    loop's per-bar expressions evaluated elementwise in the same order
+    (qty·mark, cash + qty·mark, − debt). ``mark`` carries the last valid
+    price exactly like the loop (frozen-bar patching via searchsorted).
+    The frozen predicate here is the margin engine's documented
+    ``isnan(px) or px <= 0`` — NOT the plain fold's isfinite — so ±inf
+    handling matches the loop, whatever it does."""
+    n = price.shape[0]
+    cash = p.initial_capital
+    qty = 0.0
+    debt = 0.0
+    entry_cost = 0.0
+    e_t = 0.0
+    e_px = 0.0
+    e_i = 0
+    daily_rate = p.interest_rate / TRADING_DAYS
+    c = 1.0 + daily_rate
+    sell_mult = 1.0 - p.slippage
+    buy_mult = 1.0 + p.slippage
+    thr = p.margin_call_threshold
+
+    entry_t = np.full(n, np.nan)
+    entry_px = np.full(n, np.nan)
+    exit_qty = np.full(n, np.nan)
+    exit_px = np.full(n, np.nan)
+    pnl = np.full(n, np.nan)
+    pnl_pct = np.full(n, np.nan)
+    holding = np.full(n, np.nan)
+    reason: list[str | None] = [None] * n
+    debt_a = np.zeros(n)
+
+    if n == 0:
+        z = np.zeros(0)
+        return (
+            z, z.copy(), z.copy(), debt_a, z.copy(),
+            entry_t, entry_px, exit_qty, exit_px, pnl, pnl_pct, holding, reason,
+        )
+
+    # frozen = isnan(px) or px <= 0 — the margin engine's documented rule
+    mn = float(np.min(price))
+    has_bad = isnan(mn) or mn <= 0.0
+    if has_bad:
+        bad = np.isnan(price)
+        np.logical_or(bad, price <= 0.0, out=bad)
+        valid = ~bad
+        good_idx = np.flatnonzero(valid)
+        mark_all = price.copy()
+        bidx = np.flatnonzero(bad)
+        if len(good_idx):
+            pv = np.searchsorted(good_idx, bidx) - 1
+            mark_all[bidx] = np.where(
+                pv >= 0, price[good_idx[np.maximum(pv, 0)]], 0.0
+            )
+        else:
+            mark_all[bidx] = 0.0
+        buy_idx = np.flatnonzero(buy & valid)
+    else:
+        valid = None
+        mark_all = price  # alias — no copy
+        buy_idx = np.flatnonzero(buy)
+    buy_list = buy_idx.tolist()
+    n_buy = len(buy_list)
+    bp = 0
+
+    # per-bar interest factor: c on valid bars, exact ×1.0 on frozen ones —
+    # built lazily, only once debt actually exists
+    factors = None
+
+    def _factors():
+        nonlocal factors
+        if factors is None:
+            if has_bad:
+                factors = np.where(valid, c, 1.0)
+            else:
+                factors = np.full(n, c)
+        return factors
+
+    def fill_debt(lo: int, hi: int, d0: float) -> float:
+        """debt_a[lo:hi] = the loop's post-bar debt for non-event bars;
+        returns the accumulated debt after bar hi-1 (the pre-event value
+        when hi-1 is an event bar). d0 = debt after bar lo-1."""
+        if hi <= lo:
+            return d0
+        if d0 == 0.0:
+            return 0.0  # debt_a already zeros
+        if c == 1.0:
+            debt_a[lo:hi] = d0  # ×1.0 identity chain — constant, exact
+            return d0
+        acc = np.multiply.accumulate(
+            np.concatenate(([d0], _factors()[lo:hi]))
+        )[1:]
+        debt_a[lo:hi] = acc
+        return float(acc[-1])
+
+    def close_out(i: int, fill: float, why: str) -> None:
+        nonlocal cash, qty, debt, entry_cost
+        notional = qty * fill
+        fee = _commission(notional, p)
+        proceeds = notional - fee
+        repay = min(debt, proceeds)
+        cash += proceeds - repay
+        debt -= repay
+        entry_t[i] = e_t
+        entry_px[i] = e_px
+        exit_qty[i] = qty
+        exit_px[i] = fill
+        pnl[i] = proceeds - entry_cost
+        pnl_pct[i] = (proceeds - entry_cost) / entry_cost if entry_cost > 0 else 0.0
+        holding[i] = i - e_i
+        reason[i] = why
+        qty = 0.0
+        entry_cost = 0.0
+
+    seg_start = [0]
+    seg_qty = [qty]
+    seg_cash = [cash]
+
+    i = 0
+    while i < n:
+        if qty == 0.0:
+            # ---- flat: jump to the next valid buy bar
+            bp = bisect_left(buy_list, i, bp)
+            if bp >= n_buy:
+                break
+            j = buy_list[bp]
+            debt = fill_debt(i, j + 1, debt)  # interest through the buy bar
+            px = float(price[j])
+            fill = px * buy_mult
+            power = cash * p.position_size * p.leverage
+            lots = floor(power / (fill * LOT))
+            while lots > 0:
+                shares = lots * LOT
+                notional = shares * fill
+                fee = _commission(notional, p)
+                if notional + fee <= power:
+                    break
+                lots -= 1
+            if lots > 0:
+                shares = lots * LOT
+                notional = shares * fill
+                fee = _commission(notional, p)
+                spend = notional + fee
+                borrow = max(0.0, spend - cash)
+                cash -= spend - borrow
+                debt += borrow
+                qty = float(shares)
+                entry_cost = spend
+                e_t, e_px, e_i = float(t[j]), fill, j
+                debt_a[j] = debt
+                seg_start.append(j)
+                seg_qty.append(qty)
+                seg_cash.append(cash)
+                # the loop's same-bar margin-call check (post-borrow debt)
+                mv = qty * px
+                if mv > 0 and (cash + mv - debt) / mv < thr:
+                    close_out(j, px * sell_mult, "margin_call")
+                    debt_a[j] = debt
+                    seg_start.append(j)
+                    seg_qty.append(0.0)
+                    seg_cash.append(cash)
+            else:
+                debt_a[j] = debt
+            i = j + 1
+        else:
+            # ---- holding: block scan for the first sell-or-margin-call bar
+            j = n
+            a = i
+            block = _EVENT_BLOCK0
+            while a < n:
+                b = min(a + block, n)
+                block = min(block * 4, _EVENT_BLOCK_MAX)
+                px_s = price[a:b]
+                if debt > 0.0 and c != 1.0:
+                    d_s = np.multiply.accumulate(
+                        np.concatenate(([debt], _factors()[a:b]))
+                    )[1:]
+                else:
+                    d_s = debt  # scalar: zero, or constant under c == 1.0
+                mv = qty * px_s
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    trig = (mv > 0) & ((cash + mv - d_s) / mv < thr)
+                np.logical_or(trig, sell[a:b], out=trig)
+                if has_bad:
+                    trig &= valid[a:b]
+                hit = np.flatnonzero(trig)
+                if len(hit):
+                    j = a + int(hit[0])
+                    # debt through the exit bar (inclusive)
+                    if isinstance(d_s, np.ndarray):
+                        debt_a[a : j + 1] = d_s[: j - a + 1]
+                        debt = float(d_s[j - a])
+                    else:
+                        debt = fill_debt(a, j + 1, debt)
+                    break
+                if isinstance(d_s, np.ndarray):
+                    debt_a[a:b] = d_s
+                    debt = float(d_s[-1])
+                else:
+                    debt = fill_debt(a, b, debt)
+                a = b
+            if j >= n:
+                i = n  # scan blocks already filled debt_a to the end
+                break
+            px = float(price[j])
+            why = "signal" if sell[j] else "margin_call"
+            close_out(j, px * sell_mult, why)
+            debt_a[j] = debt
+            seg_start.append(j)
+            seg_qty.append(0.0)
+            seg_cash.append(cash)
+            i = j + 1
+
+    # ---- tail: interest keeps accruing on any leftover debt
+    if i < n:
+        fill_debt(i, n, debt)
+
+    # ---- one global vectorized output pass (the loop's per-bar
+    # expressions, elementwise, in the loop's evaluation order)
+    starts = np.asarray(seg_start + [n], dtype=np.int64)
+    lens = np.diff(starts)
+    qty_a = np.repeat(np.asarray(seg_qty, dtype=np.float64), lens)
+    cash_a = np.repeat(np.asarray(seg_cash, dtype=np.float64), lens)
+    value_a = qty_a * mark_all
+    equity_a = cash_a + value_a
+    np.subtract(equity_a, debt_a, out=equity_a)
 
     return (
         cash_a, qty_a, value_a, debt_a, equity_a,

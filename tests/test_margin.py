@@ -225,3 +225,96 @@ class TestMarginSpark:
         )
         pos = position_records(curve).toPandas()
         assert set(pos.symbol) == {"B"}
+
+
+class TestEventFoldBitEquality:
+    """The event-driven kernel (_fold_events, optimization round 13) must
+    be BIT-EQUAL to the per-bar reference loop (_fold_loop) — same scalar
+    event code, interest via multiply.accumulate in the loop's op order,
+    margin-call scan comparing the loop's exact doubles."""
+
+    @staticmethod
+    def _compare(t, px, b, s, p, label):
+        from polars_quant_spark.backtest.margin import _fold_events, _fold_loop
+
+        want = _fold_loop(t, px, b, s, p)
+        got = _fold_events(t, px, b, s, p)
+        for k, (w, g) in enumerate(zip(want, got)):
+            if k == 12:  # exit_reason strings
+                assert w == g, f"{label}: reason mismatch"
+            else:
+                wa, ga = np.asarray(w), np.asarray(g)
+                eq = (wa == ga) | (np.isnan(wa) & np.isnan(ga))
+                assert eq.all(), (
+                    f"{label}: output {k} differs at rows "
+                    f"{np.flatnonzero(~eq)[:5]}"
+                )
+
+    def test_randomized_grid(self):
+        """Param grid × signal densities × NaN/zero/negative price freezes,
+        including leverage+interest (debt compounding), forced margin
+        calls, zero fees, fractional position size, and 1-bar series."""
+        rng = np.random.default_rng(3)
+        params = [
+            MarginParams(),
+            MarginParams(leverage=3.0, interest_rate=0.08, margin_call_threshold=0.25),
+            MarginParams(leverage=5.0, interest_rate=0.12, margin_call_threshold=0.4, slippage=0.01),
+            MarginParams(leverage=2.0, interest_rate=0.0),
+            MarginParams(leverage=10.0, interest_rate=0.5, margin_call_threshold=0.9),
+            MarginParams(leverage=4.0, interest_rate=0.08, **ZERO_FEES),
+            MarginParams(leverage=3.0, interest_rate=0.08, position_size=0.5),
+        ]
+        for pi, p in enumerate(params):
+            for n, dens, vol in [
+                (5000, 0.02, 0.02),
+                (3000, 0.3, 0.05),
+                (50, 0.5, 0.1),
+                (1, 1.0, 0.1),
+                (4000, 0.001, 0.03),
+            ]:
+                px = 100.0 * np.exp(np.cumsum(rng.normal(0, vol, n)))
+                px[rng.random(n) < 0.05] = np.nan
+                px[rng.random(n) < 0.02] = 0.0
+                px[rng.random(n) < 0.01] = -3.0
+                b = rng.random(n) < dens
+                s = rng.random(n) < dens
+                t = np.arange(1, n + 1, dtype="float64")
+                self._compare(t, px, b, s, p, f"p{pi} n={n} dens={dens}")
+
+    def test_margin_call_crash_and_degenerates(self):
+        n = 2000
+        px = np.linspace(200, 10, n)  # steady crash: margin calls fire
+        b = np.zeros(n, bool)
+        b[5] = True
+        s = np.zeros(n, bool)
+        self._compare(
+            np.arange(n, dtype="float64"), px, b, s,
+            MarginParams(leverage=5.0, interest_rate=0.1, margin_call_threshold=0.3),
+            "crash",
+        )
+        # all-frozen series; buy with cash below one lot
+        px = np.full(50, np.nan)
+        self._compare(
+            np.arange(50, dtype="float64"), px,
+            np.ones(50, bool), np.ones(50, bool),
+            MarginParams(leverage=2.0), "all-nan",
+        )
+        self._compare(
+            np.arange(10, dtype="float64"), np.full(10, 5000.0),
+            np.ones(10, bool), np.zeros(10, bool),
+            MarginParams(initial_capital=100.0), "cant-afford-one-lot",
+        )
+
+    def test_leftover_debt_while_flat_keeps_compounding(self):
+        """Proceeds below debt leave residual debt through a flat stretch —
+        the flat-segment accumulate must keep compounding it."""
+        px = np.array([100.0] * 3 + [10.0] + [100.0] * 200 + [100.0])
+        n = len(px)
+        b = np.zeros(n, bool); s = np.zeros(n, bool)
+        b[0] = True; s[3] = True  # sell into the crash: proceeds << debt
+        b[150] = True  # re-entry while still indebted
+        self._compare(
+            np.arange(n, dtype="float64"), px, b, s,
+            MarginParams(leverage=8.0, interest_rate=0.2, margin_call_threshold=0.01),
+            "residual-debt",
+        )

@@ -447,21 +447,167 @@ def _chained_emas(
     """Run ``depth`` SMA-seeded EMA scans, each over the previous output's
     VALID rows — the exact composition of the plain kernels, whose
     ``_compact_apply`` re-compacts warm-up NaNs before every chained scan.
-    Adds columns _e1.._e{depth}. Viable at any depth because each chain's
-    base is lineage-truncated (the round-10 checkpoint fix — six chains
-    for T3 would otherwise nest six plans multiplicatively)."""
-    cur = df
-    src = x
-    for i in range(1, depth + 1):
-        out = f"_e{i}"
-        cur = ewma_segmented(
-            cur.where(F.col(src).isNotNull()) if i > 1 else cur,
-            src, p, out=out,
-            partition_by=partition_by, order_by=order_by,
-            segment_rows=segment_rows,
+    Adds columns _e1.._e{depth}.
+
+    Round-13 optimization: ONE fused segmented sweep instead of ``depth``
+    sequential ``ewma_segmented`` calls. The old composition paid depth ×
+    (base checkpoint + max(_rn) action + n_segments passes + join-back) —
+    ~60 stages for T3's six chains, 12.9 s at sf0.1 where the plain kernel
+    runs in ~0.5 s, and at true scale depth full re-reads of the corpus.
+    The fused sweep pays ONE base and n_segments passes total; each pass
+    runs all ``depth`` chains on the segment in-process (chain i's input
+    is chain i−1's output array, exactly as the plain ``t3`` kernel
+    composes them) and carries per-chain resume state across segments:
+
+    * ``(seen, psum)`` while a chain is still inside its SMA warm-up —
+      ``np.cumsum`` seeded by prepending the carried partial sum replays
+      the identical left-to-right adds, so a seed window spanning a
+      segment boundary sums in the unsegmented order (the old per-chain
+      re-segmentation never had a spanning seed; the carry makes the cut
+      position irrelevant instead);
+    * the accumulator ``e`` once seeded — the ewm tail resumes from it
+      (the module's standing exactness argument, unchanged).
+
+    Chain outputs are NaN-prefix + valid-tail on null-free input; the
+    kernel still compacts by mask (not prefix-assumption), mirroring
+    ``_compact_apply``. Bit-equality vs the plain chain is pinned by the
+    existing dema/tema/t3 segmented tests plus the boundary-spanning-seed
+    case in tests/test_segmented.py."""
+    base, last_seg, segment_rows = _segmented_base(
+        df, partition_by, order_by, segment_rows
+    )
+    if segment_rows < p:
+        raise ValueError(f"segment_rows ({segment_rows}) must be >= p ({p})")
+    outs = [f"_e{i}" for i in range(1, depth + 1)]
+    if last_seg is None:
+        cur = df
+        for o in outs:
+            cur = cur.withColumn(o, F.lit(None).cast("double"))
+        return cur
+    alpha = 2.0 / (p + 1)
+
+    schema = StructType(
+        [
+            df.schema[partition_by],
+            StructField("_rn", LongType()),
+            *[StructField(o, DoubleType()) for o in outs],
+            # resume state, marker rows only: [seen, psum, e] × depth
+            StructField("_st", DoubleType(), True),
+        ]
+    )
+    n_st = 3 * depth
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
+        sym = pdf[partition_by].iloc[0]
+        n = len(pdf)
+        # carried state arrives as _seed_0.._seed_{3·depth−1} columns
+        # (absent on pass 0)
+        if "_seed_0" in pdf.columns:
+            st = [float(pdf[f"_seed_{j}"].iloc[0]) for j in range(n_st)]
+        else:
+            st = [0.0, 0.0, np.nan] * depth
+        cur = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
+        res_cols = {}
+        for i in range(depth):
+            seen, psum, e = st[3 * i], st[3 * i + 1], st[3 * i + 2]
+            out = np.full(n, np.nan)
+            pos = np.flatnonzero(~np.isnan(cur))
+            w = cur[pos]
+            if np.isnan(e):
+                need = int(p - seen)
+                if len(w) < need:
+                    if len(w):
+                        psum = float(
+                            np.cumsum(np.concatenate(([psum], w)))[-1]
+                            if seen
+                            else np.cumsum(w)[-1]
+                        )
+                        seen += len(w)
+                else:
+                    head = w[:need]
+                    psum = float(
+                        np.cumsum(np.concatenate(([psum], head)))[-1]
+                        if seen
+                        else np.cumsum(head)[-1]
+                    )
+                    e = psum / p
+                    out[pos[need - 1]] = e
+                    tail = w[need:]
+                    if len(tail):
+                        z = np.empty(len(tail) + 1)
+                        z[0] = e
+                        z[1:] = tail
+                        r = (
+                            pd.Series(z)
+                            .ewm(alpha=alpha, adjust=False)
+                            .mean()
+                            .to_numpy()[1:]
+                        )
+                        out[pos[need:]] = r
+                        e = float(r[-1])
+                    seen, psum = float(p), 0.0
+            else:
+                if len(w):
+                    z = np.empty(len(w) + 1)
+                    z[0] = e
+                    z[1:] = w
+                    r = (
+                        pd.Series(z)
+                        .ewm(alpha=alpha, adjust=False)
+                        .mean()
+                        .to_numpy()[1:]
+                    )
+                    out[pos] = r
+                    e = float(r[-1])
+            st[3 * i], st[3 * i + 1], st[3 * i + 2] = seen, psum, e
+            res_cols[outs[i]] = out
+            cur = out
+        body = pd.DataFrame(
+            {
+                partition_by: pdf[partition_by],
+                "_rn": pdf["_rn"].astype("int64"),
+                **res_cols,
+                "_st": np.full(n, np.nan),
+            }
         )
-        src = out
-    return cur
+        # marker rows (_rn = −1−j) smuggle the resume state out of the
+        # executors: state scalar j rides the _st column of marker row j
+        marks = pd.DataFrame(
+            {
+                partition_by: [sym] * n_st,
+                "_rn": [-1 - j for j in range(n_st)],
+                **{o: [np.nan] * n_st for o in outs},
+                "_st": st,
+            }
+        )
+        return pd.concat([body, marks], ignore_index=True)
+
+    pieces: list[DataFrame] = []
+    prev: DataFrame | None = None
+    for k in range(int(last_seg) + 1):
+        seg = base.where(F.col("_seg") == k).select(partition_by, "_rn", x)
+        if prev is not None:
+            # pivot the marker rows back to one row of _seed_j columns per
+            # symbol; merge pin for the ewma_segmented seed-join reasons
+            seeds_df = prev.where(F.col("_rn") < 0).groupBy(partition_by).agg(
+                *[
+                    F.max(F.when(F.col("_rn") == -1 - j, F.col("_st"))).alias(
+                        f"_seed_{j}"
+                    )
+                    for j in range(n_st)
+                ]
+            )
+            seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
+        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        res = _cache_piece(res, k)
+        pieces.append(res.where(F.col("_rn") >= 0).drop("_st"))
+        prev = res
+
+    merged = pieces[0]
+    for piece in pieces[1:]:
+        merged = merged.unionByName(piece)
+    return base.join(merged, [partition_by, "_rn"], "left").drop("_seg", "_rn")
 
 
 def dema_segmented(

@@ -675,3 +675,31 @@ def test_auto_backtest_null_key_groups(spark, tall_df):
             for r in auto_backtest(sig, threshold=5000)
             .select("symbol", "t", *cols).collect()}
     assert got3 == want
+
+
+def test_ema_chain_fused_seed_spans_segment_boundary(spark, tall_df):
+    """Round-13 fused chain sweep: with tiny segments (segment_rows barely
+    above p), the LATER chains' SMA seed windows span several segment
+    boundaries — the (seen, partial-sum) carry must resume the seed's
+    left-to-right adds exactly. With p=100 and segment_rows=260, chain 6
+    starts warming at valid row 495 and its 100-row seed window crosses
+    the boundary at 520 (chains 3-5 span boundaries too)."""
+    import polars_quant_spark.operators.segmented as seg
+
+    whole = (
+        with_recurrences(tall_df, [Rec("v", "t3", ["close"], {"p": 100})])
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    segd = (
+        seg.t3_segmented(tall_df, "close", p=100, out="v", segment_rows=260)
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    w = {(r["symbol"], r["t"]): r["v"] for r in whole}
+    s = {(r["symbol"], r["t"]): r["v"] for r in segd}
+    assert set(w) == set(s)
+    diff = [k for k in w if (w[k] is None) != (s[k] is None) or
+            (w[k] is not None and w[k] != s[k])]
+    assert not diff, diff[:5]
+    assert sum(v is not None for v in s.values()) > 1800

@@ -287,13 +287,12 @@ def rsi_segmented(
         .withColumn("_up", F.when(F.col("_d") > 0, F.col("_d")).otherwise(F.lit(0.0)))
         .withColumn("_dn", F.when(F.col("_d") < 0, -F.col("_d")).otherwise(F.lit(0.0)))
     )
-    au = ewma_segmented(
-        diffs, "_up", p, alpha=1.0 / p, out="_au",
-        partition_by=partition_by, order_by=order_by, segment_rows=segment_rows,
-    )
-    both = ewma_segmented(
-        au, "_dn", p, alpha=1.0 / p, out="_ad",
-        partition_by=partition_by, order_by=order_by, segment_rows=segment_rows,
+    # round-13: ONE fused sweep runs both Wilder RMAs (they are parallel
+    # scans over row-local columns) — one base checkpoint and n_segments
+    # passes total instead of two of each
+    both = _fused_ewma_sweep(
+        diffs, ["_up", "_dn"], ["_au", "_ad"], p, 1.0 / p,
+        partition_by, order_by, segment_rows,
     )
     rsi = F.when(F.col("_ad") == 0.0, F.lit(100.0)).otherwise(
         F.lit(100.0) * F.col("_au") / (F.col("_au") + F.col("_ad"))
@@ -473,18 +472,42 @@ def _chained_emas(
     ``_compact_apply``. Bit-equality vs the plain chain is pinned by the
     existing dema/tema/t3 segmented tests plus the boundary-spanning-seed
     case in tests/test_segmented.py."""
+    outs = [f"_e{i}" for i in range(1, depth + 1)]
+    return _fused_ewma_sweep(
+        df, [x] + list(range(depth - 1)), outs, p, 2.0 / (p + 1),
+        partition_by, order_by, segment_rows,
+    )
+
+
+def _fused_ewma_sweep(
+    df: DataFrame,
+    srcs: list,
+    outs: list[str],
+    p: int,
+    alpha: float,
+    partition_by: str,
+    order_by: str,
+    segment_rows: int | str,
+) -> DataFrame:
+    """One segmented sweep running len(outs) SMA-seeded exponential scans
+    with shared scaffolding (one base checkpoint, one pass per segment).
+    ``srcs[i]`` names chain i's input: a df COLUMN NAME (str) or the INDEX
+    of an earlier chain whose output feeds it — so ``[x, 0, 1]`` is the
+    TEMA chain and ``["_up", "_dn"]`` is RSI's two parallel Wilder RMAs.
+    Exactness: the per-chain (seen, partial-sum, accumulator) carry of
+    ``_chained_emas`` (see its docstring), per chain."""
+    depth = len(outs)
     base, last_seg, segment_rows = _segmented_base(
         df, partition_by, order_by, segment_rows
     )
     if segment_rows < p:
         raise ValueError(f"segment_rows ({segment_rows}) must be >= p ({p})")
-    outs = [f"_e{i}" for i in range(1, depth + 1)]
     if last_seg is None:
         cur = df
         for o in outs:
             cur = cur.withColumn(o, F.lit(None).cast("double"))
         return cur
-    alpha = 2.0 / (p + 1)
+    in_cols = sorted({s for s in srcs if isinstance(s, str)})
 
     schema = StructType(
         [
@@ -507,9 +530,15 @@ def _chained_emas(
             st = [float(pdf[f"_seed_{j}"].iloc[0]) for j in range(n_st)]
         else:
             st = [0.0, 0.0, np.nan] * depth
-        cur = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
+        res_list: list[np.ndarray] = []
         res_cols = {}
         for i in range(depth):
+            s = srcs[i]
+            cur = (
+                pdf[s].to_numpy(dtype="float64", na_value=np.nan)
+                if isinstance(s, str)
+                else res_list[s]
+            )
             seen, psum, e = st[3 * i], st[3 * i + 1], st[3 * i + 2]
             out = np.full(n, np.nan)
             pos = np.flatnonzero(~np.isnan(cur))
@@ -562,7 +591,7 @@ def _chained_emas(
                     e = float(r[-1])
             st[3 * i], st[3 * i + 1], st[3 * i + 2] = seen, psum, e
             res_cols[outs[i]] = out
-            cur = out
+            res_list.append(out)
         body = pd.DataFrame(
             {
                 partition_by: pdf[partition_by],
@@ -586,7 +615,7 @@ def _chained_emas(
     pieces: list[DataFrame] = []
     prev: DataFrame | None = None
     for k in range(int(last_seg) + 1):
-        seg = base.where(F.col("_seg") == k).select(partition_by, "_rn", x)
+        seg = base.where(F.col("_seg") == k).select(partition_by, "_rn", *in_cols)
         if prev is not None:
             # pivot the marker rows back to one row of _seed_j columns per
             # symbol; merge pin for the ewma_segmented seed-join reasons

@@ -358,15 +358,17 @@ def adx_family_segmented(
     on null-free input (operators/recurrence.py:216-308, momentum.rs:668-727).
 
     Composition: up/dn moves and true range are row-local LAG transforms;
-    the three Wilder RMAs (s_pdm, s_mdm, s_tr) run as ONE four-column
-    frame through three ``ewma_segmented`` chains; ±DI and DX are then
-    row-local ratios replaying the kernel's float order (including the
-    warm-row NaN mask — Spark's NULL arithmetic mirrors np.where + mask
-    only if DX is explicitly nulled while s_tr is, which this does);
-    ADX is a fourth state-carrying RMA over the dx-VALID rows (the
-    kernel compacts warm-up NaNs before seeding — filtering before the
-    scan reproduces that compaction exactly); ADXR is a LAG(p−1) average
-    over the full row grid. Adds the seven columns to ``df``.
+    all FOUR Wilder RMAs (s_pdm, s_mdm, s_tr, and ADX over dx) run in one
+    ``_fused_ewma_sweep`` — dx is derived in-kernel from the first three
+    chains' outputs with the exact float order of the ±DI/DX SQL
+    expressions, and its warm-row NaNs are compacted by the scan itself
+    (the kernel seeds on the first p VALID dx values, exactly as the old
+    pre-filtered fourth sweep did); ±DI and DX are then the same
+    row-local SQL ratios for output (including the warm-row NaN mask —
+    Spark's NULL arithmetic mirrors np.where + mask only if DX is
+    explicitly nulled while s_tr is, which this does); ADXR is a
+    LAG(p−1) average over the full row grid. Adds the seven columns to
+    ``df``.
 
     Same scale contract as ``rsi_segmented``: memory bounded per
     segment; wall is sequential passes — use the plain kernels while a
@@ -389,10 +391,29 @@ def adx_family_segmented(
         .withColumn("_tr", tr)
         .where(F.col("_tr").isNotNull())
     )
-    kw = dict(partition_by=partition_by, order_by=order_by, segment_rows=segment_rows)
-    sm = ewma_segmented(base, "_pdm", p, alpha=1.0 / p, out="_spdm", **kw)
-    sm = ewma_segmented(sm, "_mdm", p, alpha=1.0 / p, out="_smdm", **kw)
-    sm = ewma_segmented(sm, "_tr", p, alpha=1.0 / p, out="_str", **kw)
+    # round-13: ONE fused sweep runs all four Wilder RMAs — the three
+    # parallel DM/TR chains plus ADX's chain over dx, derived in-kernel
+    # from their outputs with the exact IEEE op sequence of the SQL
+    # expressions below (same doubles in, correctly-rounded *,/ → same
+    # doubles out). dx's warm-row NaNs are compacted by the scan itself,
+    # reproducing the old pre-filtered 4th sweep's "seed on the first p
+    # VALID dx" without re-segmenting. One base checkpoint and n_segments
+    # passes total instead of four of each.
+    def _dx_chain(res: list) -> np.ndarray:
+        spdm, smdm, str_ = res[0], res[1], res[2]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            pdi = np.where(str_ > 0, 100.0 * spdm / str_, 0.0)
+            mdi = np.where(str_ > 0, 100.0 * smdm / str_, 0.0)
+            dsum = pdi + mdi
+            dx = np.where(dsum > 0, 100.0 * np.abs(pdi - mdi) / dsum, 0.0)
+        dx[np.isnan(str_)] = np.nan
+        return dx
+
+    sm = _fused_ewma_sweep(
+        base, ["_pdm", "_mdm", "_tr", _dx_chain],
+        ["_spdm", "_smdm", "_str", "_adx"], p, 1.0 / p,
+        partition_by, order_by, segment_rows,
+    )
     warm = F.col("_str").isNull()
     pdi = F.when(warm, F.lit(None)).when(
         F.col("_str") > 0, F.lit(100.0) * F.col("_spdm") / F.col("_str")
@@ -406,21 +427,14 @@ def adx_family_segmented(
         dsum > 0, F.lit(100.0) * F.abs(F.col("_pdi") - F.col("_mdi")) / dsum
     ).otherwise(F.lit(0.0))
     scored = scored.withColumn("_dx", dx)
-    # kernel compaction: ADX's RMA seeds on the first p VALID dx values
-    adxd = ewma_segmented(
-        scored.where(F.col("_dx").isNotNull()), "_dx", p, alpha=1.0 / p,
-        out="_adx", **kw,
-    )
     cols = [
         ("_spdm", "plus_dm"), ("_smdm", "minus_dm"), ("_pdi", "plus_di"),
         ("_mdi", "minus_di"), ("_dx", "dx"),
     ]
     out = df.join(
-        scored.select(partition_by, order_by, *[c for c, _ in cols]),
+        scored.select(partition_by, order_by, *[c for c, _ in cols], "_adx"),
         [partition_by, order_by],
         "left",
-    ).join(
-        adxd.select(partition_by, order_by, "_adx"), [partition_by, order_by], "left"
     )
     adxr = (F.col("_adx") + F.lag("_adx", p - 1).over(w)) / F.lit(2.0)
     return (
@@ -491,11 +505,17 @@ def _fused_ewma_sweep(
 ) -> DataFrame:
     """One segmented sweep running len(outs) SMA-seeded exponential scans
     with shared scaffolding (one base checkpoint, one pass per segment).
-    ``srcs[i]`` names chain i's input: a df COLUMN NAME (str) or the INDEX
+    ``srcs[i]`` names chain i's input: a df COLUMN NAME (str), the INDEX
     of an earlier chain whose output feeds it — so ``[x, 0, 1]`` is the
-    TEMA chain and ``["_up", "_dn"]`` is RSI's two parallel Wilder RMAs.
+    TEMA chain and ``["_up", "_dn"]`` is RSI's two parallel Wilder RMAs —
+    or a CALLABLE of the earlier-output list (row-local derivation, e.g.
+    ADX's dx from the three smoothed DM/TR chains; NaN entries are
+    compacted by the scan exactly as a pre-filtered frame would be).
     Exactness: the per-chain (seen, partial-sum, accumulator) carry of
-    ``_chained_emas`` (see its docstring), per chain."""
+    ``_chained_emas`` (see its docstring), per chain — the carry makes
+    the fold independent of WHERE the segment cuts fall, which is what
+    lets a derived chain reuse the base segmentation instead of
+    re-segmenting its own filtered frame."""
     depth = len(outs)
     base, last_seg, segment_rows = _segmented_base(
         df, partition_by, order_by, segment_rows
@@ -534,11 +554,12 @@ def _fused_ewma_sweep(
         res_cols = {}
         for i in range(depth):
             s = srcs[i]
-            cur = (
-                pdf[s].to_numpy(dtype="float64", na_value=np.nan)
-                if isinstance(s, str)
-                else res_list[s]
-            )
+            if isinstance(s, str):
+                cur = pdf[s].to_numpy(dtype="float64", na_value=np.nan)
+            elif callable(s):
+                cur = s(res_list)
+            else:
+                cur = res_list[s]
             seen, psum, e = st[3 * i], st[3 * i + 1], st[3 * i + 2]
             out = np.full(n, np.nan)
             pos = np.flatnonzero(~np.isnan(cur))

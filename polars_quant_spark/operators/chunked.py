@@ -158,6 +158,7 @@ def with_chunked_windows(
     chunk: int = 8192,
     by: str | list[str] = "symbol",
     order: str = "t",
+    cache_key: str | None = None,
 ) -> DataFrame:
     """Evaluate ``builders`` (name → fn(base_window) → Column, the same
     shape every indicator in functions/ takes) over halo chunks. Returns
@@ -167,21 +168,44 @@ def with_chunked_windows(
     ``lookback`` must be ≥ the longest trailing reach any builder uses
     (frame length − 1, or the largest lag). Oversizing is safe (slightly
     more halo rows); undersizing silently corrupts chunk-boundary rows —
-    size it from the indicator periods, as `ind_chunked_expr` does."""
+    size it from the indicator periods, as `ind_chunked_expr` does.
+
+    ``cache_key``: opt-in driver-side memoization of the built expression
+    trees (functions/_util.cached_build) for callers that re-submit the
+    same spec — the caller asserts ``builders`` is STABLE for that key
+    (same names → same Columns); everything built here is name-based
+    (F.col) + the spec's ints, so the trees are session-independent."""
     if lookback >= chunk:
         raise ValueError("chunk must exceed lookback")
     _require_numeric_order(df, order, "with_chunked_windows")
     keys = [by] if isinstance(by, str) else list(by)
-    pos = F.col(order).cast("long") - 1  # dense 1-based order contract
-    ck = (pos / chunk).cast("long")
-    is_tail = (pos % chunk) >= (chunk - lookback)
-    marks = F.when(
-        is_tail,
-        F.array(
-            F.struct(ck.alias("ck"), F.lit(False).alias("halo")),
-            F.struct((ck + 1).alias("ck"), F.lit(True).alias("halo")),
-        ),
-    ).otherwise(F.array(F.struct(ck.alias("ck"), F.lit(False).alias("halo"))))
+
+    def build():
+        pos = F.col(order).cast("long") - 1  # dense 1-based order contract
+        ck = (pos / chunk).cast("long")
+        is_tail = (pos % chunk) >= (chunk - lookback)
+        marks = F.when(
+            is_tail,
+            F.array(
+                F.struct(ck.alias("ck"), F.lit(False).alias("halo")),
+                F.struct((ck + 1).alias("ck"), F.lit(True).alias("halo")),
+            ),
+        ).otherwise(F.array(F.struct(ck.alias("ck"), F.lit(False).alias("halo"))))
+        part_cols = [F.col(k) for k in keys] + [F.col("_ck")]
+        w = Window.partitionBy(*keys, "_ck").orderBy(order)
+        built = [fn(w).alias(name) for name, fn in builders.items()]
+        return marks, part_cols, built
+
+    if cache_key is not None:
+        from polars_quant_spark.functions._util import cached_build
+
+        marks, part_cols, built = cached_build(
+            ("with_chunked_windows", cache_key, lookback, chunk,
+             tuple(keys), order, tuple(builders)),
+            build,
+        )
+    else:
+        marks, part_cols, built = build()
     marked = df.select("*", F.explode(marks).alias("_m")).select(
         "*", F.col("_m.ck").alias("_ck"), F.col("_m.halo").alias("_halo")
     )
@@ -192,12 +216,11 @@ def with_chunked_windows(
     # and the window would still run at #keys parallelism. Forcing the
     # exchange on (keys…, _ck) is what actually spreads one key's blocks
     # over the cluster.
-    marked = marked.repartition(*[F.col(k) for k in keys], F.col("_ck"))
-    w = Window.partitionBy(*keys, "_ck").orderBy(order)
+    marked = marked.repartition(*part_cols)
     out = marked.select(
         *df.columns,
         "_halo",
-        *[fn(w).alias(name) for name, fn in builders.items()],
+        *built,
     )
     return out.where(~F.col("_halo")).drop("_halo")
 

@@ -321,32 +321,45 @@ def rel_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join at 100× (a forced hint would OOM the driver there);
     lineitem↔orders is the one real shuffle; top-k via
     TakeOrderedAndProject (no global sort)."""
-    cu = load_table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
-    od = load_table(spark, sf_dir, "orders").where(
-        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    from polars_quant_spark.functions._util import cached_build
+
+    def build():
+        # name-based predicates (unambiguous under TPC-H column prefixes)
+        # so the trees cache — same treatment as rel_q5
+        return (
+            F.col("c_mktsegment") == "BUILDING",
+            F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"),
+            F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            units(
+                F.sum(micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue"),
+            [
+                F.col("l_orderkey"),
+                F.col("revenue"),
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+                F.col("o_orderpriority"),
+            ],
+            [F.col("revenue").desc(), F.col("l_orderkey")],
+        )
+
+    p_cu, p_od, p_li, j_ol, j_oc, agg_rev, sel, order = cached_build(
+        ("rel_q3",), build
     )
-    li = load_table(spark, sf_dir, "lineitem").where(
-        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
-    )
+    cu = load_table(spark, sf_dir, "customer").where(p_cu)
+    od = load_table(spark, sf_dir, "orders").where(p_od)
+    li = load_table(spark, sf_dir, "lineitem").where(p_li)
     return (
-        li.join(od, li.l_orderkey == od.o_orderkey)
-        .join(cu, od.o_custkey == cu.c_custkey)
+        li.join(od, j_ol)
+        .join(cu, j_oc)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         # Per-order revenue is bounded (≤7 lineitems/order at any SF), so a
         # single-level long sum of micro-units can't overflow — no decimal
         # anywhere in this plan.
-        .agg(
-            units(
-                F.sum(micros(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
-            ).alias("revenue")
-        )
-        .select(
-            "l_orderkey",
-            "revenue",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
-            "o_orderpriority",
-        )
-        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .agg(agg_rev)
+        .select(sel)
+        .orderBy(order)
         .limit(10)
     )
 

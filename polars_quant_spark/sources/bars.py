@@ -86,7 +86,19 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # which handles both the bigint-ns and timestamp forms, and no other
     # driver table carries nanos timestamps.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    from polars_quant_spark.functions._util import cached_build
+
+    path = f"{sf_dir}/{name}.parquet"
+    # Memoize the INFERRED SCHEMA per (gateway, path): footer inference is
+    # ~0.1 s of py4j+footer I/O per call and the driver tables are
+    # immutable for a session (same staleness class as Spark's own
+    # FileStatusCache). Only the StructType is cached — every call still
+    # builds a FRESH relation (fresh expr-ids, so self-join behavior is
+    # unchanged) and every execution scans the parquet.
+    schema = cached_build(
+        ("load_table_schema", path), lambda: spark.read.parquet(path).schema
+    )
+    return spark.read.schema(schema).parquet(path)
 
 
 def ts_us_expr(ev: DataFrame):

@@ -251,6 +251,11 @@ def main() -> None:
         # the replica's per-user histories are 64/256x longer, so this
         # watches both the state-store footprint and the drain batch count
         "stream_attribution": QUERIES["stream_attribution_join"],
+        # round-13 (§3 event-driven margin fold): the leverage/interest/
+        # margin-call fold's distributed row — per-symbol histories grow
+        # 64/256x, so this watches the fold's group-serial wall and the
+        # curve join, same protocol as "backtest"
+        "margin": QUERIES["bt_margin_curve"],
         "asof": QUERIES["asof_bars_marks"],
         "range_join": QUERIES["range_bars_windows"],
         "interval_join": QUERIES["interval_overlap_bars"],

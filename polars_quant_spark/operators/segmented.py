@@ -48,11 +48,23 @@ from pyspark.storagelevel import StorageLevel
 from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-from polars_quant_spark.operators.recurrence import _ewma
+from polars_quant_spark.operators.recurrence import (
+    _arrow_group_path_available,
+    _ewma,
+)
 
 # Truncate the sequential-pass lineage every this-many segments; plan depth
 # at any action is bounded by this constant instead of n_segments.
 _CHECKPOINT_EVERY_SEGMENTS = 4
+
+#: Test hook: force the applyInPandas arms (the executable spec) even when
+#: the Arrow group path is available, so the arm differential can pin
+#: pandas≡arrow on the same input (tests/test_segmented.py).
+_FORCE_PANDAS_ARM = False
+
+
+def _use_arrow(df: DataFrame) -> bool:
+    return (not _FORCE_PANDAS_ARM) and _arrow_group_path_available(df)
 
 #: segment_rows="auto" sizing: ceil(max-rows-per-key / TARGET) with a FLOOR.
 #: Wall-clock is n_segments SEQUENTIAL passes, so a fixed segment_rows makes
@@ -191,17 +203,9 @@ def ewma_segmented(
         ]
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
-        sym = pdf[partition_by].iloc[0]
-        vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
-        # the carried accumulator arrives as a joined `_seed` column
-        # (absent on pass 0; NaN when the prior segment produced no value)
-        e = None
-        if "_seed" in pdf.columns:
-            s0 = pdf["_seed"].iloc[0]
-            if s0 is not None and not pd.isna(s0):
-                e = float(s0)
+    def scan(vals: np.ndarray, e: float | None):
+        """The per-group scan body, shared bit-identically by both arms:
+        (values, carried accumulator | None) → (result, carry-out)."""
         if e is None:
             res = _ewma(vals, alpha, p)
             valid = np.where(~np.isnan(res))[0]
@@ -214,6 +218,20 @@ def ewma_segmented(
                 pd.Series(z).ewm(alpha=alpha, adjust=False).mean().to_numpy()[1:]
             )
             e_out = float(res[-1]) if res.size else e
+        return res, e_out
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
+        sym = pdf[partition_by].iloc[0]
+        vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
+        # the carried accumulator arrives as a joined `_seed` column
+        # (absent on pass 0; NaN when the prior segment produced no value)
+        e = None
+        if "_seed" in pdf.columns:
+            s0 = pdf["_seed"].iloc[0]
+            if s0 is not None and not pd.isna(s0):
+                e = float(s0)
+        res, e_out = scan(vals, e)
         body = pd.DataFrame(
             {
                 partition_by: pdf[partition_by],
@@ -226,6 +244,48 @@ def ewma_segmented(
         mark = pd.DataFrame({partition_by: [sym], "_rn": [-1], out: [e_out]})
         return pd.concat([body, mark], ignore_index=True)
 
+    def run_arrow(tbl):
+        # applyInArrow arm (default on Spark 4): same scan, but the key and
+        # _rn buffers are REUSED zero-copy in the output instead of round-
+        # tripping through pandas blocks, and the result array is emitted
+        # with from_pandas=True (NaN→null), matching what the pandas
+        # serializer does to the pandas arm's NaN rows byte-for-byte.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("_rn", "ascending")]))
+        sym_col = tbl.column(partition_by)
+        sym = sym_col[0].as_py()
+        vals = (
+            pc.cast(tbl.column(x), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        e = None
+        if "_seed" in tbl.column_names:
+            s0 = tbl.column("_seed")[0].as_py()
+            if s0 is not None and not (isinstance(s0, float) and np.isnan(s0)):
+                e = float(s0)
+        res, e_out = scan(vals, e)
+        rn_col = pc.cast(tbl.column("_rn"), pa.int64())
+        return pa.table(
+            {
+                partition_by: pa.chunked_array(
+                    list(sym_col.chunks) + [pa.array([sym], type=sym_col.type)]
+                ),
+                "_rn": pa.chunked_array(
+                    list(rn_col.chunks) + [pa.array([-1], type=pa.int64())]
+                ),
+                out: pa.chunked_array(
+                    [
+                        pa.array(res, type=pa.float64(), from_pandas=True),
+                        pa.array([e_out], type=pa.float64(), from_pandas=True),
+                    ]
+                ),
+            }
+        )
+
+    use_arrow = _use_arrow(df)
     pieces: list[DataFrame] = []
     prev: DataFrame | None = None
     for k in range(int(last_seg) + 1):
@@ -242,7 +302,10 @@ def ewma_segmented(
             # context: the join's hash partitioning on the symbol key is
             # exactly the exchange the groupBy.applyInPandas needs next.
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
-        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if use_arrow:
+            res = seg.groupBy(partition_by).applyInArrow(run_arrow, schema=schema)
+        else:
+            res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
         res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
@@ -540,22 +603,16 @@ def _fused_ewma_sweep(
     )
     n_st = 3 * depth
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
-        sym = pdf[partition_by].iloc[0]
-        n = len(pdf)
-        # carried state arrives as _seed_0.._seed_{3·depth−1} columns
-        # (absent on pass 0)
-        if "_seed_0" in pdf.columns:
-            st = [float(pdf[f"_seed_{j}"].iloc[0]) for j in range(n_st)]
-        else:
-            st = [0.0, 0.0, np.nan] * depth
+    def scan_chains(fetch, st: list, n: int):
+        """The per-group chain loop, shared bit-identically by both arms.
+        ``fetch(name)`` returns a column as float64 ndarray (null→NaN);
+        mutates ``st`` in place and returns the per-chain output arrays."""
         res_list: list[np.ndarray] = []
         res_cols = {}
         for i in range(depth):
             s = srcs[i]
             if isinstance(s, str):
-                cur = pdf[s].to_numpy(dtype="float64", na_value=np.nan)
+                cur = fetch(s)
             elif callable(s):
                 cur = s(res_list)
             else:
@@ -613,6 +670,21 @@ def _fused_ewma_sweep(
             st[3 * i], st[3 * i + 1], st[3 * i + 2] = seen, psum, e
             res_cols[outs[i]] = out
             res_list.append(out)
+        return res_cols
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
+        sym = pdf[partition_by].iloc[0]
+        n = len(pdf)
+        # carried state arrives as _seed_0.._seed_{3·depth−1} columns
+        # (absent on pass 0)
+        if "_seed_0" in pdf.columns:
+            st = [float(pdf[f"_seed_{j}"].iloc[0]) for j in range(n_st)]
+        else:
+            st = [0.0, 0.0, np.nan] * depth
+        res_cols = scan_chains(
+            lambda c: pdf[c].to_numpy(dtype="float64", na_value=np.nan), st, n
+        )
         body = pd.DataFrame(
             {
                 partition_by: pdf[partition_by],
@@ -633,6 +705,56 @@ def _fused_ewma_sweep(
         )
         return pd.concat([body, marks], ignore_index=True)
 
+    def run_arrow(tbl):
+        # applyInArrow arm (default on Spark 4): identical scan; key/_rn
+        # buffers reused zero-copy, outputs emitted with from_pandas=True
+        # (NaN→null) to match the pandas serializer's treatment of the
+        # pandas arm's NaN rows. See ewma_segmented.run_arrow.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("_rn", "ascending")]))
+        n = tbl.num_rows
+        sym_col = tbl.column(partition_by)
+        sym = sym_col[0].as_py()
+        if "_seed_0" in tbl.column_names:
+            st = []
+            for j in range(n_st):
+                v = tbl.column(f"_seed_{j}")[0].as_py()
+                st.append(np.nan if v is None else float(v))
+        else:
+            st = [0.0, 0.0, np.nan] * depth
+        res_cols = scan_chains(
+            lambda c: pc.cast(tbl.column(c), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False),
+            st,
+            n,
+        )
+        rn_col = pc.cast(tbl.column("_rn"), pa.int64())
+        f64 = pa.float64()
+        cols = {
+            partition_by: pa.chunked_array(
+                list(sym_col.chunks) + [pa.array([sym] * n_st, type=sym_col.type)]
+            ),
+            "_rn": pa.chunked_array(
+                list(rn_col.chunks)
+                + [pa.array([-1 - j for j in range(n_st)], type=pa.int64())]
+            ),
+        }
+        for o in outs:
+            cols[o] = pa.chunked_array(
+                [
+                    pa.array(res_cols[o], type=f64, from_pandas=True),
+                    pa.nulls(n_st, f64),
+                ]
+            )
+        cols["_st"] = pa.chunked_array(
+            [pa.nulls(n, f64), pa.array(st, type=f64, from_pandas=True)]
+        )
+        return pa.table(cols)
+
+    use_arrow = _use_arrow(df)
     pieces: list[DataFrame] = []
     prev: DataFrame | None = None
     for k in range(int(last_seg) + 1):
@@ -649,7 +771,10 @@ def _fused_ewma_sweep(
                 ]
             )
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
-        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if use_arrow:
+            res = seg.groupBy(partition_by).applyInArrow(run_arrow, schema=schema)
+        else:
+            res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
         res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0).drop("_st"))
         prev = res

@@ -703,3 +703,63 @@ def test_ema_chain_fused_seed_spans_segment_boundary(spark, tall_df):
             (w[k] is not None and w[k] != s[k])]
     assert not diff, diff[:5]
     assert sum(v is not None for v in s.values()) > 1800
+
+
+def test_segmented_arrow_arm_bit_equal_to_pandas_arm(spark, tall_df):
+    """The applyInArrow arms (round-13 default) must produce EXACTLY what
+    the applyInPandas spec arms produce — values and NULL positions — for
+    both the single-chain sweep (ewma_segmented) and the fused multi-chain
+    sweep with a derived chain (adx_family_segmented → _fused_ewma_sweep's
+    str/index/callable source forms)."""
+    from polars_quant_spark.operators import segmented as seg_mod
+    from polars_quant_spark.operators.segmented import adx_family_segmented
+
+    rng = np.random.default_rng(11)
+    n = 1200
+    hi = 100.0 + np.cumsum(rng.normal(0, 1, n))
+    base = pd.DataFrame(
+        {
+            "symbol": "FAT",
+            "t": np.arange(n),
+            "high": hi,
+            "low": hi - rng.uniform(0.1, 2.0, n),
+            "close": hi - rng.uniform(0.0, 1.5, n),
+        }
+    )
+    df = spark.createDataFrame(base)
+
+    def both(fn):
+        assert not seg_mod._FORCE_PANDAS_ARM
+        arrow_rows = fn().collect()
+        seg_mod._FORCE_PANDAS_ARM = True
+        try:
+            pandas_rows = fn().collect()
+        finally:
+            seg_mod._FORCE_PANDAS_ARM = False
+        return arrow_rows, pandas_rows
+
+    # single-chain sweep
+    a, b = both(
+        lambda: ewma_segmented(
+            df.select("symbol", "t", "close"), "close", 14,
+            alpha=1.0 / 14, out="e", segment_rows=300,
+        ).select("symbol", "t", "e")
+    )
+    ka = {(r["symbol"], r["t"]): r["e"] for r in a}
+    kb = {(r["symbol"], r["t"]): r["e"] for r in b}
+    assert set(ka) == set(kb) and len(ka) == n
+    bad = [k for k in ka if ka[k] != kb[k] and not (ka[k] is None and kb[k] is None)]
+    assert not bad, bad[:5]
+
+    # fused sweep, all three source forms (str, callable) + 7 outputs
+    cols = ["plus_dm", "minus_dm", "plus_di", "minus_di", "dx", "adx", "adxr"]
+    a, b = both(
+        lambda: adx_family_segmented(df, p=14, segment_rows=300).select(
+            "symbol", "t", *cols
+        )
+    )
+    ka = {(r["symbol"], r["t"]): tuple(r[c] for c in cols) for r in a}
+    kb = {(r["symbol"], r["t"]): tuple(r[c] for c in cols) for r in b}
+    assert set(ka) == set(kb) and len(ka) == n
+    bad = [k for k in ka if ka[k] != kb[k]]
+    assert not bad, bad[:5]

@@ -63,10 +63,10 @@ ORACLES: dict[str, str] = {}
 # window, so a future append can't silently push a family back out.
 # ---------------------------------------------------------------------------
 
-# ROUND-13 ROTATION (VERDICT r12 #1): second post-saturation stalest-first
-# window from tools/propose_window.py — 5 dtype canaries, 42 stalest greens
-# (ledger last_seen ascending), and the 3 round-13 FRESH registrations
-# (the r12-queued segmented kama/t3/sarext, now with direct driver rows).
+# ROUND-14 ROTATION (VERDICT r13 #8): third post-saturation stalest-first
+# window from tools/propose_window.py — 5 dtype canaries + 45 stalest greens
+# (ledger last_seen ascending). No fresh registrations this round
+# (optimization round: no new features).
 PRIORITY_CARRYOVERS: list[str] = [
     # (b) dtype-diverse green canaries (driver-hash drift guards)
     "cdl_all_patterns",    # 61 int flags + string symbol in one hash
@@ -75,55 +75,54 @@ PRIORITY_CARRYOVERS: list[str] = [
     "sketch_kmv_users",    # bigint estimate (the r3-r5 red class shape)
     "sel_info",            # 15-column mixed-type latest-bar summary
     # (c) stalest-first rotation (ledger last_seen ascending)
-    "vol_ad_obv",
-    "ind_rsi_14",
-    "ind_macd",
-    "ind_ht_family",
-    "asof_bars_marks",
-    "range_bars_windows",
-    "loader_wide_pivot",
-    "doc_exact_dedup",
-    "doc_minhash_pairs",
-    "doc_dedup_components",
-    "doc_ngram_jaccard",
-    "doc_text_stats",
-    "emb_cosine_topk",
-    "emb_near_dupes",
-    "bt_vectorized_curve",
-    "bt_margin_curve",
-    "bt_metrics",
-    "factor_ic",
-    "factor_rank_ic",
-    "clean_winsor_zscore",
-    "sel_screen_topk",
-    "rel_rollup_revenue",
-    "factor_fama_macbeth",
-    "doc_simhash",
-    "emb_ivf_topk",
-    "stream_tumbling_batch",
-    "media_features",
-    "stream_ema_stateful",
-    "events_funnel",
-    "bt_param_sweep",
-    "bt_walk_forward",
-    "emb_ivf_recall",
-    "stream_cdc_compact",
-    "ops_partition_planner",
-    "rel_q4_priority_semi",
-    "rel_q22_inactive_anti",
-    "bars_vwap",
-    "ind_supertrend",
-    "vol_cmf_20",
-    "mkt_breadth_ratio",
-    "rel_q7_nation_volume",
-    "rel_q8_market_share",
+    "rel_q11_important_parts",
+    "rel_q14_promo_share",
+    "rel_q15_top_supplier",
+    "rel_q16_supplier_counts",
+    "rel_q17_small_qty_revenue",
+    "rel_q18_large_orders",
+    "rel_q19_disjunctive_revenue",
+    "rel_q21_sole_returner",
+    "rel_q9_profit",
+    "rel_q13_custdist",
+    "rel_q20_excess_shippers",
+    "rel_q2_min_cost_supplier",
+    "doc_span_dedup",
+    "doc_winnow",
+    "emb_quantize",
+    "bt_sequential_curve",
+    "factor_quantile_sorts",
+    "stream_session_batch",
+    "sketch_stratified_docs",
+    "doc_contamination",
+    "events_cohort_retention",
+    "bt_stop_curve",
+    "stream_ohlcv_bars",
+    "factor_event_study",
+    "emb_pq_recall",
+    "ops_bucketed_sma",
+    "media_jpeg_features",
+    "rel_q6_forecast_revenue",
+    "rel_q10_returned_items",
+    "asof_tolerance_nearest",
+    "interval_overlap_bars",
+    "range_point_events",
+    "ind_macdfix",
+    "ind_ma_dispatch",
+    "ind_macdext",
+    "rel_salted_nation_rollup",
+    "rel_topk_per_group",
+    "loader_interpolate",
+    "ind_keltner",
+    "ind_donchian_20",
+    "ind_ichimoku",
+    "ind_vortex_14",
+    "vol_efi_13",
+    "vol_eom_14",
+    "bars_volume_profile",
 ]
 
-PRIORITY_FRESH: list[str] = [
-    "ind_kama_seg_10",
-    "ind_t3_seg_5",
-    "ind_sarext_seg",
-]
+PRIORITY_FRESH: list[str] = []
 
 PRIORITY_50: list[str] = PRIORITY_CARRYOVERS + PRIORITY_FRESH
 

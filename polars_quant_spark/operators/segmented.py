@@ -621,7 +621,15 @@ def _fused_ewma_sweep(
             out = np.full(n, np.nan)
             pos = np.flatnonzero(~np.isnan(cur))
             w = cur[pos]
-            if np.isnan(e):
+            # warm-up is `seen < p`, NOT `isnan(e)` (ADVICE r13): a chain
+            # whose accumulator went NaN AFTER seeding (inf/degenerate
+            # inputs propagating through the ewm) must take the resume
+            # branch — whose NaN-seeded ewm restarts at the next valid
+            # value exactly like the single-group kernel's one continuous
+            # ewm does after an interior NaN — instead of re-entering
+            # warm-up with need == 0 and writing a bogus psum/p re-seed
+            # onto the segment's last valid row.
+            if seen < p:
                 need = int(p - seen)
                 if len(w) < need:
                     if len(w):
@@ -907,10 +915,40 @@ def kama_segmented(
     )
     fast_sc, slow_sc = 2.0 / 3.0, 2.0 / 31.0
 
+    def scan(vals: np.ndarray, halo_n: int, seed):
+        """The per-group body, shared bit-identically by both arms:
+        (values incl. halo rows, halo count, carried k | None) →
+        (body results, carry-out, body start index)."""
+        if seed is None or halo_n < p:
+            # pass 0 (or the unreachable lost-seed case, see docstring):
+            # the kernel's own scan over the dense segment
+            res = _kama_dense(vals, p)
+            valid = np.where(~np.isnan(res))[0]
+            k_out = float(res[valid[-1]]) if valid.size else np.nan
+            return res, k_out, 0
+        n = vals.shape[0]
+        nb = n - halo_n
+        adiff = np.abs(np.diff(vals))
+        vol = np.empty(nb)
+        win = np.lib.stride_tricks.sliding_window_view(adiff, p)
+        step = max(1, 4_000_000 // p)
+        for lo in range(0, nb, step):
+            hi = min(lo + step, nb)
+            vol[lo:hi] = win[lo:hi].cumsum(axis=1)[:, -1]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            er = np.where(vol > 0, np.abs(vals[p:] - vals[:-p]) / vol, 0.0)
+        k = seed
+        res = np.empty(nb)
+        for j in range(nb):
+            sc = (er[j] * (fast_sc - slow_sc) + slow_sc) ** 2
+            k = k + sc * (vals[p + j] - k)
+            res[j] = k
+        k_out = float(k) if nb else seed
+        return res, k_out, halo_n
+
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
         sym = pdf[partition_by].iloc[0]
-        vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
         halo_n = int(pdf["_halo"].sum()) if "_halo" in pdf.columns else 0
         if halo_n and halo_n == len(pdf):
             # Halo-only group (ADVICE r10, high): a symbol whose total row
@@ -928,38 +966,14 @@ def kama_segmented(
                     out: np.empty(0, dtype="float64"),
                 }
             )
+        vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
         seed = None
         if "_seed" in pdf.columns:
             s0 = pdf["_seed"].iloc[0]
             if s0 is not None and not pd.isna(s0):
                 seed = float(s0)
-        if seed is None or halo_n < p:
-            # pass 0 (or the unreachable lost-seed case, see docstring):
-            # the kernel's own scan over the dense segment
-            res = _kama_dense(vals, p)
-            valid = np.where(~np.isnan(res))[0]
-            k_out = float(res[valid[-1]]) if valid.size else np.nan
-            body = pdf
-        else:
-            n = vals.shape[0]
-            nb = n - halo_n
-            adiff = np.abs(np.diff(vals))
-            vol = np.empty(nb)
-            win = np.lib.stride_tricks.sliding_window_view(adiff, p)
-            step = max(1, 4_000_000 // p)
-            for lo in range(0, nb, step):
-                hi = min(lo + step, nb)
-                vol[lo:hi] = win[lo:hi].cumsum(axis=1)[:, -1]
-            with np.errstate(invalid="ignore", divide="ignore"):
-                er = np.where(vol > 0, np.abs(vals[p:] - vals[:-p]) / vol, 0.0)
-            k = seed
-            res = np.empty(nb)
-            for j in range(nb):
-                sc = (er[j] * (fast_sc - slow_sc) + slow_sc) ** 2
-                k = k + sc * (vals[p + j] - k)
-                res[j] = k
-            k_out = float(k) if nb else seed
-            body = pdf.iloc[halo_n:]
+        res, k_out, start = scan(vals, halo_n, seed)
+        body = pdf.iloc[start:]
         bdf = pd.DataFrame(
             {
                 partition_by: body[partition_by],
@@ -970,6 +984,64 @@ def kama_segmented(
         mark = pd.DataFrame({partition_by: [sym], "_rn": [-1], out: [k_out]})
         return pd.concat([bdf, mark], ignore_index=True)
 
+    def run_arrow(tbl):
+        # applyInArrow arm (round-14 default on Spark 4): identical scan;
+        # key/_rn buffers reused zero-copy, outputs emitted with
+        # from_pandas=True (NaN→null) to match the pandas serializer's
+        # treatment of the pandas arm's NaN rows. See ewma_segmented.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("_rn", "ascending")]))
+        n = tbl.num_rows
+        sym_col = tbl.column(partition_by)
+        sym = sym_col[0].as_py()
+        rn_col = pc.cast(tbl.column("_rn"), pa.int64())
+        halo_n = (
+            int(pc.sum(tbl.column("_halo")).as_py() or 0)
+            if "_halo" in tbl.column_names
+            else 0
+        )
+        if halo_n and halo_n == n:
+            # halo-only group: emit nothing (see the pandas arm's comment)
+            return pa.table(
+                {
+                    partition_by: sym_col.slice(0, 0),
+                    "_rn": rn_col.slice(0, 0),
+                    out: pa.array([], type=pa.float64()),
+                }
+            )
+        vals = (
+            pc.cast(tbl.column(x), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        seed = None
+        if "_seed" in tbl.column_names:
+            s0 = tbl.column("_seed")[0].as_py()
+            if s0 is not None and not (isinstance(s0, float) and np.isnan(s0)):
+                seed = float(s0)
+        res, k_out, start = scan(vals, halo_n, seed)
+        body_sym = sym_col.slice(start)
+        body_rn = rn_col.slice(start)
+        return pa.table(
+            {
+                partition_by: pa.chunked_array(
+                    list(body_sym.chunks) + [pa.array([sym], type=sym_col.type)]
+                ),
+                "_rn": pa.chunked_array(
+                    list(body_rn.chunks) + [pa.array([-1], type=pa.int64())]
+                ),
+                out: pa.chunked_array(
+                    [
+                        pa.array(res, type=pa.float64(), from_pandas=True),
+                        pa.array([k_out], type=pa.float64(), from_pandas=True),
+                    ]
+                ),
+            }
+        )
+
+    use_arrow = _use_arrow(df)
     s_rows = segment_rows
     pieces: list[DataFrame] = []
     prev: DataFrame | None = None
@@ -991,7 +1063,10 @@ def kama_segmented(
                 partition_by, F.col(out).alias("_seed")
             )
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
-        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if use_arrow:
+            res = seg.groupBy(partition_by).applyInArrow(run_arrow, schema=schema)
+        else:
+            res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
         res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
@@ -1177,6 +1252,88 @@ def _sar_family_segmented(
         )
         return pd.concat([bdf, mark], ignore_index=True)
 
+    def run_arrow(tbl):
+        # applyInArrow arm (round-14 default on Spark 4): the identical
+        # ``_sar_scan`` body; key/_rn buffers reused zero-copy, outputs
+        # emitted with from_pandas=True (NaN→null) to match the pandas
+        # serializer. See ewma_segmented.run_arrow.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("_rn", "ascending")]))
+        n = tbl.num_rows
+        sym_col = tbl.column(partition_by)
+        sym = sym_col[0].as_py()
+        rn_col = pc.cast(tbl.column("_rn"), pa.int64())
+        halo_n = (
+            int(pc.sum(tbl.column("_halo")).as_py() or 0)
+            if "_halo" in tbl.column_names
+            else 0
+        )
+        if halo_n and halo_n == n:
+            # halo-only group: emit nothing (see the pandas arm's comment)
+            return pa.table(
+                {
+                    partition_by: sym_col.slice(0, 0),
+                    "_rn": rn_col.slice(0, 0),
+                    out: pa.array([], type=pa.float64()),
+                }
+            )
+        hh = (
+            pc.cast(tbl.column(high), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        ll = (
+            pc.cast(tbl.column(low), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        state = None
+        if "_ss" in tbl.column_names:
+            sv = tbl.column("_ss")[0].as_py()
+            if sv is not None and not (isinstance(sv, float) and np.isnan(sv)):
+                state = (
+                    bool(tbl.column("_sl")[0].as_py()),
+                    float(sv),
+                    float(tbl.column("_sep")[0].as_py()),
+                    float(tbl.column("_saf")[0].as_py()),
+                )
+        if state is None:
+            res, st_out = _sar_scan(hh, ll, None, 1, p)
+            start = 0
+        else:
+            res_full, st_out = _sar_scan(hh, ll, state, halo_n, p)
+            res = res_full[halo_n:]
+            start = halo_n
+        lg, s, ep, af = st_out if st_out is not None else (
+            np.nan, np.nan, np.nan, np.nan
+        )
+        body_sym = sym_col.slice(start)
+        body_rn = rn_col.slice(start)
+        return pa.table(
+            {
+                partition_by: pa.chunked_array(
+                    list(body_sym.chunks) + [pa.array([sym] * 4, type=sym_col.type)]
+                ),
+                "_rn": pa.chunked_array(
+                    list(body_rn.chunks)
+                    + [pa.array([-1, -2, -3, -4], type=pa.int64())]
+                ),
+                out: pa.chunked_array(
+                    [
+                        pa.array(res, type=pa.float64(), from_pandas=True),
+                        pa.array(
+                            [float(lg), s, ep, af],
+                            type=pa.float64(),
+                            from_pandas=True,
+                        ),
+                    ]
+                ),
+            }
+        )
+
+    use_arrow = _use_arrow(df)
     s_rows = segment_rows
     pieces: list[DataFrame] = []
     prev: DataFrame | None = None
@@ -1209,7 +1366,10 @@ def _sar_family_segmented(
                 )
             )
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
-        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if use_arrow:
+            res = seg.groupBy(partition_by).applyInArrow(run_arrow, schema=schema)
+        else:
+            res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
         res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
@@ -1321,15 +1481,9 @@ def ewma_q_segmented(
         ]
     )
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
-        sym = pdf[partition_by].iloc[0]
-        vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
-        s = None
-        if "_seed" in pdf.columns:
-            s0 = pdf["_seed"].iloc[0]
-            if s0 is not None and not pd.isna(s0):
-                s = float(s0)
+    def scan(vals: np.ndarray, s):
+        """The per-group scan body, shared bit-identically by both arms:
+        (values, carried lattice state | None) → (result, carry-out)."""
         if s is None:
             res = _ewma_q(vals, a, seed_n)
             valid = np.where(~np.isnan(res))[0]
@@ -1341,6 +1495,18 @@ def ewma_q_segmented(
                 s = math.floor(b * s + a * float(vals[i]) + 0.5)
                 res[i] = s
             s_out = float(s)
+        return res, s_out
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_rn", kind="mergesort").reset_index(drop=True)
+        sym = pdf[partition_by].iloc[0]
+        vals = pdf[x].to_numpy(dtype="float64", na_value=np.nan)
+        s = None
+        if "_seed" in pdf.columns:
+            s0 = pdf["_seed"].iloc[0]
+            if s0 is not None and not pd.isna(s0):
+                s = float(s0)
+        res, s_out = scan(vals, s)
         body = pd.DataFrame(
             {
                 partition_by: pdf[partition_by],
@@ -1351,6 +1517,45 @@ def ewma_q_segmented(
         mark = pd.DataFrame({partition_by: [sym], "_rn": [-1], out: [s_out]})
         return pd.concat([body, mark], ignore_index=True)
 
+    def run_arrow(tbl):
+        # applyInArrow arm (round-14 default on Spark 4): identical scan;
+        # key/_rn buffers reused zero-copy. See ewma_segmented.run_arrow.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("_rn", "ascending")]))
+        sym_col = tbl.column(partition_by)
+        sym = sym_col[0].as_py()
+        vals = (
+            pc.cast(tbl.column(x), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        s = None
+        if "_seed" in tbl.column_names:
+            s0 = tbl.column("_seed")[0].as_py()
+            if s0 is not None and not (isinstance(s0, float) and np.isnan(s0)):
+                s = float(s0)
+        res, s_out = scan(vals, s)
+        rn_col = pc.cast(tbl.column("_rn"), pa.int64())
+        return pa.table(
+            {
+                partition_by: pa.chunked_array(
+                    list(sym_col.chunks) + [pa.array([sym], type=sym_col.type)]
+                ),
+                "_rn": pa.chunked_array(
+                    list(rn_col.chunks) + [pa.array([-1], type=pa.int64())]
+                ),
+                out: pa.chunked_array(
+                    [
+                        pa.array(res, type=pa.float64(), from_pandas=True),
+                        pa.array([s_out], type=pa.float64(), from_pandas=True),
+                    ]
+                ),
+            }
+        )
+
+    use_arrow = _use_arrow(df)
     pieces: list[DataFrame] = []
     prev: DataFrame | None = None
     for k in range(int(last_seg) + 1):
@@ -1360,7 +1565,10 @@ def ewma_q_segmented(
                 partition_by, F.col(out).alias("_seed")
             )
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
-        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if use_arrow:
+            res = seg.groupBy(partition_by).applyInArrow(run_arrow, schema=schema)
+        else:
+            res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
         res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         prev = res
@@ -1513,6 +1721,79 @@ def backtest_segmented(
         )
         return pd.concat([bdf, mark], ignore_index=True)
 
+    def run_arrow(tbl):
+        # applyInArrow arm (round-14 default on Spark 4): the identical
+        # ``_fold_state`` kernel; key/_rn buffers reused zero-copy, bool
+        # signals null→False exactly like the pandas arm's
+        # .astype("boolean").fillna(False). See vectorized_backtest_arrow.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = tbl.take(pc.sort_indices(tbl, sort_keys=[("_rn", "ascending")]))
+        sym_col = tbl.column(partition_by)
+        sym = sym_col[0].as_py()
+        px = (
+            pc.cast(tbl.column(price), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        b = (
+            pc.fill_null(tbl.column(buy), False)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("bool", copy=False)
+        )
+        s = (
+            pc.fill_null(tbl.column(sell), False)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("bool", copy=False)
+        )
+        state = None
+        if "_s2" in tbl.column_names:
+            cash0 = tbl.column("_s2")[0].as_py()  # cash: never NaN in a real state
+            if cash0 is not None and not (
+                isinstance(cash0, float) and np.isnan(cash0)
+            ):
+                vals = [tbl.column(c)[0].as_py() for c in seed_cols]
+                state = (
+                    float(vals[0]), float(vals[1]), float(vals[2]),
+                    float(vals[3]), float(vals[4]), float(vals[5]),
+                    int(vals[6]), int(vals[7]), float(vals[8]),
+                )
+        pos, cash, eq, dd, st = _fold_state(px, b, s, p, state)
+        rn_col = pc.cast(tbl.column("_rn"), pa.int64())
+        f64 = pa.float64()
+        return pa.table(
+            {
+                partition_by: pa.chunked_array(
+                    list(sym_col.chunks) + [pa.array([sym] * 9, type=sym_col.type)]
+                ),
+                "_rn": pa.chunked_array(
+                    list(rn_col.chunks)
+                    + [pa.array(list(range(-1, -10, -1)), type=pa.int64())]
+                ),
+                "position": pa.chunked_array(
+                    [
+                        pa.array(pos, type=f64, from_pandas=True),
+                        pa.array(
+                            [float(v) for v in st], type=f64, from_pandas=True
+                        ),
+                    ]
+                ),
+                "cash": pa.chunked_array(
+                    [pa.array(cash, type=f64, from_pandas=True), pa.nulls(9, f64)]
+                ),
+                "equity": pa.chunked_array(
+                    [pa.array(eq, type=f64, from_pandas=True), pa.nulls(9, f64)]
+                ),
+                "drawdown": pa.chunked_array(
+                    [pa.array(dd, type=f64, from_pandas=True), pa.nulls(9, f64)]
+                ),
+            }
+        )
+
+    use_arrow = _use_arrow(df)
     pieces: list[DataFrame] = []
     marks: list[DataFrame] = []
     prev: DataFrame | None = None
@@ -1534,7 +1815,10 @@ def backtest_segmented(
                 )
             )
             seg = seg.join(seeds_df.hint("merge"), partition_by, "left")
-        res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
+        if use_arrow:
+            res = seg.groupBy(partition_by).applyInArrow(run_arrow, schema=schema)
+        else:
+            res = seg.groupBy(partition_by).applyInPandas(run, schema=schema)
         res = _cache_piece(res, k)
         pieces.append(res.where(F.col("_rn") >= 0))
         marks.append(res.where(F.col("_rn") < 0))

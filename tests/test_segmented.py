@@ -763,3 +763,101 @@ def test_segmented_arrow_arm_bit_equal_to_pandas_arm(spark, tall_df):
     assert set(ka) == set(kb) and len(ka) == n
     bad = [k for k in ka if ka[k] != kb[k]]
     assert not bad, bad[:5]
+
+
+def test_segmented_arrow_arm_bit_equal_remaining_sites(spark):
+    """Round-14: the four remaining segmented operators grew applyInArrow
+    arms (kama, sar-family, ewma_q, backtest segmented). Each Arrow arm
+    must produce EXACTLY what its applyInPandas spec arm produces — values
+    and NULL positions — including the halo-only-group early-exit (uneven
+    symbol lengths: MID ends just inside, EDGE exactly at, a later
+    boundary's halo window)."""
+    from polars_quant_spark.backtest.vectorized import BacktestParams
+    from polars_quant_spark.operators import segmented as seg_mod
+    from polars_quant_spark.operators.segmented import (
+        backtest_segmented,
+        ewma_q_segmented,
+        kama_segmented,
+        sarext_segmented,
+    )
+
+    rng = np.random.default_rng(17)
+    frames = []
+    for sym, n in [("FAT", 450), ("MID", 99), ("EDGE", 100)]:
+        close = 100.0 + np.cumsum(rng.normal(0, 1, n))
+        frames.append(
+            pd.DataFrame(
+                {
+                    "symbol": sym,
+                    "t": np.arange(n),
+                    "high": close * 1.01,
+                    "low": close * 0.99,
+                    "close": close,
+                    "cm": np.floor(close * 1e6 + 0.5),
+                    "buy": (np.arange(n) % 37) == 3,
+                    "sell": (np.arange(n) % 29) == 7,
+                }
+            )
+        )
+    df = spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+    def both(fn, cols):
+        assert not seg_mod._FORCE_PANDAS_ARM
+        a = fn().select("symbol", "t", *cols).collect()
+        seg_mod._FORCE_PANDAS_ARM = True
+        try:
+            b = fn().select("symbol", "t", *cols).collect()
+        finally:
+            seg_mod._FORCE_PANDAS_ARM = False
+        ka = {(r["symbol"], r["t"]): tuple(r[c] for c in cols) for r in a}
+        kb = {(r["symbol"], r["t"]): tuple(r[c] for c in cols) for r in b}
+        assert set(ka) == set(kb) and len(ka) == 450 + 99 + 100
+        bad = [k for k in ka if ka[k] != kb[k]]
+        assert not bad, bad[:5]
+
+    both(lambda: kama_segmented(df, "close", 10, out="v", segment_rows=100), ["v"])
+    both(lambda: sarext_segmented(df, out="v", segment_rows=100), ["v"])
+    both(
+        lambda: ewma_q_segmented(df, "cm", 2.0 / 13.0, 12, out="v", segment_rows=100),
+        ["v"],
+    )
+    both(
+        lambda: backtest_segmented(
+            df,
+            params=BacktestParams(stop_loss=0.02, trailing_stop=0.03),
+            segment_rows=137,
+        ),
+        ["position", "cash", "equity", "drawdown", "n_trades", "n_wins"],
+    )
+
+
+def test_fused_sweep_nan_accumulator_after_seed_propagates(spark):
+    """ADVICE r13 (segmented.py scan_chains): a chain whose SEEDED
+    accumulator is NaN at a segment boundary — the np.cumsum SMA seed over
+    a window containing inf and -inf is NaN, and an all-inf tail keeps the
+    carried e NaN through the segment end (pandas ewm treats inf as
+    missing) — used to re-enter the warm-up branch on the next segment
+    with need == 0, re-seeding from the bogus psum/p = 0.0. The warm-up
+    guard is now `seen < p`, so the resume branch's NaN-seeded ewm
+    restarts at the next valid value — exactly what the single-group
+    kernel's one continuous ewm computes on the same input."""
+    from polars_quant_spark.operators.segmented import dema_segmented
+
+    n = 20
+    close = np.arange(5.0, 5.0 + n)
+    close[0], close[1], close[2] = 1.0, np.inf, -np.inf  # NaN SMA seed (p=3)
+    close[3] = close[4] = np.inf  # ewm carries the NaN seed to the boundary
+    df = spark.createDataFrame(
+        pd.DataFrame({"symbol": "X", "t": np.arange(n), "close": close})
+    )
+    whole = (
+        with_recurrences(df, [Rec("v", "dema", ["close"], {"p": 3})])
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    segd = (
+        dema_segmented(df, "close", p=3, out="v", segment_rows=5)
+        .select("symbol", "t", "v")
+        .collect()
+    )
+    _bit_equal(whole, segd, "v")

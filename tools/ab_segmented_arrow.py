@@ -8,7 +8,7 @@ cancels.
 
 Usage::
 
-    python tools/ab_segmented_arrow.py [sf_dir] [reps]
+    python tools/ab_segmented_arrow.py [sf_dir] [reps] [query ...]
 """
 
 from __future__ import annotations
@@ -30,13 +30,14 @@ QUERIES = ["ind_rsi_seg_14", "ind_atr_seg_14", "ind_adx_seg_14", "ind_t3_seg_5"]
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     reps = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    queries = sys.argv[3:] or QUERIES
     spark = get_spark("ab-segmented-arrow")
     spark.sparkContext.setLogLevel("ERROR")
     import __spark_entry__ as entry
 
     qs = entry.queries()
     results = {}
-    for name in QUERIES:
+    for name in queries:
         fn = qs[name]
         # one untimed warmup rep (arrow arm) to warm JIT/page cache
         with released(spark):

@@ -124,20 +124,29 @@ def wdot(x: Column, p: int, w: WindowSpec, weights: list[float]) -> Column:
 # them.
 # ---------------------------------------------------------------------------
 
-_EXPR_CACHE: dict[tuple, tuple[object, object]] = {}
+_EXPR_CACHE: dict[tuple, object] = {}
+_CACHE_GW: object | None = None
 
 
 def cached_build(key: tuple, build):
     """Return ``build()``, memoized under ``key`` for the lifetime of the
     current py4j gateway. ``build`` must construct only session-independent
-    objects (Columns, WindowSpecs, lists/dicts thereof)."""
+    objects (Columns, WindowSpecs, lists/dicts thereof).
+
+    A gateway change (JVM restart) CLEARS the whole cache rather than
+    leaving dead-gateway values pinned (ADVICE r13: in a long-lived driver
+    process that restarts Spark, per-entry generation checks kept stale
+    Column refs — and their py4j handles — alive indefinitely)."""
+    global _CACHE_GW
     from pyspark import SparkContext
 
     sc = SparkContext._active_spark_context
     gw = sc._gateway if sc is not None else None
-    hit = _EXPR_CACHE.get(key)
-    if hit is not None and hit[0] is gw:
-        return hit[1]
+    if gw is not _CACHE_GW:
+        _EXPR_CACHE.clear()
+        _CACHE_GW = gw
+    if key in _EXPR_CACHE:
+        return _EXPR_CACHE[key]
     val = build()
-    _EXPR_CACHE[key] = (gw, val)
+    _EXPR_CACHE[key] = val
     return val

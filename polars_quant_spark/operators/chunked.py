@@ -199,9 +199,29 @@ def with_chunked_windows(
     if cache_key is not None:
         from polars_quant_spark.functions._util import cached_build
 
+        # Key on the builder FUNCTIONS, not just their names (ADVICE r13):
+        # two call sites sharing a cache_key with identical names but
+        # different Column-building closures must not reuse each other's
+        # trees. (file, firstlineno) identifies the def site; hashable
+        # closure-cell contents distinguish same-site parametrized lambdas
+        # (e.g. `bb(0)` vs `bb(2)`).
+        def _fp(f):
+            code = getattr(f, "__code__", None)
+            if code is None:
+                return repr(f)
+            cells: tuple = ()
+            if getattr(f, "__closure__", None):
+                try:
+                    cells = tuple(c.cell_contents for c in f.__closure__)
+                    hash(cells)
+                except Exception:  # unhashable capture: fall back to def site
+                    cells = ("<unhashable>",)
+            return (code.co_filename, code.co_firstlineno, cells)
+
         marks, part_cols, built = cached_build(
             ("with_chunked_windows", cache_key, lookback, chunk,
-             tuple(keys), order, tuple(builders)),
+             tuple(keys), order,
+             tuple((n, _fp(f)) for n, f in builders.items())),
             build,
         )
     else:

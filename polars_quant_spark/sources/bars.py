@@ -89,14 +89,25 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from polars_quant_spark.functions._util import cached_build
 
     path = f"{sf_dir}/{name}.parquet"
-    # Memoize the INFERRED SCHEMA per (gateway, path): footer inference is
-    # ~0.1 s of py4j+footer I/O per call and the driver tables are
-    # immutable for a session (same staleness class as Spark's own
-    # FileStatusCache). Only the StructType is cached — every call still
-    # builds a FRESH relation (fresh expr-ids, so self-join behavior is
-    # unchanged) and every execution scans the parquet.
+    # Memoize the INFERRED SCHEMA per (gateway, path, stat stamp): footer
+    # inference is ~0.1 s of py4j+footer I/O per call and the driver tables
+    # are immutable for a session (same staleness class as Spark's own
+    # FileStatusCache). The (mtime, size) stamp invalidates the entry when
+    # a file at the same path is REGENERATED within a session (ADVICE r13:
+    # test-data rebuilds silently read through the stale schema); an
+    # unstatable path (remote fs) keeps the session-lifetime behavior.
+    # Only the StructType is cached — every call still builds a FRESH
+    # relation (fresh expr-ids, so self-join behavior is unchanged) and
+    # every execution scans the parquet.
+    import os
+
+    try:
+        st = os.stat(path)
+        stamp = (st.st_mtime_ns, st.st_size)
+    except OSError:
+        stamp = None
     schema = cached_build(
-        ("load_table_schema", path), lambda: spark.read.parquet(path).schema
+        ("load_table_schema", path, stamp), lambda: spark.read.parquet(path).schema
     )
     return spark.read.schema(schema).parquet(path)
 

@@ -303,7 +303,28 @@ BENCH = {
 def main() -> None:
     spark = get_spark("pqs-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    sf_dir = _relayout_cache(spark, SF_DIR)
+    # Opt-in scale tier (VERDICT r13 #2): SPARK_GRAFT_BENCH_SCALE=N runs
+    # the SAME queries over an N× replica of the driver tables
+    # (tools/scale_smoke.build — the standing replica discipline: longer
+    # per-symbol histories, content-disjoint documents, shifted keys).
+    # The sf0.1 default tier is fixed-cost-floor-bound (the 8-core total
+    # beats the 32-core total outright), so core-scaling is measured on
+    # this tier, never inferred from the default one. The driver never
+    # sets this env; the default path is unchanged.
+    bench_scale = int(os.environ.get("SPARK_GRAFT_BENCH_SCALE", "1") or "1")
+    if bench_scale > 1:
+        from tools import scale_smoke
+
+        scale_dir = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)),
+            ".scratch",
+            f"scale{bench_scale}x",
+        )
+        if not os.path.exists(os.path.join(scale_dir, "events.parquet")):
+            scale_smoke.build(spark, bench_scale, scale_dir)
+        sf_dir = scale_dir
+    else:
+        sf_dir = _relayout_cache(spark, SF_DIR)
     # Size the shuffle to the data, not the core count: target ~64 MB per
     # shuffle partition with a floor of 8 — the standard sizing rule this
     # repo documents for cluster deployment (at 100 TB the same formula
@@ -335,17 +356,41 @@ def main() -> None:
     # steady-state number a 100 TB deployment actually sees. Methodology is
     # declared in the JSON ("timing").
     timings: dict[str, float] = {}
+    split: dict[str, dict[str, float]] = {}
     for name, fn in BENCH.items():
         best = float("inf")
+        best_construct = float("inf")
+        df = None
         for _ in range(3):
             t0 = time.time()
             # released(): drop the pins persist-on-return operators
             # (dedup_minhash) leave behind each rep, so rep N doesn't run
             # against rep N-1's leftover storage (VERDICT r11 #7)
             with released(spark):
-                _force(fn(spark, sf_dir))
+                df = fn(spark, sf_dir)
+                t_built = time.time()
+                _force(df)
             best = min(best, time.time() - t0)
+            best_construct = min(best_construct, t_built - t0)
         timings[name] = round(best, 3)
+        # Construction/exec split (VERDICT r13 #1/#2): construct_s is the
+        # driver-side Column/plan build inside the timed reps above;
+        # exec_s re-forces the SAME DataFrame object (plan already
+        # analyzed in the Dataset), so it times pure execution from the
+        # parquet inputs. Measured OUTSIDE the timed region — the
+        # "queries" numbers keep the exact prior methodology — and makes
+        # construction shaving and execution work separately trackable
+        # round-over-round.
+        exec_s = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            with released(spark):
+                _force(df)
+            exec_s = min(exec_s, time.time() - t0)
+        split[name] = {
+            "construct_s": round(best_construct, 3),
+            "exec_s": round(exec_s, 3),
+        }
 
     # Ambient-load sentinels (VERDICT r9 #3): rounds 7 and 9 both showed
     # uniform +5-25% drift across UNTOUCHED queries that every judge had to
@@ -446,7 +491,16 @@ def main() -> None:
                 ),
                 "sentinel_disagreement": disagreement,
                 "timing": "best of 3 reps per query (steady-state)",
-                "layout": "16-way re-laid parquet cache of the driver tables (same data)",
+                "layout": (
+                    f"{bench_scale}x replica of the driver tables (opt-in scale tier)"
+                    if bench_scale > 1
+                    else "16-way re-laid parquet cache of the driver tables (same data)"
+                ),
+                # per-query construction (driver-side plan build, best of
+                # the 3 timed reps) vs execution (same-DataFrame re-exec,
+                # best of 2) — VERDICT r13 #1/#2
+                "split": split,
+                "bench_scale": bench_scale,
             }
         )
     )

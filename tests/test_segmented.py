@@ -861,3 +861,42 @@ def test_fused_sweep_nan_accumulator_after_seed_propagates(spark):
         .collect()
     )
     _bit_equal(whole, segd, "v")
+
+
+def test_indicator_family_segmented_bit_equal_to_per_op(spark, tall_df):
+    """Round-14 (VERDICT r13 #5): the fused multi-op family sweep — RSI +
+    ATR + the DMI/ADX family + T3 in ONE sweep — must produce EXACTLY what
+    composing the four per-op segmented calls produces, column by column,
+    values and NULL positions, across segment boundaries. Covers both the
+    shared-_str path (atr_p == adx_p) and the extra-chain path
+    (atr_p != adx_p)."""
+    from polars_quant_spark.operators.segmented import (
+        adx_family_segmented,
+        atr_segmented,
+        indicator_family_segmented,
+        rsi_segmented,
+        t3_segmented,
+    )
+
+    hl = tall_df.withColumn("high", F.col("close") * 1.01).withColumn(
+        "low", F.col("close") * 0.99
+    )
+    fam_cols = [
+        "rsi", "atr", "plus_dm", "minus_dm", "plus_di", "minus_di",
+        "dx", "adx", "adxr", "t3",
+    ]
+
+    for atr_p in (14, 10):
+        per_op = rsi_segmented(hl, "close", 14, out="rsi", segment_rows=700)
+        per_op = atr_segmented(
+            per_op, p=atr_p, out="atr", segment_rows=700
+        )
+        per_op = adx_family_segmented(per_op, p=14, segment_rows=700)
+        per_op = t3_segmented(per_op, "close", 5, out="t3", segment_rows=700)
+        a = per_op.select("symbol", "t", *fam_cols).collect()
+        fam = indicator_family_segmented(
+            hl, rsi_p=14, atr_p=atr_p, adx_p=14, t3_p=5, segment_rows=700
+        )
+        b = fam.select("symbol", "t", *fam_cols).collect()
+        for c in fam_cols:
+            _bit_equal(a, b, c)

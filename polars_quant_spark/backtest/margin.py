@@ -53,6 +53,11 @@ from pyspark.sql.types import (
 TRADING_DAYS = 252
 LOT = 100
 
+#: A/B hook (tests/tools only): force the applyInPandas spec arm even when
+#: the Arrow group path is available — same contract as
+#: operators.segmented._FORCE_PANDAS_ARM.
+_FORCE_PANDAS_ARM = False
+
 
 @dataclass
 class MarginParams:
@@ -514,11 +519,64 @@ def margin_backtest(
             res[name] = arr
         return res
 
-    return (
-        df.select(*cols)
-        .groupBy(partition_by)
-        .applyInPandas(run, schema=schema)
+    def run_arrow(tbl):
+        # applyInArrow arm (round-14 default on Spark 4, VERDICT r13 #3):
+        # the identical ``_fold`` kernel on the identical numpy inputs —
+        # the group table wraps the transferred batches zero-copy, only
+        # the four fold inputs enter numpy, and the key/order buffers are
+        # re-emitted without ever becoming pandas blocks. Float outputs
+        # use from_pandas=True (NaN→null) to match the pandas
+        # serializer's treatment of the pandas arm's NaN trade fields.
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        tbl = tbl.take(
+            pc.sort_indices(tbl, sort_keys=[(order_by, "ascending")])
+        )
+        t_in = (
+            pc.cast(tbl.column(order_by), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        px = (
+            pc.cast(tbl.column(price), pa.float64())
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+        )
+        b = (
+            pc.fill_null(tbl.column(buy), False)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("bool", copy=False)
+        )
+        s = (
+            pc.fill_null(tbl.column(sell), False)
+            .combine_chunks()
+            .to_numpy(zero_copy_only=False)
+            .astype("bool", copy=False)
+        )
+        out = _fold(t_in, px, b, s, p)
+        names = [f.name for f in _SCHEMA_EXTRA]
+        f64 = pa.float64()
+        res = {
+            partition_by: tbl.column(partition_by),
+            order_by: tbl.column(order_by),
+        }
+        for name, arr in zip(names, out):
+            if name == "exit_reason":
+                res[name] = pa.array(arr, type=pa.string())
+            else:
+                res[name] = pa.array(arr, type=f64, from_pandas=True)
+        return pa.table(res)
+
+    from polars_quant_spark.backtest.vectorized import (
+        _ARROW_GROUP_PATH_AVAILABLE,
     )
+
+    grouped = df.select(*cols).groupBy(partition_by)
+    if (not _FORCE_PANDAS_ARM) and _ARROW_GROUP_PATH_AVAILABLE(df):
+        return grouped.applyInArrow(run_arrow, schema=schema)
+    return grouped.applyInPandas(run, schema=schema)
 
 
 def daily_records(curve: DataFrame) -> DataFrame:

@@ -456,9 +456,24 @@ def connected_components(
     ``last_cc_stats`` dict ({"rounds", "jump_rounds", "converged"}) —
     observability for the scale smokes (VERDICT r12 #5 asked for the
     observed jump-round count at 1024×), zero cost on the plan."""
+    import time as _time
+
     jsc = edges.sparkSession.sparkContext._jsc
     last_cc_stats.clear()
-    last_cc_stats.update({"rounds": 0, "jump_rounds": 0, "converged": False})
+    # round_s[i] = wall of round i (plain step + probe + jump if taken);
+    # jump_s[k] = wall of the k-th jump block alone (its eager checkpoint
+    # materializes the label-of-label join) — round-14 (VERDICT r13 #4):
+    # the 1024x cost split between plain rounds and jump rounds needs
+    # per-round walls, not just counts. Observability only, zero plan cost.
+    last_cc_stats.update(
+        {
+            "rounds": 0,
+            "jump_rounds": 0,
+            "converged": False,
+            "round_s": [],
+            "jump_s": [],
+        }
+    )
 
     def _pinned_ids() -> set[int]:
         return {int(i) for i in jsc.getPersistentRDDs().keySet().toArray()}
@@ -482,6 +497,7 @@ def connected_components(
     keep = _pinned_ids()
     prev_round: set[int] = set()
     for i in range(max_iter):
+        t_round = _time.time()
         before = _pinned_ids()
         nbr = sym.join(
             labels.select(F.col("u").alias("v"), F.col("label").alias("vlabel")), "v"
@@ -493,6 +509,7 @@ def connected_components(
         new = new.localCheckpoint()
         done = new.where(F.col("newl") < F.col("label")).limit(1).count() == 0
         last_cc_stats["rounds"] = i + 1
+        t_jump = _time.time()
         if not done and i >= 2:
             last_cc_stats["jump_rounds"] += 1
             # unconverged past the shallow regime — pointer jump: newl is a
@@ -510,6 +527,8 @@ def connected_components(
                 "label",
             )
             new = new.localCheckpoint()
+            last_cc_stats["jump_s"].append(round(_time.time() - t_jump, 3))
+        last_cc_stats["round_s"].append(round(_time.time() - t_round, 3))
         # this round's checkpoints are now materialized: release last round's
         live = jsc.getPersistentRDDs()
         for rid in prev_round - keep:

@@ -137,9 +137,11 @@ def test_sliding_window_chain_fires_pointer_jumps(spark):
     for keep, members in comps.items():
         assert keep == min(members)
         assert max(members) - min(members) == len(members) - 1
-    assert dedup.last_cc_stats == {
-        "rounds": 5, "jump_rounds": 2, "converged": True,
-    }
+    st = dedup.last_cc_stats
+    assert (st["rounds"], st["jump_rounds"], st["converged"]) == (5, 2, True)
+    # round-14 observability: one wall per round, one per jump block
+    assert len(st["round_s"]) == 5 and len(st["jump_s"]) == 2
+    assert all(w > 0 for w in st["round_s"] + st["jump_s"])
 
 
 def test_minhash_dedup_end_to_end(spark):
